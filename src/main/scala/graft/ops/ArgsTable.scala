@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Argument-list parsing & expansion (SURVEY.md §2.1 S5, §2.3 J7/J9).
+  *
+  * The reference turns `'(1),(2),(3)'` text lists into an arguments table
+  * with SQL string surgery + a positional 4-way join
+  * (`SQL/CreateArgumentsTable.sql:8-123`, `SQL/SPLIT_STR.sql:6-14`). Argument
+  * lists are tiny (user input), so the idiomatic-Spark shape is: parse on the
+  * driver, `toDF`, and let the caller broadcast-join the result — never a
+  * distributed string-parsing job.
+  */
+object ArgsTable {
+
+  /** Parse a `'(a),(b),(c)'` list literal into its element strings. */
+  def parseList(s: String): Seq[String] =
+    if (s == null || s.trim.isEmpty) Seq.empty
+    else s.split("""\)\s*,\s*\(""").map(_.replaceAll("""[()]""", "").trim).filter(_.nonEmpty).toSeq
+
+  /** Expand a user-id list x event-type list into concrete argument pairs
+    * (the reference's src/dst IN-list expansion, CreateArgumentsTable.sql:74-101),
+    * deduplicated. Returns a tiny DataFrame meant for `broadcast(...)`.
+    */
+  def expand(spark: SparkSession, userList: String, typeList: String): DataFrame = {
+    import spark.implicits._
+    val pairs = for {
+      u <- parseList(userList).map(_.toLong)
+      t <- parseList(typeList)
+    } yield (u, t)
+    pairs.distinct.toDF("user_id", "event_type")
+  }
+
+  /** Zip N parallel positional lists into one row per position (the
+    * reference's `FROM t1,t2,t3 WHERE t1.id=t2.id AND ...` positional join,
+    * CreateArgumentsTable.sql:36-37). Truncates to the shortest list.
+    */
+  def zip(spark: SparkSession, cols: Seq[(String, String)]): DataFrame = {
+    val names = cols.map(_._1)
+    val lists = cols.map(c => parseList(c._2))
+    val n = if (lists.isEmpty) 0 else lists.map(_.size).min
+    val rows = (0 until n).map(i => Row.fromSeq(lists.map(_(i))))
+    val schema = StructType(names.map(StructField(_, StringType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.testqueries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.{ArgmaxLatest, ArgsTable, Locf}
+
+/** The reference's real query families (SURVEY.md §2.10) re-expressed over
+  * the driver's `events` table, which is shape-isomorphic to the reference's
+  * update log: (user_id, event_type) plays (src/dst, uevol_field_id),
+  * `ts`/`event_id` play `log_time`/`instance_message_id`, `value` plays
+  * `new_value`.
+  *
+  * - point-in-time reconstruction  = GetMessage / RetrieveMessage
+  * - LOCF wide history             = GetUpdateHistory
+  * - compaction                    = Backup.java
+  * - argument-list expansion       = CreateArgumentsTable
+  */
+object EventQueries {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val AsOf = "2024-01-15 00:00:00"
+  private val Cutoff = "2024-01-25 00:00:00"
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GetUpdateHistory's dynamic pivot (SQL/GetUpdateHistory.sql:36-78) with
+    // explicit pivot values so the schema is static and plannable.
+    "q13_pivot" -> { (s, dir) =>
+      val wide = ev(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .agg(sum("value"))
+      wide.select(
+        col("user_id") +:
+          EventTypes.map(tp => coalesce(round(col(tp), 2), lit(0.0)).as(tp)): _*)
+    },
+
+    // §2.7 F1: JSON leaf extraction + numeric cast (the reference's
+    // JSON_EXTRACT(json,'$.k')+0, SQL/GetMessage.sql:289).
+    "q14_json_extract" -> { (s, dir) =>
+      ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    },
+
+    // Point-in-time full-state reconstruction (GetMessage semantics,
+    // SQL/GetMessage.sql:8-998): latest update ≤ T per key via one partial-agg
+    // shuffle, grid of all keys via cross join with the 5-row type dim,
+    // never-updated keys get the reference's -1 sentinel defaults
+    // (SQL/GetMessage.sql:435,973). No per-field loops, no self-join.
+    "q17_reconstruct_state" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val latest = ArgmaxLatest.latestRows(
+        e.where(col("ts") <= lit(AsOf).cast("timestamp")),
+        Seq("user_id", "event_type"),
+        struct(col("ts"), col("event_id")))
+      val grid = e.select("user_id").distinct()
+        .crossJoin(e.select("event_type").distinct())
+      grid.join(latest, Seq("user_id", "event_type"), "left_outer")
+        .select(
+          col("user_id"), col("event_type"),
+          coalesce(col("value"), lit(-1.0)).as("value"),
+          coalesce(col("event_id"), lit(-1L)).as("last_event_id"))
+    },
+
+    // GetUpdateHistory's per-event wide table with LOCF forward-fill
+    // (SQL/GetUpdateHistory.sql:80-177): pivot each event onto its type
+    // column, then last(ignoreNulls) over the per-user ordered window —
+    // one shuffle + one sort replaces the reference's per-row cursor loop.
+    "q18_update_history" -> { (s, dir) =>
+      val base = ev(s, dir).select("user_id", "event_id", "ts", "event_type", "value")
+      val wide = base.groupBy("user_id", "event_id", "ts")
+        .pivot("event_type", EventTypes)
+        .agg(first("value"))
+      val filled = Locf.fill(wide, Seq("user_id"), Seq(col("ts"), col("event_id")), EventTypes)
+      filled.select(
+        col("user_id") +: col("event_id") +:
+          EventTypes.map(tp => coalesce(col(tp), lit(-1.0)).as(tp)): _*)
+    },
+
+    // Backup.java:40-61 compaction: latest state per key before the cutoff ∪
+    // raw deltas after it — bounds the log without losing reconstructability.
+    "q19_backup_compact" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val cut = lit(Cutoff).cast("timestamp")
+      val compacted = ArgmaxLatest.latestRows(
+        e.where(col("ts") < cut),
+        Seq("user_id", "event_type"),
+        struct(col("ts"), col("event_id")))
+      val recent = e.where(col("ts") >= cut)
+      compacted.select("event_id", "user_id", "event_type", "value")
+        .unionByName(recent.select("event_id", "user_id", "event_type", "value"))
+    },
+
+    // CreateArgumentsTable.sql:8-123: parse '(v),(v)' list literals, expand
+    // to concrete (user, type) pairs, then aggregate the matching events.
+    // The argument lists are tiny → parsed on the driver, broadcast-joined.
+    "q20_args_expand" -> { (s, dir) =>
+      val args = ArgsTable.expand(s,
+        userList = "(1),(3),(5),(7)",
+        typeList = "(click),(error),(purchase)")
+      ev(s, dir)
+        .join(broadcast(args), Seq("user_id", "event_type"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q13_pivot" -> {
+      val cols = EventTypes.map(tp =>
+        s"coalesce(round(sum(CASE WHEN event_type = '$tp' THEN value END), 2), 0.0) AS $tp")
+        .mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id"
+    },
+    "q14_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+         CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type""",
+    "q17_reconstruct_state" ->
+      s"""WITH latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts <= TIMESTAMP '$AsOf') WHERE rn = 1)
+         SELECT g.user_id, g.event_type,
+           coalesce(l.value, -1.0) AS value,
+           coalesce(l.event_id, -1) AS last_event_id
+         FROM (SELECT u.user_id, t.event_type
+               FROM (SELECT DISTINCT user_id FROM events) u
+               CROSS JOIN (SELECT DISTINCT event_type FROM events) t) g
+         LEFT JOIN latest l
+           ON g.user_id = l.user_id AND g.event_type = l.event_type""",
+    "q18_update_history" -> {
+      val cols = EventTypes.map(tp =>
+        s"coalesce(last_value(CASE WHEN event_type = '$tp' THEN value END IGNORE NULLS) OVER w, -1.0) AS $tp")
+        .mkString(", ")
+      s"""SELECT user_id, event_id, $cols FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    },
+    "q19_backup_compact" ->
+      s"""SELECT event_id, user_id, event_type, value FROM (
+            SELECT * FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE ts < TIMESTAMP '$Cutoff') WHERE rn = 1)
+          UNION ALL
+          SELECT event_id, user_id, event_type, value FROM events
+          WHERE ts >= TIMESTAMP '$Cutoff'""",
+    "q20_args_expand" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+         FROM events
+         WHERE user_id IN (1, 3, 5, 7)
+           AND event_type IN ('click', 'error', 'purchase')
+         GROUP BY user_id, event_type""")
+}
