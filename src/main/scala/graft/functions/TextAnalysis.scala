@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure `Column` expressions (whole-stage codegen,
+  * no UDFs) so they run at scan speed and distribute trivially.
+  */
+object TextAnalysis {
+
+  /** English stopword core used by the ratio heuristics. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with")
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * punctuation marks each count as one token (a cheap proxy for byte-pair
+    * vocabularies when estimating training cost). RE2-compatible pattern so
+    * external oracles can recompute it.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Fraction of whitespace tokens that are core English stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isin(stopwords: _*))
+    size(stops).cast("double") / size(toks).cast("double")
+  }
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Mean whitespace-token length. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Composite document-quality score in [0,1]: rewards stopword presence
+    * (real prose has them) and reasonable length; penalizes punctuation
+    * noise. Deterministic closed form so an external oracle can recompute it.
+    */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.4) * least(stopwordRatio(text) * lit(4.0), lit(1.0)) +
+      lit(0.4) * least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) +
+      lit(0.2) * (lit(1.0) - least(punctRatio(text) * lit(10.0), lit(1.0))),
+      4)
+
+  /** Language-ID heuristic: stopword-ratio per language profile, argmax with
+    * 'und' (undetermined) when no profile clears the floor. N-gram profiles
+    * would slot in the same shape; stopwords suffice for the engine surface.
+    */
+  def langIdHeuristic(text: Column, floor: Double = 0.08): Column = {
+    val en = stopwordRatio(text, EnStopwords)
+    when(en >= floor, lit("en")).otherwise(lit("und"))
+  }
+
+  /** 60-bit stable document fingerprint from the normalized text (md5-based
+    * so any engine can recompute it; 15 hex chars keeps it in a signed long).
+    */
+  def fingerprint(text: Column): Column =
+    conv(substring(md5(lower(text)), 1, 15), 16, 10).cast("long")
+
+  /** Full-width hex fingerprint (for exact-dup grouping keys). */
+  def fingerprintHex(text: Column): Column = md5(lower(text))
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding-vector similarity operators.
+  *
+  * Everything is expressed over `array<double>` columns with built-in
+  * higher-order functions (`zip_with`/`aggregate` — codegen'd, no UDFs).
+  *
+  * Scale notes: brute-force kNN is O(|queries|·|corpus|) — correct baseline
+  * when |queries| is small (broadcast the queries, stream the corpus).
+  * `nearDupPairs` blocks on a key column so the join is equality-partitioned,
+  * never an unblocked cross product. An IVF-style variant would add a
+  * coarse-quantizer bucket column and join on it — same plan shape as the
+  * label blocking here.
+  */
+object VectorOps {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for a small query set.
+    * `queries`/`corpus`: (idCol, vecCol) with array<float|double> vectors.
+    * Returns (query_id, neighbor_id, rank). Self-matches excluded.
+    */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, blocked by
+    * `blockCol` (label, cluster id, LSH bucket...) so the self-join is an
+    * equality join on the block key.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(blockCol).as("blk"), col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = base.select(col("blk"), col(idCol).as("id_a"), col("v").as("va"))
+    val b = base.select(col("blk"), col(idCol).as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("blk"))
+  }
+}

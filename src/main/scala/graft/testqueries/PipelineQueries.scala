@@ -1,0 +1,193 @@
+package graft.testqueries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.functions.{MinHashLSH, SimHash, TextAnalysis, VectorOps}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) over the `documents` / `embeddings` tables, each with a DuckDB
+  * oracle replaying the exact same md5-derived hashes and closed-form scores.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + quality scoring — pure codegen'd expressions over the
+    // scan; no shuffle at all (the 100 TB shape: embarrassingly parallel).
+    "d01_text_stats" -> { (s, dir) =>
+      val t = col("text")
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.subwordCount(t).cast("long").as("n_subwords"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.avgTokenLen(t), 6).as("avg_token_len"),
+        TextAnalysis.qualityScore(t).as("quality"))
+    },
+
+    // Language-ID heuristic (stopword profile argmax with 'und' floor).
+    "d02_lang_id" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("en_ratio"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+    },
+
+    // Document fingerprinting (md5-derived, engine-replayable).
+    "d03_fingerprint" -> { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprintHex(col("text")).as("fp_hex"),
+        TextAnalysis.fingerprint(col("text")).as("fp60"))
+    },
+
+    // Exact dedup: hash-groupBy on the normalized-text fingerprint; keeps
+    // the smallest doc_id as canonical. One partial-agg shuffle on the hash.
+    "d04_dedup_exact" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(TextAnalysis.fingerprintHex(col("text")).as("fp_hex"))
+        .agg(min("doc_id").as("canonical_doc"), count(lit(1)).as("n_copies"))
+    },
+
+    // MinHash+LSH near-dup candidates with exact-Jaccard verification —
+    // shingle → 8-seed signature → 4 bands of 2 → band-key equijoin.
+    "d05_minhash_pairs" -> { (s, dir) =>
+      MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text", n = 3, k = 8, r = 2)
+    },
+
+    // 32-bit SimHash sketch per document.
+    "d06_simhash" -> { (s, dir) =>
+      SimHash.simhash(docs(s, dir), "doc_id", "text")
+    },
+
+    // Brute-force cosine top-5 — the ANN baseline; queries broadcast,
+    // corpus streamed, one window for the top-k cut.
+    "d07_knn" -> { (s, dir) =>
+      val e = embs(s, dir)
+      VectorOps.knnBruteForce(e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+    },
+
+    // Embedding near-dup pairs over a blocking key (label) — the IVF-shaped
+    // scale path: equality join on the block, never an open cross product.
+    "d08_vec_dup" -> { (s, dir) =>
+      VectorOps.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label", 0.4)
+        .withColumnRenamed("blk", "label")
+    },
+
+    // Multimodal plumbing: opaque binary column + typed metadata extraction
+    // (the decode stage itself is the library's pluggable/fake codec — see
+    // graft.functions.Multimodal; here we verify the binary round-trip).
+    "d09_binary_meta" -> { (s, dir) =>
+      val blob = encode(col("text"), "UTF-8")
+      docs(s, dir).select(
+        col("doc_id"),
+        octet_length(blob).cast("long").as("n_bytes"),
+        upper(substring(hex(blob), 1, 16)).as("head_hex"))
+    })
+
+  private val QualitySql =
+    """round(0.4 * least((CAST(len(list_filter(string_split(lower(text), ' '),
+      |  t -> t IN ('the','a','an','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+      |  / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 4.0, 1.0)
+      |+ 0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |+ 0.2 * (1.0 - least((CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+      |  / CAST(len(text) AS DOUBLE)) * 10.0, 1.0)), 4)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_text_stats" ->
+      s"""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subwords,
+          round(CAST(len(list_filter(string_split(lower(text), ' '),
+            t -> t IN ('the','a','an','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+            / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS stop_ratio,
+          round(CAST(len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+            / CAST(len(text) AS DOUBLE), 6) AS punct_ratio,
+          round(CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+          $QualitySql AS quality
+          FROM documents""",
+    "d02_lang_id" ->
+      """SELECT doc_id,
+         round(CAST(len(list_filter(string_split(lower(text), ' '),
+           t -> t IN ('the','a','an','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+           / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS en_ratio,
+         CASE WHEN (CAST(len(list_filter(string_split(lower(text), ' '),
+           t -> t IN ('the','a','an','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+           / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) >= 0.08
+           THEN 'en' ELSE 'und' END AS lang_pred
+         FROM documents""",
+    "d03_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp_hex,
+         CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT) AS fp60
+         FROM documents""",
+    "d04_dedup_exact" ->
+      """SELECT md5(lower(text)) AS fp_hex,
+         CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "d05_minhash_pairs" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+           FROM words WHERE len(w) >= 3)),
+         hx AS (SELECT doc_id, j,
+             min(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 8)) AS BIGINT)) AS mh
+           FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j // 2 AS band,
+             concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
+                    CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bkey
+           FROM hx GROUP BY doc_id, j // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+           GROUP BY c.doc_a, c.doc_b)
+         SELECT i.doc_a, i.doc_b,
+           round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
+         FROM inter i
+         JOIN sizes na ON na.doc_id = i.doc_a
+         JOIN sizes nb ON nb.doc_id = i.doc_b""",
+    "d06_simhash" -> {
+      val bitSums = (0 until 32).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+      val assemble = (0 until 32).map(i =>
+        s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
+          sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+          SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sums"""
+    },
+    "d07_knn" ->
+      """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+         WHERE rank <= 5""",
+    "d08_vec_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
+         FROM embeddings a
+         JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    "d09_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         upper(substr(hex(encode(text)), 1, 16)) AS head_hex
+         FROM documents""")
+}
