@@ -16,8 +16,15 @@ object ArgsTable {
 
   /** Parse a `'(a),(b),(c)'` list literal into its element strings. */
   def parseList(s: String): Seq[String] =
+    parseListKeepEmpty(s).filter(_.nonEmpty)
+
+  /** Like [[parseList]] but keeps empty `()` elements — required when lists
+    * are zipped positionally (e.g. the per-argument filter list, where `()`
+    * means "no filter for this triple").
+    */
+  def parseListKeepEmpty(s: String): Seq[String] =
     if (s == null || s.trim.isEmpty) Seq.empty
-    else s.split("""\)\s*,\s*\(""").map(_.replaceAll("""[()]""", "").trim).filter(_.nonEmpty).toSeq
+    else s.split("""\)\s*,\s*\(""", -1).map(_.replaceAll("""[()]""", "").trim).toSeq
 
   /** Expand a user-id list x event-type list into concrete argument pairs
     * (the reference's src/dst IN-list expansion, CreateArgumentsTable.sql:74-101),

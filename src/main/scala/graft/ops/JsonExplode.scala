@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Snapshot-JSON flattening (SURVEY.md §2.7 F1–F5, §2.8 UD5).
+  *
+  * The reference probes the JSON nesting degree (0/1/2) per row and loops
+  * over `JSON_KEYS` with per-key INSERTs (`SQL/GetJsonDegree.sql:10-25`,
+  * `SQL/GetMessage.sql:282-355`). Here every degree flattens in one pass:
+  * parse as `map<string,string>`, explode, and re-explode values that are
+  * themselves objects. Keys contain dots (`"000.001"`), so we never use
+  * JSON-path extraction — map keys are opaque (SURVEY.md §7.5 risk 2).
+  */
+object JsonExplode {
+
+  private val Mapped = MapType(StringType, StringType)
+
+  /** Flatten `jsonCol` into (relative_path, value) rows, carrying `keep`
+    * columns through. Degree 0/1 keys emit directly; degree-2 inner objects
+    * emit one row per inner key (inner keys are full relative paths).
+    * Null/empty-object rows emit nothing — callers apply sentinel defaults.
+    */
+  def flatten(df: DataFrame, jsonCol: String, keep: Seq[String]): DataFrame = {
+    val keepCols = keep.map(col)
+    val lvl1 = df
+      .select(keepCols :+ explode(from_json(col(jsonCol), Mapped)).as(Seq("rp", "rv")): _*)
+    val leaves = lvl1
+      .where(!col("rv").startsWith("{"))
+      .select(keepCols :+ col("rp").as("relative_path")
+        :+ col("rv").cast("double").as("value"): _*)
+    val nested = lvl1
+      .where(col("rv").startsWith("{"))
+      .select(keepCols :+ explode(from_json(col("rv"), Mapped)).as(Seq("relative_path", "v2")): _*)
+      .select(keepCols :+ col("relative_path") :+ col("v2").cast("double").as("value"): _*)
+    leaves.unionByName(nested)
+  }
+
+  /** Nesting degree of a JSON value column (0: scalar leaf under one key,
+    * 1: flat object, 2: object of objects) — the reference's GetJsonDegree
+    * probe as a plan-time expression. Degree here = 1 + (values are objects).
+    */
+  def degree(jsonCol: Column): Column =
+    when(jsonCol.isNull || jsonCol === "{}", lit(-1))
+      .when(size(map_keys(from_json(jsonCol, Mapped))) === 1 &&
+        !element_at(map_values(from_json(jsonCol, Mapped)), 1).startsWith("{"), lit(0))
+      .when(exists(map_values(from_json(jsonCol, Mapped)), v => v.startsWith("{")), lit(2))
+      .otherwise(lit(1))
+
+  /** Scalar (`$."000"`) extraction with numeric cast — the degree-0 fallback
+    * (`SQL/GetMessage.sql:571-590`). Map-typed access, dot-safe.
+    */
+  def scalarValue(jsonCol: Column): Column =
+    element_at(from_json(jsonCol, Mapped), "000").cast("double")
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.DynamicFilter._
+
+/** Update-log slicing with dynamic arguments — the `fieldFilter` /
+  * `get_field_updates` query family (`Java/.../RetrieveField.java:50-93`,
+  * `Scala/.../Retrieve_field.scala:35-78`).
+  *
+  * Time bounds are given on `instance_message.log_time` but the fact table
+  * is keyed by `instance_message_id`, so bounds resolve through two O(1)
+  * scalar aggregates (the reference's `orderBy(id).first()` ≡ `min/max(id)`)
+  * — the only driver round-trips in the query, same as the reference, but
+  * typed instead of string-spliced. The resulting ID range then prunes the
+  * fact scan (row-group skipping on `instance_message_id` min/max stats at
+  * scale).
+  */
+object FieldFilter {
+
+  case class Args(
+      uevolMessageId: Int = -1,
+      uevolFieldId: Int = -1,
+      srcId: Int = -1,
+      dstId: Int = -1,
+      srcTy: Int = -1,
+      dstTy: Int = -1,
+      seqNb: Int = -1,
+      startLogTime: Long = -1L,
+      endLogTime: Long = -1L,
+      duration: Long = -1L,
+      chosenValue: Long = -1L)
+
+  /** Slice the update log per the reference's argument semantics. Sentinel
+    * −1 / "" means "absent". Where the reference would NPE on an empty
+    * bound-resolution (`first()` of an empty Dataset), this returns an empty
+    * slice.
+    */
+  def fieldFilter(instanceField: DataFrame, instanceMessage: DataFrame, a: Args): DataFrame = {
+    val f = instanceField.where(conjunct(
+      eqArg(col("uevol_field_id"), a.uevolFieldId),
+      eqArg(col("new_value"), a.chosenValue),
+      eqArg(col("src_id"), a.srcId),
+      eqArg(col("dst_id"), a.dstId)))
+    val m = instanceMessage.where(conjunct(
+      eqArg(col("uevol_message_id"), a.uevolMessageId),
+      eqArg(col("src_ty"), a.srcTy),
+      eqArg(col("dst_ty"), a.dstTy)))
+
+    if (a.seqNb != -1) {
+      // seq_nb pins one exact message instance (RetrieveField.java:66-69).
+      scalarLong(m.where(col("seq_nb") === a.seqNb).agg(min("id"))) match {
+        case Some(id) => f.where(col("instance_message_id") === id)
+        case None => f.where(lit(false))
+      }
+    } else {
+      val endLogTime =
+        if (a.endLogTime == -1L && a.duration != -1L && a.startLogTime != -1L)
+          a.startLogTime + a.duration // RetrieveField.java:85-90
+        else a.endLogTime
+      val lo = if (a.startLogTime == -1L) Some(Long.MinValue)
+        else scalarLong(m.where(col("log_time") >= a.startLogTime).agg(min("id")))
+      val hi = if (endLogTime == -1L) Some(Long.MaxValue)
+        else scalarLong(m.where(col("log_time") <= endLogTime).agg(max("id")))
+      (lo, hi) match {
+        case (Some(l), Some(h)) => f.where(col("instance_message_id").between(l, h))
+        case _ => f.where(lit(false))
+      }
+    }
+  }
+
+  /** Gen-1 variant with boundary padding (`Retrieve_field.scala:66-75`):
+    * the window's own first/last updates are echoed as synthetic rows at the
+    * window edges — the first row's `previous_value` is the value in effect
+    * at `startLogTime`, the last row's `new_value` the value at `endLogTime`.
+    * `updates` needs (log_time, previous_value, new_value) columns.
+    */
+  def updatesWithBoundaries(updates: DataFrame, cond: Column,
+                            startLogTime: Long, endLogTime: Long): DataFrame = {
+    val inWindow = updates
+      .where(cond && col("log_time").between(startLogTime, endLogTime))
+    val core = inWindow.withColumn("field_value", col("new_value"))
+    val first = inWindow.orderBy(asc("log_time")).limit(1)
+      .withColumn("field_value", col("previous_value"))
+      .withColumn("log_time", lit(startLogTime))
+    val last = inWindow.orderBy(desc("log_time")).limit(1)
+      .withColumn("field_value", col("new_value"))
+      .withColumn("log_time", lit(endLogTime))
+    first.unionByName(core).unionByName(last)
+      .drop("previous_value", "new_value")
+  }
+
+  private def scalarLong(agged: DataFrame): Option[Long] =
+    Option(agged.head().get(0)).map(_.asInstanceOf[Number].longValue)
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Telemetry
+import graft.ops.{ArgmaxLatest, JsonExplode, SnapshotBracket}
+
+/** Point-in-time message reconstruction — the engine's flagship capability.
+  *
+  * Covers both reference generations:
+  * - `RetrieveMessage.java:54-118` (log-only argmax per field, expressed
+  *   there as a per-row UDF that only works in local mode);
+  * - `SQL/GetMessage.sql:8-998` (snapshot-bracketed: nearest snapshot +
+  *   delta-log slice + JSON explode + sentinel defaults).
+  *
+  * One Catalyst DAG: slice → max_by argmax (one shuffle) → snapshot explode
+  * (map-only) → anti-join/left-join lattice (broadcast: field lists are
+  * small) → union → sort. The snapshot bracket bounds the fact scan to
+  * `[snap_min_start, target]` — the partition-pruning move that makes this
+  * O(epoch) instead of O(history) at 100 TB.
+  *
+  * Value lattice per (field, src, dst, relative_path):
+  *   latest log update in the epoch ≫ snapshot value ≫ −1 sentinel
+  * (`SQL/GetMessage.sql:435,571-590,973`). Where the reference's
+  * same/diff snapshot-compare shortcut can misreport a within-epoch
+  * A→B→A oscillation as A, this lattice is replay-consistent (update wins).
+  */
+object MessageReconstruct {
+
+  private val Key = Seq("uevol_field_id", "src_id", "dst_id")
+
+  /** Reconstruct the full field vector of message instance `target`.
+    *
+    * @param snapshotLoader resolves a snapshots-catalog `name` to its rows
+    *                       (uevol_field_id, src_id, dst_id,
+    *                       instance_message_id, json_value)
+    * @return (uevol_field_id, src_id, dst_id, name, instance_message_id,
+    *         relative_path, type, value) ordered by (field, path) —
+    *         `SQL/GetMessage.sql:451-460` shape.
+    */
+  def getMessage(
+      instanceField: DataFrame,
+      instanceMessage: DataFrame,
+      uevolField: DataFrame,
+      snapshotCatalog: Option[DataFrame],
+      snapshotLoader: String => DataFrame,
+      target: Long): DataFrame = {
+
+    val spark = instanceField.sparkSession
+    import spark.implicits._
+
+    // 1. Resolve the target instance row (GetMessage.sql:25-38). Unknown id
+    //    => empty result (the reference's NULL branch, :992-996).
+    val hdr = instanceMessage.where(col("id") === target)
+      .select("uevol_message_id", "src_id", "dst_id").limit(1).collect()
+    if (hdr.isEmpty) return emptyResult(uevolField)
+    val (msgId, srcId, dstId) =
+      (hdr(0).getInt(0), hdr(0).getInt(1), hdr(0).getInt(2))
+
+    // 2. The message's field list with constant src/dst (GetMessage.sql:42-54).
+    val messageFields = uevolField
+      .where(col("uevol_message_id") === msgId)
+      .select(col("id").as("uevol_field_id"), col("name"), col("type"),
+        lit(srcId).as("src_id"), lit(dstId).as("dst_id"))
+
+    // 3. Bracket snapshots; snap_min bounds the delta scan (GetMessage.sql:63-92).
+    val bracket = snapshotCatalog.map(SnapshotBracket.bracket(_, target))
+    val snapMin = bracket.flatMap(_._1)
+    val sliceLo = snapMin.map(_.start_instance_message_id).getOrElse(Long.MinValue)
+
+    // 4. Latest update per (field, path) within the epoch — the J6 argmax.
+    val latest = ArgmaxLatest.latestRows(
+      instanceField.where(
+        col("uevol_message_id") === msgId && col("src_id") === srcId &&
+          col("dst_id") === dstId &&
+          col("instance_message_id").between(sliceLo, target)),
+      Key :+ "relative_path",
+      col("instance_message_id"))
+      .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+        col("relative_path"), col("instance_message_id"),
+        col("new_value").cast("double").as("value"))
+
+    // 5. Snapshot values for paths not updated within the epoch: explode the
+    //    snap_min JSON (dot-safe map explode, GetMessage.sql:282-355) and
+    //    anti-join the argmax keys.
+    val snapValues = snapMin match {
+      case Some(ref) =>
+        val snapDf = snapshotLoader(ref.name)
+          .where(col("src_id") === srcId && col("dst_id") === dstId)
+          .join(broadcast(messageFields.select("uevol_field_id")),
+            Seq("uevol_field_id"), "left_semi")
+        JsonExplode.flatten(snapDf, "json_value",
+          Key :+ "instance_message_id")
+          .join(latest.select((Key :+ "relative_path").map(col): _*),
+            Key :+ "relative_path", "left_anti")
+          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+            col("relative_path"), col("instance_message_id"), col("value"))
+      case None => spark.emptyDataset[ValueRow].toDF()
+    }
+
+    // 6. Fields with no update and no snapshot value: the -1 sentinel row
+    //    at the scalar path (GetMessage.sql:435,571-590).
+    val covered = latest.select(Key.map(col): _*)
+      .unionByName(snapValues.select(Key.map(col): _*)).distinct()
+    val defaults = messageFields
+      .join(covered, Key, "left_anti")
+      .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+        lit(Telemetry.ScalarPath).as("relative_path"),
+        lit(Telemetry.NeverUpdatedId).as("instance_message_id"),
+        lit(Telemetry.NeverUpdatedValue).as("value"))
+
+    // 7. Union, decorate with name/type, final sort (GetMessage.sql:595-597).
+    latest.unionByName(snapValues).unionByName(defaults)
+      .join(broadcast(messageFields.select("uevol_field_id", "name", "type")),
+        Seq("uevol_field_id"))
+      .select(col("uevol_field_id"), col("src_id"), col("dst_id"), col("name"),
+        col("instance_message_id"), col("relative_path"), col("type"),
+        col("value"))
+      .orderBy("uevol_field_id", "relative_path")
+  }
+
+  /** Log-only reconstruction (`RetrieveMessage.java:54-118` semantics):
+    * (field id, name, latest new_value ≤ target) for every field of the
+    * message, −1 when never updated — the reference's UDF-per-row replaced
+    * by one argmax + broadcast join.
+    */
+  def messageContent(
+      instanceField: DataFrame,
+      uevolField: DataFrame,
+      uevolMessageId: Int,
+      srcId: Int,
+      dstId: Int,
+      target: Long): DataFrame = {
+    val fields = uevolField
+      .where(col("uevol_message_id") === uevolMessageId)
+      .select(col("id"), col("name"))
+    val latest = ArgmaxLatest.latestRows(
+      instanceField.where(
+        col("uevol_message_id") === uevolMessageId &&
+          col("src_id") === srcId && col("dst_id") === dstId &&
+          col("instance_message_id") <= target),
+      Seq("uevol_field_id"),
+      col("instance_message_id"))
+    fields
+      .join(latest, fields("id") === latest("uevol_field_id"), "left_outer")
+      .select(fields("id"), fields("name"),
+        coalesce(col("new_value"), lit(-1L)).as("value"))
+      .orderBy("id")
+  }
+
+  private case class ValueRow(
+      uevol_field_id: Int, src_id: Int, dst_id: Int,
+      relative_path: String, instance_message_id: Long, value: Double)
+
+  private def emptyResult(uevolField: DataFrame): DataFrame = {
+    val spark = uevolField.sparkSession
+    import spark.implicits._
+    spark.emptyDataset[Telemetry.FieldValue].toDF()
+  }
+}

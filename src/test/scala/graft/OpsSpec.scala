@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.ops._
+import graft.model.Telemetry.SnapshotRef
+
+class DynamicFilterSpec extends SparkSpec {
+  import DynamicFilter._
+
+  test("all-absent sentinel args yield pass-through predicate") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("x", "s")
+    val cond = conjunct(eqArg(col("x"), -1), eqArg(col("s"), ""), geArg(col("x"), -1L))
+    assert(df.where(cond).count() === 2)
+  }
+
+  test("present args AND together") {
+    import spark.implicits._
+    val df = Seq((1, "a", 5L), (2, "a", 9L), (2, "b", 9L)).toDF("x", "s", "t")
+    val cond = conjunct(eqArg(col("x"), 2), eqArg(col("s"), "a"), leArg(col("t"), 10L))
+    assert(df.where(cond).collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
+
+  test("every subset of present args matches naive filtering") {
+    import spark.implicits._
+    val rows = for (x <- 1 to 3; y <- 1 to 3) yield (x, y)
+    val df = rows.toDF("x", "y")
+    for (xa <- Seq(-1, 2); ya <- Seq(-1, 3)) {
+      val got = df.where(conjunct(eqArg(col("x"), xa), eqArg(col("y"), ya))).count()
+      val want = rows.count(r => (xa == -1 || r._1 == xa) && (ya == -1 || r._2 == ya))
+      assert(got === want, s"xa=$xa ya=$ya")
+    }
+  }
+}
+
+class ArgmaxLatestSpec extends SparkSpec {
+
+  test("max_by argmax, window argmax and naive scala agree") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, "v1"), ("a", 3L, "v3"), ("a", 2L, "v2"),
+      ("b", 7L, "w7"), ("b", 5L, "w5"), ("c", 1L, "x1"))
+    val df = rows.toDF("k", "ord", "payload")
+    val naive = rows.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2)._3 }
+    val viaAgg = ArgmaxLatest.latestRows(df, Seq("k"), col("ord"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val viaWin = ArgmaxLatest.latestRowsWindow(df, Seq("k"), Seq(col("ord")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(viaAgg === naive)
+    assert(viaWin === naive)
+  }
+
+  test("struct ord breaks ties deterministically") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 9L, "lo"), ("a", 1L, 10L, "hi")).toDF("k", "ord", "tie", "p")
+    val got = ArgmaxLatest.latestRows(df, Seq("k"), struct(col("ord"), col("tie")))
+      .collect().head.getString(3)
+    assert(got === "hi")
+  }
+
+  test("topK keeps k rows per key in order") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("k", i.toLong)).toDF("k", "ord")
+    val got = ArgmaxLatest.topKPerKey(df, Seq("k"), Seq(col("ord")), 3)
+      .collect().map(_.getLong(1)).sorted
+    assert(got.toSeq === Seq(8L, 9L, 10L))
+  }
+}
+
+class LocfSpec extends SparkSpec {
+
+  test("forward-fills nulls per key in order, leading nulls stay") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10L)), ("a", 2L, None), ("a", 3L, Some(30L)), ("a", 4L, None),
+      ("b", 1L, None), ("b", 2L, Some(5L)))
+      .toDF("k", "t", "v")
+    val got = Locf.fill(df, Seq("k"), Seq(col("t")), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(("a", 2L)) === Some(10L))
+    assert(got(("a", 4L)) === Some(30L))
+    assert(got(("b", 1L)) === None)
+    assert(got(("b", 2L)) === Some(5L))
+  }
+}
+
+class ArgsTableSpec extends SparkSpec {
+
+  test("parses reference list format incl. single element") {
+    assert(ArgsTable.parseList("(1),(2),(3)") === Seq("1", "2", "3"))
+    assert(ArgsTable.parseList("(42)") === Seq("42"))
+    assert(ArgsTable.parseList("") === Seq())
+    assert(ArgsTable.parseList("(a), (b)") === Seq("a", "b"))
+  }
+
+  test("expand produces the deduplicated cross product") {
+    val df = ArgsTable.expand(spark, "(1),(2),(1)", "(x),(y)")
+    assert(df.count() === 4)
+  }
+
+  test("zip joins lists positionally, truncating to shortest") {
+    val df = ArgsTable.zip(spark, Seq("f" -> "(1),(2),(3)", "s" -> "(a),(b)"))
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("1", "a"), ("2", "b")))
+  }
+}
+
+class JsonExplodeSpec extends SparkSpec {
+
+  test("degree 0/1/2 flatten with dotted keys; empty object emits nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1, """{"000":42}"""),
+      (2, """{"000.001":1,"000.002":2}"""),
+      (3, """{"000.001":{"000.001.001":5,"000.001.002":6}}"""),
+      (4, """{}""")).toDF("id", "json_value")
+    val got = JsonExplode.flatten(df, "json_value", Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set(
+      (1, "000", 42.0),
+      (2, "000.001", 1.0), (2, "000.002", 2.0),
+      (3, "000.001.001", 5.0), (3, "000.001.002", 6.0)))
+  }
+
+  test("degree probe") {
+    import spark.implicits._
+    val df = Seq(
+      ("""{"000":42}""", 0), ("""{"000.001":1,"000.002":2}""", 1),
+      ("""{"000.001":{"000.001.001":5}}""", 2), ("{}", -1))
+      .toDF("j", "want")
+    val bad = df.where(JsonExplode.degree(col("j")) =!= col("want")).count()
+    assert(bad === 0)
+  }
+
+  test("scalar fallback reads dotted-safe '000' leaf") {
+    import spark.implicits._
+    val df = Seq("""{"000":-1}""").toDF("j")
+    assert(df.select(JsonExplode.scalarValue(col("j"))).head().getDouble(0) === -1.0)
+  }
+}
+
+class SnapshotBracketSpec extends SparkSpec {
+
+  private def catalog = {
+    import spark.implicits._
+    Seq(SnapshotRef("s0", 0L), SnapshotRef("s100", 100L), SnapshotRef("s200", 200L)).toDF()
+  }
+
+  test("target strictly inside an epoch brackets both sides") {
+    val (lo, hi) = SnapshotBracket.bracket(catalog, 150L)
+    assert(lo === Some(SnapshotRef("s100", 100L)))
+    assert(hi === Some(SnapshotRef("s200", 200L)))
+  }
+
+  test("target exactly on a snapshot start uses it on both sides (>= rule)") {
+    val (lo, hi) = SnapshotBracket.bracket(catalog, 100L)
+    assert(lo === Some(SnapshotRef("s100", 100L)))
+    assert(hi === Some(SnapshotRef("s100", 100L)))
+  }
+
+  test("target == 0 uses the strict > rule for snap_max") {
+    val (lo, hi) = SnapshotBracket.bracket(catalog, 0L)
+    assert(lo === Some(SnapshotRef("s0", 0L)))
+    assert(hi === Some(SnapshotRef("s100", 100L)))
+  }
+
+  test("target beyond the last snapshot degenerates to snap_min on both sides") {
+    val (lo, hi) = SnapshotBracket.bracket(catalog, 500L)
+    assert(lo === Some(SnapshotRef("s200", 200L)))
+    assert(hi === Some(SnapshotRef("s200", 200L)))
+  }
+}
+
+class ChangeSplitSpec extends SparkSpec {
+
+  test("same keeps double rows, diff keys appear once") {
+    import spark.implicits._
+    val snapA = Seq(
+      (1, 10, 20, 0L, """{"000":1}"""),
+      (2, 10, 20, 0L, """{"000":2}"""),
+      (3, 10, 20, 0L, """{"000":3}"""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "instance_message_id", "json_value")
+    val snapB = Seq(
+      (1, 10, 20, 100L, """{"000":1}"""),   // unchanged
+      (2, 10, 20, 100L, """{"000":99}"""),  // changed
+      (4, 10, 20, 100L, """{"000":4}"""))   // only in B
+      .toDF("uevol_field_id", "src_id", "dst_id", "instance_message_id", "json_value")
+    val (same, diff) = ChangeSplit.split(snapA, snapB)
+    assert(same.collect().map(_.getInt(0)).toSet === Set(1))
+    assert(diff.collect().map(_.getInt(0)).toSet === Set(2, 3, 4))
+  }
+}

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries._
+
+class FieldFilterSpec extends SparkSpec {
+
+  private lazy val iF = Fixtures.instanceField(spark)
+  private lazy val iM = Fixtures.instanceMessage(spark)
+
+  test("seq_nb path pins one exact instance") {
+    val got = FieldFilter.fieldFilter(iF, iM, FieldFilter.Args(seqNb = 120))
+    assert(got.collect().map(_.getAs[Long]("instance_message_id")).toSeq === Seq(120L))
+  }
+
+  test("log_time bounds resolve to instance-id bounds") {
+    val got = FieldFilter.fieldFilter(iF, iM,
+      FieldFilter.Args(startLogTime = 100000L, endLogTime = 130000L))
+    assert(got.collect().map(_.getAs[Long]("instance_message_id")).sorted.toSeq ===
+      Seq(110L, 115L, 120L, 130L))
+  }
+
+  test("duration derives the missing end bound (end = start + duration)") {
+    val got = FieldFilter.fieldFilter(iF, iM,
+      FieldFilter.Args(startLogTime = 100000L, duration = 30000L))
+    assert(got.collect().map(_.getAs[Long]("instance_message_id")).sorted.toSeq ===
+      Seq(110L, 115L, 120L, 130L))
+  }
+
+  test("all-absent args return the whole log") {
+    val got = FieldFilter.fieldFilter(iF, iM, FieldFilter.Args())
+    assert(got.count() === iF.count())
+  }
+
+  test("unresolvable bound returns empty instead of throwing") {
+    val got = FieldFilter.fieldFilter(iF, iM, FieldFilter.Args(startLogTime = 999999999L))
+    assert(got.count() === 0)
+  }
+
+  test("field/src/dst equality filters compose") {
+    val got = FieldFilter.fieldFilter(iF, iM,
+      FieldFilter.Args(uevolFieldId = 6, srcId = Fixtures.Src))
+    assert(got.count() === 3)
+  }
+
+  test("boundary padding echoes window-edge values at the window bounds") {
+    import spark.implicits._
+    val updates = Seq(
+      (5L, 100L, 110L), (9L, 110L, 120L), (15L, 120L, 130L))
+      .toDF("log_time", "previous_value", "new_value")
+    val got = FieldFilter.updatesWithBoundaries(updates, lit(true), 4L, 20L)
+      .orderBy("log_time")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // synthetic first row at t=4 valued prev(first)=100; synthetic last at t=20 valued new(last)=130
+    assert(got.head === (4L, 100L))
+    assert(got.last === (20L, 130L))
+    assert(got.length === 5)
+  }
+}
+
+class MessageReconstructSpec extends SparkSpec {
+
+  private lazy val snaps = Fixtures.snapshots(spark)
+
+  private def run(target: Long) =
+    MessageReconstruct.getMessage(
+      Fixtures.instanceField(spark),
+      Fixtures.instanceMessage(spark),
+      Fixtures.uevolField(spark),
+      Some(Fixtures.snapshotCatalog(spark)),
+      snaps(_),
+      target)
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getAs[Int]("uevol_field_id"), r.getAs[String]("relative_path")) ->
+        (r.getAs[Double]("value"), r.getAs[Long]("instance_message_id"))
+    }.toMap
+
+  test("reconstruction at target 150 matches brute-force replay") {
+    assert(asMap(run(150L)) === Fixtures.replayExpected(150L))
+  }
+
+  test("reconstruction at target 60 (first epoch) matches replay") {
+    assert(asMap(run(60L)) === Fixtures.replayExpected(60L))
+  }
+
+  test("reconstruction exactly on a snapshot start") {
+    assert(asMap(run(100L)) === Fixtures.replayExpected(100L))
+  }
+
+  test("unknown target instance yields empty result (reference NULL branch)") {
+    assert(run(9999L).count() === 0)
+  }
+
+  test("result is ordered by (field, path) and decorated with names") {
+    val rows = run(150L).collect()
+    val keys = rows.map(r => (r.getAs[Int]("uevol_field_id"), r.getAs[String]("relative_path")))
+    assert(keys.toSeq === keys.sortBy(identity).toSeq)
+    assert(rows.map(_.getAs[String]("name")).toSet === (1 to 6).map(i => s"f$i").toSet)
+  }
+
+  test("log-only messageContent: argmax value, -1 for never-updated") {
+    val got = MessageReconstruct.messageContent(
+      Fixtures.instanceField(spark), Fixtures.uevolField(spark),
+      Fixtures.MsgType, Fixtures.Src, Fixtures.Dst, 150L)
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[Long]("value")).toMap
+    assert(got(1) === 12L)  // update at 120
+    assert(got(2) === -1L)  // f2's only update (160) is beyond target; no snapshot in log-only mode
+    assert(got(4) === -1L)  // never updated
+    assert(got(6) === 62L)  // argmax of 110,130
+  }
+}
+
+class MultipleFieldsSpec extends SparkSpec {
+
+  private lazy val snaps = Fixtures.snapshots(spark)
+
+  test("argument triples reconstruct like getMessage, limited to args") {
+    val args = MultipleFields.parseArgs(spark,
+      "(1),(4),(6)", s"(${Fixtures.Src}),(${Fixtures.Src}),(${Fixtures.Src})",
+      s"(${Fixtures.Dst}),(${Fixtures.Dst}),(${Fixtures.Dst})")
+    val got = MultipleFields.getMultipleFields(
+      Fixtures.instanceField(spark), Fixtures.uevolField(spark),
+      Some(Fixtures.snapshotCatalog(spark)), snaps(_), args, 150L)
+      .collect().map { r =>
+        (r.getAs[Int]("uevol_field_id"), r.getAs[String]("relative_path")) -> r.getAs[Double]("value")
+      }.toMap
+    val want = Fixtures.replayExpected(150L)
+      .filter { case ((f, _), _) => Set(1, 4, 6)(f) }
+      .map { case (k, (v, _)) => k -> v }
+    assert(got === want)
+  }
+
+  test("parseArgs zips positionally, dedups, carries filters") {
+    val args = MultipleFields.parseArgs(spark, "(1),(2),(1)", "(7),(8),(7)", "(9),(9),(9)",
+      "(value > 5),(),(value > 5)")
+    val rows = args.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(rows === Set((1, 7, 9, "value > 5"), (2, 8, 9, "")))
+  }
+}
+
+class UpdateHistorySpec extends SparkSpec {
+
+  test("LOCF carries non-updated columns; seed row present; filters rewrite") {
+    import spark.implicits._
+    val args = Seq((1, 10, 20, ""), (6, 10, 20, ""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    val start = Seq((1, 10, 20, 11.0), (6, 10, 20, 60.0))
+      .toDF("uevol_field_id", "src_id", "dst_id", "value")
+    val got = UpdateHistory.updateHistory(
+      Fixtures.instanceField(spark), args, start, 100L, 150L)
+    val rows = got.collect().map(r =>
+      r.getAs[Long]("instance_message_id") ->
+        (r.getAs[Long]("id1_src10_dst20"), r.getAs[Long]("id6_src10_dst20"))).toMap
+    // events in window touching args: 110 (f6->61), 115 (f6 path 000.001 -> 8,
+    // which the history pivot tracks like the reference: latest new_value per
+    // triple regardless of path), 120 (f1->12), 130 (f6->62)
+    assert(rows(100L) === (11L, 60L))  // seed
+    assert(rows(110L) === (11L, 61L))  // f1 carried
+    assert(rows(115L) === (11L, 8L))   // f6 path update lands on the triple
+    assert(rows(120L) === (12L, 8L))   // f6 carried
+    assert(rows(130L) === (12L, 62L))
+    assert(rows.keySet === Set(100L, 110L, 115L, 120L, 130L))
+  }
+
+  test("filter strings with value placeholder AND-compose") {
+    import spark.implicits._
+    val args = Seq((1, 10, 20, "value >= 12"), (6, 10, 20, ""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    val start = Seq((1, 10, 20, 11.0), (6, 10, 20, 60.0))
+      .toDF("uevol_field_id", "src_id", "dst_id", "value")
+    val got = UpdateHistory.updateHistory(
+      Fixtures.instanceField(spark), args, start, 100L, 150L)
+    assert(got.collect().map(_.getAs[Long]("instance_message_id")).sorted.toSeq ===
+      Seq(120L, 130L))
+  }
+}
+
+class BackupSpec extends SparkSpec {
+
+  test("compaction = latest-per-unchanged-field union recent deltas") {
+    // cutoff at log_time 112000 -> id limit 112 -> recent = updates at 115,120,130,160
+    val got = Backup.compact(
+      Fixtures.instanceField(spark), Fixtures.instanceMessage(spark),
+      Fixtures.uevolField(spark), 112000L)
+    val byId = got.collect().map(r =>
+      (r.getAs[Int]("uevol_field_id"), r.getAs[Long]("instance_message_id"))).toSet
+    // recent rows kept verbatim:
+    assert(byId.contains((6, 115L)) && byId.contains((1, 120L)) &&
+      byId.contains((6, 130L)) && byId.contains((2, 160L)))
+    // f1,f2,f6 changed recently; no other field has pre-cutoff updates except f1@50,f6@110
+    // unchanged fields with history: none (3,4,5 never updated) -> nothing older
+    assert(byId.size === 4)
+  }
+
+  test("cutoff after all activity compacts to one row per updated field") {
+    val got = Backup.compact(
+      Fixtures.instanceField(spark), Fixtures.instanceMessage(spark),
+      Fixtures.uevolField(spark), 999999999L)
+    val rows = got.collect().map(r =>
+      (r.getAs[Int]("uevol_field_id"), r.getAs[Long]("instance_message_id"))).toSet
+    assert(rows === Set((1, 120L), (2, 160L), (6, 130L)))
+  }
+}
