@@ -85,10 +85,17 @@ object MinHashLSH {
           (col("na") + col("nb") - col("ni")).cast("double"), 6).as("jaccard"))
   }
 
-  /** End-to-end: candidate near-dup pairs with exact Jaccard attached. */
+  /** End-to-end: candidate near-dup pairs with exact Jaccard attached.
+    * The shingle set feeds four downstream subplans (signature, sizes, and
+    * both sides of the intersection join), so it is cached — the one
+    * materialized intermediate in the engine, and the LSH analog of the
+    * reference's staged temp tables (SURVEY.md §2.1 S4: cache only what is
+    * reused ≥2×).
+    */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, r: Int = 2): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidates(bands(signature(sh, idCol, k), idCol, r), idCol)
     jaccard(cand, sh, idCol)
   }

@@ -74,7 +74,9 @@ object MessageReconstruct {
       instanceField.where(
         col("uevol_message_id") === msgId && col("src_id") === srcId &&
           col("dst_id") === dstId &&
-          col("instance_message_id").between(sliceLo, target)),
+          col("instance_message_id").between(sliceLo, target))
+        // prune to the argmax payload before the shuffle
+        .select((Key :+ "relative_path" :+ "instance_message_id" :+ "new_value").map(col): _*),
       Key :+ "relative_path",
       col("instance_message_id"))
       .select(col("uevol_field_id"), col("src_id"), col("dst_id"),

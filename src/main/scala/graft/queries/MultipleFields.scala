@@ -63,7 +63,9 @@ object MultipleFields {
     val latest = ArgmaxLatest.latestRows(
       instanceField
         .where(col("instance_message_id").between(sliceLo, target))
-        .join(argKeys, Key, "left_semi"),
+        .join(argKeys, Key, "left_semi")
+        // prune to the argmax payload before the shuffle
+        .select((Key :+ "relative_path" :+ "instance_message_id" :+ "new_value").map(col): _*),
       Key :+ "relative_path",
       col("instance_message_id"))
       .select(col("uevol_field_id"), col("src_id"), col("dst_id"),

@@ -56,8 +56,11 @@ object EventQueries {
     // (SQL/GetMessage.sql:435,973). No per-field loops, no self-join.
     "q17_reconstruct_state" -> { (s, dir) =>
       val e = ev(s, dir)
+      // prune to the argmax payload before the shuffle — props/extra columns
+      // must not ride through the exchange
       val latest = ArgmaxLatest.latestRows(
-        e.where(col("ts") <= lit(AsOf).cast("timestamp")),
+        e.where(col("ts") <= lit(AsOf).cast("timestamp"))
+          .select("user_id", "event_type", "ts", "event_id", "value"),
         Seq("user_id", "event_type"),
         struct(col("ts"), col("event_id")))
       val grid = e.select("user_id").distinct()
@@ -90,7 +93,8 @@ object EventQueries {
       val e = ev(s, dir)
       val cut = lit(Cutoff).cast("timestamp")
       val compacted = ArgmaxLatest.latestRows(
-        e.where(col("ts") < cut),
+        e.where(col("ts") < cut)
+          .select("user_id", "event_type", "ts", "event_id", "value"),
         Seq("user_id", "event_type"),
         struct(col("ts"), col("event_id")))
       val recent = e.where(col("ts") >= cut)
