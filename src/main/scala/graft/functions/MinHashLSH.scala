@@ -5,54 +5,88 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection for document corpora.
   *
-  * Scale design (the point of LSH): candidate pairs come from equality joins
-  * on band keys — a shuffle on small keys — never from an O(n²) cross join.
-  * At 100 TB the stages are: shingle explode (map-only) → per-(doc, seed) min
-  * (partial agg) → band-key join (shuffle on band key) → exact-Jaccard
-  * verification restricted to candidates.
+  * Scale design (the point of LSH): everything up to the band-key join is
+  * MAP-ONLY — shingling, hashing, per-doc dedup (`array_distinct`), the
+  * k-seed signature (`transform` + `array_min` over the hashed-shingle
+  * array), and band-key assembly all happen inside one projection with no
+  * exchange. The only shuffles in the whole pipeline are the band-key
+  * equijoin that produces candidates and the two id-equijoins that attach
+  * hashed-shingle arrays for exact Jaccard — the minimal shuffle set for LSH
+  * at any data size. Candidate pairs come from equality joins on band keys,
+  * never an O(n²) cross join.
   *
-  * Hashes are md5-derived (first 8 hex chars per seed), so an external SQL
-  * engine can replay the exact signature — no JVM-private hash functions.
+  * Hashing: each shingle is md5'd ONCE to a 60-bit long; the k seeded
+  * values are derived from it with `(a_j * x + j) mod p` universal hashing —
+  * 8× less md5 than hashing per (seed, shingle), and an external SQL engine
+  * can replay the exact signature (no JVM-private hash functions).
   */
 object MinHashLSH {
 
-  /** Distinct n-word shingles per doc: (id, shingle) rows.
-    * Docs shorter than n words produce no rows (matching `range()` semantics
-    * in SQL oracles).
+  /** Modulus for the seeded-hash family: a prime just under 2^28, so
+    * `(x % P) * a + j` stays far below 2^63 in both Spark and DuckDB
+    * (whose BIGINT multiply errors on overflow rather than wrapping).
     */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  val P = 268435399L
+
+  /** Per-seed multipliers (odd primes < 2^27): (x % P) * a < 2^55. */
+  val SeedA: Seq[Long] = Seq(
+    1299709L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+
+  /** 60-bit base hash of a shingle: first 15 hex chars of md5. */
+  def baseHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+
+  /** Seed-j hash derived from the base hash: ((h % P) * a_j + j) % P. */
+  def seededFromBase(h: Column, j: Int): Column =
+    ((h % P) * SeedA(j) + j) % P
+
+  /** Distinct hashed n-word shingles per doc as ONE array row:
+    * (id, sh_arr: array&lt;long&gt;). Map-only — one md5 per shingle
+    * position, per-doc dedup is `array_distinct`, not a shuffle.
+    * Docs shorter than n words produce no rows (matching `range()`
+    * semantics in SQL oracles).
+    */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val w = split(lower(col(textCol)), " ")
     val sh = transform(
       sequence(lit(0), size(w) - n),
-      i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*))
+      i => baseHash(concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
     df.where(size(w) >= n)
-      .select(col(idCol), explode(sh).as("sh"))
-      .distinct()
+      .select(col(idCol), array_distinct(sh).as("sh_arr"))
   }
 
-  /** Seeded 32-bit hash of a shingle: first 8 hex chars of md5("<j>:<sh>"). */
-  def seededHash(j: Column, sh: Column): Column =
-    conv(substring(md5(concat(j.cast("string"), lit(":"), sh)), 1, 8), 16, 10).cast("long")
-
-  /** MinHash signature: one row per (id, seed j in [0,k)) with the min
-    * seeded hash over the doc's shingles. One explode + one partial agg.
+  /** Row form of [[shingleArrays]]: (id, sh) rows, one per distinct hashed
+    * shingle.
     */
-  def signature(sh: DataFrame, idCol: String, k: Int = 8): DataFrame = {
-    val seeds = explode(sequence(lit(0), lit(k - 1))).as("j")
-    sh.select(col(idCol), col("sh"), seeds)
-      .groupBy(col(idCol), col("j"))
-      .agg(min(seededHash(col("j"), col("sh"))).as("mh"))
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleArrays(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh_arr")).as("sh"))
+
+  /** MinHash signature as an array column: sig[j] = min seeded hash over the
+    * doc's shingles, j in [0,k). Pure projection — no explode, no shuffle;
+    * the per-(doc,seed) min becomes `array_min(transform(...))` evaluated
+    * inside codegen, and the seed mix is 3 integer ops (no md5).
+    */
+  def signatureArray(shArr: DataFrame, idCol: String, k: Int = 8): DataFrame = {
+    require(k <= SeedA.length, s"k=$k exceeds the ${SeedA.length} defined seeds")
+    shArr.select(col(idCol),
+      array((0 until k).map(j =>
+        array_min(transform(col("sh_arr"), h => seededFromBase(h, j)))): _*).as("sig"))
   }
 
-  /** LSH banding with rows-per-band r: concat r consecutive signature values
-    * into a band key. Returns (id, band, bkey).
+  /** LSH banding with rows-per-band r: each band key is the ","-join of r
+    * consecutive signature values. Returns (id, band, bkey) — one posexplode,
+    * still map-only.
     */
-  def bands(sig: DataFrame, idCol: String, r: Int = 2): DataFrame = {
-    require(r == 2, "band assembly currently specialized to r=2")
-    sig.groupBy(col(idCol), expr("j div 2").as("band"))
-      .agg(concat_ws(",",
-        min(when(col("j") % 2 === 0, col("mh"))).cast("string"),
-        min(when(col("j") % 2 === 1, col("mh"))).cast("string")).as("bkey"))
+  def bands(sig: DataFrame, idCol: String, k: Int = 8, r: Int = 2): DataFrame = {
+    require(k % r == 0, s"k=$k must be a multiple of r=$r")
+    val keys = transform(
+      sequence(lit(0), lit(k / r - 1)),
+      b => array_join(transform(slice(col("sig"), b * r + 1, lit(r)), v => v.cast("string")), ","))
+    sig.select(col(idCol), posexplode(keys))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
   }
 
   /** Candidate pairs (a < b) sharing at least one band key — the ONLY join
@@ -67,36 +101,35 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Exact shingle-set Jaccard for candidate pairs only. Pairs sharing no
-    * shingle drop out (they were hash-collision candidates).
+  /** Exact hashed-shingle-set Jaccard for candidate pairs only: two
+    * id-equijoins to attach the (deduped) long arrays, then
+    * `array_intersect` sizes — the per-pair work never re-explodes
+    * shingles, and the intersection compares longs, not strings. Pairs
+    * sharing no shingle drop out (they were band-collision candidates).
     */
-  def jaccard(cand: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col(idCol).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("ni"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+  def jaccard(cand: DataFrame, shArr: DataFrame, idCol: String): DataFrame =
+    cand
+      .join(shArr.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
+      .join(shArr.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .where(col("ni") > 0)
       .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
-          (col("na") + col("nb") - col("ni")).cast("double"), 6).as("jaccard"))
-  }
+          (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6).as("jaccard"))
 
   /** End-to-end: candidate near-dup pairs with exact Jaccard attached.
-    * The shingle set feeds four downstream subplans (signature, sizes, and
-    * both sides of the intersection join), so it is cached — the one
-    * materialized intermediate in the engine, and the LSH analog of the
-    * reference's staged temp tables (SURVEY.md §2.1 S4: cache only what is
-    * reused ≥2×).
+    *
+    * Two compact intermediates are cached (SURVEY.md §2.1 S4: cache only
+    * what is reused ≥2×): the per-doc hashed-shingle array (feeds the
+    * signature and both sides of the Jaccard join) and the tiny band table
+    * (docs × k/r rows) — without the latter the candidates self-join would
+    * recompute the whole signature once per side.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, r: Int = 2): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidates(bands(signature(sh, idCol, k), idCol, r), idCol)
-    jaccard(cand, sh, idCol)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = shingleArrays(df, idCol, textCol, n).persist(disk)
+    val b = bands(signatureArray(sh, idCol, k), idCol, k, r).persist(disk)
+    jaccard(candidates(b, idCol), sh, idCol)
   }
 }

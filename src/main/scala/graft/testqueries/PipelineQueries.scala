@@ -133,15 +133,18 @@ object PipelineQueries {
          CAST(min(doc_id) AS BIGINT) AS canonical_doc,
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
-    "d05_minhash_pairs" ->
-      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id, sh FROM (
+    "d05_minhash_pairs" -> {
+      val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
+        .map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(sh_txt), 1, 15)) AS BIGINT) AS sh FROM (
            SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
-             i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+             i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
            FROM words WHERE len(w) >= 3)),
          hx AS (SELECT doc_id, j,
-             min(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 8)) AS BIGINT)) AS mh
-           FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) GROUP BY doc_id, j),
+             CAST(min(CAST(((sh % ${MinHashLSH.P}) * a + j) AS BIGINT) % ${MinHashLSH.P}) AS BIGINT) AS mh
+           FROM sh CROSS JOIN (VALUES $seedRows) AS seeds(j, a) GROUP BY doc_id, j),
          bands AS (SELECT doc_id, j // 2 AS band,
              concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
                     CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bkey
@@ -159,7 +162,8 @@ object PipelineQueries {
            round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
          FROM inter i
          JOIN sizes na ON na.doc_id = i.doc_a
-         JOIN sizes nb ON nb.doc_id = i.doc_b""",
+         JOIN sizes nb ON nb.doc_id = i.doc_b"""
+    },
     "d06_simhash" -> {
       val bitSums = (0 until 32).map(i =>
         s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")

@@ -16,11 +16,11 @@ object ProfileMinhash {
       val t0 = System.nanoTime(); val r = f
       println(s"$name: ${(System.nanoTime() - t0) / 1e9}"); r
     }
-    val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3).persist()
-    t("shingles+distinct")(sh.count())
-    val sig = MinHashLSH.signature(sh, "doc_id", 8)
+    val sh = MinHashLSH.shingleArrays(docs, "doc_id", "text", 3).persist()
+    t("shingleArrays")(sh.count())
+    val sig = MinHashLSH.signatureArray(sh, "doc_id", 8)
     t("signature")(sig.count())
-    val bands = MinHashLSH.bands(sig, "doc_id", 2)
+    val bands = MinHashLSH.bands(sig, "doc_id", 8, 2)
     t("bands")(bands.count())
     val cand = MinHashLSH.candidates(bands, "doc_id")
     t("candidates")(cand.count())
