@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns as opaque binaries with typed
+  * metadata — the training-data-pipeline pattern for media at 100 TB:
+  * the bytes stay an opaque `binary` column that is never shuffled wider
+  * than needed, metadata extraction is codegen'd expressions over the
+  * first bytes, and the decode stage is a pluggable per-partition codec.
+  *
+  * The container has no image/audio libraries, so the shipped codec is a
+  * clearly-marked deterministic fake ([[FakeCodec]]: dims derived from the
+  * blob's md5). The Spark-side plumbing is real and is what gets tested:
+  * typed `Dataset` rows, `mapPartitions` batching with one codec instance
+  * per partition, explicit output schema, and the downstream resize /
+  * frame-sample operators as exact integer expressions.
+  */
+object Multimodal {
+
+  // ---------------------------------------------------------------- sniff
+
+  /** Content type from magic bytes — pure codegen'd expressions over the
+    * head of the blob (JPEG / PNG / GIF / RIFF-WAVE / MP4-ftyp).
+    */
+  def sniffContentType(bin: Column): Column = {
+    val head = hex(substring(bin, 1, 12))
+    when(head.startsWith("FFD8FF"), "image/jpeg")
+      .when(head.startsWith("89504E47"), "image/png")
+      .when(head.startsWith("474946383"), "image/gif")
+      .when(head.startsWith("52494646") && substring(head, 17, 8) === "57415645", "audio/wav")
+      .when(substring(head, 9, 8) === "66747970", "video/mp4")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Typed metadata for an opaque binary column: byte length, head bytes,
+    * sniffed content type. No decode, no shuffle.
+    */
+  def metadata(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      octet_length(col(binCol)).cast("long").as("n_bytes"),
+      upper(substring(hex(col(binCol)), 1, 16)).as("head_hex"),
+      sniffContentType(col(binCol)).as("content_type"))
+
+  // ---------------------------------------------------------------- codec
+
+  /** Decoded-media header a codec reports for one blob. */
+  case class MediaInfo(width: Int, height: Int, channels: Int, nFrames: Int)
+
+  /** Pluggable decoder. Implementations must be Serializable — one instance
+    * is shipped to each executor and reused across a partition's rows
+    * (`open()` once per partition, `decode()` per blob), which is where a
+    * real libjpeg/ffmpeg binding would hold its native context.
+    */
+  trait MediaCodec extends Serializable {
+    /** Per-partition init hook (native context, scratch buffers). */
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): MediaInfo
+    /** Per-partition teardown hook. */
+    def close(): Unit = ()
+  }
+
+  /** STUB codec — the container has no media libraries. Dimensions are
+    * derived deterministically from md5 of the blob's uppercase-hex dump so
+    * (a) output is stable across runs/engines and (b) an external SQL
+    * engine can replay it exactly (`md5(hex(blob))` — DuckDB's md5 only
+    * accepts VARCHAR):
+    *   width    = 16 + (md5[0:7]   % 1905)   // 16..1920
+    *   height   = 16 + (md5[7:14]  % 1065)   // 16..1080
+    *   nFrames  = 1  + (md5[14:21] % 300)    // 1..300
+    *   channels = 1  + (md5[21:22] % 4)      // 1..4
+    * (hex substrings parsed base-16; 7 hex chars < 2^28 so no overflow.)
+    */
+  object FakeCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte]): MediaInfo = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hexDump = bytes.map("%02X".format(_)).mkString
+      val hx = md.digest(hexDump.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def part(from: Int, until: Int): Long =
+        java.lang.Long.parseLong(hx.substring(from, until), 16)
+      MediaInfo(
+        width = (16 + part(0, 7) % 1905).toInt,
+        height = (16 + part(7, 14) % 1065).toInt,
+        channels = (1 + part(21, 22) % 4).toInt,
+        nFrames = (1 + part(14, 21) % 300).toInt)
+    }
+  }
+
+  /** Decode stage: (id, blob) → (id, width, height, channels, n_frames).
+    *
+    * Runs the codec via `mapPartitions` — the batch shape a native decoder
+    * needs (per-partition open/close, row-at-a-time decode, no per-row
+    * driver round-trips). Everything downstream is columnar again.
+    */
+  def decode(df: DataFrame, idCol: String, binCol: String,
+             codec: MediaCodec = FakeCodec): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        codec.open()
+        val out = it.map { case (id, bytes) =>
+          val m = codec.decode(bytes)
+          (id, m.width, m.height, m.channels, m.nFrames)
+        }
+        new Iterator[(Long, Int, Int, Int, Int)] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
+          def next(): (Long, Int, Int, Int, Int) = out.next()
+        }
+      }
+      .toDF(idCol, "width", "height", "channels", "n_frames")
+  }
+
+  /** One-pass metadata + decode: the expression-computed metadata columns
+    * ride through the `mapPartitions` batch alongside the decode output, so
+    * the blob column is scanned ONCE and nothing is re-joined afterwards —
+    * at 100 TB the bytes never cross an exchange.
+    * Output: (id, n_bytes, content_type, width, height, channels, n_frames).
+    */
+  def analyze(df: DataFrame, idCol: String, binCol: String,
+              codec: MediaCodec = FakeCodec): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long"),
+        octet_length(col(binCol)).cast("long"),
+        sniffContentType(col(binCol)),
+        col(binCol))
+      .as[(Long, Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        codec.open()
+        val out = it.map { case (id, nBytes, cType, bytes) =>
+          val m = codec.decode(bytes)
+          (id, nBytes, cType, m.width, m.height, m.channels, m.nFrames)
+        }
+        new Iterator[(Long, Long, String, Int, Int, Int, Int)] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
+          def next(): (Long, Long, String, Int, Int, Int, Int) = out.next()
+        }
+      }
+      .toDF(idCol, "n_bytes", "content_type", "width", "height", "channels", "n_frames")
+  }
+
+  // ------------------------------------------------------- transformations
+
+  /** Fit-in-box resize plan (no upscaling), exact integer arithmetic so any
+    * engine reproduces it bit-for-bit: the binding side gets the box size,
+    * the other side scales by the same integer ratio.
+    */
+  def resizePlan(w: Column, h: Column, maxW: Int, maxH: Int): (Column, Column) = {
+    val outW = when(w <= maxW && h <= maxH, w)
+      .when(w * maxH >= h * maxW, lit(maxW))
+      .otherwise(greatest(lit(1), intDiv(w * maxH, h)))
+    val outH = when(w <= maxW && h <= maxH, h)
+      .when(w * maxH >= h * maxW, greatest(lit(1), intDiv(h * maxW, w)))
+      .otherwise(lit(maxH))
+    (outW, outH)
+  }
+
+  /** Number of frames kept when sampling every `stride`-th frame starting
+    * at 0: ceil(nFrames / stride), integer-exact.
+    */
+  def frameSampleCount(nFrames: Column, stride: Int): Column =
+    intDiv(nFrames + (stride - 1), lit(stride)).cast("long")
+
+  /** Sampled frame indices [0, stride, 2·stride, …) as an array column. */
+  def frameSampleIndices(nFrames: Column, stride: Int): Column =
+    sequence(lit(0), nFrames - 1, lit(stride))
+
+  /** Exact positive integer division. `floor(a / b)` is safe here: the true
+    * quotient is a rational with denominator b < 2^31, so it sits ≥ 1/b away
+    * from any non-attained integer — far beyond double rounding error.
+    */
+  private def intDiv(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("int")
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.functions.{MinHashLSH, SimHash, TextAnalysis, VectorOps}
+import graft.functions.{MinHashLSH, Multimodal, SimHash, TextAnalysis, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the `documents` / `embeddings` tables, each with a DuckDB
@@ -90,6 +90,29 @@ object PipelineQueries {
         col("doc_id"),
         octet_length(blob).cast("long").as("n_bytes"),
         upper(substring(hex(blob), 1, 16)).as("head_hex"))
+    },
+
+    // Full multimodal path: synthesize per-modality magic headers onto the
+    // opaque blob, then ONE pass doing content-type sniff (expressions) +
+    // codec decode (mapPartitions batch, stub codec) + integer-exact resize
+    // plan and frame sampling. No join, no shuffle — the blob never leaves
+    // its scan partition.
+    "d10_media_decode" -> { (s, dir) =>
+      val payload = encode(col("text"), "UTF-8")
+      val jpeg = lit(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte))
+      val png = lit(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      val wav = lit("RIFF".getBytes("UTF-8") ++ Array[Byte](0x24, 0, 0, 0) ++
+        "WAVE".getBytes("UTF-8"))
+      val blob = when(col("doc_id") % 4 === 0, concat(jpeg, payload))
+        .when(col("doc_id") % 4 === 1, concat(png, payload))
+        .when(col("doc_id") % 4 === 2, concat(wav, payload))
+        .otherwise(payload)
+      val media = docs(s, dir).select(col("doc_id"), blob.as("blob"))
+      val (outW, outH) = Multimodal.resizePlan(col("width"), col("height"), 512, 512)
+      Multimodal.analyze(media, "doc_id", "blob")
+        .withColumn("out_w", outW)
+        .withColumn("out_h", outH)
+        .withColumn("n_sampled", Multimodal.frameSampleCount(col("n_frames"), 30))
     })
 
   private val QualitySql =
@@ -193,5 +216,34 @@ object PipelineQueries {
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          upper(substr(hex(encode(text)), 1, 16)) AS head_hex
-         FROM documents""")
+         FROM documents""",
+    "d10_media_decode" ->
+      """WITH b AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+           WHEN 1 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+           WHEN 2 THEN 'RIFF\x24\x00\x00\x00WAVE'::BLOB || encode(text)
+           ELSE encode(text) END AS blob FROM documents),
+         m AS (SELECT doc_id, CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+           hex(blob) AS hx, md5(hex(blob)) AS h FROM b),
+         d AS (SELECT doc_id, n_bytes,
+           CASE WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+                WHEN starts_with(hx, '89504E47') THEN 'image/png'
+                WHEN starts_with(hx, '474946383') THEN 'image/gif'
+                WHEN starts_with(hx, '52494646') AND substr(hx, 17, 8) = '57415645' THEN 'audio/wav'
+                WHEN substr(hx, 9, 8) = '66747970' THEN 'video/mp4'
+                ELSE 'application/octet-stream' END AS content_type,
+           CAST(16 + (CAST(('0x' || substr(h, 1, 7)) AS BIGINT) % 1905) AS INT) AS width,
+           CAST(16 + (CAST(('0x' || substr(h, 8, 7)) AS BIGINT) % 1065) AS INT) AS height,
+           CAST(1 + (CAST(('0x' || substr(h, 22, 1)) AS BIGINT) % 4) AS INT) AS channels,
+           CAST(1 + (CAST(('0x' || substr(h, 15, 7)) AS BIGINT) % 300) AS INT) AS n_frames
+           FROM m)
+         SELECT doc_id, n_bytes, content_type, width, height, channels, n_frames,
+           CAST(CASE WHEN width <= 512 AND height <= 512 THEN width
+                WHEN width * 512 >= height * 512 THEN 512
+                ELSE greatest(1, (width * 512) // height) END AS INT) AS out_w,
+           CAST(CASE WHEN width <= 512 AND height <= 512 THEN height
+                WHEN width * 512 >= height * 512 THEN greatest(1, (height * 512) // width)
+                ELSE 512 END AS INT) AS out_h,
+           CAST((n_frames + 29) // 30 AS BIGINT) AS n_sampled
+         FROM d""")
 }

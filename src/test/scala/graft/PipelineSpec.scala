@@ -130,3 +130,64 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 }
+
+class MultimodalSpec extends SparkSpec {
+
+  private def blobDf = {
+    import spark.implicits._
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++ "pay".getBytes
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++ "pay".getBytes
+    val wav = "RIFF".getBytes ++ Array[Byte](0x24, 0, 0, 0) ++ "WAVE".getBytes ++ "pay".getBytes
+    val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes ++ "pay".getBytes
+    val gif = "GIF89a".getBytes ++ "pay".getBytes
+    val raw = "plain bytes".getBytes
+    Seq((1L, jpeg), (2L, png), (3L, wav), (4L, mp4), (5L, gif), (6L, raw))
+      .toDF("id", "blob")
+  }
+
+  test("content-type sniffing dispatches on magic bytes") {
+    val got = Multimodal.metadata(blobDf, "id", "blob")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got === Map(
+      1L -> "image/jpeg", 2L -> "image/png", 3L -> "audio/wav",
+      4L -> "video/mp4", 5L -> "image/gif", 6L -> "application/octet-stream"))
+  }
+
+  test("decode is deterministic, bounded, and matches analyze's single pass") {
+    val d1 = Multimodal.decode(blobDf, "id", "blob").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    val d2 = Multimodal.analyze(blobDf, "id", "blob").collect()
+      .map(r => (r.getLong(0), (r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(d1 === d2)
+    d1.values.foreach { case (w, h, c, f) =>
+      assert(w >= 16 && w <= 1920); assert(h >= 16 && h <= 1080)
+      assert(c >= 1 && c <= 4); assert(f >= 1 && f <= 300)
+    }
+  }
+
+  test("resize plan fits the box, preserves aspect by integer ratio, never upscales") {
+    import spark.implicits._
+    val df = Seq((1920, 1080), (100, 50), (512, 512), (200, 1000), (1, 1))
+      .toDF("width", "height")
+    val (ow, oh) = Multimodal.resizePlan(col("width"), col("height"), 512, 512)
+    val got = df.select(col("width"), col("height"), ow.as("ow"), oh.as("oh"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(got((1920, 1080)) === (512, 288)) // 1080*512/1920 = 288
+    assert(got((100, 50)) === (100, 50))     // already fits — no upscale
+    assert(got((512, 512)) === (512, 512))
+    assert(got((200, 1000)) === (102, 512))  // 200*512/1000 = 102.4 -> 102
+    assert(got((1, 1)) === (1, 1))
+  }
+
+  test("frame sampling: ceil count and stride indices agree") {
+    import spark.implicits._
+    val df = Seq(1, 29, 30, 31, 300).toDF("n_frames")
+    val got = df.select(col("n_frames"),
+      Multimodal.frameSampleCount(col("n_frames"), 30).as("n"),
+      size(Multimodal.frameSampleIndices(col("n_frames"), 30)).as("sz"))
+      .collect()
+    got.foreach { r => assert(r.getLong(1) === r.getInt(2).toLong) }
+    assert(got.map(r => r.getInt(0) -> r.getLong(1)).toMap ===
+      Map(1 -> 1L, 29 -> 1L, 30 -> 1L, 31 -> 2L, 300 -> 10L))
+  }
+}

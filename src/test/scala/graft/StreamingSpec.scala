@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Telemetry.InstanceField
+import graft.streaming.UpdateStream
+
+class StreamingSpec extends SparkSpec {
+
+  private def upd(f: Int, imi: Long, v: Long): InstanceField =
+    InstanceField(f, 1, imi, imi - 1, 10, 20, "000", 0, v - 1, v)
+
+  test("latestState streaming agg tracks the per-key argmax across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[InstanceField]
+    val q = UpdateStream.latestState(in.toDF())
+      .writeStream.format("memory").queryName("latest_state")
+      .outputMode("update").start()
+    try {
+      in.addData(upd(1, 100L, 7L), upd(2, 101L, 8L))
+      q.processAllAvailable()
+      in.addData(upd(1, 150L, 9L), upd(1, 120L, 5L)) // 120 is late: loses to 150
+      q.processAllAvailable()
+      val got = spark.table("latest_state")
+        .groupBy("uevol_field_id")
+        .agg(max_by(col("value"), col("instance_message_id")).as("value"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got === Map(1 -> 9L, 2 -> 8L))
+    } finally q.stop()
+  }
+
+  test("latestState on the same batch input equals the batch argmax") {
+    import spark.implicits._
+    val batch = Seq(upd(1, 100L, 7L), upd(1, 150L, 9L), upd(2, 101L, 8L)).toDS().toDF()
+    val got = UpdateStream.latestState(batch)
+      .collect().map(r => (r.getInt(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set((1, 150L, 9L), (2, 101L, 8L)))
+  }
+
+  test("updateRates windows counts by event time under a watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Int)]
+    val df = in.toDF().toDF("ts", "uevol_message_id")
+    val q = UpdateStream.updateRates(df, "ts", "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("rates")
+      .outputMode("append").start()
+    try {
+      val base = 1700000040000L // minute-aligned: tumbling windows start here
+      in.addData(
+        (new Timestamp(base), 5), (new Timestamp(base + 1000), 5),
+        (new Timestamp(base + 61000), 5))
+      q.processAllAvailable()
+      // push the watermark far enough that the first windows close
+      in.addData((new Timestamp(base + 30 * 60 * 1000), 5))
+      q.processAllAvailable()
+      val got = spark.table("rates")
+        .select(col("window_start").cast("long"), col("n_updates"))
+        .collect().map(r => (r.getLong(0) - base / 1000, r.getLong(1))).toMap
+      assert(got.get(0L) === Some(2L))   // two updates in minute 0
+      assert(got.get(60L) === Some(1L))  // one in minute 1
+    } finally q.stop()
+  }
+
+  test("latestStateTyped emits only on value change, absorbing late updates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[InstanceField]
+    val q = UpdateStream.latestStateTyped(in.toDS())
+      .writeStream.format("memory").queryName("typed_state")
+      .outputMode("update").start()
+    try {
+      in.addData(upd(1, 100L, 7L))
+      q.processAllAvailable()
+      in.addData(upd(1, 90L, 3L))   // late: absorbed, no emission
+      q.processAllAvailable()
+      in.addData(upd(1, 200L, 7L))  // newer but same value: no emission
+      q.processAllAvailable()
+      in.addData(upd(1, 300L, 8L))  // change: emitted
+      q.processAllAvailable()
+      val got = spark.table("typed_state")
+        .select("instance_message_id", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === Seq((100L, 7L), (300L, 8L)))
+    } finally q.stop()
+  }
+
+  test("compactionSink appends micro-batches partitioned by message id") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = MemoryStream[InstanceField]
+    val q = UpdateStream.compactionSink(in.toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      in.addData(upd(1, 100L, 7L), upd(2, 101L, 8L))
+      q.processAllAvailable()
+      in.addData(upd(1, 150L, 9L))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/data")
+      assert(back.count() === 3)
+      // partition column survives the round-trip and prunes
+      assert(back.where(col("uevol_message_id") === 1).count() === 3)
+    } finally q.stop()
+  }
+}
