@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane LSH for approximate nearest-neighbor search over
+  * embedding columns — the scale path past [[VectorOps.knnBruteForce]]
+  * (which is O(|q|·|corpus|)) when the query set is no longer small.
+  *
+  * Plan shape mirrors [[MinHashLSH]] deliberately: per-row signature
+  * (map-only, codegen'd), band keys (map-only posexplode), candidate
+  * generation via an equality join on (band, bkey) — never a cross
+  * product — then exact cosine only on candidates. At 100 TB the corpus
+  * bucketing is embarrassingly parallel and the only shuffle touching the
+  * corpus is the band-key join.
+  *
+  * The m hyperplanes are pseudo-random but DERIVED from md5("p:d") at plan
+  * time — plain literals in the plan (zero runtime hashing), and any SQL
+  * engine can regenerate them for verification.
+  */
+object VectorLSH {
+
+  /** Component d of hyperplane p: md5-derived uniform value in [-1, 1]
+    * (exactly `(md5("p:d")[0:7] % 2001 - 1000) / 1000`).
+    */
+  def planeValue(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hx = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hx.substring(0, 7), 16) % 2001 - 1000) / 1000.0
+  }
+
+  def hyperplanes(m: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(m, dim)(planeValue)
+
+  /** Sign-bit signature: bit p set iff dot(vec, plane_p) >= 0. One long
+    * column, m·dim multiply-adds per row, all inside codegen.
+    */
+  def bucketBits(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      when(VectorOps.dot(vec, lit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Band keys from the bit signature: band b holds bits
+    * [b·rb, (b+1)·rb). Returns (idCol, band, bkey) — map-only.
+    */
+  def bands(df: DataFrame, idCol: String, vecCol: String,
+            m: Int = 16, rb: Int = 4): DataFrame = {
+    require(m % rb == 0, s"m=$m must be a multiple of rb=$rb")
+    val dim = firstVectorLength(df, vecCol)
+    val bits = bucketBits(col(vecCol).cast("array<double>"), hyperplanes(m, dim))
+    val mask = (1L << rb) - 1
+    val keys = array((0 until m / rb).map(b =>
+      shiftright(col("bits"), b * rb).bitwiseAND(lit(mask))): _*)
+    df.select(col(idCol), bits.as("bits"))
+      .select(col(idCol), posexplode(keys))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+  }
+
+  /** Approximate top-k cosine neighbors: candidates = corpus vectors
+    * sharing ≥1 LSH band with the query, exact cosine + rank only on those.
+    * Returns (query_id, neighbor_id, rank). Recall < 1 by construction —
+    * that is the LSH trade; raise m/lower rb for more candidates.
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int = 16, rb: Int = 4): DataFrame = {
+    val qb = bands(queries, idCol, vecCol, m, rb)
+      .withColumnRenamed(idCol, "query_id")
+    val cb = bands(corpus, idCol, vecCol, m, rb)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val cand = qb.join(cb, Seq("band", "bkey"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Vector length probed from the first row — embeddings are fixed-width;
+    * one tiny driver-side action, exactly like the reference's collected
+    * plan scalars (SURVEY.md §7.5.5).
+    */
+  private def firstVectorLength(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}

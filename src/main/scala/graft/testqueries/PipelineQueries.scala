@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.functions.{MinHashLSH, Multimodal, SimHash, TextAnalysis, VectorOps}
+import graft.functions.{MinHashLSH, Multimodal, SimHash, TextAnalysis, VectorLSH, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the `documents` / `embeddings` tables, each with a DuckDB
@@ -79,6 +79,14 @@ object PipelineQueries {
     "d08_vec_dup" -> { (s, dir) =>
       VectorOps.nearDupPairs(embs(s, dir), "vec_id", "embedding", "label", 0.4)
         .withColumnRenamed("blk", "label")
+    },
+
+    // LSH-bucketed ANN — the scale path past d07's brute force: sign-bit
+    // signature against 16 md5-derived hyperplanes, 4 bands of 4 bits,
+    // candidates via band equijoin, exact cosine + rank only on candidates.
+    "d11_ann_lsh" -> { (s, dir) =>
+      val e = embs(s, dir)
+      VectorLSH.annTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5)
     },
 
     // Multimodal plumbing: opaque binary column + typed metadata extraction
@@ -217,6 +225,29 @@ object PipelineQueries {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          upper(substr(hex(encode(text)), 1, 16)) AS head_hex
          FROM documents""",
+    "d11_ann_lsh" ->
+      """WITH planes AS (SELECT p, d,
+           (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(16) t1(p) CROSS JOIN range(64) t2(d)),
+         pl AS (SELECT p, list(v ORDER BY d) AS pv FROM planes GROUP BY p),
+         bits AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) >= 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bits
+           FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+         bnd AS (SELECT vec_id, b AS band, (bits >> CAST(b * 4 AS INT)) & 15 AS bkey
+           FROM bits CROSS JOIN range(4) t(b)),
+         cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+           FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+           WHERE qb.vec_id < 10 AND qb.vec_id != cb.vec_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                        c.neighbor_id ASC) AS rank
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         WHERE rank <= 5""",
     "d10_media_decode" ->
       """WITH b AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
            WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)

