@@ -48,11 +48,16 @@ object MinHashLSH {
     * semantics in SQL oracles).
     */
   def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val w = split(lower(col(textCol)), " ")
+    // Materialize the word array as its own projection first: higher-order
+    // lambdas are interpreted, so a `split` captured inside the transform
+    // would re-run per element. As a named attribute it runs once per row
+    // (CollapseProject keeps non-cheap multiply-referenced aliases apart).
+    val w = col("__words")
     val sh = transform(
       sequence(lit(0), size(w) - n),
       i => baseHash(concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
-    df.where(size(w) >= n)
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
+      .where(size(w) >= n)
       .select(col(idCol), array_distinct(sh).as("sh_arr"))
   }
 

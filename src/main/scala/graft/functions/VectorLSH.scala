@@ -72,12 +72,12 @@ object VectorLSH {
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+    val q = VectorOps.withNormalized(queries, vecCol, "qv")
+      .select(col(idCol).as("query_id"), col("qv"))
+    val c = VectorOps.withNormalized(corpus, vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
     val scored = cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
-      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("cos", VectorOps.dot(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

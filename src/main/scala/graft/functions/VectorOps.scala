@@ -25,19 +25,36 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Adds an L2-normalized copy of `vecCol` as `outCol` — a map-only
+    * projection done ONCE per row, so every downstream pairwise cosine is a
+    * single dot product instead of dot + two norms recomputed per pair.
+    *
+    * The norm is staged as its own attribute and referenced twice (the
+    * zero guard + the division) so CollapseProject cannot inline it into
+    * the transform lambda, where it would re-evaluate per element.
+    */
+  def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val nrm = col("__nrm")
+    df.withColumn("__nrm", norm(col(vecCol).cast("array<double>")))
+      .withColumn(outCol,
+        when(nrm === 0.0, col(vecCol).cast("array<double>"))
+          .otherwise(transform(col(vecCol).cast("array<double>"), x => x / nrm)))
+      .drop("__nrm")
+  }
+
   /** Brute-force top-k cosine neighbors for a small query set.
     * `queries`/`corpus`: (idCol, vecCol) with array<float|double> vectors.
     * Returns (query_id, neighbor_id, rank). Self-matches excluded.
     */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = withNormalized(queries, vecCol, "qv")
+      .select(col(idCol).as("query_id"), col("qv"))
+    val c = withNormalized(corpus, vecCol, "cv")
+      .select(col(idCol).as("neighbor_id"), col("cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -51,13 +68,13 @@ object VectorOps {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
-    val base = df.select(col(blockCol).as("blk"), col(idCol),
-      col(vecCol).cast("array<double>").as("v"))
+    val base = withNormalized(df, vecCol, "v")
+      .select(col(blockCol).as("blk"), col(idCol), col("v"))
     val a = base.select(col("blk"), col(idCol).as("id_a"), col("v").as("va"))
     val b = base.select(col("blk"), col(idCol).as("id_b"), col("v").as("vb"))
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("blk"))
   }
