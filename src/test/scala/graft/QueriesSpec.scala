@@ -204,3 +204,38 @@ class BackupSpec extends SparkSpec {
     assert(rows === Set((1, 120L), (2, 160L), (6, 130L)))
   }
 }
+
+/** SURVEY.md §5.3 cross-family invariant: the updateHistory wide row at
+  * event id i must equal getMultipleFields(i) — the reference itself relies
+  * on this (GetUpdateHistory.sql:29 seeds the history from
+  * GetMultipleFieldsHistory). Checked for a scalar-path triple across every
+  * row the history emits, including the seed.
+  */
+class HistoryReconstructionConsistencySpec extends SparkSpec {
+
+  test("updateHistory rows match point-in-time reconstruction at each event id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val snaps = Fixtures.snapshots(spark)
+    val args = Seq((1, Fixtures.Src, Fixtures.Dst, ""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    def reconstructAt(target: Long): Double =
+      MultipleFields.getMultipleFields(
+        Fixtures.instanceField(spark), Fixtures.uevolField(spark),
+        Some(Fixtures.snapshotCatalog(spark)), snaps(_), args, target)
+        .where(col("relative_path") === "000")
+        .collect().map(_.getAs[Double]("value")).head
+    val startState = Seq((1, Fixtures.Src, Fixtures.Dst, reconstructAt(100L)))
+      .toDF("uevol_field_id", "src_id", "dst_id", "value")
+    val hist = UpdateHistory.updateHistory(
+      Fixtures.instanceField(spark), args, startState, 100L, 150L)
+      .collect()
+      .map(r => r.getAs[Long]("instance_message_id") ->
+        r.getAs[Long]("id1_src10_dst20")).toMap
+    assert(hist.nonEmpty)
+    hist.foreach { case (id, histValue) =>
+      assert(histValue.toDouble === reconstructAt(id),
+        s"history row at $id diverges from reconstruction")
+    }
+  }
+}
