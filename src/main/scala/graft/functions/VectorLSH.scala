@@ -33,11 +33,13 @@ object VectorLSH {
     Array.tabulate(m, dim)(planeValue)
 
   /** Sign-bit signature: bit p set iff dot(vec, plane_p) >= 0. One long
-    * column, m·dim multiply-adds per row, all inside codegen.
+    * column, m·dim multiply-adds per row, all inside codegen via the
+    * native [[graft.plans.DotProduct]] expression.
     */
-  def bucketBits(vec: Column, planes: Array[Array[Double]]): Column =
+  def bucketBits(vec: Column, planes: Array[Array[Double]],
+                 dotFn: (Column, Column) => Column = VectorOps.dot): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      when(VectorOps.dot(vec, lit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotFn(vec, lit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Band keys from the bit signature: band b holds bits
@@ -47,7 +49,8 @@ object VectorLSH {
             m: Int = 16, rb: Int = 4): DataFrame = {
     require(m % rb == 0, s"m=$m must be a multiple of rb=$rb")
     val dim = firstVectorLength(df, vecCol)
-    val bits = bucketBits(col(vecCol).cast("array<double>"), hyperplanes(m, dim))
+    val nativeDot = graft.plans.VectorExpressions.dotColumn(df.sparkSession, _: Column, _: Column)
+    val bits = bucketBits(col(vecCol).cast("array<double>"), hyperplanes(m, dim), nativeDot)
     val mask = (1L << rb) - 1
     val keys = array((0 until m / rb).map(b =>
       shiftright(col("bits"), b * rb).bitwiseAND(lit(mask))): _*)
@@ -77,7 +80,8 @@ object VectorLSH {
     val c = VectorOps.withNormalized(corpus, vecCol, "cv")
       .select(col(idCol).as("neighbor_id"), col("cv"))
     val scored = cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
-      .withColumn("cos", VectorOps.dot(col("qv"), col("cv")))
+      .withColumn("cos",
+        graft.plans.VectorExpressions.dotColumn(corpus.sparkSession, col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -18,12 +18,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorOps {
 
+  /** Session-free HOF dot product (interpreted). DataFrame-level operators
+    * below use the codegen'd native expression `graft.plans.DotProduct`
+    * instead — identical results, tight primitive loop.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd dot product (registers the native expression on the session). */
+  private def fastDot(spark: org.apache.spark.sql.SparkSession)(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotColumn(spark, a, b)
 
   /** Adds an L2-normalized copy of `vecCol` as `outCol` — a map-only
     * projection done ONCE per row, so every downstream pairwise cosine is a
@@ -34,11 +42,12 @@ object VectorOps {
     * the transform lambda, where it would re-evaluate per element.
     */
   def withNormalized(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val d = fastDot(df.sparkSession) _
     val nrm = col("__nrm")
-    df.withColumn("__nrm", norm(col(vecCol).cast("array<double>")))
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("__nrm", sqrt(d(v, v)))
       .withColumn(outCol,
-        when(nrm === 0.0, col(vecCol).cast("array<double>"))
-          .otherwise(transform(col(vecCol).cast("array<double>"), x => x / nrm)))
+        when(nrm === 0.0, v).otherwise(transform(v, x => x / nrm)))
       .drop("__nrm")
   }
 
@@ -54,7 +63,7 @@ object VectorOps {
       .select(col(idCol).as("neighbor_id"), col("cv"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("cos", fastDot(corpus.sparkSession)(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -74,7 +83,7 @@ object VectorOps {
     val b = base.select(col("blk"), col(idCol).as("id_b"), col("v").as("vb"))
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("va"), col("vb")))
+      .withColumn("cos", fastDot(df.sparkSession)(col("va"), col("vb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("blk"))
   }

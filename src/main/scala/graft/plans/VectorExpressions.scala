@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding dot product.
+  *
+  * The pure-`functions` formulation (`aggregate(zip_with(a, b, _*_), …)`)
+  * is correct but interpreted: higher-order functions sit outside
+  * whole-stage codegen and allocate a lambda frame per element. This
+  * expression compiles to a tight primitive `double` loop inside the
+  * generated code — the preferred extension order from the builder brief:
+  * native `Expression` with `doGenCode` beats a Scala UDF.
+  *
+  * Result semantics match the HOF version bit-for-bit: left-to-right
+  * summation, `null` out if either array (or any touched element) is null,
+  * shorter-array prefix if lengths differ.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // AbstractDataType is private[sql]; the inferred Seq[ArrayType] conforms.
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  /** Nullable even when both arrays are non-null: a null ELEMENT nulls the
+    * result, so the default child-derived nullability would under-report
+    * (and let the null decay to 0.0 in non-nullable readers).
+    */
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}
+
+/** Registration for [[DotProduct]] under the SQL name `graft_dot`. */
+object VectorExpressions {
+
+  private val fid = FunctionIdentifier("graft_dot")
+  private val info = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+  private val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"graft_dot expects 2 arguments, got ${exprs.length}")
+    DotProduct(exprs.head, exprs(1))
+  }
+
+  /** Idempotently register into an existing session (the driver owns the
+    * SparkSession in the harness, so config-time extensions aren't
+    * guaranteed — this is the runtime path the library calls itself).
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
+
+  /** `Column` surface: registers on first use, then plain `call_function`. */
+  def dotColumn(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` for deployments that
+  * own the session config (a real cluster) — same function, injected at
+  * session build instead of first use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+}

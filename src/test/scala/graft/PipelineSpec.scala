@@ -228,3 +228,36 @@ class VectorLSHSpec extends SparkSpec {
     assert(ann.subsetOf(brute)) // never invents neighbors
   }
 }
+
+class DotProductExprSpec extends SparkSpec {
+
+  test("native graft_dot matches the HOF dot bit-for-bit") {
+    import spark.implicits._
+    val df = (0 until 50).map(i =>
+      (Array.tabulate(16)(d => math.sin(i + d * 0.7)),
+       Array.tabulate(16)(d => math.cos(i * 0.3 + d))))
+      .toDF("a", "b")
+    val r = df.select(
+      graft.plans.VectorExpressions.dotColumn(spark, col("a"), col("b")).as("fast"),
+      VectorOps.dot(col("a"), col("b")).as("hof"))
+      .collect()
+    r.foreach(row => assert(row.getDouble(0) === row.getDouble(1)))
+  }
+
+  test("graft_dot nulls out on null arrays and null elements; casts floats") {
+    import spark.implicits._
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val r1 = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))").head()
+    assert(r1.isNullAt(0))
+    val r2 = spark.sql("SELECT graft_dot(array(1.0d, NULL), array(2.0d, 3.0d))").head()
+    assert(r2.isNullAt(0))
+    val r3 = spark.sql("SELECT graft_dot(array(CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT)))").head()
+    assert(r3.getDouble(0) === 6.0)
+  }
+
+  test("graft_dot is usable from SQL text after registration") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    assert(spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
+      .head().getDouble(0) === 11.0)
+  }
+}
