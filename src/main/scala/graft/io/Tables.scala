@@ -42,4 +42,26 @@ object Tables {
       case _ => raw
     }
   }
+
+  /** Scan `events` keeping `ts` as the RAW epoch-nanos long. Preferred for
+    * time-bounded batch queries: a per-row ns→timestamp conversion is an
+    * expression barrier that stops `ts` predicates from reaching the
+    * parquet scan (no PushedFilters → no row-group/page skipping on the
+    * time axis — fatal at 100 TB). Raw longs order identically; convert the
+    * BOUND with [[nanos]] instead of converting the column.
+    */
+  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Epoch-nanos for a 'yyyy-MM-dd HH:mm:ss' UTC literal — the driver-side
+    * bound for [[loadEventsRaw]] comparisons (matches engines that compare
+    * TIMESTAMP literals against ns-precision columns at ns precision).
+    */
+  def nanos(utc: String): Long = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    java.time.LocalDateTime.parse(utc, fmt)
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+  }
 }

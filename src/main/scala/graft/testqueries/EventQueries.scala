@@ -23,8 +23,10 @@ object EventQueries {
   private val AsOf = "2024-01-15 00:00:00"
   private val Cutoff = "2024-01-25 00:00:00"
 
+  // Raw ns-long `ts`: predicates and sorts on it reach the parquet scan
+  // (PushedFilters + row-group skipping); bounds are converted driver-side.
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.loadEvents(s, dir)
+    Tables.loadEventsRaw(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GetUpdateHistory's dynamic pivot (SQL/GetUpdateHistory.sql:36-78) with
@@ -59,7 +61,7 @@ object EventQueries {
       // prune to the argmax payload before the shuffle — props/extra columns
       // must not ride through the exchange
       val latest = ArgmaxLatest.latestRows(
-        e.where(col("ts") <= lit(AsOf).cast("timestamp"))
+        e.where(col("ts") <= lit(Tables.nanos(AsOf)))
           .select("user_id", "event_type", "ts", "event_id", "value"),
         Seq("user_id", "event_type"),
         struct(col("ts"), col("event_id")))
@@ -91,7 +93,7 @@ object EventQueries {
     // raw deltas after it — bounds the log without losing reconstructability.
     "q19_backup_compact" -> { (s, dir) =>
       val e = ev(s, dir)
-      val cut = lit(Cutoff).cast("timestamp")
+      val cut = lit(Tables.nanos(Cutoff))
       val compacted = ArgmaxLatest.latestRows(
         e.where(col("ts") < cut)
           .select("user_id", "event_type", "ts", "event_id", "value"),
