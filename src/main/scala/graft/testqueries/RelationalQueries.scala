@@ -102,7 +102,9 @@ object RelationalQueries {
     // (SQL/GetMessage.sql:205-214) and its per-row UDF (RetrieveMessage.java:92-105).
     "q07_argmax_latest" -> { (s, dir) =>
       val latest = ArgmaxLatest.latestRows(
-        t(s, dir, "orders"),
+        // prune to the argmax payload BEFORE the shuffle: max_by(struct)
+        // carries every input column through the exchange otherwise
+        t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
         Seq("o_custkey"),
         struct(col("o_orderdate"), col("o_orderkey")))
       latest.select(
