@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorExpressions
+
+/** IVF-style approximate nearest-neighbor search: a coarse quantizer
+  * assigns every corpus vector to its nearest centroid cell (one broadcast
+  * join against the tiny centroid set — the classic IVF assign pass), and a
+  * query searches only the `nprobe` cells it is closest to. Complements
+  * [[VectorLSH]]: IVF adapts to the data's cluster structure, LSH is
+  * data-independent.
+  *
+  * Scale shape: assignment is map-only per corpus row (K dots against a
+  * broadcast list); the search joins query probes to corpus cells by cell
+  * id — an equality join, never a cross product over the corpus.
+  */
+object VectorIVF {
+
+  /** Cell assignment: nearest centroid by cosine (argmax over the broadcast
+    * centroid table). Returns df + `cell` column.
+    * `centroids`: (cellId, vector) — typically K-means output; any fixed
+    * representative set works (the quantizer need not be optimal, only
+    * consistent between corpus and queries).
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, cellIdCol: String, cellVecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nd = VectorExpressions.dotColumn(spark, _, _)
+    val n = VectorOps.withNormalized(df, vecCol, "__nv")
+    val c = broadcast(VectorOps.withNormalized(centroids, cellVecCol, "__ncv")
+      .select(col(cellIdCol).as("__cell"), col("__ncv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(nd(col("__nv"), col("__ncv")).desc, col("__cell").asc)
+    n.crossJoin(c)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__ncv")
+      .withColumnRenamed("__cell", "cell")
+  }
+
+  /** Top-`nprobe` cells per query (same quantizer, keep more than 1). */
+  def probes(queries: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, cellIdCol: String, cellVecCol: String,
+             nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val nd = VectorExpressions.dotColumn(spark, _, _)
+    val q = VectorOps.withNormalized(queries, vecCol, "__nv")
+    val c = broadcast(VectorOps.withNormalized(centroids, cellVecCol, "__ncv")
+      .select(col(cellIdCol).as("__cell"), col("__ncv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(nd(col("__nv"), col("__ncv")).desc, col("__cell").asc)
+    q.crossJoin(c)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nprobe)
+      .select(col(idCol).as("query_id"), col("__cell").as("cell"), col("__nv").as("qv"))
+  }
+
+  /** End-to-end IVF top-k: probe cells → cell-equality join → exact cosine
+    * (single dot on pre-normalized vectors) → rank. Recall depends on
+    * nprobe/centroid quality, as in any IVF index.
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: DataFrame,
+              cellIdCol: String, cellVecCol: String, nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val nd = VectorExpressions.dotColumn(spark, _, _)
+    val cells = assign(corpus, idCol, vecCol, centroids, cellIdCol, cellVecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("__nv").as("cv"))
+    val qp = probes(queries, idCol, vecCol, centroids, cellIdCol, cellVecCol, nprobe)
+    val scored = qp.join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", nd(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+}

@@ -51,6 +51,22 @@ object EventQueries {
           min("k").as("min_k"), max("k").as("max_k"))
     },
 
+    // §2.7 F4/§2.8 UD5 at scale: degree-2 dotted-key JSON flattened to
+    // (relative_path, value) rows in one pass — the GetMessage JSON
+    // machinery (SQL/GetMessage.sql:282-355) with no per-key loops. The
+    // JSON is synthesized from event_id arithmetic so the oracle derives
+    // the expected rows independently, without trusting any JSON parser.
+    "q15_json_flatten" -> { (s, dir) =>
+      val js = format_string(
+        """{"000":%d,"000.001":{"000.001.001":%d,"000.001.002":%d}}""",
+        pmod(col("event_id"), lit(100)), pmod(col("event_id"), lit(7)),
+        pmod(col("event_id"), lit(13)))
+      val withJson = ev(s, dir).select(col("event_id"), js.as("js"))
+      graft.ops.JsonExplode.flatten(withJson, "js", Seq("event_id"))
+        .groupBy("relative_path")
+        .agg(count(lit(1)).as("n"), sum("value").cast("long").as("sum_value"))
+    },
+
     // Point-in-time full-state reconstruction (GetMessage semantics,
     // SQL/GetMessage.sql:8-998): latest update ≤ T per key via one partial-agg
     // shuffle, grid of all keys via cross join with the 5-row type dim,
@@ -130,6 +146,12 @@ object EventQueries {
          CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type""",
+    "q15_json_flatten" ->
+      """SELECT relative_path, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_value FROM (
+           SELECT '000' AS relative_path, event_id % 100 AS v FROM events
+           UNION ALL SELECT '000.001.001', event_id % 7 FROM events
+           UNION ALL SELECT '000.001.002', event_id % 13 FROM events)
+         GROUP BY relative_path""",
     "q17_reconstruct_state" ->
       s"""WITH latest AS (
            SELECT * FROM (

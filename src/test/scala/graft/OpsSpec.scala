@@ -192,3 +192,35 @@ class ChangeSplitSpec extends SparkSpec {
     assert(diff.collect().map(_.getInt(0)).toSet === Set(2, 3, 4))
   }
 }
+
+class SkewSaltSpec extends SparkSpec {
+
+  test("salted aggregate equals direct groupBy on a skewed distribution") {
+    import spark.implicits._
+    // key 1 holds 90% of rows — the shape that straggles one reducer
+    val rows = (1 to 900).map(i => (1, i.toDouble)) ++
+      (1 to 100).map(i => (1 + i % 9, i.toDouble))
+    val df = rows.toDF("k", "v").repartition(8)
+    val salted = SkewSalt.aggregate(df, Seq("k"), "v", buckets = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)), sum("v"), min("v"), max("v"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (n, s, mn, mx)) =>
+      val (dn, ds, dmn, dmx) = direct(k)
+      assert(n === dn); assert(mn === dmn); assert(mx === dmx)
+      assert(math.abs(s - ds) < 1e-9)
+    }
+  }
+
+  test("salt replication joins back to exactly the original pairs") {
+    import spark.implicits._
+    val fact = (1 to 200).map(i => (i % 3, i)).toDF("k", "v")
+      .withColumn("__salt", SkewSalt.saltColumn(4))
+    val dim = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val joined = fact.join(SkewSalt.replicateForSalt(dim, 4), Seq("k", "__salt"))
+    assert(joined.count() === 200) // every fact row matched exactly once
+    assert(joined.select("__salt").distinct().count() === 4)
+  }
+}

@@ -261,3 +261,33 @@ class DotProductExprSpec extends SparkSpec {
       .head().getDouble(0) === 11.0)
   }
 }
+
+class VectorIVFSpec extends SparkSpec {
+
+  test("IVF finds cluster-mates; candidates never leave probed cells") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes + their centroids
+    def jitter(base: Array[Float], i: Int) =
+      base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i + d) % 3) }
+    val ax = Array(1f, 0f, 0f, 0f); val ay = Array(0f, 1f, 0f, 0f)
+    val corpus = ((0 until 10).map(i => (i.toLong, jitter(ax, i))) ++
+      (10 until 20).map(i => (i.toLong, jitter(ay, i)))).toDF("vec_id", "embedding")
+    val centroids = Seq((0, ax), (1, ay)).toDF("cell_id", "cvec")
+    val got = VectorIVF.annTopK(
+      corpus.where(col("vec_id") === 0), corpus, "vec_id", "embedding",
+      k = 3, centroids, "cell_id", "cvec", nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.size === 3)
+    assert(got.forall(_ < 10)) // nprobe=1: only the x-cluster cell searched
+  }
+
+  test("assign puts every vector in its nearest centroid cell") {
+    import spark.implicits._
+    val ax = Array(1f, 0f); val ay = Array(0f, 1f)
+    val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.2f, 0.8f))).toDF("vec_id", "embedding")
+    val centroids = Seq((7, ax), (8, ay)).toDF("cell_id", "cvec")
+    val cells = VectorIVF.assign(df, "vec_id", "embedding", centroids, "cell_id", "cvec")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(cells === Map(1L -> 7, 2L -> 8))
+  }
+}
