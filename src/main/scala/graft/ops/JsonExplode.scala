@@ -21,20 +21,23 @@ object JsonExplode {
     * columns through. Degree 0/1 keys emit directly; degree-2 inner objects
     * emit one row per inner key (inner keys are full relative paths).
     * Null/empty-object rows emit nothing — callers apply sentinel defaults.
+    *
+    * Single pass: ONE scan, one outer `from_json`, two chained explodes,
+    * and no higher-order lambdas (HOFs evaluate interpreted — measured
+    * slower than a second generator here). A leaves ∪ nested union would
+    * scan and parse the source twice instead.
     */
   def flatten(df: DataFrame, jsonCol: String, keep: Seq[String]): DataFrame = {
     val keepCols = keep.map(col)
     val lvl1 = df
       .select(keepCols :+ explode(from_json(col(jsonCol), Mapped)).as(Seq("rp", "rv")): _*)
-    val leaves = lvl1
-      .where(!col("rv").startsWith("{"))
-      .select(keepCols :+ col("rp").as("relative_path")
-        :+ col("rv").cast("double").as("value"): _*)
-    val nested = lvl1
-      .where(col("rv").startsWith("{"))
-      .select(keepCols :+ explode(from_json(col("rv"), Mapped)).as(Seq("relative_path", "v2")): _*)
-      .select(keepCols :+ col("relative_path") :+ col("v2").cast("double").as("value"): _*)
-    leaves.unionByName(nested)
+    val kv = when(col("rv").startsWith("{"),
+        map_entries(from_json(col("rv"), Mapped)))
+      .otherwise(array(struct(col("rp").as("key"), col("rv").as("value"))))
+    lvl1
+      .select(keepCols :+ explode(kv).as("e"): _*)
+      .select(keepCols :+ col("e.key").as("relative_path")
+        :+ col("e.value").cast("double").as("value"): _*)
   }
 
   /** Nesting degree of a JSON value column (0: scalar leaf under one key,
