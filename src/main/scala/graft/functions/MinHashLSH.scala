@@ -122,6 +122,40 @@ object MinHashLSH {
         round(col("ni").cast("double") /
           (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6).as("jaccard"))
 
+  /** Connected components over near-dup pairs: each doc labeled with the
+    * smallest doc id reachable through the pair graph — the "pick one
+    * canonical per duplicate cluster" step after LSH.
+    *
+    * Distributed min-label propagation: each iteration joins the current
+    * labels across the edge list and keeps the per-node min; converges in
+    * O(diameter) rounds ≤ `maxIter` (near-dup clusters are shallow — dup
+    * groups are near-cliques, so 2-3 rounds typically suffice). Each round
+    * is one join + one agg; nothing ever collects to the driver.
+    * Returns (id, cluster) for every id appearing in `pairs`.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("a").as("id")).agg(least(min("b"), first("a")).as("cluster"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .select(col("a").as("id"), col("cluster"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** End-to-end: candidate near-dup pairs with exact Jaccard attached.
     *
     * Two compact intermediates are cached (SURVEY.md §2.1 S4: cache only

@@ -74,4 +74,32 @@ object TextAnalysis {
 
   /** Full-width hex fingerprint (for exact-dup grouping keys). */
   def fingerprintHex(text: Column): Column = md5(lower(text))
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
+    * document order, then keep the minimum hash of each sliding window of
+    * `w` consecutive n-gram hashes, deduplicated. Guarantees any shared
+    * substring of length ≥ w+n-1 words contributes a shared fingerprint —
+    * the local-similarity property plain min-hashing lacks.
+    *
+    * Map-only: the ordered hash sequence is staged as an attribute (HOF
+    * lambdas are interpreted — never recompute the split inside), windows
+    * are `slice`+`array_min`. Docs shorter than n words emit none.
+    * Returns (idCol, fps: array&lt;long&gt;).
+    */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, n: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val words = col("__words")
+    val hseq = col("__hseq")
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until n).map(o => element_at(words, i + o + 1)): _*)
+    val hashes = transform(sequence(lit(0), size(words) - n),
+      i => conv(substring(md5(gram(i)), 1, 15), 16, 10).cast("long"))
+    val wins = array_distinct(transform(
+      sequence(lit(0), greatest(size(hseq) - w, lit(0))),
+      i => array_min(slice(hseq, i + 1, least(lit(w), size(hseq))))))
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
+      .where(size(words) >= n)
+      .select(col(idCol), hashes.as("__hseq"))
+      .select(col(idCol), wins.as("fps"))
+  }
 }

@@ -81,6 +81,23 @@ object PipelineQueries {
         .withColumnRenamed("blk", "label")
     },
 
+    // Near-dup clustering: LSH pairs above a Jaccard threshold -> connected
+    // components via distributed min-label propagation (each round one
+    // join + one agg; no driver data loops) -> canonical doc per cluster.
+    "d12_dedup_clusters" -> { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+      MinHashLSH.clusters(pairs).select(col("id").as("doc_id"), col("cluster"))
+    },
+
+    // Winnowing fingerprints (MOSS): per-window min of ordered n-gram
+    // hashes — local-similarity fingerprinting, map-only.
+    "d13_winnow" -> { (s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", n = 3, w = 4)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+    },
+
     // LSH-bucketed ANN — the scale path past d07's brute force: sign-bit
     // signature against 16 md5-derived hyperplanes, 4 bands of 4 bits,
     // candidates via band equijoin, exact cosine + rank only on candidates.
@@ -131,6 +148,41 @@ object PipelineQueries {
       |+ 0.2 * (1.0 - least((CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
       |  / CAST(len(text) AS DOUBLE)) * 10.0, 1.0)), 4)""".stripMargin
 
+  /** DuckDB replay of the full MinHash pipeline — shared by the d05
+    * pair check and the d12 clustering oracle.
+    */
+  private lazy val MinhashPairsSql: String = {
+      val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
+        .map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(sh_txt), 1, 15)) AS BIGINT) AS sh FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
+           FROM words WHERE len(w) >= 3)),
+         hx AS (SELECT doc_id, j,
+             CAST(min(CAST(((sh % ${MinHashLSH.P}) * a + j) AS BIGINT) % ${MinHashLSH.P}) AS BIGINT) AS mh
+           FROM sh CROSS JOIN (VALUES $seedRows) AS seeds(j, a) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j // 2 AS band,
+             concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
+                    CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bkey
+           FROM hx GROUP BY doc_id, j // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+           GROUP BY c.doc_a, c.doc_b)
+         SELECT i.doc_a, i.doc_b,
+           round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
+         FROM inter i
+         JOIN sizes na ON na.doc_id = i.doc_a
+         JOIN sizes nb ON nb.doc_id = i.doc_b"""
+      }
+
   val oracles: Map[String, String] = Map(
     "d01_text_stats" ->
       s"""SELECT doc_id,
@@ -164,37 +216,30 @@ object PipelineQueries {
          CAST(min(doc_id) AS BIGINT) AS canonical_doc,
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
-    "d05_minhash_pairs" -> {
-      val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
-        .map { case (a, j) => s"($j, $a)" }.mkString(", ")
-      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-             CAST(('0x' || substr(md5(sh_txt), 1, 15)) AS BIGINT) AS sh FROM (
-           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
-             i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
-           FROM words WHERE len(w) >= 3)),
-         hx AS (SELECT doc_id, j,
-             CAST(min(CAST(((sh % ${MinHashLSH.P}) * a + j) AS BIGINT) % ${MinHashLSH.P}) AS BIGINT) AS mh
-           FROM sh CROSS JOIN (VALUES $seedRows) AS seeds(j, a) GROUP BY doc_id, j),
-         bands AS (SELECT doc_id, j // 2 AS band,
-             concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
-                    CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bkey
-           FROM hx GROUP BY doc_id, j // 2),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
-           FROM cand c
-           JOIN sh sa ON sa.doc_id = c.doc_a
-           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-           GROUP BY c.doc_a, c.doc_b)
-         SELECT i.doc_a, i.doc_b,
-           round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
-         FROM inter i
-         JOIN sizes na ON na.doc_id = i.doc_a
-         JOIN sizes nb ON nb.doc_id = i.doc_b"""
-    },
+    "d05_minhash_pairs" -> MinhashPairsSql,
+    "d13_winnow" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         hs AS (SELECT doc_id, list_transform(range(0, len(w) - 2),
+             i -> CAST(('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')), 1, 15)) AS BIGINT)) AS h
+           FROM words WHERE len(w) >= 3),
+         wins AS (SELECT doc_id, list_distinct(list_transform(
+             range(0, greatest(len(h) - 4, 0) + 1),
+             i -> list_min(h[i+1:i+least(4, len(h))]))) AS fps FROM hs)
+         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+           CAST(list_min(fps) AS BIGINT) AS min_fp,
+           CAST(list_max(fps) AS BIGINT) AS max_fp
+         FROM wins""",
+    "d12_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
+         SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+         FROM reach GROUP BY id""",
     "d06_simhash" -> {
       val bitSums = (0 until 32).map(i =>
         s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")

@@ -291,3 +291,27 @@ class VectorIVFSpec extends SparkSpec {
     assert(cells === Map(1L -> 7, 2L -> 8))
   }
 }
+
+class DedupClusterSpec extends SparkSpec {
+
+  test("label propagation finds connected components incl. chains") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 9-3-2-1, {5,6}, pairs always a<b
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = MinHashLSH.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("clusters of identical docs collapse to the smallest doc id") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq((7L, text), (3L, text), (11L, text),
+      (20L, "unrelated totally different words entirely here"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLSH.nearDupPairs(df, "doc_id", "text")
+    val got = MinHashLSH.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 3L, 7L -> 3L, 11L -> 3L)) // 20 has no pairs
+  }
+}

@@ -107,3 +107,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class DocStreamSpec extends SparkSpec {
+
+  test("streaming exact dedup keeps first arrival per fingerprint") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("ts", "text")
+    val q = graft.streaming.DocStream.dedupExact(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000040000L)
+      in.addData((t0, "alpha doc"), (t0, "alpha doc"), (t0, "beta doc"))
+      q.processAllAvailable()
+      in.addData((new java.sql.Timestamp(1700000041000L), "Alpha Doc")) // same fp (case-insensitive)
+      q.processAllAvailable()
+      val texts = spark.table("doc_dedup").select("text").collect().map(_.getString(0)).sorted
+      assert(texts === Array("alpha doc", "beta doc"))
+    } finally q.stop()
+  }
+
+  test("quality filter and language routing are stream-safe projections") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val docs = in.toDF().toDF("text")
+    val q = graft.streaming.DocStream.withLanguage(
+        graft.streaming.DocStream.qualityFilter(docs, 0.3))
+      .writeStream.format("memory").queryName("doc_quality")
+      .outputMode("append").start()
+    try {
+      in.addData("the cat sat on the mat and it is a fine day for all of us",
+        "zzz")
+      q.processAllAvailable()
+      val rows = spark.table("doc_quality").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("lang_pred") === "en")
+    } finally q.stop()
+  }
+}
