@@ -134,22 +134,35 @@ object MinHashLSH {
     * Returns (id, cluster) for every id appearing in `pairs`.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("a").as("id")).agg(least(min("b"), first("a")).as("cluster"))
+      .persist(disk)
+    // Labels only ever decrease, so the label sum is strictly monotone until
+    // the fixpoint: sum unchanged ⟺ converged. One tiny agg per round — no
+    // join-based change detection. Decimal keeps the sum exact at any scale.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min("b"), first("a")).as("cluster")).persist(disk)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // one hop through the edge list per round; near-dup components are
+      // near-cliques, so depth is small and a pointer-jumping variant
+      // (label(label(id))) measured slower here — extra join per round for
+      // rounds that don't materialize
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("cluster"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .where(col("cluster") =!= col("old")).limit(1).count()
-      converged = changed == 0
+        .persist(disk)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist(false)
       labels = next
       i += 1
     }
