@@ -143,6 +143,41 @@ object Multimodal {
       .toDF(idCol, "n_bytes", "content_type", "width", "height", "channels", "n_frames")
   }
 
+  /** Feature extraction over opaque binaries: byte histogram → Shannon
+    * entropy (bits/byte) + dominant byte. Runs in the same `mapPartitions`
+    * batch shape as [[decode]] — the stage where a real pipeline computes
+    * perceptual hashes / embeddings; entropy is the codec-free example that
+    * works on any blob (and separates compressed/encrypted media from text
+    * at a glance). Output: (id, n_bytes, entropy, top_byte).
+    */
+  def byteFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val hist = new Array[Long](256) // reused across the partition
+        it.map { case (id, bytes) =>
+          java.util.Arrays.fill(hist, 0L)
+          bytes.foreach(b => hist(b & 0xFF) += 1)
+          val n = bytes.length.toDouble
+          var entropy = 0.0
+          var top = 0
+          var i = 0
+          while (i < 256) {
+            if (hist(i) > 0) {
+              val p = hist(i) / n
+              entropy -= p * (math.log(p) / math.log(2))
+              if (hist(i) > hist(top)) top = i
+            }
+            i += 1
+          }
+          (id, bytes.length.toLong, math.rint(entropy * 1e6) / 1e6, top)
+        }
+      }
+      .toDF(idCol, "n_bytes", "entropy", "top_byte")
+  }
+
   // ------------------------------------------------------- transformations
 
   /** Fit-in-box resize plan (no upscaling), exact integer arithmetic so any

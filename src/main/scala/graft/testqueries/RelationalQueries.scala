@@ -162,6 +162,20 @@ object RelationalQueries {
         .agg(countDistinct(col("o_custkey")).as("n_custs"), count(lit(1)).as("n_orders"))
     },
 
+    // Fact-side aggregate first, then decorate with two broadcast dims —
+    // the aggregate-before-join order matters at scale: the shuffle carries
+    // one row per supplier, not one per lineitem.
+    "q21_supplier_revenue" -> { (s, dir) =>
+      val revenue = t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      revenue
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), col("revenue"))
+    },
+
     // §2.5 W2/W5: global order + limit with total tie-break (driver sorts
     // rows before hashing, so the SET must be deterministic — it is).
     "q16_sort_limit" -> { (s, dir) =>
@@ -248,5 +262,11 @@ object RelationalQueries {
          FROM orders GROUP BY 1""",
     "q16_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""")
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "q21_supplier_revenue" ->
+      """SELECT s_suppkey, s_name, n_name, revenue FROM (
+           SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           FROM lineitem GROUP BY l_suppkey)
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey""")
 }

@@ -315,3 +315,35 @@ class DedupClusterSpec extends SparkSpec {
     assert(got === Map(3L -> 3L, 7L -> 3L, 11L -> 3L)) // 20 has no pairs
   }
 }
+
+class ByteFeaturesSpec extends SparkSpec {
+
+  test("entropy: constant bytes 0, two equiprobable bytes 1 bit; top byte right") {
+    import spark.implicits._
+    val const = Array.fill[Byte](64)(7)
+    val twoVal = (Array.fill[Byte](32)(1) ++ Array.fill[Byte](32)(2))
+    val skew = (Array.fill[Byte](48)(9) ++ Array.fill[Byte](16)(3))
+    val df = Seq((1L, const), (2L, twoVal), (3L, skew)).toDF("id", "blob")
+    val got = Multimodal.byteFeatures(df, "id", "blob")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(got(1L) === ((64L, 0.0, 7)))
+    assert(got(2L) === ((64L, 1.0, 1)))
+    assert(got(3L)._3 === 9)
+    assert(got(3L)._2 > 0.0 && got(3L)._2 < 1.0)
+  }
+}
+
+class GraftSqlSpec extends SparkSpec {
+
+  test("registered views + native function answer plain SQL") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT count(*) FROM supplier").head().getLong(0)
+    assert(n > 0)
+    val d = spark.sql(
+      "SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS d FROM embeddings LIMIT 1")
+      .head().getDouble(0)
+    assert(d > 0.0)
+    val pushable = spark.sql("SELECT count(*) FROM events WHERE ts <= 1705276800000000000").head().getLong(0)
+    assert(pushable > 0)
+  }
+}
