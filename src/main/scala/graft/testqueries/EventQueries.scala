@@ -51,6 +51,19 @@ object EventQueries {
           min("k").as("min_k"), max("k").as("max_k"))
     },
 
+    // Skew-safe aggregation: the salted two-phase groupBy must produce
+    // exactly what the direct groupBy produces — verified against the
+    // plain-SQL oracle. (Salting spreads a reducer-dominating key over
+    // `buckets` partitions; here it runs on a uniform key to pin equality.)
+    "q22_salted_agg" -> { (s, dir) =>
+      graft.ops.SkewSalt.aggregate(
+          ev(s, dir).select("user_id", "value"), Seq("user_id"), "value", buckets = 8)
+        .select(col("user_id"), col("n"),
+          round(col("sum"), 2).as("sum_value"),
+          round(col("min"), 4).as("min_value"),
+          round(col("max"), 4).as("max_value"))
+    },
+
     // §2.7 F4/§2.8 UD5 at scale: degree-2 dotted-key JSON flattened to
     // (relative_path, value) rows in one pass — the GetMessage JSON
     // machinery (SQL/GetMessage.sql:282-355) with no per-key loops. The
@@ -146,6 +159,12 @@ object EventQueries {
          CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type""",
+    "q22_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+         round(sum(value), 2) AS sum_value,
+         round(min(value), 4) AS min_value,
+         round(max(value), 4) AS max_value
+         FROM events GROUP BY user_id""",
     "q15_json_flatten" ->
       """SELECT relative_path, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_value FROM (
            SELECT '000' AS relative_path, event_id % 100 AS v FROM events
