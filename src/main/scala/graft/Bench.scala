@@ -28,10 +28,11 @@ object Bench {
     // Warm-up: exercise parquet reader, codegen, shuffle machinery once.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    // a failed query must not masquerade as a fast one: report -1
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(fn)

@@ -133,7 +133,7 @@ object MinHashLSH {
     * is one join + one agg; nothing ever collects to the driver.
     * Returns (id, cluster) for every id appearing in `pairs`.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
@@ -142,11 +142,12 @@ object MinHashLSH {
     // the fixpoint: sum unchanged ⟺ converged. One tiny agg per round — no
     // join-based change detection. Decimal keeps the sum exact at any scale.
     def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // sum over zero rows is null
     var labels = edges.groupBy(col("a").as("id"))
       .agg(least(min("b"), first("a")).as("cluster")).persist(disk)
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum.signum == 0 && labels.isEmpty // empty input: done
     var i = 0
     while (!converged && i < maxIter) {
       // one hop through the edge list per round; near-dup components are
@@ -166,6 +167,13 @@ object MinHashLSH {
       labels = next
       i += 1
     }
+    // Silent non-convergence would return wrong clusters (and diverge from
+    // any exact-transitive-closure oracle) — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIter rounds — component diameter " +
+          s"exceeds maxIter; raise maxIter (rounds needed ≈ graph diameter)")
+    edges.unpersist(false) // labels is persisted + materialized; edges done
     labels
   }
 

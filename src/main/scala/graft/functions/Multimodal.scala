@@ -101,17 +101,23 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         codec.open()
-        val out = it.map { case (id, bytes) =>
+        closeOnTaskEnd(codec)
+        it.map { case (id, bytes) =>
           val m = codec.decode(bytes)
           (id, m.width, m.height, m.channels, m.nFrames)
-        }
-        new Iterator[(Long, Int, Int, Int, Int)] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
-          def next(): (Long, Int, Int, Int, Int) = out.next()
         }
       }
       .toDF(idCol, "width", "height", "channels", "n_frames")
   }
+
+  /** Release the codec when the TASK ends (success, failure, or an early
+    * stop like limit/take) — an iterator-exhaustion hook would leak native
+    * contexts whenever the consumer stops before the end, and double-close
+    * on repeated hasNext probes.
+    */
+  private def closeOnTaskEnd(codec: MediaCodec): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => codec.close()))
 
   /** One-pass metadata + decode: the expression-computed metadata columns
     * ride through the `mapPartitions` batch alongside the decode output, so
@@ -131,13 +137,10 @@ object Multimodal {
       .as[(Long, Long, String, Array[Byte])]
       .mapPartitions { it =>
         codec.open()
-        val out = it.map { case (id, nBytes, cType, bytes) =>
+        closeOnTaskEnd(codec)
+        it.map { case (id, nBytes, cType, bytes) =>
           val m = codec.decode(bytes)
           (id, nBytes, cType, m.width, m.height, m.channels, m.nFrames)
-        }
-        new Iterator[(Long, Long, String, Int, Int, Int, Int)] {
-          def hasNext: Boolean = { val h = out.hasNext; if (!h) codec.close(); h }
-          def next(): (Long, Long, String, Int, Int, Int, Int) = out.next()
         }
       }
       .toDF(idCol, "n_bytes", "content_type", "width", "height", "channels", "n_frames")

@@ -92,8 +92,10 @@ object TextAnalysis {
     val hseq = col("__hseq")
     val gram = (i: Column) => concat_ws(" ",
       (0 until n).map(o => element_at(words, i + o + 1)): _*)
+    // same 60-bit derivation as the LSH shingles — one shared definition so
+    // every DuckDB oracle replays one formula
     val hashes = transform(sequence(lit(0), size(words) - n),
-      i => conv(substring(md5(gram(i)), 1, 15), 16, 10).cast("long"))
+      i => MinHashLSH.baseHash(gram(i)))
     val wins = array_distinct(transform(
       sequence(lit(0), greatest(size(hseq) - w, lit(0))),
       i => array_min(slice(hseq, i + 1, least(lit(w), size(hseq))))))

@@ -46,18 +46,23 @@ object VectorLSH {
     * [b·rb, (b+1)·rb). Returns (idCol, band, bkey) — map-only.
     */
   def bands(df: DataFrame, idCol: String, vecCol: String,
-            m: Int = 16, rb: Int = 4): DataFrame = {
+            m: Int = 16, rb: Int = 4, dim: Int = -1): DataFrame = {
     require(m % rb == 0, s"m=$m must be a multiple of rb=$rb")
-    val dim = firstVectorLength(df, vecCol)
+    val d = if (dim > 0) Some(dim) else firstVectorLength(df, vecCol)
     val nativeDot = graft.plans.VectorExpressions.dotColumn(df.sparkSession, _: Column, _: Column)
-    val bits = bucketBits(col(vecCol).cast("array<double>"), hyperplanes(m, dim), nativeDot)
-    val mask = (1L << rb) - 1
-    val keys = array((0 until m / rb).map(b =>
-      shiftright(col("bits"), b * rb).bitwiseAND(lit(mask))): _*)
-    df.select(col(idCol), bits.as("bits"))
-      .select(col(idCol), posexplode(keys))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
+    d match {
+      case None => // empty input: no rows, stable schema
+        df.select(col(idCol), lit(0).as("band"), lit(0L).as("bkey")).limit(0)
+      case Some(n) =>
+        val bits = bucketBits(col(vecCol).cast("array<double>"), hyperplanes(m, n), nativeDot)
+        val mask = (1L << rb) - 1
+        val keys = array((0 until m / rb).map(b =>
+          shiftright(col("bits"), b * rb).bitwiseAND(lit(mask))): _*)
+        df.select(col(idCol), bits.as("bits"))
+          .select(col(idCol), posexplode(keys))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bkey")
+    }
   }
 
   /** Approximate top-k cosine neighbors: candidates = corpus vectors
@@ -67,9 +72,12 @@ object VectorLSH {
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, m: Int = 16, rb: Int = 4): DataFrame = {
-    val qb = bands(queries, idCol, vecCol, m, rb)
+    // probe the (fixed) vector width once for both band computations
+    val dim = firstVectorLength(corpus, vecCol)
+      .orElse(firstVectorLength(queries, vecCol)).getOrElse(0)
+    val qb = bands(queries, idCol, vecCol, m, rb, dim)
       .withColumnRenamed(idCol, "query_id")
-    val cb = bands(corpus, idCol, vecCol, m, rb)
+    val cb = bands(corpus, idCol, vecCol, m, rb, dim)
       .withColumnRenamed(idCol, "neighbor_id")
     val cand = qb.join(cb, Seq("band", "bkey"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -90,10 +98,10 @@ object VectorLSH {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Vector length probed from the first row — embeddings are fixed-width;
-    * one tiny driver-side action, exactly like the reference's collected
-    * plan scalars (SURVEY.md §7.5.5).
+  /** Vector length probed from the first row (None when empty) — embeddings
+    * are fixed-width; one tiny driver-side action, exactly like the
+    * reference's collected plan scalars (SURVEY.md §7.5.5).
     */
-  private def firstVectorLength(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  private def firstVectorLength(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
 }

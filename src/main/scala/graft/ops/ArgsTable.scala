@@ -42,10 +42,12 @@ object ArgsTable {
   /** Zip N parallel positional lists into one row per position (the
     * reference's `FROM t1,t2,t3 WHERE t1.id=t2.id AND ...` positional join,
     * CreateArgumentsTable.sql:36-37). Truncates to the shortest list.
+    * Empty `()` elements are KEPT (as "") — dropping them would shift later
+    * positions and misalign the zip.
     */
   def zip(spark: SparkSession, cols: Seq[(String, String)]): DataFrame = {
     val names = cols.map(_._1)
-    val lists = cols.map(c => parseList(c._2))
+    val lists = cols.map(c => parseListKeepEmpty(c._2))
     val n = if (lists.isEmpty) 0 else lists.map(_.size).min
     val rows = (0 until n).map(i => Row.fromSeq(lists.map(_(i))))
     val schema = StructType(names.map(StructField(_, StringType, nullable = false)))

@@ -19,8 +19,11 @@ import graft.model.Telemetry.SnapshotRef
   */
 object SnapshotBracket {
 
-  /** Returns (snapMin, snapMax); either may be absent when the catalog has
-    * no snapshot on that side of the target.
+  /** Returns (snapMin, snapMax). snapMin is absent when no snapshot starts
+    * at or before the target; snapMax falls back to snapMin when the target
+    * lies beyond the last snapshot — the reference's degenerate
+    * `snap_min == snap_max` branch (`SQL/GetMessage.sql:611-990`), where the
+    * epoch is open-ended and change detection is skipped.
     */
   def bracket(catalog: DataFrame, target: Long): (Option[SnapshotRef], Option[SnapshotRef]) = {
     val rows = catalog

@@ -88,20 +88,24 @@ object UpdateStream {
   }
 
   /** Incremental compaction sink — the streaming form of the reference's
-    * batch Backup job: each micro-batch's updates are appended to the
-    * delta-log parquet, partitioned by `uevol_message_id` so downstream
-    * point-in-time reads prune to one message's files. Exactly-once via the
-    * checkpoint; idempotent replay per `foreachBatch` contract.
+    * batch Backup job: each micro-batch lands in its own `batch=<id>`
+    * partition directory, written with OVERWRITE so a replayed batch (the
+    * at-least-once case `foreachBatch` allows after a failure between write
+    * and checkpoint commit) rewrites the same directory instead of
+    * duplicating rows — idempotent by construction. Within a batch, files
+    * are further partitioned by `uevol_message_id` so downstream
+    * point-in-time reads prune to one message's files;
+    * `spark.read.parquet(path)` discovers both partition levels.
     */
   def compactionSink(updates: DataFrame, path: String, checkpoint: String)
   : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite")
           .partitionBy("uevol_message_id")
-          .parquet(path)
+          .parquet(s"$path/batch=$batchId")
       }
       .start()
 }

@@ -100,6 +100,13 @@ class ArgsTableSpec extends SparkSpec {
     assert(df.count() === 4)
   }
 
+  test("zip keeps empty () elements so positions stay aligned") {
+    val df = ArgsTable.zip(spark.asInstanceOf[org.apache.spark.sql.SparkSession], Seq(
+      "f" -> "(1),(2),(3)", "filter" -> "(),(value>5),()"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows === Seq(("1", ""), ("2", "value>5"), ("3", "")))
+  }
+
   test("zip joins lists positionally, truncating to shortest") {
     val df = ArgsTable.zip(spark, Seq("f" -> "(1),(2),(3)", "s" -> "(a),(b)"))
     assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
