@@ -51,6 +51,46 @@ object EventQueries {
           min("k").as("min_k"), max("k").as("max_k"))
     },
 
+    // The flagship GetMessage path END TO END under the oracle: events are
+    // mapped onto the telemetry schema (event_type -> field id, user ->
+    // src), a snapshot of user 7's state at S = max_id/2 is synthesized as
+    // the reference's JSON rows, and MessageReconstruct.getMessage
+    // reconstructs at T = 3·max_id/4 — snapshot bracket, epoch-bounded
+    // argmax, dot-safe JSON explode, anti-join, and -1 sentinels all in one
+    // DAG. The oracle recomputes the value lattice directly.
+    "q23_snapshot_reconstruct" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val maxId = e.agg(max("event_id")).head().getLong(0)
+      val snapAt = maxId / 2
+      val target = 3 * maxId / 4
+      val fieldMap = EventTypes.zipWithIndex
+        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
+      val instanceField = e
+        .join(broadcast(fieldMap), "event_type")
+        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
+          col("event_id").as("instance_message_id"),
+          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+          lit("000").as("relative_path"), col("value").as("new_value"))
+      val instanceMessage = Seq((target, 1, 7, 0))
+        .toDF("id", "uevol_message_id", "src_id", "dst_id")
+      val uevolField = EventTypes.zipWithIndex
+        .map { case (t, i) => (i + 1, 1, t, 0) }
+        .toDF("id", "uevol_message_id", "name", "type")
+      val catalog = Seq(("snap_s", snapAt)).toDF("name", "start_instance_message_id")
+      val snapLoader = (_: String) => e
+        .where(col("user_id") === 7 && col("event_id") <= snapAt)
+        .groupBy("event_type")
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+        .join(broadcast(fieldMap), "event_type")
+        .select(col("fid").as("uevol_field_id"), lit(7).as("src_id"),
+          lit(0).as("dst_id"), lit(snapAt).as("instance_message_id"),
+          concat(lit("{\"000\":"), col("v").cast("string"), lit("}")).as("json_value"))
+      graft.queries.MessageReconstruct.getMessage(
+          instanceField, instanceMessage, uevolField, Some(catalog), snapLoader, target)
+        .withColumn("value", round(col("value"), 4))
+    },
+
     // Skew-safe aggregation: the salted two-phase groupBy must produce
     // exactly what the direct groupBy produces — verified against the
     // plain-SQL oracle. (Salting spreads a reducer-dominating key over
@@ -159,6 +199,33 @@ object EventQueries {
          CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type""",
+    "q23_snapshot_reconstruct" -> {
+      val fieldVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH bounds AS (SELECT max(event_id) // 2 AS s, 3 * max(event_id) // 4 AS t
+           FROM events),
+         f(fid, et) AS (VALUES $fieldVals),
+         upd AS (SELECT fid, value, event_id FROM (
+           SELECT f.fid, e.value, e.event_id,
+             row_number() OVER (PARTITION BY f.fid ORDER BY e.event_id DESC) AS rn
+           FROM events e JOIN f ON e.event_type = f.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND e.event_id BETWEEN b.s AND b.t) WHERE rn = 1),
+         snap AS (SELECT fid, value FROM (
+           SELECT f.fid, e.value,
+             row_number() OVER (PARTITION BY f.fid ORDER BY e.event_id DESC) AS rn
+           FROM events e JOIN f ON e.event_type = f.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND e.event_id <= b.s) WHERE rn = 1)
+         SELECT f.fid AS uevol_field_id, 7 AS src_id, 0 AS dst_id, f.et AS name,
+           CAST(coalesce(u.event_id,
+             CASE WHEN sn.value IS NOT NULL THEN b.s END, -1) AS BIGINT)
+             AS instance_message_id,
+           '000' AS relative_path, 0 AS type,
+           round(coalesce(u.value, sn.value, -1.0), 4) AS value
+         FROM f
+         CROSS JOIN bounds b
+         LEFT JOIN upd u ON u.fid = f.fid
+         LEFT JOIN snap sn ON sn.fid = f.fid"""
+    },
     "q22_salted_agg" ->
       """SELECT user_id, count(*) AS n,
          round(sum(value), 2) AS sum_value,
