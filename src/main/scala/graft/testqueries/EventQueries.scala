@@ -91,6 +91,40 @@ object EventQueries {
         .withColumn("value", round(col("value"), 4))
     },
 
+    // The GetUpdateHistory path END TO END under the oracle: same telemetry
+    // mapping as q23, three argument triples, seed state at S from the
+    // pre-window argmax, then UpdateHistory.updateHistory — wide pivot
+    // (one column per triple), LOCF forward-fill, seed row — at sf scale.
+    "q24_update_history_args" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val maxId = e.agg(max("event_id")).head().getLong(0)
+      val snapAt = maxId / 2
+      val target = 3 * maxId / 4
+      val fieldMap = EventTypes.zipWithIndex
+        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
+      val instanceField = e
+        .join(broadcast(fieldMap), "event_type")
+        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
+          col("event_id").as("instance_message_id"),
+          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+          lit("000").as("relative_path"), col("value").as("new_value"))
+      val args = Seq((1, 7, 0, ""), (2, 7, 0, ""), (3, 7, 0, ""))
+        .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+      val startState = e
+        .where(col("user_id") === 7 && col("event_id") <= snapAt)
+        .join(broadcast(fieldMap), "event_type")
+        .groupBy("fid")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+        .select(col("fid").as("uevol_field_id"), lit(7).as("src_id"),
+          lit(0).as("dst_id"), col("value"))
+      val names = Seq(1, 2, 3).map(f => graft.queries.UpdateHistory.colName(f, 7, 0))
+      val hist = graft.queries.UpdateHistory.updateHistory(
+        instanceField, args, startState, snapAt, target)
+      hist.select(col("instance_message_id") +:
+        names.map(n => coalesce(col(n), lit(-1L)).as(n)): _*)
+    },
+
     // Skew-safe aggregation: the salted two-phase groupBy must produce
     // exactly what the direct groupBy produces — verified against the
     // plain-SQL oracle. (Salting spreads a reducer-dominating key over
@@ -199,6 +233,36 @@ object EventQueries {
          CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type""",
+    "q24_update_history_args" -> {
+      val fmVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH bounds AS (SELECT max(event_id) // 2 AS s, 3 * max(event_id) // 4 AS t
+           FROM events),
+         f(fid) AS (VALUES (1), (2), (3)),
+         fm(fid, et) AS (VALUES $fmVals),
+         evw AS (SELECT e.event_id, fm.fid, CAST(trunc(e.value) AS BIGINT) AS v
+           FROM events e JOIN fm ON e.event_type = fm.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND fm.fid <= 3 AND e.event_id BETWEEN b.s AND b.t),
+         seed AS (SELECT fid, v FROM (
+           SELECT fm.fid, CAST(trunc(e.value) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY fm.fid ORDER BY e.event_id DESC) AS rn
+           FROM events e JOIN fm ON e.event_type = fm.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND fm.fid <= 3 AND e.event_id <= b.s) WHERE rn = 1),
+         ids AS (SELECT DISTINCT event_id FROM evw UNION SELECT s FROM bounds),
+         pts AS (SELECT event_id, fid, v FROM evw
+           UNION ALL SELECT b.s, fid, v FROM seed CROSS JOIN bounds b),
+         ptsm AS (SELECT event_id, fid, max(v) AS v FROM pts GROUP BY 1, 2),
+         grid AS (SELECT i.event_id, f.fid FROM ids i CROSS JOIN f),
+         filled AS (SELECT g.event_id, g.fid,
+             last_value(p.v IGNORE NULLS) OVER (PARTITION BY g.fid ORDER BY g.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+           FROM grid g LEFT JOIN ptsm p ON p.event_id = g.event_id AND p.fid = g.fid)
+         SELECT event_id AS instance_message_id,
+           CAST(coalesce(max(CASE WHEN fid = 1 THEN v END), -1) AS BIGINT) AS id1_src7_dst0,
+           CAST(coalesce(max(CASE WHEN fid = 2 THEN v END), -1) AS BIGINT) AS id2_src7_dst0,
+           CAST(coalesce(max(CASE WHEN fid = 3 THEN v END), -1) AS BIGINT) AS id3_src7_dst0
+         FROM filled GROUP BY event_id"""
+    },
     "q23_snapshot_reconstruct" -> {
       val fieldVals = EventTypes.zipWithIndex
         .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
