@@ -125,6 +125,59 @@ object EventQueries {
         names.map(n => coalesce(col(n), lit(-1L)).as(n)): _*)
     },
 
+    // The fieldFilter family END TO END: dynamic sentinel args (field +
+    // src set, rest absent), a start bound given in event time, and the
+    // end bound DERIVED from a duration (RetrieveField.java:85-90) — both
+    // resolved to instance-id bounds via O(1) scalar aggregates before
+    // pruning the fact scan.
+    "q25_field_filter" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val fieldMap = EventTypes.zipWithIndex
+        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
+      val instanceField = e.join(broadcast(fieldMap), "event_type")
+        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
+          col("event_id").as("instance_message_id"),
+          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+          col("value").as("new_value"))
+      val instanceMessage = e.select(col("event_id").as("id"),
+        lit(1).as("uevol_message_id"), lit(1).as("src_ty"),
+        col("user_id").cast("int").as("src_id"), lit(2).as("dst_ty"),
+        lit(0).as("dst_id"), col("event_id").cast("int").as("seq_nb"),
+        col("ts").as("log_time"), col("ts").as("sync_time"))
+      val dayNs = 24L * 3600 * 1000000000L
+      graft.queries.FieldFilter.fieldFilter(instanceField, instanceMessage,
+          graft.queries.FieldFilter.Args(
+            uevolFieldId = 2, srcId = 7,
+            startLogTime = Tables.nanos("2024-01-10 00:00:00"),
+            duration = 10 * dayNs))
+        .select(col("uevol_field_id"), col("instance_message_id"),
+          col("src_id"), round(col("new_value"), 4).as("value"))
+    },
+
+    // The Backup compaction family END TO END via queries/Backup.compact:
+    // cutoff resolved to an id bound, untouched fields collapse to their
+    // latest pre-cutoff row (anti-join + argmax), recent rows verbatim.
+    "q26_backup_compact" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val fieldMap = EventTypes.zipWithIndex
+        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
+      val instanceField = e.join(broadcast(fieldMap), "event_type")
+        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
+          col("event_id").as("instance_message_id"),
+          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+          col("value").as("new_value"))
+      val instanceMessage = e.select(col("event_id").as("id"), col("ts").as("log_time"))
+      val uevolField = EventTypes.zipWithIndex
+        .map { case (t, i) => (i + 1, 1, t, 0) }
+        .toDF("id", "uevol_message_id", "name", "type")
+      graft.queries.Backup.compact(instanceField, instanceMessage, uevolField,
+          Tables.nanos(Cutoff))
+        .select(col("uevol_field_id"), col("instance_message_id"),
+          col("src_id"), round(col("new_value"), 4).as("value"))
+    },
+
     // Skew-safe aggregation: the salted two-phase groupBy must produce
     // exactly what the direct groupBy produces — verified against the
     // plain-SQL oracle. (Salting spreads a reducer-dominating key over
@@ -233,6 +286,36 @@ object EventQueries {
          CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type""",
+    "q25_field_filter" ->
+      """WITH lo AS (SELECT min(event_id) AS l FROM events
+           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'),
+         hi AS (SELECT max(event_id) AS h FROM events
+           WHERE ts <= TIMESTAMP '2024-01-20 00:00:00')
+         SELECT 2 AS uevol_field_id, e.event_id AS instance_message_id,
+           CAST(e.user_id AS INT) AS src_id, round(e.value, 4) AS value
+         FROM events e, lo, hi
+         WHERE e.event_type = 'error' AND e.user_id = 7
+           AND e.event_id BETWEEN lo.l AND hi.h""",
+    "q26_backup_compact" -> {
+      val fmVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH fm(fid, et) AS (VALUES $fmVals),
+         idl AS (SELECT coalesce(min(event_id), 9223372036854775807) AS i
+           FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'),
+         mapped AS (SELECT fm.fid, e.event_id, CAST(e.user_id AS INT) AS src_id,
+             round(e.value, 4) AS value
+           FROM events e JOIN fm ON e.event_type = fm.et),
+         recent AS (SELECT * FROM mapped, idl WHERE event_id >= idl.i),
+         older AS (SELECT fid, event_id, src_id, value FROM (
+           SELECT m.*, row_number() OVER (PARTITION BY m.fid ORDER BY m.event_id DESC) AS rn
+           FROM mapped m, idl
+           WHERE m.event_id < idl.i
+             AND m.fid NOT IN (SELECT DISTINCT fid FROM recent)) WHERE rn = 1)
+         SELECT fid AS uevol_field_id, event_id AS instance_message_id, src_id, value
+         FROM older
+         UNION ALL
+         SELECT fid, event_id, src_id, value FROM recent"""
+    },
     "q24_update_history_args" -> {
       val fmVals = EventTypes.zipWithIndex
         .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
