@@ -125,6 +125,43 @@ object EventQueries {
         names.map(n => coalesce(col(n), lit(-1L)).as(n)): _*)
     },
 
+    // The getMultipleFields family END TO END: the reference's '(a),(b)'
+    // list literals parsed and positionally zipped into argument triples
+    // (CreateArgumentsTable semantics), then multi-triple point-in-time
+    // reconstruction with the synthesized snapshot — argument semi-joins,
+    // epoch argmax, JSON explode, sentinel defaults.
+    "q27_multiple_fields" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val maxId = e.agg(max("event_id")).head().getLong(0)
+      val snapAt = maxId / 2
+      val target = 3 * maxId / 4
+      val fieldMap = EventTypes.zipWithIndex
+        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
+      val instanceField = e.join(broadcast(fieldMap), "event_type")
+        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
+          col("event_id").as("instance_message_id"),
+          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+          lit("000").as("relative_path"), col("value").as("new_value"))
+      val uevolField = EventTypes.zipWithIndex
+        .map { case (t, i) => (i + 1, 1, t, 0) }
+        .toDF("id", "uevol_message_id", "name", "type")
+      val catalog = Seq(("snap_s", snapAt)).toDF("name", "start_instance_message_id")
+      val snapLoader = (_: String) => e
+        .where(col("user_id").isin(7, 9) && col("event_id") <= snapAt)
+        .join(broadcast(fieldMap), "event_type")
+        .groupBy("fid", "user_id")
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+        .select(col("fid").as("uevol_field_id"),
+          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+          lit(snapAt).as("instance_message_id"),
+          concat(lit("{\"000\":"), col("v").cast("string"), lit("}")).as("json_value"))
+      val args = graft.queries.MultipleFields.parseArgs(s, "(1),(3)", "(7),(9)", "(0),(0)")
+      graft.queries.MultipleFields.getMultipleFields(
+          instanceField, uevolField, Some(catalog), snapLoader, args, target)
+        .withColumn("value", round(col("value"), 4))
+    },
+
     // The fieldFilter family END TO END: dynamic sentinel args (field +
     // src set, rest absent), a start bound given in event time, and the
     // end bound DERIVED from a duration (RetrieveField.java:85-90) — both
@@ -286,6 +323,44 @@ object EventQueries {
          CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type""",
+    "q27_multiple_fields" -> {
+      val fmVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH bounds AS (SELECT max(event_id) // 2 AS s, 3 * max(event_id) // 4 AS t
+           FROM events),
+         fm(fid, et) AS (VALUES $fmVals),
+         trip(fid, uid) AS (VALUES (1, 7), (3, 9)),
+         upd AS (SELECT fid, uid, value, event_id FROM (
+           SELECT tr.fid, tr.uid, e.value, e.event_id,
+             row_number() OVER (PARTITION BY tr.fid, tr.uid
+               ORDER BY e.event_id DESC) AS rn
+           FROM events e
+           JOIN fm ON e.event_type = fm.et
+           JOIN trip tr ON tr.fid = fm.fid AND e.user_id = tr.uid
+           CROSS JOIN bounds b
+           WHERE e.event_id BETWEEN b.s AND b.t) WHERE rn = 1),
+         snap AS (SELECT fid, uid, value FROM (
+           SELECT tr.fid, tr.uid, e.value,
+             row_number() OVER (PARTITION BY tr.fid, tr.uid
+               ORDER BY e.event_id DESC) AS rn
+           FROM events e
+           JOIN fm ON e.event_type = fm.et
+           JOIN trip tr ON tr.fid = fm.fid AND e.user_id = tr.uid
+           CROSS JOIN bounds b
+           WHERE e.event_id <= b.s) WHERE rn = 1)
+         SELECT tr.fid AS uevol_field_id, tr.uid AS src_id, 0 AS dst_id,
+           fm.et AS name,
+           CAST(coalesce(u.event_id,
+             CASE WHEN sn.value IS NOT NULL THEN b.s END, -1) AS BIGINT)
+             AS instance_message_id,
+           '000' AS relative_path, 0 AS type,
+           round(coalesce(u.value, sn.value, -1.0), 4) AS value
+         FROM trip tr
+         JOIN fm ON fm.fid = tr.fid
+         CROSS JOIN bounds b
+         LEFT JOIN upd u ON u.fid = tr.fid AND u.uid = tr.uid
+         LEFT JOIN snap sn ON sn.fid = tr.fid AND sn.uid = tr.uid"""
+    },
     "q25_field_filter" ->
       """WITH lo AS (SELECT min(event_id) AS l FROM events
            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'),
