@@ -90,6 +90,33 @@ object PipelineQueries {
       MinHashLSH.clusters(pairs).select(col("id").as("doc_id"), col("cluster"))
     },
 
+    // The COMPOSED cleaning pipeline — what a corpus pipeline actually
+    // runs, as one DAG: quality gate (map-only) -> exact-dedup canonical
+    // (fingerprint argmin) -> near-dup cluster canonical (LSH pairs ->
+    // connected components; a doc survives only if it IS its cluster's
+    // min-id label) -> language tag. Deterministic rule: cluster canonicals
+    // are chosen before the quality gate is consulted, so a cluster whose
+    // canonical fails quality drops entirely (no silent re-election).
+    "d14_clean_corpus" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val exactCanon = d
+        .groupBy(TextAnalysis.fingerprintHex(col("text")).as("fp_hex"))
+        .agg(min("doc_id").as("exact_canon"))
+      val pairs = MinHashLSH.nearDupPairs(d, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+      val clusterOf = MinHashLSH.clusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      d.withColumn("fp_hex", TextAnalysis.fingerprintHex(col("text")))
+        .join(exactCanon, "fp_hex")
+        .join(clusterOf, Seq("doc_id"), "left_outer")
+        .where(col("doc_id") === col("exact_canon") &&
+          (col("cluster").isNull || col("cluster") === col("doc_id")) &&
+          TextAnalysis.qualityScore(col("text")) >= 0.3)
+        .select(col("doc_id"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
     // Winnowing fingerprints (MOSS): per-window min of ordered n-gram
     // hashes — local-similarity fingerprinting, map-only.
     "d13_winnow" -> { (s, dir) =>
@@ -217,6 +244,29 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    "d14_clean_corpus" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         ex AS (SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_canon
+           FROM documents)
+         SELECT ex.doc_id,
+           CASE WHEN (CAST(len(list_filter(string_split(lower(text), ' '),
+             t -> t IN ('the','a','an','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) >= 0.08
+             THEN 'en' ELSE 'und' END AS lang_pred,
+           $QualitySql AS quality
+         FROM ex LEFT JOIN cc ON cc.id = ex.doc_id
+         WHERE ex.doc_id = ex.exact_canon
+           AND (cc.cluster IS NULL OR cc.cluster = ex.doc_id)
+           AND $QualitySql >= 0.3""",
     "d13_winnow" ->
       """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          hs AS (SELECT doc_id, list_transform(range(0, len(w) - 2),
