@@ -347,3 +347,51 @@ class GraftSqlSpec extends SparkSpec {
     assert(pushable > 0)
   }
 }
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions applies cleanly; imperative registration covers SQL") {
+    // spark.sql.extensions is a STATIC conf — it only takes effect on a
+    // fresh JVM/SparkContext, so the config path can't run inside the
+    // shared test session. Verify the extension object itself applies
+    // without error, and that the equivalent imperative registration makes
+    // the function resolvable from SQL (the path the library actually uses
+    // under the harness-owned session).
+    new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    assert(spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
+      .head().getDouble(0) === 11.0)
+  }
+}
+
+class ClusterGuardSpec extends SparkSpec {
+
+  test("clusters throws instead of returning unconverged labels") {
+    import spark.implicits._
+    // chain 1-2-3-4-5: needs more than 1 propagation round
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      MinHashLSH.clusters(pairs, maxIter = 1).collect()
+    }
+    // and with enough rounds it converges to the component min
+    val ok = MinHashLSH.clusters(pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(1L))
+  }
+
+  test("clusters on an empty pair set returns empty, not NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(MinHashLSH.clusters(empty).count() === 0)
+  }
+}
+
+class DecodeEarlyStopSpec extends SparkSpec {
+
+  test("decode survives an early-stopping consumer (limit)") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"payload $i".getBytes)).toDF("id", "blob")
+    val one = Multimodal.decode(df, "id", "blob").limit(1).collect()
+    assert(one.length === 1)
+  }
+}
