@@ -28,6 +28,54 @@ object EventQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.loadEventsRaw(s, dir)
 
+  // ---- shared telemetry mapping for the q23-q27 family queries ----
+
+  /** event_type -> field id (alphabetical: click=1 .. view=5). */
+  private def fieldMapDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    EventTypes.zipWithIndex.map { case (t, i) => (i + 1, t) }
+      .toDF("fid", "event_type")
+  }
+
+  /** events mapped onto the reference's instance_field schema. */
+  private def asInstanceField(e: DataFrame, fm: DataFrame): DataFrame =
+    e.join(broadcast(fm), "event_type")
+      .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
+        col("event_id").as("instance_message_id"),
+        col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+        lit("000").as("relative_path"), col("value").as("new_value"))
+
+  /** The 5-field catalog in the uevol_field shape. */
+  private def asUevolField(s: SparkSession): DataFrame = {
+    import s.implicits._
+    EventTypes.zipWithIndex.map { case (t, i) => (i + 1, 1, t, 0) }
+      .toDF("id", "uevol_message_id", "name", "type")
+  }
+
+  /** (S, T) = (max_id/2, 3*max_id/4) — the snapshot instant and the
+    * reconstruction target; one O(1) driver scalar, mirrored by the
+    * oracles' `bounds` CTE.
+    */
+  private def windowBounds(e: DataFrame): (Long, Long) = {
+    val maxId = e.agg(max("event_id")).head().getLong(0)
+    (maxId / 2, 3 * maxId / 4)
+  }
+
+  /** Synthesized snapshot rows at S for the given users: per-(field, user)
+    * argmax state rendered as the reference's JSON values.
+    */
+  private def snapshotAt(e: DataFrame, fm: DataFrame, snapAt: Long,
+                         users: Seq[Int]): DataFrame =
+    e.where(col("user_id").isin(users.map(Integer.valueOf): _*) &&
+        col("event_id") <= snapAt)
+      .join(broadcast(fm), "event_type")
+      .groupBy("fid", "user_id")
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+      .select(col("fid").as("uevol_field_id"),
+        col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+        lit(snapAt).as("instance_message_id"),
+        concat(lit("{\"000\":"), col("v").cast("string"), lit("}")).as("json_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GetUpdateHistory's dynamic pivot (SQL/GetUpdateHistory.sql:36-78) with
     // explicit pivot values so the schema is static and plannable.
@@ -61,33 +109,14 @@ object EventQueries {
     "q23_snapshot_reconstruct" -> { (s, dir) =>
       import s.implicits._
       val e = ev(s, dir)
-      val maxId = e.agg(max("event_id")).head().getLong(0)
-      val snapAt = maxId / 2
-      val target = 3 * maxId / 4
-      val fieldMap = EventTypes.zipWithIndex
-        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
-      val instanceField = e
-        .join(broadcast(fieldMap), "event_type")
-        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
-          col("event_id").as("instance_message_id"),
-          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
-          lit("000").as("relative_path"), col("value").as("new_value"))
+      val (snapAt, target) = windowBounds(e)
+      val fm = fieldMapDF(s)
       val instanceMessage = Seq((target, 1, 7, 0))
         .toDF("id", "uevol_message_id", "src_id", "dst_id")
-      val uevolField = EventTypes.zipWithIndex
-        .map { case (t, i) => (i + 1, 1, t, 0) }
-        .toDF("id", "uevol_message_id", "name", "type")
       val catalog = Seq(("snap_s", snapAt)).toDF("name", "start_instance_message_id")
-      val snapLoader = (_: String) => e
-        .where(col("user_id") === 7 && col("event_id") <= snapAt)
-        .groupBy("event_type")
-        .agg(max_by(col("value"), col("event_id")).as("v"))
-        .join(broadcast(fieldMap), "event_type")
-        .select(col("fid").as("uevol_field_id"), lit(7).as("src_id"),
-          lit(0).as("dst_id"), lit(snapAt).as("instance_message_id"),
-          concat(lit("{\"000\":"), col("v").cast("string"), lit("}")).as("json_value"))
       graft.queries.MessageReconstruct.getMessage(
-          instanceField, instanceMessage, uevolField, Some(catalog), snapLoader, target)
+          asInstanceField(e, fm), instanceMessage, asUevolField(s), Some(catalog),
+          _ => snapshotAt(e, fm, snapAt, Seq(7)), target)
         .withColumn("value", round(col("value"), 4))
     },
 
@@ -98,29 +127,20 @@ object EventQueries {
     "q24_update_history_args" -> { (s, dir) =>
       import s.implicits._
       val e = ev(s, dir)
-      val maxId = e.agg(max("event_id")).head().getLong(0)
-      val snapAt = maxId / 2
-      val target = 3 * maxId / 4
-      val fieldMap = EventTypes.zipWithIndex
-        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
-      val instanceField = e
-        .join(broadcast(fieldMap), "event_type")
-        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
-          col("event_id").as("instance_message_id"),
-          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
-          lit("000").as("relative_path"), col("value").as("new_value"))
+      val (snapAt, target) = windowBounds(e)
+      val fm = fieldMapDF(s)
       val args = Seq((1, 7, 0, ""), (2, 7, 0, ""), (3, 7, 0, ""))
         .toDF("uevol_field_id", "src_id", "dst_id", "filter")
       val startState = e
         .where(col("user_id") === 7 && col("event_id") <= snapAt)
-        .join(broadcast(fieldMap), "event_type")
+        .join(broadcast(fm), "event_type")
         .groupBy("fid")
         .agg(max_by(col("value"), col("event_id")).as("value"))
         .select(col("fid").as("uevol_field_id"), lit(7).as("src_id"),
           lit(0).as("dst_id"), col("value"))
       val names = Seq(1, 2, 3).map(f => graft.queries.UpdateHistory.colName(f, 7, 0))
       val hist = graft.queries.UpdateHistory.updateHistory(
-        instanceField, args, startState, snapAt, target)
+        asInstanceField(e, fm), args, startState, snapAt, target)
       hist.select(col("instance_message_id") +:
         names.map(n => coalesce(col(n), lit(-1L)).as(n)): _*)
     },
@@ -133,32 +153,13 @@ object EventQueries {
     "q27_multiple_fields" -> { (s, dir) =>
       import s.implicits._
       val e = ev(s, dir)
-      val maxId = e.agg(max("event_id")).head().getLong(0)
-      val snapAt = maxId / 2
-      val target = 3 * maxId / 4
-      val fieldMap = EventTypes.zipWithIndex
-        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
-      val instanceField = e.join(broadcast(fieldMap), "event_type")
-        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
-          col("event_id").as("instance_message_id"),
-          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
-          lit("000").as("relative_path"), col("value").as("new_value"))
-      val uevolField = EventTypes.zipWithIndex
-        .map { case (t, i) => (i + 1, 1, t, 0) }
-        .toDF("id", "uevol_message_id", "name", "type")
+      val (snapAt, target) = windowBounds(e)
+      val fm = fieldMapDF(s)
       val catalog = Seq(("snap_s", snapAt)).toDF("name", "start_instance_message_id")
-      val snapLoader = (_: String) => e
-        .where(col("user_id").isin(7, 9) && col("event_id") <= snapAt)
-        .join(broadcast(fieldMap), "event_type")
-        .groupBy("fid", "user_id")
-        .agg(max_by(col("value"), col("event_id")).as("v"))
-        .select(col("fid").as("uevol_field_id"),
-          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
-          lit(snapAt).as("instance_message_id"),
-          concat(lit("{\"000\":"), col("v").cast("string"), lit("}")).as("json_value"))
       val args = graft.queries.MultipleFields.parseArgs(s, "(1),(3)", "(7),(9)", "(0),(0)")
       graft.queries.MultipleFields.getMultipleFields(
-          instanceField, uevolField, Some(catalog), snapLoader, args, target)
+          asInstanceField(e, fm), asUevolField(s), Some(catalog),
+          _ => snapshotAt(e, fm, snapAt, Seq(7, 9)), args, target)
         .withColumn("value", round(col("value"), 4))
     },
 
@@ -170,20 +171,13 @@ object EventQueries {
     "q25_field_filter" -> { (s, dir) =>
       import s.implicits._
       val e = ev(s, dir)
-      val fieldMap = EventTypes.zipWithIndex
-        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
-      val instanceField = e.join(broadcast(fieldMap), "event_type")
-        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
-          col("event_id").as("instance_message_id"),
-          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
-          col("value").as("new_value"))
       val instanceMessage = e.select(col("event_id").as("id"),
         lit(1).as("uevol_message_id"), lit(1).as("src_ty"),
         col("user_id").cast("int").as("src_id"), lit(2).as("dst_ty"),
         lit(0).as("dst_id"), col("event_id").cast("int").as("seq_nb"),
         col("ts").as("log_time"), col("ts").as("sync_time"))
       val dayNs = 24L * 3600 * 1000000000L
-      graft.queries.FieldFilter.fieldFilter(instanceField, instanceMessage,
+      graft.queries.FieldFilter.fieldFilter(asInstanceField(e, fieldMapDF(s)), instanceMessage,
           graft.queries.FieldFilter.Args(
             uevolFieldId = 2, srcId = 7,
             startLogTime = Tables.nanos("2024-01-10 00:00:00"),
@@ -198,18 +192,8 @@ object EventQueries {
     "q26_backup_compact" -> { (s, dir) =>
       import s.implicits._
       val e = ev(s, dir)
-      val fieldMap = EventTypes.zipWithIndex
-        .map { case (t, i) => (i + 1, t) }.toDF("fid", "event_type")
-      val instanceField = e.join(broadcast(fieldMap), "event_type")
-        .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
-          col("event_id").as("instance_message_id"),
-          col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
-          col("value").as("new_value"))
       val instanceMessage = e.select(col("event_id").as("id"), col("ts").as("log_time"))
-      val uevolField = EventTypes.zipWithIndex
-        .map { case (t, i) => (i + 1, 1, t, 0) }
-        .toDF("id", "uevol_message_id", "name", "type")
-      graft.queries.Backup.compact(instanceField, instanceMessage, uevolField,
+      graft.queries.Backup.compact(asInstanceField(e, fieldMapDF(s)), instanceMessage, asUevolField(s),
           Tables.nanos(Cutoff))
         .select(col("uevol_field_id"), col("instance_message_id"),
           col("src_id"), round(col("new_value"), 4).as("value"))
