@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,13 +32,42 @@ object VectorIVF {
     val n = VectorOps.withNormalized(df, vecCol, "__nv")
     val c = broadcast(VectorOps.withNormalized(centroids, cellVecCol, "__ncv")
       .select(col(cellIdCol).as("__cell"), col("__ncv")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(nd(col("__nv"), col("__ncv")).desc, col("__cell").asc)
+    // The broadcast nested-loop join emits the K candidate rows
+    // partition-local; the groupBy's PARTIAL aggregate then collapses them
+    // back to one row per input row BEFORE the exchange, so the shuffle
+    // carries ~N rows — a row_number window here would exchange+sort the
+    // full N×K instead. Cosine ties break to the smallest cell id
+    // (numeric cell ids, as in any IVF index).
+    val payload = n.columns.map(col) :+ col("__cell")
     n.crossJoin(c)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn", "__ncv")
+      .withColumn("__cos", nd(col("__nv"), col("__ncv")))
+      .groupBy(col(idCol).as("__id"))
+      .agg(max_by(struct(payload: _*),
+        struct(col("__cos"), -col("__cell"))).as("__best"))
+      .select(col("__best.*"))
       .withColumnRenamed("__cell", "cell")
+  }
+
+  /** Component d of centroid c: md5-derived uniform value in [-1, 1] —
+    * exactly `(md5("c<c>:<d>")[0:7] % 2001 - 1000) / 1000`. Plan-time
+    * literals (same trick as [[VectorLSH.planeValue]]) that any SQL engine
+    * can regenerate, so an IVF run is oracle-replayable without shipping
+    * the trained quantizer. Real deployments pass K-means output instead.
+    */
+  def centroidValue(c: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hx = md.digest(s"c$c:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hx.substring(0, 7), 16) % 2001 - 1000) / 1000.0
+  }
+
+  /** K deterministic centroids as a (cell_id, cvec) frame — a fixed,
+    * consistent quantizer (the IVF contract needs consistency, not
+    * optimality).
+    */
+  def mdCentroids(spark: SparkSession, k: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    (0 until k).map(c => (c, (0 until dim).map(d => centroidValue(c, d)).toArray))
+      .toDF("cell_id", "cvec")
   }
 
   /** Top-`nprobe` cells per query (same quantizer, keep more than 1). */

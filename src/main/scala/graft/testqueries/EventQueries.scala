@@ -61,6 +61,40 @@ object EventQueries {
     (maxId / 2, 3 * maxId / 4)
   }
 
+  /** Update log whose relative_path splits between the scalar path and a
+    * nested leaf (event_id % 3 picks), so epoch updates shadow snapshot
+    * values at BOTH JSON depths — the q28 lattice exercise.
+    */
+  private def asInstanceFieldNested(e: DataFrame, fm: DataFrame): DataFrame =
+    e.join(broadcast(fm), "event_type")
+      .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
+        col("event_id").as("instance_message_id"),
+        col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit("000.001.001"))
+          .otherwise(lit("000")).as("relative_path"),
+        col("value").as("new_value"))
+
+  /** Degree-2 snapshot at S: the scalar state plus a nested object per
+    * (field, user) — {"000":latest,"000.001":{"000.001.001":min,
+    * "000.001.002":max}} — dotted keys included, the reference's nested
+    * json_value shape (SQL/GetMessage.sql:282-355,464-565).
+    */
+  private def nestedSnapshotAt(e: DataFrame, fm: DataFrame, snapAt: Long,
+                               users: Seq[Int]): DataFrame =
+    e.where(col("user_id").isin(users.map(Integer.valueOf): _*) &&
+        col("event_id") <= snapAt)
+      .join(broadcast(fm), "event_type")
+      .groupBy("fid", "user_id")
+      .agg(max_by(col("value"), col("event_id")).as("v0"),
+        min("value").as("v1"), max("value").as("v2"))
+      .select(col("fid").as("uevol_field_id"),
+        col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+        lit(snapAt).as("instance_message_id"),
+        concat(lit("{\"000\":"), col("v0").cast("string"),
+          lit(",\"000.001\":{\"000.001.001\":"), col("v1").cast("string"),
+          lit(",\"000.001.002\":"), col("v2").cast("string"),
+          lit("}}")).as("json_value"))
+
   /** Synthesized snapshot rows at S for the given users: per-(field, user)
     * argmax state rendered as the reference's JSON values.
     */
@@ -117,6 +151,25 @@ object EventQueries {
       graft.queries.MessageReconstruct.getMessage(
           asInstanceField(e, fm), instanceMessage, asUevolField(s), Some(catalog),
           _ => snapshotAt(e, fm, snapAt, Seq(7)), target)
+        .withColumn("value", round(col("value"), 4))
+    },
+
+    // q23's flagship DAG with a DEGREE-2 dotted-key snapshot (SURVEY §7.5
+    // risk 2): the synthesized json_value nests an object under "000.001",
+    // and the update log writes both the scalar path and the nested leaf —
+    // so JsonExplode.flatten's second-level explode AND the per-path
+    // anti-join shadowing run inside getMessage under the oracle.
+    "q28_nested_reconstruct" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val (snapAt, target) = windowBounds(e)
+      val fm = fieldMapDF(s)
+      val instanceMessage = Seq((target, 1, 7, 0))
+        .toDF("id", "uevol_message_id", "src_id", "dst_id")
+      val catalog = Seq(("snap_s", snapAt)).toDF("name", "start_instance_message_id")
+      graft.queries.MessageReconstruct.getMessage(
+          asInstanceFieldNested(e, fm), instanceMessage, asUevolField(s), Some(catalog),
+          _ => nestedSnapshotAt(e, fm, snapAt, Seq(7)), target)
         .withColumn("value", round(col("value"), 4))
     },
 
@@ -431,6 +484,46 @@ object EventQueries {
          CROSS JOIN bounds b
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
+    },
+    "q28_nested_reconstruct" -> {
+      val fieldVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH bounds AS (SELECT max(event_id) // 2 AS s, 3 * max(event_id) // 4 AS t
+           FROM events),
+         f(fid, et) AS (VALUES $fieldVals),
+         ev7 AS (SELECT f.fid, e.value, e.event_id,
+             CASE WHEN e.event_id % 3 = 0 THEN '000.001.001' ELSE '000' END AS rp
+           FROM events e JOIN f ON e.event_type = f.et WHERE e.user_id = 7),
+         upd AS (SELECT fid, rp, value, event_id FROM (
+           SELECT v.fid, v.rp, v.value, v.event_id,
+             row_number() OVER (PARTITION BY v.fid, v.rp
+               ORDER BY v.event_id DESC) AS rn
+           FROM ev7 v CROSS JOIN bounds b
+           WHERE v.event_id BETWEEN b.s AND b.t) WHERE rn = 1),
+         snap0 AS (SELECT fid, value AS v0 FROM (
+           SELECT v.fid, v.value,
+             row_number() OVER (PARTITION BY v.fid ORDER BY v.event_id DESC) AS rn
+           FROM ev7 v CROSS JOIN bounds b WHERE v.event_id <= b.s) WHERE rn = 1),
+         snapmm AS (SELECT v.fid, min(v.value) AS v1, max(v.value) AS v2
+           FROM ev7 v CROSS JOIN bounds b WHERE v.event_id <= b.s GROUP BY v.fid),
+         snaprows AS (SELECT s0.fid, '000' AS rp, s0.v0 AS value FROM snap0 s0
+           UNION ALL SELECT fid, '000.001.001', v1 FROM snapmm
+           UNION ALL SELECT fid, '000.001.002', v2 FROM snapmm),
+         vals AS (
+           SELECT fid, rp, value, event_id AS imid FROM upd
+           UNION ALL
+           SELECT sr.fid, sr.rp, sr.value, b.s FROM snaprows sr CROSS JOIN bounds b
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+             WHERE u.fid = sr.fid AND u.rp = sr.rp)),
+         allrows AS (
+           SELECT fid, rp, value, imid FROM vals
+           UNION ALL
+           SELECT f.fid, '000', -1.0, -1 FROM f
+           WHERE NOT EXISTS (SELECT 1 FROM vals v WHERE v.fid = f.fid))
+         SELECT a.fid AS uevol_field_id, 7 AS src_id, 0 AS dst_id, f.et AS name,
+           CAST(a.imid AS BIGINT) AS instance_message_id, a.rp AS relative_path,
+           0 AS type, round(a.value, 4) AS value
+         FROM allrows a JOIN f ON f.fid = a.fid"""
     },
     "q22_salted_agg" ->
       """SELECT user_id, count(*) AS n,

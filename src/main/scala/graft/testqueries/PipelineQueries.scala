@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.functions.{MinHashLSH, Multimodal, SimHash, TextAnalysis, VectorLSH, VectorOps}
+import graft.functions.{MinHashLSH, Multimodal, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the `documents` / `embeddings` tables, each with a DuckDB
@@ -131,6 +131,18 @@ object PipelineQueries {
     "d11_ann_lsh" -> { (s, dir) =>
       val e = embs(s, dir)
       VectorLSH.annTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+    },
+
+    // IVF-bucketed ANN — the cluster-adaptive scale path next to d11's
+    // data-independent LSH: corpus vectors assigned to their nearest
+    // centroid via a map-side partial-agg argmax (the exchange carries ~N
+    // rows, never N×K), queries probe their 2 nearest cells, candidates via
+    // cell-equality join, exact cosine + rank on candidates only. Centroids
+    // are md5-derived so the oracle replays the full index.
+    "d15_ann_ivf" -> { (s, dir) =>
+      val e = embs(s, dir)
+      VectorIVF.annTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding",
+        5, VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2)
     },
 
     // Multimodal plumbing: opaque binary column + typed metadata extraction
@@ -334,6 +346,30 @@ object PipelineQueries {
          cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
            FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.bkey = cb.bkey
            WHERE qb.vec_id < 10 AND qb.vec_id != cb.vec_id)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+           SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                        c.neighbor_id ASC) AS rank
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+         WHERE rank <= 5""",
+    "d15_ann_ivf" ->
+      """WITH cents AS (SELECT c, d,
+           (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(c) CROSS JOIN range(64) t2(d)),
+         cv AS (SELECT c, list(v ORDER BY d) AS cvec FROM cents GROUP BY c),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv) WHERE rn = 1),
+         prb AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv WHERE e.vec_id < 10) WHERE rn <= 2),
+         cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+           FROM prb p JOIN asn a ON a.cell = p.cell WHERE p.vec_id != a.vec_id)
          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
            SELECT c.query_id, c.neighbor_id,
              row_number() OVER (PARTITION BY c.query_id
