@@ -198,14 +198,20 @@ object Multimodal {
   }
 
   /** Number of frames kept when sampling every `stride`-th frame starting
-    * at 0: ceil(nFrames / stride), integer-exact.
+    * at 0: ceil(nFrames / stride), integer-exact. 0 frames → 0 sampled
+    * (a real codec plugged into the extension point may report 0 frames;
+    * [[FakeCodec]] never does).
     */
   def frameSampleCount(nFrames: Column, stride: Int): Column =
-    intDiv(nFrames + (stride - 1), lit(stride)).cast("long")
+    when(nFrames > 0, intDiv(nFrames + (stride - 1), lit(stride)))
+      .otherwise(lit(0)).cast("long")
 
-  /** Sampled frame indices [0, stride, 2·stride, …) as an array column. */
+  /** Sampled frame indices [0, stride, 2·stride, …) as an array column;
+    * empty for 0 frames (an unguarded `sequence(0, -1, +stride)` throws).
+    */
   def frameSampleIndices(nFrames: Column, stride: Int): Column =
-    sequence(lit(0), nFrames - 1, lit(stride))
+    when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
 
   /** Exact positive integer division. `floor(a / b)` is safe here: the true
     * quotient is a rational with denominator b < 2^31, so it sits ≥ 1/b away

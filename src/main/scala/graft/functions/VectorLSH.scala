@@ -87,7 +87,11 @@ object VectorLSH {
       .select(col(idCol).as("query_id"), col("qv"))
     val c = VectorOps.withNormalized(corpus, vecCol, "cv")
       .select(col(idCol).as("neighbor_id"), col("cv"))
-    val scored = cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
+    // No broadcast hint on the query side: this operator exists for when
+    // the query set outgrows the brute-force path, so forcing a broadcast
+    // would be an OOM risk at exactly its target scale — AQE broadcasts
+    // small query sets at runtime anyway.
+    val scored = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("cos",
         graft.plans.VectorExpressions.dotColumn(corpus.sparkSession, col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window

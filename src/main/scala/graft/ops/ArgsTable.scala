@@ -20,11 +20,21 @@ object ArgsTable {
 
   /** Like [[parseList]] but keeps empty `()` elements — required when lists
     * are zipped positionally (e.g. the per-argument filter list, where `()`
-    * means "no filter for this triple").
+    * means "no filter for this triple"). Only the single WRAPPING paren pair
+    * is stripped per element: parentheses inside an element body (e.g. a
+    * filter `((value+1)*2>5)`) survive intact.
     */
   def parseListKeepEmpty(s: String): Seq[String] =
     if (s == null || s.trim.isEmpty) Seq.empty
-    else s.split("""\)\s*,\s*\(""", -1).map(_.replaceAll("""[()]""", "").trim).toSeq
+    else {
+      val parts = s.trim.split("""\)\s*,\s*\(""", -1)
+      val last = parts.length - 1
+      parts.zipWithIndex.map { case (p, i) =>
+        val noOpen = if (i == 0) p.replaceFirst("""^\s*\(""", "") else p
+        val noClose = if (i == last) noOpen.replaceFirst("""\)\s*$""", "") else noOpen
+        noClose.trim
+      }.toSeq
+    }
 
   /** Expand a user-id list x event-type list into concrete argument pairs
     * (the reference's src/dst IN-list expansion, CreateArgumentsTable.sql:74-101),

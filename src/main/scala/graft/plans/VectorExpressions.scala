@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * native `Expression` with `doGenCode` beats a Scala UDF.
   *
   * Result semantics match the HOF version bit-for-bit: left-to-right
-  * summation, `null` out if either array (or any touched element) is null,
-  * shorter-array prefix if lengths differ.
+  * summation, `null` out if either array (or any element) is null, and
+  * `null` when the lengths differ — `zip_with` null-pads the shorter array,
+  * so the HOF sum is null there too; ragged vectors must not silently score
+  * as a prefix dot product.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -41,7 +43,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -58,11 +61,15 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

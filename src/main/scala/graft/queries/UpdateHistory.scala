@@ -17,35 +17,40 @@ import graft.ops.Locf
   *
   * Spark-first shape: a (grid × key) long-format LOCF — window partitioned
   * BY KEY (scales with #keys × #events, no global single-partition window) —
-  * then one pivot to the wide parity layout, then `expr(rewrittenFilter)`.
+  * then either one pivot to the wide parity layout ([[updateHistory]]) or
+  * the long layout kept as-is ([[updateHistoryLong]]). The wide pivot needs
+  * the triple set to be bounded (one column each); the long form is the
+  * 100 TB path for unbounded user arg lists — same filter semantics, no
+  * unbounded-width schema, no driver-side column list.
   */
 object UpdateHistory {
 
   /** Pivot column name for a triple (GetUpdateHistory.sql:36). */
   def colName(f: Int, s: Int, d: Int): String = s"id${f}_src${s}_dst$d"
 
-  /** @param args        (uevol_field_id, src_id, dst_id, filter) — `filter`
-    *                    may be "" or e.g. "value > 5" (placeholder rewritten)
-    * @param startState  (uevol_field_id, src_id, dst_id, value) at window
-    *                    start — from [[MultipleFields.getMultipleFields]]
-    *                    (scalar paths), the reference's start_table
-    * @param startId/endId window bounds on instance_message_id
-    * @return wide rows: (instance_message_id, id{f}_src{s}_dst{d}...), the
-    *         seed row at startId first, LOCF-filled, filter-applied
+  /** Replace the reference's `value` placeholder — whole word only, so
+    * e.g. a column literal containing "value" as a substring is untouched
+    * (GetUpdateHistory.sql:212-224 substitutes the single placeholder).
     */
-  def updateHistory(
+  private def rewriteFilter(filter: String, cn: String): String =
+    filter.replaceAll("\\bvalue\\b", java.util.regex.Matcher.quoteReplacement(cn))
+
+  /** The shared long-format core: the LOCF-filled (instant × triple) grid.
+    * Returns (filled, argRows) where `filled` has
+    * (instance_message_id, uevol_field_id, src_id, dst_id, k, v).
+    */
+  private def filledGrid(
       instanceField: DataFrame,
       args: DataFrame,
       startState: DataFrame,
       startId: Long,
-      endId: Long): DataFrame = {
+      endId: Long): (DataFrame, Array[Row]) = {
 
     val spark = instanceField.sparkSession
     val key = Seq("uevol_field_id", "src_id", "dst_id")
     val argRows: Array[Row] = args.select(
       col("uevol_field_id").cast("int"), col("src_id").cast("int"),
       col("dst_id").cast("int"), col("filter")).collect()
-    val names = argRows.map(r => colName(r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
 
     val keyCol = concat(lit("id"), col("uevol_field_id"),
       lit("_src"), col("src_id"), lit("_dst"), col("dst_id"))
@@ -67,18 +72,45 @@ object UpdateHistory {
         col("value").cast("long").as("v"))
 
     // Grid = every (event instance id × key): long-format LOCF partitioned
-    // by key, then pivot back to the reference's wide layout.
+    // by key. The key table carries the triple so the long output needs no
+    // re-parse of `k`.
     val ids = events.select("instance_message_id").distinct()
       .unionByName(spark.range(1).select(lit(startId).as("instance_message_id")))
       .distinct()
-    val keys = args.select(keyCol.as("k")).distinct()
+    val keys = args
+      .select(col("uevol_field_id").cast("int").as("uevol_field_id"),
+        col("src_id").cast("int").as("src_id"),
+        col("dst_id").cast("int").as("dst_id"))
+      .distinct()
+      .withColumn("k", keyCol)
     val grid = ids.crossJoin(broadcast(keys))
 
     val longFmt = grid
       .join(seed.unionByName(events)
         .groupBy("instance_message_id", "k").agg(max("v").as("v")),
         Seq("instance_message_id", "k"), "left_outer")
-    val filled = Locf.fill(longFmt, Seq("k"), Seq(col("instance_message_id")), Seq("v"))
+    (Locf.fill(longFmt, Seq("k"), Seq(col("instance_message_id")), Seq("v")),
+      argRows)
+  }
+
+  /** @param args        (uevol_field_id, src_id, dst_id, filter) — `filter`
+    *                    may be "" or e.g. "value > 5" (placeholder rewritten)
+    * @param startState  (uevol_field_id, src_id, dst_id, value) at window
+    *                    start — from [[MultipleFields.getMultipleFields]]
+    *                    (scalar paths), the reference's start_table
+    * @param startId/endId window bounds on instance_message_id
+    * @return wide rows: (instance_message_id, id{f}_src{s}_dst{d}...), the
+    *         seed row at startId first, LOCF-filled, filter-applied
+    */
+  def updateHistory(
+      instanceField: DataFrame,
+      args: DataFrame,
+      startState: DataFrame,
+      startId: Long,
+      endId: Long): DataFrame = {
+
+    val (filled, argRows) = filledGrid(instanceField, args, startState, startId, endId)
+    val names = argRows.map(r => colName(r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
 
     val wide = filled
       .groupBy("instance_message_id")
@@ -92,11 +124,49 @@ object UpdateHistory {
       .filter(r => r.getString(3) != null && r.getString(3).nonEmpty)
       .map { r =>
         val cn = colName(r.getInt(0), r.getInt(1), r.getInt(2))
-        expr(r.getString(3).replace("value", cn))
+        expr(rewriteFilter(r.getString(3), cn))
       }
     conds.reduceOption(_ && _) match {
       case Some(c) => wide.where(c).orderBy("instance_message_id")
       case None => wide.orderBy("instance_message_id")
     }
+  }
+
+  /** The same history in long format — one row per (instant, triple):
+    * (instance_message_id, uevol_field_id, src_id, dst_id, value). Identical
+    * semantics to [[updateHistory]] (seed row, LOCF, AND-composed filters
+    * dropping whole instants), but no pivot: the schema is fixed no matter
+    * how many triples the caller asks for, so this is the form that
+    * survives unbounded argument lists (SURVEY §7.5.3's scale variant of
+    * GetUpdateHistory.sql:36-78's dynamic DDL).
+    */
+  def updateHistoryLong(
+      instanceField: DataFrame,
+      args: DataFrame,
+      startState: DataFrame,
+      startId: Long,
+      endId: Long): DataFrame = {
+
+    val (filled, argRows) = filledGrid(instanceField, args, startState, startId, endId)
+
+    // AND-composed filters without materializing the width: an instant
+    // survives iff every filtered triple's filled value passes its
+    // predicate there. NULL predicates fail, exactly as the wide WHERE
+    // drops NULL — fails(kn) is the instant set to anti-join away.
+    val conds = argRows.toSeq
+      .filter(r => r.getString(3) != null && r.getString(3).nonEmpty)
+      .map { r =>
+        (colName(r.getInt(0), r.getInt(1), r.getInt(2)),
+          expr(rewriteFilter(r.getString(3), "v")))
+      }
+    val kept = conds.foldLeft(filled) { case (df, (kn, p)) =>
+      val fails = filled
+        .where(col("k") === kn && not(coalesce(p, lit(false))))
+        .select("instance_message_id").distinct()
+      df.join(fails, Seq("instance_message_id"), "left_anti")
+    }
+    kept.select(col("instance_message_id"), col("uevol_field_id"),
+      col("src_id"), col("dst_id"), col("v").as("value"))
+      .orderBy("instance_message_id", "uevol_field_id", "src_id", "dst_id")
   }
 }

@@ -198,6 +198,32 @@ object EventQueries {
         names.map(n => coalesce(col(n), lit(-1L)).as(n)): _*)
     },
 
+    // q24's history in LONG format — updateHistoryLong: same seed/LOCF/
+    // filter semantics with a fixed 5-column schema however many triples
+    // are asked for (the 100 TB path past the wide pivot's unbounded-width
+    // DDL). All five fields plus a real filter on field 2, so the
+    // anti-join instant-drop path runs under the oracle too.
+    "q30_update_history_long" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val (snapAt, target) = windowBounds(e)
+      val fm = fieldMapDF(s)
+      val args = (1 to 5).map(f => (f, 7, 0, if (f == 2) "value % 2 = 0" else ""))
+        .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+      val startState = e
+        .where(col("user_id") === 7 && col("event_id") <= snapAt)
+        .join(broadcast(fm), "event_type")
+        .groupBy("fid")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+        .select(col("fid").as("uevol_field_id"), lit(7).as("src_id"),
+          lit(0).as("dst_id"), col("value"))
+      graft.queries.UpdateHistory.updateHistoryLong(
+          asInstanceField(e, fm), args, startState, snapAt, target)
+        .select(col("instance_message_id"), col("uevol_field_id"),
+          col("src_id"), col("dst_id"),
+          coalesce(col("value"), lit(-1L)).as("value"))
+    },
+
     // The getMultipleFields family END TO END: the reference's '(a),(b)'
     // list literals parsed and positionally zipped into argument triples
     // (CreateArgumentsTable semantics), then multi-triple point-in-time
@@ -484,6 +510,36 @@ object EventQueries {
          CROSS JOIN bounds b
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
+    },
+    "q30_update_history_long" -> {
+      val fmVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH bounds AS (SELECT max(event_id) // 2 AS s, 3 * max(event_id) // 4 AS t
+           FROM events),
+         f(fid) AS (VALUES (1), (2), (3), (4), (5)),
+         fm(fid, et) AS (VALUES $fmVals),
+         evw AS (SELECT e.event_id, fm.fid, CAST(trunc(e.value) AS BIGINT) AS v
+           FROM events e JOIN fm ON e.event_type = fm.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND e.event_id BETWEEN b.s AND b.t),
+         seed AS (SELECT fid, v FROM (
+           SELECT fm.fid, CAST(trunc(e.value) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY fm.fid ORDER BY e.event_id DESC) AS rn
+           FROM events e JOIN fm ON e.event_type = fm.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND e.event_id <= b.s) WHERE rn = 1),
+         ids AS (SELECT DISTINCT event_id FROM evw UNION SELECT s FROM bounds),
+         pts AS (SELECT event_id, fid, v FROM evw
+           UNION ALL SELECT b.s, fid, v FROM seed CROSS JOIN bounds b),
+         ptsm AS (SELECT event_id, fid, max(v) AS v FROM pts GROUP BY 1, 2),
+         grid AS (SELECT i.event_id, f.fid FROM ids i CROSS JOIN f),
+         filled AS (SELECT g.event_id, g.fid,
+             last_value(p.v IGNORE NULLS) OVER (PARTITION BY g.fid ORDER BY g.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+           FROM grid g LEFT JOIN ptsm p ON p.event_id = g.event_id AND p.fid = g.fid),
+         keep AS (SELECT event_id FROM filled
+           WHERE fid = 2 AND coalesce(v % 2 = 0, FALSE))
+         SELECT fi.event_id AS instance_message_id, fi.fid AS uevol_field_id,
+           7 AS src_id, 0 AS dst_id, CAST(coalesce(fi.v, -1) AS BIGINT) AS value
+         FROM filled fi JOIN keep k ON k.event_id = fi.event_id"""
     },
     "q28_nested_reconstruct" -> {
       val fieldVals = EventTypes.zipWithIndex

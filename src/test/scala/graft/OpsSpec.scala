@@ -95,6 +95,13 @@ class ArgsTableSpec extends SparkSpec {
     assert(ArgsTable.parseList("(a), (b)") === Seq("a", "b"))
   }
 
+  test("only the wrapping paren pair is stripped — inner parens survive") {
+    assert(ArgsTable.parseListKeepEmpty("((value+1)*2>5),()") ===
+      Seq("(value+1)*2>5", ""))
+    assert(ArgsTable.parseListKeepEmpty("(f(x)>1),(a (b) c)") ===
+      Seq("f(x)>1", "a (b) c"))
+  }
+
   test("expand produces the deduplicated cross product") {
     val df = ArgsTable.expand(spark, "(1),(2),(1)", "(x),(y)")
     assert(df.count() === 4)

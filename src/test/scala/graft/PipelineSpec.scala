@@ -179,6 +179,14 @@ class MultimodalSpec extends SparkSpec {
     assert(got((1, 1)) === (1, 1))
   }
 
+  test("frame sampling: 0 frames yields 0 sampled and an empty index array") {
+    import spark.implicits._
+    val df = Seq(0).toDF("n_frames")
+    val r = df.select(Multimodal.frameSampleCount(col("n_frames"), 30).as("n"),
+      size(Multimodal.frameSampleIndices(col("n_frames"), 30)).as("sz")).head()
+    assert(r.getLong(0) === 0L && r.getInt(1) === 0)
+  }
+
   test("frame sampling: ceil count and stride indices agree") {
     import spark.implicits._
     val df = Seq(1, 29, 30, 31, 300).toDF("n_frames")
@@ -253,6 +261,16 @@ class DotProductExprSpec extends SparkSpec {
     assert(r2.isNullAt(0))
     val r3 = spark.sql("SELECT graft_dot(array(CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT)))").head()
     assert(r3.getDouble(0) === 6.0)
+  }
+
+  test("graft_dot nulls out on ragged lengths, agreeing with zip_with") {
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val native = spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d)) AS d").head()
+    assert(native.isNullAt(0))
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0d,2.0d), array(3.0d), (x,y) -> x*y),
+        |0.0d, (a,x) -> a+x) AS d""".stripMargin).head()
+    assert(hof.isNullAt(0))
   }
 
   test("graft_dot is usable from SQL text after registration") {

@@ -176,6 +176,42 @@ class UpdateHistorySpec extends SparkSpec {
     assert(got.collect().map(_.getAs[Long]("instance_message_id")).sorted.toSeq ===
       Seq(120L, 130L))
   }
+
+  test("long format matches the wide pivot cell-for-cell, incl. filters") {
+    import spark.implicits._
+    val args = Seq((1, 10, 20, "value >= 12"), (6, 10, 20, ""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    val start = Seq((1, 10, 20, 11.0), (6, 10, 20, 60.0))
+      .toDF("uevol_field_id", "src_id", "dst_id", "value")
+    val wide = UpdateHistory.updateHistory(
+      Fixtures.instanceField(spark), args, start, 100L, 150L)
+    val long = UpdateHistory.updateHistoryLong(
+      Fixtures.instanceField(spark), args, start, 100L, 150L)
+    val wideCells = wide.collect().flatMap { r =>
+      Seq((r.getAs[Long]("instance_message_id"), 1) -> r.getAs[Long]("id1_src10_dst20"),
+        (r.getAs[Long]("instance_message_id"), 6) -> r.getAs[Long]("id6_src10_dst20"))
+    }.toMap
+    val longCells = long.collect().map { r =>
+      (r.getAs[Long]("instance_message_id"), r.getAs[Int]("uevol_field_id")) ->
+        r.getAs[Long]("value")
+    }.toMap
+    assert(longCells === wideCells)
+  }
+
+  test("value placeholder rewrite is whole-word only") {
+    import spark.implicits._
+    // 'evalue'/'value2' must NOT be rewritten — the expression below parses
+    // only if the single whole-word `value` becomes the pivot column.
+    val args = Seq((1, 10, 20, "value + length('evalue') >= 18"), (6, 10, 20, ""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    val start = Seq((1, 10, 20, 11.0), (6, 10, 20, 60.0))
+      .toDF("uevol_field_id", "src_id", "dst_id", "value")
+    val got = UpdateHistory.updateHistory(
+      Fixtures.instanceField(spark), args, start, 100L, 150L)
+    // 11 + 6 = 17 < 18 until f1 updates to 12 at id 120
+    assert(got.collect().map(_.getAs[Long]("instance_message_id")).sorted.toSeq ===
+      Seq(120L, 130L))
+  }
 }
 
 class BackupSpec extends SparkSpec {
