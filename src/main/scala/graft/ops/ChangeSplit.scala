@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * `json_value`: a key appearing twice has the same value in both snapshots
   * (unchanged between them); once means changed — or present in only one
   * (`SQL/GetMessage.sql:127-176`). One union + one partial-agg shuffle; the
-  * big delta log is then scanned only for the changed keys.
+  * big delta log is then scanned only for the changed keys. Production
+  * consumer: [[graft.queries.MessageReconstruct.getMessageSnapshotDiff]].
   */
 object ChangeSplit {
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.model.Telemetry
-import graft.ops.{ArgmaxLatest, JsonExplode, SnapshotBracket}
+import graft.ops.{ArgmaxLatest, ChangeSplit, JsonExplode, SnapshotBracket}
 
 /** Point-in-time message reconstruction — the engine's flagship capability.
   *
@@ -24,7 +24,9 @@ import graft.ops.{ArgmaxLatest, JsonExplode, SnapshotBracket}
   *   latest log update in the epoch ≫ snapshot value ≫ −1 sentinel
   * (`SQL/GetMessage.sql:435,571-590,973`). Where the reference's
   * same/diff snapshot-compare shortcut can misreport a within-epoch
-  * A→B→A oscillation as A, this lattice is replay-consistent (update wins).
+  * A→B→A oscillation as A, this lattice is replay-consistent (update wins);
+  * [[getMessageSnapshotDiff]] offers the reference's exact shortcut
+  * semantics (and its scan reduction) for callers that want parity.
   */
 object MessageReconstruct {
 
@@ -120,6 +122,105 @@ object MessageReconstruct {
         col("instance_message_id"), col("relative_path"), col("type"),
         col("value"))
       .orderBy("uevol_field_id", "relative_path")
+  }
+
+  /** Reference-parity reconstruction using the same/diff snapshot-compare
+    * shortcut (`SQL/GetMessage.sql:127-176`): keys whose `json_value` is
+    * IDENTICAL in both bracketing snapshots skip the delta log entirely and
+    * keep the snapshot state — the reference's scan reduction, worthwhile
+    * when most fields are quiescent between snapshots. The trade, pinned by
+    * the oscillation spec: a within-epoch A→B→A (updated to B before the
+    * target, back to A before snap_max) reports A here, while the
+    * replay-consistent [[getMessage]] lattice reports B. Degenerate
+    * brackets (snap_min == snap_max, `SQL/GetMessage.sql:611-990`) skip
+    * change detection, exactly as the reference does — we delegate to
+    * [[getMessage]].
+    */
+  def getMessageSnapshotDiff(
+      instanceField: DataFrame,
+      instanceMessage: DataFrame,
+      uevolField: DataFrame,
+      snapshotCatalog: Option[DataFrame],
+      snapshotLoader: String => DataFrame,
+      target: Long): DataFrame = {
+
+    val spark = instanceField.sparkSession
+
+    val hdr = instanceMessage.where(col("id") === target)
+      .select("uevol_message_id", "src_id", "dst_id").limit(1).collect()
+    if (hdr.isEmpty) return emptyResult(uevolField)
+    val (msgId, srcId, dstId) =
+      (hdr(0).getInt(0), hdr(0).getInt(1), hdr(0).getInt(2))
+
+    val bracket = snapshotCatalog.map(SnapshotBracket.bracket(_, target))
+    (bracket.flatMap(_._1), bracket.flatMap(_._2)) match {
+      case (Some(lo), Some(hi)) if lo.name != hi.name =>
+        val messageFields = uevolField
+          .where(col("uevol_message_id") === msgId)
+          .select(col("id").as("uevol_field_id"), col("name"), col("type"),
+            lit(srcId).as("src_id"), lit(dstId).as("dst_id"))
+        val fieldIds = messageFields.select("uevol_field_id")
+        def loadSnap(name: String) = snapshotLoader(name)
+          .where(col("src_id") === srcId && col("dst_id") === dstId)
+          .join(broadcast(fieldIds), Seq("uevol_field_id"), "left_semi")
+          .select((Key :+ "instance_message_id" :+ "json_value").map(col): _*)
+
+        val (same, _) = ChangeSplit.split(loadSnap(lo.name), loadSnap(hi.name))
+        val sameKeys = same.select(Key.map(col): _*)
+
+        // Unchanged keys keep the snapshot state verbatim (log skipped).
+        val sameVals = JsonExplode.flatten(same, "json_value",
+          Key :+ "instance_message_id")
+          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+            col("relative_path"), col("instance_message_id"), col("value"))
+
+        // Everything else — changed keys AND keys absent from the
+        // snapshots — consults the epoch slice; the anti-join on the tiny
+        // same-key set is the pre-shuffle scan reduction.
+        val latest = ArgmaxLatest.latestRows(
+          instanceField.where(
+            col("uevol_message_id") === msgId && col("src_id") === srcId &&
+              col("dst_id") === dstId &&
+              col("instance_message_id").between(lo.start_instance_message_id, target))
+            .join(broadcast(sameKeys), Key, "left_anti")
+            .select((Key :+ "relative_path" :+ "instance_message_id" :+ "new_value").map(col): _*),
+          Key :+ "relative_path",
+          col("instance_message_id"))
+          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+            col("relative_path"), col("instance_message_id"),
+            col("new_value").cast("double").as("value"))
+
+        // Changed keys with no epoch update at a path fall back to snap_min.
+        val snapValues = JsonExplode.flatten(
+          loadSnap(lo.name).join(broadcast(sameKeys), Key, "left_anti"),
+          "json_value", Key :+ "instance_message_id")
+          .join(latest.select((Key :+ "relative_path").map(col): _*),
+            Key :+ "relative_path", "left_anti")
+          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+            col("relative_path"), col("instance_message_id"), col("value"))
+
+        val covered = sameVals.select(Key.map(col): _*)
+          .unionByName(latest.select(Key.map(col): _*))
+          .unionByName(snapValues.select(Key.map(col): _*)).distinct()
+        val defaults = messageFields
+          .join(covered, Key, "left_anti")
+          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+            lit(Telemetry.ScalarPath).as("relative_path"),
+            lit(Telemetry.NeverUpdatedId).as("instance_message_id"),
+            lit(Telemetry.NeverUpdatedValue).as("value"))
+
+        sameVals.unionByName(latest).unionByName(snapValues).unionByName(defaults)
+          .join(broadcast(messageFields.select("uevol_field_id", "name", "type")),
+            Seq("uevol_field_id"))
+          .select(col("uevol_field_id"), col("src_id"), col("dst_id"), col("name"),
+            col("instance_message_id"), col("relative_path"), col("type"),
+            col("value"))
+          .orderBy("uevol_field_id", "relative_path")
+
+      case _ =>
+        getMessage(instanceField, instanceMessage, uevolField,
+          snapshotCatalog, snapshotLoader, target)
+    }
   }
 
   /** Log-only reconstruction (`RetrieveMessage.java:54-118` semantics):

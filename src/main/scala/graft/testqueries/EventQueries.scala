@@ -95,6 +95,19 @@ object EventQueries {
           lit(",\"000.001.002\":"), col("v2").cast("string"),
           lit("}}")).as("json_value"))
 
+  /** "End" snapshot for the q31 same/diff exercise: even fields carry the
+    * SAME json as the S snapshot (quiescent between snapshots — the
+    * shortcut must skip their log scan), odd fields the state at `endAt`
+    * (changed — the log decides them).
+    */
+  private def mixedSnapshotAt(e: DataFrame, fm: DataFrame, snapAt: Long,
+                              endAt: Long, users: Seq[Int]): DataFrame =
+    snapshotAt(e, fm, snapAt, users)
+      .where(pmod(col("uevol_field_id"), lit(2)) === 0)
+      .withColumn("instance_message_id", lit(endAt))
+      .unionByName(snapshotAt(e, fm, endAt, users)
+        .where(pmod(col("uevol_field_id"), lit(2)) === 1))
+
   /** Synthesized snapshot rows at S for the given users: per-(field, user)
     * argmax state rendered as the reference's JSON values.
     */
@@ -263,6 +276,53 @@ object EventQueries {
             duration = 10 * dayNs))
         .select(col("uevol_field_id"), col("instance_message_id"),
           col("src_id"), round(col("new_value"), 4).as("value"))
+    },
+
+    // The gen-1 getFieldUpdates boundary padding END TO END
+    // (Retrieve_field.scala:66-75): the window's first row is echoed at the
+    // window start carrying its previous_value (the value in effect when
+    // the window opens), the last row at the window end carrying its
+    // new_value — synthetic edge rows framing the in-window updates.
+    "q29_field_updates_pad" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, dir)
+      val lo = Tables.nanos("2024-01-10 00:00:00")
+      val hi = Tables.nanos("2024-01-20 00:00:00")
+      val upd = e.where(col("user_id") === 7 && col("event_type") === "error")
+        .select(col("user_id"), col("event_type"), col("ts").as("log_time"),
+          col("event_id"), col("value").as("new_value"))
+        .withColumn("previous_value", lag("new_value", 1, -1.0)
+          .over(Window.partitionBy("user_id", "event_type")
+            .orderBy("log_time", "event_id")))
+      graft.queries.FieldFilter.updatesWithBoundaries(upd, lit(true), lo, hi)
+        // µs grid for the compare: DuckDB reads TIMESTAMP(NANOS) at µs
+        .select(expr("log_time div 1000").as("log_time_us"), col("event_id"),
+          round(col("field_value"), 4).as("field_value"))
+    },
+
+    // The reference's same/diff snapshot-compare shortcut END TO END
+    // (getMessageSnapshotDiff over ChangeSplit, SQL/GetMessage.sql:127-176):
+    // two bracketing snapshots where even fields are quiescent (identical
+    // json in both — their epoch log scan is SKIPPED and the snapshot state
+    // kept) and odd fields changed (the epoch argmax decides them).
+    "q31_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val maxId = e.agg(max("event_id")).head().getLong(0)
+      val (snapAt, target) = (maxId / 2, 3 * maxId / 4)
+      val fm = fieldMapDF(s)
+      val instanceMessage = Seq((target, 1, 7, 0))
+        .toDF("id", "uevol_message_id", "src_id", "dst_id")
+      val catalog = Seq(("snap_s", snapAt), ("snap_e", maxId))
+        .toDF("name", "start_instance_message_id")
+      val loader: String => DataFrame = {
+        case "snap_s" => snapshotAt(e, fm, snapAt, Seq(7))
+        case _ => mixedSnapshotAt(e, fm, snapAt, maxId, Seq(7))
+      }
+      graft.queries.MessageReconstruct.getMessageSnapshotDiff(
+          asInstanceField(e, fm), instanceMessage, asUevolField(s),
+          Some(catalog), loader, target)
+        .withColumn("value", round(col("value"), 4))
     },
 
     // The Backup compaction family END TO END via queries/Backup.compact:
@@ -510,6 +570,63 @@ object EventQueries {
          CROSS JOIN bounds b
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
+    },
+    "q29_field_updates_pad" ->
+      """WITH upd AS (SELECT e.ts, e.event_id, e.value AS new_value,
+           lag(e.value, 1, -1.0) OVER (PARTITION BY e.user_id, e.event_type
+             ORDER BY e.ts, e.event_id) AS previous_value
+         FROM events e WHERE e.user_id = 7 AND e.event_type = 'error'),
+         w AS (SELECT * FROM upd
+           WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+             AND TIMESTAMP '2024-01-20 00:00:00'),
+         fst AS (SELECT * FROM w ORDER BY ts, event_id LIMIT 1),
+         lst AS (SELECT * FROM w ORDER BY ts DESC, event_id DESC LIMIT 1)
+         SELECT CAST(epoch_us(TIMESTAMP '2024-01-10 00:00:00') AS BIGINT) AS log_time_us,
+           event_id, round(previous_value, 4) AS field_value FROM fst
+         UNION ALL
+         SELECT CAST(epoch_us(ts) AS BIGINT), event_id, round(new_value, 4) FROM w
+         UNION ALL
+         SELECT CAST(epoch_us(TIMESTAMP '2024-01-20 00:00:00') AS BIGINT), event_id,
+           round(new_value, 4) FROM lst""",
+    "q31_snapshot_diff" -> {
+      val fieldVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH bounds AS (SELECT max(event_id) AS e2, max(event_id) // 2 AS s,
+             3 * max(event_id) // 4 AS t FROM events),
+         f(fid, et) AS (VALUES $fieldVals),
+         vs AS (SELECT fid, value FROM (
+           SELECT f.fid, e.value,
+             row_number() OVER (PARTITION BY f.fid ORDER BY e.event_id DESC) AS rn
+           FROM events e JOIN f ON e.event_type = f.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND e.event_id <= b.s) WHERE rn = 1),
+         ve AS (SELECT fid, value FROM (
+           SELECT f.fid, e.value,
+             row_number() OVER (PARTITION BY f.fid ORDER BY e.event_id DESC) AS rn
+           FROM events e JOIN f ON e.event_type = f.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND e.event_id <= b.e2) WHERE rn = 1),
+         smax AS (SELECT fid, value FROM vs WHERE fid % 2 = 0
+           UNION ALL SELECT fid, value FROM ve WHERE fid % 2 = 1),
+         same AS (SELECT a.fid, a.value FROM vs a
+           JOIN smax b ON a.fid = b.fid AND a.value = b.value),
+         upd AS (SELECT fid, value, event_id FROM (
+           SELECT f.fid, e.value, e.event_id,
+             row_number() OVER (PARTITION BY f.fid ORDER BY e.event_id DESC) AS rn
+           FROM events e JOIN f ON e.event_type = f.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND e.event_id BETWEEN b.s AND b.t
+             AND f.fid NOT IN (SELECT fid FROM same)) WHERE rn = 1),
+         vals AS (
+           SELECT sm.fid, sm.value, b.s AS imid FROM same sm CROSS JOIN bounds b
+           UNION ALL SELECT fid, value, event_id FROM upd
+           UNION ALL SELECT m.fid, m.value, b.s FROM vs m CROSS JOIN bounds b
+             WHERE m.fid NOT IN (SELECT fid FROM same)
+               AND m.fid NOT IN (SELECT fid FROM upd)),
+         allrows AS (SELECT fid, value, imid FROM vals
+           UNION ALL SELECT f.fid, -1.0, -1 FROM f
+           WHERE f.fid NOT IN (SELECT fid FROM vals))
+         SELECT a.fid AS uevol_field_id, 7 AS src_id, 0 AS dst_id, f.et AS name,
+           CAST(a.imid AS BIGINT) AS instance_message_id, '000' AS relative_path,
+           0 AS type, round(a.value, 4) AS value
+         FROM allrows a JOIN f ON f.fid = a.fid"""
     },
     "q30_update_history_long" -> {
       val fmVals = EventTypes.zipWithIndex

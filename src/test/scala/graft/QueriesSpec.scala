@@ -101,6 +101,45 @@ class MessageReconstructSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("name")).toSet === (1 to 6).map(i => s"f$i").toSet)
   }
 
+  test("A->B->A oscillation: lattice replays B, snapshot-diff parity keeps A") {
+    import spark.implicits._
+    // one field; snapshots at 100 and 200 both carry A=1.0; inside the
+    // epoch the value goes to B=2.0 (id 110 <= target 150) and back to A
+    // after the target (id 160 <= snap_max). The replay-consistent lattice
+    // must report B; the reference's same/diff shortcut reports A.
+    val instField = Seq(
+      (1, 1, 110L, 7, 0, "000", 2.0),
+      (1, 1, 160L, 7, 0, "000", 1.0))
+      .toDF("uevol_field_id", "uevol_message_id", "instance_message_id",
+        "src_id", "dst_id", "relative_path", "new_value")
+    val instMsg = Seq((150L, 1, 7, 0))
+      .toDF("id", "uevol_message_id", "src_id", "dst_id")
+    val fields = Seq((1, 1, "f1", 0)).toDF("id", "uevol_message_id", "name", "type")
+    val catalog = Seq(("s100", 100L), ("s200", 200L))
+      .toDF("name", "start_instance_message_id")
+    val snap: String => org.apache.spark.sql.DataFrame = n =>
+      Seq((1, 7, 0, if (n == "s100") 100L else 200L, "{\"000\":1.0}"))
+        .toDF("uevol_field_id", "src_id", "dst_id", "instance_message_id", "json_value")
+    val lattice = MessageReconstruct.getMessage(
+      instField, instMsg, fields, Some(catalog), snap, 150L)
+    assert(lattice.select("value").head().getDouble(0) === 2.0)
+    val parity = MessageReconstruct.getMessageSnapshotDiff(
+      instField, instMsg, fields, Some(catalog), snap, 150L)
+    assert(parity.select("value").head().getDouble(0) === 1.0)
+    // parity keeps the snapshot instant (min of the bracket)
+    assert(parity.select("instance_message_id").head().getLong(0) === 100L)
+  }
+
+  test("snapshot-diff on a degenerate bracket falls back to the lattice") {
+    // target 150 is beyond the last snapshot start: snap_max == snap_min,
+    // change detection is skipped (GetMessage.sql:611-990)
+    val got = MessageReconstruct.getMessageSnapshotDiff(
+      Fixtures.instanceField(spark), Fixtures.instanceMessage(spark),
+      Fixtures.uevolField(spark), Some(Fixtures.snapshotCatalog(spark)),
+      snaps(_), 150L)
+    assert(asMap(got) === Fixtures.replayExpected(150L))
+  }
+
   test("log-only messageContent: argmax value, -1 for never-updated") {
     val got = MessageReconstruct.messageContent(
       Fixtures.instanceField(spark), Fixtures.uevolField(spark),
