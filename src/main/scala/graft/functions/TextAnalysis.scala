@@ -57,13 +57,42 @@ object TextAnalysis {
       lit(0.2) * (lit(1.0) - least(punctRatio(text) * lit(10.0), lit(1.0))),
       4)
 
+  /** Stopword profiles for the multi-language ID argmax. Overlapping words
+    * ("de", "la", "en", …) are fine — the per-profile ratio argmax decides;
+    * richer n-gram profiles slot into the same (lang, words) shape.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnStopwords,
+    "fr" -> Seq("le", "la", "les", "de", "des", "du", "et", "un", "une",
+      "est", "dans", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu",
+      "den", "von", "mit", "nicht"),
+    "es" -> Seq("el", "los", "las", "de", "y", "un", "una", "es", "en",
+      "que", "no", "por"))
+
   /** Language-ID heuristic: stopword-ratio per language profile, argmax with
-    * 'und' (undetermined) when no profile clears the floor. N-gram profiles
-    * would slot in the same shape; stopwords suffice for the engine surface.
+    * 'und' (undetermined) when no profile clears the floor. Kept as the
+    * single-profile fast path; [[langId]] is the multi-profile argmax.
     */
   def langIdHeuristic(text: Column, floor: Double = 0.08): Column = {
     val en = stopwordRatio(text, EnStopwords)
     when(en >= floor, lit("en")).otherwise(lit("und"))
+  }
+
+  /** Table-driven multi-language ID: ratio per profile, argmax, first
+    * profile in table order wins ties, 'und' when no profile clears the
+    * floor. Pure codegen'd expressions — one projection, no shuffle, no
+    * UDF — and a closed form any SQL oracle can replay as a CASE argmax.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = Profiles,
+             floor: Double = 0.08): Column = {
+    val ratios = profiles.map { case (lang, words) =>
+      (lang, stopwordRatio(text, words)) }
+    val best = ratios.map(_._2).reduce(greatest(_, _))
+    val pick = ratios.foldRight(lit("und")) { case ((lang, r), acc) =>
+      when(r === best, lit(lang)).otherwise(acc)
+    }
+    when(best >= floor, pick).otherwise(lit("und"))
   }
 
   /** 60-bit stable document fingerprint from the normalized text (md5-based

@@ -338,6 +338,32 @@ object EventQueries {
           col("src_id"), round(col("new_value"), 4).as("value"))
     },
 
+    // The replay-mode surface END TO END (GetMessage.sql:17-23,
+    // DataLoader.java:57,143,225-226): the mode picks the *_replay fact
+    // table (here a deterministic even-event_id subset) and the catalog's
+    // playback_activated flag gates which fields participate — table
+    // switch + flag filter + per-field aggregate, all under the oracle.
+    "q32_replay_mode" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val fm = fieldMapDF(s)
+      val loader = new graft.io.MapLoader(Map(
+        "instance_field" -> asInstanceField(e, fm),
+        "instance_field_replay" ->
+          asInstanceField(e.where(pmod(col("event_id"), lit(2)) === 0), fm)))
+      val catalog = EventTypes.zipWithIndex.map { case (t, i) =>
+        (i + 1, 1, t, 0, (i + 1) % 2 == 1, i + 1 != 4) }
+        .toDF("id", "uevol_message_id", "name", "type",
+          "playback_activated", "online_activated")
+      val mode: graft.io.AcquisitionMode = graft.io.Replay
+      val fields = graft.io.AcquisitionMode.activated(catalog, mode)
+        .select(col("id").as("uevol_field_id"))
+      loader.instanceField(mode)
+        .join(broadcast(fields), Seq("uevol_field_id"), "left_semi")
+        .groupBy("uevol_field_id")
+        .agg(count(lit(1)).as("n"), round(sum("new_value"), 2).as("sum_value"))
+    },
+
     // Skew-safe aggregation: the salted two-phase groupBy must produce
     // exactly what the direct groupBy produces — verified against the
     // plain-SQL oracle. (Salting spreads a reducer-dominating key over
@@ -570,6 +596,19 @@ object EventQueries {
          CROSS JOIN bounds b
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
+    },
+    "q32_replay_mode" -> {
+      val fmVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH fm(fid, et) AS (VALUES $fmVals),
+         act(fid) AS (VALUES (1), (3), (5))
+         SELECT fm.fid AS uevol_field_id, count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+         FROM events e
+         JOIN fm ON e.event_type = fm.et
+         JOIN act ON act.fid = fm.fid
+         WHERE e.event_id % 2 = 0
+         GROUP BY fm.fid"""
     },
     "q29_field_updates_pad" ->
       """WITH upd AS (SELECT e.ts, e.event_id, e.value AS new_value,

@@ -40,6 +40,14 @@ object PipelineQueries {
         TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
     },
 
+    // Multi-language ID: per-profile stopword-ratio argmax (en/fr/de/es)
+    // with table-order tie-break and an 'und' floor — one codegen'd
+    // projection, no shuffle.
+    "d16_lang_id_multi" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
     // Document fingerprinting (md5-derived, engine-replayable).
     "d03_fingerprint" -> { (s, dir) =>
       docs(s, dir).select(
@@ -246,6 +254,24 @@ object PipelineQueries {
            / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) >= 0.08
            THEN 'en' ELSE 'und' END AS lang_pred
          FROM documents""",
+    "d16_lang_id_multi" -> {
+      // generated from the SAME TextAnalysis.Profiles table, so the two
+      // sides cannot drift
+      def ratio(words: Seq[String]) = {
+        val in = words.map(w => s"'$w'").mkString(",")
+        s"""(CAST(len(list_filter(string_split(lower(text), ' '),
+           |  t -> t IN ($in))) AS DOUBLE)
+           |  / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))""".stripMargin
+      }
+      val rs = graft.functions.TextAnalysis.Profiles.map { case (lang, ws) =>
+        lang -> ratio(ws) }
+      val gmax = s"greatest(${rs.map(_._2).mkString(", ")})"
+      val arms = rs.map { case (lang, r) => s"WHEN $r = $gmax THEN '$lang'" }
+        .mkString(" ")
+      s"""SELECT doc_id,
+         CASE WHEN $gmax >= 0.08 THEN (CASE $arms END) ELSE 'und' END AS lang_pred
+         FROM documents"""
+    },
     "d03_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp_hex,
          CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT) AS fp60

@@ -121,6 +121,31 @@ class ArgsTableSpec extends SparkSpec {
   }
 }
 
+class TableLoaderSpec extends SparkSpec {
+
+  test("replay mode picks the *_replay pair; online the base pair") {
+    import spark.implicits._
+    val base = Seq((1, "base")).toDF("id", "tag")
+    val replay = Seq((1, "replay")).toDF("id", "tag")
+    val loader = new graft.io.MapLoader(Map(
+      "instance_field" -> base, "instance_field_replay" -> replay,
+      "instance_message" -> base, "instance_message_replay" -> replay))
+    assert(loader.instanceField(graft.io.Online).head().getString(1) === "base")
+    assert(loader.instanceField(graft.io.Replay).head().getString(1) === "replay")
+    assert(loader.instanceMessage(graft.io.Replay).head().getString(1) === "replay")
+  }
+
+  test("activated() gates on the mode's participation flag") {
+    import spark.implicits._
+    val cat = Seq((1, true, false), (2, false, true), (3, true, true))
+      .toDF("id", "playback_activated", "online_activated")
+    def ids(m: graft.io.AcquisitionMode) =
+      graft.io.AcquisitionMode.activated(cat, m).collect().map(_.getInt(0)).toSet
+    assert(ids(graft.io.Replay) === Set(1, 3))
+    assert(ids(graft.io.Online) === Set(2, 3))
+  }
+}
+
 class JsonExplodeSpec extends SparkSpec {
 
   test("degree 0/1/2 flatten with dotted keys; empty object emits nothing") {

@@ -41,6 +41,22 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class LangIdSpec extends SparkSpec {
+
+  test("multi-language langId picks the dominant profile; floor yields und") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "le chat est dans la maison et il est content"),
+      (3L, "der hund ist in dem haus und er ist nicht traurig"),
+      (4L, "el perro es un animal y no es grande"),
+      (5L, "zzz qqq xxx yyy www")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "und"))
+  }
+}
+
 class MinHashLSHSpec extends SparkSpec {
 
   test("identical docs collide in every band and get jaccard 1.0") {
