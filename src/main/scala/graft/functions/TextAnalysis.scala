@@ -104,6 +104,31 @@ object TextAnalysis {
   /** Full-width hex fingerprint (for exact-dup grouping keys). */
   def fingerprintHex(text: Column): Column = md5(lower(text))
 
+  /** Within-document n-gram repetition ratio — the corpus-cleaning
+    * "repetition" signal (templated/spammy text repeats its own n-grams):
+    * 1 − |distinct n-grams| / |n-grams|, 0.0 for docs shorter than n words.
+    * Map-only; the word array is staged as an attribute before the gram
+    * lambda (HOF lambdas re-evaluate captured expressions per element).
+    * Returns (idCol, rep_ratio).
+    */
+  def repetitionRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val words = col("__words")
+    val grams = col("__grams")
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until n).map(o => element_at(words, i + o + 1)): _*)
+    df.select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
+      .select(col(idCol),
+        when(size(words) >= n,
+          transform(sequence(lit(0), size(words) - n), gram))
+          .otherwise(array().cast("array<string>")).as("__grams"))
+      .select(col(idCol),
+        when(size(grams) > 0,
+          round(lit(1.0) -
+            size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
     * document order, then keep the minimum hash of each sliding window of
     * `w` consecutive n-gram hashes, deduplicated. Guarantees any shared

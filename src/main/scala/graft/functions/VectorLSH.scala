@@ -102,6 +102,32 @@ object VectorLSH {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Near-duplicate embedding pairs WITHOUT a blocking key: candidates from
+    * the LSH band equijoin (never a cross product), exact cosine gate on
+    * candidates only. The unblocked complement of
+    * [[VectorOps.nearDupPairs]] — use when no natural blocking column
+    * exists; recall is bounded by the band collision probability (raise m /
+    * lower rb to trade cost for recall). Returns (id_a, id_b), id_a < id_b.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   minCos: Double, m: Int = 16, rb: Int = 4): DataFrame = {
+    val dim = firstVectorLength(df, vecCol).getOrElse(0)
+    val b = bands(df, idCol, vecCol, m, rb, dim)
+    val cand = b.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+      .join(b.select(col(idCol).as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val nrm = VectorOps.withNormalized(df, vecCol, "__nv")
+    val scored = cand
+      .join(nrm.select(col(idCol).as("id_a"), col("__nv").as("__va")), Seq("id_a"))
+      .join(nrm.select(col(idCol).as("id_b"), col("__nv").as("__vb")), Seq("id_b"))
+      .withColumn("__cos", graft.plans.VectorExpressions
+        .dotColumn(df.sparkSession, col("__va"), col("__vb")))
+    scored.where(col("__cos") >= minCos).select("id_a", "id_b")
+  }
+
   /** Vector length probed from the first row (None when empty) — embeddings
     * are fixed-width; one tiny driver-side action, exactly like the
     * reference's collected plan scalars (SURVEY.md §7.5.5).

@@ -153,6 +153,18 @@ object PipelineQueries {
         5, VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2)
     },
 
+    // Within-document n-gram repetition ratio — the Gopher-style
+    // "repetitious text" cleaning signal; map-only, no shuffle.
+    "d17_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text", n = 3)
+    },
+
+    // Unblocked embedding near-dup: LSH band candidates + exact cosine
+    // gate — the scale path when no blocking column exists (d08 needs one).
+    "d18_vec_dup_lsh" -> { (s, dir) =>
+      VectorLSH.nearDupPairs(embs(s, dir), "vec_id", "embedding", minCos = 0.4)
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata extraction
     // (the decode stage itself is the library's pluggable/fake codec — see
     // graft.functions.Multimodal; here we verify the binary round-trip).
@@ -358,6 +370,35 @@ object PipelineQueries {
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
          upper(substr(hex(encode(text)), 1, 16)) AS head_hex
          FROM documents""",
+    "d17_repetition" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+             THEN list_transform(range(0, len(w) - 2),
+               i -> array_to_string(w[i+1:i+3], ' '))
+             ELSE [] END AS grams FROM words)
+         SELECT doc_id, CASE WHEN len(grams) > 0
+           THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+             / CAST(len(grams) AS DOUBLE), 6)
+           ELSE 0.0 END AS rep_ratio FROM g""",
+    "d18_vec_dup_lsh" ->
+      """WITH planes AS (SELECT p, d,
+           (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(16) t1(p) CROSS JOIN range(64) t2(d)),
+         pl AS (SELECT p, list(v ORDER BY d) AS pv FROM planes GROUP BY p),
+         bits AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) >= 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bits
+           FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+         bnd AS (SELECT vec_id, b AS band, (bits >> CAST(b * 4 AS INT)) & 15 AS bkey
+           FROM bits CROSS JOIN range(4) t(b)),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.vec_id < b.vec_id)
+         SELECT c.id_a, c.id_b
+         FROM cand c
+         JOIN embeddings x ON x.vec_id = c.id_a
+         JOIN embeddings y ON y.vec_id = c.id_b
+         WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""",
     "d11_ann_lsh" ->
       """WITH planes AS (SELECT p, d,
            (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v

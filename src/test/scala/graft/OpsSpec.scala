@@ -144,6 +144,21 @@ class TableLoaderSpec extends SparkSpec {
     assert(ids(graft.io.Replay) === Set(1, 3))
     assert(ids(graft.io.Online) === Set(2, 3))
   }
+
+  test("equipment/subsystem catalogs load typed, decorate, and gate by mode") {
+    import spark.implicits._
+    import graft.model.Telemetry
+    val eq = Seq(
+      Telemetry.UevolEquipment(1, 10, "eqA", 1, true, false),
+      Telemetry.UevolEquipment(2, 20, "eqB", 1, false, true)).toDF()
+    val ss = Seq(
+      Telemetry.UevolSubsystem(1, "ssA"), Telemetry.UevolSubsystem(2, "ssB")).toDF()
+    val got = graft.io.AcquisitionMode.activated(eq, graft.io.Replay)
+      .join(ss.withColumnRenamed("name", "subsystem"), "ssty")
+      .select("name", "subsystem")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("eqA", "ssA")))
+  }
 }
 
 class JsonExplodeSpec extends SparkSpec {

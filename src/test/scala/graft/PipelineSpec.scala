@@ -57,6 +57,23 @@ class LangIdSpec extends SparkSpec {
   }
 }
 
+class RepetitionSpec extends SparkSpec {
+
+  test("repetition ratio: repeated trigrams score high, unique text and short docs 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),       // 7 grams, 3 distinct -> 1 - 3/7
+      (2L, "one two three four five"), // all distinct -> 0.0
+      (3L, "hi there"))                // < 3 words -> 0.0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.571429)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)
+  }
+}
+
 class MinHashLSHSpec extends SparkSpec {
 
   test("identical docs collide in every band and get jaccard 1.0") {
@@ -250,6 +267,18 @@ class VectorLSHSpec extends SparkSpec {
     val brute = VectorOps.knnBruteForce(q, df, "vec_id", "embedding", 40)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ann.subsetOf(brute)) // never invents neighbors
+  }
+}
+
+class VectorNearDupLshSpec extends SparkSpec {
+
+  test("unblocked near-dup pairs: identical vectors pair, orthogonal do not") {
+    import spark.implicits._
+    val v1 = Array(1f, 0f, 0f, 0f); val v2 = Array(0f, 1f, 0f, 0f)
+    val df = Seq((1L, v1), (2L, v1), (3L, v2)).toDF("vec_id", "embedding")
+    val got = VectorLSH.nearDupPairs(df, "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
   }
 }
 
