@@ -117,16 +117,19 @@ object TextAnalysis {
     val grams = col("__grams")
     val gram = (i: Column) => concat_ws(" ",
       (0 until n).map(o => element_at(words, i + o + 1)): _*)
-    df.select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
-      .select(col(idCol),
+    // withColumn chain (not a narrowing select) so callers can compose the
+    // ratio with their other columns in the same map-only projection
+    df.withColumn("__words", split(lower(col(textCol)), " "))
+      .withColumn("__grams",
         when(size(words) >= n,
           transform(sequence(lit(0), size(words) - n), gram))
-          .otherwise(array().cast("array<string>")).as("__grams"))
-      .select(col(idCol),
+          .otherwise(array().cast("array<string>")))
+      .withColumn("rep_ratio",
         when(size(grams) > 0,
           round(lit(1.0) -
             size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
-          .otherwise(lit(0.0)).as("rep_ratio"))
+          .otherwise(lit(0.0)))
+      .drop("__words", "__grams")
   }
 
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in

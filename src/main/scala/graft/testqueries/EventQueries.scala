@@ -37,7 +37,15 @@ object EventQueries {
       .toDF("fid", "event_type")
   }
 
-  /** events mapped onto the reference's instance_field schema. */
+  /** events mapped onto the reference's instance_field schema.
+    *
+    * Pushdown note: `user_id` is int64 in the driver's parquet while the
+    * telemetry schema's `src_id` is int32, so this mapping's narrowing cast
+    * keeps src_id equality filters from reaching the scan (the event_id
+    * range still pushes — that is the load-bearing prune). A real
+    * instance_field table stores src_id as int32 (DataLoader.java:62), no
+    * cast exists, and the src filter pushes too; harness artifact only.
+    */
   private def asInstanceField(e: DataFrame, fm: DataFrame): DataFrame =
     e.join(broadcast(fm), "event_type")
       .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),

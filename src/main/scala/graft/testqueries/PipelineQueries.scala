@@ -157,6 +157,35 @@ object PipelineQueries {
     // "repetitious text" cleaning signal; map-only, no shuffle.
     "d17_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text", n = 3)
+        .select("doc_id", "rep_ratio")
+    },
+
+    // d14's composed cleaning pipeline extended with the round-2 signals —
+    // the repetition gate and the multi-language tag — still ONE DAG:
+    // quality + repetition gates (map-only) -> exact canonical -> cluster
+    // canonical -> en/fr/de/es language tag.
+    "d19_clean_corpus_v2" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val exactCanon = d
+        .groupBy(TextAnalysis.fingerprintHex(col("text")).as("fp_hex"))
+        .agg(min("doc_id").as("exact_canon"))
+      val pairs = MinHashLSH.nearDupPairs(d, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+      val clusterOf = MinHashLSH.clusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      TextAnalysis.repetitionRatio(
+          d.withColumn("fp_hex", TextAnalysis.fingerprintHex(col("text"))),
+          "doc_id", "text")
+        .join(exactCanon, "fp_hex")
+        .join(clusterOf, Seq("doc_id"), "left_outer")
+        .where(col("doc_id") === col("exact_canon") &&
+          (col("cluster").isNull || col("cluster") === col("doc_id")) &&
+          TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+          col("rep_ratio") <= 0.05)
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("rep_ratio"))
     },
 
     // Unblocked embedding near-dup: LSH band candidates + exact cosine
@@ -206,6 +235,35 @@ object PipelineQueries {
       |+ 0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
       |+ 0.2 * (1.0 - least((CAST(len(text) - len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
       |  / CAST(len(text) AS DOUBLE)) * 10.0, 1.0)), 4)""".stripMargin
+
+  /** DuckDB replay of the within-doc trigram repetition ratio (d17 and the
+    * d19 gate share this one fragment).
+    */
+  private val RepetitionSql =
+    """round(CASE WHEN len(string_split(lower(text), ' ')) >= 3
+      |THEN 1.0 - CAST(len(list_distinct(list_transform(
+      |  range(0, len(string_split(lower(text), ' ')) - 2),
+      |  i -> array_to_string((string_split(lower(text), ' '))[i+1:i+3], ' ')))) AS DOUBLE)
+      |  / CAST(len(string_split(lower(text), ' ')) - 2 AS DOUBLE)
+      |ELSE 0.0 END, 6)""".stripMargin
+
+  /** The multi-language CASE argmax, generated from the SAME
+    * TextAnalysis.Profiles table the engine uses (d16 + d19).
+    */
+  private lazy val LangIdCaseSql: String = {
+    def ratio(words: Seq[String]) = {
+      val in = words.map(w => s"'$w'").mkString(",")
+      s"""(CAST(len(list_filter(string_split(lower(text), ' '),
+         |  t -> t IN ($in))) AS DOUBLE)
+         |  / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))""".stripMargin
+    }
+    val rs = graft.functions.TextAnalysis.Profiles.map { case (lang, ws) =>
+      lang -> ratio(ws) }
+    val gmax = s"greatest(${rs.map(_._2).mkString(", ")})"
+    val arms = rs.map { case (lang, r) => s"WHEN $r = $gmax THEN '$lang'" }
+      .mkString(" ")
+    s"CASE WHEN $gmax >= 0.08 THEN (CASE $arms END) ELSE 'und' END"
+  }
 
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
@@ -266,24 +324,8 @@ object PipelineQueries {
            / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) >= 0.08
            THEN 'en' ELSE 'und' END AS lang_pred
          FROM documents""",
-    "d16_lang_id_multi" -> {
-      // generated from the SAME TextAnalysis.Profiles table, so the two
-      // sides cannot drift
-      def ratio(words: Seq[String]) = {
-        val in = words.map(w => s"'$w'").mkString(",")
-        s"""(CAST(len(list_filter(string_split(lower(text), ' '),
-           |  t -> t IN ($in))) AS DOUBLE)
-           |  / CAST(len(string_split(lower(text), ' ')) AS DOUBLE))""".stripMargin
-      }
-      val rs = graft.functions.TextAnalysis.Profiles.map { case (lang, ws) =>
-        lang -> ratio(ws) }
-      val gmax = s"greatest(${rs.map(_._2).mkString(", ")})"
-      val arms = rs.map { case (lang, r) => s"WHEN $r = $gmax THEN '$lang'" }
-        .mkString(" ")
-      s"""SELECT doc_id,
-         CASE WHEN $gmax >= 0.08 THEN (CASE $arms END) ELSE 'und' END AS lang_pred
-         FROM documents"""
-    },
+    "d16_lang_id_multi" ->
+      s"SELECT doc_id, $LangIdCaseSql AS lang_pred FROM documents",
     "d03_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp_hex,
          CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT) AS fp60
@@ -371,15 +413,29 @@ object PipelineQueries {
          upper(substr(hex(encode(text)), 1, 16)) AS head_hex
          FROM documents""",
     "d17_repetition" ->
-      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         g AS (SELECT doc_id, CASE WHEN len(w) >= 3
-             THEN list_transform(range(0, len(w) - 2),
-               i -> array_to_string(w[i+1:i+3], ' '))
-             ELSE [] END AS grams FROM words)
-         SELECT doc_id, CASE WHEN len(grams) > 0
-           THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
-             / CAST(len(grams) AS DOUBLE), 6)
-           ELSE 0.0 END AS rep_ratio FROM g""",
+      s"SELECT doc_id, $RepetitionSql AS rep_ratio FROM documents",
+    "d19_clean_corpus_v2" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         ex AS (SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY md5(lower(text))) AS exact_canon
+           FROM documents)
+         SELECT ex.doc_id,
+           $LangIdCaseSql AS lang_pred,
+           $QualitySql AS quality,
+           $RepetitionSql AS rep_ratio
+         FROM ex LEFT JOIN cc ON cc.id = ex.doc_id
+         WHERE ex.doc_id = ex.exact_canon
+           AND (cc.cluster IS NULL OR cc.cluster = ex.doc_id)
+           AND $QualitySql >= 0.3
+           AND $RepetitionSql <= 0.05""",
     "d18_vec_dup_lsh" ->
       """WITH planes AS (SELECT p, d,
            (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v

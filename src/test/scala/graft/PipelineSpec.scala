@@ -67,6 +67,7 @@ class RepetitionSpec extends SparkSpec {
       (3L, "hi there"))                // < 3 words -> 0.0
       .toDF("doc_id", "text")
     val got = TextAnalysis.repetitionRatio(df, "doc_id", "text")
+      .select("doc_id", "rep_ratio")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got(1L) === 0.571429)
     assert(got(2L) === 0.0)
