@@ -81,18 +81,25 @@ object TextAnalysis {
 
   /** Table-driven multi-language ID: ratio per profile, argmax, first
     * profile in table order wins ties, 'und' when no profile clears the
-    * floor. Pure codegen'd expressions — one projection, no shuffle, no
-    * UDF — and a closed form any SQL oracle can replay as a CASE argmax.
+    * floor. One projection, no shuffle, no UDF — and a closed form any SQL
+    * oracle can replay as a CASE argmax.
+    *
+    * Shape matters: each per-profile ratio is a higher-order `filter`
+    * (interpreted, outside codegen CSE), so a naive greatest+CASE argmax
+    * re-evaluates every ratio in every branch (~3N evaluations — measured
+    * 5× slower end-to-end in the d19 pipeline). Here each ratio appears
+    * exactly once, inside an `array_max` over (ratio, priority, lang)
+    * structs; the lexicographic struct order makes ties fall to the
+    * earlier profile via the descending priority field.
     */
   def langId(text: Column, profiles: Seq[(String, Seq[String])] = Profiles,
              floor: Double = 0.08): Column = {
-    val ratios = profiles.map { case (lang, words) =>
-      (lang, stopwordRatio(text, words)) }
-    val best = ratios.map(_._2).reduce(greatest(_, _))
-    val pick = ratios.foldRight(lit("und")) { case ((lang, r), acc) =>
-      when(r === best, lit(lang)).otherwise(acc)
-    }
-    when(best >= floor, pick).otherwise(lit("und"))
+    val n = profiles.size
+    val best = array_max(array(profiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(stopwordRatio(text, words).as("r"),
+        lit(n - i).as("pri"), lit(lang).as("lang"))
+    }: _*))
+    when(best.getField("r") >= floor, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** 60-bit stable document fingerprint from the normalized text (md5-based
@@ -106,30 +113,27 @@ object TextAnalysis {
 
   /** Within-document n-gram repetition ratio — the corpus-cleaning
     * "repetition" signal (templated/spammy text repeats its own n-grams):
-    * 1 − |distinct n-grams| / |n-grams|, 0.0 for docs shorter than n words.
-    * Map-only; the word array is staged as an attribute before the gram
-    * lambda (HOF lambdas re-evaluate captured expressions per element).
-    * Returns (idCol, rep_ratio).
+    * 1 − |distinct n-grams|/|n-grams|, 0.0 for docs shorter than n words.
+    * Map-only, and deliberately LAMBDA-FREE: grams are `arrays_zip` of n
+    * shifted slices (struct equality — words cannot contain the space
+    * delimiter, so this counts exactly like joined strings). A
+    * transform-lambda formulation re-evaluates its captured word array per
+    * element once predicate pushdown inlines the staged split — O(len²)
+    * per doc, measured 5× slower end-to-end (see [[langId]] for the same
+    * trap on the argmax side). Returns df + `rep_ratio`.
     */
   def repetitionRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
     val words = col("__words")
-    val grams = col("__grams")
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until n).map(o => element_at(words, i + o + 1)): _*)
-    // withColumn chain (not a narrowing select) so callers can compose the
-    // ratio with their other columns in the same map-only projection
+    val total = size(words) - (n - 1)
+    val grams = arrays_zip((0 until n).map(o => slice(words, lit(o + 1), total)): _*)
     df.withColumn("__words", split(lower(col(textCol)), " "))
-      .withColumn("__grams",
-        when(size(words) >= n,
-          transform(sequence(lit(0), size(words) - n), gram))
-          .otherwise(array().cast("array<string>")))
       .withColumn("rep_ratio",
-        when(size(grams) > 0,
+        when(size(words) >= n,
           round(lit(1.0) -
-            size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6))
+            size(array_distinct(grams)).cast("double") / total.cast("double"), 6))
           .otherwise(lit(0.0)))
-      .drop("__words", "__grams")
+      .drop("__words")
   }
 
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
