@@ -146,6 +146,12 @@ object TextAnalysis {
     * lambdas are interpreted — never recompute the split inside), windows
     * are `slice`+`array_min`. Docs shorter than n words emit none.
     * Returns (idCol, fps: array&lt;long&gt;).
+    *
+    * Pushdown hazard (see [[repetitionRatio]]): a downstream FILTER on a
+    * column derived from `fps` would re-inline the staged `__hseq` into the
+    * window lambda, re-evaluating the whole hash sequence per window
+    * position. Gate on materialized output (or a separate cheap column)
+    * instead of filtering through this projection.
     */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
                          textCol: String, n: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {

@@ -38,7 +38,7 @@ object VectorIVF {
     // carries ~N rows — a row_number window here would exchange+sort the
     // full N×K instead. Cosine ties break to the smallest cell id
     // (numeric cell ids, as in any IVF index).
-    val payload = n.columns.map(col) :+ col("__cell")
+    val payload = n.columns.toIndexedSeq.map(col) :+ col("__cell")
     n.crossJoin(c)
       .withColumn("__cos", nd(col("__nv"), col("__ncv")))
       .groupBy(col(idCol).as("__id"))

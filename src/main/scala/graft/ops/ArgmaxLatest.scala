@@ -22,7 +22,7 @@ object ArgmaxLatest {
     * struct ordering — pass `struct(primary, tiebreak)` for determinism).
     */
   def latestRows(df: DataFrame, keys: Seq[String], ord: Column): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("__latest"))
       .select(col("__latest.*"))

@@ -49,7 +49,7 @@ object Backup {
       Seq("uevol_field_id"),
       col("instance_message_id"))
 
-    older.select(instanceField.columns.map(col): _*)
+    older.select(instanceField.columns.toIndexedSeq.map(col): _*)
       .unionByName(recent)
   }
 }
