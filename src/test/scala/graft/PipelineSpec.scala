@@ -345,6 +345,18 @@ class VectorIVFSpec extends SparkSpec {
     assert(got.forall(_ < 10)) // nprobe=1: only the x-cluster cell searched
   }
 
+  test("assign plan: candidates collapse map-side (partial agg), no window") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1f, 0f)), (1, Array(0f, 1f))).toDF("cell_id", "cvec")
+    val plan = VectorIVF.assign(df, "vec_id", "embedding", cents, "cell_id", "cvec")
+      .queryExecution.executedPlan.toString
+    // the scale contract: the N×K candidate rows must reduce BEFORE any
+    // exchange (partial max_by), and never via a row_number window
+    assert(plan.contains("partial_max_by"))
+    assert(!plan.contains("Window"))
+  }
+
   test("assign puts every vector in its nearest centroid cell") {
     import spark.implicits._
     val ax = Array(1f, 0f); val ay = Array(0f, 1f)

@@ -28,6 +28,29 @@ class ReconstructPropertySpec extends SparkSpec {
         f -> (best._3, best._2)
       }
 
+    /** Expected PARITY-mode reconstruction between snapshots at s and e:
+      * a key whose state is identical in both snapshots keeps the snapshot
+      * value (the log is skipped — the reference's shortcut); everything
+      * else follows the same update ≫ snap_min ≫ -1 lattice.
+      */
+    def parityExpected(target: Long, s: Long, e: Long): Map[(Int, String), (Double, Long)] = {
+      val snapS = replayState(s)
+      val snapE = replayState(e)
+      val inEpoch = updates
+        .filter(u => u._2 >= s && u._2 <= target)
+        .groupBy(_._1).map { case (f, us) => val b = us.maxBy(_._2); f -> (b._3.toDouble, b._2) }
+      Fields.map { f =>
+        val same = snapS.contains(f) && snapE.contains(f) &&
+          snapS(f)._1 == snapE(f)._1
+        val v =
+          if (same) (snapS(f)._1.toDouble, s)
+          else inEpoch.get(f)
+            .orElse(snapS.get(f).map { case (value, _) => (value.toDouble, s) })
+            .getOrElse((-1.0, -1L))
+        (f, "000") -> v
+      }.toMap
+    }
+
     /** Expected reconstruction at `target`: update-in-epoch ≫ snapshot ≫ -1. */
     def expected(target: Long): Map[(Int, String), (Double, Long)] = {
       val snapStart = SnapStarts.filter(_ <= target).max
@@ -72,6 +95,30 @@ class ReconstructPropertySpec extends SparkSpec {
       }.toDF()
     }
     (instanceField, instanceMessage, uevolField, catalog, snapLoader)
+  }
+
+  test("snapshot-diff parity equals the shortcut model on random logs (seeded)") {
+    import spark.implicits._
+    val (s, e) = (50L, 150L)
+    for (seed <- 1L to 6L) {
+      val log = genLog(seed)
+      val (fi, im, uf, _, _) = dfs(log)
+      val cat = Seq(SnapshotRef(s"snap_$s", s), SnapshotRef(s"snap_$e", e)).toDF()
+      val loader = (name: String) => {
+        val start = name.stripPrefix("snap_").toLong
+        log.replayState(start).toSeq.map { case (f, (v, _)) =>
+          SnapshotRow(f, Src, Dst, start, s"""{"000":$v}""")
+        }.toDF()
+      }
+      for (target <- Seq(60L, 97L, 149L)) {
+        val got = MessageReconstruct.getMessageSnapshotDiff(fi, im, uf, Some(cat), loader, target)
+          .collect().map { r =>
+            (r.getAs[Int]("uevol_field_id"), r.getAs[String]("relative_path")) ->
+              (r.getAs[Double]("value"), r.getAs[Long]("instance_message_id"))
+          }.toMap
+        assert(got === log.parityExpected(target, s, e), s"seed=$seed target=$target")
+      }
+    }
   }
 
   test("reconstruction equals replay on random logs and targets (seeded)") {
