@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rendering of per-path state rows back into the reference's nested
+  * `json_value` — the exact inverse of [[JsonExplode.flatten]], for
+  * producing snapshots (`SQL/GetMessage.sql:96-101` consumes this shape;
+  * the reference's own dumper writes it out-of-band).
+  *
+  * Path depth decides nesting, mirroring the flatten lattice: 1–2 segment
+  * paths ("000", "000.001") are top-level scalar entries; ≥3 segment paths
+  * nest under their 2-segment parent as an inner object whose keys are the
+  * FULL leaf paths. Fragments are sorted by path so the rendered text is
+  * deterministic. All string building is lambda-free except `transform`
+  * over already-aggregated fragment arrays (element-only references —
+  * pushdown-safe).
+  */
+object SnapshotJson {
+
+  /** (keep..., relative_path, value) rows → (keep..., json_value), one row
+    * per distinct `keep` tuple. Two partial-agg shuffles (parent grouping,
+    * key grouping), both keyed well below the input cardinality.
+    */
+  def render(rows: DataFrame, keep: Seq[String]): DataFrame = {
+    val keepCols = keep.map(col)
+    val depth = size(split(col("relative_path"), "\\."))
+    val frag = concat(lit("\""), col("relative_path"), lit("\":"),
+      col("value").cast("string"))
+
+    val top = rows.where(depth <= 2)
+      .select(keepCols :+ col("relative_path").as("k") :+ frag.as("frag"): _*)
+
+    val deep = rows.where(depth >= 3)
+      .withColumn("__parent", expr("substring_index(relative_path, '.', 2)"))
+      .groupBy(keepCols :+ col("__parent"): _*)
+      .agg(sort_array(collect_list(struct(
+        col("relative_path").as("p"), frag.as("f")))).as("fs"))
+      .select(keepCols :+ col("__parent").as("k") :+
+        concat(lit("\""), col("__parent"), lit("\":{"),
+          concat_ws(",", transform(col("fs"), x => x.getField("f"))),
+          lit("}")).as("frag"): _*)
+
+    top.unionByName(deep)
+      .groupBy(keepCols: _*)
+      .agg(sort_array(collect_list(struct(col("k"), col("frag")))).as("fs"))
+      .select(keepCols :+ concat(lit("{"),
+        concat_ws(",", transform(col("fs"), x => x.getField("frag"))),
+        lit("}")).as("json_value"): _*)
+  }
+}

@@ -346,6 +346,23 @@ object EventQueries {
           col("src_id"), round(col("new_value"), 4).as("value"))
     },
 
+    // The snapshot WRITE side END TO END: SnapshotDump.dump renders the
+    // per-path argmax state at S into the reference's nested json_value
+    // rows, and flatten(dump) must round-trip to exactly that state — the
+    // oracle recomputes the state directly, so the dump+flatten inverse
+    // pair is verified without trusting either side's JSON.
+    "q33_snapshot_dump" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val (snapAt, _) = windowBounds(e)
+      val fm = fieldMapDF(s)
+      val dumped = graft.queries.SnapshotDump.dump(
+        asInstanceFieldNested(e.where(col("user_id").isin(7, 9)), fm), snapAt)
+      graft.ops.JsonExplode.flatten(dumped, "json_value",
+          Seq("uevol_field_id", "src_id", "dst_id"))
+        .select(col("uevol_field_id"), col("src_id"), col("relative_path"),
+          round(col("value"), 4).as("value"))
+    },
+
     // The replay-mode surface END TO END (GetMessage.sql:17-23,
     // DataLoader.java:57,143,225-226): the mode picks the *_replay fact
     // table (here a deterministic even-event_id subset) and the catalog's
@@ -604,6 +621,24 @@ object EventQueries {
          CROSS JOIN bounds b
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
+    },
+    "q33_snapshot_dump" -> {
+      val fmVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH bounds AS (SELECT max(event_id) // 2 AS s FROM events),
+         fm(fid, et) AS (VALUES $fmVals),
+         ev2 AS (SELECT fm.fid, CAST(e.user_id AS INT) AS src, e.value, e.event_id,
+             CASE WHEN e.event_id % 3 = 0 THEN '000.001.001' ELSE '000' END AS rp
+           FROM events e JOIN fm ON e.event_type = fm.et
+           WHERE e.user_id IN (7, 9)),
+         latest AS (SELECT fid, src, rp, value FROM (
+           SELECT v.fid, v.src, v.rp, v.value,
+             row_number() OVER (PARTITION BY v.fid, v.src, v.rp
+               ORDER BY v.event_id DESC) AS rn
+           FROM ev2 v CROSS JOIN bounds b WHERE v.event_id <= b.s) WHERE rn = 1)
+         SELECT fid AS uevol_field_id, src AS src_id, rp AS relative_path,
+           round(value, 4) AS value
+         FROM latest"""
     },
     "q32_replay_mode" -> {
       val fmVals = EventTypes.zipWithIndex

@@ -253,6 +253,46 @@ class UpdateHistorySpec extends SparkSpec {
   }
 }
 
+class SnapshotDumpSpec extends SparkSpec {
+
+  test("dump -> flatten round-trips the state at the instant, all depths") {
+    import spark.implicits._
+    // scalar, dotted degree-1, and deep degree-2 paths; later updates win
+    val log = Seq(
+      (1, 1, 10L, 7, 0, "000", 1.5),
+      (1, 1, 20L, 7, 0, "000", 2.5),            // supersedes 1.5
+      (1, 1, 15L, 7, 0, "000.001.001", 3.0),
+      (1, 1, 16L, 7, 0, "000.001.002", 4.0),
+      (2, 1, 12L, 7, 0, "000.002", 5.0),
+      (2, 1, 30L, 7, 0, "000.002", 9.0),        // beyond the dump instant
+      (1, 1, 14L, 9, 0, "000", 6.0))
+      .toDF("uevol_field_id", "uevol_message_id", "instance_message_id",
+        "src_id", "dst_id", "relative_path", "new_value")
+    val dumped = SnapshotDump.dump(log, at = 25L)
+    assert(dumped.select("instance_message_id").distinct().head().getLong(0) === 25L)
+    val back = graft.ops.JsonExplode.flatten(dumped, "json_value",
+      Seq("uevol_field_id", "src_id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    assert(back === Map(
+      (1, 7, "000") -> 2.5,
+      (1, 7, "000.001.001") -> 3.0,
+      (1, 7, "000.001.002") -> 4.0,
+      (2, 7, "000.002") -> 5.0,
+      (1, 9, "000") -> 6.0))
+  }
+
+  test("rendered json nests deep leaves under the 2-segment parent, sorted") {
+    import spark.implicits._
+    val rows = Seq((1, "000", 1.0), (1, "000.001.002", 3.0), (1, "000.001.001", 2.0))
+      .toDF("uevol_field_id", "relative_path", "value")
+    val js = graft.ops.SnapshotJson.render(rows, Seq("uevol_field_id"))
+      .head().getAs[String]("json_value")
+    assert(js ===
+      """{"000":1.0,"000.001":{"000.001.001":2.0,"000.001.002":3.0}}""")
+  }
+}
+
 class BackupSpec extends SparkSpec {
 
   test("compaction = latest-per-unchanged-field union recent deltas") {
