@@ -363,6 +363,26 @@ object EventQueries {
           round(col("value"), 4).as("value"))
     },
 
+    // The full produce -> consume loop: getMessage reconstructs against a
+    // snapshot the ENGINE ITSELF dumped (SnapshotDump at S), not a
+    // synthesized one — epoch updates shadow the dumped state per path,
+    // paths last-updated before S keep the snapshot instant, untouched
+    // fields fall to the -1 sentinel.
+    "q34_dump_reconstruct" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val (snapAt, target) = windowBounds(e)
+      val fm = fieldMapDF(s)
+      val fact = asInstanceFieldNested(e, fm)
+      val instanceMessage = Seq((target, 1, 7, 0))
+        .toDF("id", "uevol_message_id", "src_id", "dst_id")
+      val catalog = Seq(("snap_s", snapAt)).toDF("name", "start_instance_message_id")
+      graft.queries.MessageReconstruct.getMessage(
+          fact, instanceMessage, asUevolField(s), Some(catalog),
+          _ => graft.queries.SnapshotDump.dump(fact, snapAt), target)
+        .withColumn("value", round(col("value"), 4))
+    },
+
     // The replay-mode surface END TO END (GetMessage.sql:17-23,
     // DataLoader.java:57,143,225-226): the mode picks the *_replay fact
     // table (here a deterministic even-event_id subset) and the catalog's
@@ -621,6 +641,42 @@ object EventQueries {
          CROSS JOIN bounds b
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
+    },
+    "q34_dump_reconstruct" -> {
+      val fieldVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH bounds AS (SELECT max(event_id) // 2 AS s, 3 * max(event_id) // 4 AS t
+           FROM events),
+         f(fid, et) AS (VALUES $fieldVals),
+         ev7 AS (SELECT f.fid, e.value, e.event_id,
+             CASE WHEN e.event_id % 3 = 0 THEN '000.001.001' ELSE '000' END AS rp
+           FROM events e JOIN f ON e.event_type = f.et WHERE e.user_id = 7),
+         upd AS (SELECT fid, rp, value, event_id FROM (
+           SELECT v.fid, v.rp, v.value, v.event_id,
+             row_number() OVER (PARTITION BY v.fid, v.rp
+               ORDER BY v.event_id DESC) AS rn
+           FROM ev7 v CROSS JOIN bounds b
+           WHERE v.event_id BETWEEN b.s AND b.t) WHERE rn = 1),
+         snap AS (SELECT fid, rp, value FROM (
+           SELECT v.fid, v.rp, v.value,
+             row_number() OVER (PARTITION BY v.fid, v.rp
+               ORDER BY v.event_id DESC) AS rn
+           FROM ev7 v CROSS JOIN bounds b WHERE v.event_id <= b.s) WHERE rn = 1),
+         vals AS (
+           SELECT fid, rp, value, event_id AS imid FROM upd
+           UNION ALL
+           SELECT sn.fid, sn.rp, sn.value, b.s FROM snap sn CROSS JOIN bounds b
+           WHERE NOT EXISTS (SELECT 1 FROM upd u
+             WHERE u.fid = sn.fid AND u.rp = sn.rp)),
+         allrows AS (
+           SELECT fid, rp, value, imid FROM vals
+           UNION ALL
+           SELECT f.fid, '000', -1.0, -1 FROM f
+           WHERE NOT EXISTS (SELECT 1 FROM vals v WHERE v.fid = f.fid))
+         SELECT a.fid AS uevol_field_id, 7 AS src_id, 0 AS dst_id, f.et AS name,
+           CAST(a.imid AS BIGINT) AS instance_message_id, a.rp AS relative_path,
+           0 AS type, round(a.value, 4) AS value
+         FROM allrows a JOIN f ON f.fid = a.fid"""
     },
     "q33_snapshot_dump" -> {
       val fmVals = EventTypes.zipWithIndex
