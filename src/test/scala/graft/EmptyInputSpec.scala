@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Backup, MessageReconstruct, SnapshotDump, UpdateHistory}
+import graft.functions.{MinHashLSH, VectorLSH}
+
+/** Totality on empty inputs: every query family must return a well-formed
+  * (possibly empty) result on an empty log/corpus — never throw. Empty
+  * partitions are routine at 100 TB (a pruned-out day, a new deployment's
+  * empty table); a driver-side head()/first() on nothing must not NPE.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyLog = Fixtures.instanceField(spark).limit(0)
+
+  test("getMessage on an empty log + empty snapshots = all sentinels") {
+    import spark.implicits._
+    val emptySnaps = (_: String) =>
+      Fixtures.snapshots(spark)("snap_0").limit(0)
+    val got = MessageReconstruct.getMessage(
+      emptyLog, Fixtures.instanceMessage(spark), Fixtures.uevolField(spark),
+      Some(Fixtures.snapshotCatalog(spark)), emptySnaps, 150L)
+      .collect()
+    assert(got.length === 6) // one -1 sentinel row per catalog field
+    assert(got.forall(_.getAs[Double]("value") === -1.0))
+  }
+
+  test("snapshot-diff parity on an empty log + empty snapshots = sentinels") {
+    val emptySnaps = (_: String) =>
+      Fixtures.snapshots(spark)("snap_0").limit(0)
+    val got = MessageReconstruct.getMessageSnapshotDiff(
+      emptyLog, Fixtures.instanceMessage(spark), Fixtures.uevolField(spark),
+      Some(Fixtures.snapshotCatalog(spark)), emptySnaps, 50L)
+      .collect()
+    assert(got.length === 6)
+    assert(got.forall(_.getAs[Double]("value") === -1.0))
+  }
+
+  test("updateHistory wide + long on an empty window = the seed row only") {
+    import spark.implicits._
+    val args = Seq((1, 10, 20, "")).toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    val start = Seq((1, 10, 20, 5.0)).toDF("uevol_field_id", "src_id", "dst_id", "value")
+    val wide = UpdateHistory.updateHistory(emptyLog, args, start, 100L, 150L).collect()
+    assert(wide.length === 1 && wide.head.getAs[Long]("id1_src10_dst20") === 5L)
+    val long = UpdateHistory.updateHistoryLong(emptyLog, args, start, 100L, 150L).collect()
+    assert(long.length === 1 && long.head.getAs[Long]("value") === 5L)
+  }
+
+  test("updateHistory with an empty argument set = empty result") {
+    import spark.implicits._
+    val noArgs = Seq.empty[(Int, Int, Int, String)]
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    val noStart = Seq.empty[(Int, Int, Int, Double)]
+      .toDF("uevol_field_id", "src_id", "dst_id", "value")
+    assert(UpdateHistory.updateHistoryLong(
+      Fixtures.instanceField(spark), noArgs, noStart, 100L, 150L).count() === 0)
+  }
+
+  test("compact and dump of an empty log are empty") {
+    assert(Backup.compact(emptyLog, Fixtures.instanceMessage(spark),
+      Fixtures.uevolField(spark), 112000L).count() === 0)
+    assert(SnapshotDump.dump(emptyLog, 100L).count() === 0)
+  }
+
+  test("dedup and ANN operators are total on an empty corpus") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(MinHashLSH.nearDupPairs(noDocs, "doc_id", "text").count() === 0)
+    assert(MinHashLSH.clusters(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(VectorLSH.annTopK(noVecs, noVecs, "vec_id", "embedding", 5).count() === 0)
+    assert(VectorLSH.nearDupPairs(noVecs, "vec_id", "embedding", 0.5).count() === 0)
+  }
+}
