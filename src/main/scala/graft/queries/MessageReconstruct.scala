@@ -165,7 +165,16 @@ object MessageReconstruct {
           .join(broadcast(fieldIds), Seq("uevol_field_id"), "left_semi")
           .select((Key :+ "instance_message_id" :+ "json_value").map(col): _*)
 
-        val (same, _) = ChangeSplit.split(loadSnap(lo.name), loadSnap(hi.name))
+        // Persist the two snapshot-side frames: both feed ≥2 downstream
+        // branches (split + fallback; values + keys + covered), each of
+        // which would otherwise replay the whole snapshot load — the S4
+        // rule, and the Spark analog of the temp tables the reference
+        // materializes at exactly this step (GetMessage.sql:96-176).
+        // Snapshot rows are state-sized (catalog × keys), not log-sized.
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val sMin = loadSnap(lo.name).persist(disk)
+        val (same0, _) = ChangeSplit.split(sMin, loadSnap(hi.name))
+        val same = same0.persist(disk)
         val sameKeys = same.select(Key.map(col): _*)
 
         // Unchanged keys keep the snapshot state verbatim (log skipped).
@@ -192,7 +201,7 @@ object MessageReconstruct {
 
         // Changed keys with no epoch update at a path fall back to snap_min.
         val snapValues = JsonExplode.flatten(
-          loadSnap(lo.name).join(broadcast(sameKeys), Key, "left_anti"),
+          sMin.join(broadcast(sameKeys), Key, "left_anti"),
           "json_value", Key :+ "instance_message_id")
           .join(latest.select((Key :+ "relative_path").map(col): _*),
             Key :+ "relative_path", "left_anti")
