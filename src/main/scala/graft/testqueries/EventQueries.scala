@@ -363,6 +363,21 @@ object EventQueries {
           round(col("value"), 4).as("value"))
     },
 
+    // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
+    // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
+    // prior click value per user — tag + union + one keyed window, never a
+    // range cross join. -1 where no click precedes the purchase.
+    "q35_asof_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val left = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val right = e.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.ops.AsOfJoin.asOf(left, right, Seq("user_id"), "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          round(coalesce(col("click_value"), lit(-1.0)), 4).as("click_value"))
+    },
+
     // The full produce -> consume loop: getMessage reconstructs against a
     // snapshot the ENGINE ITSELF dumped (SnapshotDump at S), not a
     // synthesized one — epoch updates shadow the dumped state per path,
@@ -642,6 +657,14 @@ object EventQueries {
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
     },
+    "q35_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events
+           WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT l.event_id, l.user_id,
+           round(coalesce(r.cv, -1.0), 4) AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "q34_dump_reconstruct" -> {
       val fieldVals = EventTypes.zipWithIndex
         .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")

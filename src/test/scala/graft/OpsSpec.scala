@@ -121,6 +121,31 @@ class ArgsTableSpec extends SparkSpec {
   }
 }
 
+class AsOfJoinSpec extends SparkSpec {
+
+  test("each left row gets the latest right value at-or-before its time") {
+    import spark.implicits._
+    val left = Seq((1L, "k1", 10L), (2L, "k1", 25L), (3L, "k1", 5L), (4L, "k2", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("k1", 10L, 100.0), ("k1", 20L, 200.0), ("k2", 60L, 300.0))
+      .toDF("k", "t", "v")
+    val got = graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "t", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("v"))).toMap
+    assert(got(1L) === Some(100.0)) // inclusive: right at t=10 matches left t=10
+    assert(got(2L) === Some(200.0)) // latest ≤ 25
+    assert(got(3L) === None)        // nothing at or before t=5
+    assert(got(4L) === None)        // k2's only right row is after t=50
+  }
+
+  test("valueCols colliding with left columns are rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "k", 1L, 9.0)).toDF("id", "k", "t", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.asOf(df, df, Seq("k"), "t", Seq("v"))
+    }
+  }
+}
+
 class TableLoaderSpec extends SparkSpec {
 
   test("replay mode picks the *_replay pair; online the base pair") {
