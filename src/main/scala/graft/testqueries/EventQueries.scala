@@ -378,6 +378,20 @@ object EventQueries {
           round(coalesce(col("click_value"), lit(-1.0)), 4).as("click_value"))
     },
 
+    // The bucketed range join (ops/RangeJoin): each user's first-2000-ids
+    // interval joined to its events via the (key, bin) equijoin + exact
+    // containment — never a BroadcastNestedLoop over intervals × points.
+    "q36_range_join" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val iv = e.groupBy("user_id").agg(min("event_id").as("lo"))
+        .withColumn("hi", col("lo") + lit(2000L))
+      graft.ops.RangeJoin.intervalPoint(iv,
+          e.select("user_id", "event_id", "value"),
+          Seq("user_id"), "lo", "hi", "event_id", binWidth = 500L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    },
+
     // The full produce -> consume loop: getMessage reconstructs against a
     // snapshot the ENGINE ITSELF dumped (SnapshotDump at S), not a
     // synthesized one — epoch updates shadow the dumped state per path,
@@ -657,6 +671,13 @@ object EventQueries {
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
     },
+    "q36_range_join" ->
+      """WITH iv AS (SELECT user_id, min(event_id) AS lo,
+           min(event_id) + 2000 AS hi FROM events GROUP BY user_id)
+         SELECT e.user_id, count(*) AS n, round(sum(e.value), 2) AS sum_value
+         FROM events e
+         JOIN iv ON e.user_id = iv.user_id AND e.event_id BETWEEN iv.lo AND iv.hi
+         GROUP BY e.user_id""",
     "q35_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events
            WHERE event_type = 'click' GROUP BY user_id, ts)

@@ -146,6 +146,29 @@ class AsOfJoinSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+
+  test("containment is exact and inclusive across bin boundaries") {
+    import spark.implicits._
+    val iv = Seq(("k1", 10L, 30L), ("k2", 100L, 100L)).toDF("k", "lo", "hi")
+    val pt = Seq(("k1", 9L), ("k1", 10L), ("k1", 25L), ("k1", 30L), ("k1", 31L),
+      ("k2", 100L), ("k2", 101L)).toDF("k", "t")
+    val got = graft.ops.RangeJoin.intervalPoint(iv, pt, Seq("k"), "lo", "hi", "t", 8L)
+      .select("k", "t").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("k1", 10L), ("k1", 25L), ("k1", 30L), ("k2", 100L)))
+  }
+
+  test("plan is an equijoin on (key, bin) — no nested-loop/cartesian") {
+    import spark.implicits._
+    val iv = Seq(("k1", 10L, 30L)).toDF("k", "lo", "hi")
+    val pt = Seq(("k1", 9L)).toDF("k", "t")
+    val plan = graft.ops.RangeJoin.intervalPoint(iv, pt, Seq("k"), "lo", "hi", "t", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
+
 class TableLoaderSpec extends SparkSpec {
 
   test("replay mode picks the *_replay pair; online the base pair") {
