@@ -204,14 +204,16 @@ object Multimodal {
     */
   def frameSampleCount(nFrames: Column, stride: Int): Column =
     when(nFrames > 0, intDiv(nFrames + (stride - 1), lit(stride)))
-      .otherwise(lit(0)).cast("long")
+      .when(nFrames.isNotNull, lit(0)) // 0 or negative frames: 0 sampled
+      .cast("long")                    // NULL (unknown count) stays NULL
 
   /** Sampled frame indices [0, stride, 2·stride, …) as an array column;
-    * empty for 0 frames (an unguarded `sequence(0, -1, +stride)` throws).
+    * empty for 0 frames (an unguarded `sequence(0, -1, +stride)` throws);
+    * NULL for an unknown frame count — not conflated with a 0-frame blob.
     */
   def frameSampleIndices(nFrames: Column, stride: Int): Column =
     when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(stride)))
-      .otherwise(array().cast("array<int>"))
+      .when(nFrames.isNotNull, array().cast("array<int>"))
 
   /** Exact positive integer division. `floor(a / b)` is safe here: the true
     * quotient is a rational with denominator b < 2^31, so it sits ≥ 1/b away

@@ -30,7 +30,10 @@ object AsOfJoin {
     require(collide.isEmpty, s"valueCols collide with left columns: $collide")
 
     val l = left.withColumn("__is_left", lit(1))
+    // a right row with no time can never satisfy "latest ≤ t" — dropping it
+    // here keeps it from sorting nulls-first and bleeding into every match
     val r = right
+      .where(col(timeCol).isNotNull)
       .select(((keys :+ timeCol) ++ valueCols).map(col): _*)
       .withColumn("__is_left", lit(0))
     // a right row at the SAME instant sorts before the left row → inclusive ≤

@@ -19,13 +19,18 @@ object ChangeSplit {
 
   /** (same, diffKeys): `same` keeps the snapshot row (key + json_value +
     * min snapshot's instance_message_id); `diffKeys` is just the changed key
-    * set.
+    * set. Sides are counted DISTINCT, so duplicate rows within one snapshot
+    * (a retried dump write, overlapping partitions) cannot fake a
+    * both-sides match — "same" strictly means the (key, json) pair appears
+    * in both snapshots.
     */
   def split(snapMin: DataFrame, snapMax: DataFrame): (DataFrame, DataFrame) = {
-    val conc = snapMin.unionByName(snapMax)
+    val conc = snapMin.withColumn("__side", lit(0))
+      .unionByName(snapMax.withColumn("__side", lit(1)))
     val counted = conc
       .groupBy((Key :+ "json_value").map(col): _*)
-      .agg(count(lit(1)).as("n"), min("instance_message_id").as("instance_message_id"))
+      .agg(countDistinct("__side").as("n"),
+        min("instance_message_id").as("instance_message_id"))
     val same = counted.where(col("n") > 1)
       .select((Key :+ "json_value" :+ "instance_message_id").map(col): _*)
     val diffKeys = counted.where(col("n") === 1)

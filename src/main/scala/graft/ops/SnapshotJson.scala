@@ -15,8 +15,30 @@ import org.apache.spark.sql.functions._
   * deterministic. All string building is lambda-free except `transform`
   * over already-aggregated fragment arrays (element-only references —
   * pushdown-safe).
+  *
+  * Precondition (the reference's own schema invariant): a path is either a
+  * leaf or a parent, never both — a key carrying BOTH a depth-2 scalar row
+  * ("000.001") and deeper rows under it ("000.001.001") has no JSON
+  * representation. [[render]] then emits a duplicate top-level key, which
+  * `JsonExplode.flatten` rejects loudly (Spark's default map-key dedup
+  * policy is EXCEPTION), so the round-trip fails rather than silently
+  * dropping state. Probe with [[conflicts]] when the input is untrusted.
   */
 object SnapshotJson {
+
+  /** Rows whose 2-segment path is both a scalar entry and a deep parent —
+    * the inputs [[render]] cannot represent. Empty ⟺ render is safe.
+    */
+  def conflicts(rows: DataFrame, keep: Seq[String]): DataFrame = {
+    val keepCols = keep.map(col)
+    val depth = size(split(col("relative_path"), "\\."))
+    val scalars = rows.where(depth === 2)
+      .select(keepCols :+ col("relative_path").as("p"): _*)
+    val parents = rows.where(depth >= 3)
+      .select(keepCols :+ expr("substring_index(relative_path, '.', 2)").as("p"): _*)
+      .distinct()
+    scalars.join(parents, keep :+ "p")
+  }
 
   /** (keep..., relative_path, value) rows → (keep..., json_value), one row
     * per distinct `keep` tuple. Two partial-agg shuffles (parent grouping,

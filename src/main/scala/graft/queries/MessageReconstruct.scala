@@ -52,76 +52,37 @@ object MessageReconstruct {
     val spark = instanceField.sparkSession
     import spark.implicits._
 
-    // 1. Resolve the target instance row (GetMessage.sql:25-38). Unknown id
-    //    => empty result (the reference's NULL branch, :992-996).
-    val hdr = instanceMessage.where(col("id") === target)
-      .select("uevol_message_id", "src_id", "dst_id").limit(1).collect()
-    if (hdr.isEmpty) return emptyResult(uevolField)
-    val (msgId, srcId, dstId) =
-      (hdr(0).getInt(0), hdr(0).getInt(1), hdr(0).getInt(2))
+    resolveHeader(instanceMessage, target) match {
+      case None => emptyResult(uevolField) // unknown id: the NULL branch (:992-996)
+      case Some((msgId, srcId, dstId)) =>
+        val messageFields = fieldsOf(uevolField, msgId, srcId, dstId)
 
-    // 2. The message's field list with constant src/dst (GetMessage.sql:42-54).
-    val messageFields = uevolField
-      .where(col("uevol_message_id") === msgId)
-      .select(col("id").as("uevol_field_id"), col("name"), col("type"),
-        lit(srcId).as("src_id"), lit(dstId).as("dst_id"))
+        // Bracket snapshots; snap_min bounds the delta scan (GetMessage.sql:63-92).
+        val bracket = snapshotCatalog.map(SnapshotBracket.bracket(_, target))
+        val snapMin = bracket.flatMap(_._1)
+        val sliceLo = snapMin.map(_.start_instance_message_id).getOrElse(Long.MinValue)
 
-    // 3. Bracket snapshots; snap_min bounds the delta scan (GetMessage.sql:63-92).
-    val bracket = snapshotCatalog.map(SnapshotBracket.bracket(_, target))
-    val snapMin = bracket.flatMap(_._1)
-    val sliceLo = snapMin.map(_.start_instance_message_id).getOrElse(Long.MinValue)
+        // Latest update per (field, path) within the epoch — the J6 argmax.
+        val latest = epochLatest(instanceField, msgId, srcId, dstId, sliceLo, target)
 
-    // 4. Latest update per (field, path) within the epoch — the J6 argmax.
-    val latest = ArgmaxLatest.latestRows(
-      instanceField.where(
-        col("uevol_message_id") === msgId && col("src_id") === srcId &&
-          col("dst_id") === dstId &&
-          col("instance_message_id").between(sliceLo, target))
-        // prune to the argmax payload before the shuffle
-        .select((Key :+ "relative_path" :+ "instance_message_id" :+ "new_value").map(col): _*),
-      Key :+ "relative_path",
-      col("instance_message_id"))
-      .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
-        col("relative_path"), col("instance_message_id"),
-        col("new_value").cast("double").as("value"))
+        // Snapshot values for paths not updated within the epoch: explode
+        // the snap_min JSON (dot-safe map explode, GetMessage.sql:282-355)
+        // and anti-join the argmax keys.
+        val snapValues = snapMin match {
+          case Some(ref) =>
+            snapshotRemainder(
+              loadSnapshot(snapshotLoader, ref.name, srcId, dstId, messageFields),
+              latest)
+          case None => spark.emptyDataset[ValueRow].toDF()
+        }
 
-    // 5. Snapshot values for paths not updated within the epoch: explode the
-    //    snap_min JSON (dot-safe map explode, GetMessage.sql:282-355) and
-    //    anti-join the argmax keys.
-    val snapValues = snapMin match {
-      case Some(ref) =>
-        val snapDf = snapshotLoader(ref.name)
-          .where(col("src_id") === srcId && col("dst_id") === dstId)
-          .join(broadcast(messageFields.select("uevol_field_id")),
-            Seq("uevol_field_id"), "left_semi")
-        JsonExplode.flatten(snapDf, "json_value",
-          Key :+ "instance_message_id")
-          .join(latest.select((Key :+ "relative_path").map(col): _*),
-            Key :+ "relative_path", "left_anti")
-          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
-            col("relative_path"), col("instance_message_id"), col("value"))
-      case None => spark.emptyDataset[ValueRow].toDF()
+        val covered = latest.select(Key.map(col): _*)
+          .unionByName(snapValues.select(Key.map(col): _*)).distinct()
+        decorate(
+          latest.unionByName(snapValues)
+            .unionByName(sentinelDefaults(messageFields, covered)),
+          messageFields)
     }
-
-    // 6. Fields with no update and no snapshot value: the -1 sentinel row
-    //    at the scalar path (GetMessage.sql:435,571-590).
-    val covered = latest.select(Key.map(col): _*)
-      .unionByName(snapValues.select(Key.map(col): _*)).distinct()
-    val defaults = messageFields
-      .join(covered, Key, "left_anti")
-      .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
-        lit(Telemetry.ScalarPath).as("relative_path"),
-        lit(Telemetry.NeverUpdatedId).as("instance_message_id"),
-        lit(Telemetry.NeverUpdatedValue).as("value"))
-
-    // 7. Union, decorate with name/type, final sort (GetMessage.sql:595-597).
-    latest.unionByName(snapValues).unionByName(defaults)
-      .join(broadcast(messageFields.select("uevol_field_id", "name", "type")),
-        Seq("uevol_field_id"))
-      .select(col("uevol_field_id"), col("src_id"), col("dst_id"), col("name"),
-        col("instance_message_id"), col("relative_path"), col("type"),
-        col("value"))
-      .orderBy("uevol_field_id", "relative_path")
   }
 
   /** Reference-parity reconstruction using the same/diff snapshot-compare
@@ -135,6 +96,14 @@ object MessageReconstruct {
     * brackets (snap_min == snap_max, `SQL/GetMessage.sql:611-990`) skip
     * change detection, exactly as the reference does — we delegate to
     * [[getMessage]].
+    *
+    * Caching note: the two snapshot-side frames are persisted
+    * (MEMORY_AND_DISK) for the lifetime of the returned plan — state-sized,
+    * read by 2+ branches each, the Spark analog of the temp tables the
+    * reference materializes here (GetMessage.sql:96-176). A long-running
+    * driver issuing many reconstructions should release them
+    * (`spark.catalog.clearCache()` or unpersist via the cache manager)
+    * once results are consumed.
     */
   def getMessageSnapshotDiff(
       instanceField: DataFrame,
@@ -144,91 +113,51 @@ object MessageReconstruct {
       snapshotLoader: String => DataFrame,
       target: Long): DataFrame = {
 
-    val spark = instanceField.sparkSession
+    resolveHeader(instanceMessage, target) match {
+      case None => emptyResult(uevolField)
+      case Some((msgId, srcId, dstId)) =>
+        val bracket = snapshotCatalog.map(SnapshotBracket.bracket(_, target))
+        (bracket.flatMap(_._1), bracket.flatMap(_._2)) match {
+          case (Some(lo), Some(hi)) if lo.name != hi.name =>
+            val messageFields = fieldsOf(uevolField, msgId, srcId, dstId)
 
-    val hdr = instanceMessage.where(col("id") === target)
-      .select("uevol_message_id", "src_id", "dst_id").limit(1).collect()
-    if (hdr.isEmpty) return emptyResult(uevolField)
-    val (msgId, srcId, dstId) =
-      (hdr(0).getInt(0), hdr(0).getInt(1), hdr(0).getInt(2))
+            val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+            val sMin = loadSnapshot(snapshotLoader, lo.name, srcId, dstId, messageFields)
+              .persist(disk)
+            val (same0, _) = ChangeSplit.split(sMin,
+              loadSnapshot(snapshotLoader, hi.name, srcId, dstId, messageFields))
+            val same = same0.persist(disk)
+            val sameKeys = same.select(Key.map(col): _*)
 
-    val bracket = snapshotCatalog.map(SnapshotBracket.bracket(_, target))
-    (bracket.flatMap(_._1), bracket.flatMap(_._2)) match {
-      case (Some(lo), Some(hi)) if lo.name != hi.name =>
-        val messageFields = uevolField
-          .where(col("uevol_message_id") === msgId)
-          .select(col("id").as("uevol_field_id"), col("name"), col("type"),
-            lit(srcId).as("src_id"), lit(dstId).as("dst_id"))
-        val fieldIds = messageFields.select("uevol_field_id")
-        def loadSnap(name: String) = snapshotLoader(name)
-          .where(col("src_id") === srcId && col("dst_id") === dstId)
-          .join(broadcast(fieldIds), Seq("uevol_field_id"), "left_semi")
-          .select((Key :+ "instance_message_id" :+ "json_value").map(col): _*)
+            // Unchanged keys keep the snapshot state verbatim (log skipped).
+            val sameVals = JsonExplode.flatten(same, "json_value",
+              Key :+ "instance_message_id")
+              .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+                col("relative_path"), col("instance_message_id"), col("value"))
 
-        // Persist the two snapshot-side frames: both feed ≥2 downstream
-        // branches (split + fallback; values + keys + covered), each of
-        // which would otherwise replay the whole snapshot load — the S4
-        // rule, and the Spark analog of the temp tables the reference
-        // materializes at exactly this step (GetMessage.sql:96-176).
-        // Snapshot rows are state-sized (catalog × keys), not log-sized.
-        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val sMin = loadSnap(lo.name).persist(disk)
-        val (same0, _) = ChangeSplit.split(sMin, loadSnap(hi.name))
-        val same = same0.persist(disk)
-        val sameKeys = same.select(Key.map(col): _*)
+            // Everything else — changed keys AND keys absent from the
+            // snapshots — consults the epoch slice; the anti-join on the
+            // tiny same-key set is the pre-shuffle scan reduction.
+            val latest = epochLatest(instanceField, msgId, srcId, dstId,
+              lo.start_instance_message_id, target,
+              prune = _.join(broadcast(sameKeys), Key, "left_anti"))
 
-        // Unchanged keys keep the snapshot state verbatim (log skipped).
-        val sameVals = JsonExplode.flatten(same, "json_value",
-          Key :+ "instance_message_id")
-          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
-            col("relative_path"), col("instance_message_id"), col("value"))
+            // Changed keys with no epoch update at a path fall back to snap_min.
+            val snapValues = snapshotRemainder(
+              sMin.join(broadcast(sameKeys), Key, "left_anti"), latest)
 
-        // Everything else — changed keys AND keys absent from the
-        // snapshots — consults the epoch slice; the anti-join on the tiny
-        // same-key set is the pre-shuffle scan reduction.
-        val latest = ArgmaxLatest.latestRows(
-          instanceField.where(
-            col("uevol_message_id") === msgId && col("src_id") === srcId &&
-              col("dst_id") === dstId &&
-              col("instance_message_id").between(lo.start_instance_message_id, target))
-            .join(broadcast(sameKeys), Key, "left_anti")
-            .select((Key :+ "relative_path" :+ "instance_message_id" :+ "new_value").map(col): _*),
-          Key :+ "relative_path",
-          col("instance_message_id"))
-          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
-            col("relative_path"), col("instance_message_id"),
-            col("new_value").cast("double").as("value"))
+            val covered = sameVals.select(Key.map(col): _*)
+              .unionByName(latest.select(Key.map(col): _*))
+              .unionByName(snapValues.select(Key.map(col): _*)).distinct()
+            decorate(
+              sameVals.unionByName(latest).unionByName(snapValues)
+                .unionByName(sentinelDefaults(messageFields, covered)),
+              messageFields)
 
-        // Changed keys with no epoch update at a path fall back to snap_min.
-        val snapValues = JsonExplode.flatten(
-          sMin.join(broadcast(sameKeys), Key, "left_anti"),
-          "json_value", Key :+ "instance_message_id")
-          .join(latest.select((Key :+ "relative_path").map(col): _*),
-            Key :+ "relative_path", "left_anti")
-          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
-            col("relative_path"), col("instance_message_id"), col("value"))
-
-        val covered = sameVals.select(Key.map(col): _*)
-          .unionByName(latest.select(Key.map(col): _*))
-          .unionByName(snapValues.select(Key.map(col): _*)).distinct()
-        val defaults = messageFields
-          .join(covered, Key, "left_anti")
-          .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
-            lit(Telemetry.ScalarPath).as("relative_path"),
-            lit(Telemetry.NeverUpdatedId).as("instance_message_id"),
-            lit(Telemetry.NeverUpdatedValue).as("value"))
-
-        sameVals.unionByName(latest).unionByName(snapValues).unionByName(defaults)
-          .join(broadcast(messageFields.select("uevol_field_id", "name", "type")),
-            Seq("uevol_field_id"))
-          .select(col("uevol_field_id"), col("src_id"), col("dst_id"), col("name"),
-            col("instance_message_id"), col("relative_path"), col("type"),
-            col("value"))
-          .orderBy("uevol_field_id", "relative_path")
-
-      case _ =>
-        getMessage(instanceField, instanceMessage, uevolField,
-          snapshotCatalog, snapshotLoader, target)
+          case _ =>
+            getMessage(instanceField, instanceMessage, uevolField,
+              snapshotCatalog, snapshotLoader, target)
+        }
     }
   }
 
@@ -260,6 +189,86 @@ object MessageReconstruct {
         coalesce(col("new_value"), lit(-1L)).as("value"))
       .orderBy("id")
   }
+
+  // ---- shared steps of both reconstruction modes ----
+
+  /** GetMessage.sql:25-38 header probe: (msgId, srcId, dstId), None for an
+    * unknown target instance.
+    */
+  private def resolveHeader(instanceMessage: DataFrame, target: Long): Option[(Int, Int, Int)] =
+    instanceMessage.where(col("id") === target)
+      .select("uevol_message_id", "src_id", "dst_id").limit(1).collect()
+      .headOption.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+
+  /** GetMessage.sql:42-54: the message's field list with constant src/dst. */
+  private def fieldsOf(uevolField: DataFrame, msgId: Int, srcId: Int, dstId: Int): DataFrame =
+    uevolField
+      .where(col("uevol_message_id") === msgId)
+      .select(col("id").as("uevol_field_id"), col("name"), col("type"),
+        lit(srcId).as("src_id"), lit(dstId).as("dst_id"))
+
+  /** Epoch-bounded per-(key, path) argmax over the pruned fact slice; the
+    * payload is pruned BEFORE the shuffle. `prune` lets the parity mode
+    * drop its quiescent keys pre-shuffle.
+    */
+  private def epochLatest(instanceField: DataFrame, msgId: Int, srcId: Int,
+                          dstId: Int, sliceLo: Long, target: Long,
+                          prune: DataFrame => DataFrame = identity): DataFrame = {
+    val slice = instanceField.where(
+      col("uevol_message_id") === msgId && col("src_id") === srcId &&
+        col("dst_id") === dstId &&
+        col("instance_message_id").between(sliceLo, target))
+    ArgmaxLatest.latestRows(
+      prune(slice)
+        .select((Key :+ "relative_path" :+ "instance_message_id" :+ "new_value").map(col): _*),
+      Key :+ "relative_path",
+      col("instance_message_id"))
+      .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+        col("relative_path"), col("instance_message_id"),
+        col("new_value").cast("double").as("value"))
+  }
+
+  /** Snapshot rows for this message: src/dst slice + field-list semi-join. */
+  private def loadSnapshot(snapshotLoader: String => DataFrame, name: String,
+                           srcId: Int, dstId: Int, messageFields: DataFrame): DataFrame =
+    snapshotLoader(name)
+      .where(col("src_id") === srcId && col("dst_id") === dstId)
+      .join(broadcast(messageFields.select("uevol_field_id")),
+        Seq("uevol_field_id"), "left_semi")
+      .select((Key :+ "instance_message_id" :+ "json_value").map(col): _*)
+
+  /** Snapshot paths NOT shadowed by an epoch update: flatten + anti-join
+    * (GetMessage.sql:282-355 explode, :571-590 fallback).
+    */
+  private def snapshotRemainder(snapRows: DataFrame, latest: DataFrame): DataFrame =
+    JsonExplode.flatten(snapRows, "json_value", Key :+ "instance_message_id")
+      .join(latest.select((Key :+ "relative_path").map(col): _*),
+        Key :+ "relative_path", "left_anti")
+      .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+        col("relative_path"), col("instance_message_id"), col("value"))
+
+  /** −1 sentinel rows at the scalar path for uncovered fields
+    * (GetMessage.sql:435,571-590).
+    */
+  private def sentinelDefaults(messageFields: DataFrame, covered: DataFrame): DataFrame =
+    messageFields
+      .join(covered, Key, "left_anti")
+      .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
+        lit(Telemetry.ScalarPath).as("relative_path"),
+        lit(Telemetry.NeverUpdatedId).as("instance_message_id"),
+        lit(Telemetry.NeverUpdatedValue).as("value"))
+
+  /** Decorate with name/type and apply the reference's output order
+    * (GetMessage.sql:595-597).
+    */
+  private def decorate(values: DataFrame, messageFields: DataFrame): DataFrame =
+    values
+      .join(broadcast(messageFields.select("uevol_field_id", "name", "type")),
+        Seq("uevol_field_id"))
+      .select(col("uevol_field_id"), col("src_id"), col("dst_id"), col("name"),
+        col("instance_message_id"), col("relative_path"), col("type"),
+        col("value"))
+      .orderBy("uevol_field_id", "relative_path")
 
   private case class ValueRow(
       uevol_field_id: Int, src_id: Int, dst_id: Int,

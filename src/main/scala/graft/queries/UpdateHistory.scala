@@ -152,18 +152,22 @@ object UpdateHistory {
     // AND-composed filters without materializing the width: an instant
     // survives iff every filtered triple's filled value passes its
     // predicate there. NULL predicates fail, exactly as the wide WHERE
-    // drops NULL — fails(kn) is the instant set to anti-join away.
+    // drops NULL. ALL failing instants are collected in ONE pass over the
+    // grid (an OR of per-key predicates) and removed with ONE anti-join —
+    // a per-filter fold would replay the LOCF grid once per filtered
+    // triple, defeating the unbounded-arg-list purpose of the long form.
     val conds = argRows.toSeq
       .filter(r => r.getString(3) != null && r.getString(3).nonEmpty)
       .map { r =>
-        (colName(r.getInt(0), r.getInt(1), r.getInt(2)),
-          expr(rewriteFilter(r.getString(3), "v")))
+        val kn = colName(r.getInt(0), r.getInt(1), r.getInt(2))
+        col("k") === kn && not(coalesce(expr(rewriteFilter(r.getString(3), "v")), lit(false)))
       }
-    val kept = conds.foldLeft(filled) { case (df, (kn, p)) =>
-      val fails = filled
-        .where(col("k") === kn && not(coalesce(p, lit(false))))
-        .select("instance_message_id").distinct()
-      df.join(fails, Seq("instance_message_id"), "left_anti")
+    val kept = conds.reduceOption(_ || _) match {
+      case Some(failPred) =>
+        val fails = filled.where(failPred)
+          .select("instance_message_id").distinct()
+        filled.join(fails, Seq("instance_message_id"), "left_anti")
+      case None => filled
     }
     kept.select(col("instance_message_id"), col("uevol_field_id"),
       col("src_id"), col("dst_id"), col("v").as("value"))

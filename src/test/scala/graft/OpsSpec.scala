@@ -137,6 +137,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(4L) === None)        // k2's only right row is after t=50
   }
 
+  test("right rows with a null time never match (no nulls-first bleed)") {
+    import spark.implicits._
+    val left = Seq((1L, "k1", 5L)).toDF("id", "k", "t")
+    val right = Seq(("k1", Option.empty[Long], 99.0), ("k1", Some(4L), 7.0))
+      .toDF("k", "t", "v")
+    val got = graft.ops.AsOfJoin.asOf(left, right, Seq("k"), "t", Seq("v"))
+      .head().getAs[Double]("v")
+    assert(got === 7.0) // the null-time 99.0 row is invisible
+  }
+
   test("valueCols colliding with left columns are rejected") {
     import spark.implicits._
     val df = Seq((1L, "k", 1L, 9.0)).toDF("id", "k", "t", "v")
@@ -319,6 +329,37 @@ class ChangeSplitSpec extends SparkSpec {
     val (same, diff) = ChangeSplit.split(snapA, snapB)
     assert(same.collect().map(_.getInt(0)).toSet === Set(1))
     assert(diff.collect().map(_.getInt(0)).toSet === Set(2, 3, 4))
+  }
+
+  test("duplicate rows WITHIN one snapshot cannot fake a both-sides match") {
+    import spark.implicits._
+    // key 5 appears twice in A (retried dump write) and not at all in B:
+    // a row-count split would see n=2 and wrongly skip its log scan
+    val snapA = Seq(
+      (5, 10, 20, 0L, """{"000":7}"""),
+      (5, 10, 20, 0L, """{"000":7}"""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "instance_message_id", "json_value")
+    val snapB = Seq.empty[(Int, Int, Int, Long, String)]
+      .toDF("uevol_field_id", "src_id", "dst_id", "instance_message_id", "json_value")
+    val (same, diff) = ChangeSplit.split(snapA, snapB)
+    assert(same.count() === 0)
+    assert(diff.collect().map(_.getInt(0)).toSet === Set(5))
+  }
+}
+
+class SnapshotJsonConflictSpec extends SparkSpec {
+
+  test("conflicts() flags a path that is both scalar and deep parent") {
+    import spark.implicits._
+    val rows = Seq(
+      (1, "000.001", 5.0),        // scalar at depth 2 ...
+      (1, "000.001.001", 2.0),    // ... AND parent of a deep leaf: conflict
+      (2, "000.001", 5.0),        // different key: no conflict
+      (1, "000.002", 6.0))
+      .toDF("uevol_field_id", "relative_path", "value")
+    val bad = graft.ops.SnapshotJson.conflicts(rows, Seq("uevol_field_id"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(bad.toSeq === Seq((1, "000.001")))
   }
 }
 

@@ -221,6 +221,14 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(0) === 0L && r.getInt(1) === 0)
   }
 
+  test("frame sampling: UNKNOWN (null) frame count stays null, not 0") {
+    import spark.implicits._
+    val df = Seq(Option.empty[Int]).toDF("n_frames")
+    val r = df.select(Multimodal.frameSampleCount(col("n_frames"), 30).as("n"),
+      Multimodal.frameSampleIndices(col("n_frames"), 30).as("idx")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("frame sampling: ceil count and stride indices agree") {
     import spark.implicits._
     val df = Seq(1, 29, 30, 31, 300).toDF("n_frames")
