@@ -320,6 +320,32 @@ class BackupSpec extends SparkSpec {
   }
 }
 
+/** Cross-family invariant: compaction bounds the log WITHOUT losing
+  * current-state reconstructability (Backup.java's purpose) — and the
+  * round-trip through the partitioned parquet layout preserves it too.
+  */
+class CompactionInvariantSpec extends SparkSpec {
+
+  private def currentState(log: org.apache.spark.sql.DataFrame) =
+    MessageReconstruct.messageContent(log, Fixtures.uevolField(spark),
+      Fixtures.MsgType, Fixtures.Src, Fixtures.Dst, Long.MaxValue)
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[Long]("value")).toMap
+
+  test("compact -> write layout -> read -> reconstruct equals the full log") {
+    val full = Fixtures.instanceField(spark)
+    val compacted = queries.Backup.compact(full, Fixtures.instanceMessage(spark),
+      Fixtures.uevolField(spark), 112000L)
+    assert(currentState(compacted) === currentState(full))
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      graft.io.TableWriter.writeDeltaLog(compacted, dir)
+      assert(currentState(spark.read.parquet(dir)) === currentState(full))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
+
 /** SURVEY.md §5.3 cross-family invariant: the updateHistory wide row at
   * event id i must equal getMultipleFields(i) — the reference itself relies
   * on this (GetUpdateHistory.sql:29 seeds the history from
