@@ -75,6 +75,13 @@ object PipelineQueries {
       SimHash.simhash(docs(s, dir), "doc_id", "text")
     },
 
+    // SimHash near-dup pairs: pigeonhole banding (hamming ≤ 3 ⇒ one of 4
+    // bands matches exactly) makes candidates a band equijoin, exact
+    // hamming verifies — the sketch-based complement of d05's MinHash.
+    "d20_simhash_dup" -> { (s, dir) =>
+      SimHash.nearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+    },
+
     // Brute-force cosine top-5 — the ANN baseline; queries broadcast,
     // corpus streamed, one window for the top-k cut.
     "d07_knn" -> { (s, dir) =>
@@ -265,6 +272,21 @@ object PipelineQueries {
     s"CASE WHEN $gmax >= 0.08 THEN (CASE $arms END) ELSE 'und' END"
   }
 
+  /** DuckDB replay of the 32-bit SimHash sketch (d06 and the d20 banding
+    * share it).
+    */
+  private lazy val SimhashSql: String = {
+    val bitSums = (0 until 32).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val assemble = (0 until 32).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM (
+        SELECT doc_id, $bitSums FROM (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents)) GROUP BY doc_id)"""
+  }
+
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
     */
@@ -382,17 +404,18 @@ object PipelineQueries {
            SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
          FROM reach GROUP BY id""",
-    "d06_simhash" -> {
-      val bitSums = (0 until 32).map(i =>
-        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
-      val assemble = (0 until 32).map(i =>
-        s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      s"""WITH toks AS (SELECT doc_id,
-            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
-          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)),
-          sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
-          SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sums"""
-    },
+    "d06_simhash" -> SimhashSql,
+    "d20_simhash_dup" ->
+      s"""WITH shs AS ($SimhashSql),
+         bnd AS (SELECT doc_id, simhash, b AS band,
+             (simhash >> CAST(b * 8 AS INT)) & 255 AS bkey
+           FROM shs CROSS JOIN range(4) t(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+           FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
     "d07_knn" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -122,6 +122,19 @@ class SimHashSpec extends SparkSpec {
   }
 }
 
+class SimHashDupSpec extends SparkSpec {
+
+  test("identical docs pair at hamming 0; disjoint-vocab docs do not pair") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa"
+    val df = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    val got = SimHash.nearDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0)))
+  }
+}
+
 class VectorOpsSpec extends SparkSpec {
 
   test("cosine matches hand computation") {
