@@ -16,20 +16,44 @@ object SimHash {
   def tokenHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
 
-  /** SimHash over whitespace tokens of `textCol`, one row per `idCol`. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** md5-derived 64-bit token hash: two 32-bit chunks assembled sign-aware
+    * (a base-10 `conv` of 16 hex chars would overflow Long; the high chunk
+    * is re-signed before the shift-by-multiply so every partial result
+    * stays in BIGINT range — the same closed form the DuckDB oracles use).
+    */
+  def tokenHash64(tok: Column): Column = {
+    val hi = conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(md5(tok), 9, 8), 16, 10).cast("long")
+    (hi - when(hi >= 2147483648L, lit(4294967296L)).otherwise(lit(0L))) *
+      lit(4294967296L) + lo
+  }
+
+  private def sketch(df: DataFrame, idCol: String, textCol: String,
+                     width: Int, hash: Column => Column): DataFrame = {
     val toks = df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("tok"))
-      .withColumn("h", tokenHash(col("tok")))
-    val bitSums = (0 until 32).map { i =>
+      .withColumn("h", hash(col("tok")))
+    val bitSums = (0 until width).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
     }
-    val assembled = (0 until 32).map { i =>
+    // distinct powers of two sum left-to-right without overflow; the top
+    // term is Long.MinValue (two's complement sign bit), added last
+    val assembled = (0 until width).map { i =>
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     toks.groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), assembled.as("simhash"))
   }
+
+  /** 32-bit SimHash over whitespace tokens, one row per `idCol`. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    sketch(df, idCol, textCol, 32, tokenHash)
+
+  /** 64-bit SimHash — the production width: 16-bit band keys at k=3 give
+    * 65536 buckets per band, sub-quadratic banding to ~10^8 docs.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    sketch(df, idCol, textCol, 64, tokenHash64)
 
   /** Hamming distance between two sketches (for near-dup banding/filtering). */
   def hamming(a: Column, b: Column): Column =
@@ -44,25 +68,35 @@ object SimHash {
     * [[MinHashLSH.nearDupPairs]], on a 1-word sketch. Returns
     * (id_a, id_b, hamming), id_a < id_b.
     *
-    * Scale note: band-key cardinality is 2^(32/(maxHamming+1)) — with the
-    * 32-bit sketch and k=3 that is 256 buckets per band, which stays
-    * sub-quadratic only up to ~10^5 docs. For corpus-scale dedup widen the
-    * sketch (64-bit, ~16-bit bands, the standard production shape) — the
-    * banding algebra here is width-agnostic; [[MinHashLSH.nearDupPairs]]
-    * is the shipped corpus-scale path.
+    * Scale note: band-key cardinality is 2^(width/(maxHamming+1)) — the
+    * 32-bit sketch at k=3 gives 256 buckets per band, sub-quadratic only
+    * to ~10^5 docs; use [[nearDupPairs64]] (16-bit bands, 65536 buckets)
+    * for corpus scale.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming out of [0,32)")
+                   maxHamming: Int = 3): DataFrame =
+    bandedPairs(simhash(df, idCol, textCol), idCol, 32, maxHamming)
+
+  /** [[nearDupPairs]] on the 64-bit sketch — 16-bit band keys at the
+    * default k=3, the corpus-scale variant.
+    */
+  def nearDupPairs64(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame =
+    bandedPairs(simhash64(df, idCol, textCol), idCol, 64, maxHamming)
+
+  private def bandedPairs(sh: DataFrame, idCol: String, width: Int,
+                          maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < width,
+      s"maxHamming=$maxHamming out of [0,$width)")
     val nBands = maxHamming + 1
-    val width = 32 / nBands
-    val sh = simhash(df, idCol, textCol)
-    val mask = (1L << width) - 1
-    // band b = bits [b*width, (b+1)*width); the tail band keeps the
-    // remainder bits so every bit belongs to exactly one band
+    val bw = width / nBands
+    // band b = bits [b*bw, (b+1)*bw); the tail band keeps the remainder
+    // bits so every bit belongs to exactly one band. shiftright
+    // sign-extends on the 64-bit sketch's negative values; the mask makes
+    // the key exact either way.
     val keys = array((0 until nBands).map { b =>
-      val m = if (b == nBands - 1) (1L << (32 - b * width)) - 1 else mask
-      shiftright(col("simhash"), b * width).bitwiseAND(lit(m))
+      val bits = if (b == nBands - 1) width - b * bw else bw
+      shiftright(col("simhash"), b * bw).bitwiseAND(lit((1L << bits) - 1))
     }: _*)
     val bands = sh.select(col(idCol), col("simhash"), posexplode(keys))
       .withColumnRenamed("pos", "band")

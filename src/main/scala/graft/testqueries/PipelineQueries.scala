@@ -82,6 +82,12 @@ object PipelineQueries {
       SimHash.nearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
     },
 
+    // The production-width variant: 64-bit sketch, 16-bit band keys
+    // (65536 buckets/band — sub-quadratic banding at corpus scale).
+    "d21_simhash64_dup" -> { (s, dir) =>
+      SimHash.nearDupPairs64(docs(s, dir), "doc_id", "text", maxHamming = 3)
+    },
+
     // Brute-force cosine top-5 — the ANN baseline; queries broadcast,
     // corpus streamed, one window for the top-k cut.
     "d07_knn" -> { (s, dir) =>
@@ -287,6 +293,28 @@ object PipelineQueries {
                 FROM documents)) GROUP BY doc_id)"""
   }
 
+  /** DuckDB replay of the 64-bit sketch: the token hash assembles two
+    * 32-bit md5 chunks sign-aware (every partial result stays in BIGINT —
+    * DuckDB checks overflow on shifts/adds), matching
+    * `SimHash.tokenHash64` exactly.
+    */
+  private lazy val Simhash64Sql: String = {
+    val bitSums = (0 until 64).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val assemble = (0 until 64).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val h64 =
+      """(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+        |  - CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) >= 2147483648
+        |    THEN 4294967296 ELSE 0 END) * 4294967296
+        |+ CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT)""".stripMargin
+    s"""SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM (
+        SELECT doc_id, $bitSums FROM (
+          SELECT doc_id, $h64 AS h
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents)) GROUP BY doc_id)"""
+  }
+
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
     */
@@ -478,6 +506,17 @@ object PipelineQueries {
          JOIN embeddings x ON x.vec_id = c.id_a
          JOIN embeddings y ON y.vec_id = c.id_b
          WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""",
+    "d21_simhash64_dup" ->
+      s"""WITH shs AS ($Simhash64Sql),
+         bnd AS (SELECT doc_id, simhash, b AS band,
+             (simhash >> CAST(b * 16 AS INT)) & 65535 AS bkey
+           FROM shs CROSS JOIN range(4) t(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+           FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
     "d11_ann_lsh" ->
       """WITH planes AS (SELECT p, d,
            (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v

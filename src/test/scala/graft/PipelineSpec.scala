@@ -132,6 +132,9 @@ class SimHashDupSpec extends SparkSpec {
     val got = SimHash.nearDupPairs(df, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq === Seq((1L, 2L, 0)))
+    val got64 = SimHash.nearDupPairs64(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got64.toSeq === Seq((1L, 2L, 0)))
   }
 }
 
