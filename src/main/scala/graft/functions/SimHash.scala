@@ -93,14 +93,21 @@ object SimHash {
     // band b = bits [b*bw, (b+1)*bw); the tail band keeps the remainder
     // bits so every bit belongs to exactly one band. shiftright
     // sign-extends on the 64-bit sketch's negative values; the mask makes
-    // the key exact either way.
+    // the key exact either way. A full-width band (k=0 on the 64-bit
+    // sketch) masks with -1: (1L << 64) wraps to 1, which would zero every
+    // key and degenerate the equijoin into all-pairs.
     val keys = array((0 until nBands).map { b =>
       val bits = if (b == nBands - 1) width - b * bw else bw
-      shiftright(col("simhash"), b * bw).bitwiseAND(lit((1L << bits) - 1))
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1
+      shiftright(col("simhash"), b * bw).bitwiseAND(lit(mask))
     }: _*)
+    // persisted before the self-join (the S4 rule, as in
+    // MinHashLSH.nearDupPairs): both join sides read it, and the sketch
+    // aggregation behind it is the dominant cost
     val bands = sh.select(col(idCol), col("simhash"), posexplode(keys))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
         col("band"), col("bkey"))
       .join(bands.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),

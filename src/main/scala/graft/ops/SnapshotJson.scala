@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotJson {
 
-  /** Rows whose 2-segment path is both a scalar entry and a deep parent —
-    * the inputs [[render]] cannot represent. Empty ⟺ render is safe.
+  /** The (keep, path) combinations [[render]] cannot represent as JSON —
+    * a 2-segment path that is both a scalar entry and a deep parent, or
+    * duplicate rows at the same (keep, relative_path) (either produces a
+    * duplicate JSON key). Empty ⟺ render is safe.
     */
   def conflicts(rows: DataFrame, keep: Seq[String]): DataFrame = {
     val keepCols = keep.map(col)
@@ -37,7 +39,13 @@ object SnapshotJson {
     val parents = rows.where(depth >= 3)
       .select(keepCols :+ expr("substring_index(relative_path, '.', 2)").as("p"): _*)
       .distinct()
-    scalars.join(parents, keep :+ "p")
+    val mixed = scalars.join(parents, keep :+ "p")
+    val dups = rows
+      .groupBy(keepCols :+ col("relative_path").as("p"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(keepCols :+ col("p"): _*)
+    mixed.unionByName(dups).distinct()
   }
 
   /** (keep..., relative_path, value) rows → (keep..., json_value), one row

@@ -278,42 +278,46 @@ object PipelineQueries {
     s"CASE WHEN $gmax >= 0.08 THEN (CASE $arms END) ELSE 'und' END"
   }
 
-  /** DuckDB replay of the 32-bit SimHash sketch (d06 and the d20 banding
-    * share it).
+  /** DuckDB replay of the SimHash sketch, parameterized by width and the
+    * token-hash expression — one generator for both widths so the oracles
+    * cannot drift. The 64-bit token hash assembles two 32-bit md5 chunks
+    * sign-aware (every partial result stays in BIGINT — DuckDB checks
+    * overflow on shifts/adds), matching `SimHash.tokenHash64` exactly.
     */
-  private lazy val SimhashSql: String = {
-    val bitSums = (0 until 32).map(i =>
+  private def simhashSqlFor(width: Int, hExpr: String): String = {
+    val bitSums = (0 until width).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
-    val assemble = (0 until 32).map(i =>
+    val assemble = (0 until width).map(i =>
       s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     s"""SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM (
         SELECT doc_id, $bitSums FROM (
-          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+          SELECT doc_id, $hExpr AS h
           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
                 FROM documents)) GROUP BY doc_id)"""
   }
 
-  /** DuckDB replay of the 64-bit sketch: the token hash assembles two
-    * 32-bit md5 chunks sign-aware (every partial result stays in BIGINT —
-    * DuckDB checks overflow on shifts/adds), matching
-    * `SimHash.tokenHash64` exactly.
-    */
-  private lazy val Simhash64Sql: String = {
-    val bitSums = (0 until 64).map(i =>
-      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
-    val assemble = (0 until 64).map(i =>
-      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-    val h64 =
-      """(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
-        |  - CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) >= 2147483648
-        |    THEN 4294967296 ELSE 0 END) * 4294967296
-        |+ CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT)""".stripMargin
-    s"""SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM (
-        SELECT doc_id, $bitSums FROM (
-          SELECT doc_id, $h64 AS h
-          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-                FROM documents)) GROUP BY doc_id)"""
-  }
+  private lazy val SimhashSql: String =
+    simhashSqlFor(32, "CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)")
+
+  private lazy val Simhash64Sql: String = simhashSqlFor(64,
+    """(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+      |  - CASE WHEN CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) >= 2147483648
+      |    THEN 4294967296 ELSE 0 END) * 4294967296
+      |+ CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT)""".stripMargin)
+
+  /** The banding+verify oracle over a sketch CTE — shared by d20/d21. */
+  private def simhashDupSqlFor(sketchSql: String, nBands: Int, bandBits: Int,
+                               maxHamming: Int): String =
+    s"""WITH shs AS ($sketchSql),
+       bnd AS (SELECT doc_id, simhash, b AS band,
+           (simhash >> CAST(b * $bandBits AS INT)) & ${(1L << bandBits) - 1} AS bkey
+         FROM shs CROSS JOIN range($nBands) t(b)),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sa, b.simhash AS sb
+         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+           AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming"""
 
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
@@ -433,17 +437,7 @@ object PipelineQueries {
          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
          FROM reach GROUP BY id""",
     "d06_simhash" -> SimhashSql,
-    "d20_simhash_dup" ->
-      s"""WITH shs AS ($SimhashSql),
-         bnd AS (SELECT doc_id, simhash, b AS band,
-             (simhash >> CAST(b * 8 AS INT)) & 255 AS bkey
-           FROM shs CROSS JOIN range(4) t(b)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.simhash AS sa, b.simhash AS sb
-           FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
+    "d20_simhash_dup" -> simhashDupSqlFor(SimhashSql, 4, 8, 3),
     "d07_knn" ->
       """SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -506,17 +500,7 @@ object PipelineQueries {
          JOIN embeddings x ON x.vec_id = c.id_a
          JOIN embeddings y ON y.vec_id = c.id_b
          WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""",
-    "d21_simhash64_dup" ->
-      s"""WITH shs AS ($Simhash64Sql),
-         bnd AS (SELECT doc_id, simhash, b AS band,
-             (simhash >> CAST(b * 16 AS INT)) & 65535 AS bkey
-           FROM shs CROSS JOIN range(4) t(b)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.simhash AS sa, b.simhash AS sb
-           FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
+    "d21_simhash64_dup" -> simhashDupSqlFor(Simhash64Sql, 4, 16, 3),
     "d11_ann_lsh" ->
       """WITH planes AS (SELECT p, d,
            (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v

@@ -361,6 +361,18 @@ class SnapshotJsonConflictSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(bad.toSeq === Seq((1, "000.001")))
   }
+
+  test("conflicts() also flags duplicate rows at the same (key, path)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1, "000", 1.0),
+      (1, "000", 2.0),          // duplicate path for key 1: duplicate JSON key
+      (2, "000", 3.0))
+      .toDF("uevol_field_id", "relative_path", "value")
+    val bad = graft.ops.SnapshotJson.conflicts(rows, Seq("uevol_field_id"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(bad.toSeq === Seq((1, "000")))
+  }
 }
 
 class SkewSaltSpec extends SparkSpec {

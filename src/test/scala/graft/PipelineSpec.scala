@@ -136,6 +136,19 @@ class SimHashDupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got64.toSeq === Seq((1L, 2L, 0)))
   }
+
+  test("maxHamming=0 on the 64-bit sketch keys on the FULL sketch (no mask wrap)") {
+    import spark.implicits._
+    // (1L << 64) wraps to 1 on the JVM; an unguarded mask would zero every
+    // band key and put all docs in one bucket — exact dups must still pair,
+    // and distinct docs must get distinct keys (checked via pair count)
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa"
+    val df = Seq((1L, t1), (2L, t1), (3L, t2)).toDF("doc_id", "text")
+    val got = SimHash.nearDupPairs64(df, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
