@@ -31,8 +31,30 @@ object DocStream {
     docs.where(TextAnalysis.qualityScore(col("text")) >= minQuality)
 
   /** Per-language routing column for a partitioned sink
-    * (`writeStream.partitionBy("lang_pred")`).
+    * (`writeStream.partitionBy("lang_pred")`). Multi-profile argmax
+    * (en/fr/de/es) — stateless, so batch ≡ stream.
     */
   def withLanguage(docs: DataFrame): DataFrame =
-    docs.withColumn("lang_pred", TextAnalysis.langIdHeuristic(col("text")))
+    docs.withColumn("lang_pred", TextAnalysis.langId(col("text")))
+
+  /** Repetition gate — the Gopher-style repetitious-text filter as a
+    * stateless streaming stage (lambda-free column math, see
+    * [[TextAnalysis.repetitionRatio]]).
+    */
+  def repetitionFilter(docs: DataFrame, maxRatio: Double): DataFrame =
+    TextAnalysis.repetitionRatio(docs, "doc_id", "text")
+      .where(col("rep_ratio") <= maxRatio)
+
+  /** The full incremental cleaning stage: watermarked exact dedup →
+    * quality gate → repetition gate → language routing, one streaming
+    * DAG. Near-dup clustering is deliberately absent — connected
+    * components need corpus-wide iteration and belongs in the periodic
+    * batch pass (d12/d14), not per-microbatch state.
+    */
+  def cleanStream(docs: DataFrame, tsCol: String, watermark: String = "1 hour",
+                  minQuality: Double = 0.3, maxRepetition: Double = 0.05): DataFrame =
+    withLanguage(
+      repetitionFilter(
+        qualityFilter(dedupExact(docs, tsCol, watermark), minQuality),
+        maxRepetition))
 }

@@ -147,4 +147,28 @@ class DocStreamSpec extends SparkSpec {
       assert(rows.head.getAs[String]("lang_pred") === "en")
     } finally q.stop()
   }
+
+  test("cleanStream: dedup + quality + repetition + multi-lang in one DAG") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.DocStream.cleanStream(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("doc_clean")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000040000L)
+      // quality scoring is EN-stopword-based, so the survivor is English
+      val good = "the cat is in the house and it is happy with the day and " +
+        "the garden for all of us on a fine morning walk in the old town"
+      val repetitive = Seq.fill(20)("the spam is spam").mkString(" ")
+      in.addData((1L, t0, good), (2L, t0, good), // dup: one survives
+        (3L, t0, repetitive),                    // killed by the repetition gate
+        (4L, t0, "zzz"))                         // killed by the quality gate
+      q.processAllAvailable()
+      val rows = spark.table("doc_clean").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("lang_pred") === "en")
+    } finally q.stop()
+  }
 }
