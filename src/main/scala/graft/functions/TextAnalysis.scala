@@ -136,6 +136,42 @@ object TextAnalysis {
       .drop("__words")
   }
 
+  /** TF-IDF top-`k` terms per document — the keyword-extraction /
+    * domain-tagging signal of a corpus pipeline. Smoothed idf
+    * `ln((N+1)/(df+1)) + 1` (the standard add-one form, a deterministic
+    * closed form external oracles can replay); score = tf · idf, top-k by
+    * (score desc, token asc).
+    *
+    * Shuffle inventory, all partial-agg friendly: groupBy (doc, token) for
+    * tf, groupBy token for df (both map-side combinable), a token equijoin
+    * to attach idf (one row per distinct token — heavy-hitter tokens are
+    * ONE row here, so no skew), and the per-doc top-k window. The corpus
+    * size N stays inside the DAG as a broadcast 1-row aggregate — no
+    * driver collect.
+    * Returns (idCol, token, tf, rank, score).
+    */
+  def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * (log((col("__n") + 1) / (col("doc_freq") + 1)) + 1), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("rank").cast("int").as("rank"),
+        col("score"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
     * document order, then keep the minimum hash of each sliding window of
     * `w` consecutive n-gram hashes, deduplicated. Guarantees any shared

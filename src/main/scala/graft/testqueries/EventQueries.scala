@@ -60,6 +60,17 @@ object EventQueries {
       .toDF("id", "uevol_message_id", "name", "type")
   }
 
+  /** Equipment catalog rows for q37 (ssty, ssid, name, sector_id,
+    * playback_activated, online_activated) — ssid range 0..14 stays inside
+    * the smallest scale factor's user_id range, so the rollup is
+    * non-degenerate at every sf. Shared with the oracle's VALUES list.
+    */
+  private val EquipRows: Seq[(Int, Int, String, Int, Boolean, Boolean)] =
+    (0 until 15).map(i => (i % 3 + 1, i, s"eq_$i", i % 4, i % 2 == 0, i != 3))
+
+  private val SubsystemRows: Seq[(Int, String)] =
+    Seq((1, "signalling"), (2, "traction"), (3, "doors"))
+
   /** (S, T) = (max_id/2, 3*max_id/4) — the snapshot instant and the
     * reconstruction target; one O(1) driver scalar, mirrored by the
     * oracles' `bounds` CTE.
@@ -378,6 +389,32 @@ object EventQueries {
           round(coalesce(col("click_value"), lit(-1.0)), 4).as("click_value"))
     },
 
+    // The uevol_equipment / uevol_subsystem / uevol_project catalog END TO
+    // END (DataLoader.java:215-497): per-equipment fact rollup decorated
+    // through the equipment -> subsystem dimension chain, equipment gated by
+    // its online_activated flag (DataLoader.java:225-226), and the
+    // project's site row attached as a constant. One partial-agg shuffle on
+    // the fact; every dimension broadcast.
+    "q37_equipment_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val equipment = EquipRows.toDF(
+        "ssty", "ssid", "name", "sector_id", "playback_activated", "online_activated")
+      val subsystem = SubsystemRows.toDF("ssty", "ssname")
+      val project = Seq(graft.model.Telemetry.UevolProject(1, 0, "site_lille"),
+        graft.model.Telemetry.UevolProject(2, 0, "schema_v2")).toDF
+      val act = graft.io.AcquisitionMode.activated(equipment, graft.io.Online)
+      ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .join(broadcast(act), col("user_id") === col("ssid"))
+        .join(broadcast(subsystem), "ssty")
+        .crossJoin(broadcast(
+          project.where(col("key") === 1).select(col("value").as("site"))))
+        .select(col("ssid"), col("name").as("equipment"),
+          col("ssname").as("subsystem"), col("sector_id"),
+          col("n_events"), col("sum_value"), col("site"))
+    },
+
     // The bucketed range join (ops/RangeJoin): each user's first-2000-ids
     // interval joined to its events via the (key, bin) equijoin + exact
     // containment — never a BroadcastNestedLoop over intervals × points.
@@ -670,6 +707,22 @@ object EventQueries {
          CROSS JOIN bounds b
          LEFT JOIN upd u ON u.fid = f.fid
          LEFT JOIN snap sn ON sn.fid = f.fid"""
+    },
+    "q37_equipment_rollup" -> {
+      val eqVals = EquipRows.map { case (ssty, ssid, nm, sec, pb, on) =>
+        s"($ssty, $ssid, '$nm', $sec, $pb, $on)" }.mkString(", ")
+      val subVals = SubsystemRows.map { case (ssty, nm) => s"($ssty, '$nm')" }
+        .mkString(", ")
+      s"""WITH eq(ssty, ssid, name, sector_id, pb, onl) AS (VALUES $eqVals),
+         sub(ssty, ssname) AS (VALUES $subVals),
+         agg AS (SELECT user_id, count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+           FROM events GROUP BY user_id)
+         SELECT eq.ssid, eq.name AS equipment, sub.ssname AS subsystem,
+           eq.sector_id, agg.n_events, agg.sum_value, 'site_lille' AS site
+         FROM agg
+         JOIN eq ON eq.ssid = agg.user_id AND eq.onl
+         JOIN sub ON sub.ssty = eq.ssty"""
     },
     "q36_range_join" ->
       """WITH iv AS (SELECT user_id, min(event_id) AS lo,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.functions.{MinHashLSH, Multimodal, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
+import graft.functions.{JaccardJoin, MinHashLSH, Multimodal, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the `documents` / `embeddings` tables, each with a DuckDB
@@ -68,6 +68,20 @@ object PipelineQueries {
     // shingle → 8-seed signature → 4 bands of 2 → band-key equijoin.
     "d05_minhash_pairs" -> { (s, dir) =>
       MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text", n = 3, k = 8, r = 2)
+    },
+
+    // TF-IDF top-3 keywords per doc — tf and df both partial-agg shuffles,
+    // idf attached via a one-row-per-token equijoin, top-k per-doc window.
+    "d23_tfidf" -> { (s, dir) =>
+      TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+    },
+
+    // EXACT n-gram Jaccard similarity join via prefix filtering (AllPairs/
+    // PPJoin): rarest-first prefixes make candidates an equijoin with NO
+    // false negatives — the exact complement of d05's probabilistic banding.
+    "d22_jaccard_join" -> { (s, dir) =>
+      JaccardJoin.similarPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.8, n = 3)
     },
 
     // 32-bit SimHash sketch per document.
@@ -319,18 +333,25 @@ object PipelineQueries {
        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
        FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming"""
 
+  /** DuckDB replay of the 60-bit hashed 3-gram shingle sets — shared by the
+    * MinHash (d05/d12) and exact-Jaccard (d22) oracles, so every
+    * set-similarity oracle agrees on what "the shingle set" is.
+    */
+  private val ShingleCtesSql: String =
+    """words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(sh_txt), 1, 15)) AS BIGINT) AS sh FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
+           FROM words WHERE len(w) >= 3))"""
+
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
     */
   private lazy val MinhashPairsSql: String = {
       val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
         .map { case (a, j) => s"($j, $a)" }.mkString(", ")
-      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-             CAST(('0x' || substr(md5(sh_txt), 1, 15)) AS BIGINT) AS sh FROM (
-           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
-             i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
-           FROM words WHERE len(w) >= 3)),
+      s"""WITH $ShingleCtesSql,
          hx AS (SELECT doc_id, j,
              CAST(min(CAST(((sh % ${MinHashLSH.P}) * a + j) AS BIGINT) % ${MinHashLSH.P}) AS BIGINT) AS mh
            FROM sh CROSS JOIN (VALUES $seedRows) AS seeds(j, a) GROUP BY doc_id, j),
@@ -390,6 +411,33 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    "d23_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+         dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+         n AS (SELECT count(*) AS nn FROM documents),
+         scored AS (SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * (ln((n.nn + 1) / (dfreq.doc_freq + 1)) + 1), 6) AS score
+           FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
+         SELECT doc_id, token, tf, CAST(rank AS INT) AS rank, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, token ASC) AS rank
+           FROM scored)
+         WHERE rank <= 3""",
+    "d22_jaccard_join" ->
+      s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT i.doc_a, i.doc_b,
+             round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
+           FROM inter i
+           JOIN sizes na ON na.doc_id = i.doc_a
+           JOIN sizes nb ON nb.doc_id = i.doc_b)
+         WHERE jaccard >= 0.8""",
     "d14_clean_corpus" ->
       s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
          thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),

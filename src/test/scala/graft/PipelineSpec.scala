@@ -106,6 +106,113 @@ class MinHashLSHSpec extends SparkSpec {
   }
 }
 
+class TfIdfSpec extends SparkSpec {
+
+  test("tf-idf top-k matches the closed form on a hand corpus") {
+    import spark.implicits._
+    // "apple" only in doc 1; "common" in all 3; doc 1 repeats "apple" twice
+    val df = Seq(
+      (1L, "apple apple common"),
+      (2L, "banana common cherry"),
+      (3L, "cherry common date")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    def score(tf: Long, dfq: Long) =
+      BigDecimal(tf * (math.log(4.0 / (dfq + 1)) + 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = got.filter(_._1 == 1L).sortBy(_._4)
+    assert(d1.map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq(("apple", 2L, 1), ("common", 1L, 2)))
+    assert(d1.head._5 === score(2, 1))
+    // rank is dense per doc and bounded by k
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._4).sorted.toSeq === (1 to rows.length) && rows.length <= 2 })
+  }
+
+  test("ties break on token order deterministically") {
+    import spark.implicits._
+    val df = Seq((1L, "bb aa"), (2L, "aa bb")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet === Set((1L, "aa"), (2L, "aa")))
+  }
+}
+
+class JaccardJoinSpec extends SparkSpec {
+
+  /** Brute-force all-pairs Jaccard over the same hashed shingle sets —
+    * the ground truth prefix filtering must reproduce exactly.
+    */
+  private def bruteForce(df: org.apache.spark.sql.DataFrame,
+                         threshold: Double): Set[(Long, Long, Double)] = {
+    val sh = MinHashLSH.shingleArrays(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      ni = (sa & sb).size if ni > 0
+      j = BigDecimal(ni.toDouble / (sa.size + sb.size - ni))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= threshold
+    } yield (a, b, j)).toSet
+  }
+
+  private def mixedCorpus = {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    // exact dup, near dup (1 extra word), half-overlap, disjoint, short doc
+    Seq(
+      (1L, base), (2L, base), (3L, base + " extra"),
+      (4L, (11 to 30).map(i => s"tok$i").mkString(" ")),
+      (5L, (100 to 130).map(i => s"tok$i").mkString(" ")),
+      (6L, "too short")).toDF("doc_id", "text")
+  }
+
+  test("prefix filtering reproduces brute force exactly (no false negatives)") {
+    val df = mixedCorpus
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 1.0)) {
+      val got = JaccardJoin.similarPairs(df, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === bruteForce(df, t), s"threshold $t")
+    }
+  }
+
+  test("float-ulp ceiling edge: J exactly at threshold 0.7 is kept") {
+    import spark.implicits._
+    // |a| = 30 shingles, |b| = 21, b's shingles ⊂ a's → J = 21/30 = 0.7;
+    // a naive ceil(0.7·30)=22 length filter would drop the pair.
+    val wordsA = (1 to 32).map(i => s"w$i").mkString(" ")
+    val wordsB = (1 to 23).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")
+    for (fo <- Seq(true, false)) {
+      val got = JaccardJoin.similarPairs(df, "doc_id", "text", 0.7, freqOrder = fo)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === Seq((1L, 2L, 0.7)), s"freqOrder=$fo")
+    }
+  }
+
+  test("hash-order (map-only) prefix variant agrees with freq-order") {
+    val df = mixedCorpus
+    val a = JaccardJoin.similarPairs(df, "doc_id", "text", 0.4, freqOrder = true)
+      .collect().map(_.toSeq).toSet
+    val b = JaccardJoin.similarPairs(df, "doc_id", "text", 0.4, freqOrder = false)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("threshold 1.0 keeps only exact shingle-set duplicates") {
+    val got = JaccardJoin.similarPairs(mixedCorpus, "doc_id", "text", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("empty input yields empty output") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(JaccardJoin.similarPairs(empty, "doc_id", "text", 0.5).count() === 0)
+  }
+}
+
 class SimHashSpec extends SparkSpec {
 
   test("identical docs share a sketch; hamming detects similarity ordering") {
