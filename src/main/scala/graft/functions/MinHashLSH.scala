@@ -149,17 +149,22 @@ object MinHashLSH {
     var prevSum = labelSum(labels)
     var converged = prevSum.signum == 0 && labels.isEmpty // empty input: done
     var i = 0
-    while (!converged && i < maxIter) {
-      // one hop through the edge list per round; near-dup components are
-      // near-cliques, so depth is small and a pointer-jumping variant
-      // (label(label(id))) measured slower here — extra join per round for
-      // rounds that don't materialize
+    // One hop = min label over the 1-hop neighborhood; near-dup components
+    // are near-cliques, so depth is small. A pointer-jumping variant
+    // (label(label(id))) measured slower here — extra join per round for
+    // rounds that don't materialize.
+    def hop(l: DataFrame): DataFrame = {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "b"), "b")
+        .join(l.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("cluster"))
-      val next = labels.unionByName(viaNeighbor)
+      l.unionByName(viaNeighbor)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist(disk)
+    }
+    while (!converged && i < maxIter) {
+      // two hops per materialization: same shuffles as two single rounds,
+      // but half the convergence probes / persist cycles / job launches —
+      // the round-trip latency, not the data, dominates each round
+      val next = hop(hop(labels)).persist(disk)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

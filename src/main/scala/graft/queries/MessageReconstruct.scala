@@ -76,8 +76,11 @@ object MessageReconstruct {
           case None => spark.emptyDataset[ValueRow].toDF()
         }
 
+        // No distinct: `covered` only feeds the sentinel anti-join, and
+        // left_anti is dedup-agnostic — the distinct would be a pure extra
+        // shuffle.
         val covered = latest.select(Key.map(col): _*)
-          .unionByName(snapValues.select(Key.map(col): _*)).distinct()
+          .unionByName(snapValues.select(Key.map(col): _*))
         decorate(
           latest.unionByName(snapValues)
             .unionByName(sentinelDefaults(messageFields, covered)),
@@ -146,9 +149,10 @@ object MessageReconstruct {
             val snapValues = snapshotRemainder(
               sMin.join(broadcast(sameKeys), Key, "left_anti"), latest)
 
+            // No distinct — anti-join input, see getMessage.
             val covered = sameVals.select(Key.map(col): _*)
               .unionByName(latest.select(Key.map(col): _*))
-              .unionByName(snapValues.select(Key.map(col): _*)).distinct()
+              .unionByName(snapValues.select(Key.map(col): _*))
             decorate(
               sameVals.unionByName(latest).unionByName(snapValues)
                 .unionByName(sentinelDefaults(messageFields, covered)),

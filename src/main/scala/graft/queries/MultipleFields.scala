@@ -85,8 +85,11 @@ object MultipleFields {
         latest.where(lit(false)) // empty, same schema
     }
 
+    // No distinct: only the anti-join below reads `covered`, and left_anti
+    // is dedup-agnostic — duplicates per key are bounded by the per-key
+    // path count anyway.
     val covered = latest.select(Key.map(col): _*)
-      .unionByName(snapValues.select(Key.map(col): _*)).distinct()
+      .unionByName(snapValues.select(Key.map(col): _*))
     val defaults = args.select(Key.map(col): _*).distinct()
       .join(covered, Key, "left_anti")
       .select(col("uevol_field_id"), col("src_id"), col("dst_id"),
