@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
+import graft.functions.{MinHashLSH, TextAnalysis}
 
 /** Streaming document-pipeline stages: the training-data operators that
   * make sense incrementally. Everything here accepts a streaming OR batch
@@ -44,6 +44,61 @@ object DocStream {
   def repetitionFilter(docs: DataFrame, maxRatio: Double): DataFrame =
     TextAnalysis.repetitionRatio(docs, "doc_id", "text")
       .where(col("rep_ratio") <= maxRatio)
+
+  /** Incremental near-duplicate tagging against a STATIC reference corpus:
+    * "is this arriving doc a near-copy of anything we already hold?" — the
+    * admission check a growing training set runs on every ingest.
+    *
+    * Streamability is the design constraint, and MinHash (not SimHash) is
+    * the sketch that satisfies it: shingling, the k-seed signature, and LSH
+    * band keys are pure projections ([[MinHashLSH]]), so the stream side is
+    * STATELESS — no per-doc aggregation state, append mode throughout.
+    * Candidates come from a stream-static equijoin on (band, bkey) against
+    * the reference band table, the exact Jaccard verify joins the static
+    * shingle arrays, and only pairs ≥ `minJaccard` emit. The reference
+    * frames are plain static DataFrames recomputed per micro-batch unless
+    * the caller persists them — at scale, persist (or pre-materialize) both.
+    *
+    * Statelessness trade, stated loudly: a (doc, ref) pair sharing several
+    * band keys emits once per colliding band (≤ k/r rows). Collapsing
+    * those inside the stream would mean keyed state; route the output
+    * through `dropDuplicatesWithinWatermark` on (id, ref_id) if the stream
+    * carries an event-time column, or dedup in the downstream batch pass.
+    * Returns (idCol, ref_id, band, jaccard).
+    */
+  def nearDupTag(docs: DataFrame, refDocs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 n: Int = 3, k: Int = 8, r: Int = 2,
+                 minJaccard: Double = 0.5): DataFrame = {
+    val refSh = MinHashLSH.shingleArrays(refDocs, idCol, textCol, n)
+    val refBands = MinHashLSH.bands(MinHashLSH.signatureArray(refSh, idCol, k), idCol, k, r)
+      .withColumnRenamed(idCol, "ref_id")
+    val refArr = refSh.select(col(idCol).as("ref_id"), col("sh_arr").as("ref_sh"))
+
+    // Stream side: one projection carries the shingle array NEXT TO its
+    // band keys (the batch helpers would drop it), so the verify needs no
+    // stream-side self-join. Same signature/band derivation as
+    // MinHashLSH.signatureArray/bands.
+    val sig = MinHashLSH.shingleArrays(docs, idCol, textCol, n)
+      .withColumn("sig", array((0 until k).map(j =>
+        array_min(transform(col("sh_arr"), h => MinHashLSH.seededFromBase(h, j)))): _*))
+    val keys = transform(sequence(lit(0), lit(k / r - 1)),
+      b => array_join(transform(slice(col("sig"), b * r + 1, lit(r)),
+        v => v.cast("string")), ","))
+    val banded = sig.select(col(idCol), col("sh_arr"), posexplode(keys))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+
+    banded
+      .join(refBands, Seq("band", "bkey")) // stream-static equijoin
+      .join(refArr, Seq("ref_id"))         // static: attach ref shingles
+      .withColumn("ni", size(array_intersect(col("sh_arr"), col("ref_sh"))).cast("long"))
+      .where(col("ni") > 0)
+      .withColumn("jaccard", round(col("ni").cast("double") /
+        (size(col("sh_arr")) + size(col("ref_sh")) - col("ni")).cast("double"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col(idCol), col("ref_id"), col("band"), col("jaccard"))
+  }
 
   /** The full incremental cleaning stage: watermarked exact dedup →
     * quality gate → repetition gate → language routing, one streaming

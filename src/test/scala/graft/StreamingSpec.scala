@@ -148,6 +148,43 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupTag: stream docs tagged against the static corpus, append mode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val ref = Seq((100L, base), (101L, "completely different reference text " +
+      "with many unrelated words here")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocStream.nearDupTag(docs, ref, minJaccard = 0.5)
+      .writeStream.format("memory").queryName("doc_tag")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, base + " extra"), (2L, "nothing like either reference"))
+      q.processAllAvailable()
+      in.addData((3L, base)) // exact copy of ref 100, arrives later
+      q.processAllAvailable()
+      val got = spark.table("doc_tag")
+        .select("doc_id", "ref_id", "jaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSet.map((t: (Long, Long, Double)) => (t._1, t._2)) ===
+        Set((1L, 100L), (3L, 100L)))
+      assert(got.find(_._1 == 3L).get._3 === 1.0)
+      assert(got.find(_._1 == 1L).get._3 > 0.9)
+    } finally q.stop()
+  }
+
+  test("nearDupTag on batch input matches the batch pair join restricted to ids") {
+    import spark.implicits._
+    val base = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val ref = Seq((100L, base)).toDF("doc_id", "text")
+    val probe = Seq((1L, base), (2L, "unrelated words only in this one")).toDF("doc_id", "text")
+    val got = graft.streaming.DocStream.nearDupTag(probe, ref, minJaccard = 0.5)
+      .select("doc_id", "ref_id", "jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 100L, 1.0)))
+  }
+
   test("cleanStream: dedup + quality + repetition + multi-lang in one DAG") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
