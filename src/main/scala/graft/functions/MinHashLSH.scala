@@ -149,22 +149,20 @@ object MinHashLSH {
     var prevSum = labelSum(labels)
     var converged = prevSum.signum == 0 && labels.isEmpty // empty input: done
     var i = 0
-    // One hop = min label over the 1-hop neighborhood; near-dup components
-    // are near-cliques, so depth is small. A pointer-jumping variant
-    // (label(label(id))) measured slower here — extra join per round for
-    // rounds that don't materialize.
-    def hop(l: DataFrame): DataFrame = {
-      val viaNeighbor = edges
-        .join(l.withColumnRenamed("id", "b"), "b")
-        .select(col("a").as("id"), col("cluster"))
-      l.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-    }
+    // One hop per materialized round: min label over the 1-hop
+    // neighborhood. Near-dup components are near-cliques, so depth is
+    // small. Two rejected variants, both MEASURED slower: pointer jumping
+    // (label(label(id)) — extra join per round for rounds that don't
+    // materialize) and two hops per materialization (the inner hop's
+    // result feeds both the union and the join of the outer hop, so its
+    // shuffles recompute — exchange reuse does not reliably kick in).
     while (!converged && i < maxIter) {
-      // two hops per materialization: same shuffles as two single rounds,
-      // but half the convergence probes / persist cycles / job launches —
-      // the round-trip latency, not the data, dominates each round
-      val next = hop(hop(labels)).persist(disk)
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .select(col("a").as("id"), col("cluster"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist(disk)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -33,4 +33,22 @@ object TableWriter {
     */
   def writeDeltaLog(df: DataFrame, path: String): Unit =
     writePartitioned(df, path, Seq("uevol_message_id"), Seq("instance_message_id"))
+
+  /** Bucketed catalog table: `numBuckets` hash buckets on `bucketCols`,
+    * sorted within buckets — the co-located-join layout. Two tables
+    * bucketed the same way join WITHOUT a shuffle on either side (Spark
+    * plans bucket-wise joins when bucket specs match), which at 100 TB
+    * removes the single largest exchange from any repeated fact-to-fact
+    * join (e.g. instance_field ⋈ instance_message on the id). Bucketing
+    * lives in the session catalog (`saveAsTable`) — plain `.parquet(path)`
+    * cannot carry the bucket metadata.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy((if (sortCols.nonEmpty) sortCols else bucketCols).head,
+        (if (sortCols.nonEmpty) sortCols else bucketCols).tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -70,6 +70,39 @@ object PipelineQueries {
       MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text", n = 3, k = 8, r = 2)
     },
 
+    // Corpus distribution audit — the "what does this training set look
+    // like" one-rower: doc/token counts, vocabulary size, token-length and
+    // quality quantiles. Exact `percentile` here because the driver oracle
+    // hash-compares; at 100 TB swap in `approx_percentile` (t-digest sketch,
+    // map-side combinable, same plan shape) — exact percentiles buffer the
+    // full column per group and do not scale. Everything else is a
+    // partial-agg single shuffle.
+    "d24_corpus_audit" -> { (s, dir) =>
+      val d = docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val toks = docs(s, dir).select(
+        explode(split(lower(col("text")), " ")).as("token"))
+      val vocab = toks.agg(countDistinct("token").as("vocab_size"))
+      d.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("n_tokens"), 4).as("mean_tokens"),
+          round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"),
+          round(expr("percentile(n_tokens, 0.99)"), 4).as("p99_tokens"),
+          // quality is a 1e-4-grid double; interpolating the raw doubles
+          // diverges in the last ulp between engines (a+(b-a)*f vs
+          // (a+b)/2), so the percentile runs on the exact integer grid,
+          // where midpoints are exactly representable
+          round(expr("percentile(cast(round(q * 10000) as bigint), 0.5)") / 10000, 5)
+            .as("p50_quality"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .crossJoin(broadcast(vocab))
+    },
+
     // TF-IDF top-3 keywords per doc — tf and df both partial-agg shuffles,
     // idf attached via a one-row-per-token equijoin, top-k per-doc window.
     "d23_tfidf" -> { (s, dir) =>
@@ -411,6 +444,25 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    "d24_corpus_audit" -> {
+      val q = QualitySql
+      s"""WITH d AS (SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens, $q AS q
+           FROM documents),
+         vocab AS (SELECT count(DISTINCT token) AS vocab_size FROM (
+           SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents))
+         SELECT count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS mean_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens,
+           round(quantile_cont(CAST(round(q * 10000, 0) AS BIGINT), 0.5) / 10000, 5) AS p50_quality,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens,
+           (SELECT vocab_size FROM vocab) AS vocab_size
+         FROM d"""
+    },
     "d23_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
            FROM documents),

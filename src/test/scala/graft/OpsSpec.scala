@@ -244,6 +244,36 @@ class TableLoaderSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got === Seq(("eqA", "ssA")))
   }
+
+  test("bucketed tables join with NO exchange on either side") {
+    import spark.implicits._
+    val fact = (1L to 200L).map(i => (i, i * 10)).toDF("id", "v")
+    val dim = (1L to 50L).map(i => (i, s"n$i")).toDF("id", "nm")
+    graft.io.TableWriter.writeBucketed(fact, "bkt_fact", Seq("id"), 4)
+    graft.io.TableWriter.writeBucketed(dim, "bkt_dim", Seq("id"), 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the no-shuffle claim is the BUCKETING's doing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_fact").join(spark.table("bkt_dim"), "id")
+      assert(joined.count() === 50)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucket-wise join must not shuffle either side:\n$plan")
+      // re-shuffling the fact side breaks co-location: the same join over
+      // a non-bucketed temp view DOES exchange — the negative control
+      fact.createOrReplaceTempView("plain_fact")
+      val control = spark.table("plain_fact").join(spark.table("bkt_dim"), "id")
+      control.count()
+      assert(control.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_fact")
+      spark.sql("DROP TABLE IF EXISTS bkt_dim")
+      spark.catalog.dropTempView("plain_fact")
+    }
+  }
 }
 
 class JsonExplodeSpec extends SparkSpec {
