@@ -334,8 +334,15 @@ object EventQueries {
         .toDF("id", "uevol_message_id", "src_id", "dst_id")
       val catalog = Seq(("snap_s", snapAt), ("snap_e", maxId))
         .toDF("name", "start_instance_message_id")
+      // The stored-snapshot-table analog: a real deployment READS snapshots,
+      // it does not recompute them per consumer. Persisting the S frame
+      // once lets the catalog load AND the end-snapshot's quiescent half
+      // (mixedSnapshotAt embeds the same subplan — CacheManager substitutes
+      // it) reuse one computation.
+      val snapS = snapshotAt(e, fm, snapAt, Seq(7))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val loader: String => DataFrame = {
-        case "snap_s" => snapshotAt(e, fm, snapAt, Seq(7))
+        case "snap_s" => snapS
         case _ => mixedSnapshotAt(e, fm, snapAt, maxId, Seq(7))
       }
       graft.queries.MessageReconstruct.getMessageSnapshotDiff(
