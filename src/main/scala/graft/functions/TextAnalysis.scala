@@ -172,6 +172,34 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Sliding-window document chunking — context-window packing for model
+    * training: each doc splits into windows of `maxTokens` whitespace
+    * tokens advancing by `maxTokens − overlap`, so consecutive chunks share
+    * `overlap` tokens. A tail start that adds no new content beyond the
+    * previous chunk's coverage (start + overlap > len) is suppressed, so
+    * chunks never degenerate into suffixes of their predecessor.
+    *
+    * Map-only: the word array is staged as an attribute (HOF pitfall — a
+    * lambda-captured `split` would re-run per element), starts come from a
+    * `sequence` + `filter`, one `explode`. No shuffle at any scale.
+    * Returns (idCol, start, chunk_text, n_tokens); `start` is the 1-based
+    * token position, the stable chunk key.
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            maxTokens: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    val w = col("__words")
+    val starts = filter(sequence(lit(1), size(w), lit(stride)),
+      st => st === 1 || st + overlap <= size(w))
+    df.select(col(idCol), split(col(textCol), " ").as("__words"))
+      .select(col(idCol), w, explode(starts).as("start"))
+      .select(col(idCol), col("start").cast("int").as("start"),
+        array_join(slice(w, col("start"), lit(maxTokens)), " ").as("chunk_text"),
+        least(size(w) - col("start") + 1, lit(maxTokens)).cast("int").as("n_tokens"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
     * document order, then keep the minimum hash of each sliding window of
     * `w` consecutive n-gram hashes, deduplicated. Guarantees any shared

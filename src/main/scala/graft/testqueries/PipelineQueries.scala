@@ -103,8 +103,15 @@ object PipelineQueries {
         .crossJoin(broadcast(vocab))
     },
 
+    // Sliding-window chunking (context-window packing) — map-only explode,
+    // overlap-suppressed tails; the chunk key is the 1-based token start.
+    "d25_chunk" -> { (s, dir) =>
+      TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+        maxTokens = 40, overlap = 8)
+    },
+
     // TF-IDF top-3 keywords per doc — tf and df both partial-agg shuffles,
-    // idf attached via a one-row-per-token equijoin, top-k per-doc window.
+    // idf attached via a one-row-per-token equijoin, per-doc top-k window.
     "d23_tfidf" -> { (s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
     },
@@ -444,6 +451,14 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    "d25_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 32),
+             st -> st = 1 OR st + 8 <= len(w))) AS start FROM w)
+         SELECT doc_id, CAST(start AS INT) AS start,
+           array_to_string(w[start:start+39], ' ') AS chunk_text,
+           CAST(least(len(w) - start + 1, 40) AS INT) AS n_tokens
+         FROM s""",
     "d24_corpus_audit" -> {
       val q = QualitySql
       s"""WITH d AS (SELECT doc_id,

@@ -138,6 +138,54 @@ class TfIdfSpec extends SparkSpec {
   }
 }
 
+class ChunkSpec extends SparkSpec {
+
+  test("short doc → one chunk; windows advance by stride with overlap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),   // < maxTokens
+      (2L, (1 to 25).map(i => s"w$i").mkString(" "))). // 3 windows at stride 8
+      toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "doc_id", "text", maxTokens = 10, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 1, "w1 w2 w3 w4 w5", 5)))
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.map(_._2).toSeq === Seq(1, 9, 17))
+    assert(d2.head._3 === (1 to 10).map(i => s"w$i").mkString(" "))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d2(1)._3.split(" ").take(2).toSeq === Seq("w9", "w10"))
+  }
+
+  test("tail start adding no new content is suppressed") {
+    import spark.implicits._
+    // len 17, maxTokens 10, overlap 2, stride 8: start 17 would cover only
+    // w17 — already inside chunk [9,18) — so it must not be emitted
+    val df = Seq((1L, (1 to 17).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val starts = TextAnalysis.chunk(df, "doc_id", "text", 10, 2)
+      .collect().map(_.getInt(1)).sorted
+    assert(starts.toSeq === Seq(1, 9))
+  }
+
+  test("invariant: dropping each chunk's overlap prefix reconstructs the doc") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 10L).map { id =>
+      (id, (1 to (1 + rnd.nextInt(60))).map(i => s"t$i").mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val (mt, ov) = (12, 4)
+    val chunks = TextAnalysis.chunk(df, "doc_id", "text", mt, ov)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val parts = chunks(id).zipWithIndex.map { case ((_, _, t), i) =>
+        if (i == 0) t.split(" ").toSeq else t.split(" ").drop(ov).toSeq }
+      assert(parts.flatten.mkString(" ") === text, s"doc $id")
+    }
+  }
+}
+
 class JaccardJoinSpec extends SparkSpec {
 
   /** Brute-force all-pairs Jaccard over the same hashed shingle sets —
@@ -210,6 +258,34 @@ class JaccardJoinSpec extends SparkSpec {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(JaccardJoin.similarPairs(empty, "doc_id", "text", 0.5).count() === 0)
+  }
+
+  test("randomized corpora: both order variants equal brute force") {
+    import spark.implicits._
+    // small vocabulary forces heavy shingle overlap — the adversarial case
+    // for prefix/positional/length filter bugs (false negatives)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val docs = (1L to 12L).map { id =>
+        val len = 5 + rnd.nextInt(20)
+        (id, (1 to len).map(_ => s"v${rnd.nextInt(8)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val t = Seq(0.3, 0.5, 0.7, 0.9)(rnd.nextInt(4))
+      val expect = bruteForce(df, t)
+      for (fo <- Seq(true, false)) {
+        val got = JaccardJoin.similarPairs(df, "doc_id", "text", t, freqOrder = fo)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got === expect, s"trial $trial threshold $t freqOrder $fo")
+      }
+    }
+  }
+
+  test("plan never contains a cross product") {
+    val plan = JaccardJoin.similarPairs(mixedCorpus, "doc_id", "text", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 }
 
