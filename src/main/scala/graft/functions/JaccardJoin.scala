@@ -66,8 +66,10 @@ object JaccardJoin {
 
     // Prefix rows (id, sz, sh, r): r is the shingle's 1-based rank under
     // the global order, kept for the positional filter; prefix length
-    // p(x) = |x| − ⌈t·|x|⌉ + 1.
-    val prefix =
+    // p(x) = |x| − ⌈t·|x|⌉ + 1. Persisted (S4 rule): BOTH sides of the
+    // candidate self-join read it, and in the freq-order path the df agg +
+    // freq join + rank window behind it would otherwise run once per side.
+    val prefix0 =
       if (freqOrder) {
         val toks = sh.select(col(idCol), size(col("sh_arr")).as("sz"),
           explode(col("sh_arr")).as("sh"))
@@ -85,6 +87,7 @@ object JaccardJoin {
           .select(col(idCol), col("sz"), col("col").as("sh"),
             (col("pos") + 1).as("r"))
       }
+    val prefix = prefix0.persist(disk)
 
     // Candidate equijoin on shared prefix shingles. Length filter before
     // the aggregation; min(ra)/min(rb) land on the SAME row (ranks are

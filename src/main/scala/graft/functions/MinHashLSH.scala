@@ -68,31 +68,44 @@ object MinHashLSH {
     shingleArrays(df, idCol, textCol, n)
       .select(col(idCol), explode(col("sh_arr")).as("sh"))
 
+  /** The signature COLUMN for a hashed-shingle-array column — the single
+    * definition both the batch path ([[signatureArray]]) and the streaming
+    * path ([[graft.streaming.DocStream.nearDupTag]]) build from, so the
+    * two sides of a stream-static band join can never drift.
+    */
+  def signatureCol(shArr: Column, k: Int): Column = {
+    require(k <= SeedA.length, s"k=$k exceeds the ${SeedA.length} defined seeds")
+    array((0 until k).map(j =>
+      array_min(transform(shArr, h => seededFromBase(h, j)))): _*)
+  }
+
+  /** The band-key ARRAY column for a signature column (key b = ","-join of
+    * signature values [b*r, (b+1)*r)) — shared single definition, see
+    * [[signatureCol]].
+    */
+  def bandKeysCol(sig: Column, k: Int, r: Int): Column = {
+    require(k % r == 0, s"k=$k must be a multiple of r=$r")
+    transform(
+      sequence(lit(0), lit(k / r - 1)),
+      b => array_join(transform(slice(sig, b * r + 1, lit(r)), v => v.cast("string")), ","))
+  }
+
   /** MinHash signature as an array column: sig[j] = min seeded hash over the
     * doc's shingles, j in [0,k). Pure projection — no explode, no shuffle;
     * the per-(doc,seed) min becomes `array_min(transform(...))` evaluated
     * inside codegen, and the seed mix is 3 integer ops (no md5).
     */
-  def signatureArray(shArr: DataFrame, idCol: String, k: Int = 8): DataFrame = {
-    require(k <= SeedA.length, s"k=$k exceeds the ${SeedA.length} defined seeds")
-    shArr.select(col(idCol),
-      array((0 until k).map(j =>
-        array_min(transform(col("sh_arr"), h => seededFromBase(h, j)))): _*).as("sig"))
-  }
+  def signatureArray(shArr: DataFrame, idCol: String, k: Int = 8): DataFrame =
+    shArr.select(col(idCol), signatureCol(col("sh_arr"), k).as("sig"))
 
   /** LSH banding with rows-per-band r: each band key is the ","-join of r
     * consecutive signature values. Returns (id, band, bkey) — one posexplode,
     * still map-only.
     */
-  def bands(sig: DataFrame, idCol: String, k: Int = 8, r: Int = 2): DataFrame = {
-    require(k % r == 0, s"k=$k must be a multiple of r=$r")
-    val keys = transform(
-      sequence(lit(0), lit(k / r - 1)),
-      b => array_join(transform(slice(col("sig"), b * r + 1, lit(r)), v => v.cast("string")), ","))
-    sig.select(col(idCol), posexplode(keys))
+  def bands(sig: DataFrame, idCol: String, k: Int = 8, r: Int = 2): DataFrame =
+    sig.select(col(idCol), posexplode(bandKeysCol(col("sig"), k, r)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
-  }
 
   /** Candidate pairs (a < b) sharing at least one band key — the ONLY join
     * that scales: equality on (band, bkey), never a cross product.

@@ -148,6 +148,12 @@ object TextAnalysis {
     * ONE row here, so no skew), and the per-doc top-k window. The corpus
     * size N stays inside the DAG as a broadcast 1-row aggregate — no
     * driver collect.
+    *
+    * Caching note: the (doc, token) tf frame is persisted for the lifetime
+    * of the returned plan (df derives from it — both branches would
+    * otherwise recompute the explode + shuffle). A long-running driver
+    * issuing many tfidf calls should release it (`spark.catalog.clearCache()`
+    * or unpersist via the cache manager) once results are consumed.
     * Returns (idCol, token, tf, rank, score).
     */
   def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -155,8 +161,12 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("token"))
+    // Reused ≥2× (the S4 rule): df derives FROM tf, so without the persist
+    // the token explode + tf shuffle run once per branch — the plan showed
+    // two full scans.
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
     val n = df.agg(count(lit(1)).as("__n"))
@@ -191,8 +201,10 @@ object TextAnalysis {
       s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
     val stride = maxTokens - overlap
     val w = col("__words")
-    val starts = filter(sequence(lit(1), size(w), lit(stride)),
-      st => st === 1 || st + overlap <= size(w))
+    // closed-form start bound (lambda-free, see the HOF pitfall on
+    // repetitionRatio): valid starts are 1, 1+stride, … ≤ max(len−overlap, 1)
+    // — st > len−overlap adds no content beyond the previous chunk
+    val starts = sequence(lit(1), greatest(size(w) - overlap, lit(1)), lit(stride))
     df.select(col(idCol), split(col(textCol), " ").as("__words"))
       .select(col(idCol), w, explode(starts).as("start"))
       .select(col(idCol), col("start").cast("int").as("start"),

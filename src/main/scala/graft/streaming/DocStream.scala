@@ -76,16 +76,13 @@ object DocStream {
     val refArr = refSh.select(col(idCol).as("ref_id"), col("sh_arr").as("ref_sh"))
 
     // Stream side: one projection carries the shingle array NEXT TO its
-    // band keys (the batch helpers would drop it), so the verify needs no
-    // stream-side self-join. Same signature/band derivation as
-    // MinHashLSH.signatureArray/bands.
+    // band keys (the batch helpers would drop it), built from the SAME
+    // signatureCol/bandKeysCol definitions the reference side uses — the
+    // two sides of the equijoin cannot drift.
     val sig = MinHashLSH.shingleArrays(docs, idCol, textCol, n)
-      .withColumn("sig", array((0 until k).map(j =>
-        array_min(transform(col("sh_arr"), h => MinHashLSH.seededFromBase(h, j)))): _*))
-    val keys = transform(sequence(lit(0), lit(k / r - 1)),
-      b => array_join(transform(slice(col("sig"), b * r + 1, lit(r)),
-        v => v.cast("string")), ","))
-    val banded = sig.select(col(idCol), col("sh_arr"), posexplode(keys))
+      .withColumn("sig", MinHashLSH.signatureCol(col("sh_arr"), k))
+    val banded = sig.select(col(idCol), col("sh_arr"),
+        posexplode(MinHashLSH.bandKeysCol(col("sig"), k, r)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
 

@@ -112,6 +112,10 @@ object PipelineQueries {
 
     // TF-IDF top-3 keywords per doc — tf and df both partial-agg shuffles,
     // idf attached via a one-row-per-token equijoin, per-doc top-k window.
+    // Known bounded risk: ln() is the one transcendental on the oracle
+    // surface; JVM Math.log and DuckDB libm agree to the last ulp on this
+    // data (verified by the green gate), and a disagreement would need an
+    // unrounded score within ~1 ulp of a 5e-7 rounding boundary.
     "d23_tfidf" -> { (s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
     },
