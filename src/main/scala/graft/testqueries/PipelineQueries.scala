@@ -103,6 +103,21 @@ object PipelineQueries {
         .crossJoin(broadcast(vocab))
     },
 
+    // Benchmark-contamination report — "which held-out items leaked into
+    // the training corpus": EXACT cross-set near-dup detection (prefix
+    // filtering, so zero false negatives — the property a contamination
+    // audit actually needs), rolled up per benchmark doc. The %10 split
+    // stands in for a real benchmark table.
+    "d26_contamination" -> { (s, dir) =>
+      val isBench = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
+      JaccardJoin.similarPairs(docs(s, dir), "doc_id", "text", threshold = 0.7)
+        .where(isBench(col("doc_a")) =!= isBench(col("doc_b")))
+        .select(when(isBench(col("doc_a")), col("doc_a")).otherwise(col("doc_b"))
+          .as("bench_id"), col("jaccard"))
+        .groupBy("bench_id")
+        .agg(count(lit(1)).as("n_contaminating"), max("jaccard").as("max_jaccard"))
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -455,6 +470,22 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    "d26_contamination" ->
+      s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b, jaccard FROM (
+           SELECT i.doc_a, i.doc_b,
+             round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
+           FROM inter i
+           JOIN sizes na ON na.doc_id = i.doc_a
+           JOIN sizes nb ON nb.doc_id = i.doc_b)
+           WHERE jaccard >= 0.7 AND ((doc_a % 10 = 0) != (doc_b % 10 = 0)))
+         SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS bench_id,
+           count(*) AS n_contaminating, max(jaccard) AS max_jaccard
+         FROM pairs GROUP BY 1""",
     "d25_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 32),
