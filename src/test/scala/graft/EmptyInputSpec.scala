@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.queries.{Backup, MessageReconstruct, SnapshotDump, UpdateHistory}
-import graft.functions.{MinHashLSH, VectorLSH}
+import graft.functions.{MinHashLSH, TextAnalysis, VectorLSH}
 
 /** Totality on empty inputs: every query family must return a well-formed
   * (possibly empty) result on an empty log/corpus — never throw. Empty
@@ -72,5 +72,18 @@ class EmptyInputSpec extends SparkSpec {
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(VectorLSH.annTopK(noVecs, noVecs, "vec_id", "embedding", 5).count() === 0)
     assert(VectorLSH.nearDupPairs(noVecs, "vec_id", "embedding", 0.5).count() === 0)
+  }
+
+  test("round-3 text operators are total on an empty corpus") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.functions.JaccardJoin
+      .similarPairs(noDocs, "doc_id", "text", 0.7).count() === 0)
+    assert(TextAnalysis.tfidfTopK(noDocs, "doc_id", "text", 3).count() === 0)
+    assert(TextAnalysis.chunk(noDocs, "doc_id", "text", 10, 2).count() === 0)
+    val someDocs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // empty reference corpus and empty probe side both yield no tags
+    assert(graft.streaming.DocStream.nearDupTag(someDocs, noDocs).count() === 0)
+    assert(graft.streaming.DocStream.nearDupTag(noDocs, someDocs).count() === 0)
   }
 }
