@@ -69,7 +69,7 @@ object JaccardJoin {
     // p(x) = |x| − ⌈t·|x|⌉ + 1. Persisted (S4 rule): BOTH sides of the
     // candidate self-join read it, and in the freq-order path the df agg +
     // freq join + rank window behind it would otherwise run once per side.
-    val prefix0 =
+    val prefix = (
       if (freqOrder) {
         val toks = sh.select(col(idCol), size(col("sh_arr")).as("sz"),
           explode(col("sh_arr")).as("sh"))
@@ -86,8 +86,7 @@ object JaccardJoin {
             posexplode(slice(sort_array(col("sh_arr")), lit(1), p)))
           .select(col(idCol), col("sz"), col("col").as("sh"),
             (col("pos") + 1).as("r"))
-      }
-    val prefix = prefix0.persist(disk)
+      }).persist(disk)
 
     // Candidate equijoin on shared prefix shingles. Length filter before
     // the aggregation; min(ra)/min(rb) land on the SAME row (ranks are

@@ -119,6 +119,15 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** Exact Jaccard of two hashed-shingle-array columns, on the shared 1e-6
+    * output grid — the one similarity definition every consumer (batch
+    * verify, exact join, stream-static tagger) computes with.
+    */
+  def jaccardCol(a: Column, b: Column): Column = {
+    val ni = size(array_intersect(a, b)).cast("long")
+    round(ni.cast("double") / (size(a) + size(b) - ni).cast("double"), 6)
+  }
+
   /** Exact hashed-shingle-set Jaccard for candidate pairs only: two
     * id-equijoins to attach the (deduped) long arrays, then
     * `array_intersect` sizes — the per-pair work never re-explodes
@@ -129,11 +138,9 @@ object MinHashLSH {
     cand
       .join(shArr.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(shArr.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
-      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .where(col("ni") > 0)
+      .where(size(array_intersect(col("sa"), col("sb"))) > 0)
       .select(col("doc_a"), col("doc_b"),
-        round(col("ni").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6).as("jaccard"))
+        jaccardCol(col("sa"), col("sb")).as("jaccard"))
 
   /** Connected components over near-dup pairs: each doc labeled with the
     * smallest doc id reachable through the pair graph — the "pick one

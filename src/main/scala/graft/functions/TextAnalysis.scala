@@ -190,8 +190,8 @@ object TextAnalysis {
     * chunks never degenerate into suffixes of their predecessor.
     *
     * Map-only: the word array is staged as an attribute (HOF pitfall — a
-    * lambda-captured `split` would re-run per element), starts come from a
-    * `sequence` + `filter`, one `explode`. No shuffle at any scale.
+    * lambda-captured `split` would re-run per element), starts are a
+    * closed-form `sequence`, one `explode`. No shuffle at any scale.
     * Returns (idCol, start, chunk_text, n_tokens); `start` is the 1-based
     * token position, the stable chunk key.
     */

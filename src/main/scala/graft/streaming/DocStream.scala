@@ -70,6 +70,8 @@ object DocStream {
                  idCol: String = "doc_id", textCol: String = "text",
                  n: Int = 3, k: Int = 8, r: Int = 2,
                  minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0, // 0 would emit zero-overlap band collisions
+      s"minJaccard=$minJaccard must be positive")
     val refSh = MinHashLSH.shingleArrays(refDocs, idCol, textCol, n)
     val refBands = MinHashLSH.bands(MinHashLSH.signatureArray(refSh, idCol, k), idCol, k, r)
       .withColumnRenamed(idCol, "ref_id")
@@ -89,10 +91,7 @@ object DocStream {
     banded
       .join(refBands, Seq("band", "bkey")) // stream-static equijoin
       .join(refArr, Seq("ref_id"))         // static: attach ref shingles
-      .withColumn("ni", size(array_intersect(col("sh_arr"), col("ref_sh"))).cast("long"))
-      .where(col("ni") > 0)
-      .withColumn("jaccard", round(col("ni").cast("double") /
-        (size(col("sh_arr")) + size(col("ref_sh")) - col("ni")).cast("double"), 6))
+      .withColumn("jaccard", MinHashLSH.jaccardCol(col("sh_arr"), col("ref_sh")))
       .where(col("jaccard") >= minJaccard)
       .select(col(idCol), col("ref_id"), col("band"), col("jaccard"))
   }
