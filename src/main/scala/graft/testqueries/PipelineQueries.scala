@@ -103,6 +103,20 @@ object PipelineQueries {
         .crossJoin(broadcast(vocab))
     },
 
+    // Deterministic 8/1/1 corpus split + per-split profile — hash-derived
+    // assignment (stable across runs/engines/partitionings, unlike rand()),
+    // then one partial-agg shuffle for the per-split stats.
+    "d27_hash_split" -> { (s, dir) =>
+      import graft.functions.Sampling
+      docs(s, dir)
+        .withColumn("split", Sampling.hashSplit(col("doc_id"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"))
+    },
+
     // Benchmark-contamination report — "which held-out items leaked into
     // the training corpus": EXACT cross-set near-dup detection (prefix
     // filtering, so zero false negatives — the property a contamination
@@ -470,6 +484,15 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    "d27_hash_split" ->
+      s"""WITH d AS (SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+           FROM documents)
+         SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg($QualitySql), 4) AS mean_quality
+         FROM d GROUP BY 1""",
     "d26_contamination" ->
       s"""WITH $ShingleCtesSql,
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

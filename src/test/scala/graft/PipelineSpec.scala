@@ -138,6 +138,38 @@ class TfIdfSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import graft.functions.Sampling
+
+  test("hashSplit is exhaustive, disjoint, stable, and roughly proportional") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    val w = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val got = ids.select(col("id"), Sampling.hashSplit(col("id"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.length === 2000)                      // exhaustive, one row each
+    assert(got.forall(t => Set("train", "val", "test")(t._2)))
+    val counts = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts("train") > 1400 && counts("train") < 1800) // ~1600
+    assert(counts("val") > 100 && counts("val") < 300)
+    // stability: recomputation gives the identical assignment
+    val again = ids.select(col("id"), Sampling.hashSplit(col("id"), w).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("hashSample keeps a stable subset; lower rates nest inside higher") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    def keep(rate: Double) = ids.where(Sampling.hashSample(col("id"), rate))
+      .collect().map(_.getLong(0)).toSet
+    val s10 = keep(0.1); val s30 = keep(0.3)
+    assert(s10.subsetOf(s30))                         // threshold nesting
+    assert(s10.size > 120 && s10.size < 280)          // ~200
+    assert(keep(0.0).isEmpty && keep(1.0).size === 2000)
+  }
+}
+
 class ChunkSpec extends SparkSpec {
 
   test("short doc → one chunk; windows advance by stride with overlap") {
