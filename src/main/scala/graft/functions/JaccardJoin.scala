@@ -54,6 +54,14 @@ object JaccardJoin {
     * [[MinHashLSH.jaccard]] verify uses). Shingles are the same 60-bit
     * md5-hashed n-word grams as the MinHash pipeline, so the two operators
     * agree on what "the shingle set" is.
+    *
+    * Caching note: the shingle and prefix frames are persisted for the
+    * lifetime of the returned plan (each is read by ≥2 subplans). A
+    * long-running driver issuing many joins should release them
+    * (`spark.catalog.clearCache()` or unpersist via the cache manager)
+    * once results are consumed — same contract as
+    * [[graft.queries.MessageReconstruct.getMessageSnapshotDiff]] and
+    * [[TextAnalysis.tfidfTopK]].
     */
   def similarPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,

@@ -203,8 +203,12 @@ object TextAnalysis {
     val w = col("__words")
     // closed-form start bound (lambda-free, see the HOF pitfall on
     // repetitionRatio): valid starts are 1, 1+stride, … ≤ max(len−overlap, 1)
-    // — st > len−overlap adds no content beyond the previous chunk
-    val starts = sequence(lit(1), greatest(size(w) - overlap, lit(1)), lit(stride))
+    // — st > len−overlap adds no content beyond the previous chunk. The
+    // isNotNull gate keeps null-text docs emitting ZERO rows (greatest()
+    // skips null arguments, so a bare greatest would turn a null length
+    // into bound 1 and fabricate a phantom chunk).
+    val bound = when(size(w).isNotNull, greatest(size(w) - overlap, lit(1)))
+    val starts = sequence(lit(1), bound, lit(stride))
     df.select(col(idCol), split(col(textCol), " ").as("__words"))
       .select(col(idCol), w, explode(starts).as("start"))
       .select(col(idCol), col("start").cast("int").as("start"),

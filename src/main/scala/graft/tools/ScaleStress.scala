@@ -7,10 +7,12 @@ import graft.functions.{JaccardJoin, MinHashLSH, SimHash, TextAnalysis}
 
 /** Scale-up probe (dev tool): runs the corpus-heavy operators on the sf0.1
   * documents table and on a 10× replicated variant, and prints the wall
-  * ratio. Replicas get ~10 distinct filler tokens appended so cross-replica
-  * Jaccard stays below the near-dup thresholds — output sizes (and thus the
-  * work) should scale ~linearly with the corpus, and a ratio far above ~10×
-  * flags a plan that would not survive a real scale-up.
+  * ratio. Every token is prefixed with a replica tag, so replicas share
+  * ZERO shingles with each other or the original — the 10× corpus is
+  * genuinely 10× distinct content, outputs scale exactly linearly, and a
+  * wall ratio far above ~10× flags a plan that would not survive a real
+  * scale-up. (An earlier filler-suffix variant left cross-replica Jaccard
+  * above the near-dup thresholds and measured replication artifacts.)
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
@@ -23,9 +25,9 @@ object ScaleStress {
       .select("doc_id", "text")
     val n1 = docs1.count()
     val docs10 = (0 until 10).map { r =>
-      val filler = (1 to 10).map(i => s"zrep${r}f$i").mkString(" ")
+      val tag = s"r${r}x"
       docs1.select((col("doc_id") + lit(r * 10_000_000L)).as("doc_id"),
-        concat(col("text"), lit(" " + filler)).as("text"))
+        concat(lit(tag), regexp_replace(col("text"), " ", " " + tag)).as("text"))
     }.reduce(_ unionByName _)
 
     def t(name: String)(f: => Long): Double = {

@@ -200,6 +200,15 @@ class ChunkSpec extends SparkSpec {
     assert(starts.toSeq === Seq(1, 9))
   }
 
+  test("null text emits zero chunks (no phantom rows)") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "doc_id", "text", 10, 2)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L))
+  }
+
   test("invariant: dropping each chunk's overlap prefix reconstructs the doc") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
