@@ -683,6 +683,21 @@ class GraftSqlSpec extends SparkSpec {
     val pushable = spark.sql("SELECT count(*) FROM events WHERE ts <= 1705276800000000000").head().getLong(0)
     assert(pushable > 0)
   }
+
+  test("documents_scored view serves the pipeline columns to plain SQL") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    val rows = spark.sql(
+      """SELECT split, count(*) AS n, round(avg(quality), 4) AS q
+         FROM documents_scored
+         WHERE n_tokens > 0 AND lang_pred IN ('en', 'und')
+         GROUP BY split""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // the view is a lazy projection: the doc_id filter still prunes the scan
+    val plan = spark.sql("SELECT fingerprint FROM documents_scored WHERE doc_id = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"))
+  }
 }
 
 class ExtensionsSpec extends SparkSpec {
