@@ -44,13 +44,26 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       (name, math.min(cold, warm), cold)
     }
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jsonMap(sel: ((String, Double, Double)) => (String, Double)): String =
-      results.map(sel).map { case (k, v) => s"\"" + k + "\":" + v }
+      results.map(sel).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
     val qs = jsonMap { case (k, v, _) => (k, v) }
     val colds = jsonMap { case (k, _, c) => (k, c) }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    val coldTotal = results.map(_._3).sum
+    // Full per-query detail (steady AND cold) goes to a file: the harness
+    // that collects the printed line keeps only a bounded tail of the
+    // output, and two 64-entry maps cannot fit inside it. The printed
+    // contract line carries the steady map (3-decimal values keep it
+    // within the capture window) plus both totals; BENCH_DETAIL.json in
+    // the repo holds the untruncated pair for steady-to-steady comparison.
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // detail file is best-effort
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.Dataset
+
+/** Registry of DataFrames the graft operators persist internally.
+  *
+  * Operators like [[graft.functions.JaccardJoin.similarPairs]] and
+  * [[graft.functions.MinHashLSH.nearDupPairs]] persist intermediates that
+  * are read by ≥2 subplans of the DataFrame they return; those persists can
+  * only be released once the caller has consumed the result. Rather than
+  * pointing callers at `spark.catalog.clearCache()` — which also evicts
+  * caches the caller created for unrelated work — every internal persist is
+  * registered here, and [[releaseAll]] unpersists exactly those frames and
+  * nothing else.
+  *
+  * Usage: run the query, consume the result, then `CacheRegistry
+  * .releaseAll()`. Releasing is idempotent and safe while other graft
+  * queries are being BUILT (tracking is concurrent); it is not safe to
+  * release while another graft query is mid-EXECUTION, for the same reason
+  * `clearCache()` is not.
+  */
+object CacheRegistry {
+  private val frames = new ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Register an internally persisted frame; returns it for chaining. */
+  def track[T <: Dataset[_]](df: T): T = { frames.add(df); df }
+
+  /** Unpersist every tracked frame (non-blocking) and empty the registry. */
+  def releaseAll(): Unit = {
+    var df = frames.poll()
+    while (df != null) {
+      try df.unpersist(false) catch { case _: Throwable => () }
+      df = frames.poll()
+    }
+  }
+
+  /** Number of currently tracked frames (for specs). */
+  def trackedCount: Int = frames.size()
+}

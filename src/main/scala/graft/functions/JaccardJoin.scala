@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact n-gram Jaccard set-similarity self-join via prefix filtering —
+import graft.CacheRegistry
+
+/** Exact n-gram Jaccard set-similarity join via prefix filtering —
   * the AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
   * WWW'08), the exact counterpart to [[MinHashLSH]]'s approximate banding.
   *
@@ -37,8 +39,15 @@ import org.apache.spark.sql.functions._
   * verify. `freqOrder = false` drops the first three — the global order
   * becomes the hash value itself, map-only prefix emission — for corpora
   * where the vocabulary is known to be flat.
+  *
+  * Two entry points: [[similarPairs]] (self-join, R×R with a &lt; b) and
+  * [[similarPairsAcross]] (cross-set, R×S) — the latter is the shape a
+  * benchmark-contamination audit needs, where generating and discarding
+  * train×train candidates would dominate the work.
   */
 object JaccardJoin {
+
+  private val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   /** ⌈x⌉ with a one-sided guard against float ulp inflation: the exact
     * product t·|x| can land on an integer the double rounds a hair above
@@ -49,63 +58,51 @@ object JaccardJoin {
     */
   private def safeCeil(x: Column): Column = ceil(x - 1e-6)
 
-  /** All pairs (doc_a < doc_b) with n-gram Jaccard ≥ `threshold`, as
-    * (doc_a, doc_b, jaccard) with jaccard rounded to 1e-6 (the grid the
-    * [[MinHashLSH.jaccard]] verify uses). Shingles are the same 60-bit
-    * md5-hashed n-word grams as the MinHash pipeline, so the two operators
-    * agree on what "the shingle set" is.
-    *
-    * Caching note: the shingle and prefix frames are persisted for the
-    * lifetime of the returned plan (each is read by ≥2 subplans). A
-    * long-running driver issuing many joins should release them
-    * (`spark.catalog.clearCache()` or unpersist via the cache manager)
-    * once results are consumed — same contract as
-    * [[graft.queries.MessageReconstruct.getMessageSnapshotDiff]] and
-    * [[TextAnalysis.tfidfTopK]].
+  /** Prefix rows (…grp, sz, sh, r) for a shingle frame: r is the shingle's
+    * 1-based rank under the global order, kept for the positional filter;
+    * prefix length p(x) = |x| − ⌈t·|x|⌉ + 1. `grpCols` identifies a doc
+    * (id alone for the self-join; (side, id) for the cross-set join where
+    * the two inputs may share ids). The global order is rarest-first
+    * (ascending df, ties by hash) when `freq` is given, the hash value
+    * itself otherwise — either is total, which is all the lemma needs, but
+    * both SIDES of one join must rank under the SAME order, which is why
+    * the cross-set path computes one freq table over the union.
     */
-  def similarPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, n: Int = 3,
-                   freqOrder: Boolean = true): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold=$threshold out of (0,1]")
-    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Reused ≥2×: prefix emission + both sides of the verify (S4 rule).
-    val sh = MinHashLSH.shingleArrays(df, idCol, textCol, n).persist(disk)
-
-    // Prefix rows (id, sz, sh, r): r is the shingle's 1-based rank under
-    // the global order, kept for the positional filter; prefix length
-    // p(x) = |x| − ⌈t·|x|⌉ + 1. Persisted (S4 rule): BOTH sides of the
-    // candidate self-join read it, and in the freq-order path the df agg +
-    // freq join + rank window behind it would otherwise run once per side.
-    val prefix = (
-      if (freqOrder) {
-        val toks = sh.select(col(idCol), size(col("sh_arr")).as("sz"),
-          explode(col("sh_arr")).as("sh"))
-        val freq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-        toks.join(freq, "sh")
+  private def prefixRows(sh: DataFrame, grpCols: Seq[String],
+                         threshold: Double, freq: Option[DataFrame]): DataFrame = {
+    val grp = grpCols.map(col)
+    freq match {
+      case Some(f) =>
+        val toks = sh.select(grp :+ size(col("sh_arr")).as("sz") :+
+          explode(col("sh_arr")).as("sh"): _*)
+        toks.join(f, "sh")
           .withColumn("r", row_number().over(
-            Window.partitionBy(col(idCol)).orderBy(col("df"), col("sh"))))
+            Window.partitionBy(grp: _*).orderBy(col("df"), col("sh"))))
           .where(col("r") <= col("sz") - safeCeil(col("sz") * threshold) + 1)
-          .select(col(idCol), col("sz"), col("sh"), col("r"))
-      } else {
+          .select(grp :+ col("sz") :+ col("sh") :+ col("r"): _*)
+      case None =>
         val sz = size(col("sh_arr"))
         val p = (sz - safeCeil(sz * threshold) + 1).cast("int")
-        sh.select(col(idCol), sz.as("sz"),
-            posexplode(slice(sort_array(col("sh_arr")), lit(1), p)))
-          .select(col(idCol), col("sz"), col("col").as("sh"),
-            (col("pos") + 1).as("r"))
-      }).persist(disk)
+        sh.select(grp :+ sz.as("sz") :+
+            posexplode(slice(sort_array(col("sh_arr")), lit(1), p)): _*)
+          .select(grp :+ col("sz") :+ col("col").as("sh") :+
+            (col("pos") + 1).as("r"): _*)
+    }
+  }
 
-    // Candidate equijoin on shared prefix shingles. Length filter before
-    // the aggregation; min(ra)/min(rb) land on the SAME row (ranks are
-    // consistent with one global order), giving the first shared shingle
-    // for the positional filter.
-    val cand = prefix.select(col(idCol).as("doc_a"), col("sz").as("sz_a"),
-        col("sh"), col("r").as("ra"))
-      .join(prefix.select(col(idCol).as("doc_b"), col("sz").as("sz_b"),
-        col("sh"), col("r").as("rb")), Seq("sh"))
-      .where(col("doc_a") < col("doc_b") &&
-        col("sz_b") >= safeCeil(col("sz_a") * threshold) &&
+  /** Document-frequency table (sh, df) over one or more shingle frames. */
+  private def docFreq(shs: DataFrame*): DataFrame =
+    shs.map(_.select(explode(col("sh_arr")).as("sh"))).reduce(_ unionByName _)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+
+  /** PPJoin candidate filter chain shared by both entry points: length
+    * filter before the aggregation; min(ra)/min(rb) land on the SAME row
+    * (ranks are consistent with one global order), giving the first shared
+    * shingle for the positional filter.
+    */
+  private def candidateFilter(joined: DataFrame, threshold: Double): DataFrame =
+    joined
+      .where(col("sz_b") >= safeCeil(col("sz_a") * threshold) &&
         col("sz_a") >= safeCeil(col("sz_b") * threshold))
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(min("ra").as("ra"), min("rb").as("rb"))
@@ -113,6 +110,96 @@ object JaccardJoin {
         safeCeil((col("sz_a") + col("sz_b")) * (threshold / (1.0 + threshold))))
       .select("doc_a", "doc_b")
 
+  /** All pairs (doc_a < doc_b) with n-gram Jaccard ≥ `threshold`, as
+    * (doc_a, doc_b, jaccard) with jaccard rounded to 1e-6 (the grid the
+    * [[MinHashLSH.jaccard]] verify uses). Shingles are the same 60-bit
+    * md5-hashed n-word grams as the MinHash pipeline, so the two operators
+    * agree on what "the shingle set" is.
+    *
+    * Caching note: the shingle and prefix frames are persisted for the
+    * lifetime of the returned plan (each is read by ≥2 subplans) and
+    * registered with [[graft.CacheRegistry]]; a long-running driver should
+    * call `CacheRegistry.releaseAll()` once results are consumed — a
+    * targeted release that does not evict caches the caller created.
+    */
+  def similarPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, n: Int = 3,
+                   freqOrder: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold out of (0,1]")
+    // Reused ≥2×: prefix emission + both sides of the verify (S4 rule).
+    val sh = CacheRegistry.track(
+      MinHashLSH.shingleArrays(df, idCol, textCol, n).persist(disk))
+
+    // Persisted (S4 rule): BOTH sides of the candidate self-join read the
+    // prefix frame, and in the freq-order path the df agg + freq join +
+    // rank window behind it would otherwise run once per side.
+    val freq = if (freqOrder) Some(docFreq(sh)) else None
+    val prefix = CacheRegistry.track(
+      prefixRows(sh, Seq(idCol), threshold, freq).persist(disk))
+
+    val cand = candidateFilter(
+      prefix.select(col(idCol).as("doc_a"), col("sz").as("sz_a"),
+          col("sh"), col("r").as("ra"))
+        .join(prefix.select(col(idCol).as("doc_b"), col("sz").as("sz_b"),
+          col("sh"), col("r").as("rb")), Seq("sh"))
+        .where(col("doc_a") < col("doc_b")),
+      threshold)
+
     MinHashLSH.jaccard(cand, sh, idCol).where(col("jaccard") >= threshold)
+  }
+
+  /** Cross-set variant: every pair (a ∈ `r`, b ∈ `s`) with n-gram Jaccard
+    * ≥ `threshold`, as (doc_a from `r`, doc_b from `s`, jaccard). Same
+    * prefix kernel and filters as [[similarPairs]], but the candidate
+    * equijoin is r-prefix × s-prefix — when `r` is a small benchmark set
+    * probed against a huge training corpus, none of the corpus×corpus
+    * candidate generation and verification ever happens, which is the
+    * difference between "join a tiny prefix table against the corpus
+    * prefix table" and "self-join the corpus" at 100 TB.
+    *
+    * The global rarest-first order is computed over r ∪ s so both sides
+    * rank identically (a requirement of the prefix lemma, and what makes
+    * the returned pairs exactly the cross-set subset of the self-join over
+    * r ∪ s when r and s partition a corpus). Within-r and within-s pairs
+    * are not returned — by design.
+    */
+  def similarPairsAcross(r: DataFrame, s: DataFrame, idCol: String,
+                         textCol: String, threshold: Double, n: Int = 3,
+                         freqOrder: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold out of (0,1]")
+    // One union frame with a side tag instead of two separate shingle
+    // frames: the df agg, freq join and rank window then run ONCE over the
+    // union (the same cost the self-join pays), and one persist serves the
+    // prefix emission and both verify joins.
+    val shU = CacheRegistry.track(
+      MinHashLSH.shingleArrays(r, idCol, textCol, n).withColumn("__side", lit("r"))
+        .unionByName(
+          MinHashLSH.shingleArrays(s, idCol, textCol, n).withColumn("__side", lit("s")))
+        .persist(disk))
+
+    val freq = if (freqOrder) Some(docFreq(shU)) else None
+    val prefix = CacheRegistry.track(
+      prefixRows(shU, Seq("__side", idCol), threshold, freq).persist(disk))
+
+    val cand = candidateFilter(
+      prefix.where(col("__side") === "r")
+        .select(col(idCol).as("doc_a"), col("sz").as("sz_a"),
+          col("sh"), col("r").as("ra"))
+        .join(prefix.where(col("__side") === "s")
+          .select(col(idCol).as("doc_b"), col("sz").as("sz_b"),
+            col("sh"), col("r").as("rb")), Seq("sh")),
+      threshold)
+
+    cand
+      .join(shU.where(col("__side") === "r")
+        .select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
+      .join(shU.where(col("__side") === "s")
+        .select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
+      .where(size(array_intersect(col("sa"), col("sb"))) > 0)
+      .select(col("doc_a"), col("doc_b"),
+        MinHashLSH.jaccardCol(col("sa"), col("sb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 }

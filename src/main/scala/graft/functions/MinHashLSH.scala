@@ -197,6 +197,7 @@ object MinHashLSH {
         s"clusters() did not converge in $maxIter rounds — component diameter " +
           s"exceeds maxIter; raise maxIter (rounds needed ≈ graph diameter)")
     edges.unpersist(false) // labels is persisted + materialized; edges done
+    graft.CacheRegistry.track(labels) // released by CacheRegistry.releaseAll()
     labels
   }
 
@@ -211,8 +212,10 @@ object MinHashLSH {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 8, r: Int = 2): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sh = shingleArrays(df, idCol, textCol, n).persist(disk)
-    val b = bands(signatureArray(sh, idCol, k), idCol, k, r).persist(disk)
+    val sh = graft.CacheRegistry.track(
+      shingleArrays(df, idCol, textCol, n).persist(disk))
+    val b = graft.CacheRegistry.track(
+      bands(signatureArray(sh, idCol, k), idCol, k, r).persist(disk))
     jaccard(candidates(b, idCol), sh, idCol)
   }
 }

@@ -104,10 +104,11 @@ object SimHash {
     // persisted before the self-join (the S4 rule, as in
     // MinHashLSH.nearDupPairs): both join sides read it, and the sketch
     // aggregation behind it is the dominant cost
-    val bands = sh.select(col(idCol), col("simhash"), posexplode(keys))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.CacheRegistry.track(
+      sh.select(col(idCol), col("simhash"), posexplode(keys))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = bands.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
         col("band"), col("bkey"))
       .join(bands.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),

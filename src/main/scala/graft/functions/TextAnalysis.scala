@@ -151,9 +151,10 @@ object TextAnalysis {
     *
     * Caching note: the (doc, token) tf frame is persisted for the lifetime
     * of the returned plan (df derives from it — both branches would
-    * otherwise recompute the explode + shuffle). A long-running driver
-    * issuing many tfidf calls should release it (`spark.catalog.clearCache()`
-    * or unpersist via the cache manager) once results are consumed.
+    * otherwise recompute the explode + shuffle) and registered with
+    * [[graft.CacheRegistry]]; a long-running driver should call
+    * `CacheRegistry.releaseAll()` once results are consumed (targeted — it
+    * does not evict the caller's own caches).
     * Returns (idCol, token, tf, rank, score).
     */
   def tfidfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -164,9 +165,10 @@ object TextAnalysis {
     // Reused ≥2× (the S4 rule): df derives FROM tf, so without the persist
     // the token explode + tf shuffle run once per branch — the plan showed
     // two full scans.
-    val tf = toks.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = graft.CacheRegistry.track(
+      toks.groupBy(col(idCol), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = tf.groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
     val n = df.agg(count(lit(1)).as("__n"))

@@ -125,11 +125,12 @@ object MessageReconstruct {
             val messageFields = fieldsOf(uevolField, msgId, srcId, dstId)
 
             val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-            val sMin = loadSnapshot(snapshotLoader, lo.name, srcId, dstId, messageFields)
-              .persist(disk)
+            val sMin = graft.CacheRegistry.track(
+              loadSnapshot(snapshotLoader, lo.name, srcId, dstId, messageFields)
+                .persist(disk))
             val (same0, _) = ChangeSplit.split(sMin,
               loadSnapshot(snapshotLoader, hi.name, srcId, dstId, messageFields))
-            val same = same0.persist(disk)
+            val same = graft.CacheRegistry.track(same0.persist(disk))
             val sameKeys = same.select(Key.map(col): _*)
 
             // Unchanged keys keep the snapshot state verbatim (log skipped).

@@ -121,14 +121,17 @@ object PipelineQueries {
     // the training corpus": EXACT cross-set near-dup detection (prefix
     // filtering, so zero false negatives — the property a contamination
     // audit actually needs), rolled up per benchmark doc. The %10 split
-    // stands in for a real benchmark table.
+    // stands in for a real benchmark table. The candidate join is
+    // bench-prefix × train-prefix (similarPairsAcross): none of the
+    // train×train work a corpus self-join would generate and discard ever
+    // runs — at 100 TB with a small benchmark set, that discarded work is
+    // nearly all of the work.
     "d26_contamination" -> { (s, dir) =>
-      val isBench = (c: org.apache.spark.sql.Column) => pmod(c, lit(10)) === 0
-      JaccardJoin.similarPairs(docs(s, dir), "doc_id", "text", threshold = 0.7)
-        .where(isBench(col("doc_a")) =!= isBench(col("doc_b")))
-        .select(when(isBench(col("doc_a")), col("doc_a")).otherwise(col("doc_b"))
-          .as("bench_id"), col("jaccard"))
-        .groupBy("bench_id")
+      val d = docs(s, dir)
+      val isBench = pmod(col("doc_id"), lit(10)) === 0
+      JaccardJoin.similarPairsAcross(d.where(isBench), d.where(!isBench),
+          "doc_id", "text", threshold = 0.7)
+        .groupBy(col("doc_a").as("bench_id"))
         .agg(count(lit(1)).as("n_contaminating"), max("jaccard").as("max_jaccard"))
     },
 

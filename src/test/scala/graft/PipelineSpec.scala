@@ -328,6 +328,73 @@ class JaccardJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("cross-set join equals the cross-set subset of the self-join") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val df = mixedCorpus
+      val isR = pmod(col("doc_id"), lit(2)) === 0
+      val got = JaccardJoin.similarPairsAcross(
+          df.where(isR), df.where(!isR), "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // self-join pairs are (a<b); cross pairs are (r-side, s-side)
+      val expect = bruteForce(df, t)
+        .filter { case (a, b, _) => (a % 2 == 0) != (b % 2 == 0) }
+        .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      assert(got === expect, s"threshold $t")
+    }
+  }
+
+  test("cross-set randomized corpora equal cross-filtered brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 12L).map { id =>
+        val len = 5 + rnd.nextInt(20)
+        (id, (1 to len).map(_ => s"v${rnd.nextInt(8)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val t = Seq(0.3, 0.5, 0.7)(rnd.nextInt(3))
+      val r = df.where("doc_id <= 4")
+      val s = df.where("doc_id > 4")
+      for (fo <- Seq(true, false)) {
+        val got = JaccardJoin.similarPairsAcross(r, s, "doc_id", "text", t,
+            freqOrder = fo)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+        val expect = bruteForce(df, t)
+          .filter { case (a, b, _) => a <= 4 && b > 4 }
+        assert(got === expect, s"trial $trial threshold $t freqOrder $fo")
+      }
+    }
+  }
+
+  test("cross-set join with an empty probe side is empty, plan join-only") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val q = JaccardJoin.similarPairsAcross(empty, mixedCorpus, "doc_id", "text", 0.5)
+    assert(q.count() === 0)
+    val plan = JaccardJoin.similarPairsAcross(
+        mixedCorpus.where("doc_id <= 2"), mixedCorpus.where("doc_id > 2"),
+        "doc_id", "text", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("CacheRegistry releases exactly the internally persisted frames") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.CacheRegistry.releaseAll() // drain anything earlier tests tracked
+    val mine = mixedCorpus.persist() // caller-owned cache must survive
+    mine.count()
+    val before = graft.CacheRegistry.trackedCount
+    JaccardJoin.similarPairs(mixedCorpus, "doc_id", "text", 0.7).count()
+    assert(graft.CacheRegistry.trackedCount > before)
+    graft.CacheRegistry.releaseAll()
+    assert(graft.CacheRegistry.trackedCount === 0)
+    assert(mine.storageLevel.useMemory, "caller cache must not be evicted")
+    mine.unpersist()
+  }
 }
 
 class SimHashSpec extends SparkSpec {
