@@ -132,6 +132,40 @@ object UpdateHistory {
     }
   }
 
+  /** The reference's FULL composition — `SQL/GetUpdateHistory.sql:29`
+    * CALLs GetMultipleFieldsHistory at the window start and materializes
+    * its output as `start_table` (`GetMultipleFieldsHistory.sql:361-369`);
+    * this is that call expressed as one library entry point: the seed
+    * state is derived internally via
+    * [[MultipleFields.getMultipleFields]] (snapshot bracket + epoch argmax
+    * + sentinel defaults — the whole value lattice) at `startId`, then fed
+    * to [[updateHistory]] (wide) or [[updateHistoryLong]].
+    *
+    * Scalar paths only: GetUpdateHistory's pivot treats each triple as ONE
+    * BigInt column (`:36`), so nested-leaf rows from the reconstruction
+    * are not seeds — the seed keeps `relative_path = "000"` rows, exactly
+    * the rows the reference's `start_table` pivots. A triple never updated
+    * anywhere seeds at the −1 sentinel (the lattice default), not NULL —
+    * also the reference's behavior, since start_table carries
+    * GetMultipleFieldsHistory's sentinel output verbatim.
+    */
+  def updateHistoryFromLog(
+      instanceField: DataFrame,
+      uevolField: DataFrame,
+      snapshotCatalog: Option[DataFrame],
+      snapshotLoader: String => DataFrame,
+      args: DataFrame,
+      startId: Long,
+      endId: Long,
+      wide: Boolean = true): DataFrame = {
+    val startState = MultipleFields.getMultipleFields(
+        instanceField, uevolField, snapshotCatalog, snapshotLoader, args, startId)
+      .where(col("relative_path") === graft.model.Telemetry.ScalarPath)
+      .select(col("uevol_field_id"), col("src_id"), col("dst_id"), col("value"))
+    if (wide) updateHistory(instanceField, args, startState, startId, endId)
+    else updateHistoryLong(instanceField, args, startState, startId, endId)
+  }
+
   /** The same history in long format — one row per (instant, triple):
     * (instance_message_id, uevol_field_id, src_id, dst_id, value). Identical
     * semantics to [[updateHistory]] (seed row, LOCF, AND-composed filters

@@ -256,6 +256,32 @@ object EventQueries {
           coalesce(col("value"), lit(-1L)).as("value"))
     },
 
+    // The reference's FULL GetUpdateHistory composition END TO END —
+    // updateHistoryFromLog derives the window-start seed INTERNALLY via
+    // getMultipleFields (snapshot at S/2 bracket + epoch argmax + sentinel
+    // defaults), matching SQL/GetUpdateHistory.sql:29's CALL into
+    // GetMultipleFieldsHistory, then runs the wide LOCF pivot. Triple
+    // (5,7,1) matches no event and no snapshot row, so the -1 sentinel
+    // flows from the lattice into the seed and LOCFs across the window.
+    "q38_update_history_composed" -> { (s, dir) =>
+      import s.implicits._
+      val e = ev(s, dir)
+      val (snapAt, target) = windowBounds(e)
+      val snapEarly = snapAt / 2
+      val fm = fieldMapDF(s)
+      val catalog = Seq(("snap_q", snapEarly))
+        .toDF("name", "start_instance_message_id")
+      val args = graft.queries.MultipleFields.parseArgs(s,
+        "(1),(2),(5)", "(7),(7),(7)", "(0),(0),(1)")
+      val names = Seq((1, 7, 0), (2, 7, 0), (5, 7, 1))
+        .map { case (f, sr, d) => graft.queries.UpdateHistory.colName(f, sr, d) }
+      graft.queries.UpdateHistory.updateHistoryFromLog(
+          asInstanceField(e, fm), asUevolField(s), Some(catalog),
+          _ => snapshotAt(e, fm, snapEarly, Seq(7)), args, snapAt, target)
+        .select(col("instance_message_id") +:
+          names.map(n => coalesce(col(n), lit(-1L)).as(n)): _*)
+    },
+
     // The getMultipleFields family END TO END: the reference's '(a),(b)'
     // list literals parsed and positionally zipped into argument triples
     // (CreateArgumentsTable semantics), then multi-triple point-in-time
@@ -899,6 +925,42 @@ object EventQueries {
          SELECT fi.event_id AS instance_message_id, fi.fid AS uevol_field_id,
            7 AS src_id, 0 AS dst_id, CAST(coalesce(fi.v, -1) AS BIGINT) AS value
          FROM filled fi JOIN keep k ON k.event_id = fi.event_id"""
+    },
+    "q38_update_history_composed" -> {
+      val fmVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      // The composed seed "reconstruction at S via snapshot(S/2) + epoch
+      // argmax" collapses to latest-value-<=-S per triple (the lattice:
+      // epoch updates shadow the snapshot, the snapshot is itself the
+      // latest <= S/2); triple (5,7,1) has no events at any instant, so it
+      // seeds at the -1 sentinel and stays there across the window.
+      s"""WITH bounds AS (SELECT max(event_id) // 2 AS s, 3 * max(event_id) // 4 AS t
+           FROM events),
+         fm(fid, et) AS (VALUES $fmVals),
+         evw AS (SELECT e.event_id, fm.fid, CAST(trunc(e.value) AS BIGINT) AS v
+           FROM events e JOIN fm ON e.event_type = fm.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND fm.fid IN (1, 2) AND e.event_id BETWEEN b.s AND b.t),
+         seed AS (SELECT fid, v FROM (
+           SELECT fm.fid, CAST(trunc(e.value) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY fm.fid ORDER BY e.event_id DESC) AS rn
+           FROM events e JOIN fm ON e.event_type = fm.et CROSS JOIN bounds b
+           WHERE e.user_id = 7 AND fm.fid IN (1, 2) AND e.event_id <= b.s) WHERE rn = 1
+           UNION ALL SELECT 5, -1),
+         f(fid) AS (VALUES (1), (2), (5)),
+         ids AS (SELECT DISTINCT event_id FROM evw UNION SELECT s FROM bounds),
+         pts AS (SELECT event_id, fid, v FROM evw
+           UNION ALL SELECT b.s, fid, v FROM seed CROSS JOIN bounds b),
+         ptsm AS (SELECT event_id, fid, max(v) AS v FROM pts GROUP BY 1, 2),
+         grid AS (SELECT i.event_id, f.fid FROM ids i CROSS JOIN f),
+         filled AS (SELECT g.event_id, g.fid,
+             last_value(p.v IGNORE NULLS) OVER (PARTITION BY g.fid ORDER BY g.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+           FROM grid g LEFT JOIN ptsm p ON p.event_id = g.event_id AND p.fid = g.fid)
+         SELECT event_id AS instance_message_id,
+           CAST(coalesce(max(CASE WHEN fid = 1 THEN v END), -1) AS BIGINT) AS id1_src7_dst0,
+           CAST(coalesce(max(CASE WHEN fid = 2 THEN v END), -1) AS BIGINT) AS id2_src7_dst0,
+           CAST(coalesce(max(CASE WHEN fid = 5 THEN v END), -1) AS BIGINT) AS id5_src7_dst1
+         FROM filled GROUP BY event_id"""
     },
     "q28_nested_reconstruct" -> {
       val fieldVals = EventTypes.zipWithIndex
