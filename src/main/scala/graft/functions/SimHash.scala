@@ -32,16 +32,21 @@ object SimHash {
                      width: Int, hash: Column => Column): DataFrame = {
     val toks = df.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("tok"))
       .withColumn("h", hash(col("tok")))
-    val bitSums = (0 until width).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
+    // The ±1 counter s_i = 2·cnt1_i − n, so its sign test s_i > 0 is
+    // 2·cnt1_i > n: per-row agg work becomes a branch-free shift-and-mask
+    // sum per bit (no CaseWhen in the hot hash-agg update loop) plus ONE
+    // shared row count. Same sketch bit for bit, including the tie rule
+    // (s_i = 0 ⟺ 2·cnt1 = n → bit 0).
+    val bitCnts = (0 until width).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1)).as(s"c$i")
     }
     // distinct powers of two sum left-to-right without overflow; the top
     // term is Long.MinValue (two's complement sign bit), added last
     val assembled = (0 until width).map { i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
+      when(col(s"c$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     toks.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(count(lit(1)).as("n"), bitCnts: _*)
       .select(col(idCol), assembled.as("simhash"))
   }
 
