@@ -70,6 +70,54 @@ object VectorIVF {
       .toDF("cell_id", "cvec")
   }
 
+  /** Distributed spherical-k-means (Lloyd's) trainer for the coarse
+    * quantizer, so the IVF path is self-contained on real embeddings:
+    * init is the k corpus vectors whose md5-hashed ids sort first — a
+    * deterministic pseudo-random sample (no `rand()`, replayable, and real
+    * data points so no cell starts empty) — then `iters` rounds of
+    * [[assign]] (partial-agg argmax, ~N rows through the exchange) and a
+    * per-(cell, dim) partial-agg mean. Same per-round discipline as
+    * [[MinHashLSH.clusters]]: the only driver-side data are the k×dim
+    * centroid scalars, bounded by the CALLER'S k — the
+    * [[VectorOps.knnBruteForce]] small-side bound, not a data-sized
+    * collect. A cell that loses all members keeps its previous centroid.
+    *
+    * Centroids are means of the NORMALIZED members (spherical k-means —
+    * the cosine-geometry variant, Dhillon & Modha, Mach. Learn. 42, 2001);
+    * [[assign]] re-normalizes internally so the returned frame plugs
+    * straight into [[annTopK]]. Reference has no trainer (its index is
+    * external); this closes the loop Spark-side.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+            iters: Int = 5): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] =
+      VectorOps.withNormalized(corpus, vecCol, "__nv")
+        .select(col(idCol).cast("string").as("__id"), col("__nv"))
+        .orderBy(md5(col("__id")), col("__id"))
+        .limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("cell_id", "cvec")
+      val means = assign(corpus, idCol, vecCol, cdf, "cell_id", "cvec")
+        .select(col("cell"), posexplode(col("__nv")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = (0 until k).map { c =>
+        byCell.get(c) match {
+          case Some(rows) => (c, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          case None => (c, cents(c)._2)
+        }
+      }
+    }
+    cents.toDF("cell_id", "cvec")
+  }
+
   /** Top-`nprobe` cells per query (same quantizer, keep more than 1). */
   def probes(queries: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, cellIdCol: String, cellVecCol: String,

@@ -694,6 +694,48 @@ class VectorIVFSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
     assert(cells === Map(1L -> 7, 2L -> 8))
   }
+
+  test("Lloyd's trainer separates clusters, is deterministic, beats md5 recall") {
+    import spark.implicits._
+    def jitter(base: Array[Float], i: Int) =
+      base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i + d) % 3) }
+    val ax = Array(1f, 0f, 0f, 0f); val ay = Array(0f, 1f, 0f, 0f)
+    val corpus = ((0 until 10).map(i => (i.toLong, jitter(ax, i))) ++
+      (10 until 20).map(i => (i.toLong, jitter(ay, i)))).toDF("vec_id", "embedding")
+
+    val trained = VectorIVF.train(corpus, "vec_id", "embedding", k = 2, iters = 3)
+    val rows = trained.collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getSeq[Double](1).length === 4))
+
+    // trained quantizer puts each tight cluster wholly in one cell
+    val cells = VectorIVF.assign(corpus, "vec_id", "embedding",
+        trained, "cell_id", "cvec")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(cells.filter(_._1 < 10).values.toSet.size === 1)
+    assert(cells.filter(_._1 >= 10).values.toSet.size === 1)
+    assert(cells(0L) !== cells(10L))
+
+    // deterministic: identical centroid values on a re-run
+    val again = VectorIVF.train(corpus, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(again.toSeq === rows.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq)
+
+    // recall@5 vs brute force: trained quantizer >= the md5 fixed one
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val q = corpus.where(col("vec_id") === 0)
+      val truth = VectorOps.knnBruteForce(q, corpus, "vec_id", "embedding", 5)
+        .collect().map(_.getLong(1)).toSet
+      val got = VectorIVF.annTopK(q, corpus, "vec_id", "embedding", 5,
+          cents, "cell_id", "cvec", nprobe = 1)
+        .collect().map(_.getLong(1)).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val rT = recall(trained)
+    val rM = recall(VectorIVF.mdCentroids(spark, 2, 4))
+    assert(rT >= rM, s"trained recall $rT < md5 recall $rM")
+    assert(rT === 1.0) // tight clusters + aligned quantizer: exact recall
+  }
 }
 
 class DedupClusterSpec extends SparkSpec {
