@@ -22,8 +22,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The contract line below must be the ONLY stdout line. Two guards:
+      // a high maxToStringFields stops the "Truncated the string
+      // representation of a plan" WARN from ever firing (it polluted the
+      // captured tail in rounds 3-4 and broke the driver's JSON parse),
+      // and ERROR log level keeps any other WARN out of the capture window.
+      .config("spark.sql.debug.maxToStringFields", "100000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warm-up: exercise parquet reader, codegen, shuffle machinery once.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

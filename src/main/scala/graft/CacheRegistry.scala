@@ -2,6 +2,8 @@ package graft
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.Dataset
 
 /** Registry of DataFrames the graft operators persist internally.
@@ -31,7 +33,9 @@ object CacheRegistry {
   def releaseAll(): Unit = {
     var df = frames.poll()
     while (df != null) {
-      try df.unpersist(false) catch { case _: Throwable => () }
+      // benign failures only (already unpersisted / session stopped);
+      // fatal errors (OOM, interrupt) must propagate
+      try df.unpersist(false) catch { case NonFatal(_) => () }
       df = frames.poll()
     }
   }
