@@ -176,13 +176,23 @@ object MinHashLSH {
     // materialize) and two hops per materialization (the inner hop's
     // result feeds both the union and the join of the outer hop, so its
     // shuffles recompute — exchange reuse does not reliably kick in).
+    // Each round's plan nests the previous round's, so after many rounds
+    // the logical plan itself (analysis + optimization on the driver)
+    // becomes the cost even though the data is persisted. localCheckpoint
+    // every few rounds truncates lineage to the materialized partitions,
+    // bounding plan depth regardless of graph diameter. Near-dup graphs
+    // converge in 2-3 rounds, so the cadence only fires on adversarially
+    // deep components.
+    val checkpointEvery = 5
     while (!converged && i < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("cluster"))
-      val next = labels.unionByName(viaNeighbor)
+      val nextPlan = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist(disk)
+      val next =
+        if ((i + 1) % checkpointEvery == 0) nextPlan.localCheckpoint(true)
+        else nextPlan.persist(disk)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -26,10 +26,20 @@ object VectorIVF {
     * consistent between corpus and queries).
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame, cellIdCol: String, cellVecCol: String): DataFrame = {
-    val spark = df.sparkSession
+             centroids: DataFrame, cellIdCol: String, cellVecCol: String): DataFrame =
+    assignNormalized(VectorOps.withNormalized(df, vecCol, "__nv"), idCol,
+      centroids, cellIdCol, cellVecCol)
+
+  /** [[assign]] over a frame whose `__nv` column is already the normalized
+    * vector — lets iterative callers ([[train]]) normalize and persist the
+    * corpus ONCE instead of recomputing the per-row rsqrt-scale every
+    * Lloyd round.
+    */
+  private[functions] def assignNormalized(
+      n: DataFrame, idCol: String,
+      centroids: DataFrame, cellIdCol: String, cellVecCol: String): DataFrame = {
+    val spark = n.sparkSession
     val nd = VectorExpressions.dotColumn(spark, _, _)
-    val n = VectorOps.withNormalized(df, vecCol, "__nv")
     val c = broadcast(VectorOps.withNormalized(centroids, cellVecCol, "__ncv")
       .select(col(cellIdCol).as("__cell"), col("__ncv")))
     // The broadcast nested-loop join emits the K candidate rows
@@ -94,28 +104,42 @@ object VectorIVF {
     require(iters >= 0, s"iters=$iters must be non-negative")
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Seq[(Int, Seq[Double])] =
-      VectorOps.withNormalized(corpus, vecCol, "__nv")
-        .select(col(idCol).cast("string").as("__id"), col("__nv"))
-        .orderBy(md5(col("__id")), col("__id"))
-        .limit(k)
-        .collect().zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
-    for (_ <- 1 to iters) {
-      val cdf = cents.toDF("cell_id", "cvec")
-      val means = assign(corpus, idCol, vecCol, cdf, "cell_id", "cvec")
-        .select(col("cell"), posexplode(col("__nv")))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
-        .collect()
-      val byCell = means.groupBy(_.getInt(0))
-      cents = (0 until k).map { c =>
-        byCell.get(c) match {
-          case Some(rows) => (c, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-          case None => (c, cents(c)._2)
+    // Normalize ONCE and keep the (id, unit-vector) projection hot across
+    // init + every Lloyd round — without this each round redoes the per-row
+    // rsqrt-scale on the full corpus before assignment.
+    val norm = VectorOps.withNormalized(corpus, vecCol, "__nv")
+      .select(col(idCol), col("__nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Int, Seq[Double])] =
+        norm.select(col(idCol).cast("string").as("__id"), col("__nv"))
+          .orderBy(md5(col("__id")), col("__id"))
+          .limit(k)
+          .collect().zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      // k seeds require k distinct corpus rows; an under-filled init would
+      // either throw an opaque IndexOutOfBounds below (cents(c) on a lost
+      // cell) or, at iters=0, silently return fewer than k centroids.
+      require(cents.length == k,
+        s"k=$k exceeds the corpus row count (${cents.length} rows) — " +
+          "an IVF quantizer cannot have more cells than training vectors; " +
+          "lower k or grow the corpus")
+      for (_ <- 1 to iters) {
+        val cdf = cents.toDF("cell_id", "cvec")
+        val means = assignNormalized(norm, idCol, cdf, "cell_id", "cvec")
+          .select(col("cell"), posexplode(col("__nv")))
+          .groupBy("cell", "pos").agg(avg("col").as("m"))
+          .collect()
+        val byCell = means.groupBy(_.getInt(0))
+        cents = (0 until k).map { c =>
+          byCell.get(c) match {
+            case Some(rows) => (c, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+            case None => (c, cents(c)._2)
+          }
         }
       }
-    }
-    cents.toDF("cell_id", "cvec")
+      cents.toDF("cell_id", "cvec")
+    } finally norm.unpersist(false)
   }
 
   /** Top-`nprobe` cells per query (same quantizer, keep more than 1). */

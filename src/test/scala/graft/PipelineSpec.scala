@@ -736,6 +736,19 @@ class VectorIVFSpec extends SparkSpec {
     assert(rT >= rM, s"trained recall $rT < md5 recall $rM")
     assert(rT === 1.0) // tight clusters + aligned quantizer: exact recall
   }
+
+  test("train rejects k larger than the corpus row count") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      VectorIVF.train(corpus, "vec_id", "embedding", k = 5, iters = 0)
+    }
+    assert(ex.getMessage.contains("exceeds the corpus row count"))
+    // at the boundary (k == rows) every row seeds its own cell: fine
+    val ok = VectorIVF.train(corpus, "vec_id", "embedding", k = 2, iters = 1)
+    assert(ok.count() === 2)
+  }
 }
 
 class DedupClusterSpec extends SparkSpec {
@@ -844,6 +857,18 @@ class ClusterGuardSpec extends SparkSpec {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(MinHashLSH.clusters(empty).count() === 0)
+  }
+
+  test("deep chain converges across localCheckpoint rounds (bounded lineage)") {
+    import spark.implicits._
+    // path graph 0-1-2-...-14: diameter 14, so propagation runs well past
+    // the checkpoint cadence (every 5 rounds) — exercises the truncated-
+    // lineage path end to end and proves labels survive the checkpoint.
+    val pairs = (0L until 14L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = MinHashLSH.clusters(pairs, maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 15)
+    assert(got.values.toSet === Set(0L))
   }
 }
 
