@@ -141,13 +141,22 @@ object UpdateHistory {
     * + sentinel defaults — the whole value lattice) at `startId`, then fed
     * to [[updateHistory]] (wide) or [[updateHistoryLong]].
     *
-    * Scalar paths only: GetUpdateHistory's pivot treats each triple as ONE
-    * BigInt column (`:36`), so nested-leaf rows from the reconstruction
-    * are not seeds — the seed keeps `relative_path = "000"` rows, exactly
-    * the rows the reference's `start_table` pivots. A triple never updated
-    * anywhere seeds at the −1 sentinel (the lattice default), not NULL —
-    * also the reference's behavior, since start_table carries
-    * GetMultipleFieldsHistory's sentinel output verbatim.
+    * Seed rule — one value per triple, smallest `relative_path` wins
+    * (`min_by(value, relative_path)`): GetUpdateHistory's pivot treats
+    * each triple as ONE BigInt column (`:36`), but `start_table` can carry
+    * several rows per triple (one per leaf path,
+    * `GetMultipleFieldsHistory.sql:350-369` orders by (field, path)); the
+    * reference reads seeds back with an UNORDERED `LIMIT n,1` cursor
+    * (`GetUpdateHistory.sql:84-90`), which on MySQL realizes that insertion
+    * order — so the row it actually reads first for a triple is its
+    * smallest-path row. We define that outcome deterministically:
+    * a triple with a scalar row seeds from `relative_path = "000"` (sorts
+    * first — identical to the reference's pivoted start state); a triple
+    * whose startId state is nested-only seeds from its smallest leaf path
+    * rather than NULL. A triple never updated anywhere seeds at the −1
+    * sentinel (the lattice default), not NULL — also the reference's
+    * behavior, since start_table carries GetMultipleFieldsHistory's
+    * sentinel output verbatim.
     */
   def updateHistoryFromLog(
       instanceField: DataFrame,
@@ -160,8 +169,8 @@ object UpdateHistory {
       wide: Boolean = true): DataFrame = {
     val startState = MultipleFields.getMultipleFields(
         instanceField, uevolField, snapshotCatalog, snapshotLoader, args, startId)
-      .where(col("relative_path") === graft.model.Telemetry.ScalarPath)
-      .select(col("uevol_field_id"), col("src_id"), col("dst_id"), col("value"))
+      .groupBy("uevol_field_id", "src_id", "dst_id")
+      .agg(min_by(col("value"), col("relative_path")).as("value"))
     if (wide) updateHistory(instanceField, args, startState, startId, endId)
     else updateHistoryLong(instanceField, args, startState, startId, endId)
   }

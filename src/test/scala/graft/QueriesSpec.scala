@@ -237,6 +237,26 @@ class UpdateHistorySpec extends SparkSpec {
     assert(longCells === wideCells)
   }
 
+  test("fromLog seeds nested-only triples from their smallest leaf path") {
+    import spark.implicits._
+    // f3's state at startId=100 exists ONLY at nested paths (000.001 -> 1,
+    // 000.002 -> 2; no "000" row). The documented seed rule picks the
+    // smallest relative_path — so f3 seeds 1, not NULL. f1 has a scalar
+    // row ("000" sorts before any leaf), so its seed is unchanged by the
+    // rule.
+    val args = Seq((3, 10, 20, ""), (1, 10, 20, ""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    val got = UpdateHistory.updateHistoryFromLog(
+      Fixtures.instanceField(spark), Fixtures.uevolField(spark),
+      Some(Fixtures.snapshotCatalog(spark)), Fixtures.snapshots(spark)(_),
+      args, 100L, 150L)
+    val byId = got.collect().map(r =>
+      r.getAs[Long]("instance_message_id") ->
+        (r.getAs[Long]("id3_src10_dst20"), r.getAs[Long]("id1_src10_dst20"))).toMap
+    assert(byId(100L) === (1L, 11L)) // seed: f3 smallest-path, f1 scalar
+    assert(byId(120L) === (1L, 12L)) // f3 LOCF-carried across f1's update
+  }
+
   test("value placeholder rewrite is whole-word only") {
     import spark.implicits._
     // 'evalue'/'value2' must NOT be rewritten — the expression below parses
