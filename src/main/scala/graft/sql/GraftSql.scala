@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.io.Tables
 import graft.plans.VectorExpressions
@@ -44,6 +44,44 @@ object GraftSql {
         .withColumn("split", Sampling.hashSplit(col("doc_id"),
           Seq("train" -> 8, "val" -> 1, "test" -> 1)))
         .createOrReplaceTempView("documents_scored")
+      // Benchmark-contamination audit as a plain SQL target: cross-set
+      // n-gram-Jaccard pairs between the held-out and train splits of
+      // `documents_scored` (the d26 shape). Lazy like every view here —
+      // the prefix-join work runs only when the view is queried.
+      val scored = spark.table("documents_scored")
+      registerCrossDups(spark, "contamination_pairs",
+        scored.where(col("split") === "test"),
+        scored.where(col("split") =!= "test"),
+        "doc_id", "text", threshold = 0.8)
     }
   }
+
+  /** Cross-set near-dup pairs ([[graft.functions.JaccardJoin
+    * .similarPairsAcross]]) as a named temp view, so the newest dedup
+    * operator is reachable from `spark.sql` — `r`-side ids come back as
+    * `doc_a`, `s`-side as `doc_b`, with the exact `jaccard` attached.
+    */
+  def registerCrossDups(spark: SparkSession, viewName: String,
+                        r: DataFrame, s: DataFrame, idCol: String,
+                        textCol: String, threshold: Double): Unit =
+    graft.functions.JaccardJoin
+      .similarPairsAcross(r, s, idCol, textCol, threshold)
+      .createOrReplaceTempView(viewName)
+
+  /** The composed reference pipeline ([[graft.queries.UpdateHistory
+    * .updateHistoryFromLog]]: seed reconstruction at `startId` + LOCF
+    * history to `endId`) as a named temp view for `spark.sql` users.
+    * `wide = false` gives the fixed-schema long form that survives
+    * unbounded argument lists.
+    */
+  def registerUpdateHistory(spark: SparkSession, viewName: String,
+                            instanceField: DataFrame, uevolField: DataFrame,
+                            snapshotCatalog: Option[DataFrame],
+                            snapshotLoader: String => DataFrame,
+                            args: DataFrame, startId: Long, endId: Long,
+                            wide: Boolean = true): Unit =
+    graft.queries.UpdateHistory
+      .updateHistoryFromLog(instanceField, uevolField, snapshotCatalog,
+        snapshotLoader, args, startId, endId, wide)
+      .createOrReplaceTempView(viewName)
 }

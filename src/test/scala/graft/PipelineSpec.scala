@@ -820,6 +820,31 @@ class GraftSqlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("doc_id"))
   }
+
+  test("contamination_pairs view reaches similarPairsAcross from plain SQL") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    val df = spark.sql(
+      "SELECT doc_a, doc_b, jaccard FROM contamination_pairs WHERE jaccard >= 0.8")
+    assert(df.columns.toSeq === Seq("doc_a", "doc_b", "jaccard"))
+    val rows = df.collect() // sf0.001 has few (possibly zero) cross-split dups
+    assert(rows.forall(_.getDouble(2) >= 0.8))
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("registerUpdateHistory serves the composed history to plain SQL") {
+    import spark.implicits._
+    val args = Seq((1, Fixtures.Src, Fixtures.Dst, ""), (6, Fixtures.Src, Fixtures.Dst, ""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    graft.sql.GraftSql.registerUpdateHistory(spark, "field_history",
+      Fixtures.instanceField(spark), Fixtures.uevolField(spark),
+      Some(Fixtures.snapshotCatalog(spark)), Fixtures.snapshots(spark)(_),
+      args, 100L, 150L)
+    val got = spark.sql(
+      """SELECT instance_message_id, id1_src10_dst20 AS f1, id6_src10_dst20 AS f6
+         FROM field_history WHERE instance_message_id >= 120""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((120L, 12L, 8L), (130L, 12L, 62L)))
+  }
 }
 
 class ExtensionsSpec extends SparkSpec {
