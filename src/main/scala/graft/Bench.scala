@@ -44,9 +44,13 @@ object Bench {
       val cold = timeOnce(fn)
       // drop any persist() the query created: run 2 must redo the data work
       // (CacheManager plan-matching would otherwise serve it from memory),
-      // so "warm" means warm JIT/codegen, cold data.
+      // so "warm" means warm JIT/codegen, cold data. releaseAll() first so
+      // the tracked-frame registry is drained per run, not grown across the
+      // whole bench.
+      graft.CacheRegistry.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       val warm = timeOnce(fn)
+      graft.CacheRegistry.releaseAll()
       spark.sharedState.cacheManager.clearCache()
       (name, math.min(cold, warm), cold)
     }

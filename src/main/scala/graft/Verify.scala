@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // each query's result is fully written: release the intermediates the
+      // operators persisted internally, so one query's caches never crowd
+      // the next query's working set
+      finally CacheRegistry.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
