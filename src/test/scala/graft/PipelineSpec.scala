@@ -897,6 +897,56 @@ class ClusterGuardSpec extends SparkSpec {
   }
 }
 
+class HeaderCodecSpec extends SparkSpec {
+
+  private def bmp(width: Int, height: Int, bitCount: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54) // file header
+    b.putInt(40).putInt(width).putInt(height)                        // BITMAPINFOHEADER
+    b.putShort(1).putShort(bitCount.toShort)
+    b.array()
+  }
+
+  private def wav(channels: Int, rate: Int, bits: Int, dataSize: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    b.array()
+  }
+
+  test("real header codec decodes BMP and WAV through the mapPartitions seam") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, bmp(640, 480, 24)),
+      (2L, bmp(1920, -1080, 32)),            // top-down BMP: negative height
+      (3L, wav(2, 44100, 16, dataSize = 400)))
+      .toDF("id", "blob")
+    val got = Multimodal.decode(df, "id", "blob", Multimodal.HeaderCodec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) === ((640, 480, 3, 1)))
+    assert(got(2L) === ((1920, 1080, 4, 1)))
+    // 400 data bytes / 4-byte frames = 100 sample frames
+    assert(got(3L) === ((44100, 16, 2, 100)))
+  }
+
+  test("header codec agrees with the magic-byte sniffer; strict on junk") {
+    import spark.implicits._
+    val df = Seq((1L, wav(1, 8000, 8, 16))).toDF("id", "blob")
+    val ct = Multimodal.metadata(df, "id", "blob").head().getAs[String]("content_type")
+    assert(ct === "audio/wav")
+    intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decode("not media at all".getBytes("US-ASCII"))
+    }
+  }
+}
+
 class DecodeEarlyStopSpec extends SparkSpec {
 
   test("decode survives an early-stopping consumer (limit)") {
