@@ -23,11 +23,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The contract line below must be the ONLY stdout line. Two guards:
-      // a high maxToStringFields stops the "Truncated the string
+      // a raised maxToStringFields stops the "Truncated the string
       // representation of a plan" WARN from ever firing (it polluted the
       // captured tail in rounds 3-4 and broke the driver's JSON parse),
-      // and ERROR log level keeps any other WARN out of the capture window.
-      .config("spark.sql.debug.maxToStringFields", "100000")
+      // and ERROR log level (log4j2.properties + setLogLevel) keeps any
+      // other WARN out of the capture window. 10k covers every plan here
+      // (widest is the q24 pivot, far under 1k fields) without the
+      // unbounded-string cost of a huge limit.
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
