@@ -13,6 +13,17 @@ import graft.functions.{JaccardJoin, MinHashLSH, SimHash, TextAnalysis}
   * wall ratio far above ~10× flags a plan that would not survive a real
   * scale-up. (An earlier filler-suffix variant left cross-replica Jaccard
   * above the near-dup thresholds and measured replication artifacts.)
+  *
+  * `runMain graft.tools.ScaleStress across` runs the ASYMMETRIC probe
+  * instead: a 1%-of-corpus benchmark set against the 10× corpus, the shape
+  * a contamination audit has at scale. It measures
+  * [[JaccardJoin.similarPairsAcross]] (r-prefix × s-prefix candidates
+  * only) against what a user without the cross-set entry point would run —
+  * self-joining bench ∪ corpus and post-filtering to cross pairs — and
+  * prints the wall ratio. The probe corpus is 10× UNTAGGED replication
+  * (real duplicate mass, distinct ids), so bench docs have true matches,
+  * the verify path is exercised, and the self-join control pays the
+  * train×train candidate volume the cross-set path is designed to avoid.
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
@@ -36,6 +47,65 @@ object ScaleStress {
       val s = (System.nanoTime() - t0) / 1e9
       println(f"$name%-28s ${s}%7.2f s  rows=$rows")
       s
+    }
+
+    if (args.contains("across")) {
+      // Corpus for the asymmetric probe: 10x UNTAGGED replication — pure
+      // duplicate mass (each doc in 10 exact copies under distinct ids),
+      // the realistic shape of a raw web/train corpus. This is what makes
+      // the probe meaningful: the self-join control must generate and
+      // verify every train x train duplicate pair (~45 per 10-clique x 5k
+      // docs, plus near-dup families) only to discard them, while the
+      // cross-set path never forms them. The tagged docs10 above would
+      // hide exactly that cost (replicas share zero shingles).
+      // Replication factor = second arg (default 10). Intra-corpus pair
+      // volume grows as rep²: rep 10 → 45 pairs per clique, rep 30 → 435.
+      val rep = args.drop(args.indexOf("across") + 1).headOption
+        .map(_.toInt).getOrElse(10)
+      val corpus = (0 until rep).map { r =>
+        docs1.select((col("doc_id") + lit(r * 10_000_000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      // Benchmark set: 1% of the original corpus, re-keyed so ids cannot
+      // collide with any corpus id (similarPairsAcross tolerates shared ids
+      // via the side tag, but distinct ids keep the self-join control
+      // honest: cross pairs are then exactly the bench-id x corpus-id ones).
+      val bench = docs1.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + lit(900_000_000L)).as("doc_id"), col("text"))
+      val nb = bench.count(); val nc = corpus.count()
+      println(s"--- asymmetric probe: |bench|=$nb x |corpus|=$nc ---")
+      def drain(): Unit = {
+        graft.CacheRegistry.releaseAll()
+        spark.sharedState.cacheManager.clearCache()
+      }
+      // Warm JIT/codegen on the small side before timing.
+      t("warmup cross (bench x 1x)") {
+        JaccardJoin.similarPairsAcross(bench, docs1, "doc_id", "text", 0.8).count()
+      }
+      drain()
+      val tCross = t(s"cross bench x ${rep}x corpus") {
+        JaccardJoin.similarPairsAcross(bench, corpus, "doc_id", "text", 0.8).count()
+      }
+      drain()
+      // The no-cross-set-API alternative: self-join the union, keep pairs
+      // that straddle the sets. Pays corpus x corpus candidate generation,
+      // verification and the candidate-pair shuffle for pairs it then
+      // throws away — count that discarded volume in the same pass.
+      var intra = 0L
+      val tSelf = t("self-join union, post-filter") {
+        val straddle = (col("doc_a") >= 900_000_000L) =!= (col("doc_b") >= 900_000_000L)
+        val r = JaccardJoin.similarPairs(corpus.unionByName(bench), "doc_id", "text", 0.8)
+          .agg(count(lit(1)).as("all"),
+            count(when(straddle, 1)).as("cross")).head()
+        intra = r.getLong(0) - r.getLong(1)
+        r.getLong(1)
+      }
+      drain()
+      println(f"asymmetric ratio self/cross = ${tSelf / tCross}%5.2f; " +
+        s"self-join verified+discarded $intra intra-corpus pairs " +
+        "(the cross-set path never forms them)")
+      spark.stop()
+      return
     }
     def suite(tag: String, d: DataFrame): Map[String, Double] = {
       println(s"--- $tag (${d.count()} docs) ---")
