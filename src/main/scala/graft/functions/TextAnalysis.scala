@@ -102,6 +102,38 @@ object TextAnalysis {
     when(best.getField("r") >= floor, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** PII classes for scan/redaction — the standard cleaning stage before a
+    * corpus ships to training. (kind, pattern, replacement) triples; the
+    * patterns are deliberately RE2-compatible (no lookaround, no backrefs)
+    * so external oracles and sibling engines recompute them byte-for-byte.
+    * The sequence order IS the redaction order and is load-bearing: emails
+    * go first (their digit-bearing local parts must not be half-claimed by
+    * the numeric classes), dotted quads before phones (both match digit
+    * runs with separators).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Match count for one PII class over the RAW text (counts are per-class
+    * independent; only redaction is sequential). Codegen'd `regexp_count`.
+    */
+  def piiCount(text: Column, kind: String): Column = {
+    val pat = PiiPatterns.collectFirst { case (`kind`, p, _) => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown PII class '$kind' (have ${PiiPatterns.map(_._1).mkString(",")})"))
+    regexp_count(text, lit(pat)).cast("long")
+  }
+
+  /** Redact every PII class, applying [[PiiPatterns]] in declared order.
+    * Map-only, no UDF — runs at scan speed over a 100 TB corpus.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+
   /** 60-bit stable document fingerprint from the normalized text (md5-based
     * so any engine can recompute it; 15 hex chars keeps it in a signed long).
     */
