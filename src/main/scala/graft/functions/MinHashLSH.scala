@@ -178,27 +178,42 @@ object MinHashLSH {
     // shuffles recompute — exchange reuse does not reliably kick in).
     // Each round's plan nests the previous round's, so after many rounds
     // the logical plan itself (analysis + optimization on the driver)
-    // becomes the cost even though the data is persisted. localCheckpoint
+    // becomes the cost even though the data is persisted. Checkpointing
     // every few rounds truncates lineage to the materialized partitions,
     // bounding plan depth regardless of graph diameter. Near-dup graphs
     // converge in 2-3 rounds, so the cadence only fires on adversarially
     // deep components.
     val checkpointEvery = 5
+    val sc = pairs.sparkSession.sparkContext
     while (!converged && i < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("cluster"))
-      val nextPlan = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-      val next =
-        if ((i + 1) % checkpointEvery == 0) nextPlan.localCheckpoint(true)
-        else nextPlan.persist(disk)
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("cluster").as("cluster")).persist(disk)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist(false)
       labels = next
       i += 1
+      // Lineage bounding for FUTURE rounds only: the frame we return is
+      // always the plain persisted `next` above, never a checkpointed
+      // one, so CacheRegistry.releaseAll() leaves the result recomputable
+      // from lineage. Reliable checkpoint() when the session has a
+      // checkpoint dir (the cluster deployment — survives executor loss
+      // and unpersist); localCheckpoint otherwise, with its single-node
+      // assumption made explicit: the truncated lineage roots in
+      // partitions held by THIS JVM's block manager, so a lost executor
+      // on a real cluster would fail the job instead of recomputing —
+      // set a checkpoint dir there.
+      if (!converged && i % checkpointEvery == 0) {
+        val cp =
+          if (sc.getCheckpointDir.isDefined) labels.checkpoint(true)
+          else labels.localCheckpoint(true)
+        labels.unpersist(false)
+        labels = cp
+      }
     }
     // Silent non-convergence would return wrong clusters (and diverge from
     // any exact-transitive-closure oracle) — fail loudly instead.

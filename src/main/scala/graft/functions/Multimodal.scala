@@ -120,31 +120,44 @@ object Multimodal {
 
     override def decode(bytes: Array[Byte]): MediaInfo = ascii(bytes, 0, 2) match {
       case "BM" =>
+        // Reject the OS/2 BITMAPCOREHEADER (12-byte header, 16-bit dims):
+        // its 'BM' magic passes but width/height live at different
+        // offsets/widths, so reading the INFOHEADER int32 fields would
+        // silently return garbage dimensions instead of throwing.
+        val hdrSize = le32(bytes, 14)
+        require(hdrSize >= 40,
+          s"unsupported BMP header size $hdrSize (need BITMAPINFOHEADER)")
         MediaInfo(
           width = math.abs(le32(bytes, 18)),
           height = math.abs(le32(bytes, 22)),
           channels = math.max(1, le16(bytes, 28) / 8),
           nFrames = 1)
       case "RI" if ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "WAVE" =>
-        var off = 12
+        var off = 12L
         var channels = 0; var sampleRate = 0; var bits = 0
-        var blockAlign = 0; var dataSize = -1
+        var blockAlign = 0; var dataSize = -1L
         while (off + 8 <= bytes.length && (channels == 0 || dataSize < 0)) {
-          val id = ascii(bytes, off, 4)
-          val size = le32(bytes, off + 4)
-          require(size >= 0, s"negative chunk size in '$id'")
+          val at = off.toInt // loop guard keeps off inside the array
+          val id = ascii(bytes, at, 4)
+          // RIFF chunk sizes are UNSIGNED 32-bit: mask into a Long so a
+          // crafted size near 2^31 cannot flip the walk offset negative
+          // and turn a malformed blob into ArrayIndexOutOfBounds instead
+          // of this decoder's IllegalArgumentException contract.
+          val size = le32(bytes, at + 4) & 0xFFFFFFFFL
+          require(off + 8 + size <= bytes.length,
+            s"chunk '$id' size $size overruns the ${bytes.length}-byte blob")
           if (id == "fmt ") {
-            channels = le16(bytes, off + 10)
-            sampleRate = le32(bytes, off + 12)
-            blockAlign = le16(bytes, off + 20)
-            bits = le16(bytes, off + 22)
+            channels = le16(bytes, at + 10)
+            sampleRate = le32(bytes, at + 12)
+            blockAlign = le16(bytes, at + 20)
+            bits = le16(bytes, at + 22)
           } else if (id == "data") dataSize = size
           off += 8 + size + (size & 1) // chunk data is padded to even length
         }
         require(channels > 0 && blockAlign > 0 && dataSize >= 0,
           "missing fmt /data chunk in WAVE stream")
         MediaInfo(width = sampleRate, height = bits, channels = channels,
-          nFrames = dataSize / blockAlign)
+          nFrames = (dataSize / blockAlign).toInt)
       case _ =>
         throw new IllegalArgumentException(
           "undecodable blob: neither BMP nor RIFF/WAVE magic")

@@ -142,21 +142,33 @@ object UpdateHistory {
     * to [[updateHistory]] (wide) or [[updateHistoryLong]].
     *
     * Seed rule — one value per triple, smallest `relative_path` wins
-    * (`min_by(value, relative_path)`): GetUpdateHistory's pivot treats
-    * each triple as ONE BigInt column (`:36`), but `start_table` can carry
-    * several rows per triple (one per leaf path,
-    * `GetMultipleFieldsHistory.sql:350-369` orders by (field, path)); the
-    * reference reads seeds back with an UNORDERED `LIMIT n,1` cursor
-    * (`GetUpdateHistory.sql:84-90`), which on MySQL realizes that insertion
-    * order — so the row it actually reads first for a triple is its
-    * smallest-path row. We define that outcome deterministically:
-    * a triple with a scalar row seeds from `relative_path = "000"` (sorts
-    * first — identical to the reference's pivoted start state); a triple
-    * whose startId state is nested-only seeds from its smallest leaf path
-    * rather than NULL. A triple never updated anywhere seeds at the −1
-    * sentinel (the lattice default), not NULL — also the reference's
-    * behavior, since start_table carries GetMultipleFieldsHistory's
-    * sentinel output verbatim.
+    * (`min_by(value, relative_path)`). This is a DELIBERATE, DOCUMENTED
+    * DIVERGENCE from the reference when a triple's start state carries
+    * several leaf rows. What the reference actually does
+    * (`GetUpdateHistory.sql:84-97`): it cursors over `start_table` with an
+    * UNORDERED `LIMIT n,1` for n = 0..@Nb_fields-1 and issues one UPDATE
+    * per row on the triple's single pivot column — so (i) among the rows
+    * the cursor reads, the LAST one read wins, (ii) the read order is
+    * SQL-undefined (MySQL happens to realize insertion order, which is
+    * `ORDER BY uevol_field_id, relative_path` with NO src/dst tiebreak —
+    * `GetMultipleFieldsHistory.sql:350-369` — so even insertion order is
+    * undefined between same-field triples), and (iii) the cursor stops
+    * after @Nb_fields rows = the COUNT OF ARGUMENT TRIPLES (`:31-33`), so
+    * when earlier triples carry multiple leaf rows, later triples' seed
+    * rows fall outside the window and are silently dropped. (ii) and (iii)
+    * are order-dependence and a truncation defect, not semantics worth
+    * reproducing; we instead define the outcome deterministically: a
+    * triple with a scalar row seeds from `relative_path = "000"` (sorts
+    * first — identical to the reference's behavior in the scalar-seed
+    * case, which is every case the reference's own test queries exercise);
+    * a triple whose startId state is nested-only seeds from its smallest
+    * leaf path rather than NULL. A triple never updated anywhere seeds at
+    * the −1 sentinel (the lattice default), not NULL — also the
+    * reference's behavior, since start_table carries
+    * GetMultipleFieldsHistory's sentinel output verbatim. The driver
+    * oracles (q38) and the nested-seed spec check THESE documented Spark
+    * semantics, not the reference's order-dependent multi-leaf behavior —
+    * do not read them as reference parity for that corner.
     */
   def updateHistoryFromLog(
       instanceField: DataFrame,

@@ -551,8 +551,11 @@ object EventQueries {
           .select("user_id", "event_type", "ts", "event_id", "value"),
         Seq("user_id", "event_type"),
         struct(col("ts"), col("event_id")))
+      // explicit broadcast: the distinct type dim is ~5 rows, and at 100x
+      // an unhinted cross join against a shuffled distinct is a
+      // plan-stability risk (AQE converting it locally is not a contract)
       val grid = e.select("user_id").distinct()
-        .crossJoin(e.select("event_type").distinct())
+        .crossJoin(broadcast(e.select("event_type").distinct()))
       grid.join(latest, Seq("user_id", "event_type"), "left_outer")
         .select(
           col("user_id"), col("event_type"),

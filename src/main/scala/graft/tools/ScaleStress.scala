@@ -70,8 +70,12 @@ object ScaleStress {
       // collide with any corpus id (similarPairsAcross tolerates shared ids
       // via the side tag, but distinct ids keep the self-join control
       // honest: cross pairs are then exactly the bench-id x corpus-id ones).
+      // The offset is DERIVED from rep: a fixed 900M would collide with
+      // replica ids once rep >= 90 (r * 10M reaches 900M) and silently
+      // corrupt the straddle predicate below.
+      val benchOffset = rep * 10_000_000L + 10_000_000L
       val bench = docs1.where(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + lit(900_000_000L)).as("doc_id"), col("text"))
+        .select((col("doc_id") + lit(benchOffset)).as("doc_id"), col("text"))
       val nb = bench.count(); val nc = corpus.count()
       println(s"--- asymmetric probe: |bench|=$nb x |corpus|=$nc ---")
       def drain(): Unit = {
@@ -93,7 +97,7 @@ object ScaleStress {
       // throws away — count that discarded volume in the same pass.
       var intra = 0L
       val tSelf = t("self-join union, post-filter") {
-        val straddle = (col("doc_a") >= 900_000_000L) =!= (col("doc_b") >= 900_000_000L)
+        val straddle = (col("doc_a") >= benchOffset) =!= (col("doc_b") >= benchOffset)
         val r = JaccardJoin.similarPairs(corpus.unionByName(bench), "doc_id", "text", 0.8)
           .agg(count(lit(1)).as("all"),
             count(when(straddle, 1)).as("cross")).head()

@@ -936,6 +936,40 @@ class HeaderCodecSpec extends SparkSpec {
     assert(got(3L) === ((44100, 16, 2, 100)))
   }
 
+  test("malformed blobs throw IllegalArgumentException, never index errors") {
+    // RIFF chunk size near 2^31: unsigned in the spec, would flip the walk
+    // offset negative if read signed — must surface as the decoder's
+    // documented IllegalArgumentException, not ArrayIndexOutOfBounds.
+    val evil = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    evil.put("junk".getBytes("US-ASCII")).putInt(0x80000010) // "size" 2^31+16
+    intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decode(evil.array())
+    }
+    // A chunk whose (sane) size overruns the blob is also a require, not
+    // a truncated-read crash on the next iteration.
+    val overrun = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    overrun.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+    overrun.put("fmt ".getBytes("US-ASCII")).putInt(1000)
+    intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decode(overrun.array())
+    }
+    // OS/2 BITMAPCOREHEADER (header size 12, 16-bit dims): 'BM' magic
+    // passes but the INFOHEADER field offsets don't apply — reject rather
+    // than decode garbage dimensions.
+    val core = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+    core.putInt(12).putShort(640).putShort(480).putShort(1).putShort(24)
+    intercept[IllegalArgumentException] {
+      Multimodal.HeaderCodec.decode(core.array())
+    }
+  }
+
   test("header codec agrees with the magic-byte sniffer; strict on junk") {
     import spark.implicits._
     val df = Seq((1L, wav(1, 8000, 8, 16))).toDF("id", "blob")

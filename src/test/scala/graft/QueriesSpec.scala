@@ -243,7 +243,9 @@ class UpdateHistorySpec extends SparkSpec {
     // 000.002 -> 2; no "000" row). The documented seed rule picks the
     // smallest relative_path — so f3 seeds 1, not NULL. f1 has a scalar
     // row ("000" sorts before any leaf), so its seed is unchanged by the
-    // rule.
+    // rule. NOTE: this asserts graft's DOCUMENTED multi-leaf semantics, a
+    // deliberate divergence from the reference's order-dependent seed
+    // cursor (see updateHistoryFromLog's Scaladoc) — not reference parity.
     val args = Seq((3, 10, 20, ""), (1, 10, 20, ""))
       .toDF("uevol_field_id", "src_id", "dst_id", "filter")
     val got = UpdateHistory.updateHistoryFromLog(
@@ -398,5 +400,19 @@ class HistoryReconstructionConsistencySpec extends SparkSpec {
       assert(histValue.toDouble === reconstructAt(id),
         s"history row at $id diverges from reconstruction")
     }
+  }
+}
+
+class DriverQueryPlanSpec extends SparkSpec {
+
+  test("q17 reconstruction grid broadcasts the tiny type dim explicitly") {
+    val df = SparkEntry.queries("q17_reconstruct_state")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the cross join against the ~5-row distinct type dim must be a
+    // broadcast nested loop, not AQE's best-effort local conversion
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected explicit broadcast cross join, got:\n$plan")
+    assert(df.limit(1).count() === 1)
   }
 }
