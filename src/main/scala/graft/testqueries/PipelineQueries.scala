@@ -1,6 +1,6 @@
 package graft.testqueries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -329,7 +329,78 @@ object PipelineQueries {
         .withColumn("out_w", outW)
         .withColumn("out_h", outH)
         .withColumn("n_sampled", Multimodal.frameSampleCount(col("n_frames"), 30))
+    },
+
+    // The REAL header codec end-to-end (not the stub): valid BMP / WAV
+    // headers are synthesized per doc_id as hex (unhex → binary) and
+    // decoded by Multimodal.HeaderCodec through the same mapPartitions
+    // seam FakeCodec uses; the oracle recomputes the fields closed-form
+    // from doc_id. Encode (codegen'd hex expressions) and decode (the JVM
+    // byte walker) are independent paths, and HeaderCodecSpec additionally
+    // pins the decoder against ByteBuffer-built headers, so complementary
+    // encode/decode bugs cannot cancel unnoticed. Map-only, no shuffle.
+    "d29_header_decode" -> { (s, dir) =>
+      def b1(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      def le16h(c: Column): Column =
+        concat(b1(c), b1(floor(c / 256).cast("long")))
+      def le32h(c: Column): Column = concat(le16h(c),
+        b1(floor(c / 65536).cast("long")), b1(floor(c / 16777216).cast("long")))
+      val id = col("doc_id")
+      // BMP arm (even ids): BITMAPINFOHEADER, 24 bpp → 3 channels, 1 frame
+      val w = lit(16) + pmod(id, lit(1900))
+      val h = lit(16) + pmod(id, lit(1000))
+      val bmpHex = concat(lit("424D"), le32h(lit(54)), lit("00000000"),
+        le32h(lit(54)), le32h(lit(40)), le32h(w), le32h(h), lit("0100"),
+        le16h(lit(24)))
+      // WAV arm (odd ids): PCM fmt + data chunk with a real zero payload
+      // (the codec's overrun check walks actual bytes, so the data chunk
+      // must be present in full). dszSql is the single source for the
+      // data-size formula — the column and the payload repeat() share it.
+      val chSql = "1 + (doc_id div 2) % 2"
+      val dszSql = s"(doc_id % 50) * ($chSql) * 2"
+      val ch = expr(chSql)
+      val ba = ch * 2 // block align: channels x 16-bit samples
+      val rate = lit(8000) + pmod(id, lit(40000))
+      val dsz = expr(dszSql)
+      val wavHex = concat(lit("52494646"), le32h(dsz + 36), lit("57415645"),
+        lit("666D7420"), le32h(lit(16)), le16h(lit(1)), le16h(ch),
+        le32h(rate), le32h(rate * ba), le16h(ba), le16h(lit(16)),
+        lit("64617461"), le32h(dsz),
+        expr(s"repeat('00', CAST($dszSql AS INT))"))
+      val media = docs(s, dir).select(id,
+        unhex(when(pmod(id, lit(2)) === 0, bmpHex).otherwise(wavHex)).as("blob"))
+      Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
+    },
+
+    // PII scan + redaction — the cleaning stage before a corpus ships to
+    // training. The synthetic documents carry no organic PII, so (as d10
+    // does for media headers) deterministic PII is injected per doc_id;
+    // per-class counts run over the raw text, then one sequential
+    // redaction pass (email before the numeric classes — order is
+    // load-bearing, see TextAnalysis.PiiPatterns) whose md5 the oracle
+    // replays byte-for-byte. Map-only projection: scan speed at 100 TB.
+    "d28_pii" -> { (s, dir) =>
+      val t = piiInjected(col("doc_id"), col("text"))
+      docs(s, dir).select(
+        (Seq(col("doc_id")) ++
+          TextAnalysis.PiiPatterns.map { case (kind, _, _) =>
+            TextAnalysis.piiCount(t, kind).as(s"n_$kind") } ++
+          Seq(md5(TextAnalysis.redactPii(t)).as("redacted_md5"))): _*)
     })
+
+  /** Deterministic PII injection for d28 (the documents table carries no
+    * organic PII): doc_id-keyed suffixes so every class occurs, including
+    * an email whose domain is a dotted quad — the case where redaction
+    * order is observable (email first ⇒ one <EMAIL>; numeric first would
+    * half-claim the domain).
+    */
+  private def piiInjected(docId: org.apache.spark.sql.Column,
+                          text: org.apache.spark.sql.Column) = concat(
+    text,
+    when(docId % 3 === 0, lit(" contact bob.smith+x@example.com")).otherwise(lit("")),
+    when(docId % 5 === 0, lit(" host 192.168.1.10 up")).otherwise(lit("")),
+    when(docId % 7 === 0, lit(" call 555-123-4567 now")).otherwise(lit("")),
+    when(docId % 11 === 0, lit(" admin root@10.0.0.99.com here")).otherwise(lit("")))
 
   private val QualitySql =
     """round(0.4 * least((CAST(len(list_filter(string_split(lower(text), ' '),
@@ -752,5 +823,49 @@ object PipelineQueries {
                 WHEN width * 512 >= height * 512 THEN greatest(1, (height * 512) // width)
                 ELSE 512 END AS INT) AS out_h,
            CAST((n_frames + 29) // 30 AS BIGINT) AS n_sampled
-         FROM d""")
+         FROM d""",
+    "d28_pii" -> PiiSql,
+    // Closed-form replay of d29's header fields (see the query comment for
+    // why closed-form is a sound oracle here). The formulas mirror the
+    // encode arms: BMP 16+id%1900 x 16+id%1000 at 24 bpp; WAV rate
+    // 8000+id%40000, 16-bit, 1+(id//2)%2 channels, id%50 sample frames.
+    "d29_header_decode" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 1900
+              ELSE 8000 + doc_id % 40000 END AS INT) AS width,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 1000
+              ELSE 16 END AS INT) AS height,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 3
+              ELSE 1 + (doc_id // 2) % 2 END AS INT) AS channels,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+              ELSE doc_id % 50 END AS INT) AS n_frames
+         FROM documents""")
+
+  /** d28 oracle GENERATED from the same [[TextAnalysis.PiiPatterns]] table
+    * the engine applies — pattern text, replacement, and fold order cannot
+    * drift between the two sides. DuckDB's RE2 and Spark's Java regex agree
+    * on these patterns by construction (ASCII classes, \b, no lookaround /
+    * backrefs — the RE2-compatibility claim PiiPatterns documents, which
+    * this oracle is the executable check for). The injected suffixes must
+    * mirror [[piiInjected]] exactly.
+    */
+  private lazy val PiiSql: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val counts = TextAnalysis.PiiPatterns.map { case (kind, p, _) =>
+      s"CAST(len(regexp_extract_all(t, ${q(p)})) AS BIGINT) AS n_$kind"
+    }.mkString(",\n           ")
+    val redacted = TextAnalysis.PiiPatterns.foldLeft("t") { case (e, (_, p, r)) =>
+      s"regexp_replace($e, ${q(p)}, ${q(r)}, 'g')"
+    }
+    s"""WITH inj AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 = 0 THEN ' contact bob.smith+x@example.com' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.1.10 up' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 now' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ' admin root@10.0.0.99.com here' ELSE '' END AS t
+         FROM documents)
+       SELECT doc_id,
+           $counts,
+           md5($redacted) AS redacted_md5
+         FROM inj"""
+  }
 }

@@ -990,3 +990,37 @@ class DecodeEarlyStopSpec extends SparkSpec {
     assert(one.length === 1)
   }
 }
+
+class PiiSpec extends SparkSpec {
+
+  test("per-class counts over raw text; unknown class throws") {
+    import spark.implicits._
+    val df = Seq((1L,
+      "mail a@b.co and c@d.org, ip 10.0.0.1, call 555-123-4567 or 555.123.4567"))
+      .toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.piiCount(col("text"), "email").as("e"),
+      TextAnalysis.piiCount(col("text"), "ipv4").as("i"),
+      TextAnalysis.piiCount(col("text"), "phone").as("p")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 2L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.piiCount(col("text"), "ssn")
+    }
+  }
+
+  test("redaction order is load-bearing: email claims a dotted-quad domain whole") {
+    import spark.implicits._
+    val df = Seq((1L, "admin root@10.0.0.99.com here, ping 10.0.0.7"))
+      .toDF("id", "text")
+    val got = df.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .head().getString(0)
+    assert(got === "admin <EMAIL> here, ping <IP>")
+    // the REVERSED order half-claims the email's domain — the documented
+    // reason PiiPatterns applies emails before the numeric classes
+    val reversed = TextAnalysis.PiiPatterns.reverse.foldLeft(col("text")) {
+      case (t, (_, p, repl)) => regexp_replace(t, p, repl)
+    }
+    val bad = df.select(reversed.as("r")).head().getString(0)
+    assert(bad.contains("root@<IP>.com"))
+  }
+}
