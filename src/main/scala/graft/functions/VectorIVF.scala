@@ -124,6 +124,13 @@ object VectorIVF {
         s"k=$k exceeds the corpus row count (${cents.length} rows) — " +
           "an IVF quantizer cannot have more cells than training vectors; " +
           "lower k or grow the corpus")
+      // Lloyd rounds do NOT nest plans (unlike an iterative-DataFrame loop
+      // such as MinHashLSH.clusters, which needs checkpoint cadence): the
+      // per-round means are collect()ed to k x dim driver scalars, so every
+      // round's plan roots at the persisted `norm` plus a fresh literal
+      // LocalRelation of centroids — constant logical-plan depth at any
+      // `iters`. VectorIVFSpec pins the invariant (the returned frame must
+      // stay a LocalRelation even after many rounds).
       for (_ <- 1 to iters) {
         val cdf = cents.toDF("cell_id", "cvec")
         val means = assignNormalized(norm, idCol, cdf, "cell_id", "cvec")

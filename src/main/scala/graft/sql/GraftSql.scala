@@ -15,14 +15,16 @@ object GraftSql {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "documents", "embeddings")
 
-  def register(spark: SparkSession, dir: String): Unit = {
+  def register(spark: SparkSession, dir: String,
+               contaminationThreshold: Double = 0.8,
+               heldOutSplit: String = "test"): Unit = {
     TableNames.foreach { n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
     // events via the raw-ns scan so SQL-level ts predicates stay pushable
     Tables.loadEventsRaw(spark, dir).createOrReplaceTempView("events")
     VectorExpressions.ensureRegistered(spark)
-    registerDocViews(spark)
+    registerDocViews(spark, contaminationThreshold, heldOutSplit)
   }
 
   /** SQL-surface views over the text-analysis columns: the pipeline scores
@@ -31,7 +33,15 @@ object GraftSql {
     * codegen'd column math over the base scan, no UDFs, filters still push
     * through to parquet.
     */
-  def registerDocViews(spark: SparkSession): Unit = {
+  /** @param contaminationThreshold min Jaccard for `contamination_pairs`
+    * @param heldOutSplit which `split` value counts as held-out (that side
+    *                     becomes `doc_a`; every other split is the corpus
+    *                     side) — so a SQL user wanting 0.7 or a val-split
+    *                     audit re-registers instead of dropping to Scala
+    */
+  def registerDocViews(spark: SparkSession,
+                       contaminationThreshold: Double = 0.8,
+                       heldOutSplit: String = "test"): Unit = {
     import org.apache.spark.sql.functions.col
     import graft.functions.{Sampling, TextAnalysis}
     if (spark.catalog.tableExists("documents")) {
@@ -50,9 +60,9 @@ object GraftSql {
       // the prefix-join work runs only when the view is queried.
       val scored = spark.table("documents_scored")
       registerCrossDups(spark, "contamination_pairs",
-        scored.where(col("split") === "test"),
-        scored.where(col("split") =!= "test"),
-        "doc_id", "text", threshold = 0.8)
+        scored.where(col("split") === heldOutSplit),
+        scored.where(col("split") =!= heldOutSplit),
+        "doc_id", "text", threshold = contaminationThreshold)
     }
   }
 

@@ -96,16 +96,29 @@ object DocStream {
       .select(col(idCol), col("ref_id"), col("band"), col("jaccard"))
   }
 
+  /** PII redaction as a streaming stage — a stateless projection
+    * ([[TextAnalysis.redactPii]]), so batch ≡ stream. Runs LAST in
+    * [[cleanStream]]: the gates and the dedup fingerprint see the raw
+    * text exactly as the batch pipeline's do (d03/d14 fingerprint and
+    * score pre-redaction), and the text that leaves the stream toward a
+    * training sink is clean.
+    */
+  def redactStage(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+
   /** The full incremental cleaning stage: watermarked exact dedup →
-    * quality gate → repetition gate → language routing, one streaming
-    * DAG. Near-dup clustering is deliberately absent — connected
-    * components need corpus-wide iteration and belongs in the periodic
-    * batch pass (d12/d14), not per-microbatch state.
+    * quality gate → repetition gate → language routing → PII redaction,
+    * one streaming DAG. Near-dup clustering is deliberately absent —
+    * connected components need corpus-wide iteration and belongs in the
+    * periodic batch pass (d12/d14), not per-microbatch state.
     */
   def cleanStream(docs: DataFrame, tsCol: String, watermark: String = "1 hour",
-                  minQuality: Double = 0.3, maxRepetition: Double = 0.05): DataFrame =
-    withLanguage(
+                  minQuality: Double = 0.3, maxRepetition: Double = 0.05,
+                  redactPii: Boolean = true): DataFrame = {
+    val gated = withLanguage(
       repetitionFilter(
         qualityFilter(dedupExact(docs, tsCol, watermark), minQuality),
         maxRepetition))
+    if (redactPii) redactStage(gated) else gated
+  }
 }

@@ -695,6 +695,24 @@ class VectorIVFSpec extends SparkSpec {
     assert(cells === Map(1L -> 7, 2L -> 8))
   }
 
+  test("train plans never nest across Lloyd rounds (constant depth)") {
+    import spark.implicits._
+    val corpus = (0 until 6).map(i =>
+      (i.toLong, Array(1f + i * 0.01f, 0f, i * 0.02f, 0f))).toDF("vec_id", "embedding")
+    // 30 rounds: an implementation that chained DataFrames across rounds
+    // would return a 30-deep plan here; the collect-per-round design must
+    // return a driver-literal LocalRelation regardless of iters.
+    val trained = VectorIVF.train(corpus, "vec_id", "embedding", k = 2, iters = 30)
+    val leaves = trained.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l
+    }
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"train result must stay a literal LocalRelation, got:\n${trained.queryExecution.analyzed}")
+    assert(trained.count() === 2)
+  }
+
   test("Lloyd's trainer separates clusters, is deterministic, beats md5 recall") {
     import spark.implicits._
     def jitter(base: Array[Float], i: Int) =
@@ -828,6 +846,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("doc_a", "doc_b", "jaccard"))
     val rows = df.collect() // sf0.001 has few (possibly zero) cross-split dups
     assert(rows.forall(_.getDouble(2) >= 0.8))
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("contamination_pairs threshold and held-out split are parameters") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    val nDefault = spark.sql("SELECT count(*) FROM contamination_pairs")
+      .head().getLong(0)
+    // re-register at a looser threshold: the pair set can only grow
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001",
+      contaminationThreshold = 0.5)
+    val loose = spark.sql("SELECT jaccard FROM contamination_pairs").collect()
+    assert(loose.length >= nDefault)
+    assert(loose.forall(_.getDouble(0) >= 0.5))
+    // held-out split is selectable too — the view still answers SQL
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001",
+      contaminationThreshold = 0.5, heldOutSplit = "val")
+    val cols = spark.sql("SELECT * FROM contamination_pairs").columns.toSeq
+    assert(cols === Seq("doc_a", "doc_b", "jaccard"))
     graft.CacheRegistry.releaseAll()
   }
 

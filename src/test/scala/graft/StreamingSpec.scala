@@ -208,4 +208,27 @@ class DocStreamSpec extends SparkSpec {
       assert(rows.head.getAs[String]("lang_pred") === "en")
     } finally q.stop()
   }
+
+  test("cleanStream redacts PII on the way out; gates ran on the raw text") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.DocStream.cleanStream(docs, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("doc_clean_pii")
+      .outputMode("append").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000040000L)
+      val leaky = "the cat is in the house and it is happy with the day and " +
+        "the garden for all of us on a fine morning walk in the old town " +
+        "contact bob@example.com from 10.0.0.1"
+      in.addData((1L, t0, leaky))
+      q.processAllAvailable()
+      val rows = spark.table("doc_clean_pii").collect()
+      assert(rows.length === 1)
+      val text = rows.head.getAs[String]("text")
+      assert(text.endsWith("contact <EMAIL> from <IP>"))
+      assert(!text.contains("bob@example.com") && !text.contains("10.0.0.1"))
+    } finally q.stop()
+  }
 }
