@@ -434,7 +434,7 @@ object EventQueries {
         "ssty", "ssid", "name", "sector_id", "playback_activated", "online_activated")
       val subsystem = SubsystemRows.toDF("ssty", "ssname")
       val project = Seq(graft.model.Telemetry.UevolProject(1, 0, "site_lille"),
-        graft.model.Telemetry.UevolProject(2, 0, "schema_v2")).toDF
+        graft.model.Telemetry.UevolProject(2, 0, "schema_v2")).toDF()
       val act = graft.io.AcquisitionMode.activated(equipment, graft.io.Online)
       ev(s, dir)
         .groupBy(col("user_id"))

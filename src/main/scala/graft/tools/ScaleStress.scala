@@ -87,16 +87,23 @@ object ScaleStress {
         JaccardJoin.similarPairsAcross(bench, docs1, "doc_id", "text", 0.8).count()
       }
       drain()
-      val tCross = t(s"cross bench x ${rep}x corpus") {
+      // Min-of-3 on BOTH arms (the same statistic Bench and BASELINE.md
+      // use): the self-join arm's wall time swings several x run-to-run
+      // under spill pressure, so a single sample is noise, and the spread
+      // itself is part of the finding — print min and max.
+      def minOf3(name: String)(f: => Long): (Double, Double) = {
+        val ts = (1 to 3).map { i => val s = t(s"$name #$i")(f); drain(); s }
+        (ts.min, ts.max)
+      }
+      val (tCross, tCrossMax) = minOf3(s"cross bench x ${rep}x corpus") {
         JaccardJoin.similarPairsAcross(bench, corpus, "doc_id", "text", 0.8).count()
       }
-      drain()
       // The no-cross-set-API alternative: self-join the union, keep pairs
       // that straddle the sets. Pays corpus x corpus candidate generation,
       // verification and the candidate-pair shuffle for pairs it then
       // throws away — count that discarded volume in the same pass.
       var intra = 0L
-      val tSelf = t("self-join union, post-filter") {
+      val (tSelf, tSelfMax) = minOf3("self-join union, post-filter") {
         val straddle = (col("doc_a") >= benchOffset) =!= (col("doc_b") >= benchOffset)
         val r = JaccardJoin.similarPairs(corpus.unionByName(bench), "doc_id", "text", 0.8)
           .agg(count(lit(1)).as("all"),
@@ -104,8 +111,8 @@ object ScaleStress {
         intra = r.getLong(0) - r.getLong(1)
         r.getLong(1)
       }
-      drain()
-      println(f"asymmetric ratio self/cross = ${tSelf / tCross}%5.2f; " +
+      println(f"asymmetric ratio self/cross (min-of-3) = ${tSelf / tCross}%5.2f " +
+        f"(cross ${tCross}%.1f-${tCrossMax}%.1f s, self ${tSelf}%.1f-${tSelfMax}%.1f s); " +
         s"self-join verified+discarded $intra intra-corpus pairs " +
         "(the cross-set path never forms them)")
       spark.stop()
