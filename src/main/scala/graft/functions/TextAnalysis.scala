@@ -114,6 +114,7 @@ object TextAnalysis {
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
     ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
 
   /** Match count for one PII class over the RAW text (counts are per-class
@@ -214,6 +215,48 @@ object TextAnalysis {
       .where(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("rank").cast("int").as("rank"),
         col("score"))
+  }
+
+  /** Corpus-conditional unigram log-likelihood — the CCNet-style fluency
+    * signal (Wenzek et al., LREC 2020 filter corpora by LM perplexity;
+    * this is its zero-external-model unigram floor): `logprob(doc)` = mean
+    * over the doc's tokens of `ln P(token | corpus)` with add-one
+    * smoothing, so template/boilerplate text full of corpus-frequent
+    * tokens scores high and lexical noise scores low. Complements
+    * [[qualityScore]] (structure) and [[repetitionRatio]] (self-similarity)
+    * with a corpus-relative signal.
+    *
+    * Shape = [[tfidfTopK]]'s: (doc, token) tf partial-agg, token-keyed
+    * frequency join, broadcast scalar totals — two shuffles, no all-pairs
+    * anything; stopword-key skew on the token join is the documented
+    * [[graft.ops.SkewSalt]] opt-in, same as TF-IDF. Determinism across
+    * engines: each (doc, token) term is rounded onto the 1e-6 grid and
+    * summed as a LONG (exact, order-free), so the DuckDB oracle replays
+    * the sum bit-for-bit — a raw double sum would hash-differ with
+    * partitioning. Returns (idCol, n_tokens, logprob).
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("token"))
+    // tf is reused by the freq branch via toks only once — but toks itself
+    // feeds tf, freq AND totals: persist the smallest shared frame (tf) and
+    // derive freq/totals from toks directly (each a single pass).
+    val tf = graft.CacheRegistry.track(
+      toks.groupBy(col(idCol), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = toks.agg(count(lit(1)).as("total"),
+      countDistinct("token").as("vocab"))
+    val term = round(col("tf") *
+      log((col("cnt") + 1) / (col("total") + col("vocab"))) * 1e6, 0)
+      .cast("long")
+    tf.join(freq, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        round(sum(term).cast("double") / 1e6 / sum("tf"), 6).as("logprob"))
   }
 
   /** Sliding-window document chunking — context-window packing for model

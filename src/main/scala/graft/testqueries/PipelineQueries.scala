@@ -372,6 +372,14 @@ object PipelineQueries {
       Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
     },
 
+    // Unigram log-likelihood fluency scoring — the corpus-relative quality
+    // signal (CCNet-style perplexity filter's unigram floor); tf-join-freq
+    // shape identical to d23, integer-grid term summation for cross-engine
+    // determinism (see TextAnalysis.unigramLogProb).
+    "d30_unigram_logprob" -> { (s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
+    },
+
     // PII scan + redaction — the cleaning stage before a corpus ships to
     // training. The synthetic documents carry no organic PII, so (as d10
     // does for media headers) deterministic PII is injected per doc_id;
@@ -400,7 +408,8 @@ object PipelineQueries {
     when(docId % 3 === 0, lit(" contact bob.smith+x@example.com")).otherwise(lit("")),
     when(docId % 5 === 0, lit(" host 192.168.1.10 up")).otherwise(lit("")),
     when(docId % 7 === 0, lit(" call 555-123-4567 now")).otherwise(lit("")),
-    when(docId % 11 === 0, lit(" admin root@10.0.0.99.com here")).otherwise(lit("")))
+    when(docId % 11 === 0, lit(" admin root@10.0.0.99.com here")).otherwise(lit("")),
+    when(docId % 13 === 0, lit(" ssn 123-45-6789 on file")).otherwise(lit("")))
 
   private val QualitySql =
     """round(0.4 * least((CAST(len(list_filter(string_split(lower(text), ' '),
@@ -825,6 +834,17 @@ object PipelineQueries {
            CAST((n_frames + 29) // 30 AS BIGINT) AS n_sampled
          FROM d""",
     "d28_pii" -> PiiSql,
+    "d30_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT count(*) AS total, count(DISTINCT token) AS vocab FROM toks)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(round(tf * ln((cnt + 1) / (total + vocab)) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000 / sum(tf), 6) AS logprob
+         FROM tf JOIN freq USING (token) CROSS JOIN tot
+         GROUP BY doc_id""",
     // Closed-form replay of d29's header fields (see the query comment for
     // why closed-form is a sound oracle here). The formulas mirror the
     // encode arms: BMP 16+id%1900 x 16+id%1000 at 24 bpp; WAV rate
@@ -861,7 +881,8 @@ object PipelineQueries {
            CASE WHEN doc_id % 3 = 0 THEN ' contact bob.smith+x@example.com' ELSE '' END ||
            CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.1.10 up' ELSE '' END ||
            CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 now' ELSE '' END ||
-           CASE WHEN doc_id % 11 = 0 THEN ' admin root@10.0.0.99.com here' ELSE '' END AS t
+           CASE WHEN doc_id % 11 = 0 THEN ' admin root@10.0.0.99.com here' ELSE '' END ||
+           CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END AS t
          FROM documents)
        SELECT doc_id,
            $counts,

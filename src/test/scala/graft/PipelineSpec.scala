@@ -1032,15 +1032,18 @@ class PiiSpec extends SparkSpec {
   test("per-class counts over raw text; unknown class throws") {
     import spark.implicits._
     val df = Seq((1L,
-      "mail a@b.co and c@d.org, ip 10.0.0.1, call 555-123-4567 or 555.123.4567"))
+      "mail a@b.co and c@d.org, ip 10.0.0.1, call 555-123-4567 or " +
+        "555.123.4567, ssn 123-45-6789"))
       .toDF("id", "text")
     val r = df.select(
       TextAnalysis.piiCount(col("text"), "email").as("e"),
       TextAnalysis.piiCount(col("text"), "ipv4").as("i"),
-      TextAnalysis.piiCount(col("text"), "phone").as("p")).head()
-    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 2L)))
+      TextAnalysis.piiCount(col("text"), "phone").as("p"),
+      TextAnalysis.piiCount(col("text"), "ssn").as("s")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 2L, 1L)))
     intercept[IllegalArgumentException] {
-      TextAnalysis.piiCount(col("text"), "ssn")
+      TextAnalysis.piiCount(col("text"), "iban")
     }
   }
 
@@ -1058,5 +1061,32 @@ class PiiSpec extends SparkSpec {
     }
     val bad = df.select(reversed.as("r")).head().getString(0)
     assert(bad.contains("root@<IP>.com"))
+  }
+}
+
+class UnigramLogProbSpec extends SparkSpec {
+
+  test("closed-form smoothed log-likelihood on a tiny corpus") {
+    import spark.implicits._
+    // tokens: a a b -> total=3, vocab=2; P(a)=(2+1)/5, P(b)=(1+1)/5
+    val df = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - math.log(3.0 / 5)) < 1e-5)
+    assert(math.abs(got(2L)._2 - math.log(2.0 / 5)) < 1e-5)
+    // the corpus-frequent doc scores strictly higher (the filter signal)
+    assert(got(1L)._2 > got(2L)._2)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("plan: token join is an equijoin, totals broadcast, no cartesian") {
+    import spark.implicits._
+    val df = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val plan = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    graft.CacheRegistry.releaseAll()
   }
 }
