@@ -407,6 +407,33 @@ object EventQueries {
           round(col("value"), 4).as("value"))
     },
 
+    // Gap-based sessionization — the classic telemetry/clickstream rollup
+    // (30-min inactivity splits a user's events into sessions). ONE
+    // shuffle+sort total: lag and the running session counter share a
+    // single (user_id, ts, event_id) Window, and the per-session partial
+    // agg REUSES the window's hash-by-user distribution (grouping on
+    // (user_id, session_idx) is satisfied by partitioning on user_id, so
+    // EnsureRequirements inserts no second Exchange). Duration uses exact
+    // integer ns division — no FP on the grid.
+    "q39_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapNs = 30L * 60 * 1000000000L
+      val prev = lag("ts", 1).over(w)
+      ev(s, dir).select("user_id", "event_id", "ts", "value")
+        .withColumn("new_s",
+          when(prev.isNull || col("ts") - prev > gapNs, 1).otherwise(0))
+        .withColumn("session_idx", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          max("ts").as("__max_ts"), min("ts").as("__min_ts"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          expr("(__max_ts - __min_ts) div 1000000000").as("duration_s"),
+          col("sum_value"))
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -767,6 +794,20 @@ object EventQueries {
          FROM events e
          JOIN iv ON e.user_id = iv.user_id AND e.event_id BETWEEN iv.lo AND iv.hi
          GROUP BY e.user_id""",
+    "q39_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, value, epoch_ns(ts) AS tns
+           FROM events),
+         g AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+               OR tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+               ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM g)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_s,
+           round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_idx""",
     "q35_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events
            WHERE event_type = 'click' GROUP BY user_id, ts)

@@ -415,4 +415,17 @@ class DriverQueryPlanSpec extends SparkSpec {
       s"expected explicit broadcast cross join, got:\n$plan")
     assert(df.limit(1).count() === 1)
   }
+
+  test("q39 sessionize: per-session agg reuses the window's distribution") {
+    val df = SparkEntry.queries("q39_sessionize")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // one hash exchange for the per-user window; the (user_id, session_idx)
+    // grouping must NOT add a second one (partitioning on user_id already
+    // satisfies the clustered distribution)
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges === 1,
+      s"expected a single hash exchange, got $exchanges:\n$plan")
+    assert(df.limit(1).count() === 1)
+  }
 }
