@@ -232,3 +232,38 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class SessionStreamSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("gap closes a session in-batch; quiet users close via event-time timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val docs = in.toDF().toDF("user_id", "ts", "value")
+    val q = graft.streaming.SessionStream.sessionize(docs, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // user 1: two events 1 min apart, then a 2h jump -> first session
+      // closes in-batch with 2 events / 60 s
+      in.addData((1L, ts(t0), 1.0), (1L, ts(t0 + 60_000), 2.0),
+        (1L, ts(t0 + 2 * 3600_000), 5.0))
+      q.processAllAvailable()
+      val first = spark.table("sessions").as[(Long, Long, Long, Double)].collect()
+      assert(first.toSeq === Seq((1L, 2L, 60L, 3.0)))
+      // user 2 far in the future advances the watermark past user 1's
+      // open-session timeout -> the 1-event session closes by silence
+      in.addData((2L, ts(t0 + 10 * 3600_000), 7.0))
+      q.processAllAvailable()
+      in.addData((2L, ts(t0 + 10 * 3600_000 + 1000), 1.0)) // trigger another batch
+      q.processAllAvailable()
+      val rows = spark.table("sessions").as[(Long, Long, Long, Double)].collect()
+      assert(rows.contains((1L, 1L, 0L, 5.0)), s"got ${rows.toSeq}")
+      // user 2's session is still open: not emitted
+      assert(!rows.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+}
