@@ -239,16 +239,18 @@ object TextAnalysis {
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("token"))
-    // tf is reused by the freq branch via toks only once — but toks itself
-    // feeds tf, freq AND totals: persist the smallest shared frame (tf) and
-    // derive freq/totals from toks directly (each a single pass).
+    // ONE corpus explode total: tf is the persisted root, and BOTH the
+    // corpus frequency table and the scalar totals derive from it
+    // (cnt = sum of tf over docs, total = sum of cnt, vocab = freq rows) —
+    // deriving them from `toks` instead would re-explode the full corpus
+    // once per branch, three scans at 100 TB.
     val tf = graft.CacheRegistry.track(
       toks.groupBy(col(idCol), col("token"))
         .agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val freq = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val totals = toks.agg(count(lit(1)).as("total"),
-      countDistinct("token").as("vocab"))
+    val freq = tf.groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+    val totals = freq.agg(sum("cnt").cast("long").as("total"),
+      count(lit(1)).as("vocab"))
     val term = round(col("tf") *
       log((col("cnt") + 1) / (col("total") + col("vocab"))) * 1e6, 0)
       .cast("long")

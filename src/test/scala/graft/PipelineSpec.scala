@@ -1087,6 +1087,13 @@ class UnigramLogProbSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // ONE corpus explode: the tf join side, the freq branch AND the totals
+    // branch must all read the persisted tf (the printed plan repeats the
+    // cached child per InMemoryRelation occurrence, so count cache scans,
+    // not explode text)
+    val cacheScans = "InMemoryTableScan".r.findAllMatchIn(plan).length
+    assert(cacheScans === 3,
+      s"expected all 3 branches to scan the persisted tf, got $cacheScans:\n$plan")
     graft.CacheRegistry.releaseAll()
   }
 }
