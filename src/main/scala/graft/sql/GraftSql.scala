@@ -78,6 +78,18 @@ object GraftSql {
       .similarPairsAcross(r, s, idCol, textCol, threshold)
       .createOrReplaceTempView(viewName)
 
+  /** Gap-based session rollup over a (user_id, ts, value) events frame as
+    * a named temp view — the q39 shape for `spark.sql` users: one row per
+    * closed-or-open session with (user_id, session_idx, n_events,
+    * duration_s, sum_value). `tsNsCol` is raw epoch-ns (the pushable
+    * events encoding); duration is exact integer ns division.
+    */
+  def registerSessions(spark: SparkSession, viewName: String,
+                       events: DataFrame, gapMinutes: Int = 30,
+                       tsNsCol: String = "ts"): Unit =
+    graft.ops.Sessionize.rollup(events, gapMinutes, tsNsCol)
+      .createOrReplaceTempView(viewName)
+
   /** The composed reference pipeline ([[graft.queries.UpdateHistory
     * .updateHistoryFromLog]]: seed reconstruction at `startId` + LOCF
     * history to `endId`) as a named temp view for `spark.sql` users.

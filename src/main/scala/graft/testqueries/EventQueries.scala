@@ -408,30 +408,10 @@ object EventQueries {
     },
 
     // Gap-based sessionization — the classic telemetry/clickstream rollup
-    // (30-min inactivity splits a user's events into sessions). ONE
-    // shuffle+sort total: lag and the running session counter share a
-    // single (user_id, ts, event_id) Window, and the per-session partial
-    // agg REUSES the window's hash-by-user distribution (grouping on
-    // (user_id, session_idx) is satisfied by partitioning on user_id, so
-    // EnsureRequirements inserts no second Exchange). Duration uses exact
-    // integer ns division — no FP on the grid.
+    // (30-min inactivity splits a user's events into sessions); see
+    // ops/Sessionize for the single-exchange plan shape.
     "q39_sessionize" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val gapNs = 30L * 60 * 1000000000L
-      val prev = lag("ts", 1).over(w)
-      ev(s, dir).select("user_id", "event_id", "ts", "value")
-        .withColumn("new_s",
-          when(prev.isNull || col("ts") - prev > gapNs, 1).otherwise(0))
-        .withColumn("session_idx", sum("new_s").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_idx")
-        .agg(count(lit(1)).as("n_events"),
-          max("ts").as("__max_ts"), min("ts").as("__min_ts"),
-          round(sum("value"), 2).as("sum_value"))
-        .select(col("user_id"), col("session_idx"), col("n_events"),
-          expr("(__max_ts - __min_ts) div 1000000000").as("duration_s"),
-          col("sum_value"))
+      graft.ops.Sessionize.rollup(ev(s, dir))
     },
 
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE

@@ -849,6 +849,23 @@ class GraftSqlSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("registerSessions serves the q39 rollup to plain SQL") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    graft.sql.GraftSql.registerSessions(spark, "sessions",
+      spark.table("events"), gapMinutes = 30)
+    val rows = spark.sql(
+      """SELECT user_id, count(*) AS n_sessions, max(n_events) AS biggest
+         FROM sessions GROUP BY user_id ORDER BY user_id""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 1L))
+    // a tighter gap can only split sessions further
+    val n30 = spark.sql("SELECT count(*) FROM sessions").head().getLong(0)
+    graft.sql.GraftSql.registerSessions(spark, "sessions",
+      spark.table("events"), gapMinutes = 5)
+    val n5 = spark.sql("SELECT count(*) FROM sessions").head().getLong(0)
+    assert(n5 >= n30)
+  }
+
   test("contamination_pairs threshold and held-out split are parameters") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     val nDefault = spark.sql("SELECT count(*) FROM contamination_pairs")

@@ -267,3 +267,51 @@ class SessionStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class SessionParitySpec extends SparkSpec {
+
+  test("batch fold parity: closed sessions match a reference fold (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // per-user strictly increasing times with random 1..50-min gaps, so
+    // roughly a third of the gaps split sessions at the 30-min rule
+    val events = (1 to 5).flatMap { uid =>
+      var t = 1700000000000L + rnd.nextInt(60000)
+      (1 to 80).map { _ =>
+        t += (rnd.nextInt(50) + 1) * 60000L
+        (uid.toLong, t, rnd.nextInt(10).toDouble)
+      }
+    }
+    val gapMs = 30 * 60000L
+    // reference: plain Scala fold per user, dropping the open tail session
+    val expected = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(_._2)
+      val sessions = sorted.tail.foldLeft(
+        List(List(sorted.head))) { case (acc @ cur :: done, e) =>
+          if (e._2 - cur.head._2 <= gapMs) (e :: cur) :: done
+          else List(e) :: acc
+        }.reverse
+      sessions.dropRight(1).map { s =>
+        (uid, s.length.toLong, (s.head._2 - s.last._2) / 1000L,
+          s.reverseIterator.map(_._3).sum)
+      }
+    }.toSeq.sorted // MULTISET compare: equal 1-event sessions must count
+    val df = rnd.shuffle(events)
+      .map(e => (e._1, new java.sql.Timestamp(e._2), e._3))
+      .toDF("user_id", "ts", "value")
+    // flatMapGroupsWithState on a BATCH frame: one invocation per key, no
+    // timeouts — exactly the closed-session subset the reference computes
+    val got = graft.streaming.SessionStream.sessionize(df, gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.n_events, s.duration_s, s.sum_value))
+      .toSeq.sorted
+    assert(got === expected)
+    // and the batch rollup sees those sessions PLUS one open tail per user
+    // (ns built from the exact ms longs — a double round-trip would flip
+    // gaps that land exactly on the 30-min boundary)
+    val evDf = events.zipWithIndex
+      .map { case ((u, t, v), i) => (u, i.toLong, t * 1000000L, v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val rolled = graft.ops.Sessionize.rollup(evDf)
+    assert(rolled.count() === expected.size + 5)
+  }
+}
