@@ -128,6 +128,39 @@ object VectorLSH {
     scored.where(col("__cos") >= minCos).select("id_a", "id_b")
   }
 
+  /** Cross-set near-duplicate embedding pairs — the vector-modality twin
+    * of [[JaccardJoin.similarPairsAcross]]: candidates come ONLY from
+    * r-band × s-band collisions, so the s×s (corpus-internal) candidate
+    * volume a self-join of `r ∪ s` would generate, verify, and discard is
+    * never formed — with a small held-out set against a duplicate-heavy
+    * corpus that discarded volume dominates (measured for the text twin in
+    * SCALE.md). Ids may overlap between sides (the pair is (r-id, s-id),
+    * not ordered); rows where both sides are the same id are dropped.
+    * Returns (id_a, id_b, cos) with `id_a` from `r`, `id_b` from `s`.
+    */
+  def nearDupPairsAcross(r: DataFrame, s: DataFrame, idCol: String,
+                         vecCol: String, minCos: Double,
+                         m: Int = 16, rb: Int = 4): DataFrame = {
+    val dim = firstVectorLength(s, vecCol)
+      .orElse(firstVectorLength(r, vecCol)).getOrElse(0)
+    val rBands = bands(r, idCol, vecCol, m, rb, dim)
+      .select(col(idCol).as("id_a"), col("band"), col("bkey"))
+    val sBands = bands(s, idCol, vecCol, m, rb, dim)
+      .select(col(idCol).as("id_b"), col("band"), col("bkey"))
+    val cand = rBands.join(sBands, Seq("band", "bkey"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val scored = cand
+      .join(VectorOps.withNormalized(r, vecCol, "__nv")
+        .select(col(idCol).as("id_a"), col("__nv").as("__va")), Seq("id_a"))
+      .join(VectorOps.withNormalized(s, vecCol, "__nv")
+        .select(col(idCol).as("id_b"), col("__nv").as("__vb")), Seq("id_b"))
+      .withColumn("cos", graft.plans.VectorExpressions
+        .dotColumn(r.sparkSession, col("__va"), col("__vb")))
+    scored.where(col("cos") >= minCos).select("id_a", "id_b", "cos")
+  }
+
   /** Vector length probed from the first row (None when empty) — embeddings
     * are fixed-width; one tiny driver-side action, exactly like the
     * reference's collected plan scalars (SURVEY.md §7.5.5).

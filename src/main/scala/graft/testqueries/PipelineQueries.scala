@@ -372,6 +372,19 @@ object PipelineQueries {
       Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
     },
 
+    // Cross-set embedding near-dup — the vector twin of d26's text
+    // contamination audit: held-out vectors (%10) against the rest,
+    // candidates ONLY from held-out-band x corpus-band collisions
+    // (VectorLSH.nearDupPairsAcross) — corpus-internal pair volume never
+    // forms, the property that keeps the audit feasible at 100 TB.
+    "d31_vec_dup_across" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val isHeld = pmod(col("vec_id"), lit(10)) === 0
+      VectorLSH.nearDupPairsAcross(e.where(isHeld), e.where(!isHeld),
+          "vec_id", "embedding", minCos = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    },
+
     // Unigram log-likelihood fluency scoring — the corpus-relative quality
     // signal (CCNet-style perplexity filter's unigram floor); tf-join-freq
     // shape identical to d23, integer-grid term summation for cross-engine
@@ -757,6 +770,26 @@ object PipelineQueries {
          JOIN embeddings y ON y.vec_id = c.id_b
          WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""",
     "d21_simhash64_dup" -> simhashDupSqlFor(Simhash64Sql, 4, 16, 3),
+    "d31_vec_dup_across" ->
+      """WITH planes AS (SELECT p, d,
+           (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(16) t1(p) CROSS JOIN range(64) t2(d)),
+         pl AS (SELECT p, list(v ORDER BY d) AS pv FROM planes GROUP BY p),
+         bits AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) >= 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bits
+           FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+         bnd AS (SELECT vec_id, b AS band, (bits >> CAST(b * 4 AS INT)) & 15 AS bkey
+           FROM bits CROSS JOIN range(4) t(b)),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+           WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 != 0)
+         SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos
+         FROM cand c
+         JOIN embeddings x ON x.vec_id = c.id_a
+         JOIN embeddings y ON y.vec_id = c.id_b
+         WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""",
     "d11_ann_lsh" ->
       """WITH planes AS (SELECT p, d,
            (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v

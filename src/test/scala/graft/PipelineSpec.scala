@@ -1114,3 +1114,31 @@ class UnigramLogProbSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 }
+
+class VectorDupAcrossSpec extends SparkSpec {
+
+  test("cross-set pairs equal the self-join restricted to straddling pairs") {
+    import spark.implicits._
+    def jitter(base: Array[Float], i: Int) =
+      base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i + d) % 3) }
+    val ax = Array(1f, 0f, 0f, 0f); val ay = Array(0f, 1f, 0f, 0f)
+    val all = ((0 until 8).map(i => (i.toLong, jitter(ax, i))) ++
+      (8 until 16).map(i => (i.toLong, jitter(ay, i))))
+      .toDF("vec_id", "embedding")
+    val r = all.where(col("vec_id") % 4 === 0)
+    val s = all.where(col("vec_id") % 4 =!= 0)
+    val got = VectorLSH.nearDupPairsAcross(r, s, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // band assignment is per-vector (md5 planes), so the cross-set
+    // candidates are exactly the self-join candidates that straddle the
+    // sets; the exact-cosine gate is shared — results must agree
+    val self = VectorLSH.nearDupPairs(all, "vec_id", "embedding", 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val straddle = self.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).filter { case (x, y) => x % 4 == 0 && y % 4 != 0 }
+    }
+    assert(got.nonEmpty)
+    assert(got === straddle)
+  }
+}
