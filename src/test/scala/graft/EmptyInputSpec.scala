@@ -86,4 +86,24 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.streaming.DocStream.nearDupTag(someDocs, noDocs).count() === 0)
     assert(graft.streaming.DocStream.nearDupTag(noDocs, someDocs).count() === 0)
   }
+
+  test("round-7 operators are total on an empty corpus") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.unigramLogProb(noDocs, "doc_id", "text").count() === 0)
+    graft.CacheRegistry.releaseAll()
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val someVecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(VectorLSH.nearDupPairsAcross(
+      noVecs, someVecs, "vec_id", "embedding", 0.5).count() === 0)
+    assert(VectorLSH.nearDupPairsAcross(
+      someVecs, noVecs, "vec_id", "embedding", 0.5).count() === 0)
+    val noEvents = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(graft.ops.Sessionize.rollup(noEvents).count() === 0)
+    // batch-mode stream fold: no rows, no sessions, no NPE
+    val noTsEvents = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(graft.streaming.SessionStream.sessionize(noTsEvents).count() === 0)
+  }
 }
