@@ -295,6 +295,35 @@ object TextAnalysis {
         least(size(w) - col("start") + 1, lit(maxTokens)).cast("int").as("n_tokens"))
   }
 
+  /** Sequence packing — the step after [[chunk]] in a pretraining
+    * pipeline: chunks are packed into fixed-token-budget training
+    * sequences. PER-DOC packing by design: chunks are laid end-to-end in
+    * document order and the sequence index is the exact integer division
+    * of each chunk's cumulative start offset by the budget ("linear
+    * packing" — deterministic, replayable by any engine, and the standard
+    * choice when cross-doc mixing is handled by a later shuffle stage).
+    * Cross-doc bin packing would need a global order — a single-partition
+    * window — which is exactly the shape that does NOT survive 100 TB; the
+    * per-doc window here is partitioned by document and bounded by one
+    * doc's chunk count.
+    * Returns one row per (idCol, seq_idx): n_chunks, n_tokens.
+    */
+  def packSequences(chunks: org.apache.spark.sql.DataFrame, idCol: String,
+                    seqTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(seqTokens > 0, s"seqTokens=$seqTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    chunks
+      .withColumn("__cum", sum("n_tokens").over(w))
+      .withColumn("seq_idx",
+        expr(s"CAST((__cum - n_tokens) div $seqTokens AS INT)"))
+      .groupBy(col(idCol), col("seq_idx"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
     * document order, then keep the minimum hash of each sliding window of
     * `w` consecutive n-gram hashes, deduplicated. Guarantees any shared

@@ -372,6 +372,17 @@ object PipelineQueries {
       Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
     },
 
+    // Sequence packing — d25's chunks laid into fixed-token-budget
+    // training sequences per doc (linear packing by cumulative start
+    // offset: deterministic, engine-replayable; a straddling chunk
+    // belongs to the bin its start falls in, so a sequence can exceed
+    // the budget by < maxTokens). Per-doc window — no global order.
+    "d32_pack" -> { (s, dir) =>
+      TextAnalysis.packSequences(
+        TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+          maxTokens = 40, overlap = 8), "doc_id", seqTokens = 96)
+    },
+
     // Cross-set embedding near-dup — the vector twin of d26's text
     // contamination audit: held-out vectors (%10) against the rest,
     // candidates ONLY from held-out-band x corpus-band collisions
@@ -613,6 +624,18 @@ object PipelineQueries {
            array_to_string(w[start:start+39], ' ') AS chunk_text,
            CAST(least(len(w) - start + 1, 40) AS INT) AS n_tokens
          FROM s""",
+    "d32_pack" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 32),
+             st -> st = 1 OR st + 8 <= len(w))) AS start FROM w),
+         ch AS (SELECT doc_id, CAST(start AS INT) AS start,
+             CAST(least(len(w) - start + 1, 40) AS INT) AS n_tokens FROM s),
+         c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS UNBOUNDED PRECEDING) AS cum FROM ch)
+         SELECT doc_id, CAST((cum - n_tokens) // 96 AS INT) AS seq_idx,
+           count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM c GROUP BY doc_id, seq_idx""",
     "d24_corpus_audit" -> {
       val q = QualitySql
       s"""WITH d AS (SELECT doc_id,

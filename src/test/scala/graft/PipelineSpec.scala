@@ -1142,3 +1142,21 @@ class VectorDupAcrossSpec extends SparkSpec {
     assert(got === straddle)
   }
 }
+
+class PackSequencesSpec extends SparkSpec {
+
+  test("linear packing assigns chunks by cumulative start offset") {
+    import spark.implicits._
+    // 100 tokens, chunk(40, overlap 8) -> starts 1/33/65, sizes 40/40/36;
+    // offsets 0/40/80 at budget 64 -> bins 0/0/1
+    val df = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunk(df, "doc_id", "text", maxTokens = 40, overlap = 8)
+    val got = TextAnalysis.packSequences(ch, "doc_id", seqTokens = 64)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.toSeq === Seq((0, 2L, 80L), (1, 1L, 36L)))
+    // token mass is conserved across packing
+    val chTotal = ch.agg(sum("n_tokens")).head().getLong(0)
+    assert(got.map(_._3).sum === chTotal)
+  }
+}
