@@ -133,7 +133,13 @@ object ScaleStress {
         "tfidf" -> t(s"$tag tfidf") {
           TextAnalysis.tfidfTopK(d, "doc_id", "text", 3).count() },
         "chunk" -> t(s"$tag chunk") {
-          TextAnalysis.chunk(d, "doc_id", "text", 40, 8).count() })
+          TextAnalysis.chunk(d, "doc_id", "text", 40, 8).count() },
+        "unigram_logprob" -> t(s"$tag unigram_logprob") {
+          val n = TextAnalysis.unigramLogProb(d, "doc_id", "text").count()
+          graft.CacheRegistry.releaseAll(); n },
+        "pack" -> t(s"$tag pack") {
+          TextAnalysis.packSequences(
+            TextAnalysis.chunk(d, "doc_id", "text", 40, 8), "doc_id", 96).count() })
       spark.sharedState.cacheManager.clearCache()
       r
     }
