@@ -68,8 +68,11 @@ object SessionStream {
               val t = ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(SessionAgg(s.startMs, math.max(s.lastMs, t),
-                    s.nEvents + 1, s.sumValue + v))
+                  // min on start: a late event (within watermark + gap) may
+                  // carry a time EARLIER than the recorded session start —
+                  // the session began then, and duration must say so
+                  cur = Some(SessionAgg(math.min(s.startMs, t),
+                    math.max(s.lastMs, t), s.nEvents + 1, s.sumValue + v))
                 case Some(s) =>
                   out += close(uid, s)
                   cur = Some(SessionAgg(t, t, 1L, v))

@@ -266,6 +266,34 @@ class SessionStreamSpec extends SparkSpec {
       assert(!rows.exists(_._1 == 2L))
     } finally q.stop()
   }
+
+  test("a late event within gap extends the session start backwards") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val docs = in.toDF().toDF("user_id", "ts", "value")
+    val q = graft.streaming.SessionStream.sessionize(docs, gapMinutes = 30,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      in.addData((1L, ts(t0), 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event 10 min before the recorded session start
+      // (inside watermark + gap) — the session began then
+      in.addData((1L, ts(t0 - 600_000), 2.0))
+      q.processAllAvailable()
+      // far-future event for another user times the session out
+      in.addData((2L, ts(t0 + 10 * 3600_000), 0.0))
+      q.processAllAvailable()
+      in.addData((2L, ts(t0 + 10 * 3600_000 + 1000), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_late").as[(Long, Long, Long, Double)]
+        .collect().filter(_._1 == 1L)
+      assert(rows.toSeq === Seq((1L, 2L, 600L, 3.0))) // duration spans the late start
+    } finally q.stop()
+  }
 }
 
 class SessionParitySpec extends SparkSpec {
