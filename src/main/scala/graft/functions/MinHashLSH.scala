@@ -206,7 +206,11 @@ object MinHashLSH {
       // assumption made explicit: the truncated lineage roots in
       // partitions held by THIS JVM's block manager, so a lost executor
       // on a real cluster would fail the job instead of recomputing —
-      // set a checkpoint dir there.
+      // set a checkpoint dir there. Retention: reliable checkpoint files
+      // are NOT freed by unpersist and outlive superseded rounds for the
+      // app's lifetime unless the deployment enables
+      // spark.cleaner.referenceTracking.cleanCheckpoints (tiny label
+      // frames, ~1/5 of rounds — but a long-running driver should set it).
       if (!converged && i % checkpointEvery == 0) {
         val cp =
           if (sc.getCheckpointDir.isDefined) labels.checkpoint(true)

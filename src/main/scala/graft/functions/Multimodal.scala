@@ -147,6 +147,10 @@ object Multimodal {
           require(off + 8 + size <= bytes.length,
             s"chunk '$id' size $size overruns the ${bytes.length}-byte blob")
           if (id == "fmt ") {
+            // A PCM fmt chunk is >= 16 bytes; a crafted shorter one would
+            // pass the overrun check yet make the reads below land in the
+            // NEXT chunk's bytes — fail loudly instead of decoding garbage.
+            require(size >= 16, s"'fmt ' chunk size $size < 16")
             channels = le16(bytes, at + 10)
             sampleRate = le32(bytes, at + 12)
             blockAlign = le16(bytes, at + 20)

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * aggregation's (user, session_idx) grouping is satisfied by the window's
   * hash-by-user partitioning, so EnsureRequirements inserts no second
   * Exchange (plan-asserted in DriverQueryPlanSpec). Session duration is
-  * exact integer ns division — no floating point near the output grid.
+  * exact integer ns division, and `sum_value` sums on a 1e-6 integer grid
+  * (round → long → sum → divide back, the unigramLogProb pattern) so the
+  * partition-order-dependent FP addition a raw double sum would have
+  * cannot land a rounding boundary differently than a sequential oracle.
   *
   * Streaming twin: [[graft.streaming.SessionStream.sessionize]] (same gap
   * rule, keyed state + event-time timeout).
@@ -39,7 +42,8 @@ object Sessionize {
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         max(tsNsCol).as("__max_ts"), min(tsNsCol).as("__min_ts"),
-        round(sum("value"), 2).as("sum_value"))
+        round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double") / 1e6, 2)
+          .as("sum_value"))
       .select(col("user_id"), col("session_idx"), col("n_events"),
         expr("(__max_ts - __min_ts) div 1000000000").as("duration_s"),
         col("sum_value"))

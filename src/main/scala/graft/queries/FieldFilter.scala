@@ -75,19 +75,39 @@ object FieldFilter {
     * window edges — the first row's `previous_value` is the value in effect
     * at `startLogTime`, the last row's `new_value` the value at `endLogTime`.
     * `updates` needs (log_time, previous_value, new_value) columns.
+    *
+    * Both boundary rows come from ONE `min_by`/`max_by(struct)` aggregate
+    * over the window slice (map-side combinable, no global sort), and the
+    * slice itself is persisted because two subplans (core + the boundary
+    * agg) read it — the repo's S4 rule. The persist is registered with
+    * [[graft.CacheRegistry]]; callers release it once the result is
+    * consumed. Ordering ties on `log_time` break by the remaining columns
+    * (a total order over the row), which is deterministic where the
+    * reference's `orderBy(log_time).first()` was not.
     */
   def updatesWithBoundaries(updates: DataFrame, cond: Column,
                             startLogTime: Long, endLogTime: Long): DataFrame = {
-    val inWindow = updates
-      .where(cond && col("log_time").between(startLogTime, endLogTime))
+    val inWindow = graft.CacheRegistry.track(
+      updates.where(cond && col("log_time").between(startLogTime, endLogTime))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cols = inWindow.columns.toSeq
+    val rowS = struct(cols.map(col): _*)
+    val ord = struct((col("log_time") +: cols.filterNot(_ == "log_time").map(col)): _*)
+    // one row: (first_row, last_row) — null structs when the slice is empty
+    val edges = inWindow
+      .agg(min_by(rowS, ord).as("__first"), max_by(rowS, ord).as("__last"))
+      .select(explode(array(
+        struct(lit(true).as("is_first"), col("__first").as("row")),
+        struct(lit(false).as("is_first"), col("__last").as("row")))).as("e"))
+      .where(col("e.row").isNotNull)
+      .select(col("e.is_first").as("__is_first") +: cols.map(c => col(s"e.row.`$c`").as(c)): _*)
+      .withColumn("field_value",
+        when(col("__is_first"), col("previous_value")).otherwise(col("new_value")))
+      .withColumn("log_time",
+        when(col("__is_first"), lit(startLogTime)).otherwise(lit(endLogTime)))
+      .drop("__is_first")
     val core = inWindow.withColumn("field_value", col("new_value"))
-    val first = inWindow.orderBy(asc("log_time")).limit(1)
-      .withColumn("field_value", col("previous_value"))
-      .withColumn("log_time", lit(startLogTime))
-    val last = inWindow.orderBy(desc("log_time")).limit(1)
-      .withColumn("field_value", col("new_value"))
-      .withColumn("log_time", lit(endLogTime))
-    first.unionByName(core).unionByName(last)
+    edges.unionByName(core)
       .drop("previous_value", "new_value")
   }
 

@@ -61,7 +61,10 @@ object SessionStream {
             Iterator.single(done)
           } else {
             // fold this micro-batch's rows in event-time order, closing a
-            // session whenever the gap rule fires inside the batch
+            // session whenever the gap rule fires inside the batch. The
+            // buffer-and-sort holds ONE user's slice of ONE micro-batch —
+            // memory is bounded by (batch rows / active users), a trigger-
+            // interval knob, never by stream length or session length.
             val out = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>

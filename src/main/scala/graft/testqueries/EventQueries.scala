@@ -786,7 +786,8 @@ object EventQueries {
          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            count(*) AS n_events,
            CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_s,
-           round(sum(value), 2) AS sum_value
+           round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000, 2) AS sum_value
          FROM s GROUP BY user_id, session_idx""",
     "q35_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events

@@ -1100,17 +1100,22 @@ class UnigramLogProbSpec extends SparkSpec {
   test("plan: token join is an equijoin, totals broadcast, no cartesian") {
     import spark.implicits._
     val df = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
-    val plan = TextAnalysis.unigramLogProb(df, "doc_id", "text")
-      .queryExecution.executedPlan.toString
+    val qe = TextAnalysis.unigramLogProb(df, "doc_id", "text").queryExecution
+    val plan = qe.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
     // ONE corpus explode: the tf join side, the freq branch AND the totals
-    // branch must all read the persisted tf (the printed plan repeats the
-    // cached child per InMemoryRelation occurrence, so count cache scans,
-    // not explode text)
-    val cacheScans = "InMemoryTableScan".r.findAllMatchIn(plan).length
-    assert(cacheScans === 3,
-      s"expected all 3 branches to scan the persisted tf, got $cacheScans:\n$plan")
+    // branch must all read the persisted tf. Assert on optimized-plan TREE
+    // nodes (stable across Spark's string rendering / AQE reuse): every
+    // explode lives inside the cached relation, which is read 3 times.
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val explodesOutsideCache = qe.optimizedPlan.collect { case g: Generate => g }.length
+    val cacheReads = qe.optimizedPlan.collect { case r: InMemoryRelation => r }.length
+    assert(explodesOutsideCache === 0,
+      s"expected the single explode to live inside the persisted tf, got $explodesOutsideCache outside:\n$plan")
+    assert(cacheReads === 3,
+      s"expected all 3 branches to read the persisted tf, got $cacheReads:\n$plan")
     graft.CacheRegistry.releaseAll()
   }
 }

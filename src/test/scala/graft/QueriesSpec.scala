@@ -428,4 +428,31 @@ class DriverQueryPlanSpec extends SparkSpec {
       s"expected a single hash exchange, got $exchanges:\n$plan")
     assert(df.limit(1).count() === 1)
   }
+
+  test("q29 boundary padding: one scan of the slice, no global sort-limit") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, Sort}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = SparkEntry.queries("q29_field_updates_pad")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan
+    // the boundary rows come from one min_by/max_by aggregate, not the old
+    // pair of global orderBy(...).limit(1)s — no Sort/Limit nodes anywhere
+    val sorts = opt.collect { case s: Sort => s }.length
+    val limits = opt.collect { case l: LocalLimit => l }.length
+    assert(sorts === 0 && limits === 0,
+      s"expected no global sort-limit boundary probes, got $sorts sorts / $limits limits:\n$opt")
+    // the update slice (events scan + lag window) is persisted and read by
+    // exactly the two consumers (core + the boundary agg); every file read
+    // goes through that cache, so the slice computes once
+    val cacheReads = opt.collect { case r: InMemoryRelation => r }.length
+    val fileReads = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.length
+    assert(cacheReads === 2,
+      s"expected core + boundary agg to read the cached slice, got $cacheReads:\n$opt")
+    assert(fileReads === 0,
+      s"expected all reads through the cached slice, got $fileReads file reads:\n$opt")
+    assert(df.limit(1).count() === 1)
+    graft.CacheRegistry.releaseAll()
+  }
 }

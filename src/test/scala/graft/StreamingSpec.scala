@@ -267,6 +267,33 @@ class SessionStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("one micro-batch spanning several sessions: all closed ones emit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val docs = in.toDF().toDF("user_id", "ts", "value")
+    val q = graft.streaming.SessionStream.sessionize(docs, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_multi")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // ONE batch, out of event-time order, holding three sessions for
+      // user 1: [t0, t0+10m] (2 events), [t0+1h] (1 event), and an open
+      // tail at t0+2h — the in-batch fold must sort, close the first two,
+      // and keep only the tail in state
+      in.addData(
+        (1L, ts(t0 + 3600_000), 7.0),      // session 2
+        (1L, ts(t0), 1.0),                 // session 1
+        (1L, ts(t0 + 2 * 3600_000), 9.0),  // open tail
+        (1L, ts(t0 + 600_000), 2.0))       // session 1
+      q.processAllAvailable()
+      val rows = spark.table("sessions_multi").as[(Long, Long, Long, Double)]
+        .collect().toSeq.sorted
+      assert(rows === Seq((1L, 1L, 0L, 7.0), (1L, 2L, 600L, 3.0)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("a late event within gap extends the session start backwards") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
