@@ -60,6 +60,8 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
     }
     val warmRuns = 3
+    case class QBench(name: String, steady: Double, cold: Double,
+                      runs: Seq[Double], spread: Double)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(fn)
       dropCaches()
@@ -67,26 +69,38 @@ object Bench {
         val t = timeOnce(fn); dropCaches(); t
       }
       // a failed run (-1) must not win the min; if ALL runs failed keep -1
-      val samples = (cold +: warms).filter(_ >= 0)
-      val steady = if (samples.isEmpty) -1.0 else samples.min
-      (name, steady, cold)
+      val runs = cold +: warms
+      val ok = runs.filter(_ >= 0)
+      val steady = if (ok.isEmpty) -1.0 else ok.min
+      // max/min over the successful samples: ~1 on a quiet box, large when
+      // the host was contended — lets a reader of the artifact tell a
+      // noisy run from a plan regression without rerunning the harness
+      val spread = if (ok.isEmpty || ok.min <= 0) -1.0 else ok.max / ok.min
+      QBench(name, steady, cold, runs, spread)
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def jsonMap(sel: ((String, Double, Double)) => (String, Double)): String =
-      results.map(sel).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    def jsonMap(sel: QBench => Double): String =
+      results.map(q => s"\"" + q.name + "\":" + r3(sel(q)))
         .mkString("{", ",", "}")
-    val qs = jsonMap { case (k, v, _) => (k, v) }
-    val colds = jsonMap { case (k, _, c) => (k, c) }
-    val total = results.map(_._2).sum
-    val coldTotal = results.map(_._3).sum
-    // Full per-query detail (steady AND cold) goes to a file: the harness
-    // that collects the printed line keeps only a bounded tail of the
-    // output, and two 64-entry maps cannot fit inside it. The printed
-    // contract line carries the steady map (3-decimal values keep it
-    // within the capture window) plus both totals; BENCH_DETAIL.json in
-    // the repo holds the untruncated pair for steady-to-steady comparison.
+    val qs = jsonMap(_.steady)
+    val colds = jsonMap(_.cold)
+    val samples = results
+      .map(q => s"\"" + q.name + "\":" + q.runs.map(r3).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val spreads = jsonMap(_.spread)
+    val total = results.map(_.steady).sum
+    val coldTotal = results.map(_.cold).sum
+    // Full per-query detail (steady, cold, and the raw samples each run
+    // produced, in run order [cold, warm1..warm3], plus a max/min spread
+    // stat) goes to a file: the harness that collects the printed line
+    // keeps only a bounded tail of the output, and four 64-entry maps
+    // cannot fit inside it. The printed contract line carries the steady
+    // map (3-decimal values keep it within the capture window) plus both
+    // totals; BENCH_DETAIL.json in the repo holds the untruncated detail,
+    // so a contended run is self-diagnosing (high spread across the board)
+    // instead of needing a rerun to adjudicate.
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort

@@ -306,22 +306,44 @@ object TextAnalysis {
     * window — which is exactly the shape that does NOT survive 100 TB; the
     * per-doc window here is partitioned by document and bounded by one
     * doc's chunk count.
-    * Returns one row per (idCol, seq_idx): n_chunks, n_tokens.
+    *
+    * Returns one row per (idCol, seq_idx): n_chunks, n_tokens, plus the
+    * sequence COMPOSITION a training-data writer actually emits — `chunks`,
+    * the ordered (start, n_tokens) membership, and (when the input carries
+    * `chunk_text`) `seq_text`, the packed payload itself. The ordered list
+    * comes from `sort_array(collect_list(struct(start, …)))` — structs
+    * order by their first field, so the array is in chunk order without a
+    * second window — and one sequence's list is bounded by the token
+    * budget (every chunk has ≥ 1 token), so the per-group state is
+    * O(seqTokens), never O(doc).
     */
   def packSequences(chunks: org.apache.spark.sql.DataFrame, idCol: String,
                     seqTokens: Int): org.apache.spark.sql.DataFrame = {
     require(seqTokens > 0, s"seqTokens=$seqTokens must be positive")
+    val hasText = chunks.columns.contains("chunk_text")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("start")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    chunks
+    val member =
+      if (hasText) struct(col("start"), col("n_tokens"), col("chunk_text"))
+      else struct(col("start"), col("n_tokens"))
+    val packed = chunks
       .withColumn("__cum", sum("n_tokens").over(w))
       .withColumn("seq_idx",
         expr(s"CAST((__cum - n_tokens) div $seqTokens AS INT)"))
       .groupBy(col(idCol), col("seq_idx"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum("n_tokens").cast("long").as("n_tokens"))
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sort_array(collect_list(member)).as("__m"))
+    if (hasText)
+      packed
+        .withColumn("seq_text",
+          array_join(transform(col("__m"), m => m("chunk_text")), " "))
+        .withColumn("chunks", transform(col("__m"),
+          m => struct(m("start").as("start"), m("n_tokens").as("n_tokens"))))
+        .drop("__m")
+    else packed.withColumnRenamed("__m", "chunks")
   }
 
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in

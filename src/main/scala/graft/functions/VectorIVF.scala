@@ -149,6 +149,47 @@ object VectorIVF {
     } finally norm.unpersist(false)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every embedding to its quantizer cell, compare ONLY within a
+    * cell, and mark as duplicate every vector that has a smaller-id
+    * near-duplicate (cosine ≥ `minCos`) in its cell. Returns one row per
+    * input: (idCol, cell, is_dup) — the training-set writer keeps
+    * `!is_dup`.
+    *
+    * Scale shape: the pair join is a cell-equality self-join — candidate
+    * volume is Σ|cell|², bounded by the quantizer's cell sizes (pick k so
+    * cells fit; the paper uses k ≈ √N clusters), and NO cross-cell pair is
+    * ever formed. That bound is the whole point of SemDeDup: a duplicate
+    * pair split across two cells is deliberately missed (spec-pinned) in
+    * exchange for never forming the N² candidate set. Canonical-min keep
+    * rule (smallest id survives, the exact-dedup convention); the paper's
+    * keep-rule choice is orthogonal to the plan shape.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, cellIdCol: String, cellVecCol: String,
+               minCos: Double): DataFrame = {
+    val spark = df.sparkSession
+    val nd = VectorExpressions.dotColumn(spark, _, _)
+    // persisted (S4): both sides of the within-cell join and the output
+    // row set read the assignment, and it carries the K-dot argmax work
+    val assigned = graft.CacheRegistry.track(
+      assign(df, idCol, vecCol, centroids, cellIdCol, cellVecCol)
+        .select(col(idCol), col("cell"), col("__nv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dup = assigned
+      .select(col("cell"), col(idCol).as("__ida"), col("__nv").as("__va"))
+      .join(assigned.select(col("cell"), col(idCol).as("__idb"),
+        col("__nv").as("__vb")), Seq("cell"))
+      .where(col("__idb") < col("__ida") &&
+        nd(col("__va"), col("__vb")) >= minCos)
+      .select(col("__ida").as(idCol))
+      .distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(dup.withColumn("__d", lit(true)), Seq(idCol), "left_outer")
+      .select(col(idCol), col("cell"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
   /** Top-`nprobe` cells per query (same quantizer, keep more than 1). */
   def probes(queries: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame, cellIdCol: String, cellVecCol: String,

@@ -141,24 +141,55 @@ object VectorLSH {
   def nearDupPairsAcross(r: DataFrame, s: DataFrame, idCol: String,
                          vecCol: String, minCos: Double,
                          m: Int = 16, rb: Int = 4): DataFrame = {
-    val dim = firstVectorLength(s, vecCol)
-      .orElse(firstVectorLength(r, vecCol)).getOrElse(0)
-    val rBands = bands(r, idCol, vecCol, m, rb, dim)
-      .select(col(idCol).as("id_a"), col("band"), col("bkey"))
-    val sBands = bands(s, idCol, vecCol, m, rb, dim)
-      .select(col(idCol).as("id_b"), col("band"), col("bkey"))
-    val cand = rBands.join(sBands, Seq("band", "bkey"))
-      .where(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val scored = cand
-      .join(VectorOps.withNormalized(r, vecCol, "__nv")
-        .select(col(idCol).as("id_a"), col("__nv").as("__va")), Seq("id_a"))
-      .join(VectorOps.withNormalized(s, vecCol, "__nv")
-        .select(col(idCol).as("id_b"), col("__nv").as("__vb")), Seq("id_b"))
-      .withColumn("cos", graft.plans.VectorExpressions
-        .dotColumn(r.sparkSession, col("__va"), col("__vb")))
-    scored.where(col("cos") >= minCos).select("id_a", "id_b", "cos")
+    // Tag + union so each input is scanned (and its vectors cast) ONCE,
+    // with ALL the per-row work — the m×dim signature dots and the L2
+    // normalization — done in one projection over the union instead of
+    // one banding pass + one normalization pass per side. (r and s are
+    // typically filters of the same parent table; the old per-side shape
+    // rescanned that parent 4×.) Bits stay computed on the RAW vector —
+    // sign(dot(v, plane)) equals sign(dot(v/‖v‖, plane)) mathematically
+    // but not in floating point near 0, and the verification oracle
+    // replays the raw-vector signature byte-for-byte.
+    def side(df: DataFrame, isR: Boolean) =
+      df.select(col(idCol).as("__id"), lit(isR).as("__r"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val tagged = side(r, isR = true).unionByName(side(s, isR = false))
+    firstVectorLength(tagged, "__v") match {
+      case None => // both sides empty: no rows, stable schema
+        r.select(col(idCol).as("id_a")).limit(0)
+          .crossJoin(s.select(col(idCol).as("id_b")).limit(0))
+          .withColumn("cos", lit(0.0))
+      case Some(dim) =>
+        val nativeDot = graft.plans.VectorExpressions
+          .dotColumn(r.sparkSession, _: Column, _: Column)
+        // compact prepared frame (id, side, bits, nv), persisted: read by
+        // the two band splits and the two verify sides below
+        val prepared = graft.CacheRegistry.track(
+          VectorOps.withNormalized(tagged, "__v", "__nv")
+            .withColumn("__bits",
+              bucketBits(col("__v"), hyperplanes(m, dim), nativeDot))
+            .select("__id", "__r", "__bits", "__nv")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val mask = (1L << rb) - 1
+        val keys = array((0 until m / rb).map(b =>
+          shiftright(col("__bits"), b * rb).bitwiseAND(lit(mask))): _*)
+        def bandsOf(isR: Boolean, outId: String) = prepared
+          .where(col("__r") === isR)
+          .select(col("__id"), posexplode(keys))
+          .select(col("__id").as(outId), col("pos").as("band"), col("col").as("bkey"))
+        val cand = bandsOf(isR = true, "id_a")
+          .join(bandsOf(isR = false, "id_b"), Seq("band", "bkey"))
+          .where(col("id_a") =!= col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+        val scored = cand
+          .join(prepared.where(col("__r"))
+            .select(col("__id").as("id_a"), col("__nv").as("__va")), Seq("id_a"))
+          .join(prepared.where(!col("__r"))
+            .select(col("__id").as("id_b"), col("__nv").as("__vb")), Seq("id_b"))
+          .withColumn("cos", nativeDot(col("__va"), col("__vb")))
+        scored.where(col("cos") >= minCos).select("id_a", "id_b", "cos")
+    }
   }
 
   /** Vector length probed from the first row (None when empty) — embeddings

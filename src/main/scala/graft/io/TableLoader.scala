@@ -52,3 +52,27 @@ final class ParquetLoader(spark: SparkSession, dir: String) extends TableLoader 
 final class MapLoader(tables: Map[String, DataFrame]) extends TableLoader {
   override def table(name: String): DataFrame = tables(name)
 }
+
+/** Generic DataSource binding — the reference's Cassandra-connector read
+  * pattern (`Java/.../DataLoader.java:500-529`: one connector `format`
+  * plus a per-table options map) behind the same seam. `options` maps a
+  * table name to the connector's option set; nothing here depends on any
+  * connector at compile time — the jar is deployment-provided, which is
+  * the point of the seam. Connection coordinates (hosts, credentials)
+  * belong in the session config, as the reference sets them, not here.
+  */
+final class DataSourceLoader(spark: SparkSession, format: String,
+    options: String => Map[String, String]) extends TableLoader {
+  override def table(name: String): DataFrame =
+    spark.read.format(format).options(options(name)).load()
+}
+
+object DataSourceLoader {
+  /** The reference's binding verbatim-in-shape: Cassandra connector format
+    * with `{keyspace, table}` options per table (`DataLoader.java:500-505`,
+    * `Scala/.../DatabaseLoad.scala:34-39`).
+    */
+  def cassandra(spark: SparkSession, keyspace: String): DataSourceLoader =
+    new DataSourceLoader(spark, "org.apache.spark.sql.cassandra",
+      name => Map("keyspace" -> keyspace, "table" -> name))
+}

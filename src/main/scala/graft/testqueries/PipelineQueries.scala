@@ -256,6 +256,15 @@ object PipelineQueries {
         5, VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2)
     },
 
+    // SemDeDup — embedding-level semantic dedup: quantizer-cell assignment,
+    // within-cell cosine pruning (candidates bounded by cell size, never
+    // cross-cell), canonical-min keep rule. The composed "cluster then
+    // prune" operator a 100 TB curriculum runs before training.
+    "d34_semdedup" -> { (s, dir) =>
+      VectorIVF.semDedup(embs(s, dir), "vec_id", "embedding",
+        VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", minCos = 0.4)
+    },
+
     // Within-document n-gram repetition ratio — the Gopher-style
     // "repetitious text" cleaning signal; map-only, no shuffle.
     "d17_repetition" -> { (s, dir) =>
@@ -381,6 +390,23 @@ object PipelineQueries {
       TextAnalysis.packSequences(
         TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
           maxTokens = 40, overlap = 8), "doc_id", seqTokens = 96)
+        .drop("chunks", "seq_text") // audit view; d33 checks the composition
+    },
+
+    // Sequence COMPOSITION — the writer-facing half of packing: the
+    // ordered chunk membership per sequence flattened to "start:n_tokens"
+    // pairs, and the md5 of the packed payload itself (the chunk texts
+    // joined in order). The oracle replays both with ordered string_agg —
+    // this is what makes d32 a pipeline stage rather than an audit.
+    "d33_pack_compose" -> { (s, dir) =>
+      TextAnalysis.packSequences(
+        TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+          maxTokens = 40, overlap = 8), "doc_id", seqTokens = 96)
+        .select(col("doc_id"), col("seq_idx"),
+          concat_ws(",", transform(col("chunks"), c =>
+            concat_ws(":", c("start").cast("string"),
+              c("n_tokens").cast("string")))).as("members"),
+          md5(col("seq_text")).as("seq_md5"))
     },
 
     // Cross-set embedding near-dup — the vector twin of d26's text
@@ -636,6 +662,20 @@ object PipelineQueries {
          SELECT doc_id, CAST((cum - n_tokens) // 96 AS INT) AS seq_idx,
            count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM c GROUP BY doc_id, seq_idx""",
+    "d33_pack_compose" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 32),
+             st -> st = 1 OR st + 8 <= len(w))) AS start FROM w),
+         ch AS (SELECT doc_id, CAST(start AS INT) AS start,
+             CAST(least(len(w) - start + 1, 40) AS INT) AS n_tokens,
+             array_to_string(w[start:start+39], ' ') AS chunk_text FROM s),
+         c AS (SELECT doc_id, start, n_tokens, chunk_text,
+             sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS UNBOUNDED PRECEDING) AS cum FROM ch)
+         SELECT doc_id, CAST((cum - n_tokens) // 96 AS INT) AS seq_idx,
+           string_agg(start || ':' || n_tokens, ',' ORDER BY start) AS members,
+           md5(string_agg(chunk_text, ' ' ORDER BY start)) AS seq_md5
+         FROM c GROUP BY doc_id, seq_idx""",
     "d24_corpus_audit" -> {
       val q = QualitySql
       s"""WITH d AS (SELECT doc_id,
@@ -860,6 +900,23 @@ object PipelineQueries {
            JOIN embeddings q ON q.vec_id = c.query_id
            JOIN embeddings n ON n.vec_id = c.neighbor_id)
          WHERE rank <= 5""",
+    "d34_semdedup" ->
+      """WITH cents AS (SELECT c, d,
+           (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(c) CROSS JOIN range(64) t2(d)),
+         cv AS (SELECT c, list(v ORDER BY d) AS cvec FROM cents GROUP BY c),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv) WHERE rn = 1),
+         dup AS (SELECT DISTINCT a.vec_id
+           FROM asn a JOIN asn b ON a.cell = b.cell AND b.vec_id < a.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id
+           WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4)
+         SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           (d.vec_id IS NOT NULL) AS is_dup
+         FROM asn a LEFT JOIN dup d ON d.vec_id = a.vec_id""",
     "d10_media_decode" ->
       """WITH b AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
            WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)

@@ -106,4 +106,18 @@ class EmptyInputSpec extends SparkSpec {
       .toDF("user_id", "ts", "value")
     assert(graft.streaming.SessionStream.sessionize(noTsEvents).count() === 0)
   }
+
+  test("round-8 operators are total on an empty corpus") {
+    import spark.implicits._
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val cents = graft.functions.VectorIVF.mdCentroids(spark, 4, 2)
+    assert(graft.functions.VectorIVF.semDedup(
+      noVecs, "vec_id", "embedding", cents, "cell_id", "cvec", 0.9).count() === 0)
+    graft.CacheRegistry.releaseAll()
+    val noChunks = Seq.empty[(Long, Int, String, Int)]
+      .toDF("doc_id", "start", "chunk_text", "n_tokens")
+    val packed = graft.functions.TextAnalysis.packSequences(noChunks, "doc_id", 64)
+    assert(packed.count() === 0)
+    assert(packed.columns.contains("chunks") && packed.columns.contains("seq_text"))
+  }
 }

@@ -193,6 +193,32 @@ class TableLoaderSpec extends SparkSpec {
     assert(loader.instanceMessage(graft.io.Replay).head().getString(1) === "replay")
   }
 
+  test("DataSourceLoader binds any connector format behind the seam") {
+    import spark.implicits._
+    // stand-in connector: the parquet source driven through the SAME
+    // format+options path a Cassandra connector jar would use
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl").toString
+    try {
+      Seq((1, "base")).toDF("id", "tag")
+        .write.parquet(s"$dir/instance_field.parquet")
+      Seq((1, "replay")).toDF("id", "tag")
+        .write.parquet(s"$dir/instance_field_replay.parquet")
+      val loader = new graft.io.DataSourceLoader(spark, "parquet",
+        name => Map("path" -> s"$dir/$name.parquet"))
+      assert(loader.table("instance_field").head().getString(1) === "base")
+      assert(loader.instanceField(graft.io.Replay).head().getString(1) === "replay")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    // the Cassandra binding resolves table -> {keyspace, table} options and
+    // the connector format; the read fails only at connector lookup (no
+    // jar in this environment), i.e. AFTER the seam did its job
+    val cass = graft.io.DataSourceLoader.cassandra(spark, "telemetry")
+    val err = intercept[Exception](cass.table("instance_field"))
+    assert(err.getMessage.contains("cassandra") ||
+      err.getCause != null && err.getCause.getMessage.contains("cassandra"))
+  }
+
   test("activated() gates on the mode's participation flag") {
     import spark.implicits._
     val cat = Seq((1, true, false), (2, false, true), (3, true, true))

@@ -673,6 +673,31 @@ class VectorIVFSpec extends SparkSpec {
     assert(got.forall(_ < 10)) // nprobe=1: only the x-cluster cell searched
   }
 
+  test("semDedup prunes smaller-id near-dups within a cell only") {
+    import spark.implicits._
+    val centroids = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+      .toDF("cell_id", "cvec")
+    val vecs = Seq(
+      (1L, Array(1f, 0.01f, 0f, 0f)),   // cell 0, canonical of {1,2}
+      (2L, Array(1f, 0.02f, 0f, 0f)),   // cell 0, near-dup of 1 -> pruned
+      (3L, Array(0.9f, -0.3f, 0f, 0f)), // cell 0, below threshold -> kept
+      (4L, Array(0f, 1f, 0f, 0f)),      // cell 1, canonical of {4,5}
+      (5L, Array(0.01f, 1f, 0f, 0f)),   // cell 1, near-dup of 4 -> pruned
+      // near-identical pair STRADDLING the cell boundary: the IVF bound
+      // deliberately misses it (the SemDeDup trade) — both kept
+      (6L, Array(0.708f, 0.706f, 0f, 0f)), // cell 0
+      (7L, Array(0.706f, 0.708f, 0f, 0f))  // cell 1
+    ).toDF("vec_id", "embedding")
+    val got = VectorIVF.semDedup(vecs, "vec_id", "embedding",
+        centroids, "cell_id", "cvec", minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(got === Map(
+      1L -> (0, false), 2L -> (0, true), 3L -> (0, false),
+      4L -> (1, false), 5L -> (1, true),
+      6L -> (0, false), 7L -> (1, false)))
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("assign plan: candidates collapse map-side (partial agg), no window") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
@@ -1145,6 +1170,30 @@ class VectorDupAcrossSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
     assert(got === straddle)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("plan: every read of the inputs goes through ONE cached preparation") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val all = (0 until 8)
+      .map(i => (i.toLong, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val qe = VectorLSH.nearDupPairsAcross(
+      all.where(col("vec_id") % 2 === 0), all.where(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", 0.5).queryExecution
+    // the two band splits + the two verify sides all read the persisted
+    // (id, side, bits, nv) frame; neither input is rescanned downstream —
+    // banding + normalization cost the parent ONE pass, not four
+    val cacheReads = qe.optimizedPlan.collect { case r: InMemoryRelation => r }.length
+    val rawReads = qe.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.length
+    assert(cacheReads === 4,
+      s"expected band×2 + verify×2 reads of the cached preparation, got $cacheReads:\n${qe.optimizedPlan}")
+    assert(rawReads === 0,
+      s"expected no direct input rescans outside the cache, got $rawReads:\n${qe.optimizedPlan}")
+    graft.CacheRegistry.releaseAll()
   }
 }
 
@@ -1163,5 +1212,30 @@ class PackSequencesSpec extends SparkSpec {
     // token mass is conserved across packing
     val chTotal = ch.agg(sum("n_tokens")).head().getLong(0)
     assert(got.map(_._3).sum === chTotal)
+  }
+
+  test("composition: ordered membership and the packed payload") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunk(df, "doc_id", "text", maxTokens = 40, overlap = 8)
+    val rows = TextAnalysis.packSequences(ch, "doc_id", seqTokens = 64)
+      .orderBy("seq_idx").collect()
+    // seq 0 holds chunks at starts 1 and 33 IN ORDER; seq 1 the tail chunk
+    val members = rows.map(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("chunks")
+      .map(m => (m.getInt(0), m.getInt(1))).toSeq)
+    assert(members(0) === Seq((1, 40), (33, 40)))
+    assert(members(1) === Seq((65, 36)))
+    // the payload is the chunk texts joined in chunk order — w33 onward
+    // appears twice across seq 0's two overlapping chunks
+    val seq0 = rows(0).getAs[String]("seq_text")
+    assert(seq0.startsWith("w1 w2 ") && seq0.split(" ").length === 80)
+    assert(seq0.split(" ").slice(40, 43).toSeq === Seq("w33", "w34", "w35"))
+    assert(rows(1).getAs[String]("seq_text") ===
+      (65 to 100).map(i => s"w$i").mkString(" "))
+    // membership-free input (no chunk_text) still returns ordered chunks
+    val bare = TextAnalysis.packSequences(
+      ch.drop("chunk_text"), "doc_id", seqTokens = 64)
+    assert(bare.columns.contains("chunks") && !bare.columns.contains("seq_text"))
   }
 }
