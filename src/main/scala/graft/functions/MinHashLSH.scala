@@ -53,8 +53,15 @@ object MinHashLSH {
     // would re-run per element. As a named attribute it runs once per row
     // (CollapseProject keeps non-cheap multiply-referenced aliases apart).
     val w = col("__words")
-    val sh = transform(
-      sequence(lit(0), size(w) - n),
+    // The start range must be EMPTY for rows shorter than n, not merely
+    // filtered out: InferFiltersFromGenerate copies derived predicates on
+    // `sh_arr` into the pre-filter, where codegen's subexpression
+    // elimination evaluates this transform BEFORE the size(w) >= n guard
+    // can short-circuit — a descending sequence(0, size-n) would then feed
+    // ANSI element_at out-of-bounds indices and throw on short rows.
+    val starts = when(size(w) >= n, sequence(lit(0), size(w) - n))
+      .otherwise(lit(Array.empty[Int]))
+    val sh = transform(starts,
       i => baseHash(concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
     df.select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
       .where(size(w) >= n)

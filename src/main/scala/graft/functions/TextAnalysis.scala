@@ -346,6 +346,45 @@ object TextAnalysis {
     else packed.withColumnRenamed("__m", "chunks")
   }
 
+  /** Verbatim-span decontamination audit — the GPT-3/PaLM n-gram rule: a
+    * held-out doc is contaminated when it shares ANY exact n-gram
+    * (default 13 words) with the training corpus. Complements the
+    * whole-document Jaccard audit ([[JaccardJoin.similarPairsAcross]],
+    * d26): that catches near-duplicate DOCUMENTS, this catches verbatim
+    * SPANS pasted into otherwise-new text.
+    *
+    * Plan: distinct hashed n-grams per side (map-only; the shared
+    * [[MinHashLSH.baseHash]] 60-bit derivation every oracle replays), the
+    * train side reduced to its distinct gram set (partial-agg shuffle),
+    * then ONE left-semi equijoin on the hash and a per-doc rollup. The
+    * left-semi bounds the join output by the BENCH gram count — a gram
+    * shared by millions of training docs still emits one row, so
+    * train-side frequency skew cannot blow up the shuffle — and no
+    * train×train volume ever forms. The bench gram frame is persisted
+    * (S4: the hit count and the total count both read it).
+    *
+    * Returns (idCol, n_grams, n_hits, hit_ratio), one row per bench doc
+    * with ≥ n words; `hit_ratio` on the 1e-6 grid.
+    */
+  def ngramContamination(bench: org.apache.spark.sql.DataFrame,
+                         train: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 13): org.apache.spark.sql.DataFrame = {
+    val bg = graft.CacheRegistry.track(
+      MinHashLSH.shingles(bench, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val trainGrams = MinHashLSH.shingles(train, idCol, textCol, n)
+      .select("sh").distinct()
+    val hits = bg.join(trainGrams, Seq("sh"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    bg.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("hit_ratio"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
     * document order, then keep the minimum hash of each sliding window of
     * `w` consecutive n-gram hashes, deduplicated. Guarantees any shared
@@ -370,8 +409,13 @@ object TextAnalysis {
     val gram = (i: Column) => concat_ws(" ",
       (0 until n).map(o => element_at(words, i + o + 1)): _*)
     // same 60-bit derivation as the LSH shingles — one shared definition so
-    // every DuckDB oracle replays one formula
-    val hashes = transform(sequence(lit(0), size(words) - n),
+    // every DuckDB oracle replays one formula. The start range is EMPTY
+    // (not just row-filtered) for docs shorter than n: inferred filters +
+    // codegen subexpression elimination can evaluate this transform before
+    // the size guard short-circuits (see MinHashLSH.shingleArrays).
+    val hashes = transform(
+      when(size(words) >= n, sequence(lit(0), size(words) - n))
+        .otherwise(lit(Array.empty[Int])),
       i => MinHashLSH.baseHash(gram(i)))
     val wins = array_distinct(transform(
       sequence(lit(0), greatest(size(hseq) - w, lit(0))),

@@ -135,6 +135,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_contaminating"), max("jaccard").as("max_jaccard"))
     },
 
+    // Verbatim-span decontamination — the GPT-3/PaLM 13-gram rule over the
+    // same %10 bench/train split as d26: a bench doc counts as contaminated
+    // if ANY exact 13-gram also appears in the training side. Left-semi on
+    // the gram hash keeps the join output bounded by the bench gram count
+    // (train-side gram frequency skew cannot blow it up).
+    "d35_ngram_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isBench = pmod(col("doc_id"), lit(10)) === 0
+      TextAnalysis.ngramContamination(d.where(isBench), d.where(!isBench),
+        "doc_id", "text", n = 13)
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -626,6 +638,22 @@ object PipelineQueries {
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            round(avg($QualitySql), 4) AS mean_quality
          FROM d GROUP BY 1""",
+    "d35_ngram_decontam" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS sh FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
+             i -> array_to_string(w[i+1:i+13], ' '))) AS gt
+           FROM words WHERE len(w) >= 13)),
+         bg AS (SELECT doc_id, sh FROM g WHERE doc_id % 10 = 0),
+         tset AS (SELECT DISTINCT sh FROM g WHERE doc_id % 10 != 0),
+         hits AS (SELECT b.doc_id, count(*) AS n_hits
+           FROM bg b JOIN tset t ON b.sh = t.sh GROUP BY 1)
+         SELECT b.doc_id, count(*) AS n_grams,
+           CAST(coalesce(any_value(h.n_hits), 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(any_value(h.n_hits), 0) AS DOUBLE) / count(*), 6) AS hit_ratio
+         FROM bg b LEFT JOIN hits h ON h.doc_id = b.doc_id
+         GROUP BY b.doc_id""",
     "d26_contamination" ->
       s"""WITH $ShingleCtesSql,
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -119,5 +119,15 @@ class EmptyInputSpec extends SparkSpec {
     val packed = graft.functions.TextAnalysis.packSequences(noChunks, "doc_id", 64)
     assert(packed.count() === 0)
     assert(packed.columns.contains("chunks") && packed.columns.contains("seq_text"))
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(graft.functions.TextAnalysis.ngramContamination(
+      noDocs, someDocs, "doc_id", "text").count() === 0)
+    // empty TRAIN side: every bench doc reports zero hits, none dropped
+    val vsEmpty = graft.functions.TextAnalysis.ngramContamination(
+      someDocs, noDocs, "doc_id", "text").collect()
+    assert(vsEmpty.length === 1 && vsEmpty.head.getAs[Long]("n_hits") === 0L)
+    graft.CacheRegistry.releaseAll()
   }
 }

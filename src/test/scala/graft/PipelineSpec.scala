@@ -104,6 +104,29 @@ class MinHashLSHSpec extends SparkSpec {
     assert(sh.where(col("doc_id") === 1).count() === 0)
     assert(sh.where(col("doc_id") === 2).count() === 2)
   }
+
+  test("shingles survive inferred filters on a file scan (short docs, big n)") {
+    import spark.implicits._
+    // regression: InferFiltersFromGenerate copies size(sh_arr) > 0 into the
+    // pre-explode Filter; codegen subexpression elimination then evaluates
+    // the gram transform BEFORE the size(words) >= n conjunct can
+    // short-circuit. With a descending start sequence that fed ANSI
+    // element_at out-of-range indices — threw on every file-backed corpus
+    // whose shortest doc had fewer than n words (LocalRelation plans do
+    // not reproduce it, hence the parquet round-trip here).
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh").toString
+    try {
+      Seq((1L, "too short"), (2L, (1 to 20).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text").write.parquet(s"$dir/docs.parquet")
+      val docs = spark.read.parquet(s"$dir/docs.parquet")
+      val sh = MinHashLSH.shingles(docs, "doc_id", "text", 13)
+      assert(sh.count() === 8) // doc 2 only: 20 - 13 + 1 starts
+      assert(TextAnalysis.winnowFingerprints(docs, "doc_id", "text", n = 13, w = 2)
+        .count() === 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
 
 class TfIdfSpec extends SparkSpec {
@@ -379,6 +402,35 @@ class JaccardJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ngram decontamination counts exact shared spans, semi-join plan") {
+    import spark.implicits._
+    val span = (1 to 13).map(i => s"s$i").mkString(" ") // 13-word span
+    val bench = Seq(
+      (10L, s"alpha beta $span gamma"),           // 1 hit window? see below
+      (20L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (30L, "short doc")                          // < 13 words: no row
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words here $span and a tail"), // carries the span
+      (2L, "totally unrelated training text that goes on for quite a while longer")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramContamination(bench, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 10 has 16 words -> 4 distinct 13-grams; only the exact span gram
+    // (positions 3..15) also occurs in train doc 1
+    assert(got(10L) === (4L, 1L))
+    assert(got(20L) === (1L, 0L)) // 13 words, 1 gram, no collision
+    assert(!got.contains(30L))
+    graft.CacheRegistry.releaseAll()
+    // skew contract: the hit count joins bench grams LEFT SEMI against the
+    // deduped train gram set — train-side gram frequency never multiplies
+    val plan = TextAnalysis.ngramContamination(bench, train, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi hit probe:\n$plan")
+    assert(!plan.contains("Cartesian"))
+    graft.CacheRegistry.releaseAll()
   }
 
   test("CacheRegistry releases exactly the internally persisted frames") {
