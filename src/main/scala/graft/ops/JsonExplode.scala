@@ -26,16 +26,27 @@ object JsonExplode {
     * and no higher-order lambdas (HOFs evaluate interpreted — measured
     * slower than a second generator here). A leaves ∪ nested union would
     * scan and parse the source twice instead.
+    *
+    * Both generators are `explode_outer` + a null filter on the GENERATED
+    * attribute, not plain `explode`: InferFiltersFromGenerate would copy
+    * `size(...) > 0` predicates into a pre-Generate Filter where the
+    * `from_json` parse gets inlined and re-evaluated per row (2-3 parses
+    * per row per level; see MinHashLSH.shingles for the measured cost of
+    * this optimizer shape). The post-Generate filters test concrete
+    * attributes — no re-parse — and restore exactly the plain-explode
+    * semantics (null/empty inputs emit nothing).
     */
   def flatten(df: DataFrame, jsonCol: String, keep: Seq[String]): DataFrame = {
     val keepCols = keep.map(col)
     val lvl1 = df
-      .select(keepCols :+ explode(from_json(col(jsonCol), Mapped)).as(Seq("rp", "rv")): _*)
+      .select(keepCols :+ explode_outer(from_json(col(jsonCol), Mapped)).as(Seq("rp", "rv")): _*)
+      .where(col("rp").isNotNull)
     val kv = when(col("rv").startsWith("{"),
         map_entries(from_json(col("rv"), Mapped)))
       .otherwise(array(struct(col("rp").as("key"), col("rv").as("value"))))
     lvl1
-      .select(keepCols :+ explode(kv).as("e"): _*)
+      .select(keepCols :+ explode_outer(kv).as("e"): _*)
+      .where(col("e").isNotNull)
       .select(keepCols :+ col("e.key").as("relative_path")
         :+ col("e.value").cast("double").as("value"): _*)
   }

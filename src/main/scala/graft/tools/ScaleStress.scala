@@ -139,7 +139,13 @@ object ScaleStress {
           graft.CacheRegistry.releaseAll(); n },
         "pack" -> t(s"$tag pack") {
           TextAnalysis.packSequences(
-            TextAnalysis.chunk(d, "doc_id", "text", 40, 8), "doc_id", 96).count() })
+            TextAnalysis.chunk(d, "doc_id", "text", 40, 8), "doc_id", 96).count() },
+        "ngram_decontam" -> t(s"$tag ngram_decontam") {
+          // bench = 1% of docs; train = the rest — d35's asymmetric shape
+          val n = TextAnalysis.ngramContamination(
+            d.where(col("doc_id") % 100 === 0), d.where(col("doc_id") % 100 =!= 0),
+            "doc_id", "text", 13).count()
+          graft.CacheRegistry.releaseAll(); n })
       spark.sharedState.cacheManager.clearCache()
       r
     }
@@ -149,6 +155,29 @@ object ScaleStress {
     println(f"docs: $n1 -> ${n1 * 10}")
     s1.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-18s x1=${s1(k)}%6.2f  x10=${s10(k)}%7.2f  ratio=${s10(k) / s1(k)}%5.1f") }
+
+    // Embedding-side probe: semDedup at 1x and 10x. Replicas are jittered
+    // per replica index so every vector is distinct (no artificial exact
+    // duplicates), while cell occupancy stays balanced — the within-cell
+    // pair volume grows ~rep², which is exactly the Σ|cell|² bound the
+    // operator's SCALE.md entry claims; the probe checks the wall follows.
+    val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val emb10 = (0 until 10).map { r =>
+      emb1.select((col("vec_id") + lit(r * 10_000_000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(r.toFloat * 1e-3f)).as("embedding"))
+    }.reduce(_ unionByName _)
+    def semd(tag: String, e: DataFrame) = t(s"$tag semdedup") {
+      val n = graft.functions.VectorIVF.semDedup(e, "vec_id", "embedding",
+        graft.functions.VectorIVF.mdCentroids(spark, 8, 64),
+        "cell_id", "cvec", 0.4).count()
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache(); n
+    }
+    semd("warmup", emb1)
+    val e1 = semd("x1", emb1); val e10 = semd("x10", emb10)
+    println(f"${"semdedup"}%-18s x1=$e1%6.2f  x10=$e10%7.2f  ratio=${e10 / e1}%5.1f")
     spark.stop()
   }
 }
