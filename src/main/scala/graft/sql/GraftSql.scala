@@ -63,6 +63,25 @@ object GraftSql {
         scored.where(col("split") === heldOutSplit),
         scored.where(col("split") =!= heldOutSplit),
         "doc_id", "text", threshold = contaminationThreshold)
+      // Verbatim-span twin of contamination_pairs (the d35 shape): per
+      // held-out doc, how many exact 13-grams also occur in the train
+      // splits. Same split parameterization; lazy like every view here.
+      graft.functions.TextAnalysis.ngramContamination(
+          scored.where(col("split") === heldOutSplit),
+          scored.where(col("split") =!= heldOutSplit),
+          "doc_id", "text")
+        .createOrReplaceTempView("decontam_ngram_hits")
+    }
+    if (spark.catalog.tableExists("embeddings")) {
+      // Embedding-level semantic dedup (the d34 shape) as a SQL target:
+      // SELECT vec_id FROM semdedup_flags WHERE NOT is_dup. The md5
+      // quantizer keeps the view self-contained; pass trained centroids
+      // through VectorIVF.semDedup directly when a real quantizer exists.
+      graft.functions.VectorIVF.semDedup(
+          spark.table("embeddings"), "vec_id", "embedding",
+          graft.functions.VectorIVF.mdCentroids(spark, 8, 64),
+          "cell_id", "cvec", minCos = 0.4)
+        .createOrReplaceTempView("semdedup_flags")
     }
   }
 

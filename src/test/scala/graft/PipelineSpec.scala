@@ -926,6 +926,20 @@ class GraftSqlSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("round-8 views: decontam_ngram_hits and semdedup_flags from SQL") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    val hits = spark.sql(
+      "SELECT doc_id, n_grams, n_hits, hit_ratio FROM decontam_ngram_hits")
+      .collect()
+    assert(hits.nonEmpty) // every held-out doc with >= 13 words reports
+    assert(hits.forall(r => r.getLong(2) <= r.getLong(1)))
+    val kept = spark.sql(
+      "SELECT count(*) FROM semdedup_flags WHERE NOT is_dup").head().getLong(0)
+    val all = spark.sql("SELECT count(*) FROM semdedup_flags").head().getLong(0)
+    assert(kept > 0 && kept <= all)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("registerSessions serves the q39 rollup to plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     graft.sql.GraftSql.registerSessions(spark, "sessions",
