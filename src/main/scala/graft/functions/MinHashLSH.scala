@@ -53,16 +53,15 @@ object MinHashLSH {
     // would re-run per element. As a named attribute it runs once per row
     // (CollapseProject keeps non-cheap multiply-referenced aliases apart).
     val w = col("__words")
-    // The start range must be EMPTY for rows shorter than n, not merely
-    // filtered out: InferFiltersFromGenerate copies derived predicates on
-    // `sh_arr` into the pre-filter, where codegen's subexpression
-    // elimination evaluates this transform BEFORE the size(w) >= n guard
-    // can short-circuit — a descending sequence(0, size-n) would then feed
-    // ANSI element_at out-of-bounds indices and throw on short rows.
-    val starts = when(size(w) >= n, sequence(lit(0), size(w) - n))
-      .otherwise(lit(Array.empty[Int]))
-    val sh = transform(starts,
-      i => baseHash(concat_ws(" ", (0 until n).map(o => element_at(w, i + o + 1)): _*)))
+    // Native gram hashing (graft.plans.ShingleHashes): same 60-bit value
+    // as `baseHash(concat_ws(" ", element_at(w, i+1..i+n)))` per 0-based
+    // start 0..size-n (property-pinned in NativeShingleSpec), computed in
+    // one codegen'd JVM loop instead of an interpreted per-gram HOF
+    // lambda. Arrays shorter than n yield an EMPTY array inside the
+    // expression itself — InferFiltersFromGenerate may duplicate it into a
+    // pre-filter, but it can never see an out-of-range index there.
+    val sh = graft.plans.TextExpressions
+      .shinglesColumn(df.sparkSession, w, n)
     df.select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
       .where(size(w) >= n)
       .select(col(idCol), array_distinct(sh).as("sh_arr"))

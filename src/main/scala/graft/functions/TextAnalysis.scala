@@ -406,17 +406,11 @@ object TextAnalysis {
                          textCol: String, n: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
     val words = col("__words")
     val hseq = col("__hseq")
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until n).map(o => element_at(words, i + o + 1)): _*)
-    // same 60-bit derivation as the LSH shingles — one shared definition so
-    // every DuckDB oracle replays one formula. The start range is EMPTY
-    // (not just row-filtered) for docs shorter than n: inferred filters +
-    // codegen subexpression elimination can evaluate this transform before
-    // the size guard short-circuits (see MinHashLSH.shingleArrays).
-    val hashes = transform(
-      when(size(words) >= n, sequence(lit(0), size(words) - n))
-        .otherwise(lit(Array.empty[Int])),
-      i => MinHashLSH.baseHash(gram(i)))
+    // same 60-bit derivation as the LSH shingles — the native ShingleHashes
+    // expression (one codegen'd loop, ordered, one hash per start; empty
+    // for docs shorter than n), so every DuckDB oracle replays one formula
+    val hashes = graft.plans.TextExpressions
+      .shinglesColumn(df.sparkSession, words, n)
     val wins = array_distinct(transform(
       sequence(lit(0), greatest(size(hseq) - w, lit(0))),
       i => array_min(slice(hseq, i + 1, least(lit(w), size(hseq))))))

@@ -105,9 +105,15 @@ object VectorExpressions {
   * session build instead of first use.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) =>
+        ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)))
+  }
 }

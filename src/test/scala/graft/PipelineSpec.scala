@@ -663,6 +663,48 @@ class VectorNearDupLshSpec extends SparkSpec {
   }
 }
 
+class NativeShingleSpec extends SparkSpec {
+
+  test("graft_shingles matches the column md5 formula bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "beta", "?!", "", "héllo", "世界", "x")
+    val docs = (1L to 60L).map { id =>
+      val len = rnd.nextInt(10) // 0..9 words — includes sub-n docs
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))))
+    }.toDF("doc_id", "words")
+    for (n <- Seq(1, 3, 5)) {
+      val w = col("words")
+      val gram = (i: org.apache.spark.sql.Column) => concat_ws(" ",
+        (0 until n).map(o => element_at(w, i + o + 1)): _*)
+      val reference = transform(
+        when(size(w) >= n, sequence(lit(0), size(w) - n))
+          .otherwise(lit(Array.empty[Int])),
+        i => MinHashLSH.baseHash(gram(i)))
+      val rows = docs.select(
+        graft.plans.TextExpressions.shinglesColumn(spark, w, n).as("fast"),
+        reference.as("ref")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
+  test("graft_shingles skips null elements exactly like concat_ws") {
+    graft.plans.TextExpressions.ensureRegistered(spark)
+    val fast = spark.sql(
+      "SELECT graft_shingles(array('a', CAST(NULL AS STRING), 'b'), 3)").head().getSeq[Long](0)
+    val ref = spark.sql(
+      "SELECT CAST(conv(substring(md5('a b'), 1, 15), 16, 10) AS BIGINT)").head().getLong(0)
+    assert(fast === Seq(ref))
+    // null input array -> null out; sub-n array -> empty
+    assert(spark.sql(
+      "SELECT graft_shingles(CAST(NULL AS ARRAY<STRING>), 3)").head().isNullAt(0))
+    assert(spark.sql(
+      "SELECT graft_shingles(array('one'), 3)").head().getSeq[Long](0).isEmpty)
+  }
+}
+
 class DotProductExprSpec extends SparkSpec {
 
   test("native graft_dot matches the HOF dot bit-for-bit") {
