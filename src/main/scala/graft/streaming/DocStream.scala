@@ -96,6 +96,33 @@ object DocStream {
       .select(col(idCol), col("ref_id"), col("band"), col("jaccard"))
   }
 
+  /** Verbatim-span contamination tag as a STREAMING stage — the d35 rule
+    * (any exact n-gram shared with a static held-out benchmark set) applied
+    * per arriving doc. Stateless stream-static LEFT SEMI on the gram hash:
+    * a doc emits (once) iff any of its grams hits the benchmark gram set,
+    * making this the streaming complement of
+    * [[graft.functions.TextAnalysis.ngramContamination]] (which rolls up
+    * per-doc hit counts batch-side). The gram sides use the SAME native
+    * [[graft.plans.ShingleHashes]] derivation, so stream and batch can
+    * never drift. The benchmark frame is static and recomputed per
+    * micro-batch unless the caller persists it — at scale, persist it.
+    *
+    * Statelessness trade, same as [[nearDupTag]]'s: a doc emits one row
+    * PER colliding gram (streaming `dropDuplicates` would be unbounded
+    * keyed state, not a stateless stage). Collapse downstream — a batch
+    * `distinct`, or `dropDuplicatesWithinWatermark(idCol)` when the
+    * stream carries an event-time column. Returns (idCol, sh).
+    */
+  def contaminationTag(docs: DataFrame, benchDocs: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 13): DataFrame = {
+    val benchGrams = MinHashLSH.shingles(benchDocs, idCol, textCol, n)
+      .select("sh").distinct()
+    MinHashLSH.shingles(docs, idCol, textCol, n)
+      .join(benchGrams, Seq("sh"), "left_semi")
+      .select(col(idCol), col("sh"))
+  }
+
   /** PII redaction as a streaming stage — a stateless projection
     * ([[TextAnalysis.redactPii]]), so batch ≡ stream. Runs LAST in
     * [[cleanStream]]: the gates and the dedup fingerprint see the raw

@@ -792,6 +792,27 @@ class VectorIVFSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("semDedup plan: cell-equijoin over one cached assignment, no cartesian") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val vecs = (0 until 8).map(i => (i.toLong, Array.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+      .toDF("cell_id", "cvec")
+    val qe = VectorIVF.semDedup(vecs, "vec_id", "embedding",
+      cents, "cell_id", "cvec", 0.9).queryExecution
+    // within-cell pairs only: the pair join is an equijoin on `cell`; the
+    // only nested-loop join is the broadcast K-centroid assign INSIDE the
+    // cached assignment — nothing downstream may open a cross product
+    assert(!qe.optimizedPlan.toString.contains("Cartesian"),
+      s"no cartesian in:\n${qe.optimizedPlan}")
+    // both pair-join sides + the output row set read ONE cached assignment
+    val cacheReads = qe.optimizedPlan.collect { case r: InMemoryRelation => r }.length
+    assert(cacheReads === 3,
+      s"expected 3 reads of the cached assignment, got $cacheReads:\n${qe.optimizedPlan}")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("assign plan: candidates collapse map-side (partial agg), no window") {
     import spark.implicits._
     val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")

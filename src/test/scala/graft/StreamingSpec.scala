@@ -174,6 +174,29 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationTag: stream docs flagged against a static bench set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val span = (1 to 13).map(i => s"s$i").mkString(" ")
+    val bench = Seq((900L, s"held out doc carrying $span inside"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocStream.contaminationTag(docs, bench)
+      .writeStream.format("memory").queryName("doc_contam")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, s"train doc with the verbatim $span pasted in the middle"),
+        (2L, "clean training document about something else entirely " +
+          "long enough to carry its own thirteen gram windows easily"))
+      q.processAllAvailable()
+      val flagged = spark.table("doc_contam")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(flagged === Set(1L))
+    } finally q.stop()
+  }
+
   test("nearDupTag on batch input matches the batch pair join restricted to ids") {
     import spark.implicits._
     val base = (1 to 25).map(i => s"tok$i").mkString(" ")
