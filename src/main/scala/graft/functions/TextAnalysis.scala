@@ -261,6 +261,48 @@ object TextAnalysis {
         round(sum(term).cast("double") / 1e6 / sum("tf"), 6).as("logprob"))
   }
 
+  /** N-gram (default bigram) log-likelihood fluency — the collocation
+    * signal [[unigramLogProb]] cannot see: "of the" scores far above
+    * "the of" even though their unigram mass is identical. Scores the
+    * JOINT smoothed corpus probability of each n-gram occurrence,
+    * `log((c(g)+1) / (total+distinct))`, averaged per doc — the exact d30
+    * formula lifted from tokens to n-grams; a CONDITIONAL bigram model
+    * would add a context-count join without changing the plan family.
+    *
+    * Gram extraction is the native [[graft.plans.ShingleHashes]] kernel
+    * (map-only, ordered, NOT deduped — occurrences count), so the corpus
+    * stats key on the 60-bit gram hash every oracle replays. Shape and
+    * determinism discipline are d30's: persisted (doc, gram) tf root,
+    * frequency + totals derived from it, 1e-6 integer-grid term sums.
+    * Docs with fewer than n words emit no row.
+    * Returns (idCol, n_grams, logprob).
+    */
+  def ngramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val w = col("__words")
+    val grams = df
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
+      .where(size(w) >= n)
+      .select(col(idCol), explode_outer( // outer: no inferred-filter dup, see MinHashLSH.shingles
+        graft.plans.TextExpressions.shinglesColumn(df.sparkSession, w, n)).as("gram"))
+    val tf = graft.CacheRegistry.track(
+      grams.groupBy(col(idCol), col("gram"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val freq = tf.groupBy("gram").agg(sum("tf").cast("long").as("cnt"))
+    val totals = freq.agg(sum("cnt").cast("long").as("total"),
+      count(lit(1)).as("distinct_grams"))
+    val term = round(col("tf") *
+      log((col("cnt") + 1) / (col("total") + col("distinct_grams"))) * 1e6, 0)
+      .cast("long")
+    tf.join(freq, Seq("gram"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_grams"),
+        round(sum(term).cast("double") / 1e6 / sum("tf"), 6).as("logprob"))
+  }
+
   /** Sliding-window document chunking — context-window packing for model
     * training: each doc splits into windows of `maxTokens` whitespace
     * tokens advancing by `maxTokens − overlap`, so consecutive chunks share

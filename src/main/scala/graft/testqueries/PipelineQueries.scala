@@ -442,6 +442,13 @@ object PipelineQueries {
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")
     },
 
+    // Bigram log-likelihood — d30's formula lifted to word pairs (the
+    // collocation signal unigrams cannot see), keyed on the native
+    // graft_shingles 60-bit gram hash the oracle replays.
+    "d36_bigram_logprob" -> { (s, dir) =>
+      TextAnalysis.ngramLogProb(docs(s, dir), "doc_id", "text", n = 2)
+    },
+
     // PII scan + redaction — the cleaning stage before a corpus ships to
     // training. The synthetic documents carry no organic PII, so (as d10
     // does for media headers) deterministic PII is injected per doc_id;
@@ -638,6 +645,21 @@ object PipelineQueries {
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            round(avg($QualitySql), 4) AS mean_quality
          FROM d GROUP BY 1""",
+    "d36_bigram_logprob" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS gram FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 1),
+             i -> array_to_string(w[i+1:i+2], ' '))) AS gt
+           FROM words WHERE len(w) >= 2)),
+         tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+         freq AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS v FROM freq)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+           round(CAST(sum(CAST(round(tf * ln((cnt + 1) / (total + v)) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000 / sum(tf), 6) AS logprob
+         FROM tf JOIN freq USING (gram) CROSS JOIN tot
+         GROUP BY doc_id""",
     "d35_ngram_decontam" ->
       """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          g AS (SELECT DISTINCT doc_id,

@@ -128,6 +128,8 @@ class EmptyInputSpec extends SparkSpec {
     val vsEmpty = graft.functions.TextAnalysis.ngramContamination(
       someDocs, noDocs, "doc_id", "text").collect()
     assert(vsEmpty.length === 1 && vsEmpty.head.getAs[Long]("n_hits") === 0L)
+    assert(graft.functions.TextAnalysis.ngramLogProb(
+      noDocs, "doc_id", "text").count() === 0)
     graft.CacheRegistry.releaseAll()
   }
 }

@@ -1274,6 +1274,42 @@ class UnigramLogProbSpec extends SparkSpec {
   }
 }
 
+class NgramLogProbSpec extends SparkSpec {
+
+  test("closed-form smoothed bigram log-likelihood on a tiny corpus") {
+    import spark.implicits._
+    // doc1 bigrams: (x y) x2, (y x) x1; doc2: (y z) x1
+    // freq: xy=2, yx=1, yz=1; total=4, distinct=3
+    val df = Seq((1L, "x y x y"), (2L, "y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramLogProb(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 -
+      (2 * math.log(3.0 / 7) + math.log(2.0 / 7)) / 3) < 1e-5)
+    assert(math.abs(got(2L)._2 - math.log(2.0 / 7)) < 1e-5)
+    // the repeated collocation scores strictly higher (the filter signal)
+    assert(got(1L)._2 > got(2L)._2)
+    // a sub-n doc emits no row, exactly like the gram extraction
+    assert(!got.contains(3L))
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("word order moves the score: collocations beat shuffled salad") {
+    import spark.implicits._
+    val fluent = Seq.fill(6)("of the").mkString(" ")   // "of the" x11 window
+    val salad = ("of " + Seq.fill(5)("of of the the").mkString(" ")).take(fluent.length)
+    val df = Seq((1L, fluent), (2L, salad), (3L, "of the of the"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramLogProb(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // same unigram mass, different bigram structure: the doc made of the
+    // frequent collocation outscores the shuffled one
+    assert(got(1L) > got(2L))
+    graft.CacheRegistry.releaseAll()
+  }
+}
+
 class VectorDupAcrossSpec extends SparkSpec {
 
   test("cross-set pairs equal the self-join restricted to straddling pairs") {
