@@ -261,6 +261,36 @@ object TextAnalysis {
         round(sum(term).cast("double") / 1e6 / sum("tf"), 6).as("logprob"))
   }
 
+  /** Gopher-style n-gram repetition fractions — the two standard
+    * within-doc repetition gates beyond [[repetitionRatio]]'s distinct
+    * ratio: `top_gram_frac` (share of gram occurrences claimed by the
+    * single most frequent n-gram — catches "spam spam spam") and
+    * `dup_gram_frac` (share of gram occurrences whose gram appears more
+    * than once — catches diffuse boilerplate a single top gram misses).
+    *
+    * Gram occurrences from the native [[graft.plans.ShingleHashes]]
+    * kernel; both aggregations are doc-keyed partial-agg shuffles (no
+    * corpus-wide state — each doc's stats depend only on its own rows).
+    * Docs with fewer than n words emit no row, matching the extraction.
+    * Returns (idCol, n_grams, top_gram_frac, dup_gram_frac).
+    */
+  def ngramRepetition(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val w = col("__words")
+    val grams = df
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
+      .where(size(w) >= n)
+      .select(col(idCol), explode_outer( // outer: see MinHashLSH.shingles
+        graft.plans.TextExpressions.shinglesColumn(df.sparkSession, w, n)).as("gram"))
+    grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").cast("long").as("n_grams"),
+        round(max("c").cast("double") / sum("c"), 6).as("top_gram_frac"),
+        round(sum(when(col("c") > 1, col("c")).otherwise(0)).cast("double") / sum("c"), 6)
+          .as("dup_gram_frac"))
+  }
+
   /** N-gram (default bigram) log-likelihood fluency — the collocation
     * signal [[unigramLogProb]] cannot see: "of the" scores far above
     * "the of" even though their unigram mass is identical. Scores the

@@ -449,6 +449,13 @@ object PipelineQueries {
       TextAnalysis.ngramLogProb(docs(s, dir), "doc_id", "text", n = 2)
     },
 
+    // Gopher-style repetition fractions: share of 3-gram occurrences in
+    // the single most frequent gram, and in any repeated gram — the two
+    // standard cleaning gates d17's distinct-ratio does not separate.
+    "d37_ngram_repetition" -> { (s, dir) =>
+      TextAnalysis.ngramRepetition(docs(s, dir), "doc_id", "text", n = 3)
+    },
+
     // PII scan + redaction — the cleaning stage before a corpus ships to
     // training. The synthetic documents carry no organic PII, so (as d10
     // does for media headers) deterministic PII is injected per doc_id;
@@ -645,6 +652,19 @@ object PipelineQueries {
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            round(avg($QualitySql), 4) AS mean_quality
          FROM d GROUP BY 1""",
+    "d37_ngram_repetition" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS gram FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM words WHERE len(w) >= 3)),
+         per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_gram_frac,
+           round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6)
+             AS dup_gram_frac
+         FROM per GROUP BY doc_id""",
     "d36_bigram_logprob" ->
       """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          g AS (SELECT doc_id,

@@ -1274,6 +1274,25 @@ class UnigramLogProbSpec extends SparkSpec {
   }
 }
 
+class NgramRepetitionSpec extends SparkSpec {
+
+  test("closed-form repetition fractions on a hand-built doc") {
+    import spark.implicits._
+    // "a b c a b c a b c" -> 7 3-gram occurrences: (a b c) x3, (b c a) x2,
+    // (c a b) x2 -> top 3/7, dup 7/7. "u v w x" -> 2 distinct grams ->
+    // top 1/2, dup 0. "x y" -> sub-n, no row.
+    val df = Seq((1L, "a b c a b c a b c"), (2L, "u v w x"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetition(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === (7L, math.round(3.0 / 7 * 1e6) / 1e6, 1.0))
+    assert(got(2L) === (2L, 0.5, 0.0))
+    assert(!got.contains(3L))
+  }
+}
+
 class NgramLogProbSpec extends SparkSpec {
 
   test("closed-form smoothed bigram log-likelihood on a tiny corpus") {
