@@ -92,19 +92,34 @@ object Bench {
     val coldTotal = results.map(_.cold).sum
     // Full per-query detail (steady, cold, and the raw samples each run
     // produced, in run order [cold, warm1..warm3], plus a max/min spread
-    // stat) goes to a file: the harness that collects the printed line
-    // keeps only a bounded tail of the output, and four 64-entry maps
-    // cannot fit inside it. The printed contract line carries the steady
-    // map (3-decimal values keep it within the capture window) plus both
-    // totals; BENCH_DETAIL.json in the repo holds the untruncated detail,
-    // so a contended run is self-diagnosing (high spread across the board)
-    // instead of needing a rerun to adjudicate.
+    // stat) goes to a file. The harness that collects the printed line
+    // keeps only the LAST 2000 characters of stdout; round 8's line
+    // carried all 76 steady entries (>2000 chars), the opening brace fell
+    // outside the window, and the driver recorded parsed:null. So the
+    // printed contract line must stay far under 2000 chars: both totals
+    // plus a fixed headline subset of per-query times (contract shape
+    // kept, size bounded regardless of how many queries exist);
+    // BENCH_DETAIL.json holds the untruncated four maps, so a contended
+    // run is still self-diagnosing (high spread across the board).
     val detail =
       s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val headline = Set(
+      "q01_agg_pricing", "q17_reconstruct_state", "q23_snapshot_reconstruct",
+      "q24_update_history_args", "q31_snapshot_diff", "q39_sessionize",
+      "d05_minhash_pairs", "d12_dedup_clusters", "d19_clean_corpus_v2",
+      "d22_jaccard_join")
+    val headlineQs = results.filter(q => headline(q.name))
+      .map(q => s"\"" + q.name + "\":" + r3(q.steady))
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headlineQs,"cold_total":${r3(coldTotal)},"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    // hard guard: if this ever grows past the capture window again, drop
+    // the per-query map entirely rather than break the driver's parse
+    println(if (line.length <= 1800) line
+      else s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"cold_total":${r3(coldTotal)},"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

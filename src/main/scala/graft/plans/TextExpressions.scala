@@ -98,7 +98,7 @@ object TextExpressions {
 
   private val fid = FunctionIdentifier("graft_shingles")
   private val info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles")
-  private val builder: Seq[Expression] => Expression = { exprs =>
+  private[plans] val builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"graft_shingles expects 2 arguments, got ${exprs.length}")
     require(exprs(1).foldable, "graft_shingles n must be a literal")
     ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)

@@ -81,7 +81,7 @@ object VectorExpressions {
 
   private val fid = FunctionIdentifier("graft_dot")
   private val info = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
-  private val builder: Seq[Expression] => Expression = { exprs =>
+  private[plans] val builder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"graft_dot expects 2 arguments, got ${exprs.length}")
     DotProduct(exprs.head, exprs(1))
   }
@@ -105,15 +105,18 @@ object VectorExpressions {
   * session build instead of first use.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // Reuse the runtime-registry builders so both registration paths share
+  // the same arity/foldability guards (a one-arg or non-literal-n SQL call
+  // must fail with the clear require message, not an IndexOutOfBounds or
+  // an obscure eval error).
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      VectorExpressions.builder))
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
-      (exprs: Seq[Expression]) =>
-        ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)))
+      TextExpressions.builder))
   }
 }

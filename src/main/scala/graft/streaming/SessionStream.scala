@@ -21,9 +21,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SessionStream {
 
-  /** Open-session state per user (epoch-ms event times). */
+  /** Open-session state per user (epoch-ms event times). `sumMicros`
+    * accumulates `value` on the same 1e-6 integer grid the batch rollup
+    * sums on (`Sessionize.rollup`'s `round(value*1e6) → long` pattern):
+    * integer addition is order-independent, so batch/stream parity on
+    * `sum_value` cannot drift at a 2-decimal rounding boundary the way
+    * arrival-order-dependent raw double accumulation could.
+    */
   case class SessionAgg(startMs: Long, lastMs: Long,
-                        nEvents: Long, sumValue: Double)
+                        nEvents: Long, sumMicros: Long)
 
   /** A closed session. `duration_s` is exact integer seconds. */
   case class SessionOut(user_id: Long, n_events: Long,
@@ -41,8 +47,17 @@ object SessionStream {
     import spark.implicits._
     val gapMs = gapMinutes * 60_000L
 
+    // Spark's round() is BigDecimal HALF_UP; replay it exactly on both the
+    // per-event grid snap and the 2-decimal emit so a value like x.005
+    // lands on the same side as the batch plan's round(value*1e6)/1e6.
+    def micros(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
     def close(uid: Long, s: SessionAgg): SessionOut =
-      SessionOut(uid, s.nEvents, (s.lastMs - s.startMs) / 1000L, s.sumValue)
+      SessionOut(uid, s.nEvents, (s.lastMs - s.startMs) / 1000L,
+        java.math.BigDecimal.valueOf(s.sumMicros / 1e6)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
 
     events
       .withWatermark("ts", watermark)
@@ -75,12 +90,12 @@ object SessionStream {
                   // carry a time EARLIER than the recorded session start —
                   // the session began then, and duration must say so
                   cur = Some(SessionAgg(math.min(s.startMs, t),
-                    math.max(s.lastMs, t), s.nEvents + 1, s.sumValue + v))
+                    math.max(s.lastMs, t), s.nEvents + 1, s.sumMicros + micros(v)))
                 case Some(s) =>
                   out += close(uid, s)
-                  cur = Some(SessionAgg(t, t, 1L, v))
+                  cur = Some(SessionAgg(t, t, 1L, micros(v)))
                 case None =>
-                  cur = Some(SessionAgg(t, t, 1L, v))
+                  cur = Some(SessionAgg(t, t, 1L, micros(v)))
               }
             }
             cur.foreach { s =>

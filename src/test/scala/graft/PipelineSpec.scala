@@ -1068,6 +1068,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
       .head().getDouble(0) === 11.0)
   }
+
+  test("builders reject bad arity / non-literal n with a clear message") {
+    // Both registration paths (runtime registry and GraftExtensions) now
+    // share the SAME guarded builders, so pinning the registry path pins
+    // the extensions path too: a one-arg call or a non-literal n must die
+    // with the require message, not IndexOutOfBounds or an eval error.
+    graft.plans.TextExpressions.ensureRegistered(spark)
+    graft.plans.VectorExpressions.ensureRegistered(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(array('a','b'))").collect()
+    }
+    assert(e1.getMessage.contains("expects 2 arguments"), e1.getMessage)
+    // foldable-but-not-literal n (e.g. length('xy')) is fine — the guard
+    // rejects only a genuinely non-foldable n, i.e. a column reference
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(array('a'), id) FROM range(1)").collect()
+    }
+    assert(e3.getMessage.contains("must be a literal"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(e4.getMessage.contains("expects 2 arguments"), e4.getMessage)
+  }
 }
 
 class ClusterGuardSpec extends SparkSpec {
