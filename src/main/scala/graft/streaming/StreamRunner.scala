@@ -1,0 +1,32 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+
+/** Runs a streaming frame over a FINITE source to completion and hands the
+  * result back as a batch frame — the bridge that lets the driver's batch
+  * oracle gate a genuinely streaming plan (real `readStream` file source,
+  * real state store, append mode).
+  *
+  * The memory sink holds only the stream's OUTPUT rows (the bounded result
+  * the oracle compares — sessions, surviving fingerprints), never the
+  * corpus, so this is not a collect-over-data: the heavy work happens in
+  * the streaming DAG's executors exactly as a parquet/Kafka sink run
+  * would. Production deployments replace the sink, nothing else.
+  */
+object StreamRunner {
+
+  // memory-sink names are session-global; a fresh one per invocation keeps
+  // bench reruns (4x per query in one JVM) from appending into each other
+  private val n = new AtomicLong(0)
+
+  def runToBatch(stream: DataFrame, prefix: String): DataFrame = {
+    val spark = stream.sparkSession
+    val name = s"${prefix}_run${n.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

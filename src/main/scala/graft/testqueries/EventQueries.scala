@@ -414,6 +414,30 @@ object EventQueries {
       graft.ops.Sessionize.rollup(ev(s, dir))
     },
 
+    // q39's STREAMING twin, oracle-gated end to end: a real readStream file
+    // source over the same events parquet, flatMapGroupsWithState keyed
+    // state (streaming/SessionStream), memory sink holding only the closed
+    // sessions. The finite source arrives as ONE micro-batch and the
+    // watermark is set far past the corpus span, so no event-time timeout
+    // fires and the output is exactly the deterministic closed-session set:
+    // every session except each user's open tail (SessionParitySpec proves
+    // the fold; this row proves it against the DuckDB oracle). The fold
+    // works on Timestamp.getTime milliseconds (ns-parquet -> us timestamp
+    // -> ms floor), so the oracle floors to ms too — q39 stays the
+    // ns-precision batch check, q40 pins the streaming path's own grid.
+    "q40_sessionize_stream" -> { (s, dir) =>
+      val schema = ev(s, dir).schema // also sets nanosAsLong for the stream
+      // the testdata table is a single file and the file stream source
+      // lists a DIRECTORY — stream the parent dir filtered to this table
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val closed = graft.streaming.SessionStream
+        .sessionize(stream, gapMinutes = 30, watermark = "36500 days")
+      graft.streaming.StreamRunner.runToBatch(closed.toDF(), "q40_sessions")
+        .select("user_id", "n_events", "duration_s", "sum_value")
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -789,6 +813,27 @@ object EventQueries {
            round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
              / 1000000, 2) AS sum_value
          FROM s GROUP BY user_id, session_idx""",
+    // Streaming twin: same session rule on MILLISECOND-floored times (the
+    // stream folds on Timestamp.getTime after the ns->us->ms chain), closed
+    // sessions only — every session except each user's last (open tail).
+    "q40_sessionize_stream" ->
+      """WITH o AS (SELECT user_id, event_id, value,
+           epoch_ns(ts) // 1000000 AS tms FROM events),
+         g AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+               OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+               ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM g),
+         sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+             CAST((max(tms) - min(tms)) // 1000 AS BIGINT) AS duration_s,
+             round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000, 2) AS sum_value
+           FROM s GROUP BY user_id, session_idx),
+         tails AS (SELECT user_id, max(session_idx) AS mx FROM sess GROUP BY user_id)
+         SELECT sess.user_id, n_events, duration_s, sum_value
+         FROM sess JOIN tails ON sess.user_id = tails.user_id
+         WHERE sess.session_idx < tails.mx""",
     "q35_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events
            WHERE event_type = 'click' GROUP BY user_id, ts)

@@ -470,6 +470,39 @@ object PipelineQueries {
           TextAnalysis.PiiPatterns.map { case (kind, _, _) =>
             TextAnalysis.piiCount(t, kind).as(s"n_$kind") } ++
           Seq(md5(TextAnalysis.redactPii(t)).as("redacted_md5"))): _*)
+    },
+
+    // The streaming cleaning pipeline (streaming/DocStream.cleanStream),
+    // oracle-gated end to end: a real readStream file source over the
+    // documents parquet, watermarked exact dedup (keyed state) -> quality
+    // gate -> repetition gate -> language tag -> PII redaction, memory sink
+    // holding only the survivors. Event time is synthesized from doc_id
+    // (the corpus has no arrival column); the watermark spans it, so the
+    // finite stream dedups exactly like the batch twin. The projection is
+    // DUPLICATE-INVARIANT on purpose: which arrival wins
+    // dropDuplicatesWithinWatermark is racy, but duplicates share text, so
+    // every output column (fingerprint, language, repetition, redacted-text
+    // md5) is identical whichever doc survives — the hash compare cannot
+    // see the race. Near-dup clustering is deliberately absent here: it is
+    // the periodic batch pass (d12/d14), not per-microbatch state.
+    "d38_clean_stream" -> { (s, dir) =>
+      val schema = docs(s, dir).schema
+      // single-file table; the file stream source lists a directory
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // synthetic event time, microseconds apart, offset WELL past the
+        // epoch: the stream's initial watermark is epoch 0, and a doc_id=0
+        // row AT the epoch is dropped as late before the first batch ever
+        // advances it (measured: 466 vs 467 rows)
+        .withColumn("ts",
+          timestamp_micros(lit(1700000000000000L) + col("doc_id")))
+      val cleaned = graft.streaming.DocStream.cleanStream(
+        stream, "ts", watermark = "1 hour",
+        minQuality = 0.3, maxRepetition = 0.05)
+      graft.streaming.StreamRunner.runToBatch(
+        cleaned.select(col("fp_hex"), col("lang_pred"), col("rep_ratio"),
+          md5(col("text")).as("clean_md5")),
+        "d38_clean_stream")
     })
 
   /** Deterministic PII injection for d28 (the documents table carries no
@@ -1017,6 +1050,22 @@ object PipelineQueries {
            CAST((n_frames + 29) // 30 AS BIGINT) AS n_sampled
          FROM d""",
     "d28_pii" -> PiiSql,
+    // d38: batch replay of the streaming cleaner. One representative per
+    // fingerprint (rn=1 — any representative yields the same text-derived
+    // columns, exactly why the Spark side projects duplicate-invariantly),
+    // gated by the same quality/repetition thresholds, redaction chain
+    // replayed over the raw text.
+    "d38_clean_stream" ->
+      s"""WITH ex AS (SELECT doc_id, text, md5(lower(text)) AS fp_hex,
+             row_number() OVER (PARTITION BY md5(lower(text))
+               ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT fp_hex,
+           $LangIdCaseSql AS lang_pred,
+           $RepetitionSql AS rep_ratio,
+           md5(${redactSqlOver("text")}) AS clean_md5
+         FROM ex
+         WHERE rn = 1 AND $QualitySql >= 0.3 AND $RepetitionSql <= 0.05""",
     "d30_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
            FROM documents),
@@ -1052,14 +1101,23 @@ object PipelineQueries {
     * this oracle is the executable check for). The injected suffixes must
     * mirror [[piiInjected]] exactly.
     */
+  private def sqlQuote(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** The redaction regexp chain over an arbitrary SQL expression, generated
+    * from the same [[TextAnalysis.PiiPatterns]] fold the engine applies
+    * (shared by the d28 and d38 oracles).
+    */
+  private def redactSqlOver(expr: String): String =
+    TextAnalysis.PiiPatterns.foldLeft(expr) { case (e, (_, p, r)) =>
+      s"regexp_replace($e, ${sqlQuote(p)}, ${sqlQuote(r)}, 'g')"
+    }
+
   private lazy val PiiSql: String = {
-    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    def q(s: String) = sqlQuote(s)
     val counts = TextAnalysis.PiiPatterns.map { case (kind, p, _) =>
       s"CAST(len(regexp_extract_all(t, ${q(p)})) AS BIGINT) AS n_$kind"
     }.mkString(",\n           ")
-    val redacted = TextAnalysis.PiiPatterns.foldLeft("t") { case (e, (_, p, r)) =>
-      s"regexp_replace($e, ${q(p)}, ${q(r)}, 'g')"
-    }
+    val redacted = redactSqlOver("t")
     s"""WITH inj AS (SELECT doc_id, text ||
            CASE WHEN doc_id % 3 = 0 THEN ' contact bob.smith+x@example.com' ELSE '' END ||
            CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.1.10 up' ELSE '' END ||
