@@ -457,6 +457,70 @@ object TextAnalysis {
           .as("hit_ratio"))
   }
 
+  /** Span-level exact dedup — the Lee et al. 2021 ("Deduplicating Training
+    * Data") ExactSubstr capability, gram-bucketed for Spark: find every
+    * verbatim n-word span that also occurs elsewhere in the corpus, keep
+    * its FIRST occurrence, and emit the merged extents of every OTHER
+    * occurrence — the spans a training pipeline excises before packing.
+    * Complements [[ngramContamination]] (cross-split audit) and d05/d12
+    * (whole-document dedup): this is the within-train, sub-document form.
+    *
+    * Plan, all bucketed equijoins/windows — no all-pairs path:
+    * 1. (doc, pos, hash) for every gram start, via the native
+    *    [[graft.plans.ShingleHashes]] kernel + `posexplode` (map-only).
+    * 2. groupBy(hash): occurrences `cnt` and the canonical first
+    *    occurrence `min(struct(doc, pos))` in one partial-agg shuffle;
+    *    only grams with cnt > 1 survive (the duplicated-gram table is
+    *    tiny relative to the corpus — Lee et al. report ~1-3% of tokens).
+    * 3. join back on the hash (bucketed; output bounded by duplicated
+    *    occurrences, not by corpus size) and drop each gram's first.
+    * 4. per-doc gaps-and-islands window: gram starts within n of the
+    *    previous merge into one extent [min pos, max pos + n - 1].
+    *
+    * The reference scheme uses suffix arrays on a single node; the
+    * gram-hash bucket join is the shuffle-native equivalent (identical
+    * output for spans ≥ n; sub-n duplicates are below the rule's floor by
+    * definition). 60-bit hash collisions can theoretically glue two
+    * distinct grams; the DuckDB oracle replays the same hashes, and at
+    * 2^-60 per pair the corpus-level risk is negligible.
+    *
+    * Returns (idCol, span_start, span_end, n_grams): token extents to
+    * excise, 0-based inclusive; docs shorter than n words emit nothing.
+    * Kept-first occurrences are the complement and are not emitted.
+    */
+  def duplicateSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, n: Int = 13): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    val grams = df
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
+      .where(size(col("__words")) >= n)
+      .select(col(idCol), posexplode(graft.plans.TextExpressions
+        .shinglesColumn(df.sparkSession, col("__words"), n)))
+      .select(col(idCol), col("pos"), col("col").as("sh"))
+    val firsts = grams
+      .groupBy("sh")
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > 1)
+      .select("sh", "__first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    grams
+      .join(firsts, Seq("sh"))
+      .where(struct(col(idCol), col("pos")) =!= col("__first"))
+      .select(col(idCol), col("pos"))
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("__run", sum("__brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(idCol), col("__run"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
     * document order, then keep the minimum hash of each sliding window of
     * `w` consecutive n-gram hashes, deduplicated. Guarantees any shared

@@ -503,7 +503,28 @@ object PipelineQueries {
         cleaned.select(col("fp_hex"), col("lang_pred"), col("rep_ratio"),
           md5(col("text")).as("clean_md5")),
         "d38_clean_stream")
+    },
+
+    // Span-level exact dedup (Lee et al. 2021 ExactSubstr): verbatim
+    // >=13-word spans repeated across the corpus, first occurrence kept,
+    // every other occurrence emitted as a merged excise extent. The corpus
+    // carries organic duplicated spans (whole duplicate documents), and a
+    // known 20-word sentence is additionally PLANTED onto every 17th doc
+    // so cross-doc mid-text spans with hand-checkable extents exist; the
+    // oracle replays both the injection and the gram-bucket/first-keep/
+    // island-merge pipeline.
+    "d39_dup_spans" -> { (s, dir) =>
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" " + PlantedSpan))).otherwise(col("text")))
+      TextAnalysis.duplicateSpans(planted, "doc_id", "text", n = 13)
     })
+
+  /** The 20-word sentence d39 plants on every 17th doc (identical across
+    * docs on purpose — its pure-tail 13-grams are verbatim duplicates).
+    */
+  private val PlantedSpan =
+    "the quick brown fox jumps over the lazy dog while the slow red hen walks under the busy tall bridge"
 
   /** Deterministic PII injection for d28 (the documents table carries no
     * organic PII): doc_id-keyed suffixes so every class occurs, including
@@ -1050,6 +1071,32 @@ object PipelineQueries {
            CAST((n_frames + 29) // 30 AS BIGINT) AS n_sampled
          FROM d""",
     "d28_pii" -> PiiSql,
+    // d39: gram-bucketed span dedup replayed in full — injection, per-
+    // position 60-bit gram hashes, first-keep rule (row_number over
+    // (doc, pos) = the engine's min-struct), island merge at distance n.
+    "d39_dup_spans" ->
+      s"""WITH inj AS (SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' $PlantedSpan'
+                  ELSE text END AS text
+           FROM documents),
+         words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM inj),
+         g AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
+                 i -> struct_pack(pos := i,
+                   sh := CAST(('0x' || substr(md5(array_to_string(w[i+1:i+13], ' ')), 1, 15)) AS BIGINT)))) AS u
+           FROM words WHERE len(w) >= 13),
+         gg AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM g),
+         r AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY sh) AS cnt FROM gg),
+         d AS (SELECT doc_id, pos FROM r WHERE cnt > 1 AND rn > 1),
+         i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 13
+                  THEN 0 ELSE 1 END AS brk FROM d),
+         s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM i)
+         SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 12 AS INT) AS span_end, count(*) AS n_grams
+         FROM s GROUP BY doc_id, run""",
     // d38: batch replay of the streaming cleaner. One representative per
     // fingerprint (rn=1 — any representative yields the same text-derived
     // columns, exactly why the Spark side projects duplicate-invariantly),

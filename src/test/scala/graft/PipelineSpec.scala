@@ -1446,3 +1446,42 @@ class PackSequencesSpec extends SparkSpec {
     assert(bare.columns.contains("chunks") && !bare.columns.contains("seq_text"))
   }
 }
+
+class DuplicateSpansSpec extends SparkSpec {
+
+  test("cross-doc and within-doc duplicate spans, first occurrence kept") {
+    import spark.implicits._
+    // doc 2 embeds doc 1's whole text: its 4 duplicated 3-gram starts
+    // (positions 1..4) merge into one excise extent [1, 6]. doc 3 repeats
+    // its own first 4 words: the second occurrence (gram starts 4, 5)
+    // merges into [4, 7]. doc 1 is every span's first occurrence -> no row.
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d e f y"),
+      (3L, "p q r s p q r s"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((2L, 1, 6, 4L), (3L, 4, 7, 2L)))
+  }
+
+  test("occurrences further apart than n stay separate extents") {
+    import spark.implicits._
+    // the shared gram "a b c" appears in doc 2 at starts 0 and 8 (gap 8 > 3)
+    // -> two extents, not one glued span
+    val df = Seq(
+      (1L, "a b c"),
+      (2L, "a b c u v w x y a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicateSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got === Set((2L, 0, 2, 1L), (2L, 8, 10, 1L)))
+  }
+
+  test("a corpus with no duplicated grams emits nothing") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    assert(TextAnalysis.duplicateSpans(df, "doc_id", "text", n = 3).count() === 0)
+  }
+}
