@@ -22,10 +22,56 @@ object TextAnalysis {
   /** BPE-ish subword count: runs of letters, runs of digits, and single
     * punctuation marks each count as one token (a cheap proxy for byte-pair
     * vocabularies when estimating training cost). RE2-compatible pattern so
-    * external oracles can recompute it.
+    * external oracles can recompute it. For a merges-table-faithful count,
+    * see [[bpeTokenCount]].
     */
   def subwordCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** A small well-formed BPE merges table (rank order; every multi-char
+    * side is the product of an earlier merge, the property a trained
+    * merges list has by construction and [[bpeTokenCount]]'s one-pass fold
+    * relies on). Stands in for a production tokenizer's merges file —
+    * swap in the real list, the algorithm does not change.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "s" -> "t", "a" -> "t", "e" -> "n",
+    "o" -> "r", "a" -> "r", "a" -> "l", "in" -> "g", "an" -> "d",
+    "o" -> "w", "l" -> "e", "s" -> "e", "c" -> "k", "t" -> "a")
+
+  /** Tokenizer-faithful BPE token count — replays an explicit merges table
+    * instead of [[subwordCount]]'s regex proxy, so packing budgets
+    * ([[chunk]]/[[packSequences]]) and corpus audits can price sequences
+    * in REAL tokenizer tokens.
+    *
+    * Mechanism (no UDF, no HOF lambda — one codegen'd string-function
+    * chain): every non-space char of the lowercased text is wrapped in
+    * … sentinels ("th e" ⇒ ␁t␂␁h␂ ␁e␂), then each merge
+    * (a,b)⇒ab in rank order is ONE global `replace` of ␁a␂␁b␂ with
+    * ␁ab␂ — left-to-right non-overlapping, exactly BPE's merge-all pass
+    * for that rank, and the sentinels make token boundaries unambiguous
+    * (␁th␂␁e␂ matches, ␁xth␂␁e␂ cannot). Spaces carry no sentinels, so
+    * merges never span words. One ordered pass is equivalent to the
+    * rescan-loop BPE implementations run because the table is well-formed:
+    * merges only create LONGER tokens, so a pair of rank r can never
+    * reappear after rank r's pass. Token count = sentinels remaining.
+    *
+    * Sentinel chars are stripped from the input defensively (they are
+    * control bytes no text corpus carries). Null text ⇒ null.
+    */
+  def bpeTokenCount(text: Column,
+                    merges: Seq[(String, String)] = BpeMerges): Column = {
+    val S = "\u0001"
+    val E = "\u0002"
+    val seeded = regexp_replace(
+      regexp_replace(lower(text), s"[$S$E]", ""),
+      "([^ ])", S + "$1" + E)
+    val merged = merges.foldLeft(seeded) { case (c, (a, b)) =>
+      replace(c, lit(S + a + E + S + b + E), lit(S + a + b + E))
+    }
+    (length(merged) - length(replace(merged, lit(S), lit("")))).cast("long")
+  }
 
   /** Fraction of whitespace tokens that are core English stopwords. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
@@ -347,7 +393,8 @@ object TextAnalysis {
     * token position, the stable chunk key.
     */
   def chunk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-            maxTokens: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+            maxTokens: Int, overlap: Int = 0,
+            tokenCounter: Option[Column => Column] = None): org.apache.spark.sql.DataFrame = {
     require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
       s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
     val stride = maxTokens - overlap
@@ -360,11 +407,20 @@ object TextAnalysis {
     // into bound 1 and fabricate a phantom chunk).
     val bound = when(size(w).isNotNull, greatest(size(w) - overlap, lit(1)))
     val starts = sequence(lit(1), bound, lit(stride))
+    val chunkText = array_join(slice(w, col("start"), lit(maxTokens)), " ")
+    // chunk BOUNDARIES are whitespace-word positions either way; the
+    // optional counter re-prices each chunk (e.g. [[bpeTokenCount]] for a
+    // tokenizer-true budget — BPE merges never span words, so with
+    // overlap=0 the per-chunk counts sum exactly to the doc's count and
+    // downstream [[packSequences]] budgets become tokenizer-true).
+    val nTokens = tokenCounter
+      .map(f => f(chunkText))
+      .getOrElse(least(size(w) - col("start") + 1, lit(maxTokens)))
     df.select(col(idCol), split(col(textCol), " ").as("__words"))
       .select(col(idCol), w, explode(starts).as("start"))
       .select(col(idCol), col("start").cast("int").as("start"),
-        array_join(slice(w, col("start"), lit(maxTokens)), " ").as("chunk_text"),
-        least(size(w) - col("start") + 1, lit(maxTokens)).cast("int").as("n_tokens"))
+        chunkText.as("chunk_text"),
+        nTokens.cast("int").as("n_tokens"))
   }
 
   /** Sequence packing — the step after [[chunk]] in a pretraining

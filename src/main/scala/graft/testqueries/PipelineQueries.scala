@@ -505,6 +505,16 @@ object PipelineQueries {
         "d38_clean_stream")
     },
 
+    // Tokenizer-faithful BPE token count vs the whitespace count — the
+    // budget signal chunk/packSequences price sequences with. The merges
+    // table is replayed rank by rank in the oracle (generated from the
+    // SAME Scala table, so the two sides cannot drift).
+    "d40_bpe_count" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+    },
+
     // Span-level exact dedup (Lee et al. 2021 ExactSubstr): verbatim
     // >=13-word spans repeated across the corpus, first occurrence kept,
     // every other occurrence emitted as a merged excise extent. The corpus
@@ -1071,6 +1081,9 @@ object PipelineQueries {
            CAST((n_frames + 29) // 30 AS BIGINT) AS n_sampled
          FROM d""",
     "d28_pii" -> PiiSql,
+    // d40: the BPE merge fold replayed rank by rank — chr(1)/chr(2)
+    // sentinels, one replace per merge, count = sentinels remaining.
+    "d40_bpe_count" -> BpeCountSql,
     // d39: gram-bucketed span dedup replayed in full — injection, per-
     // position 60-bit gram hashes, first-keep rule (row_number over
     // (doc, pos) = the engine's min-struct), island merge at distance n.
@@ -1149,6 +1162,24 @@ object PipelineQueries {
     * mirror [[piiInjected]] exactly.
     */
   private def sqlQuote(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** d40 oracle GENERATED from [[TextAnalysis.BpeMerges]] — the same
+    * sentinel-wrap + rank-ordered replace fold the engine runs, so the
+    * merges table cannot drift between the two sides. DuckDB `replace` is
+    * left-to-right non-overlapping exactly like Spark's StringReplace.
+    */
+  private lazy val BpeCountSql: String = {
+    def tok(t: String) = s"chr(1)||'$t'||chr(2)"
+    val seeded =
+      """regexp_replace(lower(text), '([^ ])', chr(1) || '\1' || chr(2), 'g')"""
+    val merged = TextAnalysis.BpeMerges.foldLeft(seeded) { case (e, (a, b)) =>
+      s"replace($e, ${tok(a)}||${tok(b)}, ${tok(a + b)})"
+    }
+    s"""SELECT doc_id,
+         CAST(length(m) - length(replace(m, chr(1), '')) AS BIGINT) AS n_bpe,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+       FROM (SELECT doc_id, text, $merged AS m FROM documents)"""
+  }
 
   /** The redaction regexp chain over an arbitrary SQL expression, generated
     * from the same [[TextAnalysis.PiiPatterns]] fold the engine applies

@@ -1485,3 +1485,87 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(TextAnalysis.duplicateSpans(df, "doc_id", "text", n = 3).count() === 0)
   }
 }
+
+class BpeTokenCountSpec extends SparkSpec {
+
+  private def count(s: String): Long = {
+    import spark.implicits._
+    Seq((1L, s)).toDF("id", "text")
+      .select(TextAnalysis.bpeTokenCount(org.apache.spark.sql.functions.col("text")).as("n"))
+      .head().getLong(0)
+  }
+
+  test("hand-replayed merges: multi-level tokens collapse correctly") {
+    // "the": t+h -> th, th+e -> the        => 1 token
+    assert(count("the") === 1L)
+    // "thin": t+h -> th, i+n -> in         => th|in = 2
+    assert(count("thin") === 2L)
+    // "and": a+n -> an, an+d -> and        => 1
+    assert(count("and") === 1L)
+    // "sing": i+n -> in, in+g -> ing       => s|ing = 2
+    assert(count("sing") === 2L)
+    // "zzz": no merges fire                => 3 chars
+    assert(count("zzz") === 3L)
+    // spaces split words; merges never span them
+    assert(count("the and") === 2L)
+    // case-folded before merging
+    assert(count("THE") === 1L)
+  }
+
+  test("left-to-right non-overlap inside one rank, like BPE's merge pass") {
+    // "ttt" with t+h only: nothing fires   => 3
+    assert(count("ttt") === 3L)
+    // "ththth" -> th th th (t+h globally) -> the fires on (th, e)? no e.
+    assert(count("ththth") === 3L)
+    // "tho": t+h -> th, th+e no, t+a no    => th|o = 2... but o+w,o+r,o+n no partner
+    assert(count("tho") === 2L)
+  }
+
+  test("counts are whitespace-stable and null-safe") {
+    import spark.implicits._
+    val df = Seq((1L, Option("in the end")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val got = df.select(org.apache.spark.sql.functions.col("id"),
+        TextAnalysis.bpeTokenCount(org.apache.spark.sql.functions.col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // "in the end": in=1, the=1, end: e+n -> en, en+d? not in table => en|d = 2
+    assert(got(1L) === 4L)
+    assert(got(2L) === -1L)
+  }
+}
+
+class BpeBudgetSpec extends SparkSpec {
+
+  test("chunk with the BPE counter makes packSequences budgets tokenizer-true") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "the thin sing and the end zzz the quick"),
+      (2L, "in the and")).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunk(df, "doc_id", "text", maxTokens = 3,
+      tokenCounter = Some(TextAnalysis.bpeTokenCount(_)))
+    // merges never span words and overlap=0 chunks split at word
+    // boundaries, so per-chunk BPE counts sum exactly to the doc count
+    val sums = ch.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = df.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums === whole)
+    // and the packed sequences inherit the re-priced budget column
+    val packed = TextAnalysis.packSequences(ch, "doc_id", seqTokens = 4)
+    val packSum = packed.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packSum === whole)
+  }
+
+  test("default counter unchanged: whitespace pricing") {
+    import spark.implicits._
+    val ch = TextAnalysis.chunk(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text",
+      maxTokens = 2)
+    val got = ch.collect().map(r => (r.getInt(1), r.getInt(3))).toSet
+    assert(got === Set((1, 2), (3, 2), (5, 1)))
+  }
+}
