@@ -393,3 +393,110 @@ class SessionParitySpec extends SparkSpec {
     assert(rolled.count() === expected.size + 5)
   }
 }
+
+class NearDupClusterStreamSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+  private val T0 = 1700000000000L
+
+  // two near-identical 12-word docs (11 shared words) and one unrelated
+  private val DocA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val DocB = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+  private val DocC = "one two three four five six seven eight nine ten eleven twelve"
+
+  test("a later near-duplicate of an earlier canonical emits verified edges") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.DocStream.nearDupClusterStream(docs, "ts")
+      .writeStream.format("memory").queryName("dup_edges")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(T0), DocA), (3L, ts(T0), DocC))
+      q.processAllAvailable()
+      assert(spark.table("dup_edges").count() === 0) // both are canonicals
+      in.addData((2L, ts(T0 + 1000), DocB))
+      q.processAllAvailable()
+      val edges = spark.table("dup_edges")
+        .as[graft.streaming.DocStream.DupEdge].collect()
+      assert(edges.nonEmpty)
+      assert(edges.forall(e => e.doc_id === 2L && e.canon_id === 1L))
+      // the edge jaccard equals the BATCH jaccardCol value for the pair
+      val batchJ = graft.functions.MinHashLSH
+        .shingleArrays(Seq((1L, DocA), (2L, DocB)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .agg(org.apache.spark.sql.functions.min("sh_arr").as("a"),
+          org.apache.spark.sql.functions.max("sh_arr").as("b"))
+        .select(graft.functions.MinHashLSH.jaccardCol(col("a"), col("b")))
+        .head().getDouble(0)
+      assert(edges.forall(e => e.jaccard === batchJ))
+    } finally q.stop()
+  }
+
+  test("below-threshold bucket collisions do not emit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    // impossible threshold: even identical docs cannot clear > 1.0
+    val q = graft.streaming.DocStream.nearDupClusterStream(docs, "ts",
+        minJaccard = 1.5)
+      .writeStream.format("memory").queryName("dup_edges_none")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(T0), DocA))
+      q.processAllAvailable()
+      in.addData((2L, ts(T0 + 1000), DocA))
+      q.processAllAvailable()
+      assert(spark.table("dup_edges_none").count() === 0)
+    } finally q.stop()
+  }
+
+  test("idle buckets evict at the horizon; the next arrival re-canonicalizes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.DocStream.nearDupClusterStream(docs, "ts",
+        watermark = "1 minute", horizonMinutes = 30)
+      .writeStream.format("memory").queryName("dup_edges_evict")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(T0), DocA))
+      q.processAllAvailable()
+      // push the watermark past T0 + 30 min: doc 1's buckets evict
+      in.addData((3L, ts(T0 + 3600_000), DocC))
+      q.processAllAvailable()
+      in.addData((4L, ts(T0 + 3610_000), DocC)) // extra batch fires timeouts
+      q.processAllAvailable()
+      // doc 2 lands in doc 1's (now empty) buckets -> new canonical, no edge
+      in.addData((2L, ts(T0 + 3620_000), DocB))
+      q.processAllAvailable()
+      val edges = spark.table("dup_edges_evict")
+        .as[graft.streaming.DocStream.DupEdge].collect()
+      assert(!edges.exists(e => e.canon_id === 1L))
+    } finally q.stop()
+  }
+
+  test("edges feed the batch clusters pass (the documented reconciler)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.DocStream.nearDupClusterStream(docs, "ts")
+      .writeStream.format("memory").queryName("dup_edges_cc")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(T0), DocA))
+      q.processAllAvailable()
+      in.addData((2L, ts(T0 + 1000), DocB), (3L, ts(T0 + 2000), DocC))
+      q.processAllAvailable()
+      val edges = spark.table("dup_edges_cc")
+        .select(col("doc_id").as("doc_a"), col("canon_id").as("doc_b"))
+      val labels = graft.functions.MinHashLSH.clusters(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L)) // doc 3 untouched: no edges
+    } finally q.stop()
+  }
+}
