@@ -15,6 +15,61 @@ object TextAnalysis {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with")
 
   /** Whitespace tokens. */
+  /** Cross-doc sequence packing — the variant sequence writers actually
+    * ship: chunks from DIFFERENT docs share training sequences, so tail
+    * chunks don't strand a near-empty sequence per document (per-doc
+    * packing's padding cost). Deterministic by construction, unlike
+    * first-fit over arbitrary partition order: docs land in
+    * `idCol % numGroups` bin groups, and within a group the chunks are
+    * linear-packed in (doc, start) order by the same
+    * cumulative-offset-div-budget rule [[packSequences]] uses. Any engine
+    * can replay the exact layout (modulo grouping + total order), which
+    * is what makes the composition oracle-checkable instead of
+    * rows-only; production can swap the modulo for a salted hash without
+    * touching the packing rule.
+    *
+    * Scale shape: ONE exchange — the window partitions by bin group and
+    * the (group, seq_idx) aggregation reuses that partitioning. Pick
+    * `numGroups` ≈ cluster parallelism: each group sorts
+    * ~totalChunks/numGroups rows, and groups are modulo-balanced (doc
+    * ids are dense); a salted variant handles adversarial id skew.
+    *
+    * Returns one row per (bin_group, seq_idx): n_chunks, n_tokens, plus
+    * the ordered `chunks` membership (doc, start, n_tokens) and — when
+    * the input carries `chunk_text` — the packed `seq_text` payload.
+    */
+  def packSequencesAcross(chunks: org.apache.spark.sql.DataFrame, idCol: String,
+                          seqTokens: Int, numGroups: Int): org.apache.spark.sql.DataFrame = {
+    require(seqTokens > 0, s"seqTokens=$seqTokens must be positive")
+    require(numGroups > 0, s"numGroups=$numGroups must be positive")
+    val hasText = chunks.columns.contains("chunk_text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin_group").orderBy(idCol, "start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val member =
+      if (hasText) struct(col(idCol), col("start"), col("n_tokens"), col("chunk_text"))
+      else struct(col(idCol), col("start"), col("n_tokens"))
+    val packed = chunks
+      .withColumn("bin_group", pmod(col(idCol), lit(numGroups)).cast("int"))
+      .withColumn("__cum", sum("n_tokens").over(w))
+      .withColumn("seq_idx",
+        expr(s"CAST((__cum - n_tokens) div $seqTokens AS INT)"))
+      .groupBy(col("bin_group"), col("seq_idx"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sort_array(collect_list(member)).as("__m"))
+    if (hasText)
+      packed
+        .withColumn("seq_text",
+          array_join(transform(col("__m"), m => m("chunk_text")), " "))
+        .withColumn("chunks", transform(col("__m"),
+          m => struct(m(idCol).as(idCol), m("start").as("start"),
+            m("n_tokens").as("n_tokens"))))
+        .drop("__m")
+    else packed.withColumnRenamed("__m", "chunks")
+  }
+
   def tokens(text: Column): Column = split(text, " ")
 
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -421,6 +421,24 @@ object PipelineQueries {
           md5(col("seq_text")).as("seq_md5"))
     },
 
+    // CROSS-DOC sequence packing — d33's composition check for the
+    // variant sequence writers actually ship: docs mix into shared
+    // sequences (modulo bin groups + (doc,start) linear packing — fully
+    // deterministic, so the oracle replays the exact layout, members and
+    // payload md5 included, instead of a weak rows-only check).
+    "d41_pack_across" -> { (s, dir) =>
+      TextAnalysis.packSequencesAcross(
+        TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+          maxTokens = 40, overlap = 8), "doc_id", seqTokens = 96, numGroups = 8)
+        .select(col("bin_group"), col("seq_idx"),
+          col("n_chunks"), col("n_tokens"),
+          concat_ws(",", transform(col("chunks"), c =>
+            concat_ws(":", c("doc_id").cast("string"),
+              c("start").cast("string"),
+              c("n_tokens").cast("string")))).as("members"),
+          md5(col("seq_text")).as("seq_md5"))
+    },
+
     // Cross-set embedding near-dup — the vector twin of d26's text
     // contamination audit: held-out vectors (%10) against the rest,
     // candidates ONLY from held-out-band x corpus-band collisions
@@ -810,6 +828,22 @@ object PipelineQueries {
            string_agg(start || ':' || n_tokens, ',' ORDER BY start) AS members,
            md5(string_agg(chunk_text, ' ' ORDER BY start)) AS seq_md5
          FROM c GROUP BY doc_id, seq_idx""",
+    "d41_pack_across" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 32),
+             st -> st = 1 OR st + 8 <= len(w))) AS start FROM w),
+         ch AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS bin_group,
+             CAST(start AS INT) AS start,
+             CAST(least(len(w) - start + 1, 40) AS INT) AS n_tokens,
+             array_to_string(w[start:start+39], ' ') AS chunk_text FROM s),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bin_group
+               ORDER BY doc_id, start ROWS UNBOUNDED PRECEDING) AS cum FROM ch)
+         SELECT bin_group, CAST((cum - n_tokens) // 96 AS INT) AS seq_idx,
+           count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(doc_id || ':' || start || ':' || n_tokens, ','
+             ORDER BY doc_id, start) AS members,
+           md5(string_agg(chunk_text, ' ' ORDER BY doc_id, start)) AS seq_md5
+         FROM c GROUP BY bin_group, seq_idx""",
     "d24_corpus_audit" -> {
       val q = QualitySql
       s"""WITH d AS (SELECT doc_id,

@@ -1569,3 +1569,49 @@ class BpeBudgetSpec extends SparkSpec {
     assert(got === Set((1, 2), (3, 2), (5, 1)))
   }
 }
+
+class PackAcrossSpec extends SparkSpec {
+
+  test("cross-doc packing mixes docs inside a bin group, deterministically") {
+    import spark.implicits._
+    // two docs in group 1 (ids 1, 3 with numGroups=2), one in group 0.
+    // group 1 chunk order: (1,1,3),(1,4,2),(3,1,3) -> cum 3,5,8 with
+    // budget 5 -> seq 0: first two (cum-n= 0,3 -> 0,0), seq 1: third (5)
+    val ch = Seq(
+      (1L, 1, "a b c", 3), (1L, 4, "d e", 2),
+      (3L, 1, "x y z", 3),
+      (2L, 1, "p q", 2))
+      .toDF("doc_id", "start", "chunk_text", "n_tokens")
+    val got = TextAnalysis.packSequencesAcross(ch, "doc_id", seqTokens = 5,
+        numGroups = 2)
+      .select("bin_group", "seq_idx", "n_chunks", "n_tokens", "seq_text")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got === Set(
+      (1, 0, 2L, 5L, "a b c d e"),
+      (1, 1, 1L, 3L, "x y z"),
+      (0, 0, 1L, 2L, "p q")))
+  }
+
+  test("every chunk lands in exactly one sequence; token totals conserve") {
+    import spark.implicits._
+    val docs = Seq.tabulate(20)(i => (i.toLong, Seq.fill(30 + i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunk(docs, "doc_id", "text", maxTokens = 7)
+    val packed = TextAnalysis.packSequencesAcross(ch, "doc_id",
+      seqTokens = 16, numGroups = 4)
+    val chunkCount = ch.count()
+    val packedChunks = packed.agg(org.apache.spark.sql.functions.sum("n_chunks"))
+      .head().getLong(0)
+    assert(packedChunks === chunkCount)
+    val tokTotal = ch.agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    val packTotal = packed.agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    assert(packTotal === tokTotal)
+    // groups really mix docs: some sequence holds chunks from >1 doc
+    import org.apache.spark.sql.functions.{size => asize, array_distinct, transform => atransform}
+    val mixed = packed.where(asize(array_distinct(
+      atransform(org.apache.spark.sql.functions.col("chunks"),
+        c => c("doc_id")))) > 1).count()
+    assert(mixed > 0)
+  }
+}
