@@ -21,11 +21,18 @@ object StreamRunner {
   // bench reruns (4x per query in one JVM) from appending into each other
   private val n = new AtomicLong(0)
 
-  def runToBatch(stream: DataFrame, prefix: String): DataFrame = {
+  /** `mode`: "append" for stateless/final-emit streams; "update" for
+    * changelog aggregations — with a finite source arriving as one
+    * micro-batch, update mode emits each key exactly once (the final
+    * state), which is what makes an update-mode aggregation
+    * oracle-comparable here.
+    */
+  def runToBatch(stream: DataFrame, prefix: String,
+                 mode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
     val name = s"${prefix}_run${n.incrementAndGet()}"
     val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+      .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }

@@ -438,6 +438,22 @@ object EventQueries {
         .select("user_id", "n_events", "duration_s", "sum_value")
     },
 
+    // UpdateStream.latestState oracle-gated — the reference's core argmax
+    // (J6) computed as a STREAMING update-mode aggregation over the
+    // telemetry-mapped event stream. The finite source arrives as one
+    // micro-batch, so update mode emits each (field, src, dst) key exactly
+    // once with its final state — directly comparable to the batch argmax
+    // the DuckDB oracle computes.
+    "q41_latest_state_stream" -> { (s, dir) =>
+      val schema = ev(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val mapped = asInstanceField(stream, fieldMapDF(s))
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.UpdateStream.latestState(mapped),
+        "q41_latest_state", mode = "update")
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -834,6 +850,20 @@ object EventQueries {
          SELECT sess.user_id, n_events, duration_s, sum_value
          FROM sess JOIN tails ON sess.user_id = tails.user_id
          WHERE sess.session_idx < tails.mx""",
+    // Streaming latest-state: the batch argmax per telemetry key.
+    "q41_latest_state_stream" -> {
+      val fieldVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH f(fid, et) AS (VALUES $fieldVals),
+         u AS (SELECT f.fid AS uevol_field_id,
+             CAST(e.user_id AS INT) AS src_id, 0 AS dst_id,
+             e.event_id AS instance_message_id, e.value
+           FROM events e JOIN f ON e.event_type = f.et)
+         SELECT uevol_field_id, src_id, CAST(dst_id AS INT) AS dst_id,
+           CAST(max(instance_message_id) AS BIGINT) AS instance_message_id,
+           arg_max(value, instance_message_id) AS value
+         FROM u GROUP BY uevol_field_id, src_id, dst_id"""
+    },
     "q35_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events
            WHERE event_type = 'click' GROUP BY user_id, ts)

@@ -533,6 +533,24 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
     },
 
+    // The streaming decontamination tag (DocStream.contaminationTag),
+    // oracle-gated: the %10 bench split ARRIVES as a stream and every
+    // exact 13-gram it shares with the static train side emits one
+    // (doc, gram) row — a stateless stream-static left-semi, so no
+    // watermark or event time is needed and the output set is exactly
+    // the batch join's. The d35 rollup counts these hits batch-side;
+    // this row pins the per-gram streaming form itself.
+    "d42_contamination_stream" -> { (s, dir) =>
+      val schema = docs(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+      val train = docs(s, dir).where(pmod(col("doc_id"), lit(10)) =!= 0)
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.DocStream.contaminationTag(stream, train, n = 13),
+        "d42_contamination_stream")
+    },
+
     // Span-level exact dedup (Lee et al. 2021 ExactSubstr): verbatim
     // >=13-word spans repeated across the corpus, first occurrence kept,
     // every other occurrence emitted as a merged excise extent. The corpus
@@ -1118,6 +1136,18 @@ object PipelineQueries {
     // d40: the BPE merge fold replayed rank by rank — chr(1)/chr(2)
     // sentinels, one replace per merge, count = sentinels remaining.
     "d40_bpe_count" -> BpeCountSql,
+    // d42: the bench-side grams that also occur train-side, one row per
+    // (bench doc, shared gram) — the d35 CTEs minus the rollup.
+    "d42_contamination_stream" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS sh FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
+             i -> array_to_string(w[i+1:i+13], ' '))) AS gt
+           FROM words WHERE len(w) >= 13)),
+         bg AS (SELECT doc_id, sh FROM g WHERE doc_id % 10 = 0),
+         tset AS (SELECT DISTINCT sh FROM g WHERE doc_id % 10 != 0)
+         SELECT doc_id, sh FROM bg WHERE sh IN (SELECT sh FROM tset)""",
     // d39: gram-bucketed span dedup replayed in full — injection, per-
     // position 60-bit gram hashes, first-keep rule (row_number over
     // (doc, pos) = the engine's min-struct), island merge at distance n.
