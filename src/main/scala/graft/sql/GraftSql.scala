@@ -48,12 +48,19 @@ object GraftSql {
       spark.table("documents")
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
         .withColumn("n_subwords", TextAnalysis.subwordCount(col("text")))
+        .withColumn("n_bpe", TextAnalysis.bpeTokenCount(col("text")))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
         .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
         .withColumn("split", Sampling.hashSplit(col("doc_id"),
           Seq("train" -> 8, "val" -> 1, "test" -> 1)))
         .createOrReplaceTempView("documents_scored")
+      // Span-level exact dedup (the d39 shape) as a SQL target:
+      // SELECT doc_id, span_start, span_end FROM dup_spans — the token
+      // extents a training pipeline excises before packing. Lazy; the
+      // gram-bucket work runs only when the view is queried.
+      TextAnalysis.duplicateSpans(spark.table("documents"), "doc_id", "text")
+        .createOrReplaceTempView("dup_spans")
       // Benchmark-contamination audit as a plain SQL target: cross-set
       // n-gram-Jaccard pairs between the held-out and train splits of
       // `documents_scored` (the d26 shape). Lazy like every view here —
@@ -108,6 +115,30 @@ object GraftSql {
                        tsNsCol: String = "ts"): Unit =
     graft.ops.Sessionize.rollup(events, gapMinutes, tsNsCol)
       .createOrReplaceTempView(viewName)
+
+  /** Writer-ready packed training sequences (the d41 shape) as a named
+    * temp view: documents → overlapping chunks ([[graft.functions
+    * .TextAnalysis.chunk]]) → deterministic cross-doc packing
+    * ([[graft.functions.TextAnalysis.packSequencesAcross]]). One row per
+    * (bin_group, seq_idx) with the ordered membership and the packed
+    * `seq_text` payload — `SELECT seq_text FROM packed_sequences WHERE
+    * n_tokens >= …` is the writer's feed. `bpeBudgets = true` prices
+    * chunks in merges-table BPE tokens ([[graft.functions.TextAnalysis
+    * .bpeTokenCount]]) instead of whitespace tokens.
+    */
+  def registerPackedSequences(spark: SparkSession, viewName: String,
+                              docs: DataFrame, maxTokens: Int = 64,
+                              overlap: Int = 0, seqTokens: Int = 256,
+                              numGroups: Int = 32,
+                              bpeBudgets: Boolean = false): Unit = {
+    import graft.functions.TextAnalysis
+    val counter: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      if (bpeBudgets) Some(TextAnalysis.bpeTokenCount(_)) else None
+    val chunks = TextAnalysis.chunk(docs, "doc_id", "text", maxTokens,
+      overlap, tokenCounter = counter)
+    TextAnalysis.packSequencesAcross(chunks, "doc_id", seqTokens, numGroups)
+      .createOrReplaceTempView(viewName)
+  }
 
   /** The composed reference pipeline ([[graft.queries.UpdateHistory
     * .updateHistoryFromLog]]: seed reconstruction at `startId` + LOCF

@@ -1003,6 +1003,35 @@ class GraftSqlSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("round-9 views: n_bpe, dup_spans, packed_sequences from SQL") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    // BPE counts ride documents_scored; every token merges, so n_bpe <=
+    // non-space char count and >= whitespace token count
+    val bpe = spark.sql(
+      "SELECT n_tokens, n_bpe, CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars FROM documents_scored WHERE text IS NOT NULL")
+      .collect()
+    assert(bpe.nonEmpty)
+    assert(bpe.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(1) >= r.getInt(0)))
+    // dup_spans: well-formed extents only (sf0.001 may have zero dups)
+    val spans = spark.sql(
+      """SELECT doc_id, CAST(span_start AS BIGINT) AS s, CAST(span_end AS BIGINT) AS e, n_grams
+         FROM dup_spans""").collect()
+    assert(spans.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(3) >= 1L))
+    // packed_sequences: the d41 composition reachable from plain SQL,
+    // with token mass conserved across the packing
+    graft.sql.GraftSql.registerPackedSequences(spark, "packed_sequences",
+      spark.table("documents"), maxTokens = 32, seqTokens = 128, numGroups = 8)
+    val packed = spark.sql(
+      """SELECT sum(n_tokens) AS mass, count(*) AS n,
+           min(size(chunks)) AS minc, min(length(seq_text)) AS minlen
+         FROM packed_sequences""").head()
+    val docMass = spark.sql(
+      "SELECT sum(size(split(text, ' '))) FROM documents WHERE text IS NOT NULL AND size(split(text, ' ')) >= 1")
+      .head().getLong(0)
+    assert(packed.getLong(1) > 0 && packed.getInt(2) >= 1 && packed.getInt(3) > 0)
+    assert(packed.getLong(0) === docMass)
+  }
+
   test("registerSessions serves the q39 rollup to plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     graft.sql.GraftSql.registerSessions(spark, "sessions",
