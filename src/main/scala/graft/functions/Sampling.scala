@@ -44,4 +44,84 @@ object Sampling {
     // 2^32 * rate as an exact long bound — portable integer compare
     hashValue(id) < math.round(4294967296.0 * rate)
   }
+
+  /** Epoch-weighted corpus mixing — the training-mixture operator ("web at
+    * 1 epoch, books at 2.5, code at 0.3"): every row of a domain with
+    * weight `w` is replicated `floor(w)` times and receives one further
+    * copy for the stable `w - floor(w)` fraction of ids, yielding an
+    * expected `w` epochs per domain with zero randomness. Output = input
+    * columns + `epoch` (0-based int); a domain absent from `weights` gets
+    * `default`, and weight 0 drops the domain entirely.
+    *
+    * Scale shape: NO shuffle and no driver data — the weights ship inside
+    * the plan (a map literal lookup), replication is a map-only
+    * `explode(sequence(...))` whose length is `ceil(w)`, and the
+    * fractional-epoch keep is the same md5 predicate as [[hashSample]],
+    * salted with the epoch index so consecutive fractional epochs of a
+    * pipeline (e.g. re-mixing a grown corpus) draw independent subsets.
+    * Every decision depends only on (id, epoch, weights) — reruns,
+    * repartitioning and engines agree row for row, so a DuckDB oracle
+    * replays the exact multiset.
+    */
+  def epochMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+               domainCol: String, weights: Map[String, Double],
+               default: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    require(weights.values.forall(_ >= 0) && default >= 0,
+      s"weights must be non-negative, got $weights default=$default")
+    expandEpochs(
+      df.withColumn("__w", coalesce(
+        try_element_at(typedLit(weights), col(domainCol)), lit(default))),
+      idCol)
+  }
+
+  /** Token-budget corpus mixing — resample each domain to a target share
+    * of a fixed token budget (the "mix to 30% code / 70% web at 1T
+    * tokens" shape): per-domain weight `w_d = totalTokens * share_d /
+    * tokens_d` is DERIVED from a census of the corpus itself, then applied
+    * exactly like [[epochMix]] — downsampling when the domain is
+    * over-budget (w < 1), epoch-upsampling when under (w > 1). Domains
+    * absent from `shares` are dropped (a mixture is exhaustive by
+    * construction; list a domain explicitly to keep it).
+    *
+    * Scale shape: ONE extra partial-agg shuffle producing one census row
+    * per domain, broadcast back onto the fact scan; everything after is
+    * the map-only epoch expansion. The census/broadcast pair is the same
+    * pattern as d30's corpus totals; determinism is inherited — `w_d` is
+    * one IEEE double expression of (budget, share, census) that any SQL
+    * oracle reproduces bit for bit.
+    */
+  def tokenBudgetMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     domainCol: String, textCol: String, totalTokens: Long,
+                     shares: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    require(totalTokens > 0, s"totalTokens=$totalTokens must be positive")
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      s"shares must be positive, got $shares")
+    val census = df
+      .groupBy(col(domainCol))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("__toks"))
+      .withColumn("__share", try_element_at(typedLit(shares), col(domainCol)))
+      .where(col("__share").isNotNull)
+      .withColumn("__w", lit(totalTokens) * col("__share") / col("__toks"))
+      .select(col(domainCol), col("__w"))
+    // the USING join moves the domain column first — restore the caller's
+    // column order so the contract (input columns + epoch) holds here too
+    expandEpochs(df.join(broadcast(census), Seq(domainCol)), idCol)
+      .select((df.columns.map(col) :+ col("epoch")): _*)
+  }
+
+  /** Shared epoch expansion: rows arrive with a `__w` weight column and
+    * leave replicated into kept (row, epoch) pairs. The generator input is
+    * cheap arithmetic (`sequence` over ceil(w)), so Spark's
+    * filter-into-generator inference re-evaluating it costs nothing.
+    */
+  private def expandEpochs(df: org.apache.spark.sql.DataFrame,
+                           idCol: String): org.apache.spark.sql.DataFrame =
+    df.where(col("__w") > 0)
+      .withColumn("epoch", explode(sequence(lit(0),
+        ceil(col("__w")).cast("int") - 1, lit(1))))
+      .where(col("epoch") < floor(col("__w")).cast("int") ||
+        hashValue(concat(col(idCol).cast("string"), lit(":"),
+          col("epoch").cast("string"))) <
+          round((col("__w") - floor(col("__w"))) * 4294967296.0).cast("long"))
+      .drop("__w")
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.functions.{JaccardJoin, MinHashLSH, Multimodal, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
+import graft.functions.{JaccardJoin, MinHashLSH, Multimodal, Sampling, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the `documents` / `embeddings` tables, each with a DuckDB
@@ -439,6 +439,31 @@ object PipelineQueries {
           md5(col("seq_text")).as("seq_md5"))
     },
 
+    // Epoch-weighted corpus mixing — the training-mixture operator ("books
+    // at 2.5 epochs, web at 0.25, spam at 0"): floor(w) full copies plus a
+    // deterministic md5-fraction extra copy, weights shipped inside the
+    // plan as a map literal, replication a map-only explode(sequence) — no
+    // shuffle, no randomness. Per-row output so the oracle replays the
+    // exact multiset, epoch by epoch.
+    "d43_epoch_mix" -> { (s, dir) =>
+      Sampling.epochMix(docs(s, dir), "doc_id", "source",
+          Map("src1" -> 2.5, "src2" -> 3.0, "src4" -> 0.25, "src7" -> 0.0),
+          default = 1.0)
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+    },
+
+    // Token-budget corpus mixing — per-domain weights DERIVED from a token
+    // census of the corpus itself (w_d = budget * share_d / tokens_d), then
+    // the same epoch expansion: over-budget domains downsample (w < 1),
+    // under-budget domains epoch-upsample (w > 1); unlisted domains drop.
+    // One census shuffle (one row per domain) broadcast back onto the scan.
+    "d44_token_budget_mix" -> { (s, dir) =>
+      Sampling.tokenBudgetMix(docs(s, dir), "doc_id", "source", "text",
+          totalTokens = 30000L,
+          Map("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2, "src7" -> 0.1))
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+    },
+
     // Cross-set embedding near-dup — the vector twin of d26's text
     // contamination audit: held-out vectors (%10) against the rest,
     // candidates ONLY from held-out-band x corpus-band collisions
@@ -743,6 +768,35 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    "d43_epoch_mix" ->
+      """WITH w(source, wt) AS (VALUES
+             ('src1', 2.5), ('src2', 3.0), ('src4', 0.25), ('src7', 0.0)),
+         d AS (SELECT doc_id, dd.source, coalesce(wt, 1.0) AS wt
+           FROM documents dd LEFT JOIN w USING (source)),
+         e AS (SELECT doc_id, source, wt,
+             unnest(range(0, CAST(ceil(wt) AS BIGINT))) AS epoch
+           FROM d WHERE wt > 0)
+         SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+         FROM e
+         WHERE epoch < floor(wt)
+            OR CAST(('0x' || substr(md5(doc_id || ':' || epoch), 1, 8)) AS BIGINT)
+               < CAST(round((wt - floor(wt)) * 4294967296.0, 0) AS BIGINT)""",
+    "d44_token_budget_mix" ->
+      """WITH s(source, share) AS (VALUES
+             ('src1', 0.4), ('src3', 0.3), ('src5', 0.2), ('src7', 0.1)),
+         c AS (SELECT dd.source, share,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+           FROM documents dd JOIN s USING (source) GROUP BY 1, 2),
+         w AS (SELECT source, CAST(30000 AS DOUBLE) * share / toks AS wt FROM c),
+         j AS (SELECT doc_id, dd.source, wt
+           FROM documents dd JOIN w USING (source) WHERE wt > 0),
+         e AS (SELECT doc_id, source, wt,
+             unnest(range(0, CAST(ceil(wt) AS BIGINT))) AS epoch FROM j)
+         SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+         FROM e
+         WHERE epoch < floor(wt)
+            OR CAST(('0x' || substr(md5(doc_id || ':' || epoch), 1, 8)) AS BIGINT)
+               < CAST(round((wt - floor(wt)) * 4294967296.0, 0) AS BIGINT)""",
     "d27_hash_split" ->
       s"""WITH d AS (SELECT doc_id, text,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b

@@ -191,6 +191,74 @@ class SamplingSpec extends SparkSpec {
     assert(s10.size > 120 && s10.size < 280)          // ~200
     assert(keep(0.0).isEmpty && keep(1.0).size === 2000)
   }
+
+  test("epochMix: integer weights replicate exactly, fractions sample, 0 drops") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i =>
+      (i, if (i <= 100) "a" else if (i <= 200) "b" else "c")).toDF("id", "dom")
+    val got = Sampling.epochMix(df, "id", "dom",
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDom = got.groupBy(_._2).view.mapValues(_.toSeq).toMap
+    // integer weight: every doc exactly twice, epochs 0 and 1
+    assert(byDom("a").length === 200)
+    assert(byDom("a").groupBy(_._1).values.forall(_.map(_._3).sorted == Seq(0, 1)))
+    // fractional weight: roughly half, all epoch 0
+    assert(byDom("b").length > 25 && byDom("b").length < 75)
+    assert(byDom("b").forall(_._3 == 0))
+    assert(!byDom.contains("c"))                       // weight 0 drops
+    // default weight covers unlisted domains
+    val withDefault = Sampling.epochMix(df, "id", "dom", Map("a" -> 1.0))
+      .collect()
+    assert(withDefault.length === 300)                 // 1 epoch everywhere
+    // determinism: identical multiset on rerun
+    val again = Sampling.epochMix(df, "id", "dom",
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(again.sorted.toSeq === got.sorted.toSeq)
+  }
+
+  test("tokenBudgetMix derives weights from the census; unlisted domains drop") {
+    import spark.implicits._
+    // dom a: 10 docs x 10 tokens = 100; dom b: 10 docs x 30 tokens = 300
+    val df = (1L to 20L).map { i =>
+      val (dom, n) = if (i <= 10) ("a", 10) else ("b", 30)
+      (i, dom, Seq.fill(n)("w").mkString(" "))
+    }.toDF("id", "dom", "text")
+    // budget 200, shares a=0.5 b=0.5 → w_a = 100/100 = 1.0, w_b = 100/300 = 1/3
+    val got = Sampling.tokenBudgetMix(df, "id", "dom", "text", 200L,
+        Map("a" -> 0.5, "b" -> 0.5))
+      .select("id", "dom", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDom = got.groupBy(_._2).view.mapValues(_.toSeq).toMap
+    assert(byDom("a").length === 10)                   // w=1: every doc once
+    assert(byDom("a").forall(_._3 == 0))
+    assert(byDom("b").length < 10)                     // w=1/3: downsampled
+    // upsampling regime: budget 400 → w_a = 2.0 exactly
+    val up = Sampling.tokenBudgetMix(df, "id", "dom", "text", 400L,
+        Map("a" -> 0.5, "b" -> 0.5))
+      .select("id", "dom", "epoch")
+      .collect().filter(_.getString(1) == "a")
+    assert(up.length === 20)
+    // unlisted domain drops entirely
+    val only = Sampling.tokenBudgetMix(df, "id", "dom", "text", 200L,
+        Map("a" -> 1.0)).select("id", "dom", "epoch").collect()
+    assert(only.forall(_.getString(1) == "a"))
+  }
+
+  test("plan: epochMix is map-only; tokenBudgetMix broadcasts its census") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, "a", "w w w")).toDF("id", "dom", "text")
+    // weights ship as a plan literal: no exchange of any kind
+    val p1 = Sampling.epochMix(df, "id", "dom", Map("a" -> 1.5))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"))
+    // census joins back as a broadcast, never a shuffled join
+    val p2 = Sampling.tokenBudgetMix(df, "id", "dom", "text", 100L, Map("a" -> 1.0))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastExchange") || p2.contains("BroadcastHashJoin"))
+    assert(!p2.contains("SortMergeJoin"))
+  }
 }
 
 class ChunkSpec extends SparkSpec {
