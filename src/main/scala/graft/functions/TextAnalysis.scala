@@ -632,6 +632,50 @@ object TextAnalysis {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Apply [[duplicateSpans]] extents: rebuild each affected document with
+    * the duplicated token spans EXCISED — the step that turns the Lee et
+    * al. span report into training-ready text. Returns (idCol, clean_text,
+    * n_removed); documents with no spans pass through byte-identical.
+    *
+    * Scale shape: the corpus splits on a semi/anti join against the
+    * DISTINCT span-doc ids (bounded by affected docs, ~1-3% of the corpus
+    * per Lee et al. — broadcastable in practice, AQE-shuffled otherwise).
+    * ONLY affected docs tokenize: posexplode → anti join against the span
+    * extents (equi on doc + range residual on pos, never a cross product)
+    * → one per-doc rebuild aggregation. The untouched 97% never leave the
+    * scan — no explode, no shuffle, original text preserved verbatim
+    * (split/join round-trips would not survive repeated whitespace).
+    */
+  def exciseSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spanDocs = spans.select(col(idCol)).distinct()
+    val untouched = df.join(spanDocs, Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol).as("clean_text"), lit(0L).as("n_removed"))
+    val affected = df.join(spanDocs, Seq(idCol), "left_semi")
+    val toks = affected
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), col("pos"), col("col").as("__word"))
+    val sp = spans.select(col(idCol).as("__sid"),
+      col("span_start"), col("span_end"))
+    val kept = toks.join(sp,
+      toks(idCol) === col("__sid") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(sort_array(collect_list(struct(col("pos"),
+          col("__word")))), t => t("__word")), " ").as("clean_text"))
+    affected
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("__orig"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("__orig") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+      .unionByName(untouched)
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every n-gram in
     * document order, then keep the minimum hash of each sliding window of
     * `w` consecutive n-gram hashes, deduplicated. Guarantees any shared

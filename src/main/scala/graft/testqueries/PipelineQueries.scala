@@ -589,6 +589,21 @@ object PipelineQueries {
         when(col("doc_id") % 17 === 0,
           concat(col("text"), lit(" " + PlantedSpan))).otherwise(col("text")))
       TextAnalysis.duplicateSpans(planted, "doc_id", "text", n = 13)
+    },
+
+    // Span EXCISION — d39's report applied: affected docs are rebuilt with
+    // the duplicated extents cut out (first occurrences stay), untouched
+    // docs pass through byte-identical without ever tokenizing. clean_md5
+    // pins the rebuilt bytes; the oracle replays injection, span
+    // derivation AND the rebuild.
+    "d45_excise_spans" -> { (s, dir) =>
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" " + PlantedSpan))).otherwise(col("text")))
+      val spans = TextAnalysis.duplicateSpans(planted, "doc_id", "text", n = 13)
+      TextAnalysis.exciseSpans(planted, "doc_id", "text", spans)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_removed"))
     })
 
   /** The 20-word sentence d39 plants on every 17th doc (identical across
@@ -1228,6 +1243,48 @@ object PipelineQueries {
          SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
            CAST(max(pos) + 12 AS INT) AS span_end, count(*) AS n_grams
          FROM s GROUP BY doc_id, run""",
+    // d45: d39's span CTEs, then the rebuild — token list with positions,
+    // NOT EXISTS extent anti-join, ordered string_agg; untouched docs
+    // hash their ORIGINAL text (no split/join round trip).
+    "d45_excise_spans" ->
+      s"""WITH inj AS (SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' $PlantedSpan'
+                  ELSE text END AS text
+           FROM documents),
+         words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM inj),
+         g AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
+                 i -> struct_pack(pos := i,
+                   sh := CAST(('0x' || substr(md5(array_to_string(w[i+1:i+13], ' ')), 1, 15)) AS BIGINT)))) AS u
+           FROM words WHERE len(w) >= 13),
+         gg AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM g),
+         r AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY sh) AS cnt FROM gg),
+         d AS (SELECT doc_id, pos FROM r WHERE cnt > 1 AND rn > 1),
+         i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 13
+                  THEN 0 ELSE 1 END AS brk FROM d),
+         s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM i),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+           FROM s GROUP BY doc_id, run),
+         tok AS (SELECT doc_id, unnest(list_transform(range(0, len(string_split(text, ' '))),
+                 i2 -> struct_pack(pos := i2, w := string_split(text, ' ')[i2+1]))) AS u
+           FROM inj WHERE text IS NOT NULL),
+         tw AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM tok),
+         kept AS (SELECT t.doc_id, t.pos, t.w FROM tw t
+           WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id
+             AND t.pos BETWEEN sp.s AND sp.e)),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY 1),
+         orig AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_orig FROM inj),
+         spd AS (SELECT DISTINCT doc_id FROM sp)
+         SELECT o.doc_id,
+           CASE WHEN spd.doc_id IS NULL THEN md5(o.text)
+                ELSE md5(coalesce(a.clean_text, '')) END AS clean_md5,
+           CAST(CASE WHEN spd.doc_id IS NULL THEN 0
+                ELSE o.n_orig - coalesce(a.n_kept, 0) END AS BIGINT) AS n_removed
+         FROM orig o LEFT JOIN spd USING (doc_id) LEFT JOIN agg a USING (doc_id)""",
     // d38: batch replay of the streaming cleaner. One representative per
     // fingerprint (rn=1 — any representative yields the same text-derived
     // columns, exactly why the Spark side projects duplicate-invariantly),

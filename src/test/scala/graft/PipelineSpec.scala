@@ -1581,6 +1581,34 @@ class DuplicateSpansSpec extends SparkSpec {
     val df = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
     assert(TextAnalysis.duplicateSpans(df, "doc_id", "text", n = 3).count() === 0)
   }
+
+  test("exciseSpans rebuilds affected docs and passes the rest through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d e f y"),          // extent [1,6] excised -> "x y"
+      (3L, "p q r s p q r s"),          // extent [4,7] excised -> "p q r s"
+      (4L, "un  touched")).toDF("doc_id", "text") // double space survives
+    val spans = TextAnalysis.duplicateSpans(df, "doc_id", "text", n = 3)
+    val got = TextAnalysis.exciseSpans(df, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("a b c d e f", 0L)))     // first occurrence kept
+    assert(got(2L) === (("x y", 6L)))
+    assert(got(3L) === (("p q r s", 4L)))
+    assert(got(4L) === (("un  touched", 0L)))     // byte-identical passthrough
+  }
+
+  test("exciseSpans: a fully-excised doc leaves empty text, not a lost row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicateSpans(df, "doc_id", "text", n = 4)
+    val got = TextAnalysis.exciseSpans(df, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("a b c d", 0L)))
+    assert(got(2L) === (("", 4L)))
+  }
 }
 
 class BpeTokenCountSpec extends SparkSpec {
