@@ -116,6 +116,30 @@ object GraftSql {
     graft.ops.Sessionize.rollup(events, gapMinutes, tsNsCol)
       .createOrReplaceTempView(viewName)
 
+  /** Epoch-weighted training mixture (the d43 shape) as a named temp view:
+    * one row per kept (doc, epoch), weights as a plan literal — `SELECT *
+    * FROM train_mix` is the writer's feed in mixture order. See
+    * [[graft.functions.Sampling.epochMix]].
+    */
+  def registerEpochMix(spark: SparkSession, viewName: String, docs: DataFrame,
+                       idCol: String, domainCol: String,
+                       weights: Map[String, Double],
+                       default: Double = 1.0): Unit =
+    graft.functions.Sampling.epochMix(docs, idCol, domainCol, weights, default)
+      .createOrReplaceTempView(viewName)
+
+  /** Token-budget training mixture (the d44 shape) as a named temp view:
+    * per-domain weights derived from the corpus census (w = budget * share
+    * / tokens). See [[graft.functions.Sampling.tokenBudgetMix]].
+    */
+  def registerTokenBudgetMix(spark: SparkSession, viewName: String,
+                             docs: DataFrame, idCol: String, domainCol: String,
+                             textCol: String, totalTokens: Long,
+                             shares: Map[String, Double]): Unit =
+    graft.functions.Sampling
+      .tokenBudgetMix(docs, idCol, domainCol, textCol, totalTokens, shares)
+      .createOrReplaceTempView(viewName)
+
   /** Writer-ready packed training sequences (the d41 shape) as a named
     * temp view: documents → overlapping chunks ([[graft.functions
     * .TextAnalysis.chunk]]) → deterministic cross-doc packing

@@ -140,6 +140,15 @@ object ScaleStress {
         "pack" -> t(s"$tag pack") {
           TextAnalysis.packSequences(
             TextAnalysis.chunk(d, "doc_id", "text", 40, 8), "doc_id", 96).count() },
+        "dup_spans" -> t(s"$tag dup_spans") {
+          TextAnalysis.duplicateSpans(d, "doc_id", "text", 13).count() },
+        "excise" -> t(s"$tag excise") {
+          TextAnalysis.exciseSpans(d, "doc_id", "text",
+            TextAnalysis.duplicateSpans(d, "doc_id", "text", 13)).count() },
+        "epoch_mix" -> t(s"$tag epoch_mix") {
+          graft.functions.Sampling.epochMix(
+            d.withColumn("dom", pmod(col("doc_id"), lit(20)).cast("string")),
+            "doc_id", "dom", Map("1" -> 2.5, "2" -> 0.25), 1.0).count() },
         "ngram_decontam" -> t(s"$tag ngram_decontam") {
           // bench = 1% of docs; train = the rest — d35's asymmetric shape
           val n = TextAnalysis.ngramContamination(

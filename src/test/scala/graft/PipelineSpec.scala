@@ -1100,6 +1100,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(packed.getLong(0) === docMass)
   }
 
+  test("mixing views: epoch_mix and budget_mix from plain SQL") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    graft.sql.GraftSql.registerEpochMix(spark, "train_mix",
+      spark.table("documents"), "doc_id", "source",
+      Map("src1" -> 2.0, "src2" -> 0.0))
+    val mix = spark.sql(
+      """SELECT source, count(*) AS n, count(DISTINCT doc_id) AS d
+         FROM train_mix GROUP BY source""").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(mix("src1")._1 === 2 * mix("src1")._2)   // weight 2: every doc twice
+    assert(!mix.contains("src2"))                   // weight 0 drops
+    graft.sql.GraftSql.registerTokenBudgetMix(spark, "budget_mix",
+      spark.table("documents"), "doc_id", "source", "text", 10000L,
+      Map("src1" -> 0.5, "src3" -> 0.5))
+    val doms = spark.sql("SELECT DISTINCT source FROM budget_mix").collect()
+      .map(_.getString(0)).toSet
+    assert(doms.subsetOf(Set("src1", "src3")) && doms.nonEmpty)
+  }
+
   test("registerSessions serves the q39 rollup to plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     graft.sql.GraftSql.registerSessions(spark, "sessions",
