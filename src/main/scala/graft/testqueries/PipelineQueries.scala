@@ -591,6 +591,31 @@ object PipelineQueries {
       TextAnalysis.duplicateSpans(planted, "doc_id", "text", n = 13)
     },
 
+    // The composed dedup-then-pack pipeline — what a sequence writer
+    // actually runs: span-level dedup (d39) → excision (d45) → chunking
+    // (d25) → deterministic cross-doc packing (d41), ONE DAG. The oracle
+    // replays every stage down to the packed payload md5, proving the
+    // operators compose without drift.
+    "d46_dedup_pack" -> { (s, dir) =>
+      val planted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" " + PlantedSpan))).otherwise(col("text")))
+      val spans = TextAnalysis.duplicateSpans(planted, "doc_id", "text", n = 13)
+      val clean = TextAnalysis.exciseSpans(planted, "doc_id", "text", spans)
+        .withColumnRenamed("clean_text", "text")
+      val chunks = TextAnalysis.chunk(clean, "doc_id", "text",
+        maxTokens = 40, overlap = 8)
+      TextAnalysis.packSequencesAcross(chunks, "doc_id",
+          seqTokens = 96, numGroups = 8)
+        .select(col("bin_group"), col("seq_idx"),
+          col("n_chunks"), col("n_tokens"),
+          concat_ws(",", transform(col("chunks"), c =>
+            concat_ws(":", c("doc_id").cast("string"),
+              c("start").cast("string"),
+              c("n_tokens").cast("string")))).as("members"),
+          md5(col("seq_text")).as("seq_md5"))
+    },
+
     // Span EXCISION — d39's report applied: affected docs are rebuilt with
     // the duplicated extents cut out (first occurrences stay), untouched
     // docs pass through byte-identical without ever tokenizing. clean_md5
@@ -1285,6 +1310,60 @@ object PipelineQueries {
            CAST(CASE WHEN spd.doc_id IS NULL THEN 0
                 ELSE o.n_orig - coalesce(a.n_kept, 0) END AS BIGINT) AS n_removed
          FROM orig o LEFT JOIN spd USING (doc_id) LEFT JOIN agg a USING (doc_id)""",
+    // d46: d45's excision CTEs build `clean`, then d41's chunk/pack CTEs
+    // run over it — the whole dedup-then-pack pipeline replayed to the
+    // packed payload md5.
+    "d46_dedup_pack" ->
+      s"""WITH inj AS (SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' $PlantedSpan'
+                  ELSE text END AS text
+           FROM documents),
+         words0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM inj),
+         g AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
+                 i -> struct_pack(pos := i,
+                   sh := CAST(('0x' || substr(md5(array_to_string(w[i+1:i+13], ' ')), 1, 15)) AS BIGINT)))) AS u
+           FROM words0 WHERE len(w) >= 13),
+         gg AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM g),
+         r AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY sh) AS cnt FROM gg),
+         d AS (SELECT doc_id, pos FROM r WHERE cnt > 1 AND rn > 1),
+         i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 13
+                  THEN 0 ELSE 1 END AS brk FROM d),
+         s0 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM i),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+           FROM s0 GROUP BY doc_id, run),
+         tok AS (SELECT doc_id, unnest(list_transform(range(0, len(string_split(text, ' '))),
+                 i2 -> struct_pack(pos := i2, wd := string_split(text, ' ')[i2+1]))) AS u
+           FROM inj WHERE text IS NOT NULL),
+         tw AS (SELECT doc_id, u.pos AS pos, u.wd AS wd FROM tok),
+         kept AS (SELECT t.doc_id, t.pos, t.wd FROM tw t
+           WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id
+             AND t.pos BETWEEN sp.s AND sp.e)),
+         agg AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY 1),
+         spd AS (SELECT DISTINCT doc_id FROM sp),
+         clean AS (SELECT o.doc_id,
+             CASE WHEN spd.doc_id IS NULL THEN o.text
+                  ELSE coalesce(agg.clean_text, '') END AS text
+           FROM inj o LEFT JOIN spd USING (doc_id) LEFT JOIN agg USING (doc_id)),
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM clean WHERE text IS NOT NULL),
+         st AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 32),
+             stp -> stp = 1 OR stp + 8 <= len(w))) AS start FROM w),
+         ch AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS bin_group,
+             CAST(start AS INT) AS start,
+             CAST(least(len(w) - start + 1, 40) AS INT) AS n_tokens,
+             array_to_string(w[start:start+39], ' ') AS chunk_text FROM st),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bin_group
+               ORDER BY doc_id, start ROWS UNBOUNDED PRECEDING) AS cum FROM ch)
+         SELECT bin_group, CAST((cum - n_tokens) // 96 AS INT) AS seq_idx,
+           count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(doc_id || ':' || start || ':' || n_tokens, ','
+             ORDER BY doc_id, start) AS members,
+           md5(string_agg(chunk_text, ' ' ORDER BY doc_id, start)) AS seq_md5
+         FROM c GROUP BY bin_group, seq_idx""",
     // d38: batch replay of the streaming cleaner. One representative per
     // fingerprint (rn=1 — any representative yields the same text-derived
     // columns, exactly why the Spark side projects duplicate-invariantly),
