@@ -245,6 +245,37 @@ object MinHashLSH {
     labels
   }
 
+  /** Quality-aware canonical selection: given per-doc cluster labels from
+    * [[clusters]], keep the HIGHEST-quality member of each near-dup cluster
+    * (ties broken by smallest id) instead of [[clusters]]' min-id label —
+    * what production corpus pipelines actually ship (cf. SemDeDup keeping
+    * one representative per semantic cluster).
+    *
+    * Returns (idCol, cluster, keep) for EVERY doc: docs outside any
+    * near-dup pair are their own singleton cluster and always kept.
+    *
+    * Scale shape: `clusterLabels` holds only docs that appear in a
+    * near-dup pair — typically a small fraction of the corpus — so the
+    * canonical election groups a SMALL frame, and the two corpus-side
+    * joins are broadcastable when the dup set is small (left to AQE, which
+    * sees the label frame's real size at runtime). The full corpus is
+    * never shuffled by cluster id.
+    */
+  def canonicalByQuality(docs: DataFrame, idCol: String, quality: Column,
+                         clusterLabels: DataFrame): DataFrame = {
+    val labels = clusterLabels.select(col("id").as(idCol), col("cluster"))
+    val canon = docs.select(col(idCol), quality.as("__q"))
+      .join(labels, Seq(idCol))
+      .groupBy("cluster")
+      .agg(max_by(col(idCol), struct(col("__q"), -col(idCol))).as("__canonical"))
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .join(canon, Seq("cluster"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"),
+        (col("cluster").isNull || col(idCol) === col("__canonical")).as("keep"))
+  }
+
   /** End-to-end: candidate near-dup pairs with exact Jaccard attached.
     *
     * Two compact intermediates are cached (SURVEY.md §2.1 S4: cache only

@@ -109,6 +109,47 @@ object Sampling {
       .select((df.columns.map(col) :+ col("epoch")): _*)
   }
 
+  /** Distribution-matched resampling — rebalance a corpus to target
+    * domain SHARES by pure downsampling (no replication): the binding
+    * domain (smallest count_d / target_d) keeps everything, every other
+    * domain keeps `rate_d = target_d * N_out / count_d` of its rows where
+    * `N_out = min_d(count_d / target_d)` — the largest output satisfying
+    * the target mix without upsampling. The "make the web dump 30% code"
+    * operator; for epoch-replicated variants see [[tokenBudgetMix]].
+    *
+    * Domains absent from `targets` are dropped; target domains absent
+    * from the corpus are ignored (their mass is unreachable by
+    * downsampling — the caller sees it in the returned rates).
+    *
+    * Scale shape: ONE partial-agg census shuffle (one row per domain),
+    * the min-ratio reduced on that tiny frame, rates broadcast back onto
+    * the fact scan, then a map-only md5 keep predicate ([[hashSample]]
+    * with a per-domain rate — stable across runs/engines/partitionings).
+    * The rate is one IEEE double expression of (targets, counts), so a
+    * SQL oracle replays the keep decision bit for bit.
+    */
+  def matchDistribution(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        domainCol: String,
+                        targets: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      s"target shares must be positive, got $targets")
+    val census = df
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("__tgt", try_element_at(typedLit(targets), col(domainCol)))
+      .where(col("__tgt").isNotNull)
+    val nOut = census.agg(min(col("__cnt") / col("__tgt")).as("__nout"))
+    val rates = census.crossJoin(broadcast(nOut))
+      .select(col(domainCol),
+        (col("__tgt") * col("__nout") / col("__cnt")).as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(hashValue(col(idCol)) <
+        round(col("__rate") * 4294967296.0).cast("long"))
+      .withColumn("rate", round(col("__rate"), 6))
+      .drop("__rate")
+      .select((df.columns.map(col) :+ col("rate")): _*)
+  }
+
   /** Shared epoch expansion: rows arrive with a `__w` weight column and
     * leave replicated into kept (row, epoch) pairs. The generator input is
     * cheap arithmetic (`sequence` over ceil(w)), so Spark's

@@ -710,4 +710,97 @@ object TextAnalysis {
       .select(col(idCol), hashes.as("__hseq"))
       .select(col(idCol), wins.as("fps"))
   }
+
+  /** The eight Gopher filter stopwords (Rae et al. 2021 §A1.1): a document
+    * must contain at least two of these to look like running English prose.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality metrics (Rae et al. 2021 §A1.1, public paper) as
+    * ONE codegen'd struct projection — no shuffle, embarrassingly parallel
+    * at 100 TB. Fields:
+    *  - `n_words`        whitespace-token count
+    *  - `mean_word_len`  mean token length (rounded 6dp)
+    *  - `symbol_ratio`   ('#' chars + '...' runs) per word (rounded 6dp)
+    *  - `frac_alpha`     fraction of words containing a letter (rounded 6dp)
+    *  - `n_stop_hits`    how many of the eight [[GopherStopwords]] appear
+    *
+    * The thresholds live in [[gopherKeep]] so callers can tune per corpus;
+    * the metrics themselves are fixed closed forms an external oracle can
+    * replay (all rounding on the 1e-6 grid, same as the other d-queries).
+    */
+  def gopherReport(text: Column,
+                   stopwords: Seq[String] = GopherStopwords): Column = {
+    val toks = tokens(lower(text))
+    val nWords = size(toks).cast("double")
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val dots = (length(text) -
+      length(replace(text, lit("..."), lit("")))) / lit(3)
+    val alpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("double")
+    val hits = stopwords
+      .map(w => array_contains(toks, w).cast("int"))
+      .reduce(_ + _)
+    struct(
+      size(toks).cast("long").as("n_words"),
+      round(avgTokenLen(text), 6).as("mean_word_len"),
+      round((hashes + dots).cast("double") / nWords, 6).as("symbol_ratio"),
+      round(alpha / nWords, 6).as("frac_alpha"),
+      hits.cast("long").as("n_stop_hits"))
+  }
+
+  /** Gopher keep decision over a [[gopherReport]] struct. Defaults are the
+    * paper's published gates scaled to this corpus's short synthetic docs
+    * (the paper uses 50..100k words; thresholds are parameters, the rule
+    * shape is the capability).
+    */
+  def gopherKeep(report: Column,
+                 minWords: Long = 50, maxWords: Long = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 minAlphaFrac: Double = 0.8,
+                 minStopHits: Long = 2): Column =
+    report("n_words").between(minWords, maxWords) &&
+      report("mean_word_len").between(minMeanLen, maxMeanLen) &&
+      (report("symbol_ratio") <= maxSymbolRatio) &&
+      (report("frac_alpha") >= minAlphaFrac) &&
+      (report("n_stop_hits") >= minStopHits)
+
+  /** Deterministic re-flow of a one-line document into lines of
+    * `tokensPerLine` whitespace tokens (the last line ragged). Gives
+    * line-level rules ([[cleanLines]]) a line structure on corpora stored
+    * one-doc-per-row; corpora with real newlines skip this and pass
+    * `split(text, "\n")` directly.
+    */
+  def reflowLines(text: Column, tokensPerLine: Int): Column = {
+    val toks = tokens(text)
+    val nLines = ceil(size(toks).cast("double") / tokensPerLine).cast("int")
+    transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " "))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, public paper):
+    * keep a line only if it has at least `minWords` words, contains at
+    * least one of `requiredAny` (C4's "terminal punctuation" stands in as
+    * "looks like prose" — parameterized because this synthetic corpus has
+    * no punctuation), and contains none of the lowercase `banned`
+    * substrings (C4 drops lines with "javascript", "lorem ipsum", "{").
+    * Pure higher-order-function filter over the line array — map-only,
+    * no shuffle; the caller re-joins survivors with `array_join`.
+    */
+  def cleanLines(lines: Column, minWords: Int,
+                 requiredAny: Seq[String],
+                 banned: Seq[String]): Column =
+    filter(lines, line => {
+      val lw = lower(line)
+      val toks = split(lw, " ")
+      val enough = size(toks) >= minWords
+      val required =
+        if (requiredAny.isEmpty) lit(true)
+        else requiredAny.map(w => array_contains(toks, w)).reduce(_ || _)
+      val clean =
+        if (banned.isEmpty) lit(true)
+        else !banned.map(b => lw.contains(b)).reduce(_ || _)
+      enough && required && clean
+    })
 }

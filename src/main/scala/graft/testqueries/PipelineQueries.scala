@@ -629,7 +629,80 @@ object PipelineQueries {
       TextAnalysis.exciseSpans(planted, "doc_id", "text", spans)
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_removed"))
+    },
+
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1) — the full
+    // published metric set as ONE codegen'd struct projection (word count,
+    // mean word length, symbol-to-word ratio, alpha-word fraction,
+    // stopword hits) plus the keep gate. Map-only, no shuffle; minWords and
+    // minStopHits scaled to this corpus's short synthetic docs, which carry
+    // only one of the eight Gopher stopwords (thresholds are parameters,
+    // the rule shape is the capability).
+    "d47_gopher_quality" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.gopherReport(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.mean_word_len").as("mean_word_len"),
+          col("r.symbol_ratio").as("symbol_ratio"),
+          col("r.frac_alpha").as("frac_alpha"),
+          col("r.n_stop_hits").as("n_stop_hits"),
+          TextAnalysis.gopherKeep(col("r"), minWords = 30, minStopHits = 1)
+            .cast("int").as("keep"))
+    },
+
+    // C4-style line-level cleaning (Raffel et al. 2020 §2.2): deterministic
+    // re-flow into 12-token lines (this corpus stores one doc per row with
+    // no newlines), then keep lines with >= 12 words containing a core
+    // stopword and none of C4's banned substrings. Higher-order-function
+    // filter over the line array — map-only, no shuffle.
+    "d48_line_clean" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.reflowLines(col("text"), 12).as("lines"))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          TextAnalysis.cleanLines(col("lines"), minWords = 12,
+            requiredAny = Seq("the", "a", "and", "of"),
+            banned = Seq("javascript", "lorem ipsum", "{")).as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          array_join(col("kept"), "\n").as("cleaned"))
+    },
+
+    // Quality-aware canonical selection: near-dup clusters (d12's LSH ->
+    // connected components) but keep the HIGHEST-quality member per
+    // cluster (tie -> smallest id) instead of the min-id label — what a
+    // production pipeline ships. Singletons always keep. The election
+    // groups only the (small) dup membership; the corpus is never
+    // shuffled by cluster id.
+    "d49_cluster_canonical" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = MinHashLSH.nearDupPairs(d, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+      MinHashLSH.canonicalByQuality(
+          d, "doc_id", TextAnalysis.qualityScore(col("text")),
+          MinHashLSH.clusters(pairs))
+        .select(col("doc_id"), col("cluster"),
+          col("keep").cast("int").as("keep"))
+    },
+
+    // Distribution-matched resampling: rebalance to target language
+    // shares by pure downsampling — the binding domain (fr here) keeps
+    // everything, zh is unlisted and dropped. Census -> min-ratio ->
+    // broadcast rates -> map-only md5 keep; fully deterministic, the
+    // oracle replays the keep decision bit for bit.
+    "d50_match_mix" -> { (s, dir) =>
+      Sampling.matchDistribution(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", MatchMixTargets)
     })
+
+  /** d50's target shares — one table drives both the engine call and the
+    * generated oracle CASE arms, so the mix cannot drift between sides.
+    */
+  private val MatchMixTargets: Map[String, Double] =
+    Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2)
 
   /** The 20-word sentence d39 plants on every 17th doc (identical across
     * docs on purpose — its pure-tail 13-grams are verbatim duplicates).
@@ -651,6 +724,14 @@ object PipelineQueries {
     when(docId % 7 === 0, lit(" call 555-123-4567 now")).otherwise(lit("")),
     when(docId % 11 === 0, lit(" admin root@10.0.0.99.com here")).otherwise(lit("")),
     when(docId % 13 === 0, lit(" ssn 123-45-6789 on file")).otherwise(lit("")))
+
+  /** d47's stop-hit sum, generated from the same
+    * [[TextAnalysis.GopherStopwords]] the engine folds over.
+    */
+  private lazy val GopherStopHitsSql: String =
+    graft.functions.TextAnalysis.GopherStopwords
+      .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 
   private val QualitySql =
     """round(0.4 * least((CAST(len(list_filter(string_split(lower(text), ' '),
@@ -1405,7 +1486,102 @@ object PipelineQueries {
               ELSE 1 + (doc_id // 2) % 2 END AS INT) AS channels,
          CAST(CASE WHEN doc_id % 2 = 0 THEN 1
               ELSE doc_id % 50 END AS INT) AS n_frames
-         FROM documents""")
+         FROM documents""",
+    // d47: Gopher metric replay — the stop-hit arms are GENERATED from the
+    // same TextAnalysis.GopherStopwords table the engine folds over, so
+    // the word list cannot drift between the two sides.
+    "d47_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+             string_split(lower(text), ' ') AS toks FROM documents),
+         m AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(CAST(list_sum(list_transform(string_split(text, ' '),
+               w -> len(w))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_word_len,
+           round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+             + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3)
+             / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+           round(CAST(len(list_filter(toks,
+               w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS frac_alpha,
+           CAST($GopherStopHitsSql AS BIGINT) AS n_stop_hits
+           FROM t)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha,
+           n_stop_hits,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_ratio <= 0.1 AND frac_alpha >= 0.8
+             AND n_stop_hits >= 1 THEN 1 ELSE 0 END AS INT) AS keep
+         FROM m""",
+    // d48: re-flow + line-rule replay. Slice bounds: DuckDB list slices are
+    // 1-based inclusive, so toks[i*12+1 : i*12+12] is exactly Spark's
+    // slice(toks, i*12+1, 12) (both clip at the end).
+    "d48_line_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         l AS (SELECT doc_id, list_transform(
+             range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 12) AS INT)),
+             i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS lines
+           FROM t),
+         k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           list_filter(lines, ln ->
+             len(string_split(lower(ln), ' ')) >= 12
+             AND (list_contains(string_split(lower(ln), ' '), 'the')
+               OR list_contains(string_split(lower(ln), ' '), 'a')
+               OR list_contains(string_split(lower(ln), ' '), 'and')
+               OR list_contains(string_split(lower(ln), ' '), 'of'))
+             AND NOT (contains(lower(ln), 'javascript')
+               OR contains(lower(ln), 'lorem ipsum')
+               OR contains(lower(ln), '{'))) AS kept
+           FROM l)
+         SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS cleaned
+         FROM k""",
+    // d49: d12's recursive-CTE components + the quality formula, canonical
+    // elected per cluster by (quality DESC, doc_id ASC) — exactly the
+    // engine's max_by(id, struct(q, -id)).
+    "d49_cluster_canonical" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         dq AS (SELECT doc_id, $QualitySql AS q FROM documents),
+         canon AS (SELECT cc.cluster,
+             first(dq.doc_id ORDER BY dq.q DESC, dq.doc_id ASC) AS canonical
+           FROM dq JOIN cc ON cc.id = dq.doc_id GROUP BY cc.cluster)
+         SELECT d.doc_id,
+           CAST(COALESCE(cc.cluster, d.doc_id) AS BIGINT) AS cluster,
+           CAST(CASE WHEN cc.cluster IS NULL OR d.doc_id = canon.canonical
+             THEN 1 ELSE 0 END AS INT) AS keep
+         FROM documents d
+         LEFT JOIN cc ON cc.id = d.doc_id
+         LEFT JOIN canon ON canon.cluster = cc.cluster""",
+    // d50: census -> binding-domain min ratio -> per-domain rate -> md5
+    // keep, operand order mirroring the engine exactly (tgt * nout / cnt;
+    // round(rate * 2^32) half-up — both engines agree for positives).
+    "d50_match_mix" ->
+      s"""WITH census AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+           FROM documents GROUP BY lang),
+         t AS (SELECT lang, cnt,
+             CAST($MatchMixTargetsSql AS DOUBLE) AS tgt FROM census),
+         tt AS (SELECT * FROM t WHERE tgt IS NOT NULL),
+         nout AS (SELECT min(cnt / tgt) AS n FROM tt),
+         rates AS (SELECT lang, tgt * n / cnt AS rate
+           FROM tt CROSS JOIN nout)
+         SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+         FROM documents d JOIN rates r USING (lang)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           < round(r.rate * 4294967296.0)""")
+
+  /** d50 oracle CASE arms GENERATED from [[MatchMixTargets]]. */
+  private lazy val MatchMixTargetsSql: String =
+    "CASE lang " + MatchMixTargets.toSeq.sortBy(_._1)
+      .map { case (d, s) => s"WHEN '$d' THEN $s" }.mkString(" ") + " END"
 
   /** d28 oracle GENERATED from the same [[TextAnalysis.PiiPatterns]] table
     * the engine applies — pattern text, replacement, and fold order cannot

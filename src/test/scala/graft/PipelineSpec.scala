@@ -246,6 +246,28 @@ class SamplingSpec extends SparkSpec {
     assert(only.forall(_.getString(1) == "a"))
   }
 
+  test("matchDistribution: binding domain keeps all, others downsample to the mix") {
+    import spark.implicits._
+    // a: 400 docs, b: 100, c: 100. Targets a=0.5, b=0.25 → c unlisted drops.
+    // ratios: a 400/0.5=800, b 100/0.25=400 (binding) → Nout=400;
+    // rate_a = 0.5*400/400 = 0.5, rate_b = 0.25*400/100 = 1.0.
+    val df = (1L to 600L).map(i =>
+      (i, if (i <= 400) "a" else if (i <= 500) "b" else "c")).toDF("id", "dom")
+    val got = Sampling.matchDistribution(df, "id", "dom",
+        Map("a" -> 0.5, "b" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byDom = got.groupBy(_._2).view.mapValues(_.toSeq).toMap
+    assert(byDom("b").length === 100)                  // binding: rate 1.0
+    assert(byDom("b").forall(_._3 === 1.0))
+    assert(byDom("a").forall(_._3 === 0.5))
+    assert(byDom("a").length > 140 && byDom("a").length < 260) // ~200
+    assert(!byDom.contains("c"))                       // unlisted drops
+    // kept set is a hashSample subset: stable and nested in the full domain
+    val again = Sampling.matchDistribution(df, "id", "dom",
+        Map("a" -> 0.5, "b" -> 0.25)).collect().map(_.getLong(0)).toSet
+    assert(again === got.map(_._1).toSet)
+  }
+
   test("plan: epochMix is map-only; tokenBudgetMix broadcasts its census") {
     import spark.implicits._
     val df = (1L to 50L).map(i => (i, "a", "w w w")).toDF("id", "dom", "text")
@@ -1757,5 +1779,85 @@ class PackAcrossSpec extends SparkSpec {
       atransform(org.apache.spark.sql.functions.col("chunks"),
         c => c("doc_id")))) > 1).count()
     assert(mixed > 0)
+  }
+}
+
+class GopherQualitySpec extends SparkSpec {
+
+  test("metrics: word count, mean length, symbols, alpha fraction, stop hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat with the dog and that hat"), // 9 words, stopwords
+      (2L, "### ... ### ... zz"),                    // symbol-heavy
+      (3L, "12 34 56 78")                            // no alpha words
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextAnalysis.gopherReport(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.symbol_ratio"),
+        col("r.frac_alpha"), col("r.n_stop_hits"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4))).toMap
+    assert(r(1L)._1 === 9L)
+    assert(r(1L)._3 === 1.0)            // every word has a letter
+    assert(r(1L)._4 === 4L)             // the, with, and, that
+    assert(r(2L)._2 > 1.0)              // 6 '#' + 2 '...' over 5 words
+    assert(r(2L)._3 === 0.2)            // only "zz" is alphabetic
+    assert(r(3L)._3 === 0.0 && r(3L)._4 === 0L)
+  }
+
+  test("keep gate applies every threshold") {
+    import spark.implicits._
+    val prose = Seq.fill(6)("the quick brown fox jumps and that dog have fun with it").mkString(" ")
+    val df = Seq((1L, prose), (2L, "short text"), (3L, prose + " ###########################")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.gopherKeep(TextAnalysis.gopherReport(col("text"))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L))      // long prose with >=2 gopher stopwords
+    assert(!got(2L))     // too few words
+    assert(!got(3L))     // symbol ratio blown
+  }
+}
+
+class LineCleanSpec extends SparkSpec {
+
+  test("reflow splits into fixed token lines with a ragged tail") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val lines = df.select(TextAnalysis.reflowLines(col("text"), 4).as("l"))
+      .head().getSeq[String](0)
+    assert(lines === Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+  }
+
+  test("line rules: min words, required stopword, banned substrings") {
+    import spark.implicits._
+    val lines = Seq(
+      "the alpha beta gamma",     // keep
+      "alpha beta gamma delta",   // no required word
+      "the a",                    // too short
+      "the javascript alpha beta" // banned
+    )
+    val df = Seq(Tuple1(lines)).toDF("lines")
+    val kept = df.select(TextAnalysis.cleanLines(col("lines"), minWords = 3,
+        requiredAny = Seq("the", "a"), banned = Seq("javascript")).as("k"))
+      .head().getSeq[String](0)
+    assert(kept === Seq("the alpha beta gamma"))
+  }
+}
+
+class CanonicalByQualitySpec extends SparkSpec {
+
+  test("highest-quality member wins its cluster; singletons always keep") {
+    import spark.implicits._
+    // One near-dup cluster {1,2,3} (labels say cluster=1), doc 9 untouched.
+    // Quality is injected directly so the election rule is isolated.
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "q")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster")
+    val got = MinHashLSH.canonicalByQuality(docs, "doc_id", col("q"), labels)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(2L) === (1L, true))   // 0.9 tie broken by smaller id
+    assert(got(3L) === (1L, false))
+    assert(got(1L) === (1L, false))
+    assert(got(9L) === (9L, true))   // singleton: own cluster, kept
   }
 }
