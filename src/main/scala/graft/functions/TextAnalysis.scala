@@ -790,17 +790,75 @@ object TextAnalysis {
     */
   def cleanLines(lines: Column, minWords: Int,
                  requiredAny: Seq[String],
-                 banned: Seq[String]): Column =
-    filter(lines, line => {
-      val lw = lower(line)
-      val toks = split(lw, " ")
-      val enough = size(toks) >= minWords
+                 banned: Seq[String]): Column = {
+    // Stage (line, lowered, tokens) once per line: HOF lambdas get no
+    // common-subexpression elimination, so an inline `split` would
+    // re-tokenize the line once per rule term (measured 12.3x on the 10x
+    // probe before this staging).
+    val tagged = transform(lines, line => struct(
+      line.as("line"), lower(line).as("lw"),
+      split(lower(line), " ").as("toks")))
+    val kept = filter(tagged, t => {
+      val enough = size(t("toks")) >= minWords
       val required =
         if (requiredAny.isEmpty) lit(true)
-        else requiredAny.map(w => array_contains(toks, w)).reduce(_ || _)
+        else requiredAny.map(w => array_contains(t("toks"), w)).reduce(_ || _)
       val clean =
         if (banned.isEmpty) lit(true)
-        else !banned.map(b => lw.contains(b)).reduce(_ || _)
+        else !banned.map(b => t("lw").contains(b)).reduce(_ || _)
       enough && required && clean
     })
+    transform(kept, t => t("line"))
+  }
+
+  /** Dedup-normalization (the C4/RefinedWeb preprocessing step before
+    * hashing): lowercase, ASCII punctuation → space, whitespace runs
+    * collapsed, trimmed. Robust to the casing/punctuation/spacing edits
+    * that defeat byte-exact fingerprints; RE2-safe classes so external
+    * oracles replay it. One codegen'd chain — map-only.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[!-/:-@\\[-`{-~]", " "), " +", " "))
+
+  /** Cross-doc boilerplate line removal (RefinedWeb-style line-level
+    * dedup): a line occurring verbatim in more than `maxDocFreq` DISTINCT
+    * docs is boilerplate (nav bars, footers, license headers) and is
+    * dropped from every doc; docs are rebuilt in line order. `lines` must
+    * be an array column (from real newlines or [[reflowLines]]).
+    *
+    * Scale shape: explode is map-only; the line-frequency census is ONE
+    * partial-agg shuffle keyed by the line hash (md5 — uniform by
+    * construction, no skew salt needed); membership returns via a
+    * hash-equijoin on the same key (co-partitioned with the census — AQE
+    * broadcasts when the over-threshold set is small, the common case);
+    * the rebuild is one groupBy(doc) re-agg, the exciseSpans pattern. No
+    * all-pairs path: docs sharing a line never join each other, only the
+    * census row.
+    */
+  def stripBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       linesCol: String,
+                       maxDocFreq: Int = 1): org.apache.spark.sql.DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode_outer(col(linesCol)).as(Seq("pos", "line")))
+      .where(col("line").isNotNull)
+      .withColumn("__h", md5(col("line")))
+    val census = exploded.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") > maxDocFreq)
+    val kept = exploded
+      .join(census, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("line")))).as("__k"))
+      .select(col(idCol),
+        size(col("__k")).cast("long").as("n_kept"),
+        array_join(transform(col("__k"), k => k("line")), "\n").as("clean_text"))
+    // fully-boilerplate docs still come back (empty), like exciseSpans
+    df.select(col(idCol), size(col(linesCol)).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -54,6 +54,8 @@ object GraftSql {
         .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
         .withColumn("split", Sampling.hashSplit(col("doc_id"),
           Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+        .withColumn("gopher_keep", TextAnalysis.gopherKeep(
+          TextAnalysis.gopherReport(col("text")), minStopHits = 1))
         .createOrReplaceTempView("documents_scored")
       // Span-level exact dedup (the d39 shape) as a SQL target:
       // SELECT doc_id, span_start, span_end FROM dup_spans — the token
@@ -161,6 +163,34 @@ object GraftSql {
     val chunks = TextAnalysis.chunk(docs, "doc_id", "text", maxTokens,
       overlap, tokenCounter = counter)
     TextAnalysis.packSequencesAcross(chunks, "doc_id", seqTokens, numGroups)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** Distribution-matched resample (the d50 shape) as a named temp view:
+    * the corpus rebalanced to target domain shares by deterministic
+    * downsampling. See [[graft.functions.Sampling.matchDistribution]].
+    */
+  def registerMatchedMix(spark: SparkSession, viewName: String,
+                         docs: DataFrame, idCol: String, domainCol: String,
+                         targets: Map[String, Double]): Unit =
+    graft.functions.Sampling.matchDistribution(docs, idCol, domainCol, targets)
+      .createOrReplaceTempView(viewName)
+
+  /** Quality-aware near-dup canonicals (the d49 shape) as a named temp
+    * view: `SELECT * FROM <view> WHERE keep` is the deduped corpus keeping
+    * each cluster's best-quality member. NOT lazy like the other views —
+    * [[graft.functions.MinHashLSH.clusters]] iterates to a fixpoint, so
+    * registration runs those jobs eagerly.
+    */
+  def registerCanonicalDocs(spark: SparkSession, viewName: String,
+                            docs: DataFrame, idCol: String, textCol: String,
+                            minJaccard: Double = 0.5): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{MinHashLSH, TextAnalysis}
+    val pairs = MinHashLSH.nearDupPairs(docs, idCol, textCol)
+      .where(col("jaccard") >= minJaccard)
+    MinHashLSH.canonicalByQuality(docs, idCol,
+        TextAnalysis.qualityScore(col(textCol)), MinHashLSH.clusters(pairs))
       .createOrReplaceTempView(viewName)
   }
 

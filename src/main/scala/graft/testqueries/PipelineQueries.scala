@@ -696,7 +696,46 @@ object PipelineQueries {
       Sampling.matchDistribution(
         docs(s, dir).select(col("doc_id"), col("lang")),
         "doc_id", "lang", MatchMixTargets)
+    },
+
+    // Normalized exact dedup — d04 made robust to the casing/punctuation/
+    // whitespace edits that defeat byte-exact fingerprints: injected
+    // variants ("The ... !!!", doubled spaces) collapse onto their base
+    // doc's normalized hash. Same one-shuffle groupBy shape as d04.
+    "d51_norm_dedup" -> { (s, dir) =>
+      val noisy = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+            concat(lit("  "), upper(col("text")), lit(" !!! ")))
+          .otherwise(col("text")).as("text"))
+      noisy
+        .groupBy(md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"))
+        .agg(min("doc_id").as("canonical_doc"),
+          count(lit(1)).as("n_copies"))
+    },
+
+    // Cross-doc boilerplate line removal (RefinedWeb-style line-level
+    // dedup): a deterministic "nav bar" line is planted on every 5th doc,
+    // lines occurring in >1 distinct docs drop from every doc, docs
+    // rebuilt in line order. Census + anti-join + re-agg — three bounded
+    // shuffles, no all-pairs path.
+    "d52_boilerplate" -> { (s, dir) =>
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            concat(lit(BoilerLine + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.stripBoilerplate(
+        planted.select(col("doc_id"),
+          TextAnalysis.reflowLines(col("text"), 12).as("lines")),
+        "doc_id", "lines")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
     })
+
+  /** The 12-token "nav bar" line d52 plants on every 5th doc — exactly one
+    * reflowed line wide, so it lands as a verbatim repeated line.
+    */
+  private val BoilerLine =
+    "home about products pricing docs blog careers contact login signup terms privacy"
 
   /** d50's target shares — one table drives both the engine call and the
     * generated oracle CASE arms, so the mix cannot drift between sides.
@@ -1576,7 +1615,44 @@ object PipelineQueries {
          SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
          FROM documents d JOIN rates r USING (lang)
          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-           < round(r.rate * 4294967296.0)""")
+           < round(r.rate * 4294967296.0)""",
+    // d51: the normalization chain replayed verbatim (lower -> ASCII punct
+    // to space -> collapse runs -> trim), then d04's groupBy shape.
+    "d51_norm_dedup" ->
+      """WITH noisy AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN '  ' || upper(text) || ' !!! '
+                ELSE text END AS text
+           FROM documents)
+         SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[!-/:-@\[-`{-~]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(count(*) AS BIGINT) AS n_copies
+         FROM noisy GROUP BY 1""",
+    // d52: plant -> reflow -> per-line doc frequency -> drop df>1 lines ->
+    // rebuild in line order. The unnest is staged away from the join
+    // (DuckDB binder bug — see d44/d45).
+    "d52_boilerplate" ->
+      s"""WITH planted AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '$BoilerLine ' || text
+                  ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM planted),
+         l AS (SELECT doc_id, list_transform(
+             range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 12) AS INT)),
+             i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS lines
+           FROM t),
+         e0 AS (SELECT doc_id, unnest(list_transform(range(0, len(lines)),
+             p -> struct_pack(pos := p, ln := lines[p+1]))) AS u FROM l),
+         e AS (SELECT doc_id, u.pos AS pos, u.ln AS ln FROM e0),
+         cen AS (SELECT ln, count(DISTINCT doc_id) AS df FROM e GROUP BY ln),
+         keptl AS (SELECT e.doc_id, e.pos, e.ln
+           FROM e JOIN cen ON cen.ln = e.ln WHERE cen.df <= 1),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(ln, chr(10) ORDER BY pos) AS ct FROM keptl GROUP BY 1)
+         SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(a.ct, '')) AS clean_md5
+         FROM l LEFT JOIN agg a USING (doc_id)""")
 
   /** d50 oracle CASE arms GENERATED from [[MatchMixTargets]]. */
   private lazy val MatchMixTargetsSql: String =

@@ -149,6 +149,31 @@ object ScaleStress {
           graft.functions.Sampling.epochMix(
             d.withColumn("dom", pmod(col("doc_id"), lit(20)).cast("string")),
             "doc_id", "dom", Map("1" -> 2.5, "2" -> 0.25), 1.0).count() },
+        "gopher_rules" -> t(s"$tag gopher_rules") {
+          d.select(col("doc_id"),
+              TextAnalysis.gopherKeep(
+                TextAnalysis.gopherReport(col("text")), minStopHits = 1).as("k"))
+            .where(col("k")).count() },
+        "line_clean" -> t(s"$tag line_clean") {
+          d.select(col("doc_id"),
+              TextAnalysis.cleanLines(
+                TextAnalysis.reflowLines(col("text"), 12), 12,
+                Seq("the", "a", "and", "of"),
+                Seq("javascript", "lorem ipsum", "{")).as("kept"))
+            .where(size(col("kept")) > 0).count() },
+        "match_mix" -> t(s"$tag match_mix") {
+          graft.functions.Sampling.matchDistribution(
+            d.withColumn("dom", pmod(col("doc_id"), lit(20)).cast("string")),
+            "doc_id", "dom",
+            Map("1" -> 0.3, "2" -> 0.3, "3" -> 0.4)).count() },
+        "norm_dedup" -> t(s"$tag norm_dedup") {
+          d.groupBy(md5(TextAnalysis.normalizeText(col("text"))).as("nm"))
+            .agg(min("doc_id")).count() },
+        "boilerplate" -> t(s"$tag boilerplate") {
+          TextAnalysis.stripBoilerplate(
+            d.select(col("doc_id"),
+              TextAnalysis.reflowLines(col("text"), 12).as("lines")),
+            "doc_id", "lines").count() },
         "ngram_decontam" -> t(s"$tag ngram_decontam") {
           // bench = 1% of docs; train = the rest — d35's asymmetric shape
           val n = TextAnalysis.ngramContamination(

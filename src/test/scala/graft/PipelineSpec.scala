@@ -1141,6 +1141,33 @@ class GraftSqlSpec extends SparkSpec {
     assert(doms.subsetOf(Set("src1", "src3")) && doms.nonEmpty)
   }
 
+  test("round-9b views: gopher_keep column, matched mix, canonical docs") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    // gopher_keep rides documents_scored as a lazy boolean column
+    val g = spark.sql(
+      "SELECT count(*) AS n, count(CASE WHEN gopher_keep THEN 1 END) AS k FROM documents_scored")
+      .head()
+    assert(g.getLong(0) > 0 && g.getLong(1) <= g.getLong(0))
+    // matched mix: only listed domains survive, rate attached
+    graft.sql.GraftSql.registerMatchedMix(spark, "matched_mix",
+      spark.table("documents"), "doc_id", "lang",
+      Map("en" -> 0.6, "de" -> 0.4))
+    val doms = spark.sql(
+      "SELECT DISTINCT lang FROM matched_mix").collect().map(_.getString(0)).toSet
+    assert(doms.subsetOf(Set("en", "de")) && doms.nonEmpty)
+    assert(spark.sql("SELECT min(rate) FROM matched_mix").head().getDouble(0) > 0.0)
+    // canonical docs: every doc labeled, keeps form a per-cluster argmax
+    graft.sql.GraftSql.registerCanonicalDocs(spark, "canonical_docs",
+      spark.table("documents"), "doc_id", "text")
+    val c = spark.sql(
+      """SELECT count(*) AS n, count(CASE WHEN keep THEN 1 END) AS k,
+           count(DISTINCT cluster) AS cl FROM canonical_docs""").head()
+    val total = spark.sql("SELECT count(*) FROM documents").head().getLong(0)
+    assert(c.getLong(0) === total)
+    assert(c.getLong(1) === c.getLong(2)) // exactly one keeper per cluster
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("registerSessions serves the q39 rollup to plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     graft.sql.GraftSql.registerSessions(spark, "sessions",
@@ -1859,5 +1886,58 @@ class CanonicalByQualitySpec extends SparkSpec {
     assert(got(3L) === (1L, false))
     assert(got(1L) === (1L, false))
     assert(got(9L) === (9L, true))   // singleton: own cluster, kept
+  }
+}
+
+class NormalizeTextSpec extends SparkSpec {
+
+  test("normalization collapses case/punctuation/whitespace variants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello,  World!  How are you?"),
+      (2L, "hello world how are you"),
+      (3L, "HELLO WORLD -- how are you..."),
+      (4L, "different text entirely")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "hello world how are you")
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) !== got(1L))
+  }
+}
+
+class BoilerplateSpec extends SparkSpec {
+
+  test("lines shared across docs drop everywhere; unique lines survive in order") {
+    import spark.implicits._
+    val nav = "home about contact"
+    val df = Seq(
+      (1L, Seq(nav, "alpha beta", "gamma delta")),
+      (2L, Seq(nav, "epsilon zeta")),
+      (3L, Seq("eta theta", nav, "iota kappa"))
+    ).toDF("doc_id", "lines")
+    val got = TextAnalysis.stripBoilerplate(df, "doc_id", "lines")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 2L, "alpha beta\ngamma delta")))
+    assert(got(2L) === ((2L, 1L, "epsilon zeta")))
+    assert(got(3L) === ((3L, 2L, "eta theta\niota kappa"))) // order kept around the cut
+  }
+
+  test("within-doc repeats survive (df counts DISTINCT docs); full-boiler docs come back empty") {
+    import spark.implicits._
+    val dup = "repeated inside one doc"
+    val shared = "shared across docs"
+    val df = Seq(
+      (1L, Seq(dup, dup, "unique line")),
+      (2L, Seq(shared)),
+      (3L, Seq(shared))
+    ).toDF("doc_id", "lines")
+    val got = TextAnalysis.stripBoilerplate(df, "doc_id", "lines")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 3L, s"$dup\n$dup\nunique line"))) // df=1: kept
+    assert(got(2L) === ((1L, 0L, "")))                         // fully boilerplate
+    assert(got(3L) === ((1L, 0L, "")))
   }
 }
