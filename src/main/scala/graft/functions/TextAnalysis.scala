@@ -811,6 +811,22 @@ object TextAnalysis {
     transform(kept, t => t("line"))
   }
 
+  /** Linear quality-classifier scoring (the fastText/DCLM-style filter
+    * shape): sigmoid(bias + w·x) over an engineered feature vector, with
+    * the weights shipped as a plan literal — the inference half of a
+    * trained quality classifier, deterministic and oracle-replayable
+    * (ordered left-to-right summation, so any SQL engine reproduces the
+    * same IEEE result). Swap in trained weights; the plan is identical.
+    * Map-only, codegen'd HOF fold — no UDF, no shuffle.
+    */
+  def linearScore(features: Column, weights: Seq[Double],
+                  bias: Double): Column = {
+    val dot = aggregate(
+      zip_with(features, typedlit(weights), (x, w) => x * w),
+      lit(bias), (acc, v) => acc + v)
+    round(lit(1.0) / (lit(1.0) + exp(-dot)), 6)
+  }
+
   /** Dedup-normalization (the C4/RefinedWeb preprocessing step before
     * hashing): lowercase, ASCII punctuation → space, whitespace runs
     * collapsed, trimmed. Robust to the casing/punctuation/spacing edits

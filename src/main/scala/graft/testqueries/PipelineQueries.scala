@@ -729,7 +729,59 @@ object PipelineQueries {
         "doc_id", "lines")
         .select(col("doc_id"), col("n_lines"), col("n_kept"),
           md5(col("clean_text")).as("clean_md5"))
+    },
+
+    // Dedup audit one-rower — the first report a curator runs on a new
+    // dump: corpus size, exact-dup mass (fingerprint), near-dup pair and
+    // cluster mass (MinHash >= 0.5), in ONE DAG. Every input is an
+    // existing bounded-shuffle operator; the rollup adds three tiny
+    // single-row aggs joined by literal crossJoins (1x1 — no data motion).
+    "d53_dedup_audit" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val fp = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprintHex(col("text"))).as("n_uniq"))
+      // the pair frame feeds both the count and the clustering loop —
+      // persist it (S4), it is pair-sized, far below corpus-sized
+      val pairs = graft.CacheRegistry.track(
+        MinHashLSH.nearDupPairs(d, "doc_id", "text")
+          .where(col("jaccard") >= 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val labels = MinHashLSH.clusters(pairs)
+      val pc = pairs.agg(count(lit(1)).as("n_near_pairs"))
+      val cl = labels.agg(count(lit(1)).as("n_near_docs"),
+        countDistinct("cluster").as("n_clusters"))
+      fp.crossJoin(pc).crossJoin(cl)
+        .select(col("n_docs"), col("n_uniq"),
+          (col("n_docs") - col("n_uniq")).as("n_exact_dup_docs"),
+          col("n_near_pairs"), col("n_near_docs"), col("n_clusters"),
+          (col("n_near_docs") - col("n_clusters")).as("n_near_removable"))
+    },
+
+    // Quality-classifier scoring (fastText/DCLM filter shape): sigmoid of
+    // a plan-literal weight vector over engineered features — length
+    // (capped), stopword ratio, punct ratio, alpha-word fraction. The
+    // inference half of a trained filter; map-only, ordered summation so
+    // the oracle replays the IEEE result exactly.
+    "d54_classifier_score" -> { (s, dir) =>
+      val t = col("text")
+      val toksL = split(lower(t), " ")
+      val features = array(
+        least(size(toksL).cast("double") / lit(100.0), lit(1.0)),
+        size(filter(toksL, w => w.isin(TextAnalysis.EnStopwords: _*)))
+          .cast("double") / size(toksL).cast("double"),
+        (length(t) - length(regexp_replace(t, "[!-/:-@\\[-`{-~]", "")))
+          .cast("double") / length(t).cast("double"),
+        size(filter(toksL, w => w.rlike("[a-z]"))).cast("double")
+          / size(toksL).cast("double"))
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.linearScore(features, ClassifierWeights, -2.0)
+          .as("score"))
+        .withColumn("keep", (col("score") >= 0.5).cast("int"))
     })
+
+  /** d54's weight vector — one table for the engine call and the oracle. */
+  private val ClassifierWeights: Seq[Double] = Seq(1.2, 2.0, -3.0, 0.8)
 
   /** The 12-token "nav bar" line d52 plants on every 5th doc — exactly one
     * reflowed line wide, so it lands as a verbatim repeated line.
@@ -1652,7 +1704,62 @@ object PipelineQueries {
          SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
            CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
            md5(coalesce(a.ct, '')) AS clean_md5
-         FROM l LEFT JOIN agg a USING (doc_id)""")
+         FROM l LEFT JOIN agg a USING (doc_id)""",
+    // d53: the d04/d05/d12 fragments rolled into one report row.
+    "d53_dedup_audit" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+         cc AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         fp AS (SELECT count(*) AS n_docs,
+             count(DISTINCT md5(lower(text))) AS n_uniq FROM documents),
+         pc AS (SELECT count(*) AS n_near_pairs FROM thr),
+         cl AS (SELECT count(*) AS n_near_docs,
+             count(DISTINCT cluster) AS n_clusters FROM cc)
+         SELECT CAST(fp.n_docs AS BIGINT) AS n_docs,
+           CAST(fp.n_uniq AS BIGINT) AS n_uniq,
+           CAST(fp.n_docs - fp.n_uniq AS BIGINT) AS n_exact_dup_docs,
+           CAST(pc.n_near_pairs AS BIGINT) AS n_near_pairs,
+           CAST(cl.n_near_docs AS BIGINT) AS n_near_docs,
+           CAST(cl.n_clusters AS BIGINT) AS n_clusters,
+           CAST(cl.n_near_docs - cl.n_clusters AS BIGINT) AS n_near_removable
+         FROM fp, pc, cl""",
+    // d54: the same ordered fold (((bias + f1·w1) + f2·w2) + …) the
+    // engine's aggregate() runs, weights generated from one table.
+    "d54_classifier_score" ->
+      s"""WITH m AS (SELECT doc_id, $ClassifierScoreSql AS score
+           FROM documents)
+         SELECT doc_id, score,
+           CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INT) AS keep
+         FROM m""")
+
+  /** d54 oracle score GENERATED from [[ClassifierWeights]] with the same
+    * left-to-right summation order as the engine's aggregate fold.
+    */
+  private lazy val ClassifierScoreSql: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val stopIn = graft.functions.TextAnalysis.EnStopwords
+      .map(w => s"'$w'").mkString(",")
+    val fs = Seq(
+      s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)",
+      s"""CAST(len(list_filter($toks, t -> t IN ($stopIn))) AS DOUBLE)
+         | / CAST(len($toks) AS DOUBLE)""".stripMargin,
+      s"""CAST(len(text) - len(regexp_replace(text,
+         | '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+         | / CAST(len(text) AS DOUBLE)""".stripMargin,
+      s"""CAST(len(list_filter($toks,
+         | w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         | / CAST(len($toks) AS DOUBLE)""".stripMargin)
+    val dot = fs.zip(ClassifierWeights).foldLeft("(-2.0)") {
+      case (acc, (f, w)) => s"($acc + ($f) * CAST($w AS DOUBLE))"
+    }
+    s"round(1.0 / (1.0 + exp(-$dot)), 6)"
+  }
 
   /** d50 oracle CASE arms GENERATED from [[MatchMixTargets]]. */
   private lazy val MatchMixTargetsSql: String =

@@ -280,6 +280,11 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p2.contains("BroadcastExchange") || p2.contains("BroadcastHashJoin"))
     assert(!p2.contains("SortMergeJoin"))
+    // matchDistribution: rates come back as a broadcast, never a shuffle join
+    val p3 = Sampling.matchDistribution(df, "id", "dom", Map("a" -> 1.0))
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastExchange") || p3.contains("BroadcastHashJoin"))
+    assert(!p3.contains("SortMergeJoin"))
   }
 }
 
@@ -1847,6 +1852,19 @@ class GopherQualitySpec extends SparkSpec {
 
 class LineCleanSpec extends SparkSpec {
 
+  test("plan: gopher report and line cleaning are shuffle-free projections") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox and that dog")).toDF("doc_id", "text")
+    val p1 = df.select(TextAnalysis.gopherKeep(
+        TextAnalysis.gopherReport(col("text"))).as("k"))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"))
+    val p2 = df.select(TextAnalysis.cleanLines(
+        TextAnalysis.reflowLines(col("text"), 4), 2, Seq("the"), Seq("{")).as("kept"))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"))
+  }
+
   test("reflow splits into fixed token lines with a ragged tail") {
     import spark.implicits._
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
@@ -1939,5 +1957,23 @@ class BoilerplateSpec extends SparkSpec {
     assert(got(1L) === ((3L, 3L, s"$dup\n$dup\nunique line"))) // df=1: kept
     assert(got(2L) === ((1L, 0L, "")))                         // fully boilerplate
     assert(got(3L) === ((1L, 0L, "")))
+  }
+}
+
+class LinearScoreSpec extends SparkSpec {
+
+  test("sigmoid of the ordered weighted fold, hand-replayed") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5, 1.0)), (2L, Seq(0.0, 0.0))).toDF("id", "f")
+    val got = df.select(col("id"),
+        TextAnalysis.linearScore(col("f"), Seq(2.0, -1.0), 0.5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(got(1L) === math.rint(sig(0.5 + 0.5 * 2.0 + 1.0 * -1.0) * 1e6) / 1e6)
+    assert(got(2L) === math.rint(sig(0.5) * 1e6) / 1e6)
+    // plan: pure projection, no shuffle, no UDF
+    val p = df.select(TextAnalysis.linearScore(col("f"), Seq(1.0, 1.0), 0.0))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"))
   }
 }
