@@ -38,19 +38,40 @@ object TextAnalysis {
     * the ordered `chunks` membership (doc, start, n_tokens) and — when
     * the input carries `chunk_text` — the packed `seq_text` payload.
     */
+  /** `hashOrder = true` packs each bin group in md5(id:start) order
+    * instead of (doc, start) order — a DETERMINISTIC shuffle that spreads
+    * a document's chunks across sequences (batch decorrelation, the order
+    * sequence writers actually want) while staying fully replayable: the
+    * per-chunk sort key is the same engine-portable md5-prefix integer the
+    * sampling operators use, ties broken by (doc, start). Same single
+    * exchange either way.
+    */
   def packSequencesAcross(chunks: org.apache.spark.sql.DataFrame, idCol: String,
-                          seqTokens: Int, numGroups: Int): org.apache.spark.sql.DataFrame = {
+                          seqTokens: Int, numGroups: Int,
+                          hashOrder: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(seqTokens > 0, s"seqTokens=$seqTokens must be positive")
     require(numGroups > 0, s"numGroups=$numGroups must be positive")
     val hasText = chunks.columns.contains("chunk_text")
+    val ordCols: Seq[Column] =
+      if (hashOrder) Seq(col("__ord"), col(idCol), col("start"))
+      else Seq(col(idCol), col("start"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bin_group").orderBy(idCol, "start")
+      .partitionBy("bin_group").orderBy(ordCols: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val member =
-      if (hasText) struct(col(idCol), col("start"), col("n_tokens"), col("chunk_text"))
-      else struct(col(idCol), col("start"), col("n_tokens"))
-    val packed = chunks
+    // the member struct leads with the sort key so sort_array reproduces
+    // the window order exactly
+    val memberBase: Seq[Column] =
+      if (hashOrder) Seq(col("__ord"), col(idCol), col("start"), col("n_tokens"))
+      else Seq(col(idCol), col("start"), col("n_tokens"))
+    val member = struct(
+      (if (hasText) memberBase :+ col("chunk_text") else memberBase): _*)
+    val staged =
+      if (hashOrder) chunks.withColumn("__ord",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col("start").cast("string"))), 1, 8), 16, 10).cast("long"))
+      else chunks
+    val packed = staged
       .withColumn("bin_group", pmod(col(idCol), lit(numGroups)).cast("int"))
       .withColumn("__cum", sum("n_tokens").over(w))
       .withColumn("seq_idx",
@@ -67,7 +88,11 @@ object TextAnalysis {
           m => struct(m(idCol).as(idCol), m("start").as("start"),
             m("n_tokens").as("n_tokens"))))
         .drop("__m")
-    else packed.withColumnRenamed("__m", "chunks")
+    else packed
+      .withColumn("chunks", transform(col("__m"),
+        m => struct(m(idCol).as(idCol), m("start").as("start"),
+          m("n_tokens").as("n_tokens"))))
+      .drop("__m")
   }
 
   def tokens(text: Column): Column = split(text, " ")

@@ -758,6 +758,24 @@ object PipelineQueries {
           (col("n_near_docs") - col("n_clusters")).as("n_near_removable"))
     },
 
+    // Hash-ordered cross-doc packing — d41's composition with the
+    // deterministic shuffle a sequence writer wants: chunks pack in
+    // md5(id:start) order, spreading each doc's chunks across sequences
+    // (batch decorrelation) while the layout stays fully oracle-checkable.
+    "d55_pack_shuffled" -> { (s, dir) =>
+      TextAnalysis.packSequencesAcross(
+        TextAnalysis.chunk(docs(s, dir), "doc_id", "text",
+          maxTokens = 40, overlap = 8), "doc_id", seqTokens = 96,
+        numGroups = 8, hashOrder = true)
+        .select(col("bin_group"), col("seq_idx"),
+          col("n_chunks"), col("n_tokens"),
+          concat_ws(",", transform(col("chunks"), c =>
+            concat_ws(":", c("doc_id").cast("string"),
+              c("start").cast("string"),
+              c("n_tokens").cast("string")))).as("members"),
+          md5(col("seq_text")).as("seq_md5"))
+    },
+
     // Quality-classifier scoring (fastText/DCLM filter shape): sigmoid of
     // a plan-literal weight vector over engineered features — length
     // (capped), stopword ratio, punct ratio, alpha-word fraction. The
@@ -1112,6 +1130,26 @@ object PipelineQueries {
            string_agg(start || ':' || n_tokens, ',' ORDER BY start) AS members,
            md5(string_agg(chunk_text, ' ' ORDER BY start)) AS seq_md5
          FROM c GROUP BY doc_id, seq_idx""",
+    // d55: d41's CTEs with the md5(id:start) sort key driving the window,
+    // the membership order, and the payload order.
+    "d55_pack_shuffled" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 32),
+             st -> st = 1 OR st + 8 <= len(w))) AS start FROM w),
+         ch AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS bin_group,
+             CAST(start AS INT) AS start,
+             CAST(least(len(w) - start + 1, 40) AS INT) AS n_tokens,
+             array_to_string(w[start:start+39], ' ') AS chunk_text,
+             CAST(('0x' || substr(md5(doc_id || ':' || CAST(start AS INT)), 1, 8)) AS BIGINT) AS ord
+           FROM s),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bin_group
+               ORDER BY ord, doc_id, start ROWS UNBOUNDED PRECEDING) AS cum FROM ch)
+         SELECT bin_group, CAST((cum - n_tokens) // 96 AS INT) AS seq_idx,
+           count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(doc_id || ':' || start || ':' || n_tokens, ','
+             ORDER BY ord, doc_id, start) AS members,
+           md5(string_agg(chunk_text, ' ' ORDER BY ord, doc_id, start)) AS seq_md5
+         FROM c GROUP BY bin_group, seq_idx""",
     "d41_pack_across" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          s AS (SELECT doc_id, w, unnest(list_filter(range(1, len(w) + 1, 32),

@@ -1977,3 +1977,34 @@ class LinearScoreSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"))
   }
 }
+
+class PackShuffledSpec extends SparkSpec {
+
+  test("hashOrder: token mass conserves, membership reorders deterministically") {
+    import spark.implicits._
+    val docs = Seq.tabulate(12)(i => (i.toLong, Seq.fill(40 + i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunk(docs, "doc_id", "text", maxTokens = 7)
+    def run(hash: Boolean) = TextAnalysis.packSequencesAcross(
+      ch, "doc_id", seqTokens = 16, numGroups = 2, hashOrder = hash)
+    val plain = run(false); val hashed = run(true)
+    // conservation holds in both orders
+    val massP = plain.agg(sum("n_tokens")).head().getLong(0)
+    val massH = hashed.agg(sum("n_tokens")).head().getLong(0)
+    assert(massP === massH)
+    assert(hashed.agg(sum("n_chunks")).head().getLong(0) === ch.count())
+    // the orders genuinely differ...
+    def layout(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("bin_group"), col("seq_idx"),
+        transform(col("chunks"), c => c("doc_id")).as("ids"))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Long](2).toList)).toSet
+    assert(layout(plain) !== layout(hashed))
+    // ...but the hashed one is deterministic across reruns
+    assert(layout(run(true)) === layout(hashed))
+    // chunks schema stays (doc_id, start, n_tokens) — no leaked sort key
+    assert(hashed.select(col("chunks")(0)).schema.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("doc_id", "start", "n_tokens"))
+  }
+}
