@@ -156,13 +156,15 @@ object GraftSql {
                               docs: DataFrame, maxTokens: Int = 64,
                               overlap: Int = 0, seqTokens: Int = 256,
                               numGroups: Int = 32,
-                              bpeBudgets: Boolean = false): Unit = {
+                              bpeBudgets: Boolean = false,
+                              hashOrder: Boolean = false): Unit = {
     import graft.functions.TextAnalysis
     val counter: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
       if (bpeBudgets) Some(TextAnalysis.bpeTokenCount(_)) else None
     val chunks = TextAnalysis.chunk(docs, "doc_id", "text", maxTokens,
       overlap, tokenCounter = counter)
-    TextAnalysis.packSequencesAcross(chunks, "doc_id", seqTokens, numGroups)
+    TextAnalysis.packSequencesAcross(chunks, "doc_id", seqTokens, numGroups,
+        hashOrder)
       .createOrReplaceTempView(viewName)
   }
 

@@ -245,6 +245,21 @@ object DocStream {
   def redactStage(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
+  /** Gopher rule gate as a stateless streaming stage — the full published
+    * metric set ([[graft.functions.TextAnalysis.gopherReport]]) evaluated
+    * per arriving doc, no state, no watermark needed; compose before or
+    * after [[cleanStream]] (kept out of cleanStream itself so its
+    * batch-parity contract with the d38 oracle stays byte-stable).
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text",
+                   minWords: Long = 50, maxWords: Long = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                   minStopHits: Long = 2): DataFrame =
+    docs.where(TextAnalysis.gopherKeep(
+      TextAnalysis.gopherReport(col(textCol)), minWords, maxWords,
+      minMeanLen, maxMeanLen, maxSymbolRatio, minAlphaFrac, minStopHits))
+
   /** The full incremental cleaning stage: watermarked exact dedup →
     * quality gate → repetition gate → language routing → PII redaction,
     * one streaming DAG. Near-dup clustering is deliberately absent —

@@ -148,6 +148,24 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherFilter is a stateless streaming gate matching the batch rule") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val prose = Seq.fill(6)(
+      "the quick brown fox jumps and that dog have fun with it").mkString(" ")
+    val q = graft.streaming.DocStream.gopherFilter(in.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("doc_gopher")
+      .outputMode("append").start()
+    try {
+      in.addData(prose, "too short", prose + " ###########################")
+      q.processAllAvailable()
+      val rows = spark.table("doc_gopher").collect()
+      assert(rows.length === 1)            // only the clean prose survives
+      assert(rows.head.getString(0) === prose)
+    } finally q.stop()
+  }
+
   test("nearDupTag: stream docs tagged against the static corpus, append mode") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
