@@ -142,15 +142,56 @@ object TextAnalysis {
     */
   def bpeTokenCount(text: Column,
                     merges: Seq[(String, String)] = BpeMerges): Column = {
+    val merged = bpeMerged(text, merges)
+    (length(merged) - length(replace(merged, lit("\u0001"), lit("")))).cast("long")
+  }
+
+  /** The shared sentinel-wrap + rank-ordered merge fold behind
+    * [[bpeTokenCount]]/[[bpeTokens]]/[[bpeTokenIds]]: every non-space char
+    * wrapped in sentinel chars, then one global `replace` per merge rank.
+    */
+  private def bpeMerged(text: Column, merges: Seq[(String, String)]): Column = {
     val S = "\u0001"
     val E = "\u0002"
     val seeded = regexp_replace(
       regexp_replace(lower(text), s"[$S$E]", ""),
       "([^ ])", S + "$1" + E)
-    val merged = merges.foldLeft(seeded) { case (c, (a, b)) =>
+    merges.foldLeft(seeded) { case (c, (a, b)) =>
       replace(c, lit(S + a + E + S + b + E), lit(S + a + b + E))
     }
-    (length(merged) - length(replace(merged, lit(S), lit("")))).cast("long")
+  }
+
+  /** The actual BPE token strings, in document order — [[bpeTokenCount]]'s
+    * fold with the sentinel-delimited tokens extracted instead of counted.
+    * Spaces carry no sentinels, so word boundaries fall out of the
+    * extraction for free (a space contributes no token). Null text => null.
+    */
+  def bpeTokens(text: Column,
+                merges: Seq[(String, String)] = BpeMerges): Column =
+    regexp_extract_all(bpeMerged(text, merges),
+      lit("\u0001([^\u0002]+)\u0002"), lit(1))
+
+  /** Token-id assignment for [[bpeTokens]]: a single-char token id is its
+    * code point (the base-vocabulary tier), and a multi-char token — by
+    * construction the output of some merge — gets 0x110000 + the rank of
+    * the FIRST merge producing that string (first-wins, one id per surface
+    * form, the way a trained vocab file assigns ids; the base sits above
+    * every Unicode code point, so the two tiers cannot collide — byte-level
+    * BPE gets the same injectivity by working on bytes < 256). Ships as a
+    * plan-literal map + `transform`: no UDF, no shuffle — the full
+    * tokenization is a map-only projection, so a sequence writer can emit
+    * real token ids at scan speed.
+    */
+  def bpeTokenIds(text: Column,
+                  merges: Seq[(String, String)] = BpeMerges): Column = {
+    val idByOut = scala.collection.mutable.LinkedHashMap[String, Int]()
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      if (!idByOut.contains(a + b)) idByOut(a + b) = 0x110000 + r
+    }
+    val idMap = map(idByOut.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    transform(bpeTokens(text, merges),
+      t => when(length(t) === 1, ascii(t)).otherwise(element_at(idMap, t)))
   }
 
   /** Fraction of whitespace tokens that are core English stopwords. */

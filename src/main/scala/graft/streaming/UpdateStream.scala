@@ -44,19 +44,33 @@ object UpdateStream {
   /** Per-window update rates with a watermark — the canonical streaming
     * windowed aggregation. `tsCol` must be a TimestampType event-time
     * column (epoch-ms longs go through `timestamp_millis` first).
+    *
+    * Append-mode emission contract (pinned by `StreamingSpec`): a window
+    * `[start, end)` is emitted exactly when the event-time watermark
+    * (max observed event time, floored to the millisecond, minus the
+    * delay) reaches or passes `end` — i.e. `end <= watermark`. Windows
+    * still inside the lateness horizon stay in the state store; a finite
+    * replay therefore reports every window except the trailing
+    * `delay + window` tail, which is exactly what the q42 driver oracle
+    * replays batch-side.
+    *
+    * `keyCol` defaults to the message id (rate per message type); any
+    * low-cardinality key column works — state is one count per
+    * (window, key), dropped at window close.
     */
   def updateRates(updates: DataFrame, tsCol: String,
                   watermark: String = "10 minutes",
-                  window: String = "1 minute"): DataFrame =
+                  window: String = "1 minute",
+                  keyCol: String = "uevol_message_id"): DataFrame =
     updates
       .withWatermark(tsCol, watermark)
       .groupBy(
         org.apache.spark.sql.functions.window(col(tsCol), window).as("win"),
-        col("uevol_message_id"))
+        col(keyCol))
       .agg(count(lit(1)).as("n_updates"))
       .select(col("win.start").as("window_start"),
         col("win.end").as("window_end"),
-        col("uevol_message_id"), col("n_updates"))
+        col(keyCol), col("n_updates"))
 
   /** One state row per field key. */
   case class FieldState(

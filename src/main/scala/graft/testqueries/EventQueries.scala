@@ -454,6 +454,29 @@ object EventQueries {
         "q41_latest_state", mode = "update")
     },
 
+    // UpdateStream.updateRates oracle-gated — the canonical watermark +
+    // tumbling-window streaming aggregation, APPEND mode with a REAL
+    // lateness horizon (not q40's everything-counts watermark): a window
+    // emits exactly when the event-time watermark (max event time floored
+    // to the ms, minus 10 minutes) reaches its end (end <= watermark —
+    // boundary pinned by StreamingSpec), so the trailing 10-minutes-plus-
+    // one-window tail of per-field rate windows stays in state and every
+    // earlier window is reported once. The oracle replays the same rule
+    // batch-side: minute buckets, closed windows only.
+    "q42_update_rates_stream" -> { (s, dir) =>
+      val schema = ev(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .join(broadcast(fieldMapDF(s)), "event_type")
+        .select(col("fid").as("uevol_field_id"), col("ets"))
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.UpdateStream.updateRates(
+          stream, "ets", watermark = "10 minutes", window = "1 minute",
+          keyCol = "uevol_field_id"),
+        "q42_update_rates")
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -863,6 +886,26 @@ object EventQueries {
            CAST(max(instance_message_id) AS BIGINT) AS instance_message_id,
            arg_max(value, instance_message_id) AS value
          FROM u GROUP BY uevol_field_id, src_id, dst_id"""
+    },
+    // Streaming windowed rates: minute buckets per field id, CLOSED windows
+    // only — a window [start, end) is emitted iff end <= watermark, where
+    // the final watermark is the max event time floored to the millisecond
+    // minus the 10-minute delay (Spark floors the event-time stats to ms;
+    // window bounds are exact minutes in microseconds).
+    "q42_update_rates_stream" -> {
+      val fieldVals = EventTypes.zipWithIndex
+        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+      s"""WITH f(fid, et) AS (VALUES $fieldVals),
+         e AS (SELECT epoch_ns(ts) // 1000 AS tus, f.fid
+           FROM events JOIN f ON events.event_type = f.et),
+         mx AS (SELECT (max(tus) // 1000) - 600000 AS wm_ms FROM e),
+         w AS (SELECT tus // 60000000 AS wmin, fid FROM e)
+         SELECT make_timestamp(wmin * 60000000) AS window_start,
+           make_timestamp((wmin + 1) * 60000000) AS window_end,
+           fid AS uevol_field_id, count(*) AS n_updates
+         FROM w, mx
+         WHERE (wmin + 1) * 60000 <= wm_ms
+         GROUP BY wmin, fid"""
     },
     "q35_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events

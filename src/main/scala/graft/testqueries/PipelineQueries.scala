@@ -277,6 +277,21 @@ object PipelineQueries {
         VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", minCos = 0.4)
     },
 
+    // Cluster-balanced resampling — the DCLM-style topic-balance pass:
+    // quantizer cells act as pseudo-domains (embedding-space "topics"),
+    // then d50's distribution-matched downsampling rebalances to uniform
+    // cell shares. Composes the IVF assign (map-only argmax against the
+    // broadcast quantizer) with the census + md5-keep machinery — one
+    // tiny per-cell census shuffle on top of the assign's partial agg.
+    "d57_cluster_mix" -> { (s, dir) =>
+      val asn = VectorIVF.assign(embs(s, dir), "vec_id", "embedding",
+          VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec")
+        .select(col("vec_id"), col("cell").cast("string").as("cell"))
+      Sampling.matchDistribution(asn, "vec_id", "cell",
+          targets = (0 until 8).map(c => c.toString -> 0.125).toMap)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"), col("rate"))
+    },
+
     // Within-document n-gram repetition ratio — the Gopher-style
     // "repetitious text" cleaning signal; map-only, no shuffle.
     "d17_repetition" -> { (s, dir) =>
@@ -556,6 +571,18 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+    },
+
+    // The tokenization itself (d40 only counts): real token-id sequences
+    // from the merges-table fold, the column a sequence writer feeds a
+    // trainer. n_bpe comes from the COUNT path and the id list from the
+    // EXTRACTION path, so the row also pins that the two derivations of
+    // the same fold agree. Map-only — no shuffle, no UDF.
+    "d56_bpe_tokens" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
+        array_join(transform(TextAnalysis.bpeTokenIds(col("text")),
+          x => x.cast("string")), ",").as("ids_str"))
     },
 
     // The streaming decontamination tag (DocStream.contaminationTag),
@@ -1390,6 +1417,26 @@ object PipelineQueries {
            JOIN embeddings q ON q.vec_id = c.query_id
            JOIN embeddings n ON n.vec_id = c.neighbor_id)
          WHERE rank <= 5""",
+    // d57: the d15 assignment CTE feeding the d50 census/rate/md5-keep
+    // replay, with uniform 1/8 targets over the 8 quantizer cells.
+    "d57_cluster_mix" ->
+      """WITH cents AS (SELECT c, d,
+           (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(c) CROSS JOIN range(64) t2(d)),
+         cv AS (SELECT c, list(v ORDER BY d) AS cvec FROM cents GROUP BY c),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv) WHERE rn = 1),
+         census AS (SELECT cell, CAST(count(*) AS DOUBLE) AS cnt
+           FROM asn GROUP BY cell),
+         nout AS (SELECT min(cnt / 0.125) AS n FROM census),
+         rates AS (SELECT cell, 0.125 * n / cnt AS rate
+           FROM census CROSS JOIN nout)
+         SELECT a.vec_id, CAST(a.cell AS INT) AS cell, round(r.rate, 6) AS rate
+         FROM asn a JOIN rates r USING (cell)
+         WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           < round(r.rate * 4294967296.0)""",
     "d34_semdedup" ->
       """WITH cents AS (SELECT c, d,
            (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
@@ -1440,6 +1487,10 @@ object PipelineQueries {
     // d40: the BPE merge fold replayed rank by rank — chr(1)/chr(2)
     // sentinels, one replace per merge, count = sentinels remaining.
     "d40_bpe_count" -> BpeCountSql,
+    // d56: the same fold with the tokens EXTRACTED and mapped to ids —
+    // code point for single chars, 0x110000 + first-producing merge rank
+    // for merge outputs; both generated from the same Scala merges table.
+    "d56_bpe_tokens" -> BpeTokensSql,
     // d42: the bench-side grams that also occur train-side, one row per
     // (bench doc, shared gram) — the d35 CTEs minus the rollup.
     "d42_contamination_stream" ->
@@ -1830,6 +1881,37 @@ object PipelineQueries {
          CAST(length(m) - length(replace(m, chr(1), '')) AS BIGINT) AS n_bpe,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
        FROM (SELECT doc_id, text, $merged AS m FROM documents)"""
+  }
+
+  /** d56 oracle — [[BpeCountSql]]'s fold with the sentinel-delimited tokens
+    * extracted and mapped to ids exactly as
+    * [[TextAnalysis.bpeTokenIds]] maps them: code point for single chars
+    * (DuckDB `ascii` = Spark `ascii` = first code point), 0x110000 + rank
+    * of the first merge producing the string otherwise. The CASE chain is
+    * generated from the SAME first-wins LinkedHashMap walk, so the id
+    * assignment cannot drift between the two sides.
+    */
+  private lazy val BpeTokensSql: String = {
+    def tok(t: String) = s"chr(1)||'$t'||chr(2)"
+    val seeded =
+      """regexp_replace(lower(text), '([^ ])', chr(1) || '\1' || chr(2), 'g')"""
+    val merged = TextAnalysis.BpeMerges.foldLeft(seeded) { case (e, (a, b)) =>
+      s"replace($e, ${tok(a)}||${tok(b)}, ${tok(a + b)})"
+    }
+    val idByOut = scala.collection.mutable.LinkedHashMap[String, Int]()
+    TextAnalysis.BpeMerges.zipWithIndex.foreach { case ((a, b), r) =>
+      if (!idByOut.contains(a + b)) idByOut(a + b) = 0x110000 + r
+    }
+    val whens = idByOut.map { case (o, id) => s"WHEN '$o' THEN $id" }
+      .mkString(" ")
+    s"""WITH m AS (SELECT doc_id, $merged AS m FROM documents),
+       t AS (SELECT doc_id, regexp_extract_all(m,
+           chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1) AS toks FROM m)
+       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe,
+         array_to_string(list_transform(toks,
+           x -> CAST(CASE WHEN length(x) = 1 THEN ascii(x)
+                     ELSE CASE x $whens END END AS VARCHAR)), ',') AS ids_str
+       FROM t"""
   }
 
   /** The redaction regexp chain over an arbitrary SQL expression, generated

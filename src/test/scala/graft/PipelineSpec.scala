@@ -1732,6 +1732,51 @@ class BpeTokenCountSpec extends SparkSpec {
   }
 }
 
+class BpeTokensSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions.col
+
+  private def run(s: String): (Seq[String], Seq[Int]) = {
+    import spark.implicits._
+    val r = Seq((1L, s)).toDF("id", "text")
+      .select(TextAnalysis.bpeTokens(col("text")).as("t"),
+        TextAnalysis.bpeTokenIds(col("text")).as("i"))
+      .head()
+    (r.getSeq[String](0), r.getSeq[Int](1))
+  }
+
+  test("hand-replayed tokenization: surface forms in document order") {
+    assert(run("the thin zzz")._1 === Seq("the", "th", "in", "z", "z", "z"))
+    // extraction agrees with the count path on every doc shape
+    assert(run("in the end")._1 === Seq("in", "the", "en", "d"))
+  }
+
+  test("id scheme: code point for chars, 0x110000 + first rank for merges") {
+    val (toks, ids) = run("the and z")
+    assert(toks === Seq("the", "and", "z"))
+    // "the" = rank 1 (t,h=0; th,e=1), "and" = rank 14, 'z' = 122
+    assert(ids === Seq(0x110000 + 1, 0x110000 + 14, 'z'.toInt))
+  }
+
+  test("ids are injective across tiers and decode 1:1 from the vocab") {
+    // every multi-char output id sits above all code points
+    val (_, ids) = run("the thin sing and or en ar")
+    val (merged, chars) = ids.partition(_ >= 0x110000)
+    assert(merged.forall(_ < 0x110000 + TextAnalysis.BpeMerges.size))
+    assert(chars.forall(i => i >= 0 && i <= Character.MAX_CODE_POINT))
+  }
+
+  test("tokenization is a map-only projection (no shuffle, no UDF)") {
+    import spark.implicits._
+    val df = Seq((1L, "the end")).toDF("id", "text")
+      .select(TextAnalysis.bpeTokenIds(col("text")).as("i"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+    assert(!plan.contains("ScalaUDF"))
+  }
+}
+
 class BpeBudgetSpec extends SparkSpec {
 
   test("chunk with the BPE counter makes packSequences budgets tokenizer-true") {

@@ -66,6 +66,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode window emission boundary: end <= watermark emits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Int)]
+    val df = in.toDF().toDF("ts", "uevol_field_id")
+    val q = UpdateStream.updateRates(df, "ts", "10 minutes", "1 minute",
+        keyCol = "uevol_field_id")
+      .writeStream.format("memory").queryName("rates_boundary")
+      .outputMode("append").start()
+    try {
+      val base = 1700000040000L // minute-aligned
+      in.addData((new Timestamp(base), 1), (new Timestamp(base + 60000L), 1))
+      q.processAllAvailable()
+      // max event time base+660000 => watermark base+660000-600000 =
+      // base+60000 == END of window 0 exactly (the boundary case the q42
+      // oracle must replay): end <= watermark, so window 0 emits; window 1
+      // [base+60s, base+120s) has end > watermark and stays in state.
+      in.addData((new Timestamp(base + 660000L), 1))
+      q.processAllAvailable()
+      val got = spark.table("rates_boundary")
+        .select(col("window_start").cast("long"))
+        .collect().map(_.getLong(0) - base / 1000).toSet
+      assert(got === Set(0L))
+    } finally q.stop()
+  }
+
   test("latestStateTyped emits only on value change, absorbing late updates") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
