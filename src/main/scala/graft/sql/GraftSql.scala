@@ -178,6 +178,41 @@ object GraftSql {
     graft.functions.Sampling.matchDistribution(docs, idCol, domainCol, targets)
       .createOrReplaceTempView(viewName)
 
+  /** Cluster-balanced resample (the d57 shape) as a named temp view:
+    * embedding rows rebalanced to uniform (or caller-set) quantizer-cell
+    * shares — IVF cell assignment as pseudo-domains feeding
+    * [[graft.functions.Sampling.matchDistribution]].
+    */
+  def registerClusterMix(spark: SparkSession, viewName: String,
+                         embeddings: DataFrame, idCol: String, vecCol: String,
+                         k: Int, dim: Int,
+                         targets: Option[Map[String, Double]] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.{Sampling, VectorIVF}
+    val asn = VectorIVF.assign(embeddings, idCol, vecCol,
+        VectorIVF.mdCentroids(spark, k, dim), "cell_id", "cvec")
+      .withColumn("cell", col("cell").cast("string"))
+    val tgt = targets.getOrElse(
+      (0 until k).map(c => c.toString -> 1.0 / k).toMap)
+    Sampling.matchDistribution(asn, idCol, "cell", tgt)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** The d56 tokenization as a named temp view: `doc_id`, the BPE token-id
+    * array, and its count — the sequence-writer column reachable from SQL.
+    * Lazy map-only projection; filters push through to the base scan.
+    */
+  def registerBpeTokens(spark: SparkSession, viewName: String,
+                        docs: DataFrame, idCol: String,
+                        textCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextAnalysis
+    docs.select(col(idCol),
+        TextAnalysis.bpeTokenIds(col(textCol)).as("token_ids"),
+        TextAnalysis.bpeTokenCount(col(textCol)).as("n_bpe"))
+      .createOrReplaceTempView(viewName)
+  }
+
   /** Quality-aware near-dup canonicals (the d49 shape) as a named temp
     * view: `SELECT * FROM <view> WHERE keep` is the deduped corpus keeping
     * each cluster's best-quality member. NOT lazy like the other views —

@@ -1173,6 +1173,29 @@ class GraftSqlSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("registerClusterMix and registerBpeTokens serve the d57/d56 shapes") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    graft.sql.GraftSql.registerClusterMix(spark, "cluster_mix",
+      spark.table("embeddings"), "vec_id", "embedding", k = 8, dim = 64)
+    val cm = spark.sql(
+      """SELECT count(DISTINCT cell) AS cells, count(*) AS n, min(rate) AS r
+         FROM cluster_mix""").head()
+    assert(cm.getLong(0) >= 1L && cm.getLong(1) >= cm.getLong(0))
+    assert(cm.getDouble(2) > 0.0)
+    graft.sql.GraftSql.registerBpeTokens(spark, "bpe_tokens",
+      spark.table("documents"), "doc_id", "text")
+    val bt = spark.sql(
+      """SELECT count(*) AS n,
+           count(CASE WHEN size(token_ids) = n_bpe THEN 1 END) AS agree
+         FROM bpe_tokens""").head()
+    // the extraction path and the count path agree on every doc
+    assert(bt.getLong(0) > 0 && bt.getLong(1) === bt.getLong(0))
+    // lazy projection: id filters still prune the scan
+    val plan = spark.sql("SELECT n_bpe FROM bpe_tokens WHERE doc_id = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"))
+  }
+
   test("registerSessions serves the q39 rollup to plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     graft.sql.GraftSql.registerSessions(spark, "sessions",
