@@ -171,6 +171,59 @@ object TextAnalysis {
     regexp_extract_all(bpeMerged(text, merges),
       lit("\u0001([^\u0002]+)\u0002"), lit(1))
 
+  /** Adjacent-token-pair census — THE statistic BPE training consumes:
+    * counts of each adjacent (left, right) token pair across the corpus
+    * after applying `merges` (an empty list censuses raw characters, the
+    * k-th trainer round passes the k merges learned so far). Words never
+    * pair across the space boundary, matching the merge fold.
+    *
+    * Scale shape: the per-doc pair list is codegen'd HOF work on the
+    * sentinel string (split -> per-word extraction -> zip_with of the two
+    * shifted slices, guard-free via length-0 slices), then ONE partial-agg
+    * exchange keyed by the pair — counts combine map-side, so the shuffle
+    * carries at most |vocab|^2 rows per partition, not corpus volume.
+    */
+  def bpePairCensus(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    merges: Seq[(String, String)] = Nil): org.apache.spark.sql.DataFrame = {
+    val toksPerWord = transform(split(bpeMerged(col(textCol), merges), " "),
+      w => regexp_extract_all(w, lit("\u0001([^\u0002]+)\u0002"), lit(1)))
+    val pairs = flatten(transform(toksPerWord, t => {
+      val n = greatest(size(t) - 1, lit(0))
+      zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+        (x, y) => struct(x.as("l"), y.as("r")))
+    }))
+    df.select(explode(pairs).as("p"))
+      .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Distributed BPE trainer: `nMerges` rounds of [[bpePairCensus]] +
+    * pick-the-winner, exactly the Sennrich et al. 2016 loop with the pair
+    * counting distributed. Ties break deterministically (count desc, then
+    * (left, right) lexicographic asc), so any engine replays the same
+    * table. Per round the driver receives ONE (left, right, n) row — the
+    * [[VectorIVF.train]] O(1)-scalars discipline, not a data collect; cost
+    * is nMerges census jobs (each one partial-agg exchange). Training on a
+    * [[Sampling.hashSample]] of a 100 TB corpus is the intended use, as
+    * with any tokenizer trainer. Returns `base ++ learned`, ready for
+    * [[bpeTokenCount]]/[[bpeTokens]]/[[bpeTokenIds]].
+    */
+  def trainBpeMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     nMerges: Int,
+                     base: Seq[(String, String)] = Nil): Seq[(String, String)] = {
+    var merges = base.toVector
+    var rounds = 0
+    while (rounds < nMerges) {
+      val top = bpePairCensus(df, textCol, merges)
+        .orderBy(col("n").desc, col("left_tok"), col("right_tok"))
+        .limit(1).collect()
+      if (top.isEmpty) return merges  // corpus exhausted (all single tokens)
+      merges = merges :+ ((top(0).getString(0), top(0).getString(1)))
+      rounds += 1
+    }
+    merges
+  }
+
   /** Token-id assignment for [[bpeTokens]]: a single-char token id is its
     * code point (the base-vocabulary tier), and a multi-char token — by
     * construction the output of some merge — gets 0x110000 + the rank of

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.functions.{JaccardJoin, MinHashLSH, Multimodal, Sampling, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
+import graft.functions.{CorpusDiff, JaccardJoin, MinHashLSH, Multimodal, Sampling, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the `documents` / `embeddings` tables, each with a DuckDB
@@ -571,6 +571,29 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+    },
+
+    // Dump-over-dump churn: the %7 split plays the OLD crawl, the %5
+    // split (with every 11th doc edited in place) plays the NEW one —
+    // all four statuses occur organically. Two map-side fingerprint
+    // reductions + one id-keyed full-outer join; text never shuffles.
+    "d59_corpus_diff" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val old = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val cur = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      CorpusDiff.diff(old, cur, "doc_id", "text")
+    },
+
+    // The BPE TRAINING statistic: adjacent-token-pair counts over the
+    // corpus after the standard merges table — the census each trainer
+    // round consumes (d58 pins the census; the trainer loop that picks
+    // argmaxes from it is spec-replayed in BpePairCensusSpec). One
+    // partial-agg exchange keyed by the pair.
+    "d58_bpe_pair_census" -> { (s, dir) =>
+      TextAnalysis.bpePairCensus(docs(s, dir), "text", TextAnalysis.BpeMerges)
     },
 
     // The tokenization itself (d40 only counts): real token-id sequences
@@ -1491,6 +1514,23 @@ object PipelineQueries {
     // code point for single chars, 0x110000 + first-producing merge rank
     // for merge outputs; both generated from the same Scala merges table.
     "d56_bpe_tokens" -> BpeTokensSql,
+    // d58: adjacent-pair census after the same fold — per-word token
+    // lists, lateral index pairing, group by the pair.
+    "d58_bpe_pair_census" -> BpePairCensusSql,
+    // d59: the churn statuses replayed with a full outer join on the same
+    // md5-of-lowercase fingerprint.
+    "d59_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(lower(text)) AS fp FROM documents
+           WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id, md5(lower(
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END)) AS fp
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
     // d42: the bench-side grams that also occur train-side, one row per
     // (bench doc, shared gram) — the d35 CTEs minus the rollup.
     "d42_contamination_stream" ->
@@ -1912,6 +1952,28 @@ object PipelineQueries {
            x -> CAST(CASE WHEN length(x) = 1 THEN ascii(x)
                      ELSE CASE x $whens END END AS VARCHAR)), ',') AS ids_str
        FROM t"""
+  }
+
+  /** d58 oracle — the merge fold, then per-word sentinel-token extraction
+    * and a lateral-index adjacent pairing (words never pair across the
+    * space), grouped by the pair. Same generated `merged` expression as
+    * [[BpeCountSql]]/[[BpeTokensSql]].
+    */
+  private lazy val BpePairCensusSql: String = {
+    def tok(t: String) = s"chr(1)||'$t'||chr(2)"
+    val seeded =
+      """regexp_replace(lower(text), '([^ ])', chr(1) || '\1' || chr(2), 'g')"""
+    val merged = TextAnalysis.BpeMerges.foldLeft(seeded) { case (e, (a, b)) =>
+      s"replace($e, ${tok(a)}||${tok(b)}, ${tok(a + b)})"
+    }
+    s"""WITH m AS (SELECT $merged AS m FROM documents),
+       w AS (SELECT unnest(string_split(m, ' ')) AS wd FROM m),
+       t AS (SELECT regexp_extract_all(wd,
+           chr(1) || '([^' || chr(2) || ']+)' || chr(2), 1) AS tk FROM w),
+       p AS (SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr
+         FROM t WHERE len(tk) >= 2)
+       SELECT pr[1] AS left_tok, pr[2] AS right_tok, count(*) AS n
+       FROM p GROUP BY 1, 2"""
   }
 
   /** The redaction regexp chain over an arbitrary SQL expression, generated

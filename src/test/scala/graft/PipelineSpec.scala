@@ -1755,6 +1755,106 @@ class BpeTokenCountSpec extends SparkSpec {
   }
 }
 
+class CorpusDiffSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions.col
+
+  test("all four statuses, by id + fingerprint") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "goes away"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.CorpusDiff.diff(old, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val sum = graft.functions.CorpusDiff.summary(old, cur, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("fingerprint is case-insensitive md5 by default; custom fp plugs in") {
+    import spark.implicits._
+    val old = Seq((1L, "Same Text")).toDF("doc_id", "text")
+    val cur = Seq((1L, "same text")).toDF("doc_id", "text")
+    assert(graft.functions.CorpusDiff.diff(old, cur, "doc_id", "text")
+      .head().getString(1) === "unchanged")
+    // byte-exact fingerprint sees the case change
+    assert(graft.functions.CorpusDiff.diff(old, cur, "doc_id", "text",
+        fp = org.apache.spark.sql.functions.md5(_))
+      .head().getString(1) === "changed")
+  }
+
+  test("text never reaches the join: both inputs reduce to (id, fp)") {
+    import spark.implicits._
+    val old = Seq((1L, "a")).toDF("doc_id", "text")
+    val cur = Seq((1L, "a")).toDF("doc_id", "text")
+    val plan = graft.functions.CorpusDiff.diff(old, cur, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // the join node's children project only id + fingerprint
+    assert(!plan.contains("text#") ||
+      plan.indexOf("Join") < plan.indexOf("text#"))
+  }
+}
+
+class BpePairCensusSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions.col
+
+  private def census(corpus: Seq[String],
+                     merges: Seq[(String, String)]): Map[(String, String), Long] = {
+    import spark.implicits._
+    TextAnalysis.bpePairCensus(
+        corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "text", merges)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
+  test("raw-char census counts adjacent pairs within words only") {
+    assert(census(Seq("the the"), Nil) ===
+      Map(("t", "h") -> 2L, ("h", "e") -> 2L))
+    // one-char and empty words (double space) contribute nothing and don't crash
+    assert(census(Seq("a  b c"), Nil) === Map.empty)
+  }
+
+  test("census after k merges counts merged-token pairs") {
+    assert(census(Seq("the the"), Seq("t" -> "h")) ===
+      Map(("th", "e") -> 2L))
+  }
+
+  test("trainer replays the Sennrich loop with deterministic ties") {
+    import spark.implicits._
+    val df = Seq((1L, "aaab aaab aaab")).toDF("doc_id", "text")
+    // round 1: (a,a)=6 beats (a,b)=3 -> learn (a,a)
+    // round 2: tokens aa|a|b -> (aa,a)=3 ties (a,b)=3; "a" < "aa" -> (a,b)
+    val learned = TextAnalysis.trainBpeMerges(df, "text", 2)
+    assert(learned === Seq("a" -> "a", "a" -> "b"))
+    // trained merges can only shrink the token count
+    val before = df.select(TextAnalysis.bpeTokenCount(col("text"), Nil).as("n"))
+      .head().getLong(0)
+    val after = df.select(TextAnalysis.bpeTokenCount(col("text"), learned).as("n"))
+      .head().getLong(0)
+    assert(after < before)
+  }
+
+  test("trainer stops early when no pair remains") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.trainBpeMerges(df, "text", 3) === Seq.empty)
+  }
+
+  test("census is one partial-agg exchange, no UDFs") {
+    import spark.implicits._
+    val df = Seq((1L, "the end")).toDF("doc_id", "text")
+    val plan = TextAnalysis.bpePairCensus(df, "text", TextAnalysis.BpeMerges)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1)
+    assert(!plan.contains("ScalaUDF"))
+  }
+}
+
 class BpeTokensSpec extends SparkSpec {
 
   import org.apache.spark.sql.functions.col
