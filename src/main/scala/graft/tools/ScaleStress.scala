@@ -179,7 +179,16 @@ object ScaleStress {
           val n = TextAnalysis.ngramContamination(
             d.where(col("doc_id") % 100 === 0), d.where(col("doc_id") % 100 =!= 0),
             "doc_id", "text", 13).count()
-          graft.CacheRegistry.releaseAll(); n })
+          graft.CacheRegistry.releaseAll(); n },
+        "bpe_tokens" -> t(s"$tag bpe_tokens") {
+          d.select(TextAnalysis.bpeTokenIds(col("text")).as("i"))
+            .where(size(col("i")) > 0).count() },
+        "bpe_pair_census" -> t(s"$tag bpe_pair_census") {
+          TextAnalysis.bpePairCensus(d, "text", TextAnalysis.BpeMerges).count() },
+        "corpus_diff" -> t(s"$tag corpus_diff") {
+          graft.functions.CorpusDiff.diff(
+            d.where(col("doc_id") % 7 =!= 0),
+            d.where(col("doc_id") % 5 =!= 0), "doc_id", "text").count() })
       spark.sharedState.cacheManager.clearCache()
       r
     }
