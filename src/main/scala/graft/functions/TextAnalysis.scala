@@ -553,6 +553,169 @@ object TextAnalysis {
         round(sum(term).cast("double") / 1e6 / sum("tf"), 6).as("logprob"))
   }
 
+  /** Stupid-backoff trigram fluency — the CONDITIONAL language-model
+    * signal [[unigramLogProb]] (marginal) and [[ngramLogProb]] (joint)
+    * cannot express: each trigram occurrence scores
+    * `S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)` when the trigram is attested in
+    * the training split, backing off to `α·c(w2 w3)/c(w2)`, then to
+    * `α²·(c(w3)+1)/(N+V)` (add-one floor so unattested words stay
+    * log-finite; Brants et al., EMNLP 2007 "Large Language Models in
+    * Machine Translation" — the distributed-census LM built exactly this
+    * way on MapReduce). Scoring a HELD-OUT `score` frame against a
+    * disjoint `train` frame is what makes the backoff path organic.
+    *
+    * Scale shape: train side is ONE corpus pass — the three gram orders
+    * ride one `explode` of a tagged concat of the native
+    * [[graft.plans.ShingleHashes]] arrays into one (order, hash) census
+    * (persisted: C1/C2/C3 and the totals are four readers of it). Score
+    * side is map-only per-position keys (the order-2/order-1 context
+    * hashes are `element_at` probes into the SAME kernel arrays — nothing
+    * is re-hashed), reduced to a per-doc trigram census, then the
+    * corpus-DISTINCT trigram table — not the corpus — takes the five
+    * vocabulary joins, and one join-back prices each doc. Determinism is
+    * d30's discipline: per-occurrence terms on the 1e-6 integer grid,
+    * summed as longs. Returns (idCol, n_grams, logprob) for score-side
+    * docs with ≥3 words.
+    */
+  def backoffLogProb(train: org.apache.spark.sql.DataFrame,
+                     score: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0,1]")
+    val spark = train.sparkSession
+    def sh(n: Int) = graft.plans.TextExpressions.shinglesColumn(
+      spark, col("__w"), n)
+    val tagged = train
+      .select(split(lower(col(textCol)), " ").as("__w"))
+      .select(explode_outer(concat(Seq(1, 2, 3).map(o =>
+        transform(sh(o), h => struct(lit(o).as("o"), h.as("h")))): _*)).as("g"))
+      .select(col("g.o").as("o"), col("g.h").as("h"))
+    val census = graft.CacheRegistry.track(
+      tagged.groupBy("o", "h").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def order(o: Int, hName: String, cName: String) = census.where(col("o") === o)
+      .select(col("h").as(hName), col("c").as(cName))
+    val totals = census.where(col("o") === 1)
+      .agg(sum("c").cast("long").as("n"), count(lit(1)).as("v"))
+    // per-position keys: pos is 0-based over the h3 array; the bigram at
+    // word-position p is h2[p] (1-based element_at p+1), so context = p,
+    // backoff bigram = p+1; unigrams w2 = p+1, w3 = p+2.
+    val pos = score
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
+      .where(size(col("__w")) >= 3)
+      .select(col(idCol), sh(1).as("__h1"), sh(2).as("__h2"),
+        // outer: no inferred-filter generator duplication, see
+        // MinHashLSH.shingles (size>=3 already guarantees non-empty)
+        posexplode_outer(sh(3)).as(Seq("__p", "h3")))
+      .select(col(idCol), col("h3"),
+        element_at(col("__h2"), col("__p") + 1).as("h2a"),
+        element_at(col("__h2"), col("__p") + 2).as("h2b"),
+        element_at(col("__h1"), col("__p") + 2).as("h1a"),
+        element_at(col("__h1"), col("__p") + 3).as("h1b"))
+    val keys = Seq("h3", "h2a", "h2b", "h1a", "h1b")
+    val tf = pos.groupBy(col(idCol) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+    val distinctTri = tf.select(keys.map(col): _*).distinct()
+    val s = when(col("c3").isNotNull, col("c3") / col("c2a"))
+      .otherwise(lit(alpha) *
+        when(col("c2b").isNotNull, col("c2b") / col("c1a"))
+          .otherwise(lit(alpha) *
+            (coalesce(col("c1b"), lit(0L)) + 1) / (col("n") + col("v"))))
+    val scored = distinctTri
+      .join(order(3, "h3", "c3"), Seq("h3"), "left")
+      .join(order(2, "h2a", "c2a"), Seq("h2a"), "left")
+      .join(order(2, "h2b", "c2b"), Seq("h2b"), "left")
+      .join(order(1, "h1a", "c1a"), Seq("h1a"), "left")
+      .join(order(1, "h1b", "c1b"), Seq("h1b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(keys.map(col) :+ log(s).as("__ln"): _*)
+    val term = round(col("tf") * col("__ln") * 1e6, 0).cast("long")
+    tf.join(scored, keys)
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_grams"),
+        round(sum(term).cast("double") / 1e6 / sum("tf"), 6).as("logprob"))
+  }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 "Data Selection
+    * for Language Models via Importance Resampling"): each raw-corpus doc
+    * gets `log w = Σ_b f_b · (ln p̂_target[b] − ln p̂_raw[b])` over hashed
+    * unigram+bigram feature buckets, where the two bucket distributions
+    * are add-one-smoothed censuses of the target sample and the raw
+    * corpus. High `logw` = looks like the target domain; feed the result
+    * to [[dsirTopK]] (Gumbel top-k, the paper's sampler) or threshold it.
+    *
+    * Scale shape: ONE raw-corpus pass — the uni+bi gram hashes ride one
+    * `explode` of a concat of the native [[graft.plans.ShingleHashes]]
+    * arrays (no same-bucket collision across orders: unigrams never
+    * contain the space a bigram always does, and distinct surface forms
+    * hashing together is exactly what hashed features mean) — reduced to
+    * the persisted (doc, bucket) census; the raw bucket distribution
+    * derives from that census (no second pass), the target sample is its
+    * own (small) pass, and both distributions are ≤`buckets` rows —
+    * broadcast onto the doc census. Determinism: per-bucket terms on the
+    * 1e-6 integer grid, summed as longs (d30's discipline). Returns
+    * (idCol, n_feats, logw).
+    */
+  def dsirLogRatio(raw: org.apache.spark.sql.DataFrame,
+                   target: org.apache.spark.sql.DataFrame,
+                   idCol: String, textCol: String,
+                   buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val spark = raw.sparkSession
+    def sh(n: Int) = graft.plans.TextExpressions.shinglesColumn(
+      spark, col("__w"), n)
+    def bucketed(d: org.apache.spark.sql.DataFrame, keep: Seq[String]) = d
+      .select(keep.map(col) :+ split(lower(col(textCol)), " ").as("__w"): _*)
+      .select(keep.map(col) :+
+        explode_outer(concat(sh(1), sh(2))).as("__h"): _*)
+      .select(keep.map(col) :+
+        pmod(col("__h"), lit(buckets.toLong)).as("bucket"): _*)
+    val docCensus = graft.CacheRegistry.track(
+      bucketed(raw, Seq(idCol))
+        .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rawCensus = docCensus.groupBy("bucket")
+      .agg(sum("f").cast("long").as("cr"))
+    val tgtCensus = bucketed(target, Seq.empty)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("ct"))
+    val rawTot = rawCensus.agg(sum("cr").cast("long").as("tr"))
+    val tgtTot = tgtCensus.agg(sum("ct").cast("long").as("tt"))
+    val ratio = rawCensus
+      .join(tgtCensus, Seq("bucket"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1) / (col("tt") + buckets)) -
+          log((col("cr") + 1) / (col("tr") + buckets))).as("lnr"))
+    val term = round(col("f") * col("lnr") * 1e6, 0).cast("long")
+    docCensus.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum("f").cast("long").as("n_feats"),
+        round(sum(term).cast("double") / 1e6, 6).as("logw"))
+  }
+
+  /** DSIR selection — the paper's Gumbel top-k sampler (sampling k docs
+    * without replacement with probability ∝ exp(logw)) made fully
+    * DETERMINISTIC: the Gumbel noise `g = −ln(−ln(u))` draws its uniform
+    * from the doc id's md5 ([[Sampling.hashValue]]), so reruns, engines
+    * and partitionings pick the same k docs. Global top-k by
+    * (logw + g) plans as TakeOrderedAndProject — per-partition heaps, no
+    * full sort, k rows to the driver — the correct 100 TB shape for the
+    * "select 10M docs from 10B" pass. Returns the k selected
+    * (idCol, n_feats, logw, key) rows; `key` is grid-rounded for
+    * cross-engine hashing.
+    */
+  def dsirTopK(raw: org.apache.spark.sql.DataFrame,
+               target: org.apache.spark.sql.DataFrame,
+               idCol: String, textCol: String, k: Int,
+               buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val u = (Sampling.hashValue(col(idCol)) + 0.5) / 4294967296.0
+    dsirLogRatio(raw, target, idCol, textCol, buckets)
+      .withColumn("key", round(col("logw") - log(-log(u)), 6))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sliding-window document chunking — context-window packing for model
     * training: each doc splits into windows of `maxTokens` whitespace
     * tokens advancing by `maxTokens − overlap`, so consecutive chunks share

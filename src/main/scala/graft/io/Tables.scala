@@ -34,21 +34,18 @@ object Tables {
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
-    }
+    raw.withColumn("ts", asTimestamp(raw.schema("ts").dataType, "ts"))
   }
 
-  /** Scan `events` keeping `ts` as the RAW epoch-nanos long. Preferred for
-    * time-bounded batch queries: a per-row ns→timestamp conversion is an
+  /** Scan `events` keeping `ts` in its RAW storage type — epoch-ns long
+    * for legacy TIMESTAMP(NANOS) files (Spark 4 rejects them without
+    * `nanosAsLong`), µs TIMESTAMP_NTZ for the current parquet. Preferred
+    * for time-bounded batch queries: any per-row conversion is an
     * expression barrier that stops `ts` predicates from reaching the
     * parquet scan (no PushedFilters → no row-group/page skipping on the
-    * time axis — fatal at 100 TB). Raw longs order identically; convert the
-    * BOUND with [[nanos]] instead of converting the column.
+    * time axis — fatal at 100 TB). Compare the raw column against a
+    * [[tsLit]]-matched bound; normalize post-scan with [[epochNs]] only
+    * where arithmetic needs it.
     */
   def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -63,5 +60,61 @@ object Tables {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     java.time.LocalDateTime.parse(utc, fmt)
       .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+  }
+
+  /** Literal comparable against a time column in ANY of the storage types
+    * the events table has shipped with — legacy epoch-ns long, µs
+    * TIMESTAMP_NTZ (the current parquet), µs TIMESTAMP — built from a UTC
+    * epoch-ns scalar. The COLUMN stays untouched and the BOUND adapts:
+    * that is what keeps time predicates pushable into the parquet scan
+    * (min/max row-group and page skipping — the 100 TB prune); converting
+    * the column instead would put an expression barrier over the time
+    * axis. NTZ literals carry the UTC wall-clock, matching how the oracle
+    * engines read the unannotated parquet values.
+    */
+  def tsLit(dt: org.apache.spark.sql.types.DataType, ns: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    dt match {
+      case org.apache.spark.sql.types.LongType => lit(ns)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          math.floorDiv(ns, 1000000000L),
+          math.floorMod(ns, 1000000000L).toInt, java.time.ZoneOffset.UTC))
+      case _ =>
+        lit(java.time.Instant.ofEpochSecond(
+          math.floorDiv(ns, 1000000000L), math.floorMod(ns, 1000000000L)))
+    }
+  }
+
+  /** Epoch-ns expression for a time column of any supported storage type —
+    * POST-SCAN normalization for arithmetic (session gaps, durations,
+    * µs-grid outputs). µs-backed timestamps yield exact µs·1000; NTZ goes
+    * through the session zone (every entrypoint pins UTC), matching the
+    * oracles' naive read of the same parquet. Never use this inside a
+    * pushdown-relevant filter — compare the raw column against [[tsLit]]
+    * there.
+    */
+  def epochNs(dt: org.apache.spark.sql.types.DataType,
+              c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.unix_micros
+    dt match {
+      case org.apache.spark.sql.types.LongType => c
+      case _ => unix_micros(c.cast("timestamp")) * 1000
+    }
+  }
+
+  /** µs-precision TIMESTAMP view of a time column of any supported storage
+    * type, by column name (the legacy ns-long arm needs a named `div`).
+    * For the streaming entrypoints whose typed state works on
+    * `java.sql.Timestamp`.
+    */
+  def asTimestamp(dt: org.apache.spark.sql.types.DataType,
+                  name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"`$name` div 1000"))
+      case _ => col(name).cast("timestamp")
+    }
   }
 }

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** @param events frame with `user_id`, `event_id`, raw epoch-ns `tsNsCol`
-    *               and `value`
+  /** @param events frame with `user_id`, `event_id`, `value` and a
+    *               `tsNsCol` time column in any storage the events table
+    *               ships (epoch-ns long, µs TIMESTAMP/_NTZ — normalized
+    *               post-scan via [[graft.io.Tables.epochNs]]; sessionize
+    *               has no time-bound filter, so nothing pushdown-relevant
+    *               is lost)
     * @return one row per session: (user_id, session_idx, n_events,
     *         duration_s, sum_value), session_idx 1-based per user in time
     *         order
@@ -31,17 +35,19 @@ object Sessionize {
   def rollup(events: DataFrame, gapMinutes: Int = 30,
              tsNsCol: String = "ts"): DataFrame = {
     require(gapMinutes > 0, s"gapMinutes=$gapMinutes must be positive")
-    val w = Window.partitionBy("user_id").orderBy(tsNsCol, "event_id")
+    val w = Window.partitionBy("user_id").orderBy("__tsns", "event_id")
     val gapNs = gapMinutes * 60L * 1000000000L
-    val prev = lag(tsNsCol, 1).over(w)
-    events.select(col("user_id"), col("event_id"), col(tsNsCol), col("value"))
+    val prev = lag("__tsns", 1).over(w)
+    events.select(col("user_id"), col("event_id"),
+        graft.io.Tables.epochNs(events.schema(tsNsCol).dataType,
+          col(tsNsCol)).as("__tsns"), col("value"))
       .withColumn("new_s",
-        when(prev.isNull || col(tsNsCol) - prev > gapNs, 1).otherwise(0))
+        when(prev.isNull || col("__tsns") - prev > gapNs, 1).otherwise(0))
       .withColumn("session_idx", sum("new_s").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
-        max(tsNsCol).as("__max_ts"), min(tsNsCol).as("__min_ts"),
+        max("__tsns").as("__max_ts"), min("__tsns").as("__min_ts"),
         round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double") / 1e6, 2)
           .as("sum_value"))
       .select(col("user_id"), col("session_idx"), col("n_events"),

@@ -27,8 +27,11 @@ object Backup {
       logTimeLimit: Long): DataFrame = {
 
     // Resolve the cutoff to an instance id (O(1) scalar, Backup.java:43-44).
+    // Bound literal matched to the log_time storage type (Tables.tsLit)
+    // so the predicate pushes into the scan.
     val idLimit = Option(
-      instanceMessage.where(col("log_time") >= logTimeLimit)
+      instanceMessage.where(col("log_time") >= graft.io.Tables.tsLit(
+          instanceMessage.schema("log_time").dataType, logTimeLimit))
         .agg(min("id")).head().get(0))
       .map(_.asInstanceOf[Number].longValue)
       .getOrElse(Long.MaxValue)

@@ -59,10 +59,16 @@ object FieldFilter {
         if (a.endLogTime == -1L && a.duration != -1L && a.startLogTime != -1L)
           a.startLogTime + a.duration // RetrieveField.java:85-90
         else a.endLogTime
+      // bounds stay epoch-ns scalars in the Args contract; the literal is
+      // matched to the frame's log_time storage type so the predicate
+      // pushes into the scan whatever the parquet shipped (Tables.tsLit)
+      val ltDt = m.schema("log_time").dataType
       val lo = if (a.startLogTime == -1L) Some(Long.MinValue)
-        else scalarLong(m.where(col("log_time") >= a.startLogTime).agg(min("id")))
+        else scalarLong(m.where(col("log_time") >=
+          graft.io.Tables.tsLit(ltDt, a.startLogTime)).agg(min("id")))
       val hi = if (endLogTime == -1L) Some(Long.MaxValue)
-        else scalarLong(m.where(col("log_time") <= endLogTime).agg(max("id")))
+        else scalarLong(m.where(col("log_time") <=
+          graft.io.Tables.tsLit(ltDt, endLogTime)).agg(max("id")))
       (lo, hi) match {
         case (Some(l), Some(h)) => f.where(col("instance_message_id").between(l, h))
         case _ => f.where(lit(false))
@@ -87,8 +93,11 @@ object FieldFilter {
     */
   def updatesWithBoundaries(updates: DataFrame, cond: Column,
                             startLogTime: Long, endLogTime: Long): DataFrame = {
+    val ltDt = updates.schema("log_time").dataType
+    val (loLit, hiLit) = (graft.io.Tables.tsLit(ltDt, startLogTime),
+      graft.io.Tables.tsLit(ltDt, endLogTime))
     val inWindow = graft.CacheRegistry.track(
-      updates.where(cond && col("log_time").between(startLogTime, endLogTime))
+      updates.where(cond && col("log_time").between(loLit, hiLit))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cols = inWindow.columns.toSeq
     val rowS = struct(cols.map(col): _*)
@@ -104,7 +113,7 @@ object FieldFilter {
       .withColumn("field_value",
         when(col("__is_first"), col("previous_value")).otherwise(col("new_value")))
       .withColumn("log_time",
-        when(col("__is_first"), lit(startLogTime)).otherwise(lit(endLogTime)))
+        when(col("__is_first"), loLit).otherwise(hiLit))
       .drop("__is_first")
     val core = inWindow.withColumn("field_value", col("new_value"))
     edges.unionByName(core)

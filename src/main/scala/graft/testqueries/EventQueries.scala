@@ -23,10 +23,17 @@ object EventQueries {
   private val AsOf = "2024-01-15 00:00:00"
   private val Cutoff = "2024-01-25 00:00:00"
 
-  // Raw ns-long `ts`: predicates and sorts on it reach the parquet scan
-  // (PushedFilters + row-group skipping); bounds are converted driver-side.
+  // Raw storage-typed `ts` (ns long legacy / µs TIMESTAMP_NTZ current):
+  // predicates and sorts on it reach the parquet scan (PushedFilters +
+  // row-group skipping); bounds adapt via Tables.tsLit, never the column.
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.loadEventsRaw(s, dir)
+
+  /** Bound literal for `ts` comparisons, matched to the loaded storage
+    * type so the predicate stays pushable.
+    */
+  private def tsBound(e: DataFrame, utc: String) =
+    Tables.tsLit(e.schema("ts").dataType, Tables.nanos(utc))
 
   // ---- shared telemetry mapping for the q23-q27 family queries ----
 
@@ -340,8 +347,9 @@ object EventQueries {
           .over(Window.partitionBy("user_id", "event_type")
             .orderBy("log_time", "event_id")))
       graft.queries.FieldFilter.updatesWithBoundaries(upd, lit(true), lo, hi)
-        // µs grid for the compare: DuckDB reads TIMESTAMP(NANOS) at µs
-        .select(expr("log_time div 1000").as("log_time_us"), col("event_id"),
+        // µs grid for the compare: epoch_ns(ts)//1000 on the oracle side
+        .withColumn("__ltns", Tables.epochNs(e.schema("ts").dataType, col("log_time")))
+        .select(expr("__ltns div 1000").as("log_time_us"), col("event_id"),
           round(col("field_value"), 4).as("field_value"))
     },
 
@@ -431,7 +439,7 @@ object EventQueries {
       // lists a DIRECTORY — stream the parent dir filtered to this table
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", Tables.asTimestamp(schema("ts").dataType, "ts"))
       val closed = graft.streaming.SessionStream
         .sessionize(stream, gapMinutes = 30, watermark = "36500 days")
       graft.streaming.StreamRunner.runToBatch(closed.toDF(), "q40_sessions")
@@ -467,7 +475,7 @@ object EventQueries {
       val schema = ev(s, dir).schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", Tables.asTimestamp(schema("ts").dataType, "ts"))
         .join(broadcast(fieldMapDF(s)), "event_type")
         .select(col("fid").as("uevol_field_id"), col("ets"))
       graft.streaming.StreamRunner.runToBatch(
@@ -617,7 +625,7 @@ object EventQueries {
       // prune to the argmax payload before the shuffle — props/extra columns
       // must not ride through the exchange
       val latest = ArgmaxLatest.latestRows(
-        e.where(col("ts") <= lit(Tables.nanos(AsOf)))
+        e.where(col("ts") <= tsBound(e, AsOf))
           .select("user_id", "event_type", "ts", "event_id", "value"),
         Seq("user_id", "event_type"),
         struct(col("ts"), col("event_id")))
@@ -652,7 +660,7 @@ object EventQueries {
     // raw deltas after it — bounds the log without losing reconstructability.
     "q19_backup_compact" -> { (s, dir) =>
       val e = ev(s, dir)
-      val cut = lit(Tables.nanos(Cutoff))
+      val cut = tsBound(e, Cutoff)
       val compacted = ArgmaxLatest.latestRows(
         e.where(col("ts") < cut)
           .select("user_id", "event_type", "ts", "event_id", "value"),

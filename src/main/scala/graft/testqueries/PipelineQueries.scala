@@ -507,6 +507,36 @@ object PipelineQueries {
       TextAnalysis.ngramLogProb(docs(s, dir), "doc_id", "text", n = 2)
     },
 
+    // Stupid-backoff trigram fluency (Brants et al. 2007): CONDITIONAL
+    // trigram scores from a train-split gram census with α-backoff through
+    // the bigram level to an add-one unigram floor. Scoring ALL docs
+    // against the held-out-split LM makes the backoff path organic (bench
+    // docs carry trigrams the train split never saw).
+    "d60_backoff_logprob" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.backoffLogProb(d.where(col("doc_id") % 10 =!= 0), d,
+        "doc_id", "text")
+    },
+
+    // DSIR importance weights (Xie et al. 2023): hashed uni+bigram bucket
+    // distributions of the English target sample vs the whole dump, add-one
+    // smoothed, per-doc integer-grid log-ratio sum — the published
+    // data-selection signal, fully engine-replayable.
+    "d61_dsir_weights" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.dsirLogRatio(d, d.where(col("lang") === "en"),
+        "doc_id", "text", buckets = 1024)
+    },
+
+    // DSIR selection: deterministic md5-Gumbel top-k over the d61 weights
+    // (sampling ∝ exp(logw) without replacement) — plans as
+    // TakeOrderedAndProject, per-partition heaps, never a full sort.
+    "d62_dsir_topk" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.dsirTopK(d, d.where(col("lang") === "en"),
+        "doc_id", "text", k = 100, buckets = 1024)
+    },
+
     // Gopher-style repetition fractions: share of 3-gram occurrences in
     // the single most frequent gram, and in any repeated gram — the two
     // standard cleaning gates d17's distinct-ratio does not separate.
@@ -981,6 +1011,30 @@ object PipelineQueries {
            SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
              i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
            FROM words WHERE len(w) >= 3))"""
+
+  /** DuckDB replay of the DSIR hashed-feature machinery — shared by the
+    * d61 weight and d62 top-k oracles: 60-bit md5 uni+bigram hashes
+    * bucketed mod 1024, per-doc bucket census, add-one smoothed
+    * target('en')/raw distributions, per-bucket log ratio.
+    */
+  private val DsirCtesSql: String =
+    """words AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) % 1024 AS b FROM (
+           SELECT doc_id, lang, unnest(list_concat(
+               list_transform(range(0, len(w)), i -> w[i+1]),
+               list_transform(range(0, len(w) - 1),
+                 i -> array_to_string(w[i+1:i+2], ' ')))) AS gt
+           FROM words)),
+         fc AS (SELECT doc_id, b, count(*) AS f FROM g GROUP BY 1, 2),
+         cr AS (SELECT b, CAST(sum(f) AS BIGINT) AS cr FROM fc GROUP BY 1),
+         ct AS (SELECT b, count(*) AS ct FROM g WHERE lang = 'en' GROUP BY 1),
+         tr AS (SELECT CAST(sum(cr) AS BIGINT) AS t FROM cr),
+         tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t FROM ct),
+         ratio AS (SELECT cr.b,
+             ln((coalesce(ct.ct, 0) + 1) / (tt.t + 1024)) -
+               ln((cr.cr + 1) / (tr.t + 1024)) AS lnr
+           FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tr CROSS JOIN tt)"""
 
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
@@ -1681,6 +1735,76 @@ object PipelineQueries {
            md5(${redactSqlOver("text")}) AS clean_md5
          FROM ex
          WHERE rn = 1 AND $QualitySql >= 0.3 AND $RepetitionSql <= 0.05""",
+    // Hashed-feature replay of DSIR: same 60-bit md5 grams bucketed mod
+    // 1024, add-one smoothed target/raw distributions, integer-grid terms.
+    "d61_dsir_weights" ->
+      s"""WITH $DsirCtesSql
+         SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_feats,
+           round(CAST(sum(CAST(round(f * lnr * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000, 6) AS logw
+         FROM fc JOIN ratio ON fc.b = ratio.b GROUP BY doc_id""",
+    // d61 + the deterministic md5-Gumbel key and top-k cut.
+    "d62_dsir_topk" ->
+      s"""WITH $DsirCtesSql,
+         d61 AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_feats,
+             round(CAST(sum(CAST(round(f * lnr * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000, 6) AS logw
+           FROM fc JOIN ratio ON fc.b = ratio.b GROUP BY doc_id)
+         SELECT doc_id, n_feats, logw,
+           round(logw - ln(-ln(
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0)), 6) AS key
+         FROM d61 ORDER BY key DESC, doc_id LIMIT 100""",
+    // Full replay of the stupid-backoff chain: train-split censuses at the
+    // three gram orders (same 60-bit md5 keys), per-position key tuples,
+    // the α-backoff CASE with identical operator association, and the
+    // 1e-6 integer-grid term sum.
+    "d60_backoff_logprob" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         c1 AS (SELECT h, count(*) AS c FROM (
+             SELECT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+               SELECT unnest(w) AS gt FROM words WHERE doc_id % 10 != 0)) GROUP BY 1),
+         c2 AS (SELECT h, count(*) AS c FROM (
+             SELECT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+               SELECT unnest(list_transform(range(0, len(w) - 1),
+                 i -> array_to_string(w[i+1:i+2], ' '))) AS gt
+               FROM words WHERE doc_id % 10 != 0 AND len(w) >= 2)) GROUP BY 1),
+         c3 AS (SELECT h, count(*) AS c FROM (
+             SELECT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+               SELECT unnest(list_transform(range(0, len(w) - 2),
+                 i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+               FROM words WHERE doc_id % 10 != 0 AND len(w) >= 3)) GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM c1),
+         pos AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')), 1, 15)) AS BIGINT) AS h3,
+             CAST(('0x' || substr(md5(array_to_string(w[i+1:i+2], ' ')), 1, 15)) AS BIGINT) AS h2a,
+             CAST(('0x' || substr(md5(array_to_string(w[i+2:i+3], ' ')), 1, 15)) AS BIGINT) AS h2b,
+             CAST(('0x' || substr(md5(w[i+2]), 1, 15)) AS BIGINT) AS h1a,
+             CAST(('0x' || substr(md5(w[i+3]), 1, 15)) AS BIGINT) AS h1b
+           FROM (SELECT doc_id, w, unnest(range(0, len(w) - 2)) AS i
+                 FROM words WHERE len(w) >= 3)),
+         tf AS (SELECT doc_id, h3, h2a, h2b, h1a, h1b, count(*) AS tf
+           FROM pos GROUP BY 1, 2, 3, 4, 5, 6),
+         t AS (SELECT DISTINCT h3, h2a, h2b, h1a, h1b FROM tf),
+         sc AS (SELECT t.h3, t.h2a, t.h2b, t.h1a, t.h1b, ln(
+             CASE WHEN c3.c IS NOT NULL THEN CAST(c3.c AS DOUBLE) / c2a.c
+                  ELSE 0.4 * (CASE WHEN c2b.c IS NOT NULL
+                                   THEN CAST(c2b.c AS DOUBLE) / c1a.c
+                                   ELSE 0.4 * (coalesce(c1b.c, 0) + 1) / (tot.n + tot.v)
+                              END)
+             END) AS lns
+           FROM t LEFT JOIN c3 ON t.h3 = c3.h
+           LEFT JOIN c2 c2a ON t.h2a = c2a.h
+           LEFT JOIN c2 c2b ON t.h2b = c2b.h
+           LEFT JOIN c1 c1a ON t.h1a = c1a.h
+           LEFT JOIN c1 c1b ON t.h1b = c1b.h
+           CROSS JOIN tot)
+         SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_grams,
+           round(CAST(sum(CAST(round(tf.tf * sc.lns * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000 / sum(tf.tf), 6) AS logprob
+         FROM tf JOIN sc ON tf.h3 = sc.h3 AND tf.h2a = sc.h2a AND tf.h2b = sc.h2b
+           AND tf.h1a = sc.h1a AND tf.h1b = sc.h1b
+         GROUP BY tf.doc_id""",
     "d30_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
            FROM documents),

@@ -1545,6 +1545,111 @@ class NgramLogProbSpec extends SparkSpec {
   }
 }
 
+class BackoffLogProbSpec extends SparkSpec {
+
+  test("hand-replayed backoff chain: seen trigram, bigram backoff, unigram floor") {
+    import spark.implicits._
+    // train censuses: uni a:2 b:2 c:1 d:1 (N=6, V=4); bi "a b":2 "b c":1
+    // "b d":1; tri "a b c":1 "a b d":1
+    val train = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (11L, "a b c"), // trigram seen: 1/2
+      (12L, "x b c"), // bigram backoff: 0.4 * (1/2)
+      (13L, "a b e"), // unigram floor: 0.4 * ((0.4 * (0+1)) / (6+4))
+      (14L, "a b")    // sub-n: no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.backoffLogProb(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(11L)._1 === 1L)
+    assert(math.abs(got(11L)._2 - math.log(0.5)) < 1e-5)
+    assert(math.abs(got(12L)._2 - math.log(0.4 * (1.0 / 2))) < 1e-5)
+    assert(math.abs(got(13L)._2 - math.log(0.4 * ((0.4 * 1) / 10.0))) < 1e-5)
+    assert(!got.contains(14L))
+    // each backoff level costs: attested > bigram-backoff > unigram floor
+    assert(got(11L)._2 > got(12L)._2 && got(12L)._2 > got(13L)._2)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("repeated trigrams weight the mean by occurrence count") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // trigrams: (a b c) tf=2 seen with c3=2, c2("a b")=2 -> s=1;
+    // (b c a) and (c a b) unseen, bigrams (c a)/(a b.. wait (c a) unseen,
+    // (a b) seen -> per-position keys decide; just pin the count and that
+    // the doc scores strictly below a pure-attested doc
+    val score = Seq((21L, "a b c a b c"), (22L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.backoffLogProb(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(21L)._1 === 4L) // 6 words -> 4 trigram positions
+    assert(got(22L)._1 === 1L)
+    assert(got(22L)._2 > got(21L)._2)
+    // the fully attested trigram scores ln(c3/c2) = ln(2/2) = 0
+    assert(math.abs(got(22L)._2 - 0.0) < 1e-9)
+    graft.CacheRegistry.releaseAll()
+  }
+}
+
+class DsirSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket(gram: String, buckets: Int): Long =
+    java.lang.Long.parseLong(md5hex(gram).substring(0, 15), 16) % buckets
+
+  private def grams(text: String): Seq[String] = {
+    val w = text.toLowerCase.split(" ", -1).toSeq
+    w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  test("logw replays the smoothed bucket log-ratio bit for bit") {
+    import spark.implicits._
+    val B = 64
+    val raw = Seq((1L, "aa bb aa"), (2L, "zz yy"), (3L, "aa bb"))
+      .toDF("doc_id", "text")
+    val tgt = raw.where(col("doc_id") =!= 2)
+    val got = TextAnalysis.dsirLogRatio(raw, tgt, "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // JVM replay of the exact formula over the same md5 buckets
+    val rawG = Map(1L -> grams("aa bb aa"), 2L -> grams("zz yy"), 3L -> grams("aa bb"))
+    val fc = rawG.map { case (id, gs) =>
+      id -> gs.groupBy(bucket(_, B)).view.mapValues(_.size.toLong).toMap }
+    val cr = fc.values.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ct = (rawG - 2L).values.flatten.groupBy(bucket(_, B))
+      .view.mapValues(_.size.toLong).toMap
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    def lnr(b: Long) = math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+      math.log((cr(b) + 1).toDouble / (tr + B))
+    fc.foreach { case (id, m) =>
+      val expect = BigDecimal(m.map { case (b, f) =>
+        BigDecimal(f * lnr(b) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }.sum.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 === m.values.sum)
+      assert(got(id)._2 === expect, s"doc $id")
+    }
+    // the off-target doc scores below both target-like docs
+    assert(got(2L)._2 < got(1L)._2 && got(2L)._2 < got(3L)._2)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("gumbel top-k: deterministic md5 key, TakeOrderedAndProject plan") {
+    import spark.implicits._
+    val raw = (1L to 20L).map(i =>
+      (i, if (i % 4 == 0) "aa bb aa bb" else "zz yy xx ww")).toDF("doc_id", "text")
+    val tgt = raw.where(col("doc_id") % 4 === 0)
+    val sel = TextAnalysis.dsirTopK(raw, tgt, "doc_id", "text", k = 5, buckets = 64)
+    assert(sel.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val a = sel.collect().map(_.getLong(0)).toSet
+    graft.CacheRegistry.releaseAll()
+    val b = TextAnalysis.dsirTopK(raw, tgt, "doc_id", "text", k = 5, buckets = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size === 5 && a === b)
+    graft.CacheRegistry.releaseAll()
+  }
+}
+
 class VectorDupAcrossSpec extends SparkSpec {
 
   test("cross-set pairs equal the self-join restricted to straddling pairs") {
