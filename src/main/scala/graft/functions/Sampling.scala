@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and dataset splitting for
@@ -148,6 +149,78 @@ object Sampling {
       .withColumn("rate", round(col("__rate"), 6))
       .drop("__rate")
       .select((df.columns.map(col) :+ col("rate")): _*)
+  }
+
+  /** Leakage-safe split: [[hashSplit]] keyed on a GROUP column (domain,
+    * url host, dedup-cluster id) instead of the row id, so every member of
+    * a group lands in the SAME split. This is the standard guard against
+    * train/test leakage through near-duplicates: id-keyed splits let two
+    * near-identical docs from one site straddle the boundary (the
+    * contamination d26/d35 then have to catch); group-keyed splits make
+    * that impossible by construction for within-group duplicates. Pure
+    * map-only column expression, stable forever, stream-safe.
+    */
+  def groupSplit(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                 weights: Seq[(String, Int)]): org.apache.spark.sql.DataFrame =
+    df.withColumn("split", hashSplit(col(keyCol), weights))
+
+  /** Exact per-stratum quotas — "k docs per domain" (eval-set and
+    * calibration-sample construction, where [[matchDistribution]]'s
+    * rate-based keep gives only EXPECTED counts): rows rank within their
+    * stratum by (md5(id), id) — a stable shuffle order — and keep
+    * `rank <= quota(stratum)`. Deterministic and engine-replayable; a
+    * stratum short of its quota keeps everything it has.
+    *
+    * Scale shape: ONE hash-partition-by-stratum exchange + per-stratum
+    * sort. Quota selection is a top-k per group; the per-stratum sort is
+    * the honest cost (rank needs a total order) and holds while strata
+    * fit an executor's spill budget — the usual case for domain strata.
+    * For quotas over a HANDFUL of giant strata, the two-pass refinement
+    * (md5-threshold from a quantile sketch, then exact boundary fix-up)
+    * drops the sort; not implemented until a consumer needs it.
+    * Output = input columns + `rk` (1-based rank in the kept order).
+    */
+  def stratifiedQuota(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      domainCol: String,
+                      quotas: Map[String, Int],
+                      default: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(quotas.values.forall(_ >= 0) && default >= 0,
+      s"quotas must be non-negative, got $quotas default=$default")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hashValue(col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= coalesce(
+        try_element_at(typedLit(quotas), col(domainCol)), lit(default)))
+  }
+
+  /** Exact percentile calibration of a score column — turns raw filter
+    * scores into corpus-relative percentiles, which is how quality-filter
+    * cutoffs are actually chosen ("drop the bottom 30%", DCLM/fastText
+    * practice) — a fixed raw-score threshold drifts with every corpus.
+    * `pct` = SQL `percent_rank()` = (#rows strictly below) / (N − 1),
+    * ties sharing a value; 0 when N = 1.
+    *
+    * Scale shape: the corpus is NEVER globally sorted. A score CENSUS
+    * (one row per distinct value — producer scores are grid-rounded, so
+    * cardinality is bounded by the grid, not the corpus) takes one
+    * partial-agg exchange; the strictly-below running count is a window
+    * over that census alone, and the result broadcast-joins back onto the
+    * corpus — the same census/broadcast shape as [[tokenBudgetMix]].
+    * Returns input columns + `pct` (1e-6 grid).
+    */
+  def percentileCalibrate(df: org.apache.spark.sql.DataFrame,
+                          scoreCol: String): org.apache.spark.sql.DataFrame = {
+    val census = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(scoreCol)
+    val below = census.withColumn("__below",
+      coalesce(sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = census.agg(sum("__c").cast("long").as("__n"))
+    df.join(broadcast(below.select(col(scoreCol), col("__below"))), Seq(scoreCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("pct", when(col("__n") === 1, lit(0.0)).otherwise(
+        round(col("__below").cast("double") / (col("__n") - 1), 6)))
+      .select((df.columns.map(col) :+ col("pct")): _*)
   }
 
   /** Shared epoch expansion: rows arrive with a `__w` weight column and

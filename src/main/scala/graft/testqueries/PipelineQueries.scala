@@ -117,6 +117,33 @@ object PipelineQueries {
           round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"))
     },
 
+    // Leakage-safe corpus split: assignment keyed on the SOURCE domain,
+    // so near-duplicates within a site can never straddle train/test —
+    // the group-keyed guard d27's id split cannot give.
+    "d63_group_split" -> { (s, dir) =>
+      Sampling.groupSplit(docs(s, dir), "source",
+          Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select("doc_id", "source", "split")
+    },
+
+    // Exact per-stratum quotas: k docs per domain in stable md5 order —
+    // eval-set construction, where rate-based sampling gives only
+    // EXPECTED counts. One partition-by-stratum exchange.
+    "d64_stratified_quota" -> { (s, dir) =>
+      Sampling.stratifiedQuota(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 5, "src1" -> 5, "src2" -> 5), default = 2)
+        .select("doc_id", "source", "rk")
+    },
+
+    // Percentile calibration of the d01 quality score: census-based exact
+    // percent_rank — corpus-relative thresholds without a global sort.
+    "d65_score_percentile" -> { (s, dir) =>
+      Sampling.percentileCalibrate(
+          docs(s, dir).select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+          "quality")
+    },
+
     // Benchmark-contamination report — "which held-out items leaked into
     // the training corpus": EXACT cross-set near-dup detection (prefix
     // filtering, so zero false negatives — the property a contamination
@@ -1140,6 +1167,26 @@ object PipelineQueries {
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            round(avg($QualitySql), 4) AS mean_quality
          FROM d GROUP BY 1""",
+    "d63_group_split" ->
+      """WITH d AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 10 AS b
+           FROM documents)
+         SELECT doc_id, source,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         FROM d""",
+    "d64_stratified_quota" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+               doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, source, rk FROM r
+         WHERE rk <= (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5 ELSE 2 END)""",
+    "d65_score_percentile" ->
+      s"""WITH q AS (SELECT doc_id, $QualitySql AS quality FROM documents)
+         SELECT doc_id, quality,
+           round(percent_rank() OVER (ORDER BY quality), 6) AS pct
+         FROM q""",
     "d37_ngram_repetition" ->
       """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          g AS (SELECT doc_id,

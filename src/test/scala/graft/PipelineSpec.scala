@@ -162,6 +162,54 @@ class TfIdfSpec extends SparkSpec {
 }
 
 class SamplingSpec extends SparkSpec {
+
+  test("groupSplit co-assigns every member of a group") {
+    import spark.implicits._
+    val df = (1L to 60L).map(i => (i, s"site${i % 6}")).toDF("id", "domain")
+    val got = Sampling.groupSplit(df, "domain",
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    val perDomain = got.groupBy("domain")
+      .agg(countDistinct("split").as("k")).collect()
+    assert(perDomain.forall(_.getLong(1) == 1L))
+    // same assignment as hashing the key directly
+    val direct = df.select(col("domain"),
+      Sampling.hashSplit(col("domain"), Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .as("s")).distinct().collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    got.select("domain", "split").distinct().collect()
+      .foreach(r => assert(direct(r.getString(0)) === r.getString(1)))
+  }
+
+  test("stratifiedQuota: exact k per stratum, short strata keep all, stable") {
+    import spark.implicits._
+    val df = ((1L to 20L).map(i => (i, "big")) ++ Seq((100L, "small"), (101L, "small")))
+      .toDF("id", "domain")
+    val got = Sampling.stratifiedQuota(df, "id", "domain",
+      Map("big" -> 7), default = 5)
+    val byDomain = got.collect().groupBy(_.getString(1))
+    assert(byDomain("big").length === 7)
+    assert(byDomain("small").length === 2) // short of default=5: keeps all
+    assert(byDomain("big").map(_.getInt(2)).sorted.toSeq === (1 to 7))
+    // md5-stable: rerun picks the identical ids
+    val again = Sampling.stratifiedQuota(df, "id", "domain",
+      Map("big" -> 7), default = 5).collect().map(_.getLong(0)).toSet
+    assert(again === got.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("percentileCalibrate equals percent_rank incl. ties and N=1") {
+    import spark.implicits._
+    val df = Seq((1L, 0.2), (2L, 0.5), (3L, 0.5), (4L, 0.9), (5L, 0.1))
+      .toDF("id", "score")
+    val got = Sampling.percentileCalibrate(df, "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // percent_rank over (0.1, 0.2, 0.5, 0.5, 0.9): below counts 1,0,2,2,4 of N-1=4
+    assert(got(5L) === 0.0)
+    assert(got(1L) === 0.25)
+    assert(got(2L) === 0.5 && got(3L) === 0.5)
+    assert(got(4L) === 1.0)
+    val single = Sampling.percentileCalibrate(
+      Seq((1L, 3.0)).toDF("id", "score"), "score").collect()
+    assert(single.head.getDouble(2) === 0.0)
+  }
   import graft.functions.Sampling
 
   test("hashSplit is exhaustive, disjoint, stable, and roughly proportional") {
@@ -1055,7 +1103,11 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS d FROM embeddings LIMIT 1")
       .head().getDouble(0)
     assert(d > 0.0)
-    val pushable = spark.sql("SELECT count(*) FROM events WHERE ts <= 1705276800000000000").head().getLong(0)
+    // SQL-level time predicate against the storage-typed ts column (µs
+    // TIMESTAMP_NTZ in current testdata) — TIMESTAMP literals coerce
+    val pushable = spark.sql(
+      "SELECT count(*) FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'")
+      .head().getLong(0)
     assert(pushable > 0)
   }
 
