@@ -597,24 +597,35 @@ object TextAnalysis {
       .select(col("h").as(hName), col("c").as(cName))
     val totals = census.where(col("o") === 1)
       .agg(sum("c").cast("long").as("n"), count(lit(1)).as("v"))
-    // per-position keys: pos is 0-based over the h3 array; the bigram at
-    // word-position p is h2[p] (1-based element_at p+1), so context = p,
-    // backoff bigram = p+1; unigrams w2 = p+1, w3 = p+2.
+    // per-position keys: position p's trigram context bigram is h2[p]
+    // (1-based element_at p+1), backoff bigram h2[p+1]; unigrams w2 =
+    // h1[p+1], w3 = h1[p+2]. The 5-key structs are assembled INSIDE one
+    // array projection and a single small-payload explode follows —
+    // exploding h3 with the h1/h2 arrays as carry-along columns instead
+    // would copy both full arrays into every generated row (O(len²)
+    // generate traffic per doc; measured 17.1 s → this shape at sf0.1).
     val pos = score
       .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
       .where(size(col("__w")) >= 3)
-      .select(col(idCol), sh(1).as("__h1"), sh(2).as("__h2"),
-        // outer: no inferred-filter generator duplication, see
-        // MinHashLSH.shingles (size>=3 already guarantees non-empty)
-        posexplode_outer(sh(3)).as(Seq("__p", "h3")))
-      .select(col(idCol), col("h3"),
-        element_at(col("__h2"), col("__p") + 1).as("h2a"),
-        element_at(col("__h2"), col("__p") + 2).as("h2b"),
-        element_at(col("__h1"), col("__p") + 2).as("h1a"),
-        element_at(col("__h1"), col("__p") + 3).as("h1b"))
+      .select(col(idCol), sh(1).as("__h1"), sh(2).as("__h2"), sh(3).as("__h3"))
+      .select(col(idCol), explode_outer( // outer: no inferred-filter dup
+        transform(sequence(lit(0), size(col("__h3")) - 1, lit(1)),
+          i => struct(
+            element_at(col("__h3"), i + 1).as("h3"),
+            element_at(col("__h2"), i + 1).as("h2a"),
+            element_at(col("__h2"), i + 2).as("h2b"),
+            element_at(col("__h1"), i + 2).as("h1a"),
+            element_at(col("__h1"), i + 3).as("h1b")))).as("g"))
+      .select(col(idCol), col("g.h3").as("h3"), col("g.h2a").as("h2a"),
+        col("g.h2b").as("h2b"), col("g.h1a").as("h1a"), col("g.h1b").as("h1b"))
     val keys = Seq("h3", "h2a", "h2b", "h1a", "h1b")
-    val tf = pos.groupBy(col(idCol) +: keys.map(col): _*)
-      .agg(count(lit(1)).as("tf"))
+    // S4 persist rule: the distinct-trigram table and the final pricing
+    // join BOTH read the doc census — unpersisted, the whole position
+    // explode + 6-key aggregation would run twice.
+    val tf = graft.CacheRegistry.track(
+      pos.groupBy(col(idCol) +: keys.map(col): _*)
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val distinctTri = tf.select(keys.map(col): _*).distinct()
     val s = when(col("c3").isNotNull, col("c3") / col("c2a"))
       .otherwise(lit(alpha) *
@@ -1159,6 +1170,76 @@ object TextAnalysis {
         size(col("__k")).cast("long").as("n_kept"),
         array_join(transform(col("__k"), k => k("line")), "\n").as("clean_text"))
     // fully-boilerplate docs still come back (empty), like exciseSpans
+    df.select(col(idCol), size(col(linesCol)).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Character-level Shannon entropy — the quality signal the token-level
+    * gates cannot see: repeated-character spam ("aaaa…") collapses to
+    * ~0 bits, random base64/hex blobs saturate near log|alphabet|, and
+    * real prose sits in a stable mid band; filtering both tails is a
+    * standard corpus signal (RedPajama-v2 ships entropy-family signals).
+    * Uses the identity `H = ln n − (Σ c·ln c)/n` so ONE doc-keyed
+    * aggregation computes it from per-char counts, with the c·ln c terms
+    * on the 1e-6 integer grid (d30's determinism discipline).
+    *
+    * Shape: char explode → (doc, char) partial agg (map-side combine
+    * bounds the shuffle by doc × alphabet, not doc length) → doc agg.
+    * Docs with no characters emit no row. Returns (idCol, n_chars,
+    * n_distinct, entropy) — entropy in nats.
+    */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val chars = df
+      .select(col(idCol), explode_outer(split(col(textCol), "")).as("ch"))
+      .where(col("ch").isNotNull && col("ch") =!= "")
+    val term = round(col("c") * log(col("c")) * 1e6, 0).cast("long")
+    chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").cast("long").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        round(log(sum("c")) -
+          sum(term).cast("double") / 1e6 / sum("c"), 6).as("entropy"))
+  }
+
+  /** CCNet-style paragraph-level dedup (Wenzek et al., LREC 2020 — their
+    * first pipeline stage dedups raw Common Crawl BY PARAGRAPH HASH
+    * before any LM scoring): every distinct paragraph keeps exactly its
+    * FIRST occurrence in stable (doc, position) order and every later
+    * repeat is dropped, then docs are rebuilt in order. The keep rule is
+    * the complement of [[stripBoilerplate]]'s: boilerplate drops
+    * high-doc-frequency lines EVERYWHERE (nav bars have no "first" worth
+    * keeping); here one canonical copy survives — the right rule for
+    * syndicated content where the first occurrence is real prose.
+    *
+    * Same scale shape as stripBoilerplate: persisted exploded root (the
+    * winner census and the keep join both read it), ONE md5-keyed
+    * `min(struct)` partial-agg for the winners (a paragraph repeated a
+    * million times combines map-side to one row), a 3-key semi join that
+    * only the duplicate occurrences lose, one doc-keyed re-agg. No
+    * all-pairs path. Returns (idCol, n_lines, n_kept, clean_text);
+    * fully-duplicate docs come back with empty text, like exciseSpans.
+    */
+  def dedupParagraphs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      linesCol: String): org.apache.spark.sql.DataFrame = {
+    val exploded = graft.CacheRegistry.track(df
+      .select(col(idCol), posexplode_outer(col(linesCol)).as(Seq("pos", "line")))
+      .where(col("line").isNotNull)
+      .withColumn("__h", md5(col("line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val winners = exploded.groupBy("__h")
+      .agg(min(struct(col(idCol), col("pos"))).as("__w"))
+      .select(col("__h"), col("__w")(idCol).as(idCol), col("__w")("pos").as("pos"))
+    val kept = exploded
+      .join(winners, Seq("__h", idCol, "pos"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("__k"))
+      .select(col(idCol),
+        size(col("__k")).cast("long").as("n_kept"),
+        array_join(transform(col("__k"), k => k("line")), "\n").as("clean_text"))
     df.select(col(idCol), size(col(linesCol)).cast("long").as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),

@@ -80,6 +80,22 @@ object GraftSql {
           scored.where(col("split") =!= heldOutSplit),
           "doc_id", "text")
         .createOrReplaceTempView("decontam_ngram_hits")
+      // DSIR importance weights (the d61 shape) against the dump's own
+      // English slice as the target sample: `SELECT doc_id FROM
+      // dsir_weights WHERE logw > 0` is the looks-like-target filter.
+      TextAnalysis.dsirLogRatio(
+          spark.table("documents"),
+          spark.table("documents").where(col("lang") === "en"),
+          "doc_id", "text")
+        .createOrReplaceTempView("dsir_weights")
+      // Percentile-calibrated quality (the d65 shape): corpus-relative
+      // cutoffs — `SELECT doc_id FROM documents_calibrated WHERE pct >=
+      // 0.7` keeps the top 30% whatever the raw-score distribution is.
+      Sampling.percentileCalibrate(
+          spark.table("documents").select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+          "quality")
+        .createOrReplaceTempView("documents_calibrated")
     }
     if (spark.catalog.tableExists("embeddings")) {
       // Embedding-level semantic dedup (the d34 shape) as a SQL target:
@@ -109,8 +125,9 @@ object GraftSql {
   /** Gap-based session rollup over a (user_id, ts, value) events frame as
     * a named temp view — the q39 shape for `spark.sql` users: one row per
     * closed-or-open session with (user_id, session_idx, n_events,
-    * duration_s, sum_value). `tsNsCol` is raw epoch-ns (the pushable
-    * events encoding); duration is exact integer ns division.
+    * duration_s, sum_value). `tsNsCol` may be epoch-ns long or a µs
+    * timestamp (any storage the events table ships — normalized post-scan
+    * by the rollup); duration is exact integer ns division.
     */
   def registerSessions(spark: SparkSession, viewName: String,
                        events: DataFrame, gapMinutes: Int = 30,

@@ -838,6 +838,27 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
     },
 
+    // Character-entropy signal: repeated-char spam ~0 nats, random blobs
+    // ~log|alphabet|, prose mid-band — the char-level noise gate the
+    // token-level quality columns miss. One doc-keyed partial-agg chain.
+    "d67_char_entropy" -> { (s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")
+    },
+
+    // CCNet paragraph-level keep-first dedup: each distinct 12-token
+    // paragraph survives only at its first (doc, pos) occurrence, docs
+    // rebuilt in order — the one-canonical-copy complement of d52's
+    // drop-everywhere boilerplate rule. Duplicate paragraphs occur
+    // organically (exact-dup docs share every paragraph).
+    "d66_paragraph_dedup" -> { (s, dir) =>
+      TextAnalysis.dedupParagraphs(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.reflowLines(col("text"), 12).as("lines")),
+        "doc_id", "lines")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+    },
+
     // Dedup audit one-rower — the first report a curator runs on a new
     // dump: corpus size, exact-dup mass (fingerprint), near-dup pair and
     // cluster mass (MinHash >= 0.5), in ONE DAG. Every input is an
@@ -1928,6 +1949,39 @@ object PipelineQueries {
          SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
            coalesce(array_to_string(kept, chr(10)), '') AS cleaned
          FROM k""",
+    // H = ln n − (Σ c·ln c)/n over per-char counts, grid terms — the
+    // same identity/rounding as the Spark agg.
+    "d67_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         c AS (SELECT doc_id, ch, count(*) AS c FROM ch
+           WHERE ch <> '' GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+           count(*) AS n_distinct,
+           round(ln(sum(c)) -
+             CAST(sum(CAST(round(c * ln(c) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000 / sum(c), 6) AS entropy
+         FROM c GROUP BY doc_id""",
+    // d48's reflow + keep-first window rule + ordered rebuild: rn=1 over
+    // (doc_id, pos) per paragraph md5 is exactly min(struct(doc, pos)).
+    "d66_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         l AS (SELECT doc_id, list_transform(
+             range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 12) AS INT)),
+             i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS lines
+           FROM t),
+         e AS (SELECT doc_id, i AS pos, lines[i+1] AS line FROM (
+           SELECT doc_id, lines, unnest(range(0, len(lines))) AS i FROM l)),
+         w AS (SELECT doc_id, pos, line, row_number() OVER (
+             PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn FROM e),
+         k AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           FROM w WHERE rn = 1 GROUP BY doc_id)
+         SELECT l.doc_id, CAST(len(l.lines) AS BIGINT) AS n_lines,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(k.clean_text, '')) AS clean_md5
+         FROM l LEFT JOIN k ON l.doc_id = k.doc_id""",
     // d49: d12's recursive-CTE components + the quality formula, canonical
     // elected per cluster by (quality DESC, doc_id ASC) — exactly the
     // engine's max_by(id, struct(q, -id)).

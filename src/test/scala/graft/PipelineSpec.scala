@@ -1111,6 +1111,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(pushable > 0)
   }
 
+  test("dsir_weights + documents_calibrated views answer plain SQL") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    val w = spark.sql(
+      "SELECT count(*) FROM dsir_weights WHERE logw IS NOT NULL")
+      .head().getLong(0)
+    assert(w > 0)
+    val c = spark.sql("SELECT min(pct), max(pct) FROM documents_calibrated").head()
+    assert(c.getDouble(0) === 0.0 && c.getDouble(1) === 1.0)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("documents_scored view serves the pipeline columns to plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     val rows = spark.sql(
@@ -2248,6 +2259,49 @@ class NormalizeTextSpec extends SparkSpec {
     assert(got(1L) === "hello world how are you")
     assert(got(1L) === got(2L) && got(2L) === got(3L))
     assert(got(4L) !== got(1L))
+  }
+}
+
+class CharEntropySpec extends SparkSpec {
+
+  test("closed forms: balanced, constant, uniform; empty text emits no row") {
+    import spark.implicits._
+    val df = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L)._1 === 4L && got(1L)._2 === 2L)
+    assert(math.abs(got(1L)._3 - math.log(2)) < 1e-5)   // two fair symbols
+    assert(math.abs(got(2L)._3) < 1e-5)                 // constant -> 0 nats
+    assert(math.abs(got(3L)._3 - math.log(4)) < 1e-5)   // uniform over 4
+    assert(!got.contains(4L))
+    assert(got(3L)._3 > got(1L)._3 && got(1L)._3 > got(2L)._3)
+  }
+}
+
+class DedupParagraphsSpec extends SparkSpec {
+
+  test("first (doc, pos) occurrence survives; later repeats drop; order kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("aa", "bb")),
+      (2L, Seq("bb", "cc")),   // bb already seen in doc 1
+      (3L, Seq("aa")),         // fully duplicate -> empty
+      (4L, Seq("dd", "dd", "ee")), // within-doc repeat keeps the first
+      (5L, Seq.empty[String])
+    ).toDF("doc_id", "lines")
+    val got = TextAnalysis.dedupParagraphs(df, "doc_id", "lines")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((2L, 2L, "aa\nbb")))
+    assert(got(2L) === ((2L, 1L, "cc")))
+    assert(got(3L) === ((1L, 0L, "")))
+    assert(got(4L) === ((3L, 2L, "dd\nee")))
+    assert(got(5L) === ((0L, 0L, "")))
+    graft.CacheRegistry.releaseAll()
   }
 }
 
