@@ -188,7 +188,23 @@ object ScaleStress {
         "corpus_diff" -> t(s"$tag corpus_diff") {
           graft.functions.CorpusDiff.diff(
             d.where(col("doc_id") % 7 =!= 0),
-            d.where(col("doc_id") % 5 =!= 0), "doc_id", "text").count() })
+            d.where(col("doc_id") % 5 =!= 0), "doc_id", "text").count() },
+        "backoff_logprob" -> t(s"$tag backoff_logprob") {
+          val n = TextAnalysis.backoffLogProb(
+            d.where(col("doc_id") % 10 =!= 0), d, "doc_id", "text").count()
+          graft.CacheRegistry.releaseAll(); n },
+        "dsir_weights" -> t(s"$tag dsir_weights") {
+          val n = TextAnalysis.dsirLogRatio(
+            d, d.where(col("doc_id") % 5 === 0), "doc_id", "text").count()
+          graft.CacheRegistry.releaseAll(); n },
+        "paragraph_dedup" -> t(s"$tag paragraph_dedup") {
+          val n = TextAnalysis.dedupParagraphs(
+            d.select(col("doc_id"),
+              TextAnalysis.reflowLines(col("text"), 12).as("lines")),
+            "doc_id", "lines").count()
+          graft.CacheRegistry.releaseAll(); n },
+        "char_entropy" -> t(s"$tag char_entropy") {
+          TextAnalysis.charEntropy(d, "doc_id", "text").count() })
       spark.sharedState.cacheManager.clearCache()
       r
     }
