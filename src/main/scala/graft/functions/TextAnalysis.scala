@@ -1177,6 +1177,31 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-wide top-k most frequent n-grams — the census behind stopword
+    * lists, boilerplate discovery ("which 5-gram appears 40M times?") and
+    * tokenizer design. Text grams (not hashes): the consumer reads these.
+    *
+    * Shape: map-only gram extraction (word array staged once — HOF
+    * pitfall), ONE partial-agg census shuffle (map-side combine bounds it
+    * by distinct grams per partition), then global top-k as
+    * `TakeOrderedAndProject` — per-partition heaps of k, never a full
+    * sort. Returns (gram, cnt) ordered (cnt desc, gram).
+    */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+                n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0 && k > 0, s"need positive n/k, got n=$n k=$k")
+    val w = col("__w")
+    // stop >= 1 is guaranteed by the size filter below
+    val grams = transform(sequence(lit(1), size(w) - (n - 1), lit(1)),
+      i => array_join(slice(w, i, lit(n)), " "))
+    df.select(split(lower(col(textCol)), " ").as("__w"))
+      .where(size(w) >= n)
+      .select(explode_outer(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Character-level Shannon entropy — the quality signal the token-level
     * gates cannot see: repeated-character spam ("aaaa…") collapses to
     * ~0 bits, random base64/hex blobs saturate near log|alphabet|, and

@@ -838,6 +838,12 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
     },
 
+    // Corpus-wide top-50 bigrams — the census behind stopword lists and
+    // boilerplate discovery; global top-k plans as TakeOrderedAndProject.
+    "d68_top_ngrams" -> { (s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 50)
+    },
+
     // Character-entropy signal: repeated-char spam ~0 nats, random blobs
     // ~log|alphabet|, prose mid-band — the char-level noise gate the
     // token-level quality columns miss. One doc-keyed partial-agg chain.
@@ -1949,6 +1955,13 @@ object PipelineQueries {
          SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
            coalesce(array_to_string(kept, chr(10)), '') AS cleaned
          FROM k""",
+    "d68_top_ngrams" ->
+      """WITH words AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT unnest(list_transform(range(0, len(w) - 1),
+             i -> array_to_string(w[i+1:i+2], ' '))) AS gram
+           FROM words WHERE len(w) >= 2)
+         SELECT gram, count(*) AS cnt FROM g GROUP BY 1
+         ORDER BY cnt DESC, gram LIMIT 50""",
     // H = ln n − (Σ c·ln c)/n over per-char counts, grid terms — the
     // same identity/rounding as the Spark agg.
     "d67_char_entropy" ->

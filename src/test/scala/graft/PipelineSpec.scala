@@ -2262,6 +2262,19 @@ class NormalizeTextSpec extends SparkSpec {
   }
 }
 
+class TopNgramsSpec extends SparkSpec {
+
+  test("counts, deterministic tie order, top-k cut, TakeOrdered plan") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    // bigrams: doc1 "a b","b a","a b","b c"; doc2 "a b","b x"
+    val q = TextAnalysis.topNgrams(df, "text", n = 2, k = 3)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+}
+
 class CharEntropySpec extends SparkSpec {
 
   test("closed forms: balanced, constant, uniform; empty text emits no row") {
