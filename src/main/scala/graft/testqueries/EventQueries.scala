@@ -671,6 +671,34 @@ object EventQueries {
         .unionByName(recent.select("event_id", "user_id", "event_type", "value"))
     },
 
+    // LOCF grid resampling: each user's irregular update log resampled to
+    // a 1-day grid over their own observed span, carrying the last value
+    // written at-or-before each instant — checked against DuckDB's native
+    // ASOF join over generate_series. One key-partitioned exchange.
+    "q43_locf_grid" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val staged = e.select(col("user_id"),
+        Tables.epochNs(e.schema("ts").dataType, col("ts")).as("tns"),
+        col("value"), col("event_id"))
+      graft.ops.Resample.locfGrid(staged, Seq("user_id"), "tns", "value",
+          "event_id", stepNs = 24L * 3600 * 1000000000L)
+        .select(col("user_id"), col("t"), round(col("value"), 4).as("value"))
+    },
+
+    // Trailing range-window aggregates: per error event, count and
+    // grid-exact value sum over the trailing hour — the SQL RANGE frame,
+    // value-based so same-instant ties see identical frames everywhere.
+    "q44_trailing_window" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val staged = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          Tables.epochNs(e.schema("ts").dataType, col("ts")).as("tns"),
+          col("value"))
+      graft.ops.Resample.trailingAgg(staged, Seq("user_id"), "tns", "value",
+          windowNs = 3600L * 1000000000L)
+        .select(col("user_id"), col("event_id"), col("n_win"), col("sum_win"))
+    },
+
     // CreateArgumentsTable.sql:8-123: parse '(v),(v)' list literals, expand
     // to concrete (user, type) pairs, then aggregate the matching events.
     // The argument lists are tiny → parsed on the driver, broadcast-joined.
@@ -923,6 +951,23 @@ object EventQueries {
          FROM (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'purchase') l
          ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q43_locf_grid" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, value, event_id FROM events),
+         d AS (SELECT user_id, t, max_by(value, event_id) AS v FROM e GROUP BY 1, 2),
+         b AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM d GROUP BY 1),
+         g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400000000000)) AS t
+           FROM b)
+         SELECT g.user_id, g.t, round(d.v, 4) AS value
+         FROM g ASOF LEFT JOIN d ON g.user_id = d.user_id AND g.t >= d.t""",
+    "q44_trailing_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t, value
+           FROM events WHERE event_type = 'error')
+         SELECT user_id, event_id,
+           count(*) OVER w AS n_win,
+           round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) OVER w AS DOUBLE)
+             / 1000000, 2) AS sum_win
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""",
     "q34_dump_reconstruct" -> {
       val fieldVals = EventTypes.zipWithIndex
         .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")

@@ -462,3 +462,32 @@ class SkewSaltSpec extends SparkSpec {
     assert(joined.select("__salt").distinct().count() === 4)
   }
 }
+
+class ResampleSpec extends SparkSpec {
+
+  test("locfGrid: per-key span, step instants, last-writer-wins carry") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1.0, 1L), (1L, 10L, 2.0, 2L), (1L, 10L, 3.0, 3L),
+      (1L, 25L, 4.0, 4L), (2L, 5L, 9.0, 1L))
+      .toDF("user_id", "tns", "value", "event_id")
+    val got = Resample.locfGrid(df, Seq("user_id"), "tns", "value", "event_id", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // u1 span [0,25] -> instants 0,10,20; same-instant t=10 resolves to
+    // the ord=3 writer; u2 span is a single instant
+    assert(got === Map((1L, 0L) -> 1.0, (1L, 10L) -> 3.0, (1L, 20L) -> 3.0,
+      (2L, 5L) -> 9.0))
+  }
+
+  test("trailingAgg: inclusive value-based frame, ties share it") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 0L, 1.0), (1L, 11L, 50L, 2.0),
+      (1L, 12L, 100L, 4.0), (1L, 13L, 100L, 8.0))
+      .toDF("user_id", "event_id", "tns", "value")
+    val got = Resample.trailingAgg(df, Seq("user_id"), "tns", "value", 60L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(10L) === ((1L, 1.0)))
+    assert(got(11L) === ((2L, 3.0)))        // [-10, 50] -> {0, 50}
+    assert(got(12L) === ((3L, 14.0)))       // [40, 100] -> {50, 100, 100}
+    assert(got(13L) === ((3L, 14.0)))       // tie shares the frame
+  }
+}
