@@ -92,3 +92,107 @@ class PropertySpec extends SparkSpec {
     }, org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15))
   }
 }
+
+/** Model-based properties for this round's selection/dedup operators:
+  * each checks the distributed result against a sequential Scala replay
+  * of the documented rule over random small corpora (Spark evaluation
+  * sampled — bounded case counts, as above).
+  */
+class SelectionPropertySpec extends SparkSpec {
+
+  private def check(prop: org.scalacheck.Prop, cases: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hashValue(id: Long): Long =
+    java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16)
+
+  test("dedupParagraphs equals the sequential keep-first replay") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val lineGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.listOfN(4, Gen.listOf(lineGen).map(_.take(4)))
+    check(Prop.forAllNoShrink(docGen) { docs =>
+      val rows = docs.zipWithIndex.map { case (ls, i) => ((i + 1).toLong, ls) }
+      val got = graft.functions.TextAnalysis.dedupParagraphs(
+          rows.toDF("doc_id", "lines"), "doc_id", "lines")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      graft.CacheRegistry.releaseAll()
+      // sequential replay: first (doc, pos) occurrence of each line wins
+      val seen = scala.collection.mutable.Set[String]()
+      val want = rows.map { case (id, ls) =>
+        id -> ls.filter(l => seen.add(l)).mkString("\n")
+      }.toMap
+      got == want
+    }, cases = 10)
+  }
+
+  test("stratifiedQuota equals first-k by (md5, id) within each stratum") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(1L, 60L)
+      dom <- Gen.oneOf("a", "b", "c")
+    } yield (id, dom)).map(_.distinctBy(_._1))
+    val quotaGen = Gen.chooseNum(1, 5)
+    check(Prop.forAllNoShrink(rowsGen, quotaGen) { (rows, q) =>
+      val got = graft.functions.Sampling.stratifiedQuota(
+          rows.toDF("id", "dom"), "id", "dom", Map("a" -> q), default = 2)
+        .collect().map(_.getLong(0)).toSet
+      val want = rows.groupBy(_._2).flatMap { case (dom, g) =>
+        val k = if (dom == "a") q else 2
+        g.map(_._1).sortBy(id => (hashValue(id), id)).take(k)
+      }.toSet
+      got == want
+    }, cases = 15)
+  }
+
+  test("percentileCalibrate equals the strictly-below model on random scores") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val scoresGen = Gen.nonEmptyListOf(Gen.chooseNum(0, 9).map(_ / 10.0))
+    check(Prop.forAllNoShrink(scoresGen) { ss =>
+      val rows = ss.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
+      val got = graft.functions.Sampling.percentileCalibrate(
+          rows.toDF("id", "score"), "score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val n = rows.size
+      val want = rows.map { case (id, s) =>
+        val below = rows.count(_._2 < s)
+        id -> (if (n == 1) 0.0
+               else BigDecimal(below.toDouble / (n - 1))
+                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+      got == want
+    }, cases = 15)
+  }
+
+  test("trailingAgg equals the naive quadratic window model") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(for {
+      t <- Gen.chooseNum(0L, 100L)
+      v <- Gen.chooseNum(0, 50).map(_ / 10.0)
+    } yield (t, v)).map(_.zipWithIndex.map { case ((t, v), i) =>
+      (1L, (i + 1).toLong, t, v) })
+    check(Prop.forAllNoShrink(rowsGen) { rows =>
+      val got = graft.ops.Resample.trailingAgg(
+          rows.toDF("u", "eid", "t", "v"), Seq("u"), "t", "v", windowNs = 30L)
+        .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getDouble(5)))).toMap
+      val want = rows.map { case (_, eid, t, _) =>
+        val in = rows.filter(r => r._3 >= t - 30L && r._3 <= t)
+        val sum = in.map(r => math.round(r._4 * 1e6)).sum
+        eid -> ((in.size.toLong,
+          BigDecimal(sum.toDouble / 1e6)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+      got == want
+    }, cases = 15)
+  }
+}
