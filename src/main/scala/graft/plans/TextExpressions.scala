@@ -93,6 +93,68 @@ object ShingleHashes {
   }
 }
 
+/** Native per-row character-entropy kernel — the scalar twin of
+  * [[graft.functions.TextAnalysis.charEntropy]] (same
+  * `H = ln n − (Σ round(c·ln c·1e6))/1e6/n` integer-grid formula,
+  * property-pinned equal in `NativeEntropySpec`), evaluated in one pass
+  * over the string's code points with a local histogram. The aggregation
+  * shape is right for corpus audits; THIS shape is right where a
+  * stateless per-row gate is needed — a streaming filter
+  * ([[graft.streaming.DocStream.entropyGate]]) or a scored-view column —
+  * since an explode+groupBy cannot run as a stream projection. NULL for
+  * null/empty input (the aggregation's no-row case).
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_entropy"
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+
+  override def nullSafeEval(text: Any): Any =
+    CharEntropy.compute(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val resultTerm = ctx.freshName("entropyBoxed")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""java.lang.Double $resultTerm = graft.plans.CharEntropy.compute($t);
+         |if ($resultTerm == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $resultTerm.doubleValue(); }""".stripMargin)
+  }
+}
+
+object CharEntropy {
+  /** Boxed so the empty-string case can surface as SQL NULL. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): java.lang.Double = {
+    val s = text.toString
+    if (s.isEmpty) return null
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var terms = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      // c >= 1 so c·ln c >= 0: HALF_UP == Math.round on the grid term
+      terms += Math.round(c * Math.log(c) * 1e6)
+    }
+    val h = Math.log(n.toDouble) - terms.toDouble / 1e6 / n
+    java.math.BigDecimal.valueOf(h)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+}
+
 /** Registration for [[ShingleHashes]] under the SQL name `graft_shingles`. */
 object TextExpressions {
 
@@ -104,14 +166,32 @@ object TextExpressions {
     ShingleHashes(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
   }
 
+  private val entropyFid = FunctionIdentifier("graft_entropy")
+  private val entropyInfo =
+    new ExpressionInfo(classOf[CharEntropy].getName, "graft_entropy")
+  private[plans] val entropyBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1,
+      s"graft_entropy expects 1 argument, got ${exprs.length}")
+    CharEntropy(exprs.head)
+  }
+
   /** Idempotent runtime registration (see [[VectorExpressions.ensureRegistered]]). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      entropyFid, entropyInfo, entropyBuilder)
+  }
 
   /** `Column` surface: hashes of the n-word grams of a string-array column. */
   def shinglesColumn(spark: SparkSession, words: Column, n: Int): Column = {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(
       "graft_shingles", words, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** `Column` surface: per-row char-entropy in nats (null for empty). */
+  def entropyColumn(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function("graft_entropy", text)
   }
 }

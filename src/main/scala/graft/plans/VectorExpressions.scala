@@ -118,5 +118,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
       TextExpressions.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_entropy"),
+      TextExpressions.entropyBuilder))
   }
 }

@@ -21,9 +21,11 @@ object GraftSql {
     TableNames.foreach { n =>
       Tables.load(spark, dir, n).createOrReplaceTempView(n)
     }
-    // events via the raw-ns scan so SQL-level ts predicates stay pushable
+    // events via the storage-typed scan so SQL-level ts predicates stay
+    // pushable (TIMESTAMP literals coerce against the NTZ column)
     Tables.loadEventsRaw(spark, dir).createOrReplaceTempView("events")
     VectorExpressions.ensureRegistered(spark)
+    graft.plans.TextExpressions.ensureRegistered(spark)
     registerDocViews(spark, contaminationThreshold, heldOutSplit)
   }
 
@@ -96,6 +98,10 @@ object GraftSql {
             TextAnalysis.qualityScore(col("text")).as("quality")),
           "quality")
         .createOrReplaceTempView("documents_calibrated")
+      // Corpus top-100 bigrams (the d68 shape): boilerplate/stopword
+      // discovery from plain SQL — `SELECT * FROM top_bigrams LIMIT 10`.
+      TextAnalysis.topNgrams(spark.table("documents"), "text", n = 2, k = 100)
+        .createOrReplaceTempView("top_bigrams")
     }
     if (spark.catalog.tableExists("embeddings")) {
       // Embedding-level semantic dedup (the d34 shape) as a SQL target:

@@ -260,6 +260,21 @@ object DocStream {
       TextAnalysis.gopherReport(col(textCol)), minWords, maxWords,
       minMeanLen, maxMeanLen, maxSymbolRatio, minAlphaFrac, minStopHits))
 
+  /** Stateless character-entropy band gate (kept OUT of [[cleanStream]]
+    * so its d38 parity contract stays byte-stable, like [[gopherFilter]]):
+    * drops repeated-character spam (entropy below `minNats`) and
+    * random-blob noise (above `maxNats`) via the native
+    * [[graft.plans.CharEntropy]] per-row kernel — a pure projection, so
+    * it composes into any streaming DAG with zero state. Empty docs
+    * (null entropy) drop.
+    */
+  def entropyGate(docs: DataFrame, textCol: String = "text",
+                  minNats: Double = 1.5, maxNats: Double = 6.0): DataFrame = {
+    val h = graft.plans.TextExpressions.entropyColumn(
+      docs.sparkSession, col(textCol))
+    docs.where(h >= minNats && h <= maxNats)
+  }
+
   /** The full incremental cleaning stage: watermarked exact dedup →
     * quality gate → repetition gate → language routing → PII redaction,
     * one streaming DAG. Near-dup clustering is deliberately absent —

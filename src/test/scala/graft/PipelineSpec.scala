@@ -2262,6 +2262,41 @@ class NormalizeTextSpec extends SparkSpec {
   }
 }
 
+class NativeEntropySpec extends SparkSpec {
+
+  test("graft_entropy equals the d67 aggregation on a varied corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab c!0xy"
+    val docs = (1L to 60L).map(i => (i,
+      (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(8))).mkString))
+    val df = docs.toDF("doc_id", "text")
+    val agg = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val native = df.select(col("doc_id"),
+        graft.plans.TextExpressions.entropyColumn(spark, col("text")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    docs.foreach { case (id, text) =>
+      if (text.isEmpty) assert(native(id).isEmpty && !agg.contains(id))
+      else assert(native(id).contains(agg(id)), s"doc $id '$text'")
+    }
+  }
+
+  test("SQL name, null for empty, and the entropy gate band") {
+    import spark.implicits._
+    graft.plans.TextExpressions.ensureRegistered(spark)
+    val h = spark.sql("SELECT graft_entropy('aabb') AS h").head().getDouble(0)
+    assert(math.abs(h - math.log(2)) < 1e-5)
+    assert(spark.sql("SELECT graft_entropy('') AS h").head().isNullAt(0))
+    val df = Seq((1L, "aaaaaaaaaa"), (2L, "the quick brown fox jumps"),
+      (3L, "")).toDF("doc_id", "text")
+    val kept = graft.streaming.DocStream.entropyGate(df, minNats = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L)) // spam below the band, empty drops, prose stays
+  }
+}
+
 class TopNgramsSpec extends SparkSpec {
 
   test("counts, deterministic tie order, top-k cut, TakeOrdered plan") {
