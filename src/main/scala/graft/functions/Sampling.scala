@@ -210,7 +210,13 @@ object Sampling {
     */
   def percentileCalibrate(df: org.apache.spark.sql.DataFrame,
                           scoreCol: String): org.apache.spark.sql.DataFrame = {
-    val census = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    // S4 persist rule: the below-window branch and the totals branch both
+    // read the census; unpersisted, the corpus scan + score evaluation
+    // (often an expensive formula) would run once per branch. The census
+    // is distinct-score-sized — cheap to hold.
+    val census = graft.CacheRegistry.track(
+      df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val w = Window.orderBy(scoreCol)
     val below = census.withColumn("__below",
       coalesce(sum("__c").over(

@@ -41,10 +41,14 @@ object Resample {
                valueCol: String, ordCol: String, stepNs: Long): DataFrame = {
     require(stepNs > 0, s"stepNs=$stepNs must be positive")
     val keys = keyCols.map(col)
-    // one value per (key, instant): last writer (highest ordCol) wins
-    val dedup = events
+    // one value per (key, instant): last writer (highest ordCol) wins.
+    // S4 persist rule: the per-key bounds branch and the union branch both
+    // read this frame — unpersisted, the scan + dedup agg run twice
+    // (plan-audited; callers release via CacheRegistry).
+    val dedup = graft.CacheRegistry.track(events
       .groupBy((keys :+ col(tsNsCol).as("t")): _*)
       .agg(max_by(col(valueCol), col(ordCol)).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val grid = dedup.groupBy(keys: _*)
       .agg(min("t").as("__lo"), max("t").as("__hi"))
       .select(keys :+ explode(sequence(col("__lo"), col("__hi"),

@@ -133,3 +133,40 @@ class EmptyInputSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 }
+
+/** Totality on empty inputs for this round's selection / LM / resampling
+  * operators — same contract as above: empty in, well-formed empty out.
+  */
+class EmptyInputRound9Spec extends SparkSpec {
+
+  test("LM scoring and DSIR are total on empty corpora") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.backoffLogProb(docs, docs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.dsirLogRatio(docs, docs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.dsirTopK(docs, docs, "doc_id", "text", k = 5).count() === 0)
+    assert(TextAnalysis.charEntropy(docs, "doc_id", "text").count() === 0)
+    assert(TextAnalysis.topNgrams(docs, "text", 2, 10).count() === 0)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("selection machinery is total on empty frames") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String, Double)].toDF("id", "dom", "score")
+    assert(graft.functions.Sampling.groupSplit(df, "dom",
+      Seq("train" -> 9, "test" -> 1)).count() === 0)
+    assert(graft.functions.Sampling.stratifiedQuota(df, "id", "dom",
+      Map("a" -> 3)).count() === 0)
+    assert(graft.functions.Sampling.percentileCalibrate(df, "score").count() === 0)
+  }
+
+  test("paragraph dedup and resampling are total on empty frames") {
+    import spark.implicits._
+    val lines = Seq.empty[(Long, Seq[String])].toDF("doc_id", "lines")
+    assert(TextAnalysis.dedupParagraphs(lines, "doc_id", "lines").count() === 0)
+    graft.CacheRegistry.releaseAll()
+    val ev = Seq.empty[(Long, Long, Long, Double)].toDF("u", "eid", "t", "v")
+    assert(graft.ops.Resample.locfGrid(ev, Seq("u"), "t", "v", "eid", 10L).count() === 0)
+    assert(graft.ops.Resample.trailingAgg(ev, Seq("u"), "t", "v", 10L).count() === 0)
+  }
+}
