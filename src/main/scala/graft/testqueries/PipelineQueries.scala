@@ -844,6 +844,30 @@ object PipelineQueries {
       TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 50)
     },
 
+    // Quality-audit one-rower — the curator's first quality report on a
+    // new dump (the d53 dedup report's quality-side twin): doc/token
+    // volume, grid-exact mean quality, language share, Gopher pass mass,
+    // and grid-exact mean char entropy via the NATIVE graft_entropy
+    // kernel — one codegen'd projection + one aggregate, no joins.
+    "d69_quality_audit" -> { (s, dir) =>
+      val per = docs(s, dir).select(
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.gopherKeep(TextAnalysis.gopherReport(col("text")),
+          minWords = 30, minStopHits = 1).as("gk"),
+        graft.plans.TextExpressions.entropyColumn(s, col("text")).as("ent"))
+      per.agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("total_tokens"),
+        round(sum(round(col("q") * 1e4, 0).cast("long")).cast("double")
+          / 1e4 / count(lit(1)), 4).as("mean_quality"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("gk"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        round(sum(round(col("ent") * 1e6, 0).cast("long")).cast("double")
+          / 1e6 / count(lit(1)), 6).as("mean_entropy"))
+    },
+
     // Character-entropy signal: repeated-char spam ~0 nats, random blobs
     // ~log|alphabet|, prose mid-band — the char-level noise gate the
     // token-level quality columns miss. One doc-keyed partial-agg chain.
@@ -1955,6 +1979,52 @@ object PipelineQueries {
          SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
            coalesce(array_to_string(kept, chr(10)), '') AS cleaned
          FROM k""",
+    // Recomposes the d47 gopher gate, the d01 quality formula, the d16
+    // lang argmax and the d67 entropy identity into one audit row; means
+    // ride grid-rounded long sums so partition order cannot move them.
+    "d69_quality_audit" ->
+      s"""WITH t AS (SELECT doc_id, text,
+             string_split(lower(text), ' ') AS toks FROM documents),
+         m AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(CAST(list_sum(list_transform(string_split(text, ' '),
+               w -> len(w))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_word_len,
+           round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+             + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3)
+             / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+           round(CAST(len(list_filter(toks,
+               w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS frac_alpha,
+           CAST($GopherStopHitsSql AS BIGINT) AS n_stop_hits
+           FROM t),
+         chars AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         cc AS (SELECT doc_id, ch, count(*) AS c FROM chars
+           WHERE ch <> '' GROUP BY 1, 2),
+         ent AS (SELECT doc_id, round(ln(sum(c)) -
+             CAST(sum(CAST(round(c * ln(c) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000 / sum(c), 6) AS entropy
+           FROM cc GROUP BY doc_id),
+         per AS (SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+             $QualitySql AS q,
+             $LangIdCaseSql AS lang,
+             CASE WHEN m.n_words BETWEEN 30 AND 100000
+               AND m.mean_word_len BETWEEN 3.0 AND 10.0
+               AND m.symbol_ratio <= 0.1 AND m.frac_alpha >= 0.8
+               AND m.n_stop_hits >= 1 THEN 1 ELSE 0 END AS gk,
+             e.entropy AS ent
+           FROM documents d JOIN m ON d.doc_id = m.doc_id
+           LEFT JOIN ent e ON d.doc_id = e.doc_id)
+         SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(round(q * 10000, 0) AS BIGINT)) AS DOUBLE)
+             / 10000 / count(*), 4) AS mean_quality,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(sum(gk) AS BIGINT) AS n_gopher_pass,
+           round(CAST(sum(CAST(round(ent * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(*), 6) AS mean_entropy
+         FROM per""",
     "d68_top_ngrams" ->
       """WITH words AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
          g AS (SELECT unnest(list_transform(range(0, len(w) - 1),
