@@ -925,6 +925,52 @@ object TextAnalysis {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Benchmark-contamination EXTENTS in the training corpus — where
+    * [[ngramContamination]] reports which BENCH items leaked, this
+    * reports the train-side token spans carrying them, shaped for
+    * [[exciseSpans]]: decontamination-in-place (remove the bench text,
+    * keep the document) instead of dropping whole train docs — the
+    * surgical variant real pipelines prefer when a popular quote or
+    * license block would otherwise delete millions of documents.
+    *
+    * Shape: bench reduces to its DISTINCT gram-hash set (one partial agg
+    * — bounded by bench volume, broadcastable in practice); train
+    * per-position hashes (native kernel, map-only) take ONE left-semi
+    * against it; only the HIT positions — contamination mass, not corpus
+    * mass — reach the per-doc island-merge window. Every train
+    * occurrence excises (no first-keep: contaminated text has no
+    * canonical copy worth keeping). Returns (idCol, span_start,
+    * span_end, n_grams), [[duplicateSpans]]'s contract.
+    */
+  def contaminationSpans(train: org.apache.spark.sql.DataFrame,
+                         bench: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 13): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"n=$n must be positive")
+    def grams(d: org.apache.spark.sql.DataFrame) = d
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
+      .where(size(col("__words")) >= n)
+      .select(col(idCol), posexplode(graft.plans.TextExpressions
+        .shinglesColumn(d.sparkSession, col("__words"), n)))
+      .select(col(idCol), col("pos"), col("col").as("sh"))
+    val benchSet = grams(bench).select("sh").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    grams(train)
+      .join(benchSet, Seq("sh"), "left_semi")
+      .select(col(idCol), col("pos"))
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("__run", sum("__brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(idCol), col("__run"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Apply [[duplicateSpans]] extents: rebuild each affected document with
     * the duplicated token spans EXCISED — the step that turns the Lee et
     * al. span report into training-ready text. Returns (idCol, clean_text,

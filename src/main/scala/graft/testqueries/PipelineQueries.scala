@@ -844,6 +844,20 @@ object PipelineQueries {
       TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 50)
     },
 
+    // Decontamination-in-place: bench-contaminated ≥13-gram spans located
+    // in the train split (contaminationSpans) and EXCISED (exciseSpans) —
+    // remove the leaked text, keep the document. Contamination is organic
+    // (exact-dup docs straddle the % 10 split).
+    "d70_decontam_excise" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val train = d.where(col("doc_id") % 10 =!= 0)
+      val bench = d.where(col("doc_id") % 10 === 0)
+      val spans = TextAnalysis.contaminationSpans(train, bench, "doc_id", "text")
+      TextAnalysis.exciseSpans(train, "doc_id", "text", spans)
+        .select(col("doc_id"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+    },
+
     // Quality-audit one-rower — the curator's first quality report on a
     // new dump (the d53 dedup report's quality-side twin): doc/token
     // volume, grid-exact mean quality, language share, Gopher pass mass,
@@ -1979,6 +1993,43 @@ object PipelineQueries {
          SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
            coalesce(array_to_string(kept, chr(10)), '') AS cleaned
          FROM k""",
+    // d45's excise replay with the dup-detection CTE swapped for the
+    // bench-gram semi join: every train hit excises (no first-keep).
+    "d70_decontam_excise" ->
+      """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+           FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
+                 i -> struct_pack(pos := i,
+                   sh := CAST(('0x' || substr(md5(array_to_string(w[i+1:i+13], ' ')), 1, 15)) AS BIGINT)))) AS u
+           FROM words WHERE len(w) >= 13),
+         gg AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM g),
+         hits AS (SELECT doc_id, pos FROM gg WHERE doc_id % 10 != 0
+           AND sh IN (SELECT DISTINCT sh FROM gg WHERE doc_id % 10 = 0)),
+         i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 13
+                  THEN 0 ELSE 1 END AS brk FROM hits),
+         s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run FROM i),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 12 AS e
+           FROM s GROUP BY doc_id, run),
+         tok AS (SELECT doc_id, unnest(list_transform(range(0, len(string_split(text, ' '))),
+                 i2 -> struct_pack(pos := i2, w := string_split(text, ' ')[i2+1]))) AS u
+           FROM documents WHERE doc_id % 10 != 0 AND text IS NOT NULL),
+         tw AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM tok),
+         kept AS (SELECT t.doc_id, t.pos, t.w FROM tw t
+           WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id
+             AND t.pos BETWEEN sp.s AND sp.e)),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY 1),
+         orig AS (SELECT doc_id, text, len(string_split(text, ' ')) AS n_orig
+           FROM documents WHERE doc_id % 10 != 0),
+         spd AS (SELECT DISTINCT doc_id FROM sp)
+         SELECT o.doc_id,
+           CAST(CASE WHEN spd.doc_id IS NULL THEN 0
+                ELSE o.n_orig - coalesce(a.n_kept, 0) END AS BIGINT) AS n_removed,
+           CASE WHEN spd.doc_id IS NULL THEN md5(o.text)
+                ELSE md5(coalesce(a.clean_text, '')) END AS clean_md5
+         FROM orig o LEFT JOIN spd USING (doc_id) LEFT JOIN agg a USING (doc_id)""",
     // Recomposes the d47 gopher gate, the d01 quality formula, the d16
     // lang argmax and the d67 entropy identity into one audit row; means
     // ride grid-rounded long sums so partition order cannot move them.

@@ -2262,6 +2262,28 @@ class NormalizeTextSpec extends SparkSpec {
   }
 }
 
+class ContaminationSpansSpec extends SparkSpec {
+
+  test("bench extents located in train and excised; clean docs pass through") {
+    import spark.implicits._
+    val span = (1 to 13).map(i => s"b$i").mkString(" ")
+    val train = Seq(
+      (1L, s"t1 t2 $span t3 t4"),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((10L, span)).toDF("doc_id", "text")
+    val spans = TextAnalysis.contaminationSpans(train, bench, "doc_id", "text")
+    val got = spans.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+    assert(got.toList === List((1L, 2, 14))) // tokens 2..14 = the planted span
+    val clean = TextAnalysis.exciseSpans(train, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(clean(1L) === (("t1 t2 t3 t4", 13L)))
+    assert(clean(2L)._2 === 0L) // untouched doc: byte-identical passthrough
+    graft.CacheRegistry.releaseAll()
+  }
+}
+
 class NativeEntropySpec extends SparkSpec {
 
   test("graft_entropy equals the d67 aggregation on a varied corpus") {

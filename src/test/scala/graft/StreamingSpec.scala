@@ -192,6 +192,23 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("entropyGate is a stateless streaming gate on the native kernel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val q = graft.streaming.DocStream.entropyGate(in.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("doc_entropy")
+      .outputMode("append").start()
+    try {
+      in.addData(prose, "aaaaaaaaaaaaaaaaaaaaaaaa", "")
+      q.processAllAvailable()
+      val rows = spark.table("doc_entropy").collect()
+      assert(rows.length === 1)  // spam below the band, empty (null) drops
+      assert(rows.head.getString(0) === prose)
+    } finally q.stop()
+  }
+
   test("nearDupTag: stream docs tagged against the static corpus, append mode") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
