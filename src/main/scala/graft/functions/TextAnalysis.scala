@@ -704,6 +704,40 @@ object TextAnalysis {
         round(sum(term).cast("double") / 1e6, 6).as("logw"))
   }
 
+  /** Driver-side DSIR ratio table for the STREAMING tag
+    * ([[graft.streaming.DocStream.dsirTag]]): the per-bucket grid terms
+    * `round(lnr·1e6)` as a map (≤`buckets` entries — a bounded plan
+    * constant, same driver-size class as IVF centroids or LSH planes),
+    * plus the unseen-bucket default (both censuses zero, smoothing only).
+    * Collecting O(buckets) rows is the point: the stream side then scores
+    * with ZERO joins and zero state.
+    */
+  def dsirRatioTable(raw: org.apache.spark.sql.DataFrame,
+                     target: org.apache.spark.sql.DataFrame,
+                     textCol: String,
+                     buckets: Int = 1024): (Map[Long, Long], Long) = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val spark = raw.sparkSession
+    def sh(n: Int) = graft.plans.TextExpressions.shinglesColumn(
+      spark, col("__w"), n)
+    def census(d: org.apache.spark.sql.DataFrame): Map[Long, Long] = d
+      .select(split(lower(col(textCol)), " ").as("__w"))
+      .select(explode_outer(concat(sh(1), sh(2))).as("__h"))
+      .groupBy(pmod(col("__h"), lit(buckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (cr, ct) = (census(raw), census(target))
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    def lnr(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + buckets)) -
+        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (tr + buckets))
+    val terms = (cr.keySet ++ ct.keySet).map(b =>
+      b -> math.round(lnr(b) * 1e6)).toMap
+    val default = math.round(
+      (math.log(1.0 / (tt + buckets)) - math.log(1.0 / (tr + buckets))) * 1e6)
+    (terms, default)
+  }
+
   /** DSIR selection — the paper's Gumbel top-k sampler (sampling k docs
     * without replacement with probability ∝ exp(logw)) made fully
     * DETERMINISTIC: the Gumbel noise `g = −ln(−ln(u))` draws its uniform

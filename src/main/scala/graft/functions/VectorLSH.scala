@@ -42,6 +42,39 @@ object VectorLSH {
       when(dotFn(vec, lit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions — the
+    * embedding-compression pass before storage or a cheaper ANN index
+    * (Achlioptas 2001/2003 showed database-friendly ±1/uniform entries
+    * suffice; the scaling `sqrt(3/k)` makes E‖y‖² = ‖x‖² for the same
+    * uniform[-1,1] entries the LSH planes already use). The projection
+    * matrix is [[planeValue]]'s md5 literals — plan constants any engine
+    * regenerates — and each component is the native codegen'd
+    * [[graft.plans.DotProduct]] over the same sequential fold a SQL
+    * `list_reduce` replays, so outputs are bit-replayable, not just
+    * approximately equal. Map-only: no shuffle at any scale.
+    * Returns (idCol, j, y) — one row per output dimension, `y` on the
+    * 1e-6 grid.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, dim: Int = -1): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val d = if (dim > 0) Some(dim) else firstVectorLength(df, vecCol)
+    d match {
+      case None =>
+        df.select(col(idCol), lit(0).as("j"), lit(0.0).as("y")).limit(0)
+      case Some(n) =>
+        val nativeDot = graft.plans.VectorExpressions
+          .dotColumn(df.sparkSession, _: Column, _: Column)
+        val scale = math.sqrt(3.0 / k)
+        val comps = array(hyperplanes(k, n).map(plane =>
+          round(lit(scale) * nativeDot(col(vecCol).cast("array<double>"),
+            lit(plane)), 6)): _*)
+        df.select(col(idCol), posexplode(comps))
+          .withColumnRenamed("pos", "j")
+          .withColumnRenamed("col", "y")
+    }
+  }
+
   /** Band keys from the bit signature: band b holds bits
     * [b·rb, (b+1)·rb). Returns (idCol, band, bkey) — map-only.
     */

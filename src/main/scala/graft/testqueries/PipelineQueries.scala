@@ -844,6 +844,14 @@ object PipelineQueries {
       TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 50)
     },
 
+    // Johnson–Lindenstrauss random projection to 8 dims — embedding
+    // compression before storage / a cheaper index; md5 plan-literal
+    // projection matrix, native dot kernel, map-only, bit-replayable
+    // (the oracle re-folds the same sequential sum).
+    "d71_jl_project" -> { (s, dir) =>
+      VectorLSH.randomProject(embs(s, dir), "vec_id", "embedding", k = 8)
+    },
+
     // Decontamination-in-place: bench-contaminated ≥13-gram spans located
     // in the train split (contaminationSpans) and EXCISED (exciseSpans) —
     // remove the leaked text, keep the document. Contamination is organic
@@ -1103,6 +1111,25 @@ object PipelineQueries {
            SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
              i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
            FROM words WHERE len(w) >= 3))"""
+
+  /** DuckDB replay of the JL projection: the 8×64 md5 plane matrix
+    * rendered as a literal (Scala Double.toString and DuckDB both bind
+    * the nearest double of the same decimal), embedding floats widened
+    * to double, components folded left-to-right exactly as the native
+    * kernel's loop.
+    */
+  private lazy val JlProjectSql: String = {
+    val planes = graft.functions.VectorLSH.hyperplanes(8, 64)
+    val lits = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"""WITH p AS (SELECT CAST($lits AS DOUBLE[][]) AS planes),
+       js AS (SELECT unnest(range(0, 8)) AS j)
+       SELECT e.vec_id, t.j,
+         round(sqrt(3.0 / 8) * list_reduce(
+           list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * p.planes[t.j + 1][i]),
+           (a, b) -> a + b), 6) AS y
+       FROM embeddings e CROSS JOIN p CROSS JOIN js t"""
+  }
 
   /** DuckDB replay of the DSIR hashed-feature machinery — shared by the
     * d61 weight and d62 top-k oracles: 60-bit md5 uni+bigram hashes
@@ -1993,6 +2020,10 @@ object PipelineQueries {
          SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
            coalesce(array_to_string(kept, chr(10)), '') AS cleaned
          FROM k""",
+    // The same md5 plane literals, the same sqrt(3/k) scale, and the same
+    // LEFT-TO-RIGHT fold (list_reduce) as the native dot kernel — the
+    // projection replays bit for bit, then lands on the 1e-6 grid.
+    "d71_jl_project" -> JlProjectSql,
     // d45's excise replay with the dup-detection CTE swapped for the
     // bench-gram semi join: every train hit excises (no first-keep).
     "d70_decontam_excise" ->

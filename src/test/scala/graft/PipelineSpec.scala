@@ -2262,6 +2262,28 @@ class NormalizeTextSpec extends SparkSpec {
   }
 }
 
+class RandomProjectSpec extends SparkSpec {
+
+  test("components are the scaled md5-plane dots; map-only plan") {
+    import spark.implicits._
+    val dim = 16
+    val basis = (0 until 3).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => if (d == i) 1.0f else 0.0f)))
+    val df = basis.toDF("vec_id", "embedding")
+    val q = VectorLSH.randomProject(df, "vec_id", "embedding", k = 4, dim = dim)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 12)
+    val scale = math.sqrt(3.0 / 4)
+    // projecting basis vector e_i reads out column i of each plane
+    for (i <- 0 until 3; j <- 0 until 4) {
+      val want = BigDecimal(scale * VectorLSH.planeValue(j, i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got((i.toLong, j)) - want) < 1e-9, s"e_$i comp $j")
+    }
+  }
+}
+
 class ContaminationSpansSpec extends SparkSpec {
 
   test("bench extents located in train and excised; clean docs pass through") {

@@ -192,6 +192,36 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirTag: stateless stream scoring matches the batch log-ratio") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val raw = Seq((1L, "aa bb aa"), (2L, "zz yy"), (3L, "aa bb"))
+      .toDF("doc_id", "text")
+    val tgt = raw.where(col("doc_id") =!= 2)
+    val (terms, dflt) = graft.functions.TextAnalysis
+      .dsirRatioTable(raw, tgt, "text", buckets = 64)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.dsirTag(
+        in.toDF().toDF("doc_id", "text"), terms, dflt, buckets = 64)
+      .writeStream.format("memory").queryName("doc_dsir")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "aa bb aa"), (2L, "zz yy"), (9L, "qq rr unseen"))
+      q.processAllAvailable()
+      val rows = spark.table("doc_dsir").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logw")).toMap
+      val batch = graft.functions.TextAnalysis
+        .dsirLogRatio(raw, tgt, "doc_id", "text", buckets = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // per-occurrence vs per-bucket term rounding: <= 0.5 µnat each
+      assert(math.abs(rows(1L) - batch(1L)) < 1e-3)
+      assert(math.abs(rows(2L) - batch(2L)) < 1e-3)
+      assert(rows(1L) > rows(2L)) // target-like scores above off-target
+      assert(rows.contains(9L))   // unseen buckets fall to the default term
+    } finally q.stop()
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("entropyGate is a stateless streaming gate on the native kernel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
