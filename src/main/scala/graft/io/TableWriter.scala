@@ -34,6 +34,26 @@ object TableWriter {
   def writeDeltaLog(df: DataFrame, path: String): Unit =
     writePartitioned(df, path, Seq("uevol_message_id"), Seq("instance_message_id"))
 
+  /** Deterministic shard writer — the sequence-writer output stage: rows
+    * land in `nShards` md5-assigned shards (stable across runs, engines
+    * and partitionings — [[graft.functions.Sampling.hashValue]]'s
+    * property, so an interrupted job rewrites IDENTICAL shards), one file
+    * per shard via repartition-by-shard, rows ordered inside each file by
+    * `sortCols` (e.g. the packed-sequence key, so a training reader
+    * streams sequences in layout order). Hive-partitioned by `shard` —
+    * a reader can open any subset of shards independently, which is the
+    * contract data-loader sharding needs.
+    */
+  def writeShards(df: DataFrame, path: String, idCol: String, nShards: Int,
+                  sortCols: Seq[String] = Nil): Unit = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    val sharded = df.withColumn("shard",
+      org.apache.spark.sql.functions.pmod(
+        graft.functions.Sampling.hashValue(col(idCol)),
+        org.apache.spark.sql.functions.lit(nShards.toLong)))
+    writePartitioned(sharded, path, Seq("shard"), sortCols)
+  }
+
   /** Bucketed catalog table: `numBuckets` hash buckets on `bucketCols`,
     * sorted within buckets — the co-located-join layout. Two tables
     * bucketed the same way join WITHOUT a shuffle on either side (Spark
