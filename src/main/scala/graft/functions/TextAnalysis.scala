@@ -715,7 +715,7 @@ object TextAnalysis {
   def dsirRatioTable(raw: org.apache.spark.sql.DataFrame,
                      target: org.apache.spark.sql.DataFrame,
                      textCol: String,
-                     buckets: Int = 1024): (Map[Long, Long], Long) = {
+                     buckets: Int = 1024): Array[Long] = {
     require(buckets > 0, s"buckets=$buckets must be positive")
     val spark = raw.sparkSession
     def sh(n: Int) = graft.plans.TextExpressions.shinglesColumn(
@@ -728,14 +728,13 @@ object TextAnalysis {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (cr, ct) = (census(raw), census(target))
     val (tr, tt) = (cr.values.sum, ct.values.sum)
-    def lnr(b: Long): Double =
-      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + buckets)) -
-        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (tr + buckets))
-    val terms = (cr.keySet ++ ct.keySet).map(b =>
-      b -> math.round(lnr(b) * 1e6)).toMap
-    val default = math.round(
-      (math.log(1.0 / (tt + buckets)) - math.log(1.0 / (tr + buckets))) * 1e6)
-    (terms, default)
+    // DENSE bucket->term array (empty buckets get the pure-smoothing
+    // term) so the stream side indexes in O(1) — a Map literal would
+    // linear-scan its 1024 entries once per gram occurrence
+    Array.tabulate(buckets) { b =>
+      math.round((math.log((ct.getOrElse(b.toLong, 0L) + 1).toDouble / (tt + buckets)) -
+        math.log((cr.getOrElse(b.toLong, 0L) + 1).toDouble / (tr + buckets))) * 1e6)
+    }
   }
 
   /** DSIR selection — the paper's Gumbel top-k sampler (sampling k docs

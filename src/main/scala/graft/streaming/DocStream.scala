@@ -262,26 +262,30 @@ object DocStream {
 
   /** Stateless DSIR tagging: per-doc target-likeness `dsir_logw` from a
     * PRECOMPUTED bucket ratio table
-    * ([[graft.functions.TextAnalysis.dsirRatioTable]] — ≤buckets grid
-    * terms shipped as a plan-literal map, like the LSH planes). Since
+    * ([[graft.functions.TextAnalysis.dsirRatioTable]] — a DENSE
+    * bucket-indexed grid-term array shipped as a plan literal, like the
+    * LSH planes). Since
     * `Σ_b f_b·lnr_b = Σ_occurrences lnr(bucket)`, one array fold over the
     * native gram hashes scores each doc — zero joins, zero state; the
     * batch twin is [[graft.functions.TextAnalysis.dsirLogRatio]] (equal
     * up to per-occurrence vs per-bucket term rounding, ≤0.5 µnat per
     * occurrence). The "route the crawl by domain-likeness online" stage.
     */
-  def dsirTag(docs: DataFrame, ratioTerms: Map[Long, Long], defaultTerm: Long,
-              buckets: Int = 1024, textCol: String = "text"): DataFrame = {
+  def dsirTag(docs: DataFrame, ratioTerms: Array[Long],
+              textCol: String = "text"): DataFrame = {
+    require(ratioTerms.nonEmpty, "ratioTerms must cover every bucket")
     val spark = docs.sparkSession
     def sh(n: Int) = graft.plans.TextExpressions.shinglesColumn(
       spark, col("__w"), n)
-    val mapLit = typedLit(ratioTerms)
+    // dense array literal: element_at is an O(1) index per occurrence
+    val termsLit = typedLit(ratioTerms.toSeq)
+    val buckets = ratioTerms.length.toLong
     docs.withColumn("__w", split(lower(col(textCol)), " "))
       .withColumn("dsir_logw",
         round(aggregate(concat(sh(1), sh(2)), lit(0L),
-          (acc, h) => acc + coalesce(
-            try_element_at(mapLit, pmod(h, lit(buckets.toLong))),
-            lit(defaultTerm))).cast("double") / 1e6, 6))
+          (acc, h) => acc +
+            element_at(termsLit, (pmod(h, lit(buckets)) + 1).cast("int")))
+          .cast("double") / 1e6, 6))
       .drop("__w")
   }
 

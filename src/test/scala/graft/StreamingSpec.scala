@@ -198,11 +198,11 @@ class DocStreamSpec extends SparkSpec {
     val raw = Seq((1L, "aa bb aa"), (2L, "zz yy"), (3L, "aa bb"))
       .toDF("doc_id", "text")
     val tgt = raw.where(col("doc_id") =!= 2)
-    val (terms, dflt) = graft.functions.TextAnalysis
+    val terms = graft.functions.TextAnalysis
       .dsirRatioTable(raw, tgt, "text", buckets = 64)
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.DocStream.dsirTag(
-        in.toDF().toDF("doc_id", "text"), terms, dflt, buckets = 64)
+        in.toDF().toDF("doc_id", "text"), terms)
       .writeStream.format("memory").queryName("doc_dsir")
       .outputMode("append").start()
     try {
