@@ -196,3 +196,67 @@ class SelectionPropertySpec extends SparkSpec {
     }, cases = 15)
   }
 }
+
+/** Model-based property for the stupid-backoff chain: random small
+  * train/score corpora from a tiny vocabulary, the distributed result
+  * compared against a sequential Scala replay of the exact documented
+  * rule (censuses, α-backoff association, 1e-6 grid terms).
+  */
+class BackoffPropertySpec extends SparkSpec {
+
+  test("backoffLogProb equals the sequential replay on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(3, 7).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpusGen = for {
+      train <- Gen.listOfN(3, doc)
+      score <- Gen.listOfN(3, doc)
+    } yield (train, score)
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAllNoShrink(corpusGen) { case (train, score) =>
+        val trainDf = train.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+          .toDF("doc_id", "text")
+        val scoreDf = score.zipWithIndex.map { case (t, i) => ((i + 101).toLong, t) }
+          .toDF("doc_id", "text")
+        val got = graft.functions.TextAnalysis
+          .backoffLogProb(trainDf, scoreDf, "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        graft.CacheRegistry.releaseAll()
+        // sequential replay
+        def grams(ws: Seq[String], n: Int) = ws.sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toSeq
+        val tws = train.map(_.split(" ").toSeq)
+        def census(n: Int) = tws.flatMap(grams(_, n))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val (c1, c2, c3) = (census(1), census(2), census(3))
+        val (nTot, v) = (c1.values.sum, c1.size.toLong)
+        def s(w1: String, w2: String, w3: String): Double = {
+          val tri = s"$w1 $w2 $w3"; val ctx = s"$w1 $w2"; val bi = s"$w2 $w3"
+          if (c3.contains(tri)) c3(tri).toDouble / c2(ctx)
+          else 0.4 * (if (c2.contains(bi)) c2(bi).toDouble / c1(w2)
+                      else 0.4 * (c1.getOrElse(w3, 0L) + 1) / (nTot + v).toDouble)
+        }
+        val want = score.zipWithIndex.flatMap { case (t, i) =>
+          val ws = t.split(" ").toSeq
+          if (ws.size < 3) None else {
+            // group by distinct trigram first: the operator grids
+            // round(tf * ln(s) * 1e6) per DISTINCT trigram, which is not
+            // tf * round(ln(s) * 1e6) when tf > 1
+            val occ = ws.sliding(3).filter(_.size == 3).toSeq
+            val byTri = occ.groupBy(identity).view.mapValues(_.size.toLong)
+            val terms = byTri.map { case (g, tf) =>
+              BigDecimal(tf * math.log(s(g(0), g(1), g(2))) * 1e6)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            }.toSeq
+            Some((i + 101).toLong -> ((occ.size.toLong,
+              BigDecimal(terms.sum.toDouble / 1e6 / occ.size)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+          }
+        }.toMap
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+}
