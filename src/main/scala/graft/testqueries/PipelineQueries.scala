@@ -844,6 +844,26 @@ object PipelineQueries {
       TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 50)
     },
 
+    // ANN recall@5 under the oracle: the exact top-k, the LSH top-k, and
+    // their per-query intersection all hash-checked — the approximation
+    // QUALITY itself becomes a correctness row, not just a probe number
+    // (tools/RecallProbe gives the corpus-level curve).
+    "d72_ann_recall" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      val exact = VectorOps.knnBruteForce(queries, e, "vec_id", "embedding", 5)
+      val approx = VectorLSH.annTopK(queries, e, "vec_id", "embedding", 5)
+      val hits = exact
+        .join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+    },
+
     // Johnson–Lindenstrauss random projection to 8 dims — embedding
     // compression before storage / a cheaper index; md5 plan-literal
     // projection matrix, native dot kernel, map-only, bit-replayable
@@ -2024,6 +2044,45 @@ object PipelineQueries {
     // LEFT-TO-RIGHT fold (list_reduce) as the native dot kernel — the
     // projection replays bit for bit, then lands on the 1e-6 grid.
     "d71_jl_project" -> JlProjectSql,
+    // d11's LSH CTEs + d07's brute-force CTE + the per-query intersection.
+    "d72_ann_recall" ->
+      """WITH planes AS (SELECT p, d,
+           (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(16) t1(p) CROSS JOIN range(64) t2(d)),
+         pl AS (SELECT p, list(v ORDER BY d) AS pv FROM planes GROUP BY p),
+         bits AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) >= 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bits
+           FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+         bnd AS (SELECT vec_id, b AS band, (bits >> CAST(b * 4 AS INT)) & 15 AS bkey
+           FROM bits CROSS JOIN range(4) t(b)),
+         cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+           FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+           WHERE qb.vec_id < 10 AND qb.vec_id != cb.vec_id),
+         approx AS (SELECT query_id, neighbor_id FROM (
+           SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                        c.neighbor_id ASC) AS rank
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+           WHERE rank <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hit FROM exact e
+           JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT q.vec_id AS query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         LEFT JOIN hits h ON q.vec_id = h.query_id""",
     // d45's excise replay with the dup-detection CTE swapped for the
     // bench-gram semi join: every train hit excises (no first-keep).
     "d70_decontam_excise" ->
