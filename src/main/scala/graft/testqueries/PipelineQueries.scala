@@ -17,6 +17,24 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Per-query recall@5 of an approximate neighbor frame against the
+    * exact brute-force top-5 — shared by d72 (LSH) and d73 (IVF).
+    */
+  private def annRecall(queries: DataFrame, corpus: DataFrame,
+                        approx: DataFrame): DataFrame = {
+    val exact = graft.functions.VectorOps
+      .knnBruteForce(queries, corpus, "vec_id", "embedding", 5)
+    val hits = exact
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + quality scoring — pure codegen'd expressions over the
     // scan; no shuffle at all (the 100 TB shape: embarrassingly parallel).
@@ -851,17 +869,18 @@ object PipelineQueries {
     "d72_ann_recall" -> { (s, dir) =>
       val e = embs(s, dir)
       val queries = e.where(col("vec_id") < 10)
-      val exact = VectorOps.knnBruteForce(queries, e, "vec_id", "embedding", 5)
-      val approx = VectorLSH.annTopK(queries, e, "vec_id", "embedding", 5)
-      val hits = exact
-        .join(approx.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      queries.select(col("vec_id").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)) / 5.0, 6).as("recall"))
+      annRecall(queries, e,
+        VectorLSH.annTopK(queries, e, "vec_id", "embedding", 5))
+    },
+
+    // d72's twin for the cluster-adaptive path: IVF nprobe=2 recall@5 —
+    // both approximate families now carry oracle-gated quality rows.
+    "d73_ivf_recall" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      annRecall(queries, e,
+        VectorIVF.annTopK(queries, e, "vec_id", "embedding", 5,
+          VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2))
     },
 
     // Johnson–Lindenstrauss random projection to 8 dims — embedding
@@ -2044,6 +2063,46 @@ object PipelineQueries {
     // LEFT-TO-RIGHT fold (list_reduce) as the native dot kernel — the
     // projection replays bit for bit, then lands on the 1e-6 grid.
     "d71_jl_project" -> JlProjectSql,
+    // d15's IVF CTEs + d07's brute-force CTE + the per-query intersection.
+    "d73_ivf_recall" ->
+      """WITH cents AS (SELECT c, d,
+           (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(c) CROSS JOIN range(64) t2(d)),
+         cv AS (SELECT c, list(v ORDER BY d) AS cvec FROM cents GROUP BY c),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv) WHERE rn = 1),
+         prb AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv WHERE e.vec_id < 10) WHERE rn <= 2),
+         cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+           FROM prb p JOIN asn a ON a.cell = p.cell WHERE p.vec_id != a.vec_id),
+         approx AS (SELECT query_id, neighbor_id FROM (
+           SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                        c.neighbor_id ASC) AS rank
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+           WHERE rank <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hit FROM exact e
+           JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT q.vec_id AS query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         LEFT JOIN hits h ON q.vec_id = h.query_id""",
     // d11's LSH CTEs + d07's brute-force CTE + the per-query intersection.
     "d72_ann_recall" ->
       """WITH planes AS (SELECT p, d,
