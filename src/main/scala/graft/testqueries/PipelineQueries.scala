@@ -662,6 +662,21 @@ object PipelineQueries {
       CorpusDiff.diff(old, cur, "doc_id", "text")
     },
 
+    // Content-level novelty of the d59 "new dump" vs the old one: per-doc
+    // share of distinct 3-grams never seen in the old dump — re-keyed or
+    // remixed text that id-keyed churn (d59) cannot see. Docs surviving
+    // both dumps score 0, the v2-suffixed docs a small positive, docs
+    // absent from the old dump near 1.
+    "d74_gram_novelty" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val old = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val cur = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      CorpusDiff.gramNovelty(old, cur, "doc_id", "text")
+    },
+
     // The BPE TRAINING statistic: adjacent-token-pair counts over the
     // corpus after the standard merges table — the census each trainer
     // round consumes (d58 pins the census; the trainer loop that picks
@@ -2063,6 +2078,31 @@ object PipelineQueries {
     // LEFT-TO-RIGHT fold (list_reduce) as the native dot kernel — the
     // projection replays bit for bit, then lands on the 1e-6 grid.
     "d71_jl_project" -> JlProjectSql,
+    // d59's dump split + distinct 3-gram sets: novelty = share of the new
+    // doc's grams absent from the whole old dump.
+    "d74_gram_novelty" ->
+      """WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+         curd AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 5 != 0),
+         og AS (SELECT DISTINCT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS sh FROM (
+           SELECT unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT string_split(lower(text), ' ') AS w FROM oldd)
+           WHERE len(w) >= 3)),
+         cg AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS sh FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM curd)
+           WHERE len(w) >= 3)),
+         seen AS (SELECT doc_id, count(*) AS n_seen FROM cg
+           WHERE sh IN (SELECT sh FROM og) GROUP BY 1),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY 1)
+         SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(t.n_grams - coalesce(s.n_seen, 0) AS BIGINT) AS n_new,
+           round(CAST(t.n_grams - coalesce(s.n_seen, 0) AS DOUBLE) / t.n_grams, 6) AS novelty
+         FROM tot t LEFT JOIN seen s ON t.doc_id = s.doc_id""",
     // d15's IVF CTEs + d07's brute-force CTE + the per-query intersection.
     "d73_ivf_recall" ->
       """WITH cents AS (SELECT c, d,

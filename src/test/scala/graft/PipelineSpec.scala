@@ -1923,6 +1923,29 @@ class BpeTokenCountSpec extends SparkSpec {
   }
 }
 
+class GramNoveltySpec extends SparkSpec {
+
+  test("novelty: survivors 0, edits fractional, new docs 1, sub-n absent") {
+    import spark.implicits._
+    val old = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "a b c d e"),    // unchanged: every gram seen
+      (2L, "a b c d e f"),  // one new trailing gram of four
+      (3L, "x y z w"),      // genuinely new writing
+      (4L, "a b")           // sub-n: no row, like the extraction
+    ).toDF("doc_id", "text")
+    val got = graft.functions.CorpusDiff.gramNovelty(old, cur, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((3L, 0L, 0.0)))
+    assert(got(2L) === ((4L, 1L, 0.25)))
+    assert(got(3L) === ((2L, 2L, 1.0)))
+    assert(!got.contains(4L))
+    graft.CacheRegistry.releaseAll()
+  }
+}
+
 class CorpusDiffSpec extends SparkSpec {
 
   import org.apache.spark.sql.functions.col
