@@ -58,6 +58,10 @@ object GraftSql {
           Seq("train" -> 8, "val" -> 1, "test" -> 1)))
         .withColumn("gopher_keep", TextAnalysis.gopherKeep(
           TextAnalysis.gopherReport(col("text")), minStopHits = 1))
+        // per-row char entropy is a pure projection since the native
+        // graft_entropy kernel — no shuffle enters the view
+        .withColumn("entropy", graft.plans.TextExpressions.entropyColumn(
+          spark, col("text")))
         .createOrReplaceTempView("documents_scored")
       // Span-level exact dedup (the d39 shape) as a SQL target:
       // SELECT doc_id, span_start, span_end FROM dup_spans — the token

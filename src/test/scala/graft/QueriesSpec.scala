@@ -455,4 +455,28 @@ class DriverQueryPlanSpec extends SparkSpec {
     assert(df.limit(1).count() === 1)
     graft.CacheRegistry.releaseAll()
   }
+
+  test("q44 trailing window: event_type filter pushes into the scan, one exchange") {
+    val df = SparkEntry.queries("q44_trailing_window")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]"),
+      s"expected the type filter in the parquet scan:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(exchanges === 1,
+      s"expected one hash exchange for the keyed range window, got $exchanges:\n$plan")
+    assert(df.limit(1).count() === 1)
+  }
+
+  test("q43 LOCF grid: the dedup agg computes once (persisted, two readers)") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = SparkEntry.queries("q43_locf_grid")(
+      spark, "/root/testdata/sf0.001")
+    val opt = df.queryExecution.optimizedPlan
+    val cacheReads = opt.collect { case r: InMemoryRelation => r }.length
+    assert(cacheReads === 2,
+      s"expected grid-bounds + union to read the cached dedup, got $cacheReads:\n$opt")
+    assert(df.limit(1).count() === 1)
+    graft.CacheRegistry.releaseAll()
+  }
 }
