@@ -518,3 +518,81 @@ class ResampleSpec extends SparkSpec {
     assert(got(13L) === ((3L, 14.0)))       // tie shares the frame
   }
 }
+
+/** The time-axis helpers must keep working against BOTH storage
+  * generations of the events table — the driver has already switched
+  * once (ns-long -> µs TIMESTAMP_NTZ between rounds); these pin the
+  * legacy arm so a revert cannot silently break the bounds again.
+  */
+class TsHelpersSpec extends SparkSpec {
+
+  test("tsLit/epochNs/asTimestamp cover long-ns, NTZ, and LTZ columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val ns = graft.io.Tables.nanos("2024-01-10 00:00:00")
+    // legacy epoch-ns long storage
+    val longDf = Seq((1L, ns - 1L), (2L, ns), (3L, ns + 1000L))
+      .toDF("id", "ts")
+    val lDt = longDf.schema("ts").dataType
+    assert(lDt === LongType)
+    val kept = longDf.where(col("ts") >= graft.io.Tables.tsLit(lDt, ns))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    assert(longDf.select(graft.io.Tables.epochNs(lDt, col("ts")))
+      .collect().map(_.getLong(0)).toSeq === Seq(ns - 1L, ns, ns + 1000L))
+    val asTs = longDf.select(
+      graft.io.Tables.asTimestamp(lDt, "ts").as("t")).schema("t").dataType
+    assert(asTs === TimestampType)
+    // µs NTZ storage (the current testdata shape)
+    val ntzDf = Seq(1L, 2L).toDF("id")
+      .withColumn("ts", expr("make_timestamp_ntz(2024, 1, 10, 0, 0, id - 1)"))
+    val nDt = ntzDf.schema("ts").dataType
+    assert(nDt === TimestampNTZType)
+    // NTZ literals carry µs precision (sub-µs floors, as documented) —
+    // a 1 ms offset bound excludes the 00:00:00 row, keeps the +1 s row
+    val keptN = ntzDf.where(col("ts") >=
+        graft.io.Tables.tsLit(nDt, ns + 1000000L))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptN === Set(2L))
+    assert(ntzDf.where(col("id") === 1)
+      .select(graft.io.Tables.epochNs(nDt, col("ts")))
+      .head().getLong(0) === ns)
+    // LTZ column: epochNs agrees (UTC session)
+    val ltzDf = ntzDf.withColumn("ts", col("ts").cast("timestamp"))
+    val zDt = ltzDf.schema("ts").dataType
+    assert(zDt === TimestampType)
+    assert(ltzDf.where(col("id") === 1)
+      .select(graft.io.Tables.epochNs(zDt, col("ts")))
+      .head().getLong(0) === ns)
+  }
+
+  test("locfGrid model property: random irregular logs") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 2L)
+      t <- Gen.chooseNum(0L, 40L)
+      v <- Gen.chooseNum(0, 9).map(_.toDouble)
+    } yield (u, t, v)).map(_.zipWithIndex.map { case ((u, t, v), i) =>
+      (u, t, v, (i + 1).toLong) })
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAllNoShrink(rowsGen) { rows =>
+        val got = Resample.locfGrid(rows.toDF("u", "t", "v", "ord"),
+            Seq("u"), "t", "v", "ord", stepNs = 7L)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        graft.CacheRegistry.releaseAll()
+        val want = rows.groupBy(_._1).flatMap { case (u, g) =>
+          // last-writer-wins per instant, then LOCF over the step grid
+          val byT = g.groupBy(_._2).view.mapValues(_.maxBy(_._4)._3).toMap
+          val (lo, hi) = (g.map(_._2).min, g.map(_._2).max)
+          (lo to hi by 7L).map { t =>
+            val v = byT.filter(_._1 <= t).maxBy(_._1)._2
+            (u, t) -> v
+          }
+        }.toMap
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+}
