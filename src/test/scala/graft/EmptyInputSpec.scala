@@ -160,6 +160,22 @@ class EmptyInputRound9Spec extends SparkSpec {
     assert(graft.functions.Sampling.percentileCalibrate(df, "score").count() === 0)
   }
 
+  test("novelty, decontam spans, projection and ratio table are total on empty") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.functions.CorpusDiff.gramNovelty(docs, docs, "doc_id", "text")
+      .count() === 0)
+    assert(TextAnalysis.contaminationSpans(docs, docs, "doc_id", "text")
+      .count() === 0)
+    graft.CacheRegistry.releaseAll()
+    val vecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.functions.VectorLSH.randomProject(vecs, "vec_id", "embedding", 4)
+      .count() === 0)
+    val terms = TextAnalysis.dsirRatioTable(docs, docs, "text", buckets = 8)
+    assert(terms.length === 8) // pure-smoothing terms for every bucket
+    assert(graft.streaming.DocStream.dsirTag(docs, terms).count() === 0)
+  }
+
   test("paragraph dedup and resampling are total on empty frames") {
     import spark.implicits._
     val lines = Seq.empty[(Long, Seq[String])].toDF("doc_id", "lines")
