@@ -29,13 +29,20 @@ object CacheRegistry {
   /** Register an internally persisted frame; returns it for chaining. */
   def track[T <: Dataset[_]](df: T): T = { frames.add(df); df }
 
-  /** Unpersist every tracked frame (non-blocking) and empty the registry. */
+  /** Unpersist every tracked frame and empty the registry. BLOCKING since
+    * round 10: a non-blocking unpersist lets the next query's persist of
+    * an identical subplan race the in-flight removal in CacheManager
+    * (same-plan cache entries are keyed by the analyzed plan), and losing
+    * that race silently drops the new persist — the twice-read subplan
+    * then recomputes in every consumer. Blocking costs microseconds in
+    * local mode and removes the race class.
+    */
   def releaseAll(): Unit = {
     var df = frames.poll()
     while (df != null) {
       // benign failures only (already unpersisted / session stopped);
       // fatal errors (OOM, interrupt) must propagate
-      try df.unpersist(false) catch { case NonFatal(_) => () }
+      try df.unpersist(true) catch { case NonFatal(_) => () }
       df = frames.poll()
     }
   }

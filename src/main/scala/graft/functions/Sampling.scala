@@ -198,7 +198,11 @@ object Sampling {
     * cutoffs are actually chosen ("drop the bottom 30%", DCLM/fastText
     * practice) — a fixed raw-score threshold drifts with every corpus.
     * `pct` = SQL `percent_rank()` = (#rows strictly below) / (N − 1),
-    * ties sharing a value; 0 when N = 1.
+    * ties sharing a value; 0 when N = 1. NULL scores: the row is KEPT
+    * with `pct` NULL and does not count toward N — a divergence from SQL
+    * `percent_rank()` (which ranks NULLs as a tie group) chosen because a
+    * NULL quality score means "unscored", and an unscored doc must neither
+    * pass nor fail a percentile cutoff silently.
     *
     * Scale shape: the corpus is NEVER globally sorted. A score CENSUS
     * (one row per distinct value — producer scores are grid-rounded, so
@@ -215,17 +219,23 @@ object Sampling {
     // (often an expensive formula) would run once per branch. The census
     // is distinct-score-sized — cheap to hold.
     val census = graft.CacheRegistry.track(
-      df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+      df.where(col(scoreCol).isNotNull)
+        .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val w = Window.orderBy(scoreCol)
     val below = census.withColumn("__below",
       coalesce(sum("__c").over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val tot = census.agg(sum("__c").cast("long").as("__n"))
-    df.join(broadcast(below.select(col(scoreCol), col("__below"))), Seq(scoreCol))
+    // LEFT join so NULL-score rows survive (join keys never match NULL);
+    // their pct is NULL both via the missing __below and the explicit
+    // isNull guard (which also covers the N=1 corpus with a NULL row)
+    df.join(broadcast(below.select(col(scoreCol), col("__below"))),
+        Seq(scoreCol), "left")
       .crossJoin(broadcast(tot))
-      .withColumn("pct", when(col("__n") === 1, lit(0.0)).otherwise(
-        round(col("__below").cast("double") / (col("__n") - 1), 6)))
+      .withColumn("pct", when(col(scoreCol).isNull, lit(null).cast("double"))
+        .when(col("__n") === 1, lit(0.0))
+        .otherwise(round(col("__below").cast("double") / (col("__n") - 1), 6)))
       .select((df.columns.map(col) :+ col("pct")): _*)
   }
 

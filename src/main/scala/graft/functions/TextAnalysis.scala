@@ -665,7 +665,10 @@ object TextAnalysis {
     * own (small) pass, and both distributions are ≤`buckets` rows —
     * broadcast onto the doc census. Determinism: per-bucket terms on the
     * 1e-6 integer grid, summed as longs (d30's discipline). Returns
-    * (idCol, n_feats, logw).
+    * (idCol, n_feats, logw). A null-text doc emits NO row (its null
+    * bucket never matches the ratio join); the streaming twin
+    * [[graft.streaming.DocStream.dsirTag]] instead keeps the row with a
+    * NULL tag — see its docstring for the convention.
     */
   def dsirLogRatio(raw: org.apache.spark.sql.DataFrame,
                    target: org.apache.spark.sql.DataFrame,

@@ -45,9 +45,12 @@ object Resample {
     // S4 persist rule: the per-key bounds branch and the union branch both
     // read this frame — unpersisted, the scan + dedup agg run twice
     // (plan-audited; callers release via CacheRegistry).
+    // ordCol ties break on the value itself (struct ordering), so the
+    // winner is a pure function of the data even when the caller's ordCol
+    // is not unique per (key, t) — not partition-order luck
     val dedup = graft.CacheRegistry.track(events
       .groupBy((keys :+ col(tsNsCol).as("t")): _*)
-      .agg(max_by(col(valueCol), col(ordCol)).as("__v"))
+      .agg(max_by(col(valueCol), struct(col(ordCol), col(valueCol))).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val grid = dedup.groupBy(keys: _*)
       .agg(min("t").as("__lo"), max("t").as("__hi"))

@@ -183,9 +183,28 @@ object UpdateHistory {
         instanceField, uevolField, snapshotCatalog, snapshotLoader, args, startId)
       .groupBy("uevol_field_id", "src_id", "dst_id")
       .agg(min_by(col("value"), col("relative_path")).as("value"))
-    if (wide) updateHistory(instanceField, args, startState, startId, endId)
+    // Width guard: the wide form materializes ONE PIVOT COLUMN PER TRIPLE
+    // (reference parity with GetUpdateHistory.sql:36-48's dynamic DDL), so
+    // an unbounded argument list would drive Catalyst into a 10k-column
+    // plan. Above maxWideTriples the request auto-routes to the long form
+    // — fixed 5-column schema, identical instants/values/filter semantics,
+    // just (triple, value) rows instead of pivot columns. `args` is a
+    // driver-provided triple list (O(requested columns)), so counting it
+    // here is a bounded action, not a data scan.
+    val goWide = wide && (maxWideTriples <= 0 || args.count() <= maxWideTriples)
+    if (goWide) updateHistory(instanceField, args, startState, startId, endId)
     else updateHistoryLong(instanceField, args, startState, startId, endId)
   }
+
+  /** Pivot-width ceiling for [[updateHistoryFromLog]]'s wide form: above
+    * this many argument triples the call returns the long format instead.
+    * 256 pivot columns is far past every reference workload (the widest
+    * reference test drives ~20 triples) yet far below where a pivot plan's
+    * analysis/codegen cost becomes the bottleneck. Non-positive disables
+    * the guard (callers who truly want a wider pivot call
+    * [[updateHistory]] directly anyway).
+    */
+  val maxWideTriples: Int = 256
 
   /** The same history in long format — one row per (instant, triple):
     * (instance_message_id, uevol_field_id, src_id, dst_id, value). Identical

@@ -270,6 +270,14 @@ object DocStream {
     * batch twin is [[graft.functions.TextAnalysis.dsirLogRatio]] (equal
     * up to per-occurrence vs per-bucket term rounding, ≤0.5 µnat per
     * occurrence). The "route the crawl by domain-likeness online" stage.
+    *
+    * NULL-text convention (deliberate divergence from the batch twin): a
+    * null-text doc flows through TAGGED `dsir_logw` NULL — a stream stage
+    * must not silently swallow rows, the caller routes/drops explicitly —
+    * whereas batch `dsirLogRatio` emits no row for it (its null bucket
+    * never matches the ratio join). A downstream `dsir_logw > 0` filter
+    * therefore drops null-text docs on BOTH paths, but a `dsir_logw
+    * IS NULL` probe only sees them here.
     */
   def dsirTag(docs: DataFrame, ratioTerms: Array[Long],
               textCol: String = "text"): DataFrame = {

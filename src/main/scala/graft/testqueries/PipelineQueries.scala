@@ -716,6 +716,31 @@ object PipelineQueries {
         "d42_contamination_stream")
     },
 
+    // The incremental near-dup cluster stream's VERIFIED EDGE SET,
+    // oracle-gated (it was spec-only through round 9): the whole corpus
+    // arrives as a stream with event time monotone in doc_id, each LSH
+    // band bucket's first arrival becomes canonical keyed state, and
+    // later arrivals emit a (doc, canon, band, jaccard) edge when exact
+    // Jaccard vs the canonical clears 0.5. With monotone arrival the
+    // canonical is the bucket's min doc_id, so DuckDB replays the whole
+    // thing from the shared MinHash CTEs — a real flatMapGroupsWithState
+    // run (state store, watermark, event-time timeout) checked row-for-row
+    // against the batch lattice, pinning the stream/batch parity that
+    // MinHashLSH.clusters relies on when it closes these edges offline.
+    "d75_neardup_stream_edges" -> { (s, dir) =>
+      val schema = docs(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        // same epoch-offset discipline as d38: keep every event well past
+        // the stream's initial watermark of epoch 0
+        .withColumn("ts",
+          timestamp_micros(lit(1700000000000000L) + col("doc_id")))
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.DocStream.nearDupClusterStream(stream, "ts",
+          n = 3, k = 8, r = 2, minJaccard = 0.5).toDF(),
+        "d75_neardup_stream_edges")
+    },
+
     // Span-level exact dedup (Lee et al. 2021 ExactSubstr): verbatim
     // >=13-word spans repeated across the corpus, first occurrence kept,
     // every other occurrence emitted as a merged excise extent. The corpus
@@ -896,6 +921,30 @@ object PipelineQueries {
       annRecall(queries, e,
         VectorIVF.annTopK(queries, e, "vec_id", "embedding", 5,
           VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2))
+    },
+
+    // A SECOND OPERATING POINT per approximate family, so the recall
+    // contract covers the knobs a 100 TB user turns rather than one
+    // (bands, nprobe) setting: d76 doubles the IVF probe count (nprobe=4
+    // — recall must be >= d73's, the probe set is a superset), d77 halves
+    // the LSH band width (rb=2: 8 bands of 2 bits — more collisions, more
+    // candidates, higher recall than d72's 4x4). tools/RecallProbe sweeps
+    // the full curves; these rows pin one more point of each under the
+    // engine-independent oracle.
+    "d76_ivf_recall_np4" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      annRecall(queries, e,
+        VectorIVF.annTopK(queries, e, "vec_id", "embedding", 5,
+          VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 4))
+    },
+
+    "d77_ann_recall_wide" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      annRecall(queries, e,
+        VectorLSH.annTopK(queries, e, "vec_id", "embedding", 5,
+          m = 16, rb = 2))
     },
 
     // Johnson–Lindenstrauss random projection to 8 dims — embedding
@@ -1239,6 +1288,44 @@ object PipelineQueries {
          JOIN sizes nb ON nb.doc_id = i.doc_b"""
       }
 
+  /** DuckDB replay of the d75 streaming near-dup edge emission: with
+    * event time monotone in doc_id, each band bucket's canonical is its
+    * min doc_id; every later bucket member with exact shingle-set Jaccard
+    * >= 0.5 vs that canonical emits one edge per shared bucket.
+    */
+  private lazy val NearDupStreamEdgesSql: String = {
+      val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
+        .map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      s"""WITH $ShingleCtesSql,
+         hx AS (SELECT doc_id, j,
+             CAST(min(CAST(((sh % ${MinHashLSH.P}) * a + j) AS BIGINT) % ${MinHashLSH.P}) AS BIGINT) AS mh
+           FROM sh CROSS JOIN (VALUES $seedRows) AS seeds(j, a) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j // 2 AS band,
+             concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
+                    CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bkey
+           FROM hx GROUP BY doc_id, j // 2),
+         canon AS (SELECT band, bkey, min(doc_id) AS canon_id
+           FROM bands GROUP BY 1, 2),
+         cand AS (SELECT b.doc_id, c.canon_id, b.band
+           FROM bands b JOIN canon c ON b.band = c.band AND b.bkey = c.bkey
+             AND b.doc_id > c.canon_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT d.doc_id, d.canon_id, count(*) AS ni
+           FROM (SELECT DISTINCT doc_id, canon_id FROM cand) d
+           JOIN sh sa ON sa.doc_id = d.doc_id
+           JOIN sh sb ON sb.doc_id = d.canon_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         jac AS (SELECT i.doc_id, i.canon_id,
+             round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
+           FROM inter i
+           JOIN sizes na ON na.doc_id = i.doc_id
+           JOIN sizes nb ON nb.doc_id = i.canon_id)
+         SELECT c.doc_id, c.canon_id, CAST(c.band AS INTEGER) AS band, j.jaccard
+         FROM cand c
+         JOIN jac j ON j.doc_id = c.doc_id AND j.canon_id = c.canon_id
+         WHERE j.jaccard >= 0.5"""
+      }
+
   val oracles: Map[String, String] = Map(
     "d01_text_stats" ->
       s"""SELECT doc_id,
@@ -1275,6 +1362,7 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    "d75_neardup_stream_edges" -> NearDupStreamEdgesSql,
     "d43_epoch_mix" ->
       """WITH w(source, wt) AS (VALUES
              ('src1', 2.5), ('src2', 3.0), ('src4', 0.25), ('src7', 0.0)),
@@ -2119,6 +2207,85 @@ object PipelineQueries {
            FROM embeddings e CROSS JOIN cv WHERE e.vec_id < 10) WHERE rn <= 2),
          cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
            FROM prb p JOIN asn a ON a.cell = p.cell WHERE p.vec_id != a.vec_id),
+         approx AS (SELECT query_id, neighbor_id FROM (
+           SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                        c.neighbor_id ASC) AS rank
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+           WHERE rank <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hit FROM exact e
+           JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT q.vec_id AS query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         LEFT JOIN hits h ON q.vec_id = h.query_id""",
+    // d73 at the second operating point: nprobe=4 (prb rn <= 4).
+    "d76_ivf_recall_np4" ->
+      """WITH cents AS (SELECT c, d,
+           (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(c) CROSS JOIN range(64) t2(d)),
+         cv AS (SELECT c, list(v ORDER BY d) AS cvec FROM cents GROUP BY c),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv) WHERE rn = 1),
+         prb AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv WHERE e.vec_id < 10) WHERE rn <= 4),
+         cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+           FROM prb p JOIN asn a ON a.cell = p.cell WHERE p.vec_id != a.vec_id),
+         approx AS (SELECT query_id, neighbor_id FROM (
+           SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                        c.neighbor_id ASC) AS rank
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+           WHERE rank <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hit FROM exact e
+           JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT q.vec_id AS query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         LEFT JOIN hits h ON q.vec_id = h.query_id""",
+    // d72 at the second operating point: rb=2 — 8 bands of 2 bits.
+    "d77_ann_recall_wide" ->
+      """WITH planes AS (SELECT p, d,
+           (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(16) t1(p) CROSS JOIN range(64) t2(d)),
+         pl AS (SELECT p, list(v ORDER BY d) AS pv FROM planes GROUP BY p),
+         bits AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.pv) >= 0
+               THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bits
+           FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+         bnd AS (SELECT vec_id, b AS band, (bits >> CAST(b * 2 AS INT)) & 3 AS bkey
+           FROM bits CROSS JOIN range(8) t(b)),
+         cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+           FROM bnd qb JOIN bnd cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+           WHERE qb.vec_id < 10 AND qb.vec_id != cb.vec_id),
          approx AS (SELECT query_id, neighbor_id FROM (
            SELECT c.query_id, c.neighbor_id,
              row_number() OVER (PARTITION BY c.query_id

@@ -210,6 +210,17 @@ class SamplingSpec extends SparkSpec {
       Seq((1L, 3.0)).toDF("id", "score"), "score").collect()
     assert(single.head.getDouble(2) === 0.0)
   }
+
+  test("percentileCalibrate keeps NULL-score rows with pct NULL, out of N") {
+    import spark.implicits._
+    val df = Seq((1L, Some(0.2)), (2L, None), (3L, Some(0.8)), (4L, None))
+      .toDF("id", "score")
+    val got = Sampling.percentileCalibrate(df, "score")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // unscored rows survive, tagged NULL; scored rows rank over N=2 alone
+    assert(got === Map(1L -> Some(0.0), 2L -> None, 3L -> Some(1.0), 4L -> None))
+  }
   import graft.functions.Sampling
 
   test("hashSplit is exhaustive, disjoint, stable, and roughly proportional") {

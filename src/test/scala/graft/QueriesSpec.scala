@@ -259,6 +259,30 @@ class UpdateHistorySpec extends SparkSpec {
     assert(byId(120L) === (1L, 12L)) // f3 LOCF-carried across f1's update
   }
 
+  test("fromLog auto-routes wide requests past maxWideTriples to the long form") {
+    import spark.implicits._
+    // 257 triples > maxWideTriples=256: even with wide=true the call must
+    // return the fixed 5-column long schema, never a 257-column pivot
+    assert(UpdateHistory.maxWideTriples === 256)
+    val manyArgs = Seq.tabulate(UpdateHistory.maxWideTriples + 1)(i =>
+        (i + 1, 10, 20, ""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "filter")
+    val routed = UpdateHistory.updateHistoryFromLog(
+      Fixtures.instanceField(spark), Fixtures.uevolField(spark),
+      Some(Fixtures.snapshotCatalog(spark)), Fixtures.snapshots(spark)(_),
+      manyArgs, 100L, 150L, wide = true)
+    assert(routed.columns.toSeq === Seq("instance_message_id",
+      "uevol_field_id", "src_id", "dst_id", "value"))
+    // at or below the ceiling the wide pivot still comes back wide
+    val fewArgs = Seq((1, 10, 20, "")).toDF(
+      "uevol_field_id", "src_id", "dst_id", "filter")
+    val wideOut = UpdateHistory.updateHistoryFromLog(
+      Fixtures.instanceField(spark), Fixtures.uevolField(spark),
+      Some(Fixtures.snapshotCatalog(spark)), Fixtures.snapshots(spark)(_),
+      fewArgs, 100L, 150L, wide = true)
+    assert(wideOut.columns.contains("id1_src10_dst20"))
+  }
+
   test("value placeholder rewrite is whole-word only") {
     import spark.implicits._
     // 'evalue'/'value2' must NOT be rewritten — the expression below parses
