@@ -28,12 +28,13 @@ object Resample {
     * to the highest-`ordCol` row first, so the carried value is
     * deterministic where a raw window would be partition-order luck.
     *
-    * ONE key-partitioned exchange does everything: the per-key bounds
-    * aggregate, the dedup aggregate, and the LOCF window all hash by the
-    * key columns, so EnsureRequirements reuses one shuffle; grid rows
-    * ride the same partitions. Grid volume is span/step per key — the
-    * caller prices `stepNs` (a 1 s grid over a year is 31M rows per key;
-    * that is the operator doing its job, not a plan defect).
+    * Scale shape (plan-audited, QueriesSpec): the dedup aggregate
+    * exchanges on (key, t); the bounds branch never re-runs it — Catalyst
+    * prunes the max_by down to min/max(t) over a two-column scan — and
+    * the union + LOCF window share one key-partitioned exchange. Grid
+    * volume is span/step per key — the caller prices `stepNs` (a 1 s grid
+    * over a year is 31M rows per key; that is the operator doing its job,
+    * not a plan defect).
     *
     * @return (keyCols…, t, value) — one row per key per grid instant
     */
@@ -42,16 +43,19 @@ object Resample {
     require(stepNs > 0, s"stepNs=$stepNs must be positive")
     val keys = keyCols.map(col)
     // one value per (key, instant): last writer (highest ordCol) wins.
-    // S4 persist rule: the per-key bounds branch and the union branch both
-    // read this frame — unpersisted, the scan + dedup agg run twice
-    // (plan-audited; callers release via CacheRegistry).
+    // NOT persisted, by measurement (round 10, tools/ProfileQ43): the
+    // bounds branch only consumes dedup's GROUPING columns, so Catalyst
+    // prunes the max_by aggregate out of that branch entirely —
+    // min/max(t) compute straight off a 2-column scan (plan-asserted in
+    // QueriesSpec). The "dedup computes twice" premise behind the old S4
+    // persist never holds here, and the persist's cache-fill barrier
+    // measured 2.3-2.8x slower at BOTH sf0.1 and 10x.
     // ordCol ties break on the value itself (struct ordering), so the
     // winner is a pure function of the data even when the caller's ordCol
     // is not unique per (key, t) — not partition-order luck
-    val dedup = graft.CacheRegistry.track(events
+    val dedup = events
       .groupBy((keys :+ col(tsNsCol).as("t")): _*)
       .agg(max_by(col(valueCol), struct(col(ordCol), col(valueCol))).as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val grid = dedup.groupBy(keys: _*)
       .agg(min("t").as("__lo"), max("t").as("__hi"))
       .select(keys :+ explode(sequence(col("__lo"), col("__hi"),

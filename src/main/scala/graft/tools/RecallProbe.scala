@@ -40,19 +40,56 @@ object RecallProbe {
     }
 
     val cents = VectorIVF.mdCentroids(spark, 8, 64)
-    Seq(1, 2, 4).foreach { np =>
+    Seq(1, 2, 4, 8).foreach { np =>
       recall(s"ivf k=8 nprobe=$np",
         VectorIVF.annTopK(queries, emb, "vec_id", "embedding", k,
           cents, "cell_id", "cvec", nprobe = np))
     }
     val trained = VectorIVF.train(emb, "vec_id", "embedding", k = 8, iters = 3)
-    Seq(1, 2, 4).foreach { np =>
+    Seq(1, 2, 4, 8).foreach { np =>
       recall(s"ivf trained nprobe=$np",
         VectorIVF.annTopK(queries, emb, "vec_id", "embedding", k,
           trained, "cell_id", "cvec", nprobe = np))
     }
-    recall("lsh hyperplane",
-      VectorLSH.annTopK(queries, emb, "vec_id", "embedding", k))
+    // band-shape sweep: rb=4 (d72's point), rb=2 (d77's — more bands,
+    // wider buckets, more candidates), rb=8 (fewer/stricter bands)
+    Seq(8, 4, 2).foreach { rb =>
+      recall(s"lsh m=16 rb=$rb",
+        VectorLSH.annTopK(queries, emb, "vec_id", "embedding", k,
+          m = 16, rb = rb))
+    }
+
+    // 10x corpus — replica r rotates each vector's components by r (a
+    // genuine new direction, not a duplicate that would trivially share
+    // every bucket); queries stay the originals. Does recall at each
+    // operating point HOLD as density grows 10x?
+    val emb10 = (0 until 10).map { r =>
+      val rot = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + lit(r * 10_000_000L)).as("vec_id"),
+        rot.as("embedding"))
+    }.reduce(_ unionByName _)
+    val exact10 = VectorOps
+      .knnBruteForce(queries, emb10, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val nExact10 = exact10.count()
+    def recall10(name: String, approx: org.apache.spark.sql.DataFrame): Unit = {
+      val hit = approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact10, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"$name%-28s recall@$k = ${hit.toDouble / nExact10}%.3f " +
+        s"($hit / $nExact10)")
+    }
+    Seq(1, 2, 4, 8).foreach { np =>
+      recall10(s"10x ivf k=8 nprobe=$np",
+        VectorIVF.annTopK(queries, emb10, "vec_id", "embedding", k,
+          cents, "cell_id", "cvec", nprobe = np))
+    }
+    Seq(4, 2).foreach { rb =>
+      recall10(s"10x lsh m=16 rb=$rb",
+        VectorLSH.annTopK(queries, emb10, "vec_id", "embedding", k,
+          m = 16, rb = rb))
+    }
     spark.stop()
   }
 }

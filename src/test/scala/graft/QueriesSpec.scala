@@ -492,15 +492,20 @@ class DriverQueryPlanSpec extends SparkSpec {
     assert(df.limit(1).count() === 1)
   }
 
-  test("q43 LOCF grid: the dedup agg computes once (persisted, two readers)") {
+  test("q43 LOCF grid: no persist; bounds branch prunes the max_by dedup") {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val df = SparkEntry.queries("q43_locf_grid")(
       spark, "/root/testdata/sf0.001")
     val opt = df.queryExecution.optimizedPlan
-    val cacheReads = opt.collect { case r: InMemoryRelation => r }.length
-    assert(cacheReads === 2,
-      s"expected grid-bounds + union to read the cached dedup, got $cacheReads:\n$opt")
+    // measured round 10 (tools/ProfileQ43): unpersisted wins 2.3-2.8x at
+    // sf0.1 AND 10x, because the bounds branch only reads dedup's group
+    // keys and Catalyst prunes its max_by away — assert both halves of
+    // that adjudication so a regression reopens the question loudly
+    assert(opt.collect { case r: InMemoryRelation => r }.isEmpty,
+      s"locfGrid must not persist (ProfileQ43 adjudication):\n$opt")
+    val maxBys = opt.toString.sliding("max_by".length).count(_ == "max_by")
+    assert(maxBys === 1,
+      s"expected the bounds branch to prune the max_by dedup (1 max_by in plan), got $maxBys:\n$opt")
     assert(df.limit(1).count() === 1)
-    graft.CacheRegistry.releaseAll()
   }
 }
