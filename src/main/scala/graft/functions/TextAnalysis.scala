@@ -897,6 +897,76 @@ object TextAnalysis {
           .as("hit_ratio"))
   }
 
+  /** Deterministic Bloom bitmap of a corpus's DISTINCT n-gram set — the
+    * scale complement to [[ngramContamination]]'s exact left-semi: one
+    * partial-agg pass over the corpus compresses its gram set (billions
+    * of rows at 100 TB) into a `bits`-wide bitmap (128 KiB at the 2^20
+    * default) that BROADCASTS, so later benchmark releases are screened
+    * map-only without touching the corpus again. Fully deterministic and
+    * engine-replayable: gram hashes are the shared 60-bit md5
+    * ([[MinHashLSH.baseHash]]), the k probe positions are the
+    * [[MinHashLSH.seededFromBase]] universal family mod `bits`, and each
+    * bitmap word carries a 32-bit payload (bit 63 shifts overflow DuckDB's
+    * checked BIGINT `<<`, so words hold 32 bits by construction).
+    * Driver-size O(bits/32) — the dsirRatioTable / LSH-plane class of
+    * bounded plan constant.
+    */
+  def bloomGramBitmap(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                      n: Int = 13, bits: Int = 1 << 20,
+                      k: Int = 4): Array[Long] = {
+    require(bits > 0 && (bits & (bits - 1)) == 0 && bits % 32 == 0,
+      s"bits=$bits must be a power of two >= 32")
+    require(k > 0 && k <= MinHashLSH.SeedA.length,
+      s"k=$k must be in 1..${MinHashLSH.SeedA.length}")
+    val grams = MinHashLSH
+      .shingles(corpus.select(lit(1L).as("__bid"), col(textCol)),
+        "__bid", textCol, n)
+      .select("sh").distinct()
+    val positions = (0 until k).map(j =>
+      pmod(MinHashLSH.seededFromBase(col("sh"), j), lit(bits.toLong)))
+    val words = grams
+      .select(explode(array(positions: _*)).as("p")).distinct()
+      .groupBy((col("p") / 32).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("m"))
+      .collect()
+    val bmp = new Array[Long](bits / 32)
+    words.foreach(r => bmp(r.getInt(0)) = r.getLong(1))
+    bmp
+  }
+
+  /** Map-only Bloom contamination scan: per doc, how many of its distinct
+    * n-grams hit `bitmap` (all k probe bits set). Guarantees NO false
+    * negatives versus [[ngramContamination]] against the same corpus —
+    * `n_bloom_hits >= n_hits` per doc, spec-pinned — with a deterministic
+    * false-positive set fixed by the hash family (~1% at the 2^20/k=4
+    * defaults against ~100k corpus grams). The deployment shape: screen
+    * every new benchmark release against a 100 TB corpus's standing
+    * bitmap without a corpus pass; docs the screen flags go to the exact
+    * join for confirmation. Returns (idCol, n_grams, n_bloom_hits); docs
+    * shorter than n words emit no row (gram semantics, as d35).
+    */
+  def bloomContaminationScan(bench: org.apache.spark.sql.DataFrame,
+                             bitmap: Array[Long], idCol: String,
+                             textCol: String, n: Int = 13,
+                             k: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(bitmap.nonEmpty && (bitmap.length * 32 & (bitmap.length * 32 - 1)) == 0,
+      s"bitmap length ${bitmap.length} must make bits a power of two")
+    require(k > 0 && k <= MinHashLSH.SeedA.length,
+      s"k=$k must be in 1..${MinHashLSH.SeedA.length}")
+    val bits = bitmap.length.toLong * 32
+    val bmp = typedLit(bitmap.toSeq)
+    val hit: Column => Column = h => (0 until k).map { j =>
+      val p = pmod(MinHashLSH.seededFromBase(h, j), lit(bits))
+      expr("1L").bitwiseAND(
+        call_function("shiftright",
+          element_at(bmp, (p / 32).cast("int") + 1),
+          (p % 32).cast("int"))) === 1
+    }.reduce(_ && _)
+    MinHashLSH.shingleArrays(bench, idCol, textCol, n)
+      .select(col(idCol), size(col("sh_arr")).cast("long").as("n_grams"),
+        size(filter(col("sh_arr"), hit)).cast("long").as("n_bloom_hits"))
+  }
+
   /** Span-level exact dedup — the Lee et al. 2021 ("Deduplicating Training
     * Data") ExactSubstr capability, gram-bucketed for Spark: find every
     * verbatim n-word span that also occurs elsewhere in the corpus, keep

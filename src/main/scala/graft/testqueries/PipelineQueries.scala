@@ -192,6 +192,21 @@ object PipelineQueries {
         "doc_id", "text", n = 13)
     },
 
+    // Bloom pre-decontamination (round 10): the train split's distinct
+    // 13-gram set compressed to a deterministic 2^20-bit bitmap (md5 base
+    // hash + the MinHash universal family for the k=4 probe positions, so
+    // DuckDB rebuilds the identical bitmap), then every bench doc screened
+    // MAP-ONLY against the broadcast bitmap. d35's exact join confirms
+    // what this screen flags; the bitmap is the standing artifact that
+    // lets each new benchmark release be screened without a corpus pass.
+    "d78_bloom_decontam" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isBench = pmod(col("doc_id"), lit(10)) === 0
+      val bmp = TextAnalysis.bloomGramBitmap(d.where(!isBench), "text", n = 13)
+      TextAnalysis.bloomContaminationScan(d.where(isBench), bmp,
+        "doc_id", "text", n = 13)
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -1465,6 +1480,33 @@ object PipelineQueries {
            round(CAST(coalesce(any_value(h.n_hits), 0) AS DOUBLE) / count(*), 6) AS hit_ratio
          FROM bg b LEFT JOIN hits h ON h.doc_id = b.doc_id
          GROUP BY b.doc_id""",
+    // d35's gram CTEs + the deterministic Bloom replay: same md5 base
+    // hash, same (h%P)*a+j universal probe positions mod 2^20, 32-bit
+    // word payloads (bit 63 would overflow DuckDB's checked <<).
+    "d78_bloom_decontam" ->
+      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS sh FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
+             i -> array_to_string(w[i+1:i+13], ' '))) AS gt
+           FROM words WHERE len(w) >= 13)),
+         seeds(j, a) AS (VALUES (0, 1299709), (1, 15485863), (2, 32452843), (3, 49979687)),
+         tpos AS (SELECT DISTINCT (((sh % ${MinHashLSH.P}) * a + j) % ${MinHashLSH.P}) % 1048576 AS p
+           FROM (SELECT DISTINCT sh FROM g WHERE doc_id % 10 != 0) CROSS JOIN seeds),
+         bmp AS (SELECT p // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mask
+           FROM tpos GROUP BY 1),
+         bpos AS (SELECT doc_id, sh,
+             (((sh % ${MinHashLSH.P}) * a + j) % ${MinHashLSH.P}) % 1048576 AS p
+           FROM g CROSS JOIN seeds WHERE doc_id % 10 = 0),
+         ghit AS (SELECT d.doc_id, d.sh,
+             bool_and(coalesce(
+               (b.mask & (CAST(1 AS BIGINT) << CAST(d.p % 32 AS INTEGER))) != 0,
+               FALSE)) AS inb
+           FROM bpos d LEFT JOIN bmp b ON b.w = d.p // 32 GROUP BY 1, 2)
+         SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+         FROM ghit GROUP BY doc_id""",
     "d26_contamination" ->
       s"""WITH $ShingleCtesSql,
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -587,6 +587,49 @@ class JaccardJoinSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("bloom decontamination screen: no false negatives vs the exact join") {
+    import spark.implicits._
+    val span = (1 to 13).map(i => s"s$i").mkString(" ")
+    val bench = Seq(
+      (10L, s"alpha beta $span gamma"),
+      (20L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (30L, "short doc") // < 13 words: no row, matching d35 semantics
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words here $span and a tail"),
+      (2L, "totally unrelated training text that goes on for quite a while longer")
+    ).toDF("doc_id", "text")
+    val bmp = TextAnalysis.bloomGramBitmap(train, "text", n = 13)
+    assert(bmp.length === (1 << 20) / 32)
+    assert(bmp.forall(w => (w & 0xFFFFFFFF00000000L) === 0L),
+      "words must carry 32-bit payloads (DuckDB checked-shift parity)")
+    val exact = TextAnalysis.ngramContamination(bench, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CacheRegistry.releaseAll()
+    val bloom = TextAnalysis
+      .bloomContaminationScan(bench, bmp, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the Bloom guarantee: every exact hit is a bloom hit (>=, per doc)
+    exact.foreach { case (id, nHits) => assert(bloom(id)._2 >= nHits,
+      s"doc $id: bloom ${bloom(id)._2} < exact $nHits — false negative") }
+    // with this tiny fixture the FP probability is ~(4*9*4/2^20)^4 ~ 0:
+    // the screen's counts equal the exact join's here, deterministically
+    assert(bloom(10L) === (4L, 1L))
+    assert(bloom(20L) === (1L, 0L))
+    assert(!bloom.contains(30L))
+    // determinism: rebuilt bitmap is bit-identical
+    assert(java.util.Arrays.equals(bmp,
+      TextAnalysis.bloomGramBitmap(train, "text", n = 13)))
+    // empty corpus: all-zero bitmap, every probe misses
+    val empty = TextAnalysis.bloomGramBitmap(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", n = 13)
+    assert(empty.forall(_ === 0L))
+    val none = TextAnalysis
+      .bloomContaminationScan(bench, empty, "doc_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none === Map(10L -> 0L, 20L -> 0L))
+  }
+
   test("CacheRegistry releases exactly the internally persisted frames") {
     val spark2 = spark
     import spark2.implicits._
