@@ -756,6 +756,43 @@ object PipelineQueries {
         "d75_neardup_stream_edges")
     },
 
+    // The stateless stream-static near-dup TAG, oracle-gated (round 10 —
+    // the last spec-only stream twin): the %10 bench split ARRIVES as a
+    // stream and band-joins the static rest-of-corpus reference; every
+    // band collision that clears exact Jaccard 0.5 emits one
+    // (doc, ref, band, jaccard) row. No state, no watermark — the oracle
+    // replays the band equijoin + Jaccard verify from the shared MinHash
+    // CTEs.
+    "d80_neardup_tag_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+      val ref = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.DocStream.nearDupTag(stream, ref, minJaccard = 0.5),
+        "d80_neardup_tag_stream")
+    },
+
+    // The streaming DSIR tag, oracle-gated (round 10; spec-only before,
+    // like d75 for the near-dup stream): the per-bucket grid terms are
+    // collected once driver-side (dsirRatioTable — O(buckets), the plan-
+    // literal class) and the corpus then streams through the stateless
+    // per-occurrence fold — zero joins, zero state. The oracle replays
+    // the per-OCCURRENCE term rounding, the documented ≤0.5 µnat/occ
+    // divergence from batch d61's per-bucket grid.
+    "d79_dsir_tag_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val terms = TextAnalysis.dsirRatioTable(d,
+        d.where(col("lang") === "en"), "text", buckets = 1024)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.DocStream.dsirTag(stream, terms)
+          .select(col("doc_id"), col("dsir_logw")),
+        "d79_dsir_tag_stream")
+    },
+
     // Span-level exact dedup (Lee et al. 2021 ExactSubstr): verbatim
     // >=13-word spans repeated across the corpus, first occurrence kept,
     // every other occurrence emitted as a merged excise extent. The corpus
@@ -1378,6 +1415,37 @@ object PipelineQueries {
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
     "d75_neardup_stream_edges" -> NearDupStreamEdgesSql,
+    // Stream-static band join + exact-Jaccard verify, bench split vs rest.
+    "d80_neardup_tag_stream" -> {
+      val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
+        .map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      s"""WITH $ShingleCtesSql,
+         hx AS (SELECT doc_id, j,
+             CAST(min(CAST(((sh % ${MinHashLSH.P}) * a + j) AS BIGINT) % ${MinHashLSH.P}) AS BIGINT) AS mh
+           FROM sh CROSS JOIN (VALUES $seedRows) AS seeds(j, a) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j // 2 AS band,
+             concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
+                    CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bkey
+           FROM hx GROUP BY doc_id, j // 2),
+         cand AS (SELECT sb.doc_id, rb.doc_id AS ref_id, sb.band
+           FROM bands sb JOIN bands rb ON sb.band = rb.band AND sb.bkey = rb.bkey
+           WHERE sb.doc_id % 10 = 0 AND rb.doc_id % 10 != 0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT d.doc_id, d.ref_id, count(*) AS ni
+           FROM (SELECT DISTINCT doc_id, ref_id FROM cand) d
+           JOIN sh sa ON sa.doc_id = d.doc_id
+           JOIN sh sb ON sb.doc_id = d.ref_id AND sb.sh = sa.sh
+           GROUP BY 1, 2),
+         jac AS (SELECT i.doc_id, i.ref_id,
+             round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
+           FROM inter i
+           JOIN sizes na ON na.doc_id = i.doc_id
+           JOIN sizes nb ON nb.doc_id = i.ref_id)
+         SELECT c.doc_id, c.ref_id, CAST(c.band AS INTEGER) AS band, j.jaccard
+         FROM cand c
+         JOIN jac j ON j.doc_id = c.doc_id AND j.ref_id = c.ref_id
+         WHERE j.jaccard >= 0.5"""
+      },
     "d43_epoch_mix" ->
       """WITH w(source, wt) AS (VALUES
              ('src1', 2.5), ('src2', 3.0), ('src4', 0.25), ('src7', 0.0)),
@@ -2066,6 +2134,14 @@ object PipelineQueries {
            round(CAST(sum(CAST(round(f * lnr * 1000000, 0) AS BIGINT)) AS DOUBLE)
              / 1000000, 6) AS logw
          FROM fc JOIN ratio ON fc.b = ratio.b GROUP BY doc_id""",
+    // The stream tag's per-OCCURRENCE grid: each gram occurrence adds its
+    // bucket's pre-rounded term (vs d61's per-bucket f*lnr rounding).
+    "d79_dsir_tag_stream" ->
+      s"""WITH $DsirCtesSql
+         SELECT g.doc_id,
+           round(CAST(sum(CAST(round(lnr * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000, 6) AS dsir_logw
+         FROM g JOIN ratio ON g.b = ratio.b GROUP BY 1""",
     // d61 + the deterministic md5-Gumbel key and top-k cut.
     "d62_dsir_topk" ->
       s"""WITH $DsirCtesSql,
