@@ -87,4 +87,67 @@ object VectorOps {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("blk"))
   }
+
+  /** Semantic decontamination: train rows whose embedding is within cosine
+    * `threshold` of ANY benchmark vector — the embedding-space complement
+    * of the 13-gram exact rule (`TextAnalysis.decontaminate`), catching
+    * paraphrased/reformatted benchmark leakage that shares no verbatim
+    * span. Returns (idCol, bench_hits) for contaminated train rows only;
+    * `bench_hits` counts the benchmark vectors matched (useful for
+    * severity triage before dropping).
+    *
+    * Scale shape: benchmark suites are tiny (thousands of rows) against a
+    * 100 TB corpus, so `bench` broadcasts and the train side streams
+    * map-only through a broadcast nested-loop; the sole exchange is the
+    * final partial-agg count, carrying at most one row per contaminated
+    * doc. Both sides are L2-normalized once ([[withNormalized]]) so the
+    * per-pair work is a single codegen'd dot product.
+    */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val d = fastDot(train.sparkSession) _
+    val t = withNormalized(train, vecCol, "__tv")
+      .select(col(idCol), col("__tv"))
+    val b = withNormalized(bench, vecCol, "__bv").select(col("__bv"))
+    t.crossJoin(broadcast(b))
+      .where(d(col("__tv"), col("__bv")) >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("bench_hits"))
+  }
+
+  /** Embedding quality gate: rows whose cosine to their group's centroid
+    * falls below `minCos` — mislabeled or out-of-distribution vectors that
+    * drag a cluster's coherence down (the SemDeDup paper's outlier
+    * complement: instead of pruning the too-similar core, flag the
+    * too-far fringe). Returns (idCol, labelCol) of the outliers.
+    *
+    * Scale shape: centroids are ONE partial-agg exchange — `dim` avg
+    * aggregates per label, map-side combined, so the shuffle carries
+    * O(labels × dim) doubles, never a per-row blow-up (no posexplode).
+    * The centroid frame (≤ |labels| rows) broadcasts back for a map-only
+    * cosine + filter. The vector width is probed from the first row — one
+    * tiny driver action, same as the reference's collected plan scalars
+    * (SURVEY.md §7.5.5).
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, minCos: Double): DataFrame = {
+    val dimOpt = df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    dimOpt match {
+      case None =>
+        df.select(col(idCol), col(labelCol)).limit(0)
+      case Some(dim) =>
+        val d = fastDot(df.sparkSession) _
+        val v = col("__v")
+        val base = df.select(col(idCol), col(labelCol),
+          col(vecCol).cast("array<double>").as("__v"))
+        val cents = base.groupBy(col(labelCol))
+          .agg(array((0 until dim).map(i => avg(v(i))): _*).as("__c"))
+        base.join(broadcast(cents), Seq(labelCol))
+          .where(d(v, col("__c")) / (sqrt(d(v, v)) * sqrt(d(col("__c"), col("__c"))))
+            < minCos)
+          .select(col(idCol), col(labelCol))
+    }
+  }
 }

@@ -312,6 +312,50 @@ object DocStream {
     docs.where(h >= minNats && h <= maxNats)
   }
 
+  /** Streaming semantic-decontamination tag — the stateless stream twin of
+    * [[graft.functions.VectorOps.semanticDecontaminate]]: every arriving
+    * row gains `bench_hits`, the count of benchmark vectors within cosine
+    * `threshold` of its embedding. The benchmark set rides as a plan
+    * literal of pre-normalized vectors (decontamination benches are
+    * bounded — thousands of rows — the same driver-side budget as
+    * [[dsirTag]]'s term array), so the tag is a pure projection: no state,
+    * no watermark, no stream-static join to re-plan per microbatch.
+    *
+    * Convention (matches the batch side's inner-join drop semantics as
+    * documented there): a NULL embedding tags NULL, it does not drop the
+    * row — the downstream `bench_hits = 0` keep-filter must decide. The
+    * batch operator instead never emits uncontaminated rows; the twin
+    * parity oracle (d83) compares on the tagged superset.
+    */
+  def semanticTag(docs: DataFrame, benchVecs: Seq[Seq[Double]],
+                  vecCol: String = "embedding",
+                  threshold: Double = 0.35): DataFrame = {
+    require(benchVecs.nonEmpty, "benchVecs must be non-empty")
+    val dim = benchVecs.head.length
+    require(benchVecs.forall(_.length == dim), "benchVecs must be fixed-width")
+    val normed = benchVecs.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val benchLit = typedLit(normed)
+    val dot = graft.functions.VectorOps.dot _
+    val v = col("__nv")
+    docs
+      .withColumn("__dv", col(vecCol).cast("array<double>"))
+      .withColumn("__nrm", sqrt(dot(col("__dv"), col("__dv"))))
+      .withColumn("__nv",
+        when(col("__nrm") === 0.0, col("__dv"))
+          .otherwise(transform(col("__dv"), x => x / col("__nrm"))))
+      .withColumn("bench_hits",
+        // the per-term when() would silently turn a NULL embedding into 0
+        // hits; the outer guard keeps the documented tag-NULL convention
+        when(col(vecCol).isNull, lit(null).cast("int"))
+          .otherwise(aggregate(benchLit, lit(0),
+            (acc, b) => acc +
+              when(dot(v, b) >= threshold, 1).otherwise(0))))
+      .drop("__dv", "__nrm", "__nv")
+  }
+
   /** The full incremental cleaning stage: watermarked exact dedup →
     * quality gate → repetition gate → language routing → PII redaction,
     * one streaming DAG. Near-dup clustering is deliberately absent —

@@ -793,6 +793,48 @@ object PipelineQueries {
         "d79_dsir_tag_stream")
     },
 
+    // Semantic decontamination (d81): the embedding-space complement of
+    // the 13-gram exact rule (d35) — train rows within cosine 0.35 of ANY
+    // benchmark vector (vec_id < 20 plays the bench split), catching
+    // paraphrased leakage that shares no verbatim span. Bench broadcasts
+    // (bench suites are tiny vs a 100 TB corpus); train streams map-only;
+    // the one exchange carries <=1 row per contaminated doc.
+    "d81_semantic_decon" -> { (s, dir) =>
+      val e = embs(s, dir)
+      VectorOps.semanticDecontaminate(
+        e.where(col("vec_id") >= 20), e.where(col("vec_id") < 20),
+        "vec_id", "embedding", threshold = 0.35)
+    },
+
+    // Centroid-outlier gate (d82): vectors below cosine 0 to their own
+    // label's centroid — the mislabeled/OOD fringe (SemDeDup's complement:
+    // prune the too-far tail instead of the too-similar core). Centroids
+    // are one O(labels x dim) partial-agg exchange, broadcast back.
+    "d82_centroid_outliers" -> { (s, dir) =>
+      VectorOps.centroidOutliers(embs(s, dir),
+        "vec_id", "embedding", "label", minCos = 0.0)
+    },
+
+    // The stateless streaming twin of d81 (d83): the bench vectors collect
+    // once driver-side (20 x 64 doubles — the plan-literal class, same
+    // budget as dsirTag's term array) and the WHOLE embeddings table
+    // arrives as a stream; every row gains a bench_hits tag with zero
+    // state, zero joins, zero watermark. Bench rows tag themselves
+    // (cos=1), which the oracle replays.
+    "d83_semantic_tag_stream" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val bench = e.where(col("vec_id") < 20)
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toIndexedSeq: Seq[Double]).toSeq
+      val stream = s.readStream.schema(e.schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.DocStream.semanticTag(stream, bench,
+          "embedding", threshold = 0.35)
+          .select(col("vec_id"), col("bench_hits")),
+        "d83_semantic_tag_stream")
+    },
+
     // Span-level exact dedup (Lee et al. 2021 ExactSubstr): verbatim
     // >=13-word spans repeated across the corpus, first occurrence kept,
     // every other occurrence emitted as a merged excise extent. The corpus
@@ -2142,6 +2184,26 @@ object PipelineQueries {
            round(CAST(sum(CAST(round(lnr * 1000000, 0) AS BIGINT)) AS DOUBLE)
              / 1000000, 6) AS dsir_logw
          FROM g JOIN ratio ON g.b = ratio.b GROUP BY 1""",
+    "d81_semantic_decon" ->
+      """SELECT t.vec_id, count(*) AS bench_hits
+         FROM embeddings t JOIN embeddings b
+           ON b.vec_id < 20 AND t.vec_id >= 20
+          AND list_cosine_similarity(t.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+         GROUP BY 1""",
+    "d82_centroid_outliers" ->
+      """WITH cent AS (SELECT label, d, avg(embedding[d+1]::DOUBLE) AS v
+           FROM embeddings CROSS JOIN range(64) r(d) GROUP BY 1, 2),
+         cv AS (SELECT label, list(v ORDER BY d) AS cvec FROM cent GROUP BY 1)
+         SELECT e.vec_id, e.label FROM embeddings e JOIN cv USING (label)
+         WHERE list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) < 0.0""",
+    "d83_semantic_tag_stream" ->
+      """SELECT t.vec_id,
+           CAST(count(*) FILTER (WHERE
+             list_cosine_similarity(t.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35) AS INT)
+             AS bench_hits
+         FROM embeddings t CROSS JOIN embeddings b
+         WHERE b.vec_id < 20
+         GROUP BY 1""",
     // d61 + the deterministic md5-Gumbel key and top-k cut.
     "d62_dsir_topk" ->
       s"""WITH $DsirCtesSql,

@@ -732,6 +732,57 @@ class VectorOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((1L, 2L)))
   }
+
+  test("semantic decontamination flags train rows near any bench vector, with hit counts") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.999f, 0.01f)),   // near bench 100 only
+      (2L, Array(0.8f, 0.8f)),      // cos ~0.707 to BOTH
+      (3L, Array(-1.0f, 0.0f)))     // near nothing
+      .toDF("vec_id", "embedding")
+    val got = VectorOps.semanticDecontaminate(
+      train, bench, "vec_id", "embedding", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("semantic decontamination broadcasts the bench side (no shuffle of train)") {
+    import spark.implicits._
+    val bench = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val plan = VectorOps.semanticDecontaminate(
+      train, bench, "vec_id", "embedding", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.toLowerCase.contains("sortmergejoin"))
+  }
+
+  test("centroid outliers flag vectors below minCos to their label centroid") {
+    import spark.implicits._
+    // label 0 centroid = avg((1,0),(0.8,0.2),(-1,0)) = (0.266..,0.066..)
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.2f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),   // points away from its centroid
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.0f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.centroidOutliers(df, "vec_id", "embedding", "label", 0.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq === Seq((3L, 0)))
+  }
+
+  test("centroid outliers on empty input return an empty, well-typed frame") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.centroidOutliers(df, "vec_id", "embedding", "label", 0.0)
+    assert(got.columns.toSeq === Seq("vec_id", "label"))
+    assert(got.count() === 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -222,6 +222,43 @@ class DocStreamSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("semanticTag: stateless stream tag matches the batch decontamination set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val bench = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = graft.streaming.DocStream.semanticTag(
+        in.toDF().toDF("vec_id", "embedding"), bench, "embedding", 0.7)
+      .writeStream.format("memory").queryName("doc_semtag")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, Array(0.999, 0.01)),  // near bench 0 only
+        (2L, Array(0.8, 0.8)),     // cos ~0.707 to both
+        (3L, Array(-1.0, 0.0)),    // near nothing -> tag 0, row kept
+        (4L, null))                // null embedding -> tag NULL, row kept
+      q.processAllAvailable()
+      val rows = spark.table("doc_semtag").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          Option(r.getAs[Any]("bench_hits"))).toMap
+      assert(rows === Map(1L -> Some(1), 2L -> Some(2),
+        3L -> Some(0), 4L -> None))
+      // batch twin emits exactly the tagged-positive subset
+      val batchTrain = Seq(
+        (1L, Array(0.999f, 0.01f)), (2L, Array(0.8f, 0.8f)),
+        (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+      val batchBench = Seq(
+        (100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val batch = graft.functions.VectorOps.semanticDecontaminate(
+        batchTrain, batchBench, "vec_id", "embedding", 0.7)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamPositive = rows.collect {
+        case (id, Some(n: Int)) if n > 0 => id -> n.toLong }
+      assert(streamPositive === batch)
+    } finally q.stop()
+  }
+
   test("entropyGate is a stateless streaming gate on the native kernel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
