@@ -237,6 +237,36 @@ object ScaleStress {
     semd("warmup", emb1)
     val e1 = semd("x1", emb1); val e10 = semd("x10", emb10)
     println(f"${"semdedup"}%-18s x1=$e1%6.2f  x10=$e10%7.2f  ratio=${e10 / e1}%5.1f")
+
+    // Semantic-decontamination probe: a FIXED bench set (500 vectors — the
+    // realistic shape: the bench does not grow with the corpus) against the
+    // 1x and 10x train side. Map-only through the broadcast nested-loop +
+    // an output-sized count exchange, so the wall must scale ~linearly in
+    // train volume with the bench cost amortized.
+    val bench = emb1.limit(500)
+    def sdec(tag: String, e: DataFrame) = t(s"$tag semantic_decon") {
+      graft.functions.VectorOps.semanticDecontaminate(
+        e, bench, "vec_id", "embedding", 0.35).count()
+    }
+    sdec("warmup", emb1)
+    val sd1 = sdec("x1", emb1); val sd10 = sdec("x10", emb10)
+    println(f"${"semantic_decon"}%-18s x1=$sd1%6.2f  x10=$sd10%7.2f  ratio=${sd10 / sd1}%5.1f")
+
+    // Centroid-outlier probe: one O(labels x dim) partial-agg exchange +
+    // broadcast-back filter; 10x rows through the same 8-label census.
+    val lab1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val lab10 = (0 until 10).map { r =>
+      lab1.select((col("vec_id") + lit(r * 10_000_000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(r.toFloat * 1e-3f)).as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    def cout(tag: String, e: DataFrame) = t(s"$tag centroid_outliers") {
+      graft.functions.VectorOps.centroidOutliers(
+        e, "vec_id", "embedding", "label", 0.0).count()
+    }
+    cout("warmup", lab1)
+    val co1 = cout("x1", lab1); val co10 = cout("x10", lab10)
+    println(f"${"centroid_outliers"}%-18s x1=$co1%6.2f  x10=$co10%7.2f  ratio=${co10 / co1}%5.1f")
     spark.stop()
   }
 }

@@ -219,6 +219,75 @@ class TableLoaderSpec extends SparkSpec {
       err.getCause != null && err.getCause.getMessage.contains("cassandra"))
   }
 
+  test("FixtureSource: the seam drives a real DataSource V2 connector end-to-end") {
+    import spark.implicits._
+    graft.io.v2.FixtureCatalog.register("instance_field",
+      Seq((1, 10L, "a"), (2, 20L, "b"), (3, 30L, "c"))
+        .toDF("id", "value", "tag"))
+    graft.io.v2.FixtureCatalog.register("instance_field_replay",
+      Seq((9, 90L, "r")).toDF("id", "value", "tag"))
+    try {
+      // same format+options binding shape as DataSourceLoader.cassandra
+      val loader = new graft.io.DataSourceLoader(spark,
+        "graft.io.v2.FixtureSource", name => Map("table" -> name))
+      assert(loader.table("instance_field").count() === 3)
+      assert(loader.instanceField(graft.io.Replay)
+        .head().getString(2) === "r")
+      // content parity through the full V2 read path
+      val got = loader.table("instance_field").orderBy("id")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      assert(got.toSeq === Seq((1, 10L, "a"), (2, 20L, "b"), (3, 30L, "c")))
+    } finally graft.io.v2.FixtureCatalog.clear()
+  }
+
+  test("FixtureSource: filters push into the scan and columns prune") {
+    import spark.implicits._
+    graft.io.v2.FixtureCatalog.register("pushdown_probe",
+      Seq((1, 10L, "a"), (2, 20L, "b"), (3, 30L, "c"), (4, 40L, "d"))
+        .toDF("id", "value", "tag"))
+    try {
+      val df = spark.read.format("graft.io.v2.FixtureSource")
+        .option("table", "pushdown_probe").load()
+        .where(col("value") > 15L).select("id")
+      assert(df.collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3, 4))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.io.v2.FixtureScan]
+      }
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      // the comparison pushed INTO the connector...
+      assert(scan.pushed.exists {
+        case org.apache.spark.sql.sources.GreaterThan("value", 15L) => true
+        case _ => false
+      })
+      // ...and the read schema narrowed to what the query needs: `value`
+      // is consumed by the pushed predicate, `tag` by nobody — neither
+      // crosses the scan boundary
+      assert(scan.readSchema().fieldNames.toSeq === Seq("id"))
+    } finally graft.io.v2.FixtureCatalog.clear()
+  }
+
+  test("FixtureSource: unsupported predicates stay residual, still correct") {
+    import spark.implicits._
+    graft.io.v2.FixtureCatalog.register("residual_probe",
+      Seq((1, "apple"), (2, "banana"), (3, "cherry")).toDF("id", "tag"))
+    try {
+      // EndsWith is not in the connector's supported set -> Spark must
+      // evaluate it post-scan; the result is correct either way
+      val df = spark.read.format("graft.io.v2.FixtureSource")
+        .option("table", "residual_probe").load()
+        .where(col("tag").endsWith("y") || col("id") === 1)
+      assert(df.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 3))
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[graft.io.v2.FixtureScan]
+      }.head
+      // the OR-of-mixed-support predicate cannot push as a whole
+      assert(!scan.pushed.exists(_.references.contains("tag")))
+    } finally graft.io.v2.FixtureCatalog.clear()
+  }
+
   test("activated() gates on the mode's participation flag") {
     import spark.implicits._
     val cat = Seq((1, true, false), (2, false, true), (3, true, true))
