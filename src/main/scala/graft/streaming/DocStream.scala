@@ -356,6 +356,52 @@ object DocStream {
       .drop("__dv", "__nrm", "__nv")
   }
 
+  /** Stateless streaming IVF cell assignment — the ingestion half of the
+    * ANN index ([[graft.functions.VectorIVF.assign]]'s stream twin): each
+    * arriving embedding gains its nearest-centroid cell id, so a 100 TB
+    * vector firehose lands already routed to its IVF cell (the partition
+    * key a vector store ingests by). The quantizer rides as a plan literal
+    * of pre-normalized centroids (k×dim driver doubles — the
+    * [[dsirTag]]/[[semanticTag]] budget class), making the tag one HOF
+    * fold per row: zero joins, zero state, zero watermark.
+    *
+    * Parity contract with the batch side: cosine argmax with ties to the
+    * SMALLEST cell id (strict `>` keeps the earlier candidate, centroids
+    * fold in index order — same rule as assign's `max_by(cos, -cell)`).
+    * NULL embedding tags NULL (the [[semanticTag]] convention).
+    */
+  def ivfAssignTag(docs: DataFrame, centroids: Seq[Seq[Double]],
+                   vecCol: String = "embedding",
+                   outCol: String = "cell"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim), "centroids must be fixed-width")
+    val normed = centroids.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val centsLit = typedLit(normed.zipWithIndex.map { case (v, i) => (i, v) })
+    val dot = graft.functions.VectorOps.dot _
+    val v = col("__nv")
+    docs
+      .withColumn("__dv", col(vecCol).cast("array<double>"))
+      .withColumn("__nrm", sqrt(dot(col("__dv"), col("__dv"))))
+      .withColumn("__nv",
+        when(col("__nrm") === 0.0, col("__dv"))
+          .otherwise(transform(col("__dv"), x => x / col("__nrm"))))
+      .withColumn(outCol,
+        when(col(vecCol).isNull, lit(null).cast("int"))
+          .otherwise(aggregate(
+            transform(centsLit, s => struct(
+              s.getField("_1").as("i"),
+              dot(v, s.getField("_2")).as("c"))),
+            struct(lit(-1).as("i"), lit(Double.MinValue).as("c")),
+            (acc, x) => when(x.getField("c") > acc.getField("c"), x)
+              .otherwise(acc))
+            .getField("i")))
+      .drop("__dv", "__nrm", "__nv")
+  }
+
   /** The full incremental cleaning stage: watermarked exact dedup →
     * quality gate → repetition gate → language routing → PII redaction,
     * one streaming DAG. Near-dup clustering is deliberately absent —

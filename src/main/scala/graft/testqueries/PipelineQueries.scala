@@ -207,6 +207,24 @@ object PipelineQueries {
         "doc_id", "text", n = 13)
     },
 
+    // The Bloom screen's deployment shape, oracle-gated (d85): the corpus's
+    // STANDING bitmap (built once, batch) probes benchmark docs as they
+    // ARRIVE on a stream. bloomContaminationScan is a pure stateless
+    // projection (plan-literal bitmap + native shingle kernel + HOF
+    // filter), so the exact same call drives batch and stream — this row
+    // pins that equivalence against the d78 bitmap-replay oracle.
+    "d85_bloom_tag_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val isBench = pmod(col("doc_id"), lit(10)) === 0
+      val bmp = TextAnalysis.bloomGramBitmap(d.where(!isBench), "text", n = 13)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(isBench)
+      graft.streaming.StreamRunner.runToBatch(
+        TextAnalysis.bloomContaminationScan(stream, bmp, "doc_id", "text", n = 13),
+        "d85_bloom_tag_stream")
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -833,6 +851,24 @@ object PipelineQueries {
           "embedding", threshold = 0.35)
           .select(col("vec_id"), col("bench_hits")),
         "d83_semantic_tag_stream")
+    },
+
+    // Stateless streaming IVF assignment (d84): the ingestion half of the
+    // ANN index — every embedding arrives on a stream and leaves routed to
+    // its nearest-centroid cell, via the plan-literal quantizer (k x dim
+    // driver doubles, the dsirTag budget class). Zero joins, zero state;
+    // ties to the smallest cell id, the batch assign()'s exact rule, which
+    // the oracle replays through the shared md5 centroid closed form.
+    "d84_ivf_assign_stream" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val cents: Seq[Seq[Double]] = (0 until 8).map(c =>
+        (0 until 64).map(d => VectorIVF.centroidValue(c, d)))
+      val stream = s.readStream.schema(e.schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.DocStream.ivfAssignTag(stream, cents, "embedding", "cell")
+          .select(col("vec_id"), col("cell")),
+        "d84_ivf_assign_stream")
     },
 
     // Span-level exact dedup (Lee et al. 2021 ExactSubstr): verbatim
@@ -1593,30 +1629,11 @@ object PipelineQueries {
     // d35's gram CTEs + the deterministic Bloom replay: same md5 base
     // hash, same (h%P)*a+j universal probe positions mod 2^20, 32-bit
     // word payloads (bit 63 would overflow DuckDB's checked <<).
-    "d78_bloom_decontam" ->
-      s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         g AS (SELECT DISTINCT doc_id,
-             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS sh FROM (
-           SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
-             i -> array_to_string(w[i+1:i+13], ' '))) AS gt
-           FROM words WHERE len(w) >= 13)),
-         seeds(j, a) AS (VALUES (0, 1299709), (1, 15485863), (2, 32452843), (3, 49979687)),
-         tpos AS (SELECT DISTINCT (((sh % ${MinHashLSH.P}) * a + j) % ${MinHashLSH.P}) % 1048576 AS p
-           FROM (SELECT DISTINCT sh FROM g WHERE doc_id % 10 != 0) CROSS JOIN seeds),
-         bmp AS (SELECT p // 32 AS w,
-             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mask
-           FROM tpos GROUP BY 1),
-         bpos AS (SELECT doc_id, sh,
-             (((sh % ${MinHashLSH.P}) * a + j) % ${MinHashLSH.P}) % 1048576 AS p
-           FROM g CROSS JOIN seeds WHERE doc_id % 10 = 0),
-         ghit AS (SELECT d.doc_id, d.sh,
-             bool_and(coalesce(
-               (b.mask & (CAST(1 AS BIGINT) << CAST(d.p % 32 AS INTEGER))) != 0,
-               FALSE)) AS inb
-           FROM bpos d LEFT JOIN bmp b ON b.w = d.p // 32 GROUP BY 1, 2)
-         SELECT doc_id, count(*) AS n_grams,
-           CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
-         FROM ghit GROUP BY doc_id""",
+    "d78_bloom_decontam" -> BloomDecontamSql,
+    // identical replay: the stream side is the same stateless projection
+    // over the same standing bitmap (d85 pins batch/stream equivalence)
+    "d85_bloom_tag_stream" -> BloomDecontamSql,
+
     "d26_contamination" ->
       s"""WITH $ShingleCtesSql,
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -2184,6 +2201,16 @@ object PipelineQueries {
            round(CAST(sum(CAST(round(lnr * 1000000, 0) AS BIGINT)) AS DOUBLE)
              / 1000000, 6) AS dsir_logw
          FROM g JOIN ratio ON g.b = ratio.b GROUP BY 1""",
+    "d84_ivf_assign_stream" ->
+      """WITH cents AS (SELECT c, d,
+           (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(c) CROSS JOIN range(64) t2(d)),
+         cv AS (SELECT c, list(v ORDER BY d) AS cvec FROM cents GROUP BY c),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv) WHERE rn = 1)
+         SELECT vec_id, CAST(cell AS INT) AS cell FROM asn""",
     "d81_semantic_decon" ->
       """SELECT t.vec_id, count(*) AS bench_hits
          FROM embeddings t JOIN embeddings b
@@ -2898,4 +2925,33 @@ object PipelineQueries {
            md5($redacted) AS redacted_md5
          FROM inj"""
   }
+
+  /** d35's gram CTEs + the deterministic Bloom replay (md5 base hash,
+    * universal probe positions mod 2^20, 32-bit word payloads) — shared by
+    * d78 (batch screen) and d85 (the same scan on a stream).
+    */
+  private lazy val BloomDecontamSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS sh FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 12),
+             i -> array_to_string(w[i+1:i+13], ' '))) AS gt
+           FROM words WHERE len(w) >= 13)),
+         seeds(j, a) AS (VALUES (0, 1299709), (1, 15485863), (2, 32452843), (3, 49979687)),
+         tpos AS (SELECT DISTINCT (((sh % ${MinHashLSH.P}) * a + j) % ${MinHashLSH.P}) % 1048576 AS p
+           FROM (SELECT DISTINCT sh FROM g WHERE doc_id % 10 != 0) CROSS JOIN seeds),
+         bmp AS (SELECT p // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS mask
+           FROM tpos GROUP BY 1),
+         bpos AS (SELECT doc_id, sh,
+             (((sh % ${MinHashLSH.P}) * a + j) % ${MinHashLSH.P}) % 1048576 AS p
+           FROM g CROSS JOIN seeds WHERE doc_id % 10 = 0),
+         ghit AS (SELECT d.doc_id, d.sh,
+             bool_and(coalesce(
+               (b.mask & (CAST(1 AS BIGINT) << CAST(d.p % 32 AS INTEGER))) != 0,
+               FALSE)) AS inb
+           FROM bpos d LEFT JOIN bmp b ON b.w = d.p // 32 GROUP BY 1, 2)
+         SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+         FROM ghit GROUP BY doc_id"""
 }

@@ -32,6 +32,9 @@ object ScaleStress {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("semantic")) {
+      runEmbeddingProbes(spark); spark.stop(); return
+    }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val n1 = docs1.count()
@@ -215,6 +218,22 @@ object ScaleStress {
     s1.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-18s x1=${s1(k)}%6.2f  x10=${s10(k)}%7.2f  ratio=${s10(k) / s1(k)}%5.1f") }
 
+    runEmbeddingProbes(spark)
+    spark.stop()
+  }
+
+  /** `runMain graft.tools.ScaleStress semantic` — just the embedding-side
+    * probes (semdedup + the round-10 semantic family), skipping the text
+    * suite.
+    */
+  private def runEmbeddingProbes(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
     // Embedding-side probe: semDedup at 1x and 10x. Replicas are jittered
     // per replica index so every vector is distinct (no artificial exact
     // duplicates), while cell occupancy stays balanced — the within-cell

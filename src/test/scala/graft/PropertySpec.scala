@@ -260,3 +260,118 @@ class BackoffPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 }
+
+/** Model-based properties for the round-10 embedding operators: each
+  * distributed result is replayed against a driver-side model using the
+  * SAME arithmetic (left-to-right fold dot products, normalize-then-dot),
+  * with a 1e-9 dead band around every threshold so FP summation-order
+  * differences (the centroid avg's partial-agg order is partition-luck)
+  * can never flip a comparison into a spurious failure.
+  */
+class VectorPropertySpec extends SparkSpec {
+
+  import org.scalacheck.{Gen, Prop}
+
+  private def check(prop: Prop, cases: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val Dim = 3
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(Dim, Gen.chooseNum(-5, 5)).map(_.map(_.toFloat).toArray)
+      .suchThat(v => v.exists(_ != 0f))
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def n(x: Array[Float]) = math.sqrt(x.map(e => e.toDouble * e).sum)
+    val (na, nb) = (n(a), n(b))
+    a.zip(b).map { case (x, y) => (x / na) * (y / nb) }.sum
+  }
+
+  test("semanticDecontaminate equals the naive pairwise model off the dead band") {
+    import spark.implicits._
+    val tau = 0.35
+    val caseGen = for {
+      train <- Gen.listOfN(8, vecGen)
+      bench <- Gen.nonEmptyListOf(vecGen).map(_.take(4))
+    } yield (train, bench)
+    check(Prop.forAllNoShrink(caseGen) { case (train, bench) =>
+      val allCos = for (t <- train; b <- bench) yield cos(t, b)
+      if (allCos.exists(c => math.abs(c - tau) < 1e-9)) true // dead band
+      else {
+        val trainDf = train.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+        val benchDf = bench.zipWithIndex
+          .map { case (v, i) => (100L + i, v) }.toDF("vec_id", "embedding")
+        val got = graft.functions.VectorOps.semanticDecontaminate(
+            trainDf, benchDf, "vec_id", "embedding", tau)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = train.zipWithIndex.flatMap { case (t, i) =>
+          val hits = bench.count(b => cos(t, b) >= tau)
+          if (hits > 0) Some(i.toLong -> hits.toLong) else None
+        }.toMap
+        got == want
+      }
+    }, cases = 10)
+  }
+
+  test("centroidOutliers equals the naive centroid model off the dead band") {
+    import spark.implicits._
+    val caseGen = Gen.listOfN(10,
+      for { v <- vecGen; l <- Gen.chooseNum(0, 2) } yield (v, l))
+    check(Prop.forAllNoShrink(caseGen) { rows =>
+      val cents = rows.groupBy(_._2).view.mapValues { vs =>
+        (0 until Dim).map(d => vs.map(_._1(d).toDouble).sum / vs.size).toArray
+      }.toMap
+      def cosd(a: Array[Float], c: Array[Double]): Double = {
+        val na = math.sqrt(a.map(e => e.toDouble * e).sum)
+        val nc = math.sqrt(c.map(e => e * e).sum)
+        if (na == 0 || nc == 0) Double.NaN
+        else a.zip(c).map { case (x, y) => x * y }.sum / (na * nc)
+      }
+      val scores = rows.zipWithIndex.map { case ((v, l), i) =>
+        (i.toLong, l, cosd(v, cents(l))) }
+      if (scores.exists { case (_, _, c) => c.isNaN || math.abs(c) < 1e-9 }) true
+      else {
+        val df = rows.zipWithIndex
+          .map { case ((v, l), i) => (i.toLong, v, l) }
+          .toDF("vec_id", "embedding", "label")
+        val got = graft.functions.VectorOps.centroidOutliers(
+            df, "vec_id", "embedding", "label", 0.0)
+          .collect().map(_.getLong(0)).toSet
+        val want = scores.collect { case (id, _, c) if c < 0.0 => id }.toSet
+        got == want
+      }
+    }, cases = 10)
+  }
+
+  test("ivfAssignTag equals the naive argmax model off the tie band") {
+    import spark.implicits._
+    val caseGen = for {
+      vecs <- Gen.listOfN(8, vecGen)
+      cents <- Gen.listOfN(4, vecGen)
+    } yield (vecs, cents)
+    check(Prop.forAllNoShrink(caseGen) { case (vecs, cents) =>
+      val scored = vecs.map(v => cents.map(c => cos(v, c)))
+      // skip when the top two candidates are within the FP band (the
+      // tie-to-smallest-cell rule is pinned separately by DocStreamSpec)
+      val ambiguous = scored.exists { cs =>
+        val sorted = cs.sorted.reverse
+        sorted.size > 1 && (sorted(0) - sorted(1)) < 1e-9
+      }
+      if (ambiguous) true
+      else {
+        val df = vecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+        val got = graft.streaming.DocStream.ivfAssignTag(
+            df, cents.map(_.map(_.toDouble).toSeq), "embedding", "cell")
+          .select("vec_id", "cell")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val want = scored.zipWithIndex.map { case (cs, i) =>
+          i.toLong -> cs.indexOf(cs.max) }.toMap
+        got == want
+      }
+    }, cases = 10)
+  }
+}

@@ -259,6 +259,79 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfAssignTag: stream assignment matches batch assign, ties to smallest cell") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // centroid 2 duplicates centroid 0 -> any vector nearest 0 ties with 2
+    // and must take cell 0 (the batch max_by(cos, -cell) rule)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = graft.streaming.DocStream.ivfAssignTag(
+        in.toDF().toDF("vec_id", "embedding"), cents, "embedding", "cell")
+      .writeStream.format("memory").queryName("doc_ivf")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, Array(0.9, 0.1)),   // nearest (1,0): tie between cells 0 and 2
+        (2L, Array(0.1, 0.9)),   // nearest (0,1) -> cell 1
+        (3L, null))              // null embedding -> NULL tag, row kept
+      q.processAllAvailable()
+      val rows = spark.table("doc_ivf").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          Option(r.getAs[Any]("cell"))).toMap
+      assert(rows === Map(1L -> Some(0), 2L -> Some(1), 3L -> None))
+      // full parity with the batch assign on a non-degenerate quantizer
+      val batchVecs = Seq(
+        (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f)),
+        (4L, Array(-0.7f, 0.7f)), (5L, Array(0.5f, -0.5f)))
+        .toDF("vec_id", "embedding")
+      val centsDf = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+        .toDF("cell_id", "cvec")
+      val batch = graft.functions.VectorIVF.assign(
+        batchVecs, "vec_id", "embedding", centsDf, "cell_id", "cvec")
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val streamed = graft.streaming.DocStream.ivfAssignTag(
+        batchVecs, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), "embedding", "cell")
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("bloomContaminationScan is stream-safe and matches its batch run") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val gram = (1 to 13).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, s"$gram tail tokens here"), (2L, "short"))
+      .toDF("doc_id", "text")
+    val bmp = graft.functions.TextAnalysis.bloomGramBitmap(
+      corpus, "text", n = 13, bits = 1 << 16)
+    val benchRows = Seq(
+      (10L, s"prefix $gram suffix"),          // carries the corpus gram
+      (11L, (1 to 20).map(i => s"z$i").mkString(" "))) // clean, >=13 words
+    val in = MemoryStream[(Long, String)]
+    // the SAME call drives batch and stream: stateless projection contract
+    val q = graft.functions.TextAnalysis.bloomContaminationScan(
+        in.toDF().toDF("doc_id", "text"), bmp, "doc_id", "text",
+        n = 13, k = 4)
+      .writeStream.format("memory").queryName("doc_bloom")
+      .outputMode("append").start()
+    try {
+      in.addData(benchRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("doc_bloom").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.functions.TextAnalysis.bloomContaminationScan(
+          benchRows.toDF("doc_id", "text"), bmp, "doc_id", "text",
+          n = 13, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      // the planted gram is a guaranteed hit (no false negatives)
+      assert(streamed.find(_._1 == 10L).exists(_._3 >= 1L))
+    } finally q.stop()
+  }
+
   test("entropyGate is a stateless streaming gate on the native kernel") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
