@@ -286,6 +286,57 @@ object ScaleStress {
     cout("warmup", lab1)
     val co1 = cout("x1", lab1); val co10 = cout("x10", lab10)
     println(f"${"centroid_outliers"}%-18s x1=$co1%6.2f  x10=$co10%7.2f  ratio=${co10 / co1}%5.1f")
+
+    // Standing-artifact probe: screening ONE bench release, exact 13-gram
+    // join (pays a corpus gram pass EVERY release — cost grows with the
+    // corpus) vs the Bloom bitmap probe (corpus pass paid ONCE at build;
+    // each release is then bench-sized map-only work, corpus-independent).
+    // The 10x corpus is 1x untagged (so bench docs still have true
+    // matches) ∪ 9 replica-tagged copies (distinct gram content), i.e.
+    // genuine ~10x distinct gram volume; the bitmap is sized 2^24 so FP
+    // stays ~1% at ~1M grams (the `bits` knob scales with corpus grams —
+    // O(corpus)/32 longs broadcast, still KBs→MBs).
+    val docs1s = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val corpus10 = docs1s.unionByName((1 until 10).map { r =>
+      val tag = s"r${r}x"
+      docs1s.select((col("doc_id") + lit(r * 10_000_000L)).as("doc_id"),
+        concat(lit(tag), regexp_replace(col("text"), " ", " " + tag)).as("text"))
+    }.reduce(_ unionByName _))
+    val benchDocs = docs1s.where(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + lit(900_000_000L)).as("doc_id"), col("text"))
+    def drain(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    var bmp: Array[Long] = null
+    val tBuild = t("bloom bitmap build (10x corpus, ONCE)") {
+      bmp = TextAnalysis.bloomGramBitmap(corpus10, "text", n = 13,
+        bits = 1 << 24)
+      bmp.length.toLong
+    }
+    drain()
+    t("warmup exact screen") {
+      TextAnalysis.ngramContamination(benchDocs, docs1s, "doc_id", "text").count()
+    }
+    drain()
+    def minOf3(name: String)(f: => Long): Double =
+      (1 to 3).map { i => val s = t(s"$name #$i")(f); drain(); s }.min
+    val tExact1 = minOf3("exact screen vs 1x corpus") {
+      TextAnalysis.ngramContamination(
+        benchDocs, docs1s, "doc_id", "text").count()
+    }
+    val tExact10 = minOf3("exact screen vs 10x corpus") {
+      TextAnalysis.ngramContamination(
+        benchDocs, corpus10, "doc_id", "text").count()
+    }
+    val tBloom = minOf3("bloom screen vs standing bitmap") {
+      TextAnalysis.bloomContaminationScan(
+        benchDocs, bmp, "doc_id", "text").count()
+    }
+    println(f"${"release_screen"}%-18s exact 1x=$tExact1%5.2f -> 10x=$tExact10%5.2f " +
+      f"(grows with corpus); bloom=$tBloom%5.2f flat " +
+      f"(bitmap build $tBuild%.2f s, once per corpus)")
     spark.stop()
   }
 }
