@@ -240,6 +240,33 @@ object GraftSql {
       .createOrReplaceTempView(viewName)
   }
 
+  /** Semantic decontamination flags (the d81 shape) as a named temp view:
+    * `SELECT vec_id FROM <view>` is the embedding-space drop list —
+    * train rows within cosine `threshold` of any benchmark vector, with
+    * `bench_hits` for severity triage. Lazy like the tag views.
+    */
+  def registerSemanticDecon(spark: SparkSession, viewName: String,
+                            train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): Unit =
+    graft.functions.VectorOps
+      .semanticDecontaminate(train, bench, idCol, vecCol, threshold)
+      .createOrReplaceTempView(viewName)
+
+  /** IVF cell routing (the d84 shape) as a named temp view: every row of
+    * `vectors` plus its nearest-quantizer `cell` — `GROUP BY cell` is the
+    * occupancy census, `WHERE cell = ?` the probe-side scan. Quantizer =
+    * the md5 closed-form centroids (k cells over the probed vector width),
+    * same as the ANN path's default.
+    */
+  def registerIvfCells(spark: SparkSession, viewName: String,
+                       vectors: DataFrame, idCol: String, vecCol: String,
+                       k: Int = 8, dim: Int = 64): Unit =
+    graft.functions.VectorIVF.assign(vectors, idCol, vecCol,
+        graft.functions.VectorIVF.mdCentroids(spark, k, dim),
+        "cell_id", "cvec")
+      .createOrReplaceTempView(viewName)
+
   /** Quality-aware near-dup canonicals (the d49 shape) as a named temp
     * view: `SELECT * FROM <view> WHERE keep` is the deduped corpus keeping
     * each cluster's best-quality member. NOT lazy like the other views —

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashLSH, TextAnalysis}
+
+/** The end-to-end corpus pipeline as ONE runnable main — the capstone a
+  * new user starts from, composing the library the way a production
+  * training-data job would:
+  *
+  *   raw documents
+  *     → quality + repetition gates (map-only projections)
+  *     → exact-dedup canonical (one fingerprint partial-agg)
+  *     → near-dup cluster canonical (LSH band join → connected components)
+  *     → 13-gram benchmark decontamination, excised in place
+  *     → fixed-window chunking → deterministic cross-doc packing
+  *     → hash-sharded parquet write (rerun-identical shard assignment)
+  *
+  * Everything is the same oracle-gated operators the driver suite runs
+  * (d19 / d70 / d25 / d41 / the shard writer) — this main just wires them
+  * into one DAG-per-stage job and prints the funnel.
+  *
+  *   runMain graft.tools.ExamplePipeline [sfDir] [outDir]
+  */
+object ExamplePipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.drop(1).headOption.getOrElse("/tmp/graft_pipeline_out")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n0 = docs.count()
+
+    // 1. map-only gates: quality floor, repetition ceiling.
+    val gated = TextAnalysis.repetitionRatio(docs, "doc_id", "text")
+      .where(TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+        col("rep_ratio") <= 0.05)
+      .select("doc_id", "text")
+    val n1 = gated.count()
+
+    // 2. exact dedup: keep each fingerprint's min doc_id.
+    val exactCanon = gated
+      .groupBy(TextAnalysis.fingerprintHex(col("text")).as("fp_hex"))
+      .agg(min("doc_id").as("exact_canon"))
+    val exact = gated
+      .withColumn("fp_hex", TextAnalysis.fingerprintHex(col("text")))
+      .join(exactCanon, "fp_hex")
+      .where(col("doc_id") === col("exact_canon"))
+      .select("doc_id", "text")
+    val n2 = exact.count()
+
+    // 3. near-dup dedup: LSH pairs -> connected components -> keep each
+    // cluster's min-id member (untouched docs have no cluster row).
+    val pairs = MinHashLSH.nearDupPairs(exact, "doc_id", "text")
+      .where(col("jaccard") >= 0.5)
+    val clusterOf = MinHashLSH.clusters(pairs)
+      .select(col("id").as("doc_id"), col("cluster"))
+    val deduped = exact.join(clusterOf, Seq("doc_id"), "left_outer")
+      .where(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .select("doc_id", "text")
+    val n3 = deduped.count()
+
+    // 4. decontamination-in-place: excise spans carrying any benchmark
+    // 13-gram (bench split = every 10th doc, standing in for a real
+    // eval-suite table), keep the rest of each document.
+    val bench = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      .select("doc_id", "text")
+    val spans = TextAnalysis.contaminationSpans(
+      deduped, bench, "doc_id", "text", n = 13)
+    val clean = TextAnalysis.exciseSpans(deduped, "doc_id", "text", spans)
+      .withColumnRenamed("clean_text", "text")
+      .select("doc_id", "text")
+    val n4 = clean.count()
+
+    // 5. chunk to the context window, pack chunks across docs into fixed
+    // token budgets (deterministic hash order), shard-write the result.
+    val chunks = TextAnalysis.chunk(clean, "doc_id", "text",
+      maxTokens = 40, overlap = 8)
+    val packed = TextAnalysis.packSequencesAcross(chunks, "doc_id",
+        seqTokens = 96, numGroups = 8)
+      .withColumn("seq_key",
+        concat_ws(":", col("bin_group"), col("seq_idx")))
+    val n5 = packed.count()
+    graft.io.TableWriter.writeShards(packed, outDir, "seq_key", nShards = 8)
+
+    println(f"docs $n0%6d -> gated $n1%6d -> exact $n2%6d -> " +
+      f"neardup $n3%6d -> decontaminated $n4%6d -> packed seqs $n5%6d")
+    println(s"sharded parquet at $outDir (8 md5-stable shards)")
+    graft.CacheRegistry.releaseAll()
+    spark.stop()
+  }
+}

@@ -185,4 +185,26 @@ class EmptyInputRound9Spec extends SparkSpec {
     assert(graft.ops.Resample.locfGrid(ev, Seq("u"), "t", "v", "eid", 10L).count() === 0)
     assert(graft.ops.Resample.trailingAgg(ev, Seq("u"), "t", "v", 10L).count() === 0)
   }
+
+  test("semantic-decon family and stream tags are total on empty frames") {
+    import spark.implicits._
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val someVecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    // empty train and empty bench both yield an empty flag set
+    assert(graft.functions.VectorOps.semanticDecontaminate(
+      noVecs, someVecs, "vec_id", "embedding", 0.5).count() === 0)
+    assert(graft.functions.VectorOps.semanticDecontaminate(
+      someVecs, noVecs, "vec_id", "embedding", 0.5).count() === 0)
+    // stateless tags over empty input emit nothing and do not probe rows
+    assert(graft.streaming.DocStream.semanticTag(
+      noVecs, Seq(Seq(1.0, 0.0)), "embedding", 0.5).count() === 0)
+    assert(graft.streaming.DocStream.ivfAssignTag(
+      noVecs, Seq(Seq(1.0, 0.0)), "embedding", "cell").count() === 0)
+    // empty corpus -> all-zero bitmap; the scan still types and runs
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val bmp = TextAnalysis.bloomGramBitmap(noDocs, "text", n = 13, bits = 64)
+    assert(bmp.forall(_ == 0L))
+    assert(TextAnalysis.bloomContaminationScan(
+      noDocs, bmp, "doc_id", "text", n = 13).count() === 0)
+  }
 }

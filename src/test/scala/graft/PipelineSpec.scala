@@ -1364,6 +1364,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("doc_id"))
   }
 
+  test("registerSemanticDecon and registerIvfCells serve the d81/d84 shapes") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions.col
+    val e = spark.table("embeddings")
+    graft.sql.GraftSql.registerSemanticDecon(spark, "semantic_decon",
+      e.where(col("vec_id") >= 20), e.where(col("vec_id") < 20),
+      "vec_id", "embedding", threshold = 0.35)
+    val sd = spark.sql(
+      "SELECT count(*) AS n, min(bench_hits) AS mn FROM semantic_decon").head()
+    // every flagged row carries at least one hit; no bench ids leak in
+    if (sd.getLong(0) > 0) assert(sd.getLong(1) >= 1L)
+    assert(spark.sql(
+      "SELECT count(*) FROM semantic_decon WHERE vec_id < 20").head().getLong(0) === 0L)
+    graft.sql.GraftSql.registerIvfCells(spark, "ivf_cells", e,
+      "vec_id", "embedding", k = 8, dim = 64)
+    val ic = spark.sql(
+      """SELECT count(*) AS n, count(DISTINCT cell) AS cells,
+           min(cell) AS lo, max(cell) AS hi FROM ivf_cells""").head()
+    assert(ic.getLong(0) === e.count())
+    assert(ic.getLong(1) >= 1L && ic.getInt(2) >= 0 && ic.getInt(3) <= 7)
+  }
+
   test("registerSessions serves the q39 rollup to plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     graft.sql.GraftSql.registerSessions(spark, "sessions",
