@@ -944,6 +944,13 @@ object TextAnalysis {
     * bitmap without a corpus pass; docs the screen flags go to the exact
     * join for confirmation. Returns (idCol, n_grams, n_bloom_hits); docs
     * shorter than n words emit no row (gram semantics, as d35).
+    *
+    * CONTRACT: `n` and `k` (and the bitmap's bit width) MUST match the
+    * [[bloomGramBitmap]] call that built `bitmap` — the array carries no
+    * metadata, and a mismatched k or n probes positions never set at
+    * build time, silently voiding the no-false-negative guarantee (every
+    * doc reports 0 hits, no error). Persist the build parameters next to
+    * a standing bitmap artifact.
     */
   def bloomContaminationScan(bench: org.apache.spark.sql.DataFrame,
                              bitmap: Array[Long], idCol: String,

@@ -132,7 +132,10 @@ object VectorOps {
     */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
                        labelCol: String, minCos: Double): DataFrame = {
-    val dimOpt = df.select(size(col(vecCol))).limit(1).collect()
+    // probe only non-null vectors: the sampled row is partition-order
+    // arbitrary, and size(NULL) would NPE the getInt
+    val dimOpt = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0))
     dimOpt match {
       case None =>

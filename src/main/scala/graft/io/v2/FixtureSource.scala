@@ -198,15 +198,25 @@ object FixtureFilters {
   }
 
   /** Three-way compare; None when either side is null (SQL semantics:
-    * comparisons with null never match).
+    * comparisons with null never match). Integral pairs compare as longs —
+    * a double round-trip would collapse distinct values above 2^53, and a
+    * pushed filter that matched the wrong row is never re-checked by Spark.
     */
   private def cmp(x: Any, y: Any): Option[Int] = (x, y) match {
     case (null, _) | (_, null) => None
+    case (a: Number, b: Number) if integral(a) && integral(b) =>
+      Some(java.lang.Long.compare(a.longValue(), b.longValue()))
     case (a: Number, b: Number) =>
       Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
     case (a: String, b: String) => Some(a.compareTo(b))
     case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
     case _ => None
+  }
+
+  private def integral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer |
+         _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
   }
 
   def toInternal(row: Seq[Any], schema: StructType): InternalRow = {

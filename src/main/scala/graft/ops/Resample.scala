@@ -52,10 +52,17 @@ object Resample {
     // measured 2.3-2.8x slower at BOTH sf0.1 and 10x.
     // ordCol ties break on the value itself (struct ordering), so the
     // winner is a pure function of the data even when the caller's ordCol
-    // is not unique per (key, t) — not partition-order luck
+    // is not unique per (key, t) — not partition-order luck. A value type
+    // that is not orderable (map, ...) cannot join the ordering key, so it
+    // falls back to plain max_by(value, ord) — still correct whenever
+    // ordCol is unique per (key, t), which that caller must then ensure.
+    val valueOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(events.schema(valueCol).dataType)
+    val tieKey =
+      if (valueOrderable) struct(col(ordCol), col(valueCol)) else col(ordCol)
     val dedup = events
       .groupBy((keys :+ col(tsNsCol).as("t")): _*)
-      .agg(max_by(col(valueCol), struct(col(ordCol), col(valueCol))).as("__v"))
+      .agg(max_by(col(valueCol), tieKey).as("__v"))
     val grid = dedup.groupBy(keys: _*)
       .agg(min("t").as("__lo"), max("t").as("__hi"))
       .select(keys :+ explode(sequence(col("__lo"), col("__hi"),

@@ -188,10 +188,12 @@ object UpdateHistory {
     // an unbounded argument list would drive Catalyst into a 10k-column
     // plan. Above maxWideTriples the request auto-routes to the long form
     // — fixed 5-column schema, identical instants/values/filter semantics,
-    // just (triple, value) rows instead of pivot columns. `args` is a
-    // driver-provided triple list (O(requested columns)), so counting it
-    // here is a bounded action, not a data scan.
-    val goWide = wide && (maxWideTriples <= 0 || args.count() <= maxWideTriples)
+    // just (triple, value) rows instead of pivot columns. The probe is
+    // limit(maxWideTriples + 1) so routing never executes more of the args
+    // plan than the decision needs — an args frame derived from a join
+    // would otherwise run fully TWICE (once to count, once inside).
+    val goWide = wide && (maxWideTriples <= 0 ||
+      args.limit(maxWideTriples + 1).count() <= maxWideTriples)
     if (goWide) updateHistory(instanceField, args, startState, startId, endId)
     else updateHistoryLong(instanceField, args, startState, startId, endId)
   }

@@ -340,12 +340,8 @@ object DocStream {
     val benchLit = typedLit(normed)
     val dot = graft.functions.VectorOps.dot _
     val v = col("__nv")
-    docs
-      .withColumn("__dv", col(vecCol).cast("array<double>"))
-      .withColumn("__nrm", sqrt(dot(col("__dv"), col("__dv"))))
-      .withColumn("__nv",
-        when(col("__nrm") === 0.0, col("__dv"))
-          .otherwise(transform(col("__dv"), x => x / col("__nrm"))))
+    // normalization shared with the batch twin (same staging + zero guard)
+    graft.functions.VectorOps.withNormalized(docs, vecCol, "__nv")
       .withColumn("bench_hits",
         // the per-term when() would silently turn a NULL embedding into 0
         // hits; the outer guard keeps the documented tag-NULL convention
@@ -353,7 +349,7 @@ object DocStream {
           .otherwise(aggregate(benchLit, lit(0),
             (acc, b) => acc +
               when(dot(v, b) >= threshold, 1).otherwise(0))))
-      .drop("__dv", "__nrm", "__nv")
+      .drop("__nv")
   }
 
   /** Stateless streaming IVF cell assignment — the ingestion half of the
@@ -383,23 +379,29 @@ object DocStream {
     val centsLit = typedLit(normed.zipWithIndex.map { case (v, i) => (i, v) })
     val dot = graft.functions.VectorOps.dot _
     val v = col("__nv")
-    docs
-      .withColumn("__dv", col(vecCol).cast("array<double>"))
-      .withColumn("__nrm", sqrt(dot(col("__dv"), col("__dv"))))
-      .withColumn("__nv",
-        when(col("__nrm") === 0.0, col("__dv"))
-          .otherwise(transform(col("__dv"), x => x / col("__nrm"))))
+    // Per-candidate ordering key (c, -i): strict struct > keeps the higher
+    // cosine, then the SMALLER index on exact ties. A NULL dot (embedding
+    // with a null element) coalesces to -Inf so such a row still resolves
+    // to the smallest cell id — exactly what batch assign's
+    // max_by(struct(cos, -cell)) does with its null-first struct ordering,
+    // instead of leaking the fold-init sentinel.
+    graft.functions.VectorOps.withNormalized(docs, vecCol, "__nv")
       .withColumn(outCol,
         when(col(vecCol).isNull, lit(null).cast("int"))
           .otherwise(aggregate(
             transform(centsLit, s => struct(
-              s.getField("_1").as("i"),
-              dot(v, s.getField("_2")).as("c"))),
-            struct(lit(-1).as("i"), lit(Double.MinValue).as("c")),
-            (acc, x) => when(x.getField("c") > acc.getField("c"), x)
+              coalesce(dot(v, s.getField("_2")),
+                lit(Double.NegativeInfinity)).as("c"),
+              (-s.getField("_1")).as("negi"),
+              s.getField("_1").as("i"))),
+            struct(lit(Double.NegativeInfinity).as("c"),
+              lit(Int.MinValue).as("negi"), lit(-1).as("i")),
+            (acc, x) => when(
+              struct(x.getField("c"), x.getField("negi")) >
+                struct(acc.getField("c"), acc.getField("negi")), x)
               .otherwise(acc))
             .getField("i")))
-      .drop("__dv", "__nrm", "__nv")
+      .drop("__nv")
   }
 
   /** The full incremental cleaning stage: watermarked exact dedup →

@@ -56,13 +56,20 @@ object ExamplePipeline {
 
     // 3. near-dup dedup: LSH pairs -> connected components -> keep each
     // cluster's min-id member (untouched docs have no cluster row).
+    // `deduped` is persisted: three downstream consumers (the count, the
+    // contamination-span join's BOTH sides via `clean`, and the final
+    // chunk/pack/write) would otherwise re-run the LSH pair join and the
+    // iterative closure per action — the repo's S4 persist-where-reused
+    // rule, applied where it actually pays.
     val pairs = MinHashLSH.nearDupPairs(exact, "doc_id", "text")
       .where(col("jaccard") >= 0.5)
     val clusterOf = MinHashLSH.clusters(pairs)
       .select(col("id").as("doc_id"), col("cluster"))
-    val deduped = exact.join(clusterOf, Seq("doc_id"), "left_outer")
-      .where(col("cluster").isNull || col("cluster") === col("doc_id"))
-      .select("doc_id", "text")
+    val deduped = graft.CacheRegistry.track(
+      exact.join(clusterOf, Seq("doc_id"), "left_outer")
+        .where(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n3 = deduped.count()
 
     // 4. decontamination-in-place: excise spans carrying any benchmark
@@ -72,9 +79,11 @@ object ExamplePipeline {
       .select("doc_id", "text")
     val spans = TextAnalysis.contaminationSpans(
       deduped, bench, "doc_id", "text", n = 13)
-    val clean = TextAnalysis.exciseSpans(deduped, "doc_id", "text", spans)
-      .withColumnRenamed("clean_text", "text")
-      .select("doc_id", "text")
+    val clean = graft.CacheRegistry.track(
+      TextAnalysis.exciseSpans(deduped, "doc_id", "text", spans)
+        .withColumnRenamed("clean_text", "text")
+        .select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n4 = clean.count()
 
     // 5. chunk to the context window, pack chunks across docs into fixed

@@ -268,6 +268,24 @@ class TableLoaderSpec extends SparkSpec {
     } finally graft.io.v2.FixtureCatalog.clear()
   }
 
+  test("FixtureSource: pushed long comparisons are exact above 2^53") {
+    import spark.implicits._
+    // adjacent longs that collapse to the SAME double — a doubleValue
+    // compare would match both rows and Spark never re-checks pushed
+    // filters, so the connector must compare integrals as longs
+    val a = 9007199254740993L // 2^53 + 1
+    val b = 9007199254740992L // 2^53
+    graft.io.v2.FixtureCatalog.register("big_longs",
+      Seq((1, a), (2, b)).toDF("id", "value"))
+    try {
+      def ids(v: Long) = spark.read.format("graft.io.v2.FixtureSource")
+        .option("table", "big_longs").load()
+        .where(col("value") === v).collect().map(_.getInt(0)).toSeq
+      assert(ids(a) === Seq(1))
+      assert(ids(b) === Seq(2))
+    } finally graft.io.v2.FixtureCatalog.clear()
+  }
+
   test("FixtureSource: unsupported predicates stay residual, still correct") {
     import spark.implicits._
     graft.io.v2.FixtureCatalog.register("residual_probe",

@@ -296,6 +296,15 @@ class DocStreamSpec extends SparkSpec {
         .select("vec_id", "cell").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(streamed === batch)
+      // a null ELEMENT (not a null embedding) nulls every cosine; the row
+      // must resolve to the smallest cell id — batch max_by's null-first
+      // struct ordering — never leak the fold-init sentinel -1
+      val partialNull = spark.sql(
+        "SELECT CAST(9 AS BIGINT) AS vec_id, array(CAST(NULL AS DOUBLE), 1.0) AS embedding")
+      val pn = graft.streaming.DocStream.ivfAssignTag(
+        partialNull, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), "embedding", "cell")
+        .select("cell").head()
+      assert(pn.getInt(0) === 0)
     } finally q.stop()
   }
 

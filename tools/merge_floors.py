@@ -9,13 +9,22 @@ Prints the markdown table and a JSON floors blob to stdout.
 import json, sys
 
 runs = [json.load(open(p)) for p in sys.argv[1:]]
-names = sorted(runs[0]["queries"])
+# union of query sets across runs: a query missing from some run (added or
+# removed between rounds) floors from the runs that have it, loudly —
+# first-run-only keys would silently drop late additions or KeyError.
+names = sorted(set().union(*(r["queries"] for r in runs)))
+for q in names:
+    missing = sum(1 for r in runs if q not in r["queries"])
+    if missing:
+        print(f"WARN: {q} present in only {len(runs)-missing}/{len(runs)} runs",
+              file=sys.stderr)
 floors = {}
 for q in names:
+    have = [r for r in runs if q in r["queries"]]
     floors[q] = {
-        "steady": round(min(r["queries"][q] for r in runs), 3),
-        "cold": round(min(r["cold"][q] for r in runs), 3),
-        "samples": [r["samples"][q] for r in runs],
+        "steady": round(min(r["queries"][q] for r in have), 3),
+        "cold": round(min(r["cold"][q] for r in have), 3),
+        "samples": [r["samples"][q] for r in have],
     }
 total = round(sum(v["steady"] for v in floors.values()), 1)
 cold_total = round(sum(v["cold"] for v in floors.values()), 1)
