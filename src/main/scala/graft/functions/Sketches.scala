@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.SketchExpressions
+
+/** Deterministic cardinality/overlap sketches over the repo's shared
+  * 60-bit md5 hash space — the sub-linear answers a 100 TB corpus needs
+  * for "how many distinct n-grams" and "how much do two dumps overlap"
+  * without shuffling the distinct sets themselves.
+  *
+  * The primitive is the KMV bottom-k sketch ([[graft.plans.KmvSketch]],
+  * SQL `graft_kmv`): the k smallest DISTINCT hash values. Three properties
+  * make it the right artifact here:
+  *
+  *  - '''bounded shuffle''': the exchange carries ≤ partitions×k longs —
+  *    an exact `COUNT(DISTINCT)` carries every distinct value;
+  *  - '''mergeable''': union of sketches re-trimmed to k IS the sketch of
+  *    the union, so per-dump sketches (k longs each) answer any
+  *    cross-dump cardinality later without re-reading a dump;
+  *  - '''engine-replayable''': the sketch value is just
+  *    `SELECT DISTINCT h ORDER BY h LIMIT k` — an oracle hash-compares
+  *    the whole sketch AND the estimate, so approximation quality is
+  *    itself gate-checked (unlike HLL registers, which no second engine
+  *    reproduces bit-for-bit).
+  *
+  * Estimator: `(k−1)/U(k)` with `U(k) = (h_k+1)/2^60` (Bar-Yossef et al.
+  * 2002); exact (= sketch size) when fewer than k distinct values exist.
+  * Overlap: the theta-sketch splice — trim the union of two sketches to
+  * its k smallest; every retained hash is below the implied sampling
+  * threshold of BOTH inputs, so membership in both sketches is an
+  * unbiased Jaccard sample.
+  */
+object Sketches {
+
+  /** 2^60 as an exact double — the normalizing constant of the 60-bit
+    * hash space (15 hex digits of md5, [[graft.plans.ShingleHashes]]).
+    */
+  val Pow60: Double = 1.152921504606846976e18
+
+  /** Repo-standard 60-bit hash of any value (cast to string first for
+    * non-strings) — matches every DuckDB oracle's
+    * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** The KMV aggregate column over an already-hashed 60-bit column. */
+  def kmvAgg(df: DataFrame, h: Column, k: Int): Column =
+    SketchExpressions.kmvColumn(df.sparkSession, h, k)
+
+  /** Distinct-count estimate from a sketch column: exact below k, else
+    * `(k−1) · 2^60 / (h_k + 1)`. Pure IEEE double ops in an order a
+    * DuckDB oracle replays bit-for-bit.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Pow60) /
+        (element_at(sketch, k).cast("double") + lit(1.0)))
+
+  /** One-row distinct-cardinality summary of a hashed column: the sketch
+    * itself (ascending `array<long>`, oracle-comparable in full), its
+    * size, and the estimate. ONE bounded partial-agg — nothing else
+    * shuffles.
+    */
+  def kmvDistinct(df: DataFrame, h: Column, k: Int = 256): DataFrame =
+    df.select(h.cast("long").as("h"))
+      .agg(kmvAgg(df, col("h"), k).as("sketch"))
+      .select(col("sketch"), size(col("sketch")).as("n_sketch"),
+        kmvEstimate(col("sketch"), k).as("est_distinct"))
+
+  /** Cross-set overlap from two KMV sketches (theta-sketch splice): trim
+    * the union of the sketches to its k smallest (`mg` — the sketch of
+    * A∪B, since each side's sketch retains everything below its own kth
+    * minimum), count retained hashes present in BOTH sides, and scale:
+    * `jaccard ≈ matches/|mg|`, `|A∪B| ≈ kmvEstimate(mg)`,
+    * `|A∩B| ≈ jaccard · |A∪B|`.
+    *
+    * Each side is ONE bounded partial-agg; the splice is array math on a
+    * broadcast single-row-×-single-row join (the EventQueries:636 plan
+    * class — no data moves). Per-dump sketches can be persisted and
+    * spliced later without touching either corpus again.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, ha: Column, hb: Column,
+                 k: Int = 256): DataFrame = {
+    val sa = a.select(ha.cast("long").as("h"))
+      .agg(kmvAgg(a, col("h"), k).as("sk_a"))
+    val sb = b.select(hb.cast("long").as("h"))
+      .agg(kmvAgg(b, col("h"), k).as("sk_b"))
+    val merged = slice(array_sort(array_distinct(
+      concat(col("sk_a"), col("sk_b")))), 1, k)
+    // 1-row × 1-row: a broadcast of one sketch, not a data cross product
+    sa.crossJoin(broadcast(sb))
+      .withColumn("mg", merged)
+      .select(
+        size(col("sk_a")).as("n_a"),
+        size(col("sk_b")).as("n_b"),
+        size(col("mg")).as("n_union_sketch"),
+        size(array_intersect(array_intersect(col("mg"), col("sk_a")),
+          col("sk_b"))).as("matches"),
+        when(size(col("mg")) === 0, lit(0.0))
+          .otherwise(size(array_intersect(array_intersect(col("mg"),
+            col("sk_a")), col("sk_b"))).cast("double") /
+            size(col("mg")).cast("double")).as("jaccard_est"),
+        kmvEstimate(col("mg"), k).as("union_est"))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+  }
+}

@@ -122,5 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_entropy"),
       new ExpressionInfo(classOf[CharEntropy].getName, "graft_entropy"),
       TextExpressions.entropyBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+      SketchExpressions.builder))
   }
 }

@@ -225,6 +225,60 @@ object PipelineQueries {
         "d85_bloom_tag_stream")
     },
 
+    // KMV distinct-count sketch (round 10): the corpus's distinct-3-gram
+    // cardinality estimated from the k=256 smallest gram hashes — the
+    // sub-linear replacement for COUNT(DISTINCT gram) whose exchange would
+    // carry every distinct gram (billions at 100 TB). The sketch VALUE
+    // (all 256 hashes) and the estimate are both oracle-compared, so the
+    // approximation itself is gate-checked, not trusted.
+    "d86_kmv_distinct" -> { (s, dir) =>
+      val g = MinHashLSH.shingles(docs(s, dir), "doc_id", "text", n = 3)
+      graft.functions.Sketches.kmvDistinct(g, col("sh"), k = 256)
+        .select(
+          array_join(col("sketch").cast("array<string>"), ",").as("sketch_csv"),
+          col("n_sketch"), col("est_distinct"))
+    },
+
+    // Cross-dump overlap from two KMV sketches (round 10): the theta-style
+    // splice over the d59/d74 old-vs-new dump split — Jaccard, union and
+    // intersection cardinalities of the two dumps' gram SETS from two
+    // 256-long sketches, no gram-set join at all. The standing-artifact
+    // shape: persist one sketch per dump (k longs), answer any pairwise
+    // overlap later without re-reading either dump.
+    "d87_kmv_overlap" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val old = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val cur = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.functions.Sketches.kmvOverlap(
+        MinHashLSH.shingles(old, "doc_id", "text", n = 3),
+        MinHashLSH.shingles(cur, "doc_id", "text", n = 3),
+        col("sh"), col("sh"), k = 256)
+    },
+
+    // The KMV sketch's deployment shape (round 10): the distinct-gram
+    // cardinality of an ARRIVING corpus, tracked live. The streaming state
+    // IS the sketch — k longs total, watermark-free (state is bounded by
+    // construction, not by time), so this is the rare global streaming
+    // aggregate that is safe on an unbounded stream. Update-mode final
+    // emission over the finite replay must equal the batch sketch to the
+    // last hash (same oracle as d86).
+    "d88_kmv_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val g = MinHashLSH.shingles(stream, "doc_id", "text", n = 3)
+      val agg = g.agg(graft.functions.Sketches.kmvAgg(g, col("sh"), 256).as("sketch"))
+        .select(
+          array_join(col("sketch").cast("array<string>"), ",").as("sketch_csv"),
+          size(col("sketch")).as("n_sketch"),
+          graft.functions.Sketches.kmvEstimate(col("sketch"), 256).as("est_distinct"))
+      graft.streaming.StreamRunner.runToBatch(agg, "d88_kmv_stream",
+        mode = "update")
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -2398,6 +2452,50 @@ object PipelineQueries {
            CAST(t.n_grams - coalesce(s.n_seen, 0) AS BIGINT) AS n_new,
            round(CAST(t.n_grams - coalesce(s.n_seen, 0) AS DOUBLE) / t.n_grams, 6) AS novelty
          FROM tot t LEFT JOIN seen s ON t.doc_id = s.doc_id""",
+    // d86: the KMV sketch replayed literally — the k=256 smallest distinct
+    // 3-gram hashes ARE "SELECT DISTINCT h ORDER BY h LIMIT k", and the
+    // estimate is the same (k−1)·2^60/(h_k+1) double arithmetic.
+    "d86_kmv_distinct" -> KmvDistinctSql,
+    // d88: the identical replay against the STREAMED sketch — stream state
+    // is the sketch itself (k longs), so batch and stream must agree to
+    // the last hash.
+    "d88_kmv_stream" -> KmvDistinctSql,
+    // d87: the theta-splice replayed — per-dump bottom-256 sketches, union
+    // re-trimmed to 256, membership-in-both as the Jaccard sample.
+    "d87_kmv_overlap" ->
+      """WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+         curd AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 5 != 0),
+         og AS (SELECT DISTINCT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT string_split(lower(text), ' ') AS w FROM oldd)
+           WHERE len(w) >= 3)),
+         cg AS (SELECT DISTINCT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT string_split(lower(text), ' ') AS w FROM curd)
+           WHERE len(w) >= 3)),
+         ska AS (SELECT list(h ORDER BY h) AS a
+           FROM (SELECT h FROM og ORDER BY h LIMIT 256)),
+         skb AS (SELECT list(h ORDER BY h) AS b
+           FROM (SELECT h FROM cg ORDER BY h LIMIT 256)),
+         m AS (SELECT a, b,
+             list_sort(list_distinct(list_concat(a, b)))[1:256] AS mg
+           FROM ska, skb),
+         sc AS (SELECT len(a) AS n_a, len(b) AS n_b, len(mg) AS n_union_sketch,
+             len(list_intersect(list_intersect(mg, a), b)) AS matches,
+             CASE WHEN len(mg) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(list_intersect(mg, a), b)) AS DOUBLE)
+                       / CAST(len(mg) AS DOUBLE) END AS jaccard_est,
+             CASE WHEN len(mg) < 256 THEN CAST(len(mg) AS DOUBLE)
+                  ELSE 255 * 1152921504606846976.0 / (CAST(mg[256] AS DOUBLE) + 1.0)
+             END AS union_est
+           FROM m)
+         SELECT n_a, n_b, n_union_sketch, matches, jaccard_est, union_est,
+           jaccard_est * union_est AS inter_est
+         FROM sc""",
     // d15's IVF CTEs + d07's brute-force CTE + the per-query intersection.
     "d73_ivf_recall" ->
       """WITH cents AS (SELECT c, d,
@@ -2930,6 +3028,21 @@ object PipelineQueries {
     * universal probe positions mod 2^20, 32-bit word payloads) — shared by
     * d78 (batch screen) and d85 (the same scan on a stream).
     */
+  private lazy val KmvDistinctSql: String =
+    """WITH g AS (SELECT DISTINCT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+           WHERE len(w) >= 3)),
+         sk AS (SELECT list(h ORDER BY h) AS sketch
+           FROM (SELECT h FROM g ORDER BY h LIMIT 256))
+         SELECT array_to_string(sketch, ',') AS sketch_csv,
+           len(sketch) AS n_sketch,
+           CASE WHEN len(sketch) < 256 THEN CAST(len(sketch) AS DOUBLE)
+                ELSE 255 * 1152921504606846976.0 / (CAST(sketch[256] AS DOUBLE) + 1.0)
+           END AS est_distinct
+         FROM sk"""
+
   private lazy val BloomDecontamSql: String =
     s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          g AS (SELECT DISTINCT doc_id,

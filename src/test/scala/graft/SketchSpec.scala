@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** KMV distinct-count sketch (`graft_kmv` + the Sketches surface):
+  * the sketch must equal the literal bottom-k of the distinct hash set
+  * under any partitioning (partial/merge path), the estimator must be
+  * exact below k and statistically tight above it, and the theta-splice
+  * overlap must be exact when both sketches are exact.
+  */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def hashed(n: Int, salt: String = "") =
+    spark.range(n).select(Sketches.hash60(concat(lit(salt), col("id"))).as("h"))
+
+  test("sketch = distinct bottom-k, invariant under partitioning") {
+    // duplicate every value 3x so within- and cross-partition dedup both fire
+    val vals = hashed(500).union(hashed(500)).union(hashed(500))
+    val expect = vals.distinct().orderBy("h").limit(64)
+      .agg(collect_list("h")).as[Seq[Long]].head()
+    for (parts <- Seq(1, 7)) {
+      val sk = vals.repartition(parts)
+        .agg(Sketches.kmvAgg(vals, col("h"), 64).as("s"))
+        .select($"s").as[Seq[Long]].head()
+      assert(sk === expect, s"parts=$parts")
+    }
+  }
+
+  test("fewer than k distinct values -> exact sketch, exact estimate") {
+    val out = Sketches.kmvDistinct(hashed(10), col("h"), k = 256).head()
+    assert(out.getAs[Int]("n_sketch") === 10)
+    assert(out.getAs[Double]("est_distinct") === 10.0)
+  }
+
+  test("null inputs are skipped, all-null input -> empty sketch, est 0") {
+    val mixed = hashed(5).union(Seq.fill(3)(null.asInstanceOf[java.lang.Long])
+      .toDF("h").select(col("h").cast("long")))
+    val sk = mixed.agg(Sketches.kmvAgg(mixed, col("h"), 16).as("s"))
+      .select($"s").as[Seq[Long]].head()
+    assert(sk.length === 5)
+    val empty = Sketches.kmvDistinct(hashed(0), col("h"), k = 16).head()
+    assert(empty.getSeq[Long](empty.fieldIndex("sketch")).isEmpty)
+    assert(empty.getAs[Double]("est_distinct") === 0.0)
+  }
+
+  test("estimate within 20% of the true cardinality at k=256, n=20000") {
+    // md5 is uniform on the 60-bit space; relative error is ~1/sqrt(k-2)
+    // ≈ 6.3% per Bar-Yossef et al. — 20% is a >3-sigma acceptance band
+    val est = Sketches.kmvDistinct(hashed(20000), col("h"), k = 256)
+      .head().getAs[Double]("est_distinct")
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.2, s"est=$est")
+  }
+
+  test("overlap splice is exact when both sketches are exact") {
+    // |A|=60, |B|=50, |A∩B|=30: with k=256 both sketches hold everything,
+    // so the splice degrades to exact set algebra
+    val a = hashed(60)
+    val b = hashed(80).where(col("h").isin(
+      hashed(30).as[Long].collect(): _*)).union(hashed(20, salt = "b"))
+    val row = Sketches.kmvOverlap(a, b, col("h"), col("h"), k = 256).head()
+    assert(row.getAs[Int]("n_a") === 60)
+    assert(row.getAs[Int]("n_b") === 50)
+    assert(row.getAs[Int]("matches") === 30)
+    assert(row.getAs[Int]("n_union_sketch") === 80)
+    assert(row.getAs[Double]("jaccard_est") === 30.0 / 80.0)
+    assert(row.getAs[Double]("union_est") === 80.0)
+    assert(row.getAs[Double]("inter_est") === 30.0)
+  }
+
+  test("streamed sketch across micro-batches equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Long]
+    val stream = in.toDF().select(Sketches.hash60(col("value")).as("h"))
+    val agg = stream.agg(Sketches.kmvAgg(stream, col("h"), 32).as("s"))
+    val q = agg.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      in.addData(0L to 99L: _*)
+      q.processAllAvailable()
+      in.addData(50L to 199L: _*) // overlap: state must dedup across batches
+      q.processAllAvailable()
+      val last = spark.table("kmv_stream").collect().last.getSeq[Long](0)
+      val expect = hashed(200).distinct().orderBy("h").limit(32)
+        .agg(collect_list("h")).as[Seq[Long]].head()
+      assert(last === expect)
+    } finally q.stop()
+  }
+
+  test("aggregation is partial+final (no pre-shuffle of raw values)") {
+    val vals = hashed(1000)
+    val plan = vals.agg(Sketches.kmvAgg(vals, col("h"), 64))
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate runs as ObjectHashAggregate with a partial
+    // stage before the exchange — the bounded-shuffle property d86 rides on
+    assert(plan.contains("ObjectHashAggregate"))
+    assert("Exchange".r.findAllIn(plan).size === 1)
+  }
+}
