@@ -54,6 +54,24 @@ object TableWriter {
     writePartitioned(sharded, path, Seq("shard"), sortCols)
   }
 
+  /** Z-ordered layout: rows clustered by the Morton interleave of two
+    * dimension columns ([[graft.ops.ZOrder.zValue]]), range-partitioned
+    * into `nFiles` files and sorted within each — every file's parquet
+    * min/max stats then bound BOTH dimensions tightly (a contiguous
+    * z-range is a small bounding box in each dimension), so a filter on
+    * either column prunes files and row groups. One range exchange — the
+    * same shuffle any sorted write pays; Delta's `OPTIMIZE ZORDER BY`
+    * effect with no table-format dependency. `a`/`b` must already lie on
+    * the z-grid (see [[graft.ops.ZOrder.normalize]]).
+    */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+                    bits: Int = 16, nFiles: Int = 64): Unit =
+    df.withColumn("__z", graft.ops.ZOrder.zValue(col(a), col(b), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Bucketed catalog table: `numBuckets` hash buckets on `bucketCols`,
     * sorted within buckets — the co-located-join layout. Two tables
     * bucketed the same way join WITHOUT a shuffle on either side (Spark

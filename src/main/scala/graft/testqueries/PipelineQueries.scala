@@ -279,6 +279,20 @@ object PipelineQueries {
         mode = "update")
     },
 
+    // Z-order clustering key (round 10): the Morton bit-interleave of two
+    // dimension columns — the sort key TableWriter.writeZOrdered clusters
+    // files by, so parquet min/max stats prune on EITHER dimension. The
+    // oracle evaluates the identical shift-mask-or expression per row;
+    // the locality property the layout buys is pinned in ZOrderSpec
+    // (per-file bounding boxes shrink in both dimensions).
+    "d89_zorder_key" -> { (s, dir) =>
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+        graft.ops.ZOrder.zValue(
+          graft.ops.ZOrder.normalize(col("doc_id"), 16),
+          graft.ops.ZOrder.normalize(col("n_chars"), 16), bits = 16).as("z"))
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -2496,6 +2510,9 @@ object PipelineQueries {
          SELECT n_a, n_b, n_union_sketch, matches, jaccard_est, union_est,
            jaccard_est * union_est AS inter_est
          FROM sc""",
+    // d89: the Morton interleave replayed term-for-term (32 shift-mask-or
+    // terms, generated once here and once in Spark from the same loop).
+    "d89_zorder_key" -> ZOrderSql,
     // d15's IVF CTEs + d07's brute-force CTE + the per-query intersection.
     "d73_ivf_recall" ->
       """WITH cents AS (SELECT c, d,
@@ -3028,6 +3045,15 @@ object PipelineQueries {
     * universal probe positions mod 2^20, 32-bit word payloads) — shared by
     * d78 (batch screen) and d85 (the same scan on a stream).
     */
+  private lazy val ZOrderSql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"(((a >> $i) & 1) << ${2 * i})",
+      s"(((b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    s"""WITH m AS (SELECT doc_id, doc_id % 65536 AS a,
+           CAST(n_chars AS BIGINT) % 65536 AS b FROM documents)
+       SELECT doc_id, ($terms) AS z FROM m"""
+  }
+
   private lazy val KmvDistinctSql: String =
     """WITH g AS (SELECT DISTINCT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
            SELECT unnest(list_transform(range(0, len(w) - 2),

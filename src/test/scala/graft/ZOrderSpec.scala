@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.TableWriter
+import graft.ops.ZOrder
+
+/** Morton interleave + z-ordered writer: bit-exact closed form, and the
+  * locality property the layout exists for — per-file bounding boxes
+  * shrink in BOTH dimensions, which is what lets parquet min/max stats
+  * prune on either filter column.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mortonRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (z, i) =>
+      z | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValue matches the closed-form interleave on random inputs") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (255L, 255L),
+      (0xABCDL, 0x1234L), (65535L, 65535L))
+    val got = rows.toDF("a", "b")
+      .select($"a", $"b", ZOrder.zValue($"a", $"b", 16).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === mortonRef(r.getLong(0), r.getLong(1), 16),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("z-range partitioning bounds BOTH dimensions (vs full span on one)") {
+    // 64x64 grid, 16 range partitions on z: every partition's bounding box
+    // must span well under the full 64 in each dimension — a single-column
+    // sort leaves the other dimension at full span.
+    val pts = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("a"), pmod(col("id"), lit(64L)).as("b"))
+    val spans = pts
+      .repartitionByRange(16, ZOrder.zValue(col("a"), col("b"), 6))
+      .select(spark_partition_id().as("p"), col("a"), col("b"))
+      .groupBy("p")
+      .agg((max("a") - min("a") + 1).as("sa"), (max("b") - min("b") + 1).as("sb"))
+      .agg(avg("sa").as("ma"), avg("sb").as("mb"))
+      .head()
+    assert(spans.getDouble(0) <= 32.0, s"avg a-span ${spans.getDouble(0)}")
+    assert(spans.getDouble(1) <= 32.0, s"avg b-span ${spans.getDouble(1)}")
+  }
+
+  test("writeZOrdered round-trips rows and yields per-file boxes on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val pts = spark.range(32L * 32L)
+      .select((col("id") / 32).cast("long").as("a"), pmod(col("id"), lit(32L)).as("b"))
+    TableWriter.writeZOrdered(pts, s"$dir/t", "a", "b", bits = 5, nFiles = 8)
+    val back = spark.read.parquet(s"$dir/t")
+    // multiset parity: clustering must not lose, duplicate or mutate rows
+    assert(back.count() === 1024)
+    assert(back.except(pts).isEmpty && pts.except(back).isEmpty)
+    // per-FILE bounding boxes (what min/max pruning actually sees): both
+    // dimensions bounded well under the full 32-span
+    val boxes = back.select(input_file_name().as("f"), col("a"), col("b"))
+      .groupBy("f")
+      .agg((max("a") - min("a") + 1).as("sa"), (max("b") - min("b") + 1).as("sb"))
+      .agg(avg("sa"), avg("sb")).head()
+    assert(boxes.getDouble(0) <= 16.0, s"avg file a-span ${boxes.getDouble(0)}")
+    assert(boxes.getDouble(1) <= 16.0, s"avg file b-span ${boxes.getDouble(1)}")
+  }
+
+  test("normalize folds onto the grid; high bits beyond `bits` are ignored") {
+    val r = Seq((65536L + 3L, (1L << 16) + 5L)).toDF("a", "b")
+      .select(
+        ZOrder.zValue(ZOrder.normalize($"a", 16), ZOrder.normalize($"b", 16), 16).as("zn"),
+        ZOrder.zValue($"a", $"b", 16).as("zraw"))
+      .head()
+    assert(r.getLong(0) === mortonRef(3L, 5L, 16))
+    // without normalize the 17th bit simply falls off the 16-bit grid
+    assert(r.getLong(1) === mortonRef(3L, 5L, 16))
+  }
+}
