@@ -193,6 +193,45 @@ object Sampling {
         try_element_at(typedLit(quotas), col(domainCol)), lit(default)))
   }
 
+  /** Weighted sampling WITHOUT replacement, n per domain, inclusion
+    * probability proportional to a weight column (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006: rank rows by
+    * key `u^(1/w)` — equivalently `ln(u)/w` — and keep the top n; the
+    * kept set is distributed exactly as sequential weighted draws without
+    * replacement). The curriculum/data-mixing primitive "sample docs
+    * proportional to quality/length within each domain" that uniform
+    * [[stratifiedQuota]] cannot express.
+    *
+    * Deterministic: `u = (hashValue(id)+1)/2^32` — the same md5 source as
+    * every split/sample here, so reruns, repartitioning and engines agree
+    * row for row, and a DuckDB oracle replays the exact selection
+    * (`ln` is the shared libm surface d23/d30 already gate). Rows with
+    * NULL or non-positive weight are excluded (they have zero sampling
+    * mass, and `ln(u)/0` is not a number). Ties (same key AND same id —
+    * impossible for distinct ids) cannot occur; the id tie-break keeps
+    * the window order total regardless.
+    *
+    * Scale shape: one exchange on the domain key (the same window as
+    * [[stratifiedQuota]]); no global sort, no driver data. A single
+    * mega-domain makes that partition's sort O(|domain| log |domain|) —
+    * the documented [[graft.ops.SkewSalt]] opt-in applies (two-phase
+    * top-n: per-salt top-n, then top-n of the union).
+    *
+    * Returns input columns + `rk` (1-based rank within the kept sample).
+    */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     weightCol: String, domainCol: String,
+                     n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 0, s"n=$n must be non-negative")
+    val u = (hashValue(col(idCol)).cast("double") + lit(1.0)) / lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(key.desc, col(idCol))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+  }
+
   /** Exact percentile calibration of a score column — turns raw filter
     * scores into corpus-relative percentiles, which is how quality-filter
     * cutoffs are actually chosen ("drop the bottom 30%", DCLM/fastText

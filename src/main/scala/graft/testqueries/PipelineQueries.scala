@@ -153,6 +153,17 @@ object PipelineQueries {
         .select("doc_id", "source", "rk")
     },
 
+    // Weighted sampling without replacement (round 10): 10 docs per
+    // source with inclusion probability proportional to length — the
+    // Efraimidis–Spirakis top-n by u^(1/w) key, md5-deterministic, the
+    // "sample proportional to quality/length" primitive uniform d64
+    // cannot express. Selection AND ranks oracle-replayed exactly.
+    "d90_weighted_sample" -> { (s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id", "n_chars", "source",
+          n = 10)
+        .select("doc_id", "source", "n_chars", "rk")
+    },
+
     // Percentile calibration of the d01 quality score: census-based exact
     // percent_rank — corpus-relative thresholds without a global sort.
     "d65_score_percentile" -> { (s, dir) =>
@@ -1645,6 +1656,16 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, source, rk FROM r
          WHERE rk <= (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5 ELSE 2 END)""",
+    // d90: the Efraimidis–Spirakis key replayed — same u, same ln, same
+    // ordering, same tie-break.
+    "d90_weighted_sample" ->
+      """WITH r AS (SELECT doc_id, source, n_chars, row_number() OVER (
+             PARTITION BY source
+             ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                 / 4294967296.0) / CAST(n_chars AS DOUBLE) DESC,
+               doc_id) AS rk
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 10""",
     "d65_score_percentile" ->
       s"""WITH q AS (SELECT doc_id, $QualitySql AS quality FROM documents)
          SELECT doc_id, quality,

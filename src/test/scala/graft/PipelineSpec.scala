@@ -195,6 +195,37 @@ class SamplingSpec extends SparkSpec {
     assert(again === got.collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSample: n per domain, no replacement, stable, w<=0 excluded") {
+    import spark.implicits._
+    val df = ((1L to 40L).map(i => (i, "a", 1.0)) ++
+      Seq((100L, "b", 5.0), (101L, "b", 0.0), (102L, "b", -3.0),
+        (103L, "b", Double.NaN))) // NaN: w > 0 is false, excluded
+      .toDF("id", "domain", "wt")
+      .withColumn("wt", when(isnan(col("wt")), lit(null)).otherwise(col("wt")))
+    val got = Sampling.weightedSample(df, "id", "wt", "domain", n = 5)
+    val byDomain = got.collect().groupBy(_.getString(1))
+    assert(byDomain("a").length === 5)
+    assert(byDomain("a").map(_.getInt(3)).sorted.toSeq === (1 to 5))
+    assert(byDomain("a").map(_.getLong(0)).distinct.length === 5) // no repl.
+    assert(byDomain("b").map(_.getLong(0)).toSeq === Seq(100L)) // only w>0
+    val again = Sampling.weightedSample(df, "id", "wt", "domain", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === got.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("weightedSample inclusion tracks weight (ES key distribution)") {
+    import spark.implicits._
+    // 500 ids at weight 1 vs 500 at weight 9: P(include) for a heavy id is
+    // ~9x a light one's while samples are few relative to mass; in a
+    // 100-draw sample expect heavy count near 90, light near 10
+    val df = (1L to 1000L).map(i => (i, "d", if (i <= 500) 1.0 else 9.0))
+      .toDF("id", "domain", "wt")
+    val got = Sampling.weightedSample(df, "id", "wt", "domain", n = 100)
+      .select("id").as[Long].collect()
+    val heavy = got.count(_ > 500)
+    assert(heavy >= 75 && heavy <= 99, s"heavy=$heavy of 100")
+  }
+
   test("percentileCalibrate equals percent_rank incl. ties and N=1") {
     import spark.implicits._
     val df = Seq((1L, 0.2), (2L, 0.5), (3L, 0.5), (4L, 0.9), (5L, 0.1))
