@@ -485,6 +485,34 @@ object EventQueries {
         "q42_update_rates")
     },
 
+    // Stream-STREAM interval join (round 10): click→purchase attribution
+    // where BOTH sides arrive continuously — every purchase joins the
+    // same user's clicks in the trailing two hours. Watermarks + the
+    // two-sided time-range predicate bound the join state to
+    // watermark+lookback per side (a time window, not history). Both
+    // sides branch off one file-source stream (a genuine stream-stream
+    // self-join through Spark's symmetric hash join state store); the
+    // oracle replays the identical interval join in batch SQL.
+    "q45_attribution_stream" -> { (s, dir) =>
+      val schema = ev(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ets", Tables.asTimestamp(schema("ts").dataType, "ts"))
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ets").as("p_ts"))
+      val clicks = stream.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("value").as("click_value"), col("ets").as("c_ts"))
+      val joined = graft.streaming.IntervalStream.intervalJoin(
+          purchases, clicks, col("user_id") === col("c_user"),
+          "p_ts", "c_ts", lookback = "2 hours", watermark = "1 day")
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          col("click_value"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      graft.streaming.StreamRunner.runToBatch(joined, "q45_attribution")
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -943,6 +971,16 @@ object EventQueries {
          WHERE (wmin + 1) * 60000 <= wm_ms
          GROUP BY wmin, fid"""
     },
+    // q45: the identical trailing-window join in batch SQL; lag in µs on
+    // the shared UTC µs grid.
+    "q45_attribution_stream" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+           c.value AS click_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""",
     "q35_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events
            WHERE event_type = 'click' GROUP BY user_id, ts)

@@ -10,6 +10,48 @@ import graft.streaming.UpdateStream
 
 class StreamingSpec extends SparkSpec {
 
+  test("intervalJoin: stream-stream trailing window, exact pair set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // offset from epoch 0: the initial watermark IS epoch 0, and the
+    // pre-watermark viability filter is exclusive at the boundary
+    def ts(min: Int) = new Timestamp(86400000L + min * 60000L)
+    val left = MemoryStream[(Long, Long, Timestamp)]
+    val right = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.IntervalStream.intervalJoin(
+      left.toDF().toDF("pid", "user", "p_ts"),
+      right.toDF().toDF("cid", "c_user", "c_ts"),
+      col("user") === col("c_user"), "p_ts", "c_ts",
+      lookback = "10 minutes", watermark = "1 hour")
+    val q = joined.select("pid", "cid").writeStream.format("memory")
+      .queryName("ivj").outputMode("append").start()
+    try {
+      // user 1: clicks at 0, 5, 20 min; purchases at 10 and 21 min.
+      // [0,10] window of p=10 catches clicks 0 (boundary, inclusive) and
+      // 5; [11,21] of p=21 catches click 20. user 2's click never joins
+      // user 1's purchases.
+      right.addData((100L, 1L, ts(0)), (101L, 1L, ts(5)), (102L, 1L, ts(20)),
+        (103L, 2L, ts(9)))
+      left.addData((1L, 1L, ts(10)), (2L, 1L, ts(21)))
+      q.processAllAvailable()
+      val got = spark.table("ivj").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 100L), (1L, 101L), (2L, 102L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin: identical results on batch frames (backfill parity)") {
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val l = Seq((1L, 1L, ts(10)), (2L, 1L, ts(21))).toDF("pid", "user", "p_ts")
+    val r = Seq((100L, 1L, ts(0)), (101L, 1L, ts(5)), (102L, 1L, ts(20)),
+      (103L, 2L, ts(9))).toDF("cid", "c_user", "c_ts")
+    val got = graft.streaming.IntervalStream.intervalJoin(
+        l, r, col("user") === col("c_user"), "p_ts", "c_ts",
+        lookback = "10 minutes", watermark = "1 hour")
+      .select("pid", "cid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L), (1L, 101L), (2L, 102L)))
+  }
+
   private def upd(f: Int, imi: Long, v: Long): InstanceField =
     InstanceField(f, 1, imi, imi - 1, 10, 20, "000", 0, v - 1, v)
 
