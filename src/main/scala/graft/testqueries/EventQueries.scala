@@ -513,6 +513,22 @@ object EventQueries {
       graft.streaming.StreamRunner.runToBatch(joined, "q45_attribution")
     },
 
+    // SCD2 interval history (round 10): the change log pivoted into the
+    // [eff_from, eff_to) interval table — the dual of updateHistory's
+    // "value AT t" and the shape as-of/interval joins consume. Runs of
+    // unchanged values collapse (null-safe); per-user final state is an
+    // open interval (-1 sentinel). µs epochs on the shared UTC grid.
+    "q46_scd2_history" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val dt = e.schema("ts").dataType
+      graft.ops.Scd2.fromLog(
+          e.withColumn("ets", Tables.asTimestamp(dt, "ts")),
+          "user_id", "ets", "event_id", "event_type")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("eff_from")).as("eff_from_us"),
+          coalesce(unix_micros(col("eff_to")), lit(-1L)).as("eff_to_us"))
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -981,6 +997,18 @@ object EventQueries {
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""",
+    // q46: the same change-collapse + interval close via lag/lead.
+    "q46_scd2_history" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         c AS (SELECT user_id, event_type, ts, event_id FROM o
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+         SELECT user_id, event_type, epoch_us(ts) AS eff_from_us,
+           coalesce(epoch_us(lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)), -1) AS eff_to_us
+         FROM c""",
     "q35_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS cv FROM events
            WHERE event_type = 'click' GROUP BY user_id, ts)

@@ -683,3 +683,38 @@ class TsHelpersSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 }
+
+class Scd2Spec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  test("fromLog collapses runs, closes intervals, keeps null runs") {
+    import spark.implicits._
+    // user 1: a a b b a  -> intervals a[1,3) b[3,5) a[5,open)
+    // user 2: null null x -> null[1,3) x[3,open): null is a VALUE
+    val log = Seq(
+      (1L, 1L, 10L, Some("a")), (1L, 2L, 11L, Some("a")),
+      (1L, 3L, 12L, Some("b")), (1L, 4L, 13L, Some("b")),
+      (1L, 5L, 14L, Some("a")),
+      (2L, 1L, 20L, None), (2L, 2L, 21L, None), (2L, 3L, 22L, Some("x")))
+      .toDF("key", "ord", "t", "v")
+    val got = graft.ops.Scd2
+      .fromLog(log, "key", "t", "ord", "v", openEnd = lit(-1L))
+      .orderBy("key", "eff_from")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("∅"),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "a", 10L, 12L), (1L, "b", 12L, 14L), (1L, "a", 14L, -1L),
+      (2L, "∅", 20L, 22L), (2L, "x", 22L, -1L)))
+  }
+
+  test("fromLog: one exchange serves both windows") {
+    import spark.implicits._
+    val log = (1L to 100L).map(i => (i % 5, i, i, s"v${i % 3}"))
+      .toDF("key", "t", "ord", "v")
+    val plan = graft.ops.Scd2.fromLog(log, "key", "t", "ord", "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+}
