@@ -26,6 +26,7 @@ object GraftSql {
     Tables.loadEventsRaw(spark, dir).createOrReplaceTempView("events")
     VectorExpressions.ensureRegistered(spark)
     graft.plans.TextExpressions.ensureRegistered(spark)
+    graft.plans.SketchExpressions.ensureRegistered(spark)
     registerDocViews(spark, contaminationThreshold, heldOutSplit)
   }
 
@@ -224,6 +225,34 @@ object GraftSql {
     Sampling.matchDistribution(asn, idCol, "cell", tgt)
       .createOrReplaceTempView(viewName)
   }
+
+  /** Corpus distinct-cardinality sketch (the d86 shape) as a named temp
+    * view: one row (sketch, n_sketch, est_distinct) for the distinct
+    * n-gram count of a text frame — the sub-linear `COUNT(DISTINCT)`.
+    * See [[graft.functions.Sketches.kmvDistinct]]. The `graft_kmv`
+    * aggregate itself is also registered for direct SQL use
+    * (`SELECT graft_kmv(h, 256) FROM ...`).
+    */
+  def registerGramCardinality(spark: SparkSession, viewName: String,
+                              docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, k: Int = 256): Unit = {
+    graft.plans.SketchExpressions.ensureRegistered(spark)
+    val g = graft.functions.MinHashLSH.shingles(docs, idCol, textCol, n)
+    graft.functions.Sketches
+      .kmvDistinct(g, org.apache.spark.sql.functions.col("sh"), k)
+      .createOrReplaceTempView(viewName)
+  }
+
+  /** Weighted sample (the d90 shape) as a named temp view: top-n rows per
+    * domain with inclusion probability proportional to `weightCol`
+    * (Efraimidis–Spirakis). See [[graft.functions.Sampling.weightedSample]].
+    */
+  def registerWeightedSample(spark: SparkSession, viewName: String,
+                             docs: DataFrame, idCol: String,
+                             weightCol: String, domainCol: String,
+                             n: Int): Unit =
+    graft.functions.Sampling.weightedSample(docs, idCol, weightCol, domainCol, n)
+      .createOrReplaceTempView(viewName)
 
   /** The d56 tokenization as a named temp view: `doc_id`, the BPE token-id
     * array, and its count — the sequence-writer column reachable from SQL.

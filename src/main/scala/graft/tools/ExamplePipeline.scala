@@ -14,12 +14,14 @@ import graft.functions.{MinHashLSH, TextAnalysis}
   *     → exact-dedup canonical (one fingerprint partial-agg)
   *     → near-dup cluster canonical (LSH band join → connected components)
   *     → 13-gram benchmark decontamination, excised in place
+  *     → length-weighted sampling to a per-source budget (ES draws)
   *     → fixed-window chunking → deterministic cross-doc packing
   *     → hash-sharded parquet write (rerun-identical shard assignment)
+  *     + a KMV cardinality audit of the surviving gram set (one tiny agg)
   *
   * Everything is the same oracle-gated operators the driver suite runs
-  * (d19 / d70 / d25 / d41 / the shard writer) — this main just wires them
-  * into one DAG-per-stage job and prints the funnel.
+  * (d19 / d70 / d90 / d25 / d41 / d86 / the shard writer) — this main
+  * just wires them into one DAG-per-stage job and prints the funnel.
   *
   *   runMain graft.tools.ExamplePipeline [sfDir] [outDir]
   */
@@ -86,19 +88,40 @@ object ExamplePipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n4 = clean.count()
 
-    // 5. chunk to the context window, pack chunks across docs into fixed
+    // 5. length-weighted sample to a per-source budget: inclusion ∝ doc
+    // length (token mass), Efraimidis–Spirakis without replacement —
+    // deterministic, so a rerun draws the identical corpus.
+    val sampled = graft.functions.Sampling.weightedSample(
+        clean.withColumn("n_chars", length(col("text")))
+          .withColumn("source", lit("corpus")),
+        "doc_id", "n_chars", "source", n = 100000)
+      .select("doc_id", "text")
+    val n5 = sampled.count()
+
+    // 6. chunk to the context window, pack chunks across docs into fixed
     // token budgets (deterministic hash order), shard-write the result.
-    val chunks = TextAnalysis.chunk(clean, "doc_id", "text",
+    val chunks = TextAnalysis.chunk(sampled, "doc_id", "text",
       maxTokens = 40, overlap = 8)
     val packed = TextAnalysis.packSequencesAcross(chunks, "doc_id",
         seqTokens = 96, numGroups = 8)
       .withColumn("seq_key",
         concat_ws(":", col("bin_group"), col("seq_idx")))
-    val n5 = packed.count()
+    val n6 = packed.count()
     graft.io.TableWriter.writeShards(packed, outDir, "seq_key", nShards = 8)
 
+    // 7. cardinality audit: distinct-3-gram estimate of what shipped —
+    // the KMV sketch is k longs, so this costs one bounded partial-agg,
+    // and the per-run sketch is the standing artifact later corpus-diff
+    // overlap checks splice against.
+    val grams = MinHashLSH.shingles(sampled, "doc_id", "text", n = 3)
+    val audit = graft.functions.Sketches.kmvDistinct(grams, col("sh"), k = 256)
+      .head()
+
     println(f"docs $n0%6d -> gated $n1%6d -> exact $n2%6d -> " +
-      f"neardup $n3%6d -> decontaminated $n4%6d -> packed seqs $n5%6d")
+      f"neardup $n3%6d -> decontaminated $n4%6d -> sampled $n5%6d -> " +
+      f"packed seqs $n6%6d")
+    println(f"shipped distinct-3-gram estimate: " +
+      f"${audit.getAs[Double]("est_distinct")}%.0f")
     println(s"sharded parquet at $outDir (8 md5-stable shards)")
     graft.CacheRegistry.releaseAll()
     spark.stop()

@@ -1247,6 +1247,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(pushable > 0)
   }
 
+  test("graft_kmv in SQL + gram-cardinality and weighted-sample views") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    // the aggregate by its SQL name, over ad-hoc hashes
+    val sk = spark.sql(
+      """SELECT graft_kmv(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 8) AS s
+         FROM documents""").head().getSeq[Long](0)
+    assert(sk.length === 8 && sk === sk.sorted)
+    val docs = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    graft.sql.GraftSql.registerGramCardinality(spark, "gram_card", docs,
+      "doc_id", "text", n = 3, k = 64)
+    val est = spark.sql("SELECT est_distinct, n_sketch FROM gram_card").head()
+    assert(est.getDouble(0) > 0.0 && est.getInt(1) === 64)
+    graft.sql.GraftSql.registerWeightedSample(spark, "wsample", docs,
+      "doc_id", "n_chars", "source", n = 3)
+    val per = spark.sql(
+      "SELECT source, count(*) AS n FROM wsample GROUP BY source").collect()
+    assert(per.nonEmpty && per.forall(_.getLong(1) <= 3))
+  }
+
   test("dsir_weights + documents_calibrated views answer plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     val w = spark.sql(
