@@ -164,6 +164,36 @@ object PipelineQueries {
         .select("doc_id", "source", "n_chars", "rk")
     },
 
+    // Heavy hitters (round 10): top-5 tokens per source by exact count —
+    // the corpus-census signal stopword discovery and boilerplate triage
+    // read. Two partial-agg exchanges build the (source, token) census;
+    // the top-k window runs over the CENSUS (vocabulary-sized), never the
+    // corpus.
+    "d91_heavy_hitters" -> { (s, dir) =>
+      val census = docs(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      census
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("cnt").desc, col("tok"))))
+        .where(col("rk") <= 5)
+    },
+
+    // Grouped KMV (round 10): the d86 sketch as a GROUPED aggregate —
+    // distinct-3-gram cardinality per source from one bounded partial-agg
+    // (state: k longs per domain). The shape a per-dump/per-domain corpus
+    // catalog maintains continuously.
+    "d92_kmv_by_domain" -> { (s, dir) =>
+      val g = MinHashLSH.shingles(docs(s, dir), "source", "text", n = 3)
+      g.groupBy("source")
+        .agg(graft.functions.Sketches.kmvAgg(g, col("sh"), 64).as("sketch"))
+        .select(col("source"),
+          array_join(col("sketch").cast("array<string>"), ",").as("sketch_csv"),
+          size(col("sketch")).as("n_sketch"),
+          graft.functions.Sketches.kmvEstimate(col("sketch"), 64).as("est_distinct"))
+    },
+
     // Percentile calibration of the d01 quality score: census-based exact
     // percent_rank — corpus-relative thresholds without a global sort.
     "d65_score_percentile" -> { (s, dir) =>
@@ -1656,6 +1686,34 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, source, rk FROM r
          WHERE rk <= (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5 ELSE 2 END)""",
+    // d91: the census + top-k window replayed.
+    "d91_heavy_hitters" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         r AS (SELECT source, tok, CAST(n AS BIGINT) AS cnt,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
+           FROM c)
+         SELECT source, tok, cnt, rk FROM r WHERE rk <= 5""",
+    // d92: per-source bottom-64 distinct gram hashes + the shared
+    // estimator, replayed.
+    "d92_kmv_by_domain" ->
+      """WITH g AS (SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT source, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT source, string_split(lower(text), ' ') AS w FROM documents)
+           WHERE len(w) >= 3)),
+         rk AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM g),
+         sk AS (SELECT source, list(h ORDER BY h) AS sketch
+           FROM rk WHERE rk <= 64 GROUP BY source)
+         SELECT source, array_to_string(sketch, ',') AS sketch_csv,
+           len(sketch) AS n_sketch,
+           CASE WHEN len(sketch) < 64 THEN CAST(len(sketch) AS DOUBLE)
+                ELSE 63 * 1152921504606846976.0 / (CAST(sketch[64] AS DOUBLE) + 1.0)
+           END AS est_distinct
+         FROM sk""",
     // d90: the Efraimidis–Spirakis key replayed — same u, same ln, same
     // ordering, same tie-break.
     "d90_weighted_sample" ->

@@ -71,6 +71,19 @@ class SketchSpec extends SparkSpec {
     assert(row.getAs[Double]("inter_est") === 30.0)
   }
 
+  test("grouped aggregation yields each group's own bottom-k (d92 shape)") {
+    val vals = hashed(600).withColumn("g", pmod(col("h"), lit(3L)))
+    val got = vals.groupBy("g")
+      .agg(Sketches.kmvAgg(vals, col("h"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (g <- 0L to 2L) {
+      val expect = vals.where(col("g") === g).select("h")
+        .distinct().orderBy("h").limit(16)
+        .agg(collect_list("h")).as[Seq[Long]].head()
+      assert(got(g) === expect, s"group $g")
+    }
+  }
+
   test("streamed sketch across micro-batches equals the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
