@@ -529,6 +529,28 @@ object EventQueries {
           coalesce(unix_micros(col("eff_to")), lit(-1L)).as("eff_to_us"))
     },
 
+    // q46's streaming twin (round 10): change events stream in, CLOSED
+    // SCD2 intervals stream out the moment the closing change is seen;
+    // the open interval per key lives in state (one small case class per
+    // live key) and is the ONLY difference from batch fromLog — this row
+    // pins stream == batch-minus-open-tails against the q46 oracle
+    // restricted to closed rows.
+    "q47_scd2_stream" -> { (s, dir) =>
+      import s.implicits._
+      val schema = ev(s, dir).schema
+      val dt = schema("ts").dataType
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id").as("key"),
+          unix_micros(Tables.asTimestamp(dt, "ts")).as("t"),
+          col("event_id").as("ord"), col("event_type").as("v"))
+        .as[graft.streaming.Scd2Stream.Change]
+      val closed = graft.streaming.Scd2Stream.intervals(stream)
+      graft.streaming.StreamRunner.runToBatch(closed.toDF(), "q47_scd2")
+        .select(col("key").as("user_id"), col("v").as("event_type"),
+          col("eff_from").as("eff_from_us"), col("eff_to").as("eff_to_us"))
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -997,6 +1019,21 @@ object EventQueries {
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""",
+    // q47: q46's replay restricted to CLOSED intervals (the open tail per
+    // user stays in stream state by design).
+    "q47_scd2_stream" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         c AS (SELECT user_id, event_type, ts, event_id FROM o
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+         iv AS (SELECT user_id, event_type, epoch_us(ts) AS eff_from_us,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS eff_to_us
+           FROM c)
+         SELECT user_id, event_type, eff_from_us, eff_to_us
+         FROM iv WHERE eff_to_us IS NOT NULL""",
     // q46: the same change-collapse + interval close via lag/lead.
     "q46_scd2_history" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,

@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Scd2Stream: closed intervals across batches, late rows dropped") {
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    import graft.streaming.Scd2Stream.{Change, Interval}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = Scd2Stream.intervals(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("scd2s")
+      .outputMode("append").start()
+    try {
+      // batch 1: a a b -> closes a[10,30)
+      in.addData(Change(1, 10, 1, "a"), Change(1, 20, 2, "a"), Change(1, 30, 3, "b"))
+      q.processAllAvailable()
+      // batch 2: b continues (no emit), then c closes b[30,50);
+      // the t=15 "a" is late-after-state and must be DROPPED, not reopen
+      in.addData(Change(1, 40, 4, "b"), Change(1, 15, 9, "a"), Change(1, 50, 5, "c"))
+      q.processAllAvailable()
+      val got = spark.table("scd2s").as[Interval].collect().sortBy(_.eff_from)
+      assert(got.toSeq === Seq(
+        Interval(1, "a", 10, 30), Interval(1, "b", 30, 50)))
+    } finally q.stop()
+  }
+
   test("intervalJoin: identical results on batch frames (backfill parity)") {
     import spark.implicits._
     def ts(min: Int) = new Timestamp(min * 60000L)
