@@ -232,6 +232,32 @@ object Sampling {
       .where(col("rk") <= n)
   }
 
+  /** Skew-safe [[weightedSample]]: identical output (rows AND ranks),
+    * computed in two phases so no single task ever sorts a mega-domain.
+    * Phase 1 takes each (domain, salt) slice's top n — EXACT, because any
+    * row of the global top n is necessarily in its own salt slice's top n
+    * (fewer competitors); phase 2 re-ranks only the ≤ `salts`·n survivors
+    * per domain. Two exchanges, the second over a frame bounded by
+    * salts·n·|domains| regardless of corpus size — the
+    * [[graft.ops.SkewSalt]] two-phase shape applied to top-n.
+    */
+  def weightedSampleSalted(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           weightCol: String, domainCol: String,
+                           n: Int, salts: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(n >= 0 && salts > 0, s"n=$n salts=$salts out of range")
+    val u = (hashValue(col(idCol)).cast("double") + lit(1.0)) / lit(4294967296.0)
+    val key = log(u) / col(weightCol).cast("double")
+    val salt = pmod(hashValue(col(idCol)) + lit(1L), lit(salts.toLong))
+    val w1 = Window.partitionBy(col(domainCol), salt).orderBy(key.desc, col(idCol))
+    val w2 = Window.partitionBy(col(domainCol)).orderBy(key.desc, col(idCol))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__srk", row_number().over(w1))
+      .where(col("__srk") <= n)
+      .drop("__srk")
+      .withColumn("rk", row_number().over(w2))
+      .where(col("rk") <= n)
+  }
+
   /** Exact percentile calibration of a score column — turns raw filter
     * scores into corpus-relative percentiles, which is how quality-filter
     * cutoffs are actually chosen ("drop the bottom 30%", DCLM/fastText

@@ -30,13 +30,23 @@ object ZOrder {
     * already lie in [0, 2^bits) — see [[normalize]]; out-of-range high
     * bits are simply ignored (masked by construction).
     */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits=$bits must be in 1..31")
-    val al = a.cast("long")
-    val bl = b.cast("long")
-    (0 until bits).flatMap { i =>
-      Seq(shiftleft(shiftrightunsigned(al, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftrightunsigned(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave, round-robin: bit i of dimension j
+    * lands at position `i·n + j` (dimension 0 owns the least-significant
+    * slot of each round, matching the 2-dim layout). `n·bits` must fit a
+    * signed long.
+    */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 1, "at least one dimension")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n dims × $bits bits = ${n * bits} exceeds a signed long")
+    dims.zipWithIndex.flatMap { case (c, j) =>
+      val cl = c.cast("long")
+      (0 until bits).map(i =>
+        shiftleft(shiftrightunsigned(cl, i).bitwiseAND(lit(1L)), i * n + j))
     }.reduce(_ bitwiseOR _)
   }
 

@@ -213,6 +213,21 @@ class SamplingSpec extends SparkSpec {
     assert(again === got.collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSampleSalted == weightedSample (rows AND ranks), 2 exchanges") {
+    import spark.implicits._
+    // skewed: one mega-domain, one small
+    val df = ((1L to 2000L).map(i => (i, "mega", (i % 13 + 1).toDouble)) ++
+      (1L to 20L).map(i => (10000L + i, "small", 2.0)))
+      .toDF("id", "domain", "wt")
+    val direct = Sampling.weightedSample(df, "id", "wt", "domain", n = 25)
+      .select("id", "domain", "rk").collect().toSet
+    val salted = Sampling.weightedSampleSalted(df, "id", "wt", "domain",
+      n = 25, salts = 8)
+    assert(salted.select("id", "domain", "rk").collect().toSet === direct)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 2, plan)
+  }
+
   test("weightedSample inclusion tracks weight (ES key distribution)") {
     import spark.implicits._
     // 500 ids at weight 1 vs 500 at weight 9: P(include) for a heavy id is

@@ -67,6 +67,27 @@ class ZOrderSpec extends SparkSpec {
     assert(boxes.getDouble(1) <= 16.0, s"avg file b-span ${boxes.getDouble(1)}")
   }
 
+  test("zValueN interleaves three dimensions round-robin") {
+    import spark.implicits._
+    def ref3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((a >> i) & 1L) << (3 * i)) |
+          (((b >> i) & 1L) << (3 * i + 1)) |
+          (((c >> i) & 1L) << (3 * i + 2))
+      }
+    val rows = Seq((1L, 2L, 4L), (7L, 0L, 5L), (255L, 128L, 64L))
+    val got = rows.toDF("a", "b", "c")
+      .select($"a", $"b", $"c",
+        ZOrder.zValueN(Seq($"a", $"b", $"c"), 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) === ref3(r.getLong(0), r.getLong(1), r.getLong(2), 8))
+    }
+    // 2-dim layout is unchanged by the generalization
+    assert(ZOrder.zValue(lit(5L), lit(3L), 4).toString ===
+      ZOrder.zValueN(Seq(lit(5L), lit(3L)), 4).toString)
+  }
+
   test("normalize folds onto the grid; high bits beyond `bits` are ignored") {
     val r = Seq((65536L + 3L, (1L << 16) + 5L)).toDF("a", "b")
       .select(
