@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory side of the ANN family
+  * (Jégou, Douze, Schmid, "Product quantization for nearest neighbor
+  * search", TPAMI 2011): split each vector into `m` subvectors, encode
+  * every subvector as its nearest codeword from a per-subspace codebook
+  * of `ksub` entries, and rank candidates by the distance to the
+  * RECONSTRUCTED vector (asymmetric distance computation — the query
+  * stays exact, only the corpus is compressed).
+  *
+  * Why it matters at 100 TB: a 64-dim float corpus is 256 bytes/vector;
+  * its PQ codes at m=8, ksub=16 are 8 four-bit codes — 4 bytes, a 64×
+  * compression that turns the candidate scan of [[VectorIVF.annTopK]]
+  * from memory-bound to cache-resident. Encode is MAP-ONLY against a
+  * plan-literal codebook (m·ksub·dsub doubles — the LSH-plane/centroid
+  * budget class); the top-k is the same broadcast-queries × corpus shape
+  * as [[VectorOps.knnBruteForce]], just over codes instead of floats.
+  *
+  * Determinism/replayability: codebooks are md5-derived plan literals
+  * (`codewordValue` — the [[VectorIVF.centroidValue]] family, so a SQL
+  * oracle regenerates them), code assignment breaks distance ties toward
+  * the SMALLEST code, and every distance is a LEFT sequential fold —
+  * DuckDB `list_reduce` replays the identical float association (d93/d94
+  * gate codes and ranks bit-for-bit). Real deployments swap the literal
+  * codebook for k-means output ([[VectorIVF.train]]'s shape per
+  * subspace); every plan below is unchanged by that swap.
+  */
+object VectorPQ {
+
+  /** Component d of codeword `code` in subspace `sub` — md5-derived
+    * uniform in [-1, 1], exactly
+    * `(md5("p<sub>:<code>:<d>")[0:7] % 2001 - 1000) / 1000`.
+    */
+  def codewordValue(sub: Int, code: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hx = md.digest(s"p$sub:$code:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hx.substring(0, 7), 16) % 2001 - 1000) / 1000.0
+  }
+
+  /** The full codebook as one plan literal: element `sub·ksub + code`
+    * (0-based) is that codeword's dsub-dim vector.
+    */
+  private def codebookLit(m: Int, ksub: Int, dsub: Int): Column =
+    typedlit((0 until m).flatMap(j => (0 until ksub).map(c =>
+      (0 until dsub).map(d => codewordValue(j, c, d)).toArray)).toArray)
+
+  /** Squared L2 between two equal-length double arrays as a LEFT
+    * sequential fold (replayable association).
+    */
+  private def sqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Reconstruction of a codes array: the concatenation of its selected
+    * codewords in subspace order.
+    */
+  private def reconstruct(codes: Column, cb: Column, m: Int, ksub: Int): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)),
+      j => element_at(cb, j * ksub + element_at(codes, j + 1) + 1)))
+
+  /** Map-only PQ encoding: `df` + `codes` (array of m ints in
+    * [0, ksub)), each subvector's nearest codeword by squared L2, ties
+    * to the smallest code. `dim` must be divisible by `m`.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+             m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val cb = codebookLit(m, ksub, dsub)
+    val v = col(vecCol).cast("array<double>")
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val dists = transform(sequence(lit(0), lit(ksub - 1)),
+        c => sqL2(slice(v, j * dsub + 1, lit(dsub)),
+          element_at(cb, j * ksub + c + 1)))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    df.withColumn("codes", codes)
+  }
+
+  /** Asymmetric-distance top-k: exact queries against the PQ-compressed
+    * corpus — rank by squared L2 to the reconstruction, k best per
+    * query, ties to the smaller neighbor id. Queries broadcast (the
+    * knnBruteForce small-side contract); the corpus side carries only
+    * (id, codes).
+    */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int,
+              m: Int = 8, ksub: Int = 16): DataFrame = {
+    val dsub = dim / m
+    val cb = codebookLit(m, ksub, dsub)
+    val enc = encode(corpus, idCol, vecCol, dim, m, ksub)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val dist = sqL2(col("__qv"), reconstruct(col("codes"), cb, m, ksub))
+    enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d", dist)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__d"), col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk")
+  }
+}

@@ -455,6 +455,28 @@ object PipelineQueries {
         5, VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2)
     },
 
+    // Product quantization encode (round 10): every embedding compressed
+    // to m=8 four-bit codes (64x smaller than the float vector) against
+    // the md5-literal codebooks — map-only, and the codes themselves are
+    // the oracle row (the compression is gate-checked, not trusted).
+    "d93_pq_encode" -> { (s, dir) =>
+      graft.functions.VectorPQ.encode(embs(s, dir), "vec_id", "embedding",
+          dim = 64)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes_csv"))
+    },
+
+    // PQ asymmetric-distance top-k (round 10): exact queries ranked
+    // against the COMPRESSED corpus (distance to the reconstruction) —
+    // the memory-bound-to-cache-resident trade of the ANN scan. Ranks
+    // replayed exactly (same codebooks, same left-fold distance, same
+    // tie-breaks).
+    "d94_pq_topk" -> { (s, dir) =>
+      val e = embs(s, dir)
+      graft.functions.VectorPQ.adcTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, dim = 64)
+    },
+
     // SemDeDup — embedding-level semantic dedup: quantizer-cell assignment,
     // within-cell cosine pruning (candidates bounded by cell size, never
     // cross-cell), canonical-min keep rule. The composed "cluster then
@@ -2592,6 +2614,53 @@ object PipelineQueries {
     // d89: the Morton interleave replayed term-for-term (32 shift-mask-or
     // terms, generated once here and once in Spark from the same loop).
     "d89_zorder_key" -> ZOrderSql,
+    // d93: codebooks regenerated from the md5 formula, per-subspace
+    // argmin with ties to the smallest code, the identical left-fold L2.
+    "d93_pq_encode" ->
+      """WITH cw AS (SELECT j, c, d,
+           (CAST(('0x' || substr(md5('p' || j || ':' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(j) CROSS JOIN range(16) t2(c) CROSS JOIN range(8) t3(d)),
+         cwv AS (SELECT j, c, list(v ORDER BY d) AS w FROM cw GROUP BY j, c),
+         sub AS (SELECT e.vec_id, t.j, (e.embedding::DOUBLE[])[t.j*8+1 : t.j*8+8] AS x
+           FROM embeddings e CROSS JOIN range(8) t(j)),
+         dst AS (SELECT s.vec_id, s.j, cv.c,
+             list_reduce(list_transform(range(1, 9),
+               i -> (s.x[i] - cv.w[i]) * (s.x[i] - cv.w[i])), (a, b) -> a + b) AS dist
+           FROM sub s JOIN cwv cv ON cv.j = s.j),
+         best AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+           FROM dst) WHERE rn = 1)
+         SELECT vec_id, array_to_string(list(c ORDER BY j), ',') AS codes_csv
+         FROM best GROUP BY vec_id""",
+    // d94: d93's encode CTEs + reconstruction + the same left-fold
+    // distance and (distance, id) tie-break.
+    "d94_pq_topk" ->
+      """WITH cw AS (SELECT j, c, d,
+           (CAST(('0x' || substr(md5('p' || j || ':' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(j) CROSS JOIN range(16) t2(c) CROSS JOIN range(8) t3(d)),
+         cwv AS (SELECT j, c, list(v ORDER BY d) AS w FROM cw GROUP BY j, c),
+         sub AS (SELECT e.vec_id, t.j, (e.embedding::DOUBLE[])[t.j*8+1 : t.j*8+8] AS x
+           FROM embeddings e CROSS JOIN range(8) t(j)),
+         dst AS (SELECT s.vec_id, s.j, cv.c,
+             list_reduce(list_transform(range(1, 9),
+               i -> (s.x[i] - cv.w[i]) * (s.x[i] - cv.w[i])), (a, b) -> a + b) AS dist
+           FROM sub s JOIN cwv cv ON cv.j = s.j),
+         best AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+           FROM dst) WHERE rn = 1),
+         recon AS (SELECT b.vec_id, flatten(list(cv.w ORDER BY b.j)) AS rv
+           FROM best b JOIN cwv cv ON cv.j = b.j AND cv.c = b.c
+           GROUP BY b.vec_id),
+         qd AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> ((q.embedding::DOUBLE[])[i] - r.rv[i]) * ((q.embedding::DOUBLE[])[i] - r.rv[i])),
+               (a, b) -> a + b) AS d
+           FROM embeddings q JOIN recon r
+             ON q.vec_id < 10 AND r.vec_id != q.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+           FROM qd)
+         SELECT query_id, neighbor_id, rk FROM rk WHERE rk <= 5""",
     // d15's IVF CTEs + d07's brute-force CTE + the per-query intersection.
     "d73_ivf_recall" ->
       """WITH cents AS (SELECT c, d,

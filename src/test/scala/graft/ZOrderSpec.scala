@@ -99,3 +99,53 @@ class ZOrderSpec extends SparkSpec {
     assert(r.getLong(1) === mortonRef(3L, 5L, 16))
   }
 }
+
+class VectorPQSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorPQ
+
+  test("codes are m ints in [0, ksub); deterministic across reruns") {
+    import spark.implicits._
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val enc = VectorPQ.encode(vecs, "vec_id", "embedding", dim = 16, m = 4,
+      ksub = 8)
+    val codes = enc.select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    val again = VectorPQ.encode(vecs, "vec_id", "embedding", dim = 16, m = 4,
+      ksub = 8).select("codes").as[Seq[Int]].collect()
+    assert(codes.toSeq === again.toSeq)
+  }
+
+  test("a vector equal to a codeword concatenation encodes to those codes") {
+    import spark.implicits._
+    // build the exact concatenation of codeword 5 in subspace 0 and
+    // codeword 2 in subspace 1 — squared-L2 0 to themselves, so argmin
+    // must pick exactly (5, 2)
+    val v = ((0 until 8).map(d => VectorPQ.codewordValue(0, 5, d)) ++
+      (0 until 8).map(d => VectorPQ.codewordValue(1, 2, d))).toArray
+    val got = VectorPQ.encode(Seq((1L, v)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 16, m = 2, ksub = 16)
+      .select("codes").as[Seq[Int]].head()
+    assert(got === Seq(5, 2))
+  }
+
+  test("adcTopK ranks a PQ-identical vector first") {
+    import spark.implicits._
+    // corpus vector 100 IS the reconstruction of some codes; its ADC
+    // distance to a query equal to that reconstruction is exactly 0 —
+    // rank 1 regardless of the rest of the corpus
+    val recon = ((0 until 8).map(d => VectorPQ.codewordValue(0, 3, d)) ++
+      (0 until 8).map(d => VectorPQ.codewordValue(1, 7, d))).toArray
+    val corpus = ((0 until 30).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 31 + d)))) :+
+      (100L, recon)).toDF("vec_id", "embedding")
+    val queries = Seq((999L, recon)).toDF("vec_id", "embedding")
+    val top = graft.functions.VectorPQ.adcTopK(queries, corpus, "vec_id",
+        "embedding", k = 1, dim = 16, m = 2, ksub = 16)
+      .head()
+    assert(top.getLong(1) === 100L && top.getInt(2) === 1)
+  }
+}
