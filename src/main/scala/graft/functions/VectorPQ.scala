@@ -81,6 +81,43 @@ object VectorPQ {
     df.withColumn("codes", codes)
   }
 
+  /** The production composition: IVF cell pruning × PQ memory compression
+    * (the classic IVFADC index layout). Queries probe their `nprobe`
+    * nearest cells; only THOSE cells' codes are ADC-scanned — the two
+    * pruning factors multiply (visit ~nprobe/k_cells of the corpus, at 4
+    * bytes per visited vector), which is the working-set arithmetic that
+    * makes billion-vector ANN feasible on an executor's memory. Plan
+    * shape: the d15 probe join + the d94 scan, nothing new — and still
+    * rank-replayable (d95).
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int, dim: Int, centroids: DataFrame,
+                 cellIdCol: String, cellVecCol: String, nprobe: Int = 2,
+                 m: Int = 8, ksub: Int = 16): DataFrame = {
+    val dsub = dim / m
+    val cb = codebookLit(m, ksub, dsub)
+    val enc = encode(corpus, idCol, vecCol, dim, m, ksub)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val cells = VectorIVF
+      .assign(corpus, idCol, vecCol, centroids, cellIdCol, cellVecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell"))
+    val qp = VectorIVF
+      .probes(queries, idCol, vecCol, centroids, cellIdCol, cellVecCol, nprobe)
+      .select("query_id", "cell")
+    val qraw = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    qp.join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(enc, Seq("neighbor_id"))
+      .join(broadcast(qraw), Seq("query_id"))
+      .withColumn("__d", sqL2(col("__qv"), reconstruct(col("codes"), cb, m, ksub)))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__d"), col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .select("query_id", "neighbor_id", "rk")
+  }
+
   /** Asymmetric-distance top-k: exact queries against the PQ-compressed
     * corpus — rank by squared L2 to the reconstruction, k best per
     * query, ties to the smaller neighbor id. Queries broadcast (the

@@ -477,6 +477,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5, dim = 64)
     },
 
+    // IVFADC (round 10): the production index layout — IVF cell pruning
+    // × PQ compression in one plan (d15's probe join feeding d94's ADC
+    // scan); the two pruning factors multiply and the ranks still replay
+    // exactly.
+    "d95_ivfadc_topk" -> { (s, dir) =>
+      val e = embs(s, dir)
+      graft.functions.VectorPQ.ivfAdcTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, dim = 64,
+        VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2)
+    },
+
     // SemDeDup — embedding-level semantic dedup: quantizer-cell assignment,
     // within-cell cosine pruning (candidates bounded by cell size, never
     // cross-cell), canonical-min keep rule. The composed "cluster then
@@ -2657,6 +2668,50 @@ object PipelineQueries {
                (a, b) -> a + b) AS d
            FROM embeddings q JOIN recon r
              ON q.vec_id < 10 AND r.vec_id != q.vec_id),
+         rk AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+           FROM qd)
+         SELECT query_id, neighbor_id, rk FROM rk WHERE rk <= 5""",
+    // d95: d15's asn/prb CTEs (candidates) spliced with d93/d94's
+    // encode + reconstruction + left-fold ADC distance.
+    "d95_ivfadc_topk" ->
+      """WITH cents AS (SELECT c, d,
+           (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(c) CROSS JOIN range(64) t2(d)),
+         cv AS (SELECT c, list(v ORDER BY d) AS cvec FROM cents GROUP BY c),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv) WHERE rn = 1),
+         prb AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv WHERE e.vec_id < 10) WHERE rn <= 2),
+         cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+           FROM prb p JOIN asn a ON a.cell = p.cell WHERE p.vec_id != a.vec_id),
+         cw AS (SELECT j, c, d,
+           (CAST(('0x' || substr(md5('p' || j || ':' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(j) CROSS JOIN range(16) t2(c) CROSS JOIN range(8) t3(d)),
+         cwv AS (SELECT j, c, list(v ORDER BY d) AS w FROM cw GROUP BY j, c),
+         sub AS (SELECT e.vec_id, t.j, (e.embedding::DOUBLE[])[t.j*8+1 : t.j*8+8] AS x
+           FROM embeddings e CROSS JOIN range(8) t(j)),
+         dst AS (SELECT s.vec_id, s.j, cv2.c,
+             list_reduce(list_transform(range(1, 9),
+               i -> (s.x[i] - cv2.w[i]) * (s.x[i] - cv2.w[i])), (a, b) -> a + b) AS dist
+           FROM sub s JOIN cwv cv2 ON cv2.j = s.j),
+         best AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+           FROM dst) WHERE rn = 1),
+         recon AS (SELECT b.vec_id, flatten(list(cv2.w ORDER BY b.j)) AS rv
+           FROM best b JOIN cwv cv2 ON cv2.j = b.j AND cv2.c = b.c
+           GROUP BY b.vec_id),
+         qd AS (SELECT cd.query_id, cd.neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> ((q.embedding::DOUBLE[])[i] - r.rv[i]) * ((q.embedding::DOUBLE[])[i] - r.rv[i])),
+               (a, b) -> a + b) AS d
+           FROM cand cd
+           JOIN embeddings q ON q.vec_id = cd.query_id
+           JOIN recon r ON r.vec_id = cd.neighbor_id),
          rk AS (SELECT query_id, neighbor_id,
              row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
            FROM qd)
