@@ -41,12 +41,15 @@ object VectorPQ {
     (java.lang.Long.parseLong(hx.substring(0, 7), 16) % 2001 - 1000) / 1000.0
   }
 
-  /** The full codebook as one plan literal: element `sub·ksub + code`
-    * (0-based) is that codeword's dsub-dim vector.
+  /** The md5 default codebook: [m][ksub][dsub] doubles. */
+  def mdCodebook(m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, ksub, dsub)((j, c, d) => codewordValue(j, c, d))
+
+  /** A codebook as one plan literal: element `sub·ksub + code` (0-based)
+    * is that codeword's dsub-dim vector.
     */
-  private def codebookLit(m: Int, ksub: Int, dsub: Int): Column =
-    typedlit((0 until m).flatMap(j => (0 until ksub).map(c =>
-      (0 until dsub).map(d => codewordValue(j, c, d)).toArray)).toArray)
+  private def codebookLit(cb: Array[Array[Array[Double]]]): Column =
+    typedlit(cb.flatten)
 
   /** Squared L2 between two equal-length double arrays as a LEFT
     * sequential fold (replayable association).
@@ -67,10 +70,11 @@ object VectorPQ {
     * to the smallest code. `dim` must be divisible by `m`.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-             m: Int = 8, ksub: Int = 16): DataFrame = {
+             m: Int = 8, ksub: Int = 16,
+             codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val cb = codebookLit(m, ksub, dsub)
+    val cb = codebookLit(codebook.getOrElse(mdCodebook(m, ksub, dsub)))
     val v = col(vecCol).cast("array<double>")
     val codes = transform(sequence(lit(0), lit(m - 1)), j => {
       val dists = transform(sequence(lit(0), lit(ksub - 1)),
@@ -79,6 +83,68 @@ object VectorPQ {
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
     df.withColumn("codes", codes)
+  }
+
+  /** Distributed per-subspace Lloyd's trainer — the step that turns the
+    * replayable md5 codebook into a REAL quantizer (trained codebooks are
+    * what give PQ its recall; VectorPQSpec measures the lift on clustered
+    * data). All `m` subspaces train in ONE job per round: the (id, j,
+    * subvector) projection is built once and persisted, each round is a
+    * map-only argmin against the current plan-literal codebook plus one
+    * (j, code) partial-agg of per-dimension means, and the only
+    * driver-side data is the m·ksub·dsub codebook itself (the
+    * [[VectorIVF.train]] bound — never corpus-sized). Init is the ksub
+    * subvectors per subspace whose md5-hashed ids sort first: a
+    * deterministic pseudo-random sample of real data points, so no cell
+    * starts empty. A cell that loses all members keeps its previous
+    * codeword. Plug the result into [[encode]]/[[adcTopK]]/[[ivfAdcTopK]]
+    * via their `codebook` parameter — no plan changes.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+            m: Int = 8, ksub: Int = 16, iters: Int = 5): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(iters >= 0, s"iters=$iters must be non-negative")
+    val dsub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    val subs = graft.CacheRegistry.track(corpus
+      .select(col(idCol).cast("string").as("__id"), v.as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) === dim)
+      .select(col("__id"), explode(transform(sequence(lit(0), lit(m - 1)),
+        j => struct(j.as("j"),
+          slice(col("__v"), j * dsub + 1, lit(dsub)).as("x")))).as("s"))
+      .select(col("__id"), col("s.j").as("j"), col("s.x").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+    val initW = org.apache.spark.sql.expressions.Window.partitionBy(col("j"))
+      .orderBy(conv(substring(md5(col("__id")), 1, 8), 16, 10).cast("long"),
+        col("__id"))
+    val cb = mdCodebook(m, ksub, dsub) // fallback for subspaces with < ksub rows
+    subs.withColumn("__rn", row_number().over(initW))
+      .where(col("__rn") <= ksub)
+      .select(col("j"), col("__rn"), col("x"))
+      .collect()
+      .foreach { r =>
+        cb(r.getInt(0))(r.getInt(1) - 1) =
+          r.getSeq[Double](2).toArray
+      }
+
+    for (_ <- 0 until iters) {
+      val cbl = codebookLit(cb)
+      val dists = transform(sequence(lit(0), lit(ksub - 1)),
+        c => sqL2(col("x"), element_at(cbl, col("j") * ksub + c + 1)))
+      val aggs = (0 until dsub).map(d =>
+        avg(element_at(col("x"), d + 1)).as(s"m$d"))
+      subs.withColumn("__c",
+          (array_position(dists, array_min(dists)) - 1).cast("int"))
+        .groupBy("j", "__c").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .foreach { r =>
+          cb(r.getInt(0))(r.getInt(1)) =
+            Array.tabulate(dsub)(d => r.getDouble(2 + d))
+        }
+    }
+    subs.unpersist()
+    cb
   }
 
   /** The production composition: IVF cell pruning × PQ memory compression
@@ -93,10 +159,11 @@ object VectorPQ {
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int, dim: Int, centroids: DataFrame,
                  cellIdCol: String, cellVecCol: String, nprobe: Int = 2,
-                 m: Int = 8, ksub: Int = 16): DataFrame = {
+                 m: Int = 8, ksub: Int = 16,
+                 codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val dsub = dim / m
-    val cb = codebookLit(m, ksub, dsub)
-    val enc = encode(corpus, idCol, vecCol, dim, m, ksub)
+    val cb = codebookLit(codebook.getOrElse(mdCodebook(m, ksub, dsub)))
+    val enc = encode(corpus, idCol, vecCol, dim, m, ksub, codebook)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val cells = VectorIVF
       .assign(corpus, idCol, vecCol, centroids, cellIdCol, cellVecCol)
@@ -126,10 +193,11 @@ object VectorPQ {
     */
   def adcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
-              m: Int = 8, ksub: Int = 16): DataFrame = {
+              m: Int = 8, ksub: Int = 16,
+              codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val dsub = dim / m
-    val cb = codebookLit(m, ksub, dsub)
-    val enc = encode(corpus, idCol, vecCol, dim, m, ksub)
+    val cb = codebookLit(codebook.getOrElse(mdCodebook(m, ksub, dsub)))
+    val enc = encode(corpus, idCol, vecCol, dim, m, ksub, codebook)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))

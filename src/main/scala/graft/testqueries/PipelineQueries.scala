@@ -488,6 +488,17 @@ object PipelineQueries {
         VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2)
     },
 
+    // PQ recall@5 (round 10): the compression's QUALITY as its own oracle
+    // row — the d72/d73 pattern extended to the memory path, so every
+    // approximate family (LSH, IVF, PQ) carries a gate-checked recall.
+    "d96_pq_recall" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      annRecall(queries, e,
+        graft.functions.VectorPQ.adcTopK(queries, e, "vec_id", "embedding",
+          k = 5, dim = 64))
+    },
+
     // SemDeDup — embedding-level semantic dedup: quantizer-cell assignment,
     // within-cell cosine pruning (candidates bounded by cell size, never
     // cross-cell), canonical-min keep rule. The composed "cluster then
@@ -2716,6 +2727,50 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
            FROM qd)
          SELECT query_id, neighbor_id, rk FROM rk WHERE rk <= 5""",
+    // d96: d94's ADC CTEs as `approx` + d73's brute-force CTE + the
+    // per-query intersection.
+    "d96_pq_recall" ->
+      """WITH cw AS (SELECT j, c, d,
+           (CAST(('0x' || substr(md5('p' || j || ':' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(j) CROSS JOIN range(16) t2(c) CROSS JOIN range(8) t3(d)),
+         cwv AS (SELECT j, c, list(v ORDER BY d) AS w FROM cw GROUP BY j, c),
+         sub AS (SELECT e.vec_id, t.j, (e.embedding::DOUBLE[])[t.j*8+1 : t.j*8+8] AS x
+           FROM embeddings e CROSS JOIN range(8) t(j)),
+         dst AS (SELECT s.vec_id, s.j, cv2.c,
+             list_reduce(list_transform(range(1, 9),
+               i -> (s.x[i] - cv2.w[i]) * (s.x[i] - cv2.w[i])), (a, b) -> a + b) AS dist
+           FROM sub s JOIN cwv cv2 ON cv2.j = s.j),
+         best AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+           FROM dst) WHERE rn = 1),
+         recon AS (SELECT b.vec_id, flatten(list(cv2.w ORDER BY b.j)) AS rv
+           FROM best b JOIN cwv cv2 ON cv2.j = b.j AND cv2.c = b.c
+           GROUP BY b.vec_id),
+         qd AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> ((q.embedding::DOUBLE[])[i] - r.rv[i]) * ((q.embedding::DOUBLE[])[i] - r.rv[i])),
+               (a, b) -> a + b) AS d
+           FROM embeddings q JOIN recon r
+             ON q.vec_id < 10 AND r.vec_id != q.vec_id),
+         approx AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+           FROM qd) WHERE rk <= 5),
+         exact AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+           WHERE rank <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hit FROM exact e
+           JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT q.vec_id AS query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         LEFT JOIN hits h ON q.vec_id = h.query_id""",
     // d15's IVF CTEs + d07's brute-force CTE + the per-query intersection.
     "d73_ivf_recall" ->
       """WITH cents AS (SELECT c, d,

@@ -132,6 +132,36 @@ class VectorPQSpec extends SparkSpec {
     assert(got === Seq(5, 2))
   }
 
+  test("trained codebooks beat the md5 default on clustered data") {
+    import spark.implicits._
+    // 16 well-separated centers in 16 dims; 320 points = center + small
+    // deterministic jitter. Ground truth neighbors are cluster-mates, so
+    // a quantizer that learns the centers reconstructs well and ADC
+    // recall jumps; the untrained md5 codebook cannot.
+    def center(c: Int, d: Int) = VectorPQ.codewordValue(c % 8, c / 8, d) * 3.0
+    def jitter(i: Int, d: Int) =
+      VectorPQ.codewordValue(7 - (i % 8), (i * 31 + d) % 16, d % 8) * 0.05
+    val pts = (0 until 320).map { i =>
+      (i.toLong, Array.tabulate(16)(d => center(i % 16, d) + jitter(i, d)))
+    }.toDF("vec_id", "embedding")
+    val queries = pts.where(col("vec_id") < 8)
+    def recall(cb: Option[Array[Array[Array[Double]]]]): Double = {
+      val approx = VectorPQ.adcTopK(queries, pts, "vec_id", "embedding",
+        k = 5, dim = 16, m = 2, ksub = 16, codebook = cb)
+      val exact = graft.functions.VectorOps
+        .knnBruteForce(queries, pts, "vec_id", "embedding", 5)
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / exact.count()
+    }
+    val trained = VectorPQ.train(pts, "vec_id", "embedding", dim = 16,
+      m = 2, ksub = 16, iters = 4)
+    val rTrained = recall(Some(trained))
+    val rDefault = recall(None)
+    assert(rTrained > rDefault,
+      s"trained $rTrained should beat default $rDefault")
+    assert(rTrained >= 0.6, s"trained recall $rTrained")
+  }
+
   test("adcTopK ranks a PQ-identical vector first") {
     import spark.implicits._
     // corpus vector 100 IS the reconstruction of some codes; its ADC
