@@ -194,6 +194,16 @@ object PipelineQueries {
           graft.functions.Sketches.kmvEstimate(col("sketch"), 64).as("est_distinct"))
     },
 
+    // Model-scoring seam (round 10): the classifier-filter stage
+    // (FineWeb-Edu-style quality labels) through the batched per-partition
+    // scorer seam; the deterministic stand-in scorer makes the PLUMBING
+    // itself the oracle row — id↔score alignment survives batching and
+    // partitioning or this row hash-mismatches.
+    "d97_model_score" -> { (s, dir) =>
+      graft.functions.ModelScore.score(docs(s, dir), "doc_id", "text",
+        batchSize = 32)
+    },
+
     // Percentile calibration of the d01 quality score: census-based exact
     // percent_rank — corpus-relative thresholds without a global sort.
     "d65_score_percentile" -> { (s, dir) =>
@@ -1730,6 +1740,12 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, source, rk FROM r
          WHERE rk <= (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5 ELSE 2 END)""",
+    // d97: the stand-in scorer's formula recomputed per row.
+    "d97_model_score" ->
+      """SELECT doc_id,
+           round(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) / 4294967296.0, 6)
+             AS model_score
+         FROM documents""",
     // d91: the census + top-k window replayed.
     "d91_heavy_hitters" ->
       """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok

@@ -179,3 +179,75 @@ class VectorPQSpec extends SparkSpec {
     assert(top.getLong(1) === 100L && top.getInt(2) === 1)
   }
 }
+
+object ModelScoreSpec {
+  /** Static batch-size collector: local mode shares the JVM, so executor
+    * tasks and the suite see the same queue; the Probe class itself is
+    * top-level so serializing it cannot drag the suite along.
+    */
+  val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+
+  /** Records every batch it sees — proves batching shape AND coverage. */
+  class Probe extends graft.functions.ModelScore.TextScorer {
+    override def scoreBatch(texts: Array[String]): Array[Double] = {
+      ModelScoreSpec.sizes.add(texts.length)
+      texts.map(_.length.toDouble)
+    }
+  }
+
+  class BadScorer extends graft.functions.ModelScore.TextScorer {
+    override def scoreBatch(texts: Array[String]): Array[Double] =
+      texts.take(1).map(_ => 0.5)
+  }
+}
+
+class ModelScoreSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.functions.ModelScore
+  import ModelScoreSpec.{BadScorer, Probe}
+
+  test("alignment survives odd batch sizes and repartitioning") {
+    import spark.implicits._
+    val docs = (1L to 53L).map(i => (i, "x" * i.toInt)).toDF("id", "text")
+    val got = ModelScore.score(docs.repartition(3), "id", "text",
+        scorer = new Probe, batchSize = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 53)
+    // the Probe scores each text by its length: misalignment is visible
+    (1L to 53L).foreach(i => assert(got(i) === i.toDouble, s"id $i"))
+  }
+
+  test("batches never exceed batchSize and cover every row") {
+    import spark.implicits._
+    ModelScoreSpec.sizes.clear()
+    val docs = (1L to 40L).map(i => (i, s"doc$i")).toDF("id", "text")
+    ModelScore.score(docs.coalesce(1), "id", "text",
+      scorer = new Probe, batchSize = 16).count()
+    val sizes = ModelScoreSpec.sizes.toArray(Array.empty[Integer]).map(_.toInt)
+    assert(sizes.forall(_ <= 16))
+    assert(sizes.sum === 40)
+  }
+
+  test("null text scores null without reaching the scorer") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, null), (3L, "d"))
+      .toDF("id", "text")
+    val got = ModelScore.score(docs, "id", "text", scorer = new Probe,
+        batchSize = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) === Some(3.0) && got(3L) === Some(1.0))
+    assert(got(2L) === None)
+  }
+
+  test("misaligned scorer fails loudly") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, s"t$i")).toDF("id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      ModelScore.score(docs, "id", "text", scorer = new BadScorer,
+        batchSize = 4).count()
+    }
+    assert(e.getMessage.contains("scorer returned") ||
+      Option(e.getCause).exists(_.getMessage.contains("scorer returned")))
+  }
+}
