@@ -117,8 +117,78 @@ object Multimodal {
     }
     private def ascii(b: Array[Byte], off: Int, len: Int): String =
       if (off + len <= b.length) new String(b, off, len, "US-ASCII") else ""
+    private def be32(b: Array[Byte], off: Int): Int = {
+      require(off + 4 <= b.length, s"truncated header at offset $off")
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+    }
+    /** Skip a GIF sub-block chain (size-prefixed blocks, 0 terminator);
+      * returns the offset just past the terminator.
+      */
+    private def skipSubBlocks(b: Array[Byte], start: Int): Int = {
+      var off = start
+      while ({ require(off < b.length, "truncated GIF sub-blocks")
+               (b(off) & 0xFF) != 0 }) {
+        off += 1 + (b(off) & 0xFF)
+      }
+      off + 1
+    }
+    private def gifColorTableSize(flags: Int): Int =
+      if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0
 
-    override def decode(bytes: Array[Byte]): MediaInfo = ascii(bytes, 0, 2) match {
+    override def decode(bytes: Array[Byte]): MediaInfo =
+      if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+          ascii(bytes, 1, 3) == "PNG") {
+        // PNG: the IHDR chunk is mandatory and first (ISO 15948 §11.2.2)
+        require(be32(bytes, 8) >= 13 && ascii(bytes, 12, 4) == "IHDR",
+          "PNG without leading IHDR chunk")
+        val colorType = { require(bytes.length > 25, "truncated IHDR"); bytes(25) & 0xFF }
+        val channels = colorType match {
+          case 0 => 1 // grayscale
+          case 2 => 3 // truecolor
+          case 3 => 1 // palette-indexed
+          case 4 => 2 // gray + alpha
+          case 6 => 4 // RGBA
+          case t => throw new IllegalArgumentException(s"bad PNG color type $t")
+        }
+        MediaInfo(width = be32(bytes, 16), height = be32(bytes, 20),
+          channels = channels, nFrames = 1)
+      } else decodeAscii(bytes)
+
+    private def decodeAscii(bytes: Array[Byte]): MediaInfo = ascii(bytes, 0, 2) match {
+      case "GI" if ascii(bytes, 0, 6) == "GIF87a" || ascii(bytes, 0, 6) == "GIF89a" =>
+        // GIF: real block walk (87a/89a §20-§25) — extensions are skipped
+        // via their sub-block chains, image descriptors counted as frames;
+        // 0x2C bytes inside data cannot fool the walk because sub-block
+        // sizes delimit every data region.
+        val width = le16(bytes, 6)
+        val height = le16(bytes, 8)
+        require(bytes.length > 12, "truncated GIF header")
+        var off = 13 + gifColorTableSize(bytes(10) & 0xFF)
+        var frames = 0
+        var done = false
+        while (!done) {
+          require(off < bytes.length, "truncated GIF stream")
+          (bytes(off) & 0xFF) match {
+            case 0x3B => done = true
+            case 0x21 => // extension: introducer + label, then sub-blocks
+              off = skipSubBlocks(bytes, off + 2)
+            case 0x2C =>
+              frames += 1
+              require(off + 10 <= bytes.length, "truncated image descriptor")
+              off += 10 + gifColorTableSize(bytes(off + 9) & 0xFF)
+              off += 1 // LZW minimum code size
+              off = skipSubBlocks(bytes, off)
+            case b =>
+              throw new IllegalArgumentException(
+                f"unknown GIF block introducer 0x$b%02X")
+          }
+        }
+        require(frames > 0, "GIF with no image frames")
+        // channels = 1: palette-INDEXED samples (one byte per pixel);
+        // the palette itself is RGB but the sample stream is not
+        MediaInfo(width = width, height = height, channels = 1,
+          nFrames = frames)
       case "BM" =>
         // Reject the OS/2 BITMAPCOREHEADER (12-byte header, 16-bit dims):
         // its 'BM' magic passes but width/height live at different
@@ -164,7 +234,7 @@ object Multimodal {
           nFrames = (dataSize / blockAlign).toInt)
       case _ =>
         throw new IllegalArgumentException(
-          "undecodable blob: neither BMP nor RIFF/WAVE magic")
+          "undecodable blob: no BMP, RIFF/WAVE, PNG or GIF magic")
     }
   }
 

@@ -194,6 +194,39 @@ object PipelineQueries {
           graft.functions.Sketches.kmvEstimate(col("sketch"), 64).as("est_distinct"))
     },
 
+    // PNG/GIF header decode (round 10): the HeaderCodec matrix extended
+    // beyond d29's BMP/WAV — PNG IHDR (big-endian dims, color-type →
+    // channel count) and a REAL GIF block walk (extensions skipped via
+    // sub-block chains, image descriptors counted as frames). Blobs are
+    // synthesized per doc_id from closed-form fields, so the oracle
+    // recomputes every output column without parsing anything.
+    "d98_png_gif_decode" -> { (s, dir) =>
+      def be32h(c: Column): Column = lpad(hex(c), 8, "0")
+      def b1(c: Column): Column = lpad(hex(pmod(c, lit(256))), 2, "0")
+      def le16h(c: Column): Column =
+        concat(b1(c), b1(floor(c / 256).cast("long")))
+      val id = col("doc_id")
+      // PNG arm (even ids): signature + IHDR; color type cycles 0/2/4/6
+      val w = lit(16) + pmod(id, lit(1900))
+      val h = lit(16) + pmod(id, lit(1000))
+      val ct = element_at(typedlit(Seq(0, 2, 4, 6)),
+        (pmod(floor(id / 2).cast("long"), lit(4)) + 1).cast("int"))
+      val pngHex = concat(lit("89504E470D0A1A0A"), be32h(lit(13)),
+        lit("49484452"), be32h(w), be32h(h), lit("08"), b1(ct),
+        lit("000000"))
+      // GIF arm (odd ids): GIF89a, no global table, (id%3)+1 frames of a
+      // 1x1 image with a 1-byte LZW sub-block, then the trailer
+      val w2 = lit(16) + pmod(id, lit(600))
+      val h2 = lit(16) + pmod(id, lit(400))
+      val frame = "2C00000000010001000002014400"
+      val gifHex = concat(lit("474946383961"), le16h(w2), le16h(h2),
+        lit("000000"),
+        expr(s"repeat('$frame', CAST(doc_id % 3 + 1 AS INT))"), lit("3B"))
+      val media = docs(s, dir).select(id,
+        unhex(when(pmod(id, lit(2)) === 0, pngHex).otherwise(gifHex)).as("blob"))
+      Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
+    },
+
     // Model-scoring seam (round 10): the classifier-filter stage
     // (FineWeb-Edu-style quality labels) through the batched per-partition
     // scorer seam; the deterministic stand-in scorer makes the PLUMBING
@@ -1740,6 +1773,21 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, source, rk FROM r
          WHERE rk <= (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5 ELSE 2 END)""",
+    // d98: every output column recomputed from the blob-synthesis
+    // formulas — the decode must invert the synthesis exactly.
+    "d98_png_gif_decode" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 1900
+                ELSE 16 + doc_id % 600 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 1000
+                ELSE 16 + doc_id % 400 END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN
+             CASE (doc_id // 2) % 4 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                    WHEN 2 THEN 2 ELSE 4 END
+           ELSE 1 END AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN 1
+                ELSE doc_id % 3 + 1 END AS n_frames
+         FROM documents""",
     // d97: the stand-in scorer's formula recomputed per row.
     "d97_model_score" ->
       """SELECT doc_id,

@@ -1598,6 +1598,64 @@ class HeaderCodecSpec extends SparkSpec {
     b.array()
   }
 
+  private def png(width: Int, height: Int, colorType: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(29) // big-endian by default
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(width).putInt(height).put(8.toByte).put(colorType.toByte)
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
+  private def gif(width: Int, height: Int, frames: Int,
+                  withExtension: Boolean = false): Array[Byte] = {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(bytes(width & 0xFF, width >> 8, height & 0xFF, height >> 8,
+      0, 0, 0))
+    if (withExtension) // graphic-control extension with one 4-byte block
+      out.write(bytes(0x21, 0xF9, 0x04, 0, 0, 0, 0, 0))
+    (0 until frames).foreach { _ =>
+      // descriptor (1x1, no local table) + LZW min + 1-byte sub-block
+      out.write(bytes(0x2C, 0, 0, 0, 0, 1, 0, 1, 0, 0, 2, 1, 0x44, 0))
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  test("PNG IHDR and GIF block walk decode through the same seam") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, png(800, 600, 2)),                    // truecolor -> 3 channels
+      (2L, png(32, 32, 6)),                      // RGBA -> 4
+      (3L, gif(100, 50, frames = 3)),
+      (4L, gif(10, 10, frames = 1, withExtension = true)))
+      .toDF("id", "blob")
+    val got = Multimodal.decode(df, "id", "blob", Multimodal.HeaderCodec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) === ((800, 600, 3, 1)))
+    assert(got(2L) === ((32, 32, 4, 1)))
+    assert(got(3L) === ((100, 50, 1, 3)))
+    assert(got(4L) === ((10, 10, 1, 1))) // the extension is not a frame
+  }
+
+  test("malformed PNG/GIF throw IllegalArgumentException") {
+    def iae(b: Array[Byte]): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Multimodal.HeaderCodec.decode(b))
+      assert(e.isInstanceOf[IllegalArgumentException])
+    }
+    iae(png(8, 8, 5))                       // invalid color type
+    iae(png(8, 8, 2).take(20))              // truncated IHDR
+    iae(gif(4, 4, 1).dropRight(2))          // missing terminator -> truncated
+    iae(gif(4, 4, 0))                       // no image frames
+    val badBlock = gif(4, 4, 1)
+    badBlock(13) = 0x7E.toByte              // unknown block introducer
+    iae(badBlock)
+  }
+
   test("real header codec decodes BMP and WAV through the mapPartitions seam") {
     import spark.implicits._
     val df = Seq(
