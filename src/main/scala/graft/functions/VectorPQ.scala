@@ -173,11 +173,15 @@ object VectorPQ {
       .select("query_id", "cell")
     val qraw = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
+    // native graft_l2 on the hot per-pair path (bit-identical left fold —
+    // the d95 oracle replay is unchanged); the per-subspace argmins inside
+    // encode stay HOF-shaped (lambda-bound subvector slices)
+    val nl2 = graft.plans.VectorExpressions.l2Column(corpus.sparkSession, _, _)
     qp.join(cells, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .join(enc, Seq("neighbor_id"))
       .join(broadcast(qraw), Seq("query_id"))
-      .withColumn("__d", sqL2(col("__qv"), reconstruct(col("codes"), cb, m, ksub)))
+      .withColumn("__d", nl2(col("__qv"), reconstruct(col("codes"), cb, m, ksub)))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("__d"), col("neighbor_id"))))
@@ -201,7 +205,9 @@ object VectorPQ {
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-    val dist = sqL2(col("__qv"), reconstruct(col("codes"), cb, m, ksub))
+    // native graft_l2 (bit-identical to the HOF fold — d94/d96 unchanged)
+    val nl2 = graft.plans.VectorExpressions.l2Column(corpus.sparkSession, _, _)
+    val dist = nl2(col("__qv"), reconstruct(col("codes"), cb, m, ksub))
     enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("__d", dist)
       .withColumn("rk", row_number().over(

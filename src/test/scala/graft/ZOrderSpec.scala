@@ -251,3 +251,44 @@ class ModelScoreSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("scorer returned")))
   }
 }
+
+class NativeL2Spec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.plans.VectorExpressions
+
+  private def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+
+  test("graft_l2 equals the HOF fold bit-for-bit; null contract") {
+    import spark.implicits._
+    val df = (0 until 50).map(i =>
+      (Array.tabulate(17)(d => math.sin(i * 17 + d) * 1e3),
+        Array.tabulate(17)(d => math.cos(i * 13 + d) * 1e3)))
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.l2Column(spark, col("a"), col("b")).as("native"),
+      hof(col("a"), col("b")).as("hofv")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // nulls: null array, null element, length mismatch all -> null
+    val edge = Seq(
+      (Some(Seq[java.lang.Double](1.0, 2.0)), None),
+      (Some(Seq[java.lang.Double](1.0, null)), Some(Seq[java.lang.Double](1.0, 2.0))),
+      (Some(Seq[java.lang.Double](1.0)), Some(Seq[java.lang.Double](1.0, 2.0))))
+      .toDF("a", "b")
+      .select(VectorExpressions.l2Column(spark,
+        col("a").cast("array<double>"), col("b").cast("array<double>")).as("d"))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
+  test("graft_l2 answers by its SQL name and stays in codegen") {
+    graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
+    val d = spark.sql(
+      """SELECT graft_l2(CAST(embedding AS ARRAY<DOUBLE>),
+                         CAST(embedding AS ARRAY<DOUBLE>)) AS d
+         FROM embeddings LIMIT 1""").head().getDouble(0)
+    assert(d === 0.0)
+  }
+}
