@@ -551,6 +551,19 @@ object EventQueries {
           col("eff_from").as("eff_from_us"), col("eff_to").as("eff_to_us"))
     },
 
+    // Ordered-funnel conversion (round 10): view → click → purchase per
+    // user, earliest-completion semantics (each step at or after the
+    // previous step's first valid instant). One key exchange, three
+    // window passes over the same partitioning; sequential-gate replay
+    // in the oracle's chained window CTEs.
+    "q48_funnel" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val dt = e.schema("ts").dataType
+      graft.ops.Funnel.conversion(
+        e.withColumn("t_us", unix_micros(Tables.asTimestamp(dt, "ts"))),
+        "user_id", "t_us", "event_type", Seq("view", "click", "purchase"))
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -1019,6 +1032,27 @@ object EventQueries {
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""",
+    // q48: the same sequential window gates, chained through CTEs.
+    "q48_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+             OVER (PARTITION BY user_id) AS g0 FROM e),
+         s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t >= g0 THEN t END)
+             OVER (PARTITION BY user_id) AS g1 FROM s0),
+         s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t >= g1 THEN t END)
+             OVER (PARTITION BY user_id) AS g2 FROM s1),
+         agg AS (SELECT user_id,
+             coalesce(max(g0), -1) AS t_step1,
+             coalesce(max(g1), -1) AS t_step2,
+             coalesce(max(g2), -1) AS t_step3
+           FROM s2 GROUP BY user_id)
+         SELECT user_id, t_step1, t_step2, t_step3,
+           CAST(CASE WHEN t_step3 != -1 THEN 3 WHEN t_step2 != -1 THEN 2
+                     WHEN t_step1 != -1 THEN 1 ELSE 0 END AS INT) AS steps_reached,
+           CAST(CASE WHEN t_step3 != -1 THEN 1 ELSE 0 END AS INT) AS converted,
+           CASE WHEN t_step3 != -1 THEN t_step3 - t_step1 ELSE -1 END AS conv_lag
+         FROM agg""",
     // q47: q46's replay restricted to CLOSED intervals (the open tail per
     // user stays in stream state by design).
     "q47_scd2_stream" ->

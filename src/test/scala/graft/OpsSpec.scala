@@ -718,3 +718,46 @@ class Scd2Spec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size === 1, plan)
   }
 }
+
+class FunnelSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  private def run(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    graft.ops.Funnel.conversion(rows.toDF("u", "t", "ty"),
+        "u", "t", "ty", Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[Long]("u") ->
+        (r.getAs[Int]("steps_reached"), r.getAs[Int]("converted"),
+          r.getAs[Long]("t_step1"), r.getAs[Long]("conv_lag"))).toMap
+  }
+
+  test("ordered completion, out-of-order steps don't count") {
+    val got = run(Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),   // full funnel
+      (2L, 20L, "b"), (2L, 10L, "a"), (2L, 15L, "c"),   // c BEFORE b: stops at b
+      (3L, 10L, "c"), (3L, 20L, "b"),                    // no a at all
+      (4L, 10L, "a"), (4L, 10L, "b"), (4L, 10L, "c")))   // simultaneous: ties count
+    assert(got(1L) === ((3, 1, 10L, 20L)))
+    assert(got(2L) === ((2, 0, 10L, -1L)))
+    assert(got(3L) === ((0, 0, -1L, -1L)))
+    assert(got(4L) === ((3, 1, 10L, 0L)))
+  }
+
+  test("earliest-completion is greedy-optimal: later step-1 never helps") {
+    // a at 10 and 50; b only at 30: gating on the EARLIEST a still finds b
+    val got = run(Seq((1L, 10L, "a"), (1L, 50L, "a"), (1L, 30L, "b"),
+      (1L, 60L, "c")))
+    assert(got(1L) === ((3, 1, 10L, 50L)))
+  }
+
+  test("one exchange serves all step windows and the final rollup") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i % 20, i, Seq("a", "b", "c")(i.toInt % 3)))
+      .toDF("u", "t", "ty")
+    val plan = graft.ops.Funnel.conversion(df, "u", "t", "ty",
+        Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+}
