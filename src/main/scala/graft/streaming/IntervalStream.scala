@@ -36,4 +36,23 @@ object IntervalStream {
       col(tsR) >= col(tsL) - expr(s"INTERVAL $lookback") &&
       col(tsR) <= col(tsL))
   }
+
+  /** Stream-STATIC temporal enrichment: each arriving event picks up the
+    * dimension value IN EFFECT at its event time from an SCD2 interval
+    * table ([[graft.ops.Scd2.fromLog]]'s output shape) — the lookup half
+    * of slowly-changing-dimension history. STATELESS on the stream side
+    * (a plain broadcast/equi join against a static frame; no watermark,
+    * no state store), so it composes with any downstream streaming stage.
+    * `[eff_from, eff_to)` half-open, with `openEndSentinel` marking the
+    * still-current interval (matches whatever `openEnd` the SCD2 builder
+    * used). An event before the key's first interval gets no row (inner
+    * join — the caller chooses outer semantics by unioning misses).
+    */
+  def enrichAsOf(events: DataFrame, intervals: DataFrame, keyEq: Column,
+                 tsCol: String, effFromCol: String = "eff_from",
+                 effToCol: String = "eff_to",
+                 openEndSentinel: Long = -1L): DataFrame =
+    events.join(broadcast(intervals),
+      keyEq && col(tsCol) >= col(effFromCol) &&
+        (col(effToCol) === openEndSentinel || col(tsCol) < col(effToCol)))
 }

@@ -564,6 +564,32 @@ object EventQueries {
         "user_id", "t_us", "event_type", Seq("view", "click", "purchase"))
     },
 
+    // Stream-static temporal enrichment (round 10): purchases ARRIVE on a
+    // stream and pick up the user's activity state in effect at purchase
+    // time from the STATIC SCD2 table built over the non-purchase log
+    // (q46's builder) — the lookup half of dimension history. Stateless
+    // on the stream side: one broadcast interval join, no watermark, no
+    // state store.
+    "q49_enrich_stream" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val dt = e.schema("ts").dataType
+      val nonP = e.where(col("event_type") =!= "purchase")
+        .withColumn("t_us", unix_micros(Tables.asTimestamp(dt, "ts")))
+      val iv = graft.ops.Scd2.fromLog(nonP, "user_id", "t_us", "event_id",
+          "event_type", openEnd = lit(-1L))
+        .select(col("user_id").as("iv_user"), col("event_type").as("state"),
+          col("eff_from"), col("eff_to"))
+      val stream = s.readStream.schema(e.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(Tables.asTimestamp(dt, "ts")).as("t_us"))
+      val joined = graft.streaming.IntervalStream.enrichAsOf(
+          stream, iv, col("user_id") === col("iv_user"), "t_us")
+        .select("purchase_id", "user_id", "state", "eff_from")
+      graft.streaming.StreamRunner.runToBatch(joined, "q49_enrich")
+    },
+
     // The generic as-of join (ops/AsOfJoin) against DuckDB's NATIVE
     // ASOF LEFT JOIN as the oracle: every purchase picks up the latest
     // prior click value per user — tag + union + one keyed window, never a
@@ -1032,6 +1058,27 @@ object EventQueries {
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts""",
+    // q49: q46's SCD2 CTEs over the non-purchase log + the half-open
+    // interval join per purchase.
+    "q49_enrich_stream" ->
+      """WITH np AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+           FROM events WHERE event_type != 'purchase'),
+         o AS (SELECT user_id, event_type, t, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+           FROM np),
+         c AS (SELECT user_id, event_type, t, event_id FROM o
+           WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+         iv AS (SELECT user_id, event_type AS state, t AS eff_from,
+             coalesce(lead(t) OVER (
+               PARTITION BY user_id ORDER BY t, event_id), -1) AS eff_to
+           FROM c),
+         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.purchase_id, p.user_id, iv.state, iv.eff_from
+         FROM p JOIN iv ON p.user_id = iv.user_id
+           AND p.t_us >= iv.eff_from
+           AND (iv.eff_to = -1 OR p.t_us < iv.eff_to)""",
     // q48: the same sequential window gates, chained through CTEs.
     "q48_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events

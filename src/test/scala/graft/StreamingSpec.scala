@@ -62,6 +62,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichAsOf: in-effect interval per event, half-open + open tail") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val iv = Seq(
+      (1L, "a", 10L, 20L), (1L, "b", 20L, -1L), // b is current from t=20
+      (2L, "x", 5L, 8L))                         // closed; nothing after 8
+      .toDF("iv_user", "state", "eff_from", "eff_to")
+    val in = MemoryStream[(Long, Long, Long)]
+    val joined = graft.streaming.IntervalStream.enrichAsOf(
+        in.toDF().toDF("eid", "user", "t"), iv,
+        col("user") === col("iv_user"), "t")
+      .select("eid", "state")
+    val q = joined.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 1L, 10L),  // boundary: eff_from inclusive -> a
+        (2L, 1L, 20L),           // half-open: t=20 is b's, not a's
+        (3L, 1L, 99L),           // open tail -> b
+        (4L, 2L, 8L),            // half-open: t=8 past x's [5,8) -> no row
+        (5L, 2L, 3L))            // before the first interval -> no row
+      q.processAllAvailable()
+      val got = spark.table("enrich").as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "a", 2L -> "b", 3L -> "b"))
+    } finally q.stop()
+  }
+
   test("intervalJoin: identical results on batch frames (backfill parity)") {
     import spark.implicits._
     def ts(min: Int) = new Timestamp(min * 60000L)
