@@ -35,6 +35,9 @@ object ScaleStress {
     if (args.contains("semantic")) {
       runEmbeddingProbes(spark); spark.stop(); return
     }
+    if (args.contains("round10")) {
+      runRound10Probes(spark); spark.stop(); return
+    }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val n1 = docs1.count()
@@ -226,6 +229,105 @@ object ScaleStress {
     * probes (semdedup + the round-10 semantic family), skipping the text
     * suite.
     */
+  /** Round-10 probes: (a) KMV sketch vs exact COUNT(DISTINCT) on the
+    * gram set at 1x and 10x — the sketch's win must GROW with scale
+    * (bounded exchange vs all-distinct-values exchange); (b) PQ encode —
+    * map-only, must scale ~linearly; (c) funnel — one key exchange,
+    * ~linear. 10x corpora are tag-disjoint (zero shared grams).
+    */
+  private def runRound10Probes(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val docs10 = (0 until 10).map { r =>
+      val tag = s"r${r}x"
+      docs1.select((col("doc_id") + lit(r * 10_000_000L)).as("doc_id"),
+        concat(lit(tag), regexp_replace(col("text"), " ", " " + tag)).as("text"))
+    }.reduce(_ unionByName _)
+    def grams(d: DataFrame) = MinHashLSH.shingles(d, "doc_id", "text", 3)
+    def kmv(tag: String, d: DataFrame) = t(s"$tag kmv_distinct") {
+      val n = graft.functions.Sketches.kmvDistinct(grams(d), col("sh"), 256).count()
+      drop(); n
+    }
+    def exact(tag: String, d: DataFrame) = t(s"$tag exact_distinct") {
+      val n = grams(d).select("sh").distinct().count()
+      drop(); n
+    }
+    kmv("warmup", docs1)
+    val k1 = kmv("x1", docs1); val k10 = kmv("x10", docs10)
+    val e1 = exact("x1", docs1); val e10 = exact("x10", docs10)
+    println(f"kmv x1=$k1%6.2f x10=$k10%6.2f ratio=${k10 / k1}%5.1f | " +
+      f"exact x1=$e1%6.2f x10=$e10%6.2f ratio=${e10 / e1}%5.1f | " +
+      f"kmv-vs-exact at 10x: ${e10 / k10}%4.2fx")
+
+    // The crossover demonstration: the gram set above (272k distinct) is
+    // toy-sized — exact distinct is fixed-cost there. On a domain the size
+    // a 100 TB corpus actually has (here 50M/200M distinct 60-bit values),
+    // the exact path must exchange every distinct value while the sketch
+    // exchange stays at partitions x k longs.
+    def wide(n: Long) = spark.range(n)
+      .select(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    def kmvWide(tag: String, n: Long) = t(s"$tag kmv") {
+      val r = wide(n).agg(graft.functions.Sketches
+        .kmvAgg(wide(n), col("h"), 256).as("s")).count()
+      drop(); r
+    }
+    def exactWide(tag: String, n: Long) = t(s"$tag exact") {
+      val r = wide(n).distinct().count(); drop(); r
+    }
+    kmvWide("warmup 5M", 5_000_000L)
+    val wk1 = kmvWide("50M", 50_000_000L)
+    val we1 = exactWide("50M", 50_000_000L)
+    val wk2 = kmvWide("200M", 200_000_000L)
+    val we2 = exactWide("200M", 200_000_000L)
+    println(f"wide-domain kmv 50M=$wk1%6.2f exact 50M=$we1%6.2f " +
+      f"(${we1 / wk1}%4.2fx) | kmv 200M=$wk2%6.2f exact 200M=$we2%6.2f " +
+      f"(${we2 / wk2}%4.2fx)")
+
+    val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val emb10 = (0 until 10).map { r =>
+      emb1.select((col("vec_id") + lit(r * 10_000_000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(r.toFloat * 1e-3f)).as("embedding"))
+    }.reduce(_ unionByName _)
+    def enc(tag: String, e: DataFrame) = t(s"$tag pq_encode") {
+      val n = graft.functions.VectorPQ.encode(e, "vec_id", "embedding", 64)
+        .select(element_at(col("codes"), 1).as("c0")).agg(sum("c0")).count()
+      drop(); n
+    }
+    enc("warmup", emb1)
+    val p1 = enc("x1", emb1); val p10 = enc("x10", emb10)
+    println(f"pq_encode x1=$p1%6.2f x10=$p10%6.2f ratio=${p10 / p1}%5.1f")
+
+    val ev1 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t_us"))
+    val ev10 = (0 until 10).map { r =>
+      ev1.select((col("user_id") + lit(r * 10_000_000L)).as("user_id"),
+        col("event_id"), col("event_type"), col("t_us"))
+    }.reduce(_ unionByName _)
+    def fun(tag: String, e: DataFrame) = t(s"$tag funnel") {
+      val n = graft.ops.Funnel.conversion(e, "user_id", "t_us", "event_type",
+        Seq("view", "click", "purchase")).count()
+      drop(); n
+    }
+    fun("warmup", ev1)
+    val f1 = fun("x1", ev1); val f10 = fun("x10", ev10)
+    println(f"funnel x1=$f1%6.2f x10=$f10%6.2f ratio=${f10 / f1}%5.1f")
+  }
+
   private def runEmbeddingProbes(spark: SparkSession): Unit = {
     def t(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
