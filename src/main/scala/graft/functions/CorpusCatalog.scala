@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-dump corpus catalog — the STANDING ARTIFACT the sketch family
+  * exists for: one tiny row per ingested dump (counts, token volume,
+  * mean quality, and the distinct-gram KMV sketch), appended at ingest
+  * time and consulted forever after WITHOUT re-reading any dump.
+  *
+  * The payoff is [[overlaps]]: any pairwise dump overlap
+  * (jaccard/union/intersection of gram SETS) is pure array math over the
+  * catalog — at 100 TB per dump, the question "how much does this
+  * re-crawl overlap last month's?" costs a read of N catalog rows (k
+  * longs each), not a corpus pass. d87 proves the splice against the
+  * oracle with in-query sketches; this is the same math
+  * ([[Sketches.overlapColumns]] — one definition, cannot drift) over
+  * PERSISTED sketches, which `CorpusCatalogSpec` pins equal to the
+  * direct computation.
+  *
+  * Catalog build cost: one corpus scan feeding two bounded aggregates
+  * (doc-level stats; gram-level sketch) combined on a 1-row × 1-row
+  * broadcast join.
+  */
+object CorpusCatalog {
+
+  /** The catalog row for one dump: (dump_id, n_docs, n_tokens,
+    * mean_quality on the 1e-4 grid, sketch).
+    */
+  def summarize(docs: DataFrame, idCol: String, textCol: String,
+                dumpId: String, k: Int = 256): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)).as("n_tokens"),
+      round(avg(TextAnalysis.qualityScore(col(textCol))), 4).as("mean_quality"))
+    val grams = MinHashLSH.shingles(docs, idCol, textCol, n = 3)
+    val sketch = grams.agg(
+      Sketches.kmvAgg(grams, col("sh"), k).as("sketch"))
+    stats.crossJoin(broadcast(sketch))
+      .select(lit(dumpId).as("dump_id"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("sketch"),
+        Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"))
+  }
+
+  /** Append one dump's catalog row. */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+             path: String, dumpId: String, k: Int = 256): Unit =
+    summarize(docs, idCol, textCol, dumpId, k)
+      .write.mode("append").parquet(path)
+
+  /** All pairwise dump overlaps from the persisted catalog alone — no
+    * corpus is touched. Output one row per unordered dump pair with the
+    * d87 columns plus `inter_est`.
+    */
+  def overlaps(spark: SparkSession, path: String, k: Int = 256): DataFrame = {
+    val cat = spark.read.parquet(path)
+    val a = cat.select(col("dump_id").as("dump_a"), col("sketch").as("sk_a"))
+    val b = cat.select(col("dump_id").as("dump_b"), col("sketch").as("sk_b"))
+    a.join(b, col("dump_a") < col("dump_b"))
+      .select(col("dump_a") +: col("dump_b") +:
+        Sketches.overlapColumns(col("sk_a"), col("sk_b"), k): _*)
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+  }
+}

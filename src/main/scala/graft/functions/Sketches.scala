@@ -82,28 +82,35 @@ object Sketches {
     * class — no data moves). Per-dump sketches can be persisted and
     * spliced later without touching either corpus again.
     */
+  /** The splice math on two SKETCH COLUMNS (already-built bottom-k
+    * arrays): the columns `n_a, n_b, n_union_sketch, matches,
+    * jaccard_est, union_est` — shared by [[kmvOverlap]] (in-query
+    * sketches) and [[CorpusCatalog.overlaps]] (sketches read back from a
+    * persisted catalog).
+    */
+  def overlapColumns(skA: Column, skB: Column, k: Int): Seq[Column] = {
+    val merged = slice(array_sort(array_distinct(concat(skA, skB))), 1, k)
+    val matches = size(array_intersect(array_intersect(merged, skA), skB))
+    Seq(
+      size(skA).as("n_a"),
+      size(skB).as("n_b"),
+      size(merged).as("n_union_sketch"),
+      matches.as("matches"),
+      when(size(merged) === 0, lit(0.0))
+        .otherwise(matches.cast("double") / size(merged).cast("double"))
+        .as("jaccard_est"),
+      kmvEstimate(merged, k).as("union_est"))
+  }
+
   def kmvOverlap(a: DataFrame, b: DataFrame, ha: Column, hb: Column,
                  k: Int = 256): DataFrame = {
     val sa = a.select(ha.cast("long").as("h"))
       .agg(kmvAgg(a, col("h"), k).as("sk_a"))
     val sb = b.select(hb.cast("long").as("h"))
       .agg(kmvAgg(b, col("h"), k).as("sk_b"))
-    val merged = slice(array_sort(array_distinct(
-      concat(col("sk_a"), col("sk_b")))), 1, k)
     // 1-row × 1-row: a broadcast of one sketch, not a data cross product
     sa.crossJoin(broadcast(sb))
-      .withColumn("mg", merged)
-      .select(
-        size(col("sk_a")).as("n_a"),
-        size(col("sk_b")).as("n_b"),
-        size(col("mg")).as("n_union_sketch"),
-        size(array_intersect(array_intersect(col("mg"), col("sk_a")),
-          col("sk_b"))).as("matches"),
-        when(size(col("mg")) === 0, lit(0.0))
-          .otherwise(size(array_intersect(array_intersect(col("mg"),
-            col("sk_a")), col("sk_b"))).cast("double") /
-            size(col("mg")).cast("double")).as("jaccard_est"),
-        kmvEstimate(col("mg"), k).as("union_est"))
+      .select(overlapColumns(col("sk_a"), col("sk_b"), k): _*)
       .withColumn("inter_est", col("jaccard_est") * col("union_est"))
   }
 }

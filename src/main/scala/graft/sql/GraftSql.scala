@@ -226,6 +226,26 @@ object GraftSql {
       .createOrReplaceTempView(viewName)
   }
 
+  /** SCD2 interval history (the q46 shape) as a named temp view: the
+    * change log collapsed to `[eff_from, eff_to)` intervals. See
+    * [[graft.ops.Scd2.fromLog]].
+    */
+  def registerScd2(spark: SparkSession, viewName: String, log: DataFrame,
+                   keyCol: String, tsCol: String, ordCol: String,
+                   valueCol: String): Unit =
+    graft.ops.Scd2.fromLog(log, keyCol, tsCol, ordCol, valueCol,
+        org.apache.spark.sql.functions.lit(-1L))
+      .createOrReplaceTempView(viewName)
+
+  /** Ordered-funnel conversion (the q48 shape) as a named temp view. See
+    * [[graft.ops.Funnel.conversion]].
+    */
+  def registerFunnel(spark: SparkSession, viewName: String, events: DataFrame,
+                     keyCol: String, tsCol: String, typeCol: String,
+                     steps: Seq[String]): Unit =
+    graft.ops.Funnel.conversion(events, keyCol, tsCol, typeCol, steps)
+      .createOrReplaceTempView(viewName)
+
   /** Corpus distinct-cardinality sketch (the d86 shape) as a named temp
     * view: one row (sketch, n_sketch, est_distinct) for the distinct
     * n-gram count of a text frame — the sub-linear `COUNT(DISTINCT)`.

@@ -1281,6 +1281,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(per.nonEmpty && per.forall(_.getLong(1) <= 3))
   }
 
+  test("scd2 + funnel views answer plain SQL") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 5L, 3L, "x"))
+      .toDF("k", "t", "o", "v")
+    graft.sql.GraftSql.registerScd2(spark, "hist", log, "k", "t", "o", "v")
+    val iv = spark.sql(
+      "SELECT count(*) FROM hist WHERE eff_to = -1").head().getLong(0)
+    assert(iv === 2) // one open tail per key
+    val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 5L, "b"))
+      .toDF("u", "t", "ty")
+    graft.sql.GraftSql.registerFunnel(spark, "funnel", ev, "u", "t", "ty",
+      Seq("a", "b", "c"))
+    val conv = spark.sql(
+      "SELECT u, steps_reached FROM funnel ORDER BY u").collect()
+    assert(conv.map(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      Seq((1L, 3), (2L, 0)))
+  }
+
   test("dsir_weights + documents_calibrated views answer plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     val w = spark.sql(

@@ -114,3 +114,53 @@ class SketchSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size === 1)
   }
 }
+
+class CorpusCatalogSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.functions.{CorpusCatalog, MinHashLSH, Sketches}
+
+  test("persisted catalog answers overlaps identically to direct sketches") {
+    import spark.implicits._
+    def dump(tag: String, ids: Range) = ids.map(i =>
+      (i.toLong, s"$tag shared alpha beta gamma token$i delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // d1/d2 share the per-dump tag-free grams partially; d3 is disjoint
+    val d1 = dump("x", 0 until 40)
+    val d2 = dump("x", 20 until 60) // 50% doc overlap with d1, same tag
+    // a fully disjoint vocabulary — every token is dump3-unique, so no
+    // 3-gram can coincide with the template grams of dump1/dump2
+    val d3 = (0 until 10).map(i =>
+      (i.toLong, (0 until 11).map(j => s"q${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("catalog").toString
+    CorpusCatalog.append(d1, "doc_id", "text", path, "dump1", k = 64)
+    CorpusCatalog.append(d2, "doc_id", "text", path, "dump2", k = 64)
+    CorpusCatalog.append(d3, "doc_id", "text", path, "dump3", k = 64)
+
+    val cat = spark.read.parquet(path)
+    assert(cat.count() === 3)
+    val row1 = cat.where(col("dump_id") === "dump1").head()
+    assert(row1.getAs[Long]("n_docs") === 40)
+    assert(row1.getAs[Long]("n_tokens") === 40 * 11) // 11 words per doc
+
+    val got = CorpusCatalog.overlaps(spark, path, k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Int]("matches"), r.getAs[Double]("jaccard_est"))).toMap
+    // direct computation over the corpora must agree exactly
+    def direct(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) = {
+      val r = Sketches.kmvOverlap(
+        MinHashLSH.shingles(a, "doc_id", "text", 3),
+        MinHashLSH.shingles(b, "doc_id", "text", 3),
+        col("sh"), col("sh"), k = 64).head()
+      (r.getAs[Int]("matches"), r.getAs[Double]("jaccard_est"))
+    }
+    assert(got(("dump1", "dump2")) === direct(d1, d2))
+    assert(got(("dump1", "dump3")) === direct(d1, d3))
+    assert(got(("dump2", "dump3")) === direct(d2, d3))
+    // sanity on the semantics: overlapping dumps share grams, the
+    // disjoint-tag dump shares none
+    assert(got(("dump1", "dump2"))._1 > 0)
+    assert(got(("dump1", "dump3"))._1 === 0)
+  }
+}
