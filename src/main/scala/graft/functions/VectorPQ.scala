@@ -74,6 +74,26 @@ object VectorPQ {
              codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim not divisible by m=$m")
     val dsub = dim / m
+    // native kernel (graft.plans.PqEncode): the per-subspace argmin as one
+    // flat primitive loop — bit-identical codes to the HOF formulation
+    // (VectorPQSpec pins the parity), which was the entire d94/d95 floor.
+    // Contract difference on DEGENERATE input only: a partial-null or
+    // wrong-length vector now yields codes = NULL for the whole row
+    // (the HOF emitted per-subspace null code elements) — no caller can
+    // act on partially-encoded vectors anyway.
+    df.withColumn("codes", graft.plans.PqExpressions.encodeColumn(
+      df.sparkSession, col(vecCol).cast("array<double>"), m, ksub, dsub,
+      codebook.getOrElse(mdCodebook(m, ksub, dsub))))
+  }
+
+  /** The pre-native HOF formulation, kept as the parity REFERENCE the
+    * spec checks the kernel against (and the shape a non-JVM engine
+    * would replay).
+    */
+  private[graft] def encodeHof(df: DataFrame, vecCol: String, dim: Int,
+                               m: Int, ksub: Int,
+                               codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val dsub = dim / m
     val cb = codebookLit(codebook.getOrElse(mdCodebook(m, ksub, dsub)))
     val v = col(vecCol).cast("array<double>")
     val codes = transform(sequence(lit(0), lit(m - 1)), j => {

@@ -200,6 +200,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SqDistance].getName, "graft_l2"),
       VectorExpressions.l2Builder))
     ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      PqExpressions.builder))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
       SketchExpressions.builder))

@@ -119,6 +119,39 @@ class VectorPQSpec extends SparkSpec {
     assert(codes.toSeq === again.toSeq)
   }
 
+  test("native kernel codes == HOF reference codes, incl. trained codebooks") {
+    import spark.implicits._
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d) * 2.0)))
+      .toDF("vec_id", "embedding")
+    for (cb <- Seq(None,
+      Some(VectorPQ.train(vecs, "vec_id", "embedding", 16, m = 4, ksub = 8,
+        iters = 2)))) {
+      val native = VectorPQ.encode(vecs, "vec_id", "embedding", 16, m = 4,
+          ksub = 8, codebook = cb)
+        .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+      val hof = VectorPQ.encodeHof(vecs, "embedding", 16, m = 4, ksub = 8,
+          codebook = cb)
+        .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+      assert(native === hof, s"codebook=${cb.isDefined}")
+    }
+  }
+
+  test("native kernel nulls whole-row on partial-null or ragged input") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0))),
+      (2L, Some(Seq[java.lang.Double](1.0, null, 3.0, 4.0))),
+      (3L, Some(Seq[java.lang.Double](1.0, 2.0))), // wrong length
+      (4L, None))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val got = VectorPQ.encode(rows, "vec_id", "embedding", 4, m = 2, ksub = 4)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
   test("a vector equal to a codeword concatenation encodes to those codes") {
     import spark.implicits._
     // build the exact concatenation of codeword 5 in subspace 0 and
