@@ -11,17 +11,19 @@ import graft.functions.{MinHashLSH, TextAnalysis}
   *
   *   raw documents
   *     → quality + repetition gates (map-only projections)
+  *     → model-score gate (the batched classifier-filter seam)
   *     → exact-dedup canonical (one fingerprint partial-agg)
   *     → near-dup cluster canonical (LSH band join → connected components)
   *     → 13-gram benchmark decontamination, excised in place
   *     → length-weighted sampling to a per-source budget (ES draws)
   *     → fixed-window chunking → deterministic cross-doc packing
   *     → hash-sharded parquet write (rerun-identical shard assignment)
-  *     + a KMV cardinality audit of the surviving gram set (one tiny agg)
+  *     + a corpus-catalog row appended (counts, quality, KMV gram sketch —
+  *       the standing artifact later dump-overlap checks splice against)
   *
   * Everything is the same oracle-gated operators the driver suite runs
-  * (d19 / d70 / d90 / d25 / d41 / d86 / the shard writer) — this main
-  * just wires them into one DAG-per-stage job and prints the funnel.
+  * (d19 / d97 / d70 / d90 / d25 / d41 / d86 / the shard writer) — this
+  * main just wires them into one DAG-per-stage job and prints the funnel.
   *
   *   runMain graft.tools.ExamplePipeline [sfDir] [outDir]
   */
@@ -38,10 +40,17 @@ object ExamplePipeline {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n0 = docs.count()
 
-    // 1. map-only gates: quality floor, repetition ceiling.
-    val gated = TextAnalysis.repetitionRatio(docs, "doc_id", "text")
+    // 1. map-only gates: quality floor, repetition ceiling, then the
+    // model-score gate through the batched classifier seam (the shipped
+    // scorer is the deterministic stand-in; a real deployment plugs its
+    // classifier into the same TextScorer and nothing else changes).
+    val heuristic = TextAnalysis.repetitionRatio(docs, "doc_id", "text")
       .where(TextAnalysis.qualityScore(col("text")) >= 0.3 &&
         col("rep_ratio") <= 0.05)
+      .select("doc_id", "text")
+    val gated = heuristic
+      .join(graft.functions.ModelScore.score(heuristic, "doc_id", "text")
+        .where(col("model_score") >= 0.05), "doc_id")
       .select("doc_id", "text")
     val n1 = gated.count()
 
@@ -109,19 +118,19 @@ object ExamplePipeline {
     val n6 = packed.count()
     graft.io.TableWriter.writeShards(packed, outDir, "seq_key", nShards = 8)
 
-    // 7. cardinality audit: distinct-3-gram estimate of what shipped —
-    // the KMV sketch is k longs, so this costs one bounded partial-agg,
-    // and the per-run sketch is the standing artifact later corpus-diff
-    // overlap checks splice against.
-    val grams = MinHashLSH.shingles(sampled, "doc_id", "text", n = 3)
-    val audit = graft.functions.Sketches.kmvDistinct(grams, col("sh"), k = 256)
-      .head()
+    // 7. append this run's catalog row — counts, grid quality, the KMV
+    // gram sketch: the standing artifact any later dump-overlap question
+    // splices against without re-reading this corpus.
+    graft.functions.CorpusCatalog.append(sampled, "doc_id", "text",
+      s"$outDir/_catalog", dumpId = "this_run")
+    val audit = spark.read.parquet(s"$outDir/_catalog").head()
 
     println(f"docs $n0%6d -> gated $n1%6d -> exact $n2%6d -> " +
       f"neardup $n3%6d -> decontaminated $n4%6d -> sampled $n5%6d -> " +
       f"packed seqs $n6%6d")
     println(f"shipped distinct-3-gram estimate: " +
-      f"${audit.getAs[Double]("est_distinct")}%.0f")
+      f"${audit.getAs[Double]("est_distinct_grams")}%.0f " +
+      f"(catalog row at $outDir/_catalog)")
     println(s"sharded parquet at $outDir (8 md5-stable shards)")
     graft.CacheRegistry.releaseAll()
     spark.stop()
