@@ -377,6 +377,26 @@ object PipelineQueries {
           graft.ops.ZOrder.normalize(col("n_chars"), 16), bits = 16).as("z"))
     },
 
+    // The live per-domain corpus catalog (round 10): d92's grouped sketch
+    // maintained over an ARRIVING corpus — streaming state is k longs per
+    // domain, watermark-free (bounded by construction), update-mode final
+    // emission per key. Completes the batch/stream × global/grouped
+    // sketch matrix (d86/d92/d88/this); same oracle as d92.
+    "d99_kmv_domain_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val g = MinHashLSH.shingles(stream, "source", "text", n = 3)
+      val agg = g.groupBy("source")
+        .agg(graft.functions.Sketches.kmvAgg(g, col("sh"), 64).as("sketch"))
+        .select(col("source"),
+          array_join(col("sketch").cast("array<string>"), ",").as("sketch_csv"),
+          size(col("sketch")).as("n_sketch"),
+          graft.functions.Sketches.kmvEstimate(col("sketch"), 64).as("est_distinct"))
+      graft.streaming.StreamRunner.runToBatch(agg, "d99_kmv_domain_stream",
+        mode = "update")
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -1803,25 +1823,13 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
            FROM c)
          SELECT source, tok, cnt, rk FROM r WHERE rk <= 5""",
+    // d99: the streamed twin of d92 — identical replay (one micro-batch
+    // over the finite source, update mode emits each domain's final
+    // sketch once).
+    "d99_kmv_domain_stream" -> KmvByDomainSql,
     // d92: per-source bottom-64 distinct gram hashes + the shared
     // estimator, replayed.
-    "d92_kmv_by_domain" ->
-      """WITH g AS (SELECT DISTINCT source,
-             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
-           SELECT source, unnest(list_transform(range(0, len(w) - 2),
-             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
-           FROM (SELECT source, string_split(lower(text), ' ') AS w FROM documents)
-           WHERE len(w) >= 3)),
-         rk AS (SELECT source, h,
-             row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM g),
-         sk AS (SELECT source, list(h ORDER BY h) AS sketch
-           FROM rk WHERE rk <= 64 GROUP BY source)
-         SELECT source, array_to_string(sketch, ',') AS sketch_csv,
-           len(sketch) AS n_sketch,
-           CASE WHEN len(sketch) < 64 THEN CAST(len(sketch) AS DOUBLE)
-                ELSE 63 * 1152921504606846976.0 / (CAST(sketch[64] AS DOUBLE) + 1.0)
-           END AS est_distinct
-         FROM sk""",
+    "d92_kmv_by_domain" -> KmvByDomainSql,
     // d90: the Efraimidis–Spirakis key replayed — same u, same ln, same
     // ordering, same tie-break.
     "d90_weighted_sample" ->
@@ -3375,6 +3383,24 @@ object PipelineQueries {
            CAST(n_chars AS BIGINT) % 65536 AS b FROM documents)
        SELECT doc_id, ($terms) AS z FROM m"""
   }
+
+  private lazy val KmvByDomainSql: String =
+    """WITH g AS (SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT source, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT source, string_split(lower(text), ' ') AS w FROM documents)
+           WHERE len(w) >= 3)),
+         rk AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM g),
+         sk AS (SELECT source, list(h ORDER BY h) AS sketch
+           FROM rk WHERE rk <= 64 GROUP BY source)
+         SELECT source, array_to_string(sketch, ',') AS sketch_csv,
+           len(sketch) AS n_sketch,
+           CASE WHEN len(sketch) < 64 THEN CAST(len(sketch) AS DOUBLE)
+                ELSE 63 * 1152921504606846976.0 / (CAST(sketch[64] AS DOUBLE) + 1.0)
+           END AS est_distinct
+         FROM sk"""
 
   private lazy val KmvDistinctSql: String =
     """WITH g AS (SELECT DISTINCT CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
