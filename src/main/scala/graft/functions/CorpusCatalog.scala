@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * PERSISTED sketches, which `CorpusCatalogSpec` pins equal to the
   * direct computation.
   *
-  * Catalog build cost: one corpus scan feeding two bounded aggregates
-  * (doc-level stats; gram-level sketch) combined on a 1-row × 1-row
-  * broadcast join.
+  * Catalog build cost: one PERSISTED corpus projection feeding two
+  * bounded aggregates (doc-level stats; gram-level sketch) combined on
+  * a 1-row × 1-row broadcast join; release via CacheRegistry after the
+  * consuming action (append does the write immediately, so the standard
+  * releaseAll discipline applies).
   */
 object CorpusCatalog {
 
@@ -29,11 +31,18 @@ object CorpusCatalog {
     */
   def summarize(docs: DataFrame, idCol: String, textCol: String,
                 dumpId: String, k: Int = 256): DataFrame = {
-    val stats = docs.agg(
+    // the S4 persist-where-reused rule: the doc-stats branch and the
+    // gram-sketch branch both read the same projection; without the
+    // persist, Spark scans the dump TWICE (aggregate branches don't
+    // share a scan)
+    val base = graft.CacheRegistry.track(
+      docs.select(col(idCol), col(textCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val stats = base.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)).as("n_tokens"),
       round(avg(TextAnalysis.qualityScore(col(textCol))), 4).as("mean_quality"))
-    val grams = MinHashLSH.shingles(docs, idCol, textCol, n = 3)
+    val grams = MinHashLSH.shingles(base, idCol, textCol, n = 3)
     val sketch = grams.agg(
       Sketches.kmvAgg(grams, col("sh"), k).as("sketch"))
     stats.crossJoin(broadcast(sketch))
@@ -59,6 +68,5 @@ object CorpusCatalog {
     a.join(b, col("dump_a") < col("dump_b"))
       .select(col("dump_a") +: col("dump_b") +:
         Sketches.overlapColumns(col("sk_a"), col("sk_b"), k): _*)
-      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
   }
 }

@@ -61,32 +61,36 @@ object ModelScore {
   }
 
   /** `df(idCol, textCol)` → (idCol, model_score): batched scoring through
-    * the seam. Scores are NULL for NULL text.
+    * the seam. Scores are NULL for NULL text. The id column keeps its
+    * ORIGINAL type (string URLs, hashes, longs — whatever the corpus
+    * keys by; sibling APIs like [[CorpusCatalog]] accept the same), and
+    * a NULL id passes through like any other row.
     */
   def score(df: DataFrame, idCol: String, textCol: String,
             scorer: TextScorer = HashScorer, batchSize: Int = 64): DataFrame = {
     require(batchSize > 0, s"batchSize=$batchSize must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        scorer.open()
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => scorer.close()))
-        it.grouped(batchSize).flatMap { batch =>
-          val (scored, unscored) = batch.zipWithIndex.partition(_._1._2 != null)
-          val scores = scorer.scoreBatch(scored.map(_._1._2).toArray)
-          require(scores.length == scored.length,
-            s"scorer returned ${scores.length} scores for ${scored.length} texts")
-          val out = new Array[(Long, java.lang.Double)](batch.length)
-          scored.zip(scores).foreach { case (((id, _), i), s) =>
-            out(i) = (id, s)
-          }
-          unscored.foreach { case ((id, _), i) => out(i) = (id, null) }
-          out.iterator
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val in = df.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("model_score", DoubleType, nullable = true)))
+    in.mapPartitions { it =>
+      scorer.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => scorer.close()))
+      it.grouped(batchSize).flatMap { batch =>
+        val (scored, unscored) = batch.zipWithIndex
+          .partition { case (r, _) => !r.isNullAt(1) }
+        val scores = scorer.scoreBatch(scored.map(_._1.getString(1)).toArray)
+        require(scores.length == scored.length,
+          s"scorer returned ${scores.length} scores for ${scored.length} texts")
+        val out = new Array[Row](batch.length)
+        scored.zip(scores).foreach { case ((r, i), s) =>
+          out(i) = Row(r.get(0), s)
         }
+        unscored.foreach { case (r, i) => out(i) = Row(r.get(0), null) }
+        out.iterator
       }
-      .toDF(idCol, "model_score")
+    }(Encoders.row(outSchema))
   }
 }

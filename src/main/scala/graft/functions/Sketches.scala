@@ -70,6 +70,29 @@ object Sketches {
       .select(col("sketch"), size(col("sketch")).as("n_sketch"),
         kmvEstimate(col("sketch"), k).as("est_distinct"))
 
+  /** The splice math on two SKETCH COLUMNS (already-built bottom-k
+    * arrays): the columns `n_a, n_b, n_union_sketch, matches,
+    * jaccard_est, union_est, inter_est` — the ONE definition shared by
+    * [[kmvOverlap]] (in-query sketches) and [[CorpusCatalog.overlaps]]
+    * (sketches read back from a persisted catalog), so the two answer
+    * paths cannot drift.
+    */
+  def overlapColumns(skA: Column, skB: Column, k: Int): Seq[Column] = {
+    val merged = slice(array_sort(array_distinct(concat(skA, skB))), 1, k)
+    val matches = size(array_intersect(array_intersect(merged, skA), skB))
+    val jaccard = when(size(merged) === 0, lit(0.0))
+      .otherwise(matches.cast("double") / size(merged).cast("double"))
+    val union = kmvEstimate(merged, k)
+    Seq(
+      size(skA).as("n_a"),
+      size(skB).as("n_b"),
+      size(merged).as("n_union_sketch"),
+      matches.as("matches"),
+      jaccard.as("jaccard_est"),
+      union.as("union_est"),
+      (jaccard * union).as("inter_est"))
+  }
+
   /** Cross-set overlap from two KMV sketches (theta-sketch splice): trim
     * the union of the sketches to its k smallest (`mg` — the sketch of
     * A∪B, since each side's sketch retains everything below its own kth
@@ -82,26 +105,6 @@ object Sketches {
     * class — no data moves). Per-dump sketches can be persisted and
     * spliced later without touching either corpus again.
     */
-  /** The splice math on two SKETCH COLUMNS (already-built bottom-k
-    * arrays): the columns `n_a, n_b, n_union_sketch, matches,
-    * jaccard_est, union_est` — shared by [[kmvOverlap]] (in-query
-    * sketches) and [[CorpusCatalog.overlaps]] (sketches read back from a
-    * persisted catalog).
-    */
-  def overlapColumns(skA: Column, skB: Column, k: Int): Seq[Column] = {
-    val merged = slice(array_sort(array_distinct(concat(skA, skB))), 1, k)
-    val matches = size(array_intersect(array_intersect(merged, skA), skB))
-    Seq(
-      size(skA).as("n_a"),
-      size(skB).as("n_b"),
-      size(merged).as("n_union_sketch"),
-      matches.as("matches"),
-      when(size(merged) === 0, lit(0.0))
-        .otherwise(matches.cast("double") / size(merged).cast("double"))
-        .as("jaccard_est"),
-      kmvEstimate(merged, k).as("union_est"))
-  }
-
   def kmvOverlap(a: DataFrame, b: DataFrame, ha: Column, hb: Column,
                  k: Int = 256): DataFrame = {
     val sa = a.select(ha.cast("long").as("h"))
@@ -111,6 +114,5 @@ object Sketches {
     // 1-row × 1-row: a broadcast of one sketch, not a data cross product
     sa.crossJoin(broadcast(sb))
       .select(overlapColumns(col("sk_a"), col("sk_b"), k): _*)
-      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
   }
 }

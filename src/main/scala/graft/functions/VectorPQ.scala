@@ -183,7 +183,11 @@ object VectorPQ {
                  codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val dsub = dim / m
     val cb = codebookLit(codebook.getOrElse(mdCodebook(m, ksub, dsub)))
+    // degenerate vectors encode to codes=NULL (whole-row contract); they
+    // must not enter the ranking — a NULL ADC distance would sort FIRST
+    // under the default ascending order and displace every real neighbor
     val enc = encode(corpus, idCol, vecCol, dim, m, ksub, codebook)
+      .where(col("codes").isNotNull)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val cells = VectorIVF
       .assign(corpus, idCol, vecCol, centroids, cellIdCol, cellVecCol)
@@ -221,7 +225,9 @@ object VectorPQ {
               codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val dsub = dim / m
     val cb = codebookLit(codebook.getOrElse(mdCodebook(m, ksub, dsub)))
+    // NULL-coded (degenerate) corpus rows are excluded — see ivfAdcTopK
     val enc = encode(corpus, idCol, vecCol, dim, m, ksub, codebook)
+      .where(col("codes").isNotNull)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))

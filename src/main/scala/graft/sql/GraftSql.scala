@@ -232,9 +232,13 @@ object GraftSql {
     */
   def registerScd2(spark: SparkSession, viewName: String, log: DataFrame,
                    keyCol: String, tsCol: String, ordCol: String,
-                   valueCol: String): Unit =
-    graft.ops.Scd2.fromLog(log, keyCol, tsCol, ordCol, valueCol,
-        org.apache.spark.sql.functions.lit(-1L))
+                   valueCol: String,
+                   openEnd: org.apache.spark.sql.Column =
+                     org.apache.spark.sql.functions.lit(null)): Unit =
+    // openEnd default NULL: type-correct for ANY tsCol type (a hard-coded
+    // -1L sentinel fails analysis against a timestamp column); callers on
+    // numeric epochs can pass lit(-1L) to keep the q46 sentinel shape
+    graft.ops.Scd2.fromLog(log, keyCol, tsCol, ordCol, valueCol, openEnd)
       .createOrReplaceTempView(viewName)
 
   /** Ordered-funnel conversion (the q48 shape) as a named temp view. See

@@ -43,10 +43,15 @@ object IntervalStream {
     * of slowly-changing-dimension history. STATELESS on the stream side
     * (a plain broadcast/equi join against a static frame; no watermark,
     * no state store), so it composes with any downstream streaming stage.
-    * `[eff_from, eff_to)` half-open, with `openEndSentinel` marking the
-    * still-current interval (matches whatever `openEnd` the SCD2 builder
-    * used). An event before the key's first interval gets no row (inner
-    * join — the caller chooses outer semantics by unioning misses).
+    * `[eff_from, eff_to)` half-open; the still-current interval is open
+    * whether the SCD2 builder marked it with a NULL `eff_to`
+    * ([[graft.ops.Scd2.fromLog]]'s default) or the `openEndSentinel`
+    * value — BOTH are treated as open here, because a plain `===`
+    * against a NULL eff_to would evaluate to NULL and silently drop
+    * every event in the most recent (open) interval, the most common
+    * lookup of all. An event before the key's first interval gets no
+    * row (inner join — the caller chooses outer semantics by unioning
+    * misses).
     */
   def enrichAsOf(events: DataFrame, intervals: DataFrame, keyEq: Column,
                  tsCol: String, effFromCol: String = "eff_from",
@@ -54,5 +59,6 @@ object IntervalStream {
                  openEndSentinel: Long = -1L): DataFrame =
     events.join(broadcast(intervals),
       keyEq && col(tsCol) >= col(effFromCol) &&
-        (col(effToCol) === openEndSentinel || col(tsCol) < col(effToCol)))
+        (col(effToCol).isNull || col(effToCol) === openEndSentinel ||
+          col(tsCol) < col(effToCol)))
 }

@@ -44,10 +44,15 @@ object ExamplePipeline {
     // model-score gate through the batched classifier seam (the shipped
     // scorer is the deterministic stand-in; a real deployment plugs its
     // classifier into the same TextScorer and nothing else changes).
-    val heuristic = TextAnalysis.repetitionRatio(docs, "doc_id", "text")
-      .where(TextAnalysis.qualityScore(col("text")) >= 0.3 &&
-        col("rep_ratio") <= 0.05)
-      .select("doc_id", "text")
+    // `heuristic` is persisted (S4 rule): both sides of the score join
+    // read it — without the persist the repetition-ratio subtree and the
+    // docs scan run twice.
+    val heuristic = graft.CacheRegistry.track(
+      TextAnalysis.repetitionRatio(docs, "doc_id", "text")
+        .where(TextAnalysis.qualityScore(col("text")) >= 0.3 &&
+          col("rep_ratio") <= 0.05)
+        .select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val gated = heuristic
       .join(graft.functions.ModelScore.score(heuristic, "doc_id", "text")
         .where(col("model_score") >= 0.05), "doc_id")
@@ -97,13 +102,15 @@ object ExamplePipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n4 = clean.count()
 
-    // 5. length-weighted sample to a per-source budget: inclusion ∝ doc
-    // length (token mass), Efraimidis–Spirakis without replacement —
-    // deterministic, so a rerun draws the identical corpus.
-    val sampled = graft.functions.Sampling.weightedSample(
+    // 5. length-weighted sample to a budget: inclusion ∝ doc length
+    // (token mass), Efraimidis–Spirakis without replacement —
+    // deterministic, so a rerun draws the identical corpus. The SALTED
+    // two-phase form, because the single constant domain here is exactly
+    // the mega-domain case the plain window would sort on one task.
+    val sampled = graft.functions.Sampling.weightedSampleSalted(
         clean.withColumn("n_chars", length(col("text")))
           .withColumn("source", lit("corpus")),
-        "doc_id", "n_chars", "source", n = 100000)
+        "doc_id", "n_chars", "source", n = 100000, salts = 32)
       .select("doc_id", "text")
     val n5 = sampled.count()
 

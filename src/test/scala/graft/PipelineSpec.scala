@@ -1285,10 +1285,17 @@ class GraftSqlSpec extends SparkSpec {
     import spark.implicits._
     val log = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 5L, 3L, "x"))
       .toDF("k", "t", "o", "v")
+    // default openEnd is NULL (type-correct for any ts type); numeric
+    // epochs can opt into the -1 sentinel explicitly
     graft.sql.GraftSql.registerScd2(spark, "hist", log, "k", "t", "o", "v")
+    val ivNull = spark.sql(
+      "SELECT count(*) FROM hist WHERE eff_to IS NULL").head().getLong(0)
+    assert(ivNull === 2) // one open tail per key
+    graft.sql.GraftSql.registerScd2(spark, "hist", log, "k", "t", "o", "v",
+      openEnd = lit(-1L))
     val iv = spark.sql(
       "SELECT count(*) FROM hist WHERE eff_to = -1").head().getLong(0)
-    assert(iv === 2) // one open tail per key
+    assert(iv === 2)
     val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 5L, "b"))
       .toDF("u", "t", "ty")
     graft.sql.GraftSql.registerFunnel(spark, "funnel", ev, "u", "t", "ty",

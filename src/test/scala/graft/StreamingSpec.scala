@@ -88,6 +88,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichAsOf treats a NULL eff_to (Scd2 default) as the open tail") {
+    import spark.implicits._
+    // intervals straight from Scd2.fromLog with its DEFAULT null openEnd:
+    // events in the most recent interval must still enrich
+    val log = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"))
+      .toDF("key", "t", "o", "v")
+    val iv = graft.ops.Scd2.fromLog(log, "key", "t", "o", "v")
+      .select(col("key").as("iv_user"), col("v").as("state"),
+        col("eff_from"), col("eff_to"))
+    val ev = Seq((1L, 1L, 15L), (2L, 1L, 99L)).toDF("eid", "user", "t")
+    val got = graft.streaming.IntervalStream.enrichAsOf(
+        ev, iv, col("user") === col("iv_user"), "t")
+      .select("eid", "state").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "b")) // 99 lands in the OPEN "b"
+  }
+
   test("intervalJoin: identical results on batch frames (backfill parity)") {
     import spark.implicits._
     def ts(min: Int) = new Timestamp(min * 60000L)

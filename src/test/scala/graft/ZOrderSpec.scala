@@ -195,6 +195,22 @@ class VectorPQSpec extends SparkSpec {
     assert(rTrained >= 0.6, s"trained recall $rTrained")
   }
 
+  test("degenerate corpus vectors never enter the ADC ranking") {
+    import spark.implicits._
+    // a wrong-length vector encodes to codes=NULL; with NULLS FIRST
+    // default ordering it would displace every real neighbor at rank 1
+    val corpus = ((0 until 10).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i * 31 + d)))) :+
+      (666L, Array(1.0, 2.0))) // ragged
+      .toDF("vec_id", "embedding")
+    val queries = Seq((999L, Array.tabulate(16)(d => math.sin(d.toDouble))))
+      .toDF("vec_id", "embedding")
+    val got = graft.functions.VectorPQ.adcTopK(queries, corpus, "vec_id",
+        "embedding", k = 3, dim = 16, m = 2, ksub = 16)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.length === 3 && !got.contains(666L))
+  }
+
   test("adcTopK ranks a PQ-identical vector first") {
     import spark.implicits._
     // corpus vector 100 IS the reconstruction of some codes; its ADC
@@ -260,6 +276,20 @@ class ModelScoreSpec extends SparkSpec {
     val sizes = ModelScoreSpec.sizes.toArray(Array.empty[Integer]).map(_.toInt)
     assert(sizes.forall(_ <= 16))
     assert(sizes.sum === 40)
+  }
+
+  test("string ids keep their type and null ids pass through") {
+    import spark.implicits._
+    val docs = Seq(("https://a.example/x", "abc"), (null, "de"))
+      .toDF("url", "text")
+    val got = ModelScore.score(docs, "url", "text", scorer = new Probe,
+      batchSize = 2)
+    assert(got.schema("url").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val rows = got.collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(rows(Some("https://a.example/x")) === 3.0)
+    assert(rows(None) === 2.0) // null ID is a normal row; text still scores
   }
 
   test("null text scores null without reaching the scorer") {
