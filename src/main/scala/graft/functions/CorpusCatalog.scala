@@ -47,7 +47,7 @@ object CorpusCatalog {
       Sketches.kmvAgg(grams, col("sh"), k).as("sketch"))
     stats.crossJoin(broadcast(sketch))
       .select(lit(dumpId).as("dump_id"), col("n_docs"), col("n_tokens"),
-        col("mean_quality"), col("sketch"),
+        col("mean_quality"), col("sketch"), lit(k).as("k"),
         Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"))
   }
 
@@ -63,10 +63,23 @@ object CorpusCatalog {
     */
   def overlaps(spark: SparkSession, path: String, k: Int = 256): DataFrame = {
     val cat = spark.read.parquet(path)
+    // The sketch size k is part of the estimator: splicing a k=64 sketch
+    // under k=256 treats it as an exact set and skews union/inter
+    // estimates silently. Rows written since the `k` column exists carry
+    // it; use the stored value (and require one uniform k across the
+    // catalog). Pre-`k` catalogs fall back to the caller's parameter.
+    val effK =
+      if (cat.columns.contains("k")) {
+        val ks = cat.select(col("k")).distinct().collect().map(_.getInt(0))
+        require(ks.length == 1,
+          s"catalog at $path mixes sketch sizes k=${ks.sorted.mkString(",")}; " +
+            "overlaps() needs one uniform k")
+        ks.head
+      } else k
     val a = cat.select(col("dump_id").as("dump_a"), col("sketch").as("sk_a"))
     val b = cat.select(col("dump_id").as("dump_b"), col("sketch").as("sk_b"))
     a.join(b, col("dump_a") < col("dump_b"))
       .select(col("dump_a") +: col("dump_b") +:
-        Sketches.overlapColumns(col("sk_a"), col("sk_b"), k): _*)
+        Sketches.overlapColumns(col("sk_a"), col("sk_b"), effK): _*)
   }
 }

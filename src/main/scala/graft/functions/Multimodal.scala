@@ -122,6 +122,10 @@ object Multimodal {
       ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
         ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
     }
+    private def be16(b: Array[Byte], off: Int): Int = {
+      require(off + 2 <= b.length, s"truncated header at offset $off")
+      ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+    }
     /** Skip a GIF sub-block chain (size-prefixed blocks, 0 terminator);
       * returns the offset just past the terminator.
       */
@@ -136,8 +140,68 @@ object Multimodal {
     private def gifColorTableSize(flags: Int): Int =
       if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0
 
+    /** JPEG (ITU T.81 / JFIF): walk the marker-segment list from SOI to the
+      * frame header. Every segment is FF + marker + uint16-BE length
+      * (length INCLUDES its own two bytes); fill bytes (repeated FF) before
+      * a marker are legal padding (T.81 §B.1.1.2); RSTn/TEM/SOI are
+      * standalone (no length). All SOFn frame headers share one layout —
+      * precision(1), height(2 BE), width(2 BE), nComponents(1) — so
+      * baseline SOF0, progressive SOF2 and the rarer SOF1/3/5-7/9-11/13-15
+      * all decode through the same read. channels = nComponents (1 = gray,
+      * 3 = YCbCr, 4 = CMYK). SOS or EOI before any SOF means a frameless
+      * stream — throw, like every other truncation here.
+      */
+    private def decodeJpeg(bytes: Array[Byte]): MediaInfo = {
+      var off = 2
+      var out: MediaInfo = null
+      while (out == null) {
+        require(off + 2 <= bytes.length, "truncated JPEG marker stream")
+        require((bytes(off) & 0xFF) == 0xFF,
+          f"expected JPEG marker at offset $off, got 0x${bytes(off) & 0xFF}%02X")
+        var p = off + 1
+        while ({ require(p < bytes.length, "truncated JPEG marker stream")
+                 (bytes(p) & 0xFF) == 0xFF }) p += 1 // fill bytes
+        val m = bytes(p) & 0xFF
+        val seg = p + 1 // first byte after the marker code
+        m match {
+          case 0x00 =>
+            throw new IllegalArgumentException(
+              "stuffed 0xFF00 outside entropy-coded data")
+          case 0xD8 | 0x01 => off = seg // SOI / TEM: standalone
+          case r if r >= 0xD0 && r <= 0xD7 => off = seg // RSTn: standalone
+          case 0xD9 =>
+            throw new IllegalArgumentException("JPEG EOI before any SOF frame header")
+          case 0xDA =>
+            throw new IllegalArgumentException("JPEG SOS before any SOF frame header")
+          case sof if sof >= 0xC0 && sof <= 0xCF &&
+              sof != 0xC4 && sof != 0xC8 && sof != 0xCC => // SOFn (not DHT/JPG/DAC)
+            val len = be16(bytes, seg)
+            require(seg + len <= bytes.length, s"SOF segment overruns the blob")
+            val nComp = { require(len >= 8, s"SOF length $len < 8"); bytes(seg + 7) & 0xFF }
+            require(len >= 8 + 3 * nComp,
+              s"SOF length $len too short for $nComp components")
+            val height = be16(bytes, seg + 3)
+            val width = be16(bytes, seg + 5)
+            require(width > 0 && height > 0 && nComp > 0,
+              s"degenerate SOF dimensions ${width}x$height c=$nComp")
+            out = MediaInfo(width = width, height = height,
+              channels = nComp, nFrames = 1)
+          case _ => // any other segment: length-prefixed, skip its payload
+            val len = be16(bytes, seg)
+            require(len >= 2, s"JPEG segment length $len < 2")
+            require(seg + len <= bytes.length,
+              f"segment 0x$m%02X length $len overruns the ${bytes.length}-byte blob")
+            off = seg + len
+        }
+      }
+      out
+    }
+
     override def decode(bytes: Array[Byte]): MediaInfo =
-      if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+      if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
+          (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) {
+        decodeJpeg(bytes)
+      } else if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
           ascii(bytes, 1, 3) == "PNG") {
         // PNG: the IHDR chunk is mandatory and first (ISO 15948 §11.2.2)
         require(be32(bytes, 8) >= 13 && ascii(bytes, 12, 4) == "IHDR",
@@ -234,7 +298,7 @@ object Multimodal {
           nFrames = (dataSize / blockAlign).toInt)
       case _ =>
         throw new IllegalArgumentException(
-          "undecodable blob: no BMP, RIFF/WAVE, PNG or GIF magic")
+          "undecodable blob: no JPEG, BMP, RIFF/WAVE, PNG or GIF magic")
     }
   }
 

@@ -227,7 +227,8 @@ object Sampling {
     val key = log(u) / col(weightCol).cast("double")
     val w = Window.partitionBy(col(domainCol))
       .orderBy(key.desc, col(idCol))
-    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= n)
   }
@@ -250,7 +251,8 @@ object Sampling {
     val salt = pmod(hashValue(col(idCol)) + lit(1L), lit(salts.toLong))
     val w1 = Window.partitionBy(col(domainCol), salt).orderBy(key.desc, col(idCol))
     val w2 = Window.partitionBy(col(domainCol)).orderBy(key.desc, col(idCol))
-    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
       .withColumn("__srk", row_number().over(w1))
       .where(col("__srk") <= n)
       .drop("__srk")

@@ -128,7 +128,8 @@ object VectorPQ {
     val v = col(vecCol).cast("array<double>")
     val subs = graft.CacheRegistry.track(corpus
       .select(col(idCol).cast("string").as("__id"), v.as("__v"))
-      .where(col("__v").isNotNull && size(col("__v")) === dim)
+      .where(col("__v").isNotNull && size(col("__v")) === dim &&
+        !exists(col("__v"), _.isNull))
       .select(col("__id"), explode(transform(sequence(lit(0), lit(m - 1)),
         j => struct(j.as("j"),
           slice(col("__v"), j * dsub + 1, lit(dsub)).as("x")))).as("s"))

@@ -250,6 +250,25 @@ object GraftSql {
     graft.ops.Funnel.conversion(events, keyCol, tsCol, typeCol, steps)
       .createOrReplaceTempView(viewName)
 
+  /** Temporal (as-of) enrichment against an SCD2 interval table (the q49
+    * shape) as a named temp view: each event row picks up the dimension
+    * value in effect at its event time. Works on batch frames here — the
+    * same operator runs unchanged on a stream
+    * ([[graft.streaming.IntervalStream.enrichAsOf]] is the shared
+    * implementation; registering a VIEW is inherently batch-side). The
+    * join key columns must be distinct between the two frames (alias the
+    * interval side first, as q49 does with its `dim_*` columns).
+    */
+  def registerEnrichAsOf(spark: SparkSession, viewName: String,
+                         events: DataFrame, intervals: DataFrame,
+                         keyEq: org.apache.spark.sql.Column, tsCol: String,
+                         effFromCol: String = "eff_from",
+                         effToCol: String = "eff_to",
+                         openEndSentinel: Long = -1L): Unit =
+    graft.streaming.IntervalStream.enrichAsOf(events, intervals, keyEq,
+        tsCol, effFromCol, effToCol, openEndSentinel)
+      .createOrReplaceTempView(viewName)
+
   /** Corpus distinct-cardinality sketch (the d86 shape) as a named temp
     * view: one row (sketch, n_sketch, est_distinct) for the distinct
     * n-gram count of a text frame — the sub-linear `COUNT(DISTINCT)`.

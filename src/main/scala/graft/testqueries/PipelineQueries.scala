@@ -227,6 +227,33 @@ object PipelineQueries {
       Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
     },
 
+    // JPEG SOF header decode (round 11): the codec matrix's most common
+    // crawl format gets a REAL marker-segment walk — SOI, then a JFIF
+    // APP0, a variable-length COM segment (exercises the skip arm), then
+    // SOF0 (even id/2) or SOF2 (odd): precision 8, BE dims, 1 or 3
+    // components. Blobs synthesized per doc_id from closed-form fields so
+    // the oracle recomputes every output column without parsing.
+    "d101_jpeg_decode" -> { (s, dir) =>
+      def be16h(c: Column): Column = lpad(hex(c), 4, "0")
+      val id = col("doc_id")
+      val w = lit(16) + pmod(id, lit(1900))
+      val h = lit(16) + pmod(id, lit(1000))
+      val threeComp = pmod(floor(id / 2).cast("long"), lit(2)) === 1
+      val sofMarker = when(pmod(id, lit(2)) === 0, "FFC0").otherwise(lit("FFC2"))
+      val app0 = "FFE000104A46494600010200010001000100"
+      // COM payload: (id % 5) 'A' bytes; length field counts itself (+2)
+      val com = concat(lit("FFFE"),
+        be16h(lit(2) + pmod(id, lit(5))),
+        expr("repeat('41', CAST(doc_id % 5 AS INT))"))
+      val sof = concat(sofMarker,
+        when(threeComp, "0011").otherwise(lit("000B")), lit("08"),
+        be16h(h), be16h(w),
+        when(threeComp, "03012200021100031100").otherwise(lit("01011100")))
+      val jpegHex = concat(lit("FFD8"), lit(app0), com, sof)
+      val media = docs(s, dir).select(id, unhex(jpegHex).as("blob"))
+      Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
+    },
+
     // Model-scoring seam (round 10): the classifier-filter stage
     // (FineWeb-Edu-style quality labels) through the batched per-partition
     // scorer seam; the deterministic stand-in scorer makes the PLUMBING
@@ -1807,6 +1834,15 @@ object PipelineQueries {
            ELSE 1 END AS channels,
            CASE WHEN doc_id % 2 = 0 THEN 1
                 ELSE doc_id % 3 + 1 END AS n_frames
+         FROM documents""",
+    // d101: the synthesized JPEG headers inverted in closed form — the
+    // Spark side must walk SOI -> APP0 -> COM -> SOFn to agree.
+    "d101_jpeg_decode" ->
+      """SELECT doc_id,
+           16 + doc_id % 1900 AS width,
+           16 + doc_id % 1000 AS height,
+           CASE (doc_id // 2) % 2 WHEN 1 THEN 3 ELSE 1 END AS channels,
+           1 AS n_frames
          FROM documents""",
     // d97: the stand-in scorer's formula recomputed per row.
     "d97_model_score" ->

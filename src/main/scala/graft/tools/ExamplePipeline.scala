@@ -130,7 +130,8 @@ object ExamplePipeline {
     // splices against without re-reading this corpus.
     graft.functions.CorpusCatalog.append(sampled, "doc_id", "text",
       s"$outDir/_catalog", dumpId = "this_run")
-    val audit = spark.read.parquet(s"$outDir/_catalog").head()
+    val audit = spark.read.parquet(s"$outDir/_catalog")
+      .where(col("dump_id") === "this_run").head()
 
     println(f"docs $n0%6d -> gated $n1%6d -> exact $n2%6d -> " +
       f"neardup $n3%6d -> decontaminated $n4%6d -> sampled $n5%6d -> " +

@@ -199,9 +199,8 @@ class SamplingSpec extends SparkSpec {
     import spark.implicits._
     val df = ((1L to 40L).map(i => (i, "a", 1.0)) ++
       Seq((100L, "b", 5.0), (101L, "b", 0.0), (102L, "b", -3.0),
-        (103L, "b", Double.NaN))) // NaN: w > 0 is false, excluded
+        (103L, "b", Double.NaN))) // NaN passed RAW: the library must drop it
       .toDF("id", "domain", "wt")
-      .withColumn("wt", when(isnan(col("wt")), lit(null)).otherwise(col("wt")))
     val got = Sampling.weightedSample(df, "id", "wt", "domain", n = 5)
     val byDomain = got.collect().groupBy(_.getString(1))
     assert(byDomain("a").length === 5)
@@ -1306,6 +1305,24 @@ class GraftSqlSpec extends SparkSpec {
       Seq((1L, 3), (2L, 0)))
   }
 
+  test("enrich-as-of view answers plain SQL against the scd2 view's shape") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 5L, 3L, "x"))
+      .toDF("k", "t", "o", "v")
+    val hist = graft.ops.Scd2.fromLog(log, "k", "t", "o", "v")
+      .select(col("k").as("dim_k"), col("v").as("dim_v"),
+        col("eff_from"), col("eff_to"))
+    val ev = Seq((1L, 15L), (1L, 25L), (2L, 7L), (2L, 1L)).toDF("k", "ts")
+    graft.sql.GraftSql.registerEnrichAsOf(spark, "enriched", ev, hist,
+      col("k") === col("dim_k"), "ts")
+    val got = spark.sql(
+      "SELECT k, ts, dim_v FROM enriched ORDER BY k, ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // t=15 falls in [10,20) -> "a"; t=25 in the open tail -> "b";
+    // t=7 in key 2's open tail -> "x"; t=1 precedes every interval -> no row
+    assert(got === Seq((1L, 15L, "a"), (1L, 25L, "b"), (2L, 7L, "x")))
+  }
+
   test("dsir_weights + documents_calibrated views answer plain SQL") {
     graft.sql.GraftSql.register(spark, "/root/testdata/sf0.001")
     val w = spark.sql(
@@ -1679,6 +1696,57 @@ class HeaderCodecSpec extends SparkSpec {
     val badBlock = gif(4, 4, 1)
     badBlock(13) = 0x7E.toByte              // unknown block introducer
     iae(badBlock)
+  }
+
+  private def jpeg(width: Int, height: Int, nComp: Int, sofMarker: Int = 0xC0,
+                   fillBytes: Int = 0, comPayload: Int = 0): Array[Byte] = {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes(0xFF, 0xD8)) // SOI
+    out.write(bytes(0xFF, 0xE0, 0x00, 0x10)) // APP0 "JFIF"
+    out.write("JFIF".getBytes("US-ASCII")); out.write(bytes(0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    out.write(bytes(0xFF, 0xFE)) // COM with comPayload bytes
+    out.write(bytes((comPayload + 2) >> 8, (comPayload + 2) & 0xFF))
+    (0 until comPayload).foreach(_ => out.write('A'))
+    (0 until fillBytes).foreach(_ => out.write(0xFF)) // legal marker padding
+    val len = 8 + 3 * nComp
+    out.write(bytes(0xFF, sofMarker, len >> 8, len & 0xFF, 8,
+      height >> 8, height & 0xFF, width >> 8, width & 0xFF, nComp))
+    (1 to nComp).foreach(c => out.write(bytes(c, 0x11, 0)))
+    out.toByteArray
+  }
+
+  test("JPEG SOF walk decodes baseline and progressive through the seam") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, jpeg(1024, 768, 3)),                          // SOF0 YCbCr
+      (2L, jpeg(640, 480, 1, sofMarker = 0xC2)),         // SOF2 grayscale
+      (3L, jpeg(65535, 1, 4, sofMarker = 0xC1)),         // SOF1, CMYK, max dim
+      (4L, jpeg(12, 34, 3, fillBytes = 3, comPayload = 7))) // padding + COM skip
+      .toDF("id", "blob")
+    val got = Multimodal.decode(df, "id", "blob", Multimodal.HeaderCodec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) === ((1024, 768, 3, 1)))
+    assert(got(2L) === ((640, 480, 1, 1)))
+    assert(got(3L) === ((65535, 1, 4, 1)))
+    assert(got(4L) === ((12, 34, 3, 1)))
+  }
+
+  test("malformed JPEG throws IllegalArgumentException, never index errors") {
+    def iae(b: Array[Byte]): Unit =
+      intercept[IllegalArgumentException](Multimodal.HeaderCodec.decode(b))
+    iae(jpeg(8, 8, 3).dropRight(4))         // truncated SOF payload
+    iae(jpeg(8, 8, 3).take(20))             // truncated inside APP0
+    iae(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte))       // EOI before SOF
+    iae(Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04).map(_.toByte)) // SOS first
+    iae(Array(0xFF, 0xD8, 0xFF, 0xFE, 0x00, 0x01).map(_.toByte)) // length < 2
+    iae(Array(0xFF, 0xD8, 0xFF, 0xFE, 0x40, 0x00).map(_.toByte)) // overrun
+    iae(Array(0xFF, 0xD8, 0xFF, 0x00, 0x12).map(_.toByte))  // stuffed FF00
+    iae(jpeg(0, 8, 3))                      // degenerate zero width
+    // DHT (0xC4) is in the 0xC0..0xCF range but is NOT a frame header: it
+    // must be skipped, and this stream then ends with no SOF.
+    iae(Array(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x02).map(_.toByte))
   }
 
   test("real header codec decodes BMP and WAV through the mapPartitions seam") {

@@ -143,8 +143,12 @@ class CorpusCatalogSpec extends SparkSpec {
     val row1 = cat.where(col("dump_id") === "dump1").head()
     assert(row1.getAs[Long]("n_docs") === 40)
     assert(row1.getAs[Long]("n_tokens") === 40 * 11) // 11 words per doc
+    assert(row1.getAs[Int]("k") === 64) // sketch size rides with the row
 
-    val got = CorpusCatalog.overlaps(spark, path, k = 64)
+    // the stored k governs the splice: the caller's (wrong) default is
+    // ignored, so a k=64 catalog read under the k=256 default cannot be
+    // silently treated as exact sets
+    val got = CorpusCatalog.overlaps(spark, path)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getAs[Int]("matches"), r.getAs[Double]("jaccard_est"))).toMap
     // direct computation over the corpora must agree exactly
