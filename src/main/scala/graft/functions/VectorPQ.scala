@@ -153,8 +153,14 @@ object VectorPQ {
       val cbl = codebookLit(cb)
       val dists = transform(sequence(lit(0), lit(ksub - 1)),
         c => sqL2(col("x"), element_at(cbl, col("j") * ksub + c + 1)))
+      // Cell means on the 1e-6 integer grid (d30's discipline): each
+      // element is rounded to a LONG term and the terms sum exactly, so
+      // the mean is order-free — a distributed float avg() would differ
+      // from any replay in the last ulp and flip assignment ties. This is
+      // what lets d100 gate the TRAINED codebook against a SQL oracle.
       val aggs = (0 until dsub).map(d =>
-        avg(element_at(col("x"), d + 1)).as(s"m$d"))
+        (sum(round(element_at(col("x"), d + 1) * 1e6, 0).cast("long"))
+          .cast("double") / count(lit(1)) / 1e6).as(s"m$d"))
       subs.withColumn("__c",
           (array_position(dists, array_min(dists)) - 1).cast("int"))
         .groupBy("j", "__c").agg(aggs.head, aggs.tail: _*)

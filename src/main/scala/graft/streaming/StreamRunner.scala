@@ -33,7 +33,25 @@ object StreamRunner {
     val name = s"${prefix}_run${n.incrementAndGet()}"
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      // Micro-batch accounting (SPARK_GRAFT_STREAM_METRICS=1): one stderr
+      // line per progress event — batch id, input rows, trigger wall time,
+      // state rows — so a bench exceedance on a streaming row can be
+      // decomposed into batches×cost instead of guessed at. stderr keeps
+      // the Bench stdout contract line clean.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_METRICS"))
+        q.recentProgress.foreach { p =>
+          val state = p.stateOperators.map(s =>
+            s"${s.operatorName}:rows=${s.numRowsTotal},updated=${s.numRowsUpdated}")
+            .mkString(";")
+          val trig = Option(p.durationMs.get("triggerExecution"))
+            .map(_.toString).getOrElse("-")
+          System.err.println(
+            s"[stream-metrics] $name batch=${p.batchId} rows=${p.numInputRows} " +
+              s"triggerMs=$trig state=$state")
+        }
+      q.stop()
+    }
     spark.table(name)
   }
 }

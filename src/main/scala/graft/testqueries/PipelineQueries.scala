@@ -589,6 +589,24 @@ object PipelineQueries {
           k = 5, dim = 64))
     },
 
+    // TRAINED-PQ recall gate (round 11) — the quality knob d96 leaves
+    // open: two Lloyd rounds over the corpus (md5-deterministic init,
+    // 1e-6-grid cell means, left-sequential distance folds), then the
+    // exact d96 recall splice with the TRAINED codebook. The oracle
+    // replays BOTH unrolled training rounds and the ADC scan in SQL, so
+    // this row pins the full train->encode->rank->recall chain bit-for-
+    // bit — and its recall values materially above d96's untrained floor
+    // are part of the gated hash.
+    "d100_pq_trained_recall" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      val cb = graft.functions.VectorPQ.train(e, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, iters = 2)
+      annRecall(queries, e,
+        graft.functions.VectorPQ.adcTopK(queries, e, "vec_id", "embedding",
+          k = 5, dim = 64, codebook = Some(cb)))
+    },
+
     // SemDeDup — embedding-level semantic dedup: quantizer-cell assignment,
     // within-cell cosine pruning (candidates bounded by cell size, never
     // cross-cell), canonical-min keep rule. The composed "cluster then
@@ -2854,6 +2872,89 @@ object PipelineQueries {
          recon AS (SELECT b.vec_id, flatten(list(cv2.w ORDER BY b.j)) AS rv
            FROM best b JOIN cwv cv2 ON cv2.j = b.j AND cv2.c = b.c
            GROUP BY b.vec_id),
+         qd AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+               i -> ((q.embedding::DOUBLE[])[i] - r.rv[i]) * ((q.embedding::DOUBLE[])[i] - r.rv[i])),
+               (a, b) -> a + b) AS d
+           FROM embeddings q JOIN recon r
+             ON q.vec_id < 10 AND r.vec_id != q.vec_id),
+         approx AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+           FROM qd) WHERE rk <= 5),
+         exact AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+           WHERE rank <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hit FROM exact e
+           JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT q.vec_id AS query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         LEFT JOIN hits h ON q.vec_id = h.query_id""",
+    // d100: the FULL trained-PQ chain replayed — md5-ordered init sample,
+    // two unrolled Lloyd rounds (left-fold distances, lowest-c ties,
+    // 1e-6-grid long-sum cell means, empty-cell carry-forward), then the
+    // d96 ADC scan + recall splice against the trained codebook.
+    "d100_pq_trained_recall" ->
+      """WITH ids AS (SELECT vec_id, CAST(vec_id AS VARCHAR) AS sid,
+             embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT vec_id, sid, t.j, v[t.j*8+1 : t.j*8+8] AS x
+           FROM ids CROSS JOIN range(8) t(j)),
+         cb0 AS (SELECT j, rn - 1 AS c, x AS w FROM (
+             SELECT j, x, row_number() OVER (PARTITION BY j
+               ORDER BY CAST(('0x' || substr(md5(sid), 1, 8)) AS BIGINT), sid) AS rn
+             FROM sub) WHERE rn <= 16),
+         a1 AS (SELECT s.vec_id, s.j, cb.c,
+             list_reduce(list_transform(range(1, 9),
+               i -> (s.x[i] - cb.w[i]) * (s.x[i] - cb.w[i])), (a, b) -> a + b) AS dist
+           FROM sub s JOIN cb0 cb ON cb.j = s.j),
+         b1 AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+           FROM a1) WHERE rn = 1),
+         m1 AS (SELECT b.j, b.c, dd.d,
+             CAST(sum(CAST(round(s.x[dd.d + 1] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS v
+           FROM b1 b JOIN sub s ON s.vec_id = b.vec_id AND s.j = b.j
+           CROSS JOIN range(8) dd(d)
+           GROUP BY b.j, b.c, dd.d),
+         cb1 AS (SELECT c0.j, c0.c,
+             CASE WHEN count(m.v) = 0 THEN c0.w
+                  ELSE list(m.v ORDER BY m.d) END AS w
+           FROM cb0 c0 LEFT JOIN m1 m ON m.j = c0.j AND m.c = c0.c
+           GROUP BY c0.j, c0.c, c0.w),
+         a2 AS (SELECT s.vec_id, s.j, cb.c,
+             list_reduce(list_transform(range(1, 9),
+               i -> (s.x[i] - cb.w[i]) * (s.x[i] - cb.w[i])), (a, b) -> a + b) AS dist
+           FROM sub s JOIN cb1 cb ON cb.j = s.j),
+         b2 AS (SELECT vec_id, j, c FROM (SELECT vec_id, j, c,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+           FROM a2) WHERE rn = 1),
+         m2 AS (SELECT b.j, b.c, dd.d,
+             CAST(sum(CAST(round(s.x[dd.d + 1] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS v
+           FROM b2 b JOIN sub s ON s.vec_id = b.vec_id AND s.j = b.j
+           CROSS JOIN range(8) dd(d)
+           GROUP BY b.j, b.c, dd.d),
+         cb2 AS (SELECT c1.j, c1.c,
+             CASE WHEN count(m.v) = 0 THEN c1.w
+                  ELSE list(m.v ORDER BY m.d) END AS w
+           FROM cb1 c1 LEFT JOIN m2 m ON m.j = c1.j AND m.c = c1.c
+           GROUP BY c1.j, c1.c, c1.w),
+         enc AS (SELECT vec_id, j, c FROM (SELECT s.vec_id, s.j, cb.c,
+             row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+               list_reduce(list_transform(range(1, 9),
+                 i -> (s.x[i] - cb.w[i]) * (s.x[i] - cb.w[i])), (a, b) -> a + b),
+               cb.c) AS rn
+           FROM sub s JOIN cb2 cb ON cb.j = s.j) WHERE rn = 1),
+         recon AS (SELECT e.vec_id, flatten(list(cb.w ORDER BY e.j)) AS rv
+           FROM enc e JOIN cb2 cb ON cb.j = e.j AND cb.c = e.c
+           GROUP BY e.vec_id),
          qd AS (SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
              list_reduce(list_transform(range(1, 65),
                i -> ((q.embedding::DOUBLE[])[i] - r.rv[i]) * ((q.embedding::DOUBLE[])[i] - r.rv[i])),

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-11 adjudication harness for the four driver-bench exceedances
+  * (d13 6.9x, d12 3.6x, d30/d36 ~2x, plus any named set): times arbitrary
+  * SparkEntry queries under EXACT Bench.scala conditions — same session
+  * config, same cold+3-warm min statistic, same dropCaches between runs —
+  * either in ISOLATION or after replaying a sorted-order PREFIX of the
+  * suite, so "slow only in-suite" separates from "slow, period".
+  *
+  * Usage: runMain graft.tools.ProfileR11 <mode> <names-csv>
+  *   mode = iso            time each name in isolation (fresh-session order)
+  *   mode = prefix         run every query in bench (sorted) order ONCE
+  *                         cold, timing all of them — the in-suite replay
+  *   mode = after:<q>      run <q> once (cold+warm), then time the names —
+  *                         pairwise interference probe
+  */
+object ProfileR11 {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("iso")
+    val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("d13_winnow"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.debug.maxToStringFields", "10000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    def dropCaches(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def once(name: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => println(s"  $name FAILED: $e"); -1.0 }
+      finally dropCaches()
+    }
+    def bench(name: String): Unit = {
+      val runs = (1 to 4).map(_ => once(name))
+      println(f"BENCH $name%-26s min=${runs.min}%7.3f  runs=${runs.map(r => f"$r%.3f").mkString("[", ",", "]")}")
+    }
+
+    mode match {
+      case "iso" => names.foreach(bench)
+      case "prefix" =>
+        val all = graft.SparkEntry.queries.keys.toSeq.sorted
+        val watch = names.toSet
+        all.foreach { n =>
+          val t = once(n)
+          val mark = if (watch(n)) "  <== WATCH" else ""
+          println(f"PREFIX $n%-26s ${t}%7.3f$mark")
+        }
+        // after the full pass, re-time the watched names warm (bench stat)
+        names.foreach(bench)
+      case m if m.startsWith("after:") =>
+        val pre = m.stripPrefix("after:")
+        println(s"-- running $pre 4x first --"); bench(pre)
+        names.foreach(bench)
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}
