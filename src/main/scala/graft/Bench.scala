@@ -22,7 +22,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the documented target environment (local[32]) and the
+    // round-11 floor re-pin; the driver's own env has set 32 since round 7
+    // (BENCH_r*.json cpus metadata + the q45/d30 config fingerprint in
+    // BASELINE.md)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

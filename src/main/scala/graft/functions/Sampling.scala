@@ -151,6 +151,49 @@ object Sampling {
       .select((df.columns.map(col) :+ col("rate")): _*)
   }
 
+  /** Temperature-scaled domain rebalancing (Devlin et al. 2019 mBERT
+    * exponential smoothing; mT5/XLM-R's sampling knob): domain d's target
+    * share becomes `q_d ∝ p_d^(1/T)` — T=1 keeps the natural mix, T→∞
+    * approaches uniform, intermediate T up-weights the tail without the
+    * hard uniform floor [[matchDistribution]]'s fixed targets impose.
+    * Realized by pure downsampling, largest output first (exactly
+    * [[matchDistribution]]'s N_out construction with computed targets):
+    * the binding domain keeps everything, the rest keep
+    * `q_d·N_out/count_d`. Since p_d = count_d/N and the total cancels in
+    * the normalization, masses are `count_d^(1/T)` directly.
+    *
+    * Scale shape: the [[matchDistribution]] plan verbatim — one census
+    * partial-agg, two scalar reductions over the domain-sized frame,
+    * broadcast rates, map-only md5 keep. Determinism: `pow` is the one
+    * libm call in the sampling family, so the rate is settled onto the
+    * 1e-6 grid BEFORE the keep threshold — a 1-ulp cross-engine pow
+    * divergence dies at the rounding instead of flipping a keep bit.
+    * Returns input columns + `rate` (the domain's realized keep rate).
+    */
+  def temperatureMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     domainCol: String,
+                     temperature: Double): org.apache.spark.sql.DataFrame = {
+    require(temperature > 0, s"temperature=$temperature must be positive")
+    val census = df
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("__m", pow(col("__cnt"), lit(1.0 / temperature)))
+    val msum = census.agg(sum(col("__m")).as("__msum"))
+    val q = census.crossJoin(broadcast(msum))
+      .select(col(domainCol), col("__cnt"),
+        (col("__m") / col("__msum")).as("__q"))
+    val nOut = q.agg(min(col("__cnt") / col("__q")).as("__nout"))
+    val rates = q.crossJoin(broadcast(nOut))
+      .select(col(domainCol),
+        round(col("__q") * col("__nout") / col("__cnt"), 6).as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(hashValue(col(idCol)) <
+        round(col("__rate") * 4294967296.0).cast("long"))
+      .withColumn("rate", col("__rate"))
+      .drop("__rate")
+      .select((df.columns.map(col) :+ col("rate")): _*)
+  }
+
   /** Leakage-safe split: [[hashSplit]] keyed on a GROUP column (domain,
     * url host, dedup-cluster id) instead of the row id, so every member of
     * a group lands in the SAME split. This is the standard guard against

@@ -449,6 +449,39 @@ object PipelineQueries {
         threshold = 0.8, n = 3)
     },
 
+    // LSH recall gate (round 11) — the near-dup family's quality knob as
+    // its own oracle row, the d72/d96 pattern applied to TEXT dedup: the
+    // banding's candidate pairs (d05's k=8/r=2 config, verified at
+    // jaccard >= 0.8) audited against the EXACT >= 0.8 pair set (d22's
+    // PPJoin, zero false negatives by construction). One output row:
+    // how much of the true near-dup mass the production banding catches.
+    // The exact side is the audit-scale baseline, run at bench SF the way
+    // d72's brute-force KNN is — production runs only the banded side.
+    "d103_lsh_recall" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val exact = JaccardJoin.similarPairs(d, "doc_id", "text",
+        threshold = 0.8, n = 3).select("doc_a", "doc_b")
+      val lsh = MinHashLSH.nearDupPairs(d, "doc_id", "text", n = 3, k = 8, r = 2)
+        .where(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+      val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(round(col("n_hit") / col("n_exact"), 6)).as("recall"))
+    },
+
+    // Temperature-scaled language rebalancing (round 11) — the mT5/XLM-R
+    // sampling knob: shares flattened to p^(1/T), realized by pure
+    // downsampling (binding domain keeps all). T=2 over the skewed lang
+    // column; selection AND per-domain rates oracle-replayed.
+    "d102_temperature_mix" -> { (s, dir) =>
+      Sampling.temperatureMix(docs(s, dir), "doc_id", "lang",
+          temperature = 2.0)
+        .select("doc_id", "lang", "rate")
+    },
+
     // 32-bit SimHash sketch per document.
     "d06_simhash" -> { (s, dir) =>
       SimHash.simhash(docs(s, dir), "doc_id", "text")
@@ -1652,6 +1685,23 @@ object PipelineQueries {
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
     */
+  /** DuckDB replay of d22's exact self-join at jaccard >= 0.8 — shared by
+    * the d22 oracle and d103's exact-side audit baseline.
+    */
+  private lazy val JaccardPairsSql: String =
+    s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT i.doc_a, i.doc_b,
+             round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
+           FROM inter i
+           JOIN sizes na ON na.doc_id = i.doc_a
+           JOIN sizes nb ON nb.doc_id = i.doc_b)
+         WHERE jaccard >= 0.8"""
+
   private lazy val MinhashPairsSql: String = {
       val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
         .map { case (a, j) => s"($j, $a)" }.mkString(", ")
@@ -2070,19 +2120,38 @@ object PipelineQueries {
              ORDER BY score DESC, token ASC) AS rank
            FROM scored)
          WHERE rank <= 3""",
-    "d22_jaccard_join" ->
-      s"""WITH $ShingleCtesSql,
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b, jaccard FROM (
-           SELECT i.doc_a, i.doc_b,
-             round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS jaccard
-           FROM inter i
-           JOIN sizes na ON na.doc_id = i.doc_a
-           JOIN sizes nb ON nb.doc_id = i.doc_b)
-         WHERE jaccard >= 0.8""",
+    "d22_jaccard_join" -> JaccardPairsSql,
+    // d103: both sides of the audit replayed — the exact >= 0.8 pair set
+    // (d22's CTE chain) and the banded candidates verified at the same
+    // threshold (d05's chain) — then the intersection counts. DuckDB
+    // scopes each side's CTEs inside its own nested WITH.
+    "d103_lsh_recall" ->
+      s"""WITH ex AS ($JaccardPairsSql),
+         lshp AS ($MinhashPairsSql),
+         lsh AS (SELECT doc_a, doc_b FROM lshp WHERE jaccard >= 0.8),
+         hit AS (SELECT e.doc_a, e.doc_b FROM ex e
+           JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+         SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1.0
+                ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                       / (SELECT count(*) FROM ex), 6) END AS recall""",
+    // d102: census -> cnt^(1/T) masses -> normalized shares -> N_out ->
+    // grid-rounded rates -> md5 keep, replayed with the same pow.
+    "d102_temperature_mix" ->
+      """WITH census AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+           FROM documents GROUP BY lang),
+         mass AS (SELECT lang, cnt, pow(cnt, 0.5) AS m FROM census),
+         s AS (SELECT sum(m) AS msum FROM mass),
+         q AS (SELECT lang, cnt, m / msum AS q FROM mass CROSS JOIN s),
+         nout AS (SELECT min(cnt / q) AS n FROM q),
+         rates AS (SELECT lang, round(q * n / cnt, 6) AS rate
+           FROM q CROSS JOIN nout)
+         SELECT d.doc_id, d.lang, r.rate
+         FROM documents d JOIN rates r USING (lang)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           < round(r.rate * 4294967296.0)""",
     "d14_clean_corpus" ->
       s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
          thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),

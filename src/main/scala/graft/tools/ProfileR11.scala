@@ -63,6 +63,73 @@ object ProfileR11 {
         val pre = m.stripPrefix("after:")
         println(s"-- running $pre 4x first --"); bench(pre)
         names.foreach(bench)
+      case "d30dec" =>
+        // decompose the gram-census family: where do d30's ~0.9s go?
+        import org.apache.spark.sql.functions._
+        import graft.functions.TextAnalysis
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        def t(name: String)(f: => Long): Unit = {
+          val runs = (1 to 4).map { _ =>
+            val t0 = System.nanoTime(); val r = f
+            val s = (System.nanoTime() - t0) / 1e9; dropCaches(); (s, r)
+          }
+          println(f"DEC $name%-34s min=${runs.map(_._1).min}%7.3f rows=${runs.head._2}")
+        }
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        t("scan+count docs")(docs.count())
+        t("explode tokens count")(toks.count())
+        t("tf groupBy (no persist)")(
+          toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).count())
+        t("tf persist+materialize") {
+          val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = tf.count(); tf.unpersist(true); n
+        }
+        t("full d30")(TextAnalysis.unigramLogProb(docs, "doc_id", "text").count())
+        t("full d36")(TextAnalysis.ngramLogProb(docs, "doc_id", "text", 2).count())
+        // no-persist variant of the full pipeline: recompute tf per branch
+        t("d30 sans persist") {
+          val tf = toks.groupBy(col("doc_id"), col("token"))
+            .agg(count(lit(1)).as("tf"))
+          val freq = tf.groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+          val totals = freq.agg(sum("cnt").cast("long").as("total"),
+            count(lit(1)).as("vocab"))
+          val term = round(col("tf") *
+            log((col("cnt") + 1) / (col("total") + col("vocab"))) * 1e6, 0)
+            .cast("long")
+          tf.join(freq, Seq("token"))
+            .crossJoin(broadcast(totals))
+            .groupBy(col("doc_id"))
+            .agg(sum("tf").cast("long").as("n_tokens"),
+              round(sum(term).cast("double") / 1e6 / sum("tf"), 6).as("logprob"))
+            .count()
+        }
+      case "d30plan" =>
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val toks = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        val tf = toks.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val freq = tf.groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+        val totals = freq.agg(sum("cnt").cast("long").as("total"),
+          count(lit(1)).as("vocab"))
+        val term = round(col("tf") *
+          log((col("cnt") + 1) / (col("total") + col("vocab"))) * 1e6, 0)
+          .cast("long")
+        val out = tf.join(freq, Seq("token"))
+          .crossJoin(broadcast(totals))
+          .groupBy(col("doc_id"))
+          .agg(sum("tf").cast("long").as("n_tokens"),
+            round(sum(term).cast("double") / 1e6 / sum("tf"), 6).as("logprob"))
+        out.count() // let AQE finalize
+        val plan = out.queryExecution.executedPlan.toString
+        val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
+        val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+        println(s"PLAN reusedExchanges=$reused parquetScans=$scans")
+        println(plan.linesIterator.filter(l =>
+          l.contains("Exchange") || l.contains("Scan parquet")).mkString("\n"))
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -372,6 +372,30 @@ class SamplingSpec extends SparkSpec {
     assert(again === got.map(_._1).toSet)
   }
 
+  test("temperatureMix: tail up-weighted by p^(1/T), binding domain keeps all") {
+    import spark.implicits._
+    // a: 400 docs, b: 100. T=2: masses sqrt(400)=20, sqrt(100)=10 ->
+    // q_a=2/3, q_b=1/3; ratios a 400/(2/3)=600, b 100/(1/3)=300 (binding)
+    // -> Nout=300; rate_a = (2/3)*300/400 = 0.5, rate_b = 1.0.
+    val df = (1L to 500L).map(i => (i, if (i <= 400) "a" else "b"))
+      .toDF("id", "dom")
+    val got = Sampling.temperatureMix(df, "id", "dom", temperature = 2.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byDom = got.groupBy(_._2).view.mapValues(_.toSeq).toMap
+    assert(byDom("b").length === 100) // binding tail keeps everything
+    assert(byDom("b").forall(_._3 === 1.0))
+    assert(byDom("a").forall(_._3 === 0.5))
+    assert(byDom("a").length > 140 && byDom("a").length < 260) // ~200
+    // T=1 is the identity mix: every domain rate 1, nothing dropped
+    val id1 = Sampling.temperatureMix(df, "id", "dom", temperature = 1.0)
+      .collect()
+    assert(id1.length === 500 && id1.forall(_.getDouble(2) === 1.0))
+    // deterministic: same kept set on rerun
+    val again = Sampling.temperatureMix(df, "id", "dom", temperature = 2.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === got.map(_._1).toSet)
+  }
+
   test("plan: epochMix is map-only; tokenBudgetMix broadcasts its census") {
     import spark.implicits._
     val df = (1L to 50L).map(i => (i, "a", "w w w")).toDF("id", "dom", "text")
