@@ -45,8 +45,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // CPU-availability calibration probe: a fixed single-thread xorshift
+    // workload whose wall time depends only on how much CPU the box gives
+    // this process (no allocation, no IO, no JIT sensitivity after the
+    // first min-of-3). Recorded at suite start / middle / end into
+    // BENCH_DETAIL.json, so a contended driver window (the round-10
+    // d13/d12 adjudication: whole-suite inflation concentrated in a few
+    // rows, unreproducible later) is VISIBLE in the artifact instead of
+    // inferred by exclusion a round later.
+    def spinOnce(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 25)) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42) System.err.println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e6
+    }
+    def calib(): Double = (1 to 3).map(_ => spinOnce()).min
+
     // Warm-up: exercise parquet reader, codegen, shuffle machinery once.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val calibStart = calib()
 
     // a failed query must not masquerade as a fast one: report -1
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -66,7 +87,10 @@ object Bench {
     val warmRuns = 3
     case class QBench(name: String, steady: Double, cold: Double,
                       runs: Seq[Double], spread: Double)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    var calibMid = -1.0
+    val results = sorted.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == sorted.size / 2) calibMid = calib()
       val cold = timeOnce(fn)
       dropCaches()
       val warms = Seq.fill(warmRuns) {
@@ -82,6 +106,7 @@ object Bench {
       val spread = if (ok.isEmpty || ok.min <= 0) -1.0 else ok.max / ok.min
       QBench(name, steady, cold, runs, spread)
     }
+    val calibEnd = calib()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jsonMap(sel: QBench => Double): String =
       results.map(q => s"\"" + q.name + "\":" + r3(sel(q)))
@@ -106,7 +131,7 @@ object Bench {
     // BENCH_DETAIL.json holds the untruncated four maps, so a contended
     // run is still self-diagnosing (high spread across the board).
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"calib_ms":{"start":${r3(calibStart)},"mid":${r3(calibMid)},"end":${r3(calibEnd)}},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort

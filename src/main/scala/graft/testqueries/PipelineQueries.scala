@@ -500,6 +500,32 @@ object PipelineQueries {
       SimHash.nearDupPairs64(docs(s, dir), "doc_id", "text", maxHamming = 3)
     },
 
+    // SimHash banding NO-FALSE-NEGATIVE gate (round 11) — d103's audit
+    // shape, but here the guarantee is a THEOREM, not a probability:
+    // maxHamming+1 bands mean any pair within hamming 3 agrees on >= 1
+    // whole band (pigeonhole), so banded recall vs the exact
+    // all-pairs hamming join must be EXACTLY 1.0 and all three counts
+    // equal — the row gates the band-slicing arithmetic (shift widths,
+    // tail-band remainder, 64-bit mask edge) end to end. Exact side =
+    // audit-scale baseline, as d72/d103.
+    "d104_simhash_recall" -> { (s, dir) =>
+      val sk = SimHash.simhash(docs(s, dir), "doc_id", "text")
+      val a = sk.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      val b = sk.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .where(SimHash.hamming(col("sh_a"), col("sh_b")) <= 3)
+        .select("id_a", "id_b")
+      val band = SimHash.nearDupPairs(docs(s, dir), "doc_id", "text",
+        maxHamming = 3).select("id_a", "id_b")
+      val hit = exact.join(band, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(band.agg(count(lit(1)).as("n_band")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_band"), col("n_hit"),
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(round(col("n_hit") / col("n_exact"), 6)).as("recall"))
+    },
+
     // Brute-force cosine top-5 — the ANN baseline; queries broadcast,
     // corpus streamed, one window for the top-k cut.
     "d07_knn" -> { (s, dir) =>
@@ -2263,6 +2289,23 @@ object PipelineQueries {
          JOIN embeddings y ON y.vec_id = c.id_b
          WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4""",
     "d21_simhash64_dup" -> simhashDupSqlFor(Simhash64Sql, 4, 16, 3),
+    // d104: exact all-pairs hamming join vs the banded candidates — the
+    // pigeonhole theorem says the three counts coincide and recall = 1.0;
+    // the oracle proves the implementation honors it on this corpus.
+    "d104_simhash_recall" ->
+      s"""WITH shs AS ($SimhashSql),
+         ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         band AS (SELECT id_a, id_b FROM (${simhashDupSqlFor(SimhashSql, 4, 8, 3)}) t),
+         hit AS (SELECT e.id_a, e.id_b FROM ex e
+           JOIN band b ON e.id_a = b.id_a AND e.id_b = b.id_b)
+         SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM band) AS BIGINT) AS n_band,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1.0
+                ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                       / (SELECT count(*) FROM ex), 6) END AS recall""",
     "d31_vec_dup_across" ->
       """WITH planes AS (SELECT p, d,
            (CAST(('0x' || substr(md5(p || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v

@@ -95,20 +95,33 @@ object ExamplePipeline {
       .select("doc_id", "text")
     val spans = TextAnalysis.contaminationSpans(
       deduped, bench, "doc_id", "text", n = 13)
-    val clean = graft.CacheRegistry.track(
-      TextAnalysis.exciseSpans(deduped, "doc_id", "text", spans)
-        .withColumnRenamed("clean_text", "text")
-        .select("doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // localCheckpoint, not persist: by this stage the analyzed plan nests
+    // the gate + dedup + excision lineages, and the downstream mix/sample
+    // branches each re-reference it — a persist caches the DATA but the
+    // PLAN TEXT still duplicates per branch, and Spark's AQE plan-update
+    // rendering OOMed on exactly that growth when the temperature stage
+    // landed. The eager checkpoint truncates lineage to the materialized
+    // partitions (single-JVM demo; a cluster run sets a checkpoint dir
+    // and uses checkpoint(), the MinHashLSH.clusters pattern).
+    val clean = TextAnalysis.exciseSpans(deduped, "doc_id", "text", spans)
+      .withColumnRenamed("clean_text", "text")
+      .select("doc_id", "text")
+      .localCheckpoint()
     val n4 = clean.count()
 
-    // 5. length-weighted sample to a budget: inclusion ∝ doc length
+    // 5. temperature-flatten the language mix (the mT5/XLM-R knob: T=2
+    // halves the head language's dominance without a hard uniform floor),
+    // then a length-weighted sample to a budget: inclusion ∝ doc length
     // (token mass), Efraimidis–Spirakis without replacement —
     // deterministic, so a rerun draws the identical corpus. The SALTED
     // two-phase form, because the single constant domain here is exactly
     // the mega-domain case the plain window would sort on one task.
+    val balanced = graft.functions.Sampling.temperatureMix(
+        clean.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "doc_id", "lang", temperature = 2.0)
+    val n5a = balanced.count()
     val sampled = graft.functions.Sampling.weightedSampleSalted(
-        clean.withColumn("n_chars", length(col("text")))
+        balanced.withColumn("n_chars", length(col("text")))
           .withColumn("source", lit("corpus")),
         "doc_id", "n_chars", "source", n = 100000, salts = 32)
       .select("doc_id", "text")
@@ -134,8 +147,8 @@ object ExamplePipeline {
       .where(col("dump_id") === "this_run").head()
 
     println(f"docs $n0%6d -> gated $n1%6d -> exact $n2%6d -> " +
-      f"neardup $n3%6d -> decontaminated $n4%6d -> sampled $n5%6d -> " +
-      f"packed seqs $n6%6d")
+      f"neardup $n3%6d -> decontaminated $n4%6d -> T-balanced $n5a%6d -> " +
+      f"sampled $n5%6d -> packed seqs $n6%6d")
     println(f"shipped distinct-3-gram estimate: " +
       f"${audit.getAs[Double]("est_distinct_grams")}%.0f " +
       f"(catalog row at $outDir/_catalog)")
