@@ -42,6 +42,12 @@ object Bench {
       // (widest is the q24 pivot, far under 1k fields) without the
       // unbounded-string cost of a huge limit.
       .config("spark.sql.debug.maxToStringFields", "10000")
+      // AQE posts an explainString-rendered plan description on every plan
+      // update even with the UI off; for the composed deep-plan queries
+      // (d14/d19/d38) that rendering is a measured 4-9% of wall time.
+      // Cap it at 64 KB — an observability bound real deployments set; no
+      // query result changes (A/B in tools/ProfileR11, round 11).
+      .config("spark.sql.maxPlanStringLength", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

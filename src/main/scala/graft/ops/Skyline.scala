@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 2-D skyline (Pareto frontier, maximize both dimensions) — the
+  * multi-criteria selection operator OLAP engines bolt on for "best
+  * trade-off" queries (skyline integration into Spark SQL is EDBT 2023
+  * material; the operator itself is Börzsönyi et al., ICDE 2001). In a
+  * training-data pipeline it answers "which documents are not strictly
+  * worse than some other document in BOTH quality and length" — the
+  * non-dominated candidate set a curator inspects before fixing
+  * thresholds, computed without picking weights first.
+  *
+  * Dominance: row r is dominated iff some r' has x' >= x AND y' >= y with
+  * at least one strict. Equal (x, y) duplicates do not dominate each
+  * other — all copies of a non-dominated point are returned.
+  *
+  * Scale shape — NO global sort of the data and NO pairwise join: the
+  * d65 percentileCalibrate census pattern. One partial-agg shuffle builds
+  * the per-x census `(x, ymax)` (bounded by |distinct x| — grid-rounded
+  * scores make this a few 10^4 rows no matter the corpus size); the
+  * running prefix-max over higher x runs on THAT census (window over
+  * census rows, never corpus rows); the surviving `(x, ymax)` skyline
+  * coordinates broadcast back onto the scan as a semi-join predicate.
+  * A row is on the skyline iff
+  *   (a) y equals its x-group's max (ties all kept), and
+  *   (b) that max strictly exceeds every higher-x group's max.
+  *
+  * Deterministic and engine-replayable: the skyline is a pure function of
+  * the point set (no hashing, no ordering sensitivity), so an external
+  * SQL engine replays it from the same two closed-form rules.
+  */
+object Skyline {
+
+  /** Rows of `df` on the maximize-(xCol, yCol) skyline, original columns
+    * preserved. Null x or y rows are excluded (no order against null).
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val census = pts.groupBy(col(xCol).as("__x"))
+      .agg(max(col(yCol)).as("__ymax"))
+    // prefix max of __ymax over STRICTLY greater x: census-sized window
+    val w = Window.orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = census
+      .withColumn("__pre", max(col("__ymax")).over(w))
+      .where(col("__pre").isNull || col("__ymax") > col("__pre"))
+      .select(col("__x"), col("__ymax"))
+    pts.join(broadcast(sky),
+        pts(xCol) === col("__x") && pts(yCol) === col("__ymax"), "left_semi")
+  }
+}

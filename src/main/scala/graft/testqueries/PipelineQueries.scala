@@ -264,6 +264,21 @@ object PipelineQueries {
         batchSize = 32)
     },
 
+    // 2-D skyline / Pareto frontier (round 11; Börzsönyi ICDE 2001, the
+    // EDBT 2023 Spark-integration material): documents not dominated in
+    // (quality, length) — the weight-free "best trade-off" candidate set.
+    // Census pattern: per-x max partial agg, prefix-max window over the
+    // CENSUS (never the corpus), skyline coordinates broadcast back as a
+    // semi-join. Equal points all kept; the set is a pure function of the
+    // data, so the oracle replays the same two closed-form rules.
+    "d105_skyline" -> { (s, dir) =>
+      graft.ops.Skyline.skyline2D(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("n_chars")),
+        "quality", "n_chars")
+    },
+
     // Percentile calibration of the d01 quality score: census-based exact
     // percent_rank — corpus-relative thresholds without a global sort.
     "d65_score_percentile" -> { (s, dir) =>
@@ -1975,6 +1990,17 @@ object PipelineQueries {
          SELECT doc_id, quality,
            round(percent_rank() OVER (ORDER BY quality), 6) AS pct
          FROM q""",
+    // d105: the census skyline replayed — per-quality max length, prefix
+    // max over strictly higher quality, equality join back.
+    "d105_skyline" ->
+      s"""WITH pts AS (SELECT doc_id, $QualitySql AS quality, n_chars
+           FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT quality, max(n_chars) AS ymax FROM pts GROUP BY quality),
+         w AS (SELECT quality, ymax, max(ymax) OVER (ORDER BY quality DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre FROM c),
+         sky AS (SELECT quality, ymax FROM w WHERE pre IS NULL OR ymax > pre)
+         SELECT p.doc_id, p.quality, p.n_chars
+         FROM pts p JOIN sky s ON p.quality = s.quality AND p.n_chars = s.ymax""",
     "d37_ngram_repetition" ->
       """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          g AS (SELECT doc_id,

@@ -22,12 +22,17 @@ object ProfileR11 {
     val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq("d13_winnow"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val b = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.debug.maxToStringFields", "10000")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // optional: cap plan-description rendering (AQE posts explainString per
+    // plan update) to measure its share of big-plan queries' wall time
+    val spark = sys.env.get("SPARK_GRAFT_MAXPLAN")
+      .fold(b)(v => b.config("spark.sql.maxPlanStringLength", v))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 

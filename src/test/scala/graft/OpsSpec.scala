@@ -761,3 +761,59 @@ class FunnelSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size === 1, plan)
   }
 }
+
+class SkylineSpec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.ops.Skyline
+
+  test("non-dominated set exact, equal points all kept, nulls excluded") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 1.0, 10L),  // skyline (highest y at x=1)
+      (2L, 1.0, 10L),  // duplicate of 1 — equal points don't dominate
+      (3L, 1.0, 5L),   // dominated by 1 within its x group
+      (4L, 2.0, 8L),   // skyline (no higher-x point has y >= 8)
+      (5L, 3.0, 7L),   // skyline
+      (6L, 2.0, 7L),   // dominated by 5 (x 3>2, y 7>=7)
+      (7L, 0.5, 9L))   // dominated by 1 (x 1>0.5, y 10>9)
+      .toDF("id", "x", "y")
+      .unionByName(Seq((8L, Option.empty[Double], Option(1L)),
+        (9L, Option(1.0), Option.empty[Long])).toDF("id", "x", "y"))
+    val got = Skyline.skyline2D(pts, "x", "y")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 4L, 5L))
+    // every returned row is genuinely non-dominated (property re-check)
+    val rows = Skyline.skyline2D(pts, "x", "y")
+      .select("x", "y").as[(Double, Long)].collect()
+    val all = Seq((1.0, 10L), (1.0, 10L), (1.0, 5L), (2.0, 8L), (3.0, 7L),
+      (2.0, 7L), (0.5, 9L))
+    rows.foreach { case (x, y) =>
+      assert(!all.exists(p => p._1 >= x && p._2 >= y &&
+        (p._1 > x || p._2 > y)), s"($x,$y) is dominated")
+    }
+  }
+
+  test("plan: window runs over the census, skyline broadcasts back") {
+    import spark.implicits._
+    val pts = (1 to 1000).map(i => (i.toLong, (i % 37).toDouble, (i % 53).toLong))
+      .toDF("id", "x", "y")
+    val plan = Skyline.skyline2D(pts, "x", "y")
+      .queryExecution.executedPlan.toString
+    // the semi-join side arrives as a broadcast, never a shuffled join
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the single-partition window input is the aggregated census (its
+    // subtree contains the per-x HashAggregate), not the raw point set
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) >= 0, plan)
+  }
+
+  test("skyline of an empty frame is empty; single point survives") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double, Long)].toDF("id", "x", "y")
+    assert(Skyline.skyline2D(empty, "x", "y").count() === 0)
+    val one = Seq((1L, 0.0, 0L)).toDF("id", "x", "y")
+    assert(Skyline.skyline2D(one, "x", "y").count() === 1)
+  }
+}
