@@ -250,6 +250,24 @@ object GraftSql {
     graft.ops.Funnel.conversion(events, keyCol, tsCol, typeCol, steps)
       .createOrReplaceTempView(viewName)
 
+  /** Temperature-scaled domain rebalancing (the d102 shape) as a named
+    * temp view. See [[graft.functions.Sampling.temperatureMix]].
+    */
+  def registerTemperatureMix(spark: SparkSession, viewName: String,
+                             docs: DataFrame, idCol: String, domainCol: String,
+                             temperature: Double): Unit =
+    graft.functions.Sampling
+      .temperatureMix(docs, idCol, domainCol, temperature)
+      .createOrReplaceTempView(viewName)
+
+  /** 2-D skyline / Pareto frontier (the d105 shape) as a named temp view.
+    * See [[graft.ops.Skyline.skyline2D]].
+    */
+  def registerSkyline(spark: SparkSession, viewName: String, df: DataFrame,
+                      xCol: String, yCol: String): Unit =
+    graft.ops.Skyline.skyline2D(df, xCol, yCol)
+      .createOrReplaceTempView(viewName)
+
   /** Temporal (as-of) enrichment against an SCD2 interval table (the q49
     * shape) as a named temp view: each event row picks up the dimension
     * value in effect at its event time. Works on batch frames here — the

@@ -208,3 +208,18 @@ class EmptyInputRound9Spec extends SparkSpec {
       noDocs, bmp, "doc_id", "text", n = 13).count() === 0)
   }
 }
+
+class EmptyInputRound11Spec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.functions.{Sampling, TextAnalysis}
+
+  test("round-11 selection ops are total on empty frames") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String)].toDF("id", "dom")
+    assert(Sampling.temperatureMix(df, "id", "dom", temperature = 2.0)
+      .count() === 0)
+    val pts = Seq.empty[(Long, Double, Long)].toDF("id", "x", "y")
+    assert(graft.ops.Skyline.skyline2D(pts, "x", "y").count() === 0)
+  }
+}

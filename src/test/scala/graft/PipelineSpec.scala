@@ -1329,6 +1329,24 @@ class GraftSqlSpec extends SparkSpec {
       Seq((1L, 3), (2L, 0)))
   }
 
+  test("temperature-mix and skyline views answer plain SQL") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i <= 400) "a" else "b"))
+      .toDF("id", "dom")
+    graft.sql.GraftSql.registerTemperatureMix(spark, "tmix", df, "id", "dom",
+      temperature = 2.0)
+    val rates = spark.sql(
+      "SELECT dom, max(rate) AS r FROM tmix GROUP BY dom ORDER BY dom")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rates.toSeq === Seq(("a", 0.5), ("b", 1.0)))
+    val pts = Seq((1L, 1.0, 10L), (2L, 2.0, 8L), (3L, 0.5, 9L))
+      .toDF("id", "x", "y")
+    graft.sql.GraftSql.registerSkyline(spark, "sky", pts, "x", "y")
+    val ids = spark.sql("SELECT id FROM sky ORDER BY id").collect()
+      .map(_.getLong(0))
+    assert(ids.toSeq === Seq(1L, 2L)) // (0.5, 9) dominated by (1, 10)
+  }
+
   test("enrich-as-of view answers plain SQL against the scd2 view's shape") {
     import spark.implicits._
     val log = Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 5L, 3L, "x"))

@@ -375,3 +375,29 @@ class VectorPropertySpec extends SparkSpec {
     }, cases = 10)
   }
 }
+
+class SkylinePropertySpec extends SparkSpec {
+
+  import org.scalacheck.{Gen, Prop}
+
+  test("skyline2D equals the naive O(n^2) dominance filter on random points") {
+    import spark.implicits._
+    // small coordinate grids force heavy x/y ties, the fiddly case
+    val ptsGen = Gen.nonEmptyListOf(for {
+      x <- Gen.chooseNum(0, 6)
+      y <- Gen.chooseNum(0L, 6L)
+    } yield (x.toDouble, y))
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAllNoShrink(ptsGen) { pts =>
+        val rows = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        val got = graft.ops.Skyline.skyline2D(rows.toDF("id", "x", "y"), "x", "y")
+          .select("id").collect().map(_.getLong(0)).toSet
+        val want = rows.filter { case (_, x, y) =>
+          !pts.exists(p => p._1 >= x && p._2 >= y && (p._1 > x || p._2 > y))
+        }.map(_._1).toSet
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+}
