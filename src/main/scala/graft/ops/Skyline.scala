@@ -51,4 +51,45 @@ object Skyline {
     pts.join(broadcast(sky),
         pts(xCol) === col("__x") && pts(yCol) === col("__ymax"), "left_semi")
   }
+
+  /** Per-domain skyline — one Pareto frontier per `domCol` group (the
+    * "best trade-off candidates per language/source" form). Same census
+    * plan as [[skyline2D]] with every stage keyed by domain, which makes
+    * it strictly MORE scalable: the prefix-max window partitions by
+    * domain (parallel across domains, no single-partition stage at all)
+    * and the census is |domains|·|distinct x| rows.
+    */
+  def skylineByDomain(df: DataFrame, domCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val pts = df.where(col(domCol).isNotNull &&
+      col(xCol).isNotNull && col(yCol).isNotNull)
+    val census = pts.groupBy(col(domCol).as("__d"), col(xCol).as("__x"))
+      .agg(max(col(yCol)).as("__ymax"))
+    val w = Window.partitionBy(col("__d")).orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = census
+      .withColumn("__pre", max(col("__ymax")).over(w))
+      .where(col("__pre").isNull || col("__ymax") > col("__pre"))
+      .select(col("__d"), col("__x"), col("__ymax"))
+    pts.join(broadcast(sky),
+      pts(domCol) === col("__d") && pts(xCol) === col("__x") &&
+        pts(yCol) === col("__ymax"), "left_semi")
+  }
+
+  /** Sequential skyline over an in-memory point set — the per-group merge
+    * step the streaming frontier ([[graft.streaming.SkylineStream]]) runs
+    * inside its state update; x-desc sweep with a running y max, per-x
+    * ties all kept. O(n log n), n = frontier + batch group.
+    */
+  private[graft] def localSkyline(
+      pts: Seq[(Long, Double, Long)]): Seq[(Long, Double, Long)] = {
+    val byX = pts.groupBy(_._2).toSeq.sortBy(-_._1)
+    var best = Long.MinValue
+    val out = scala.collection.mutable.Buffer.empty[(Long, Double, Long)]
+    for ((_, g) <- byX) {
+      val ymax = g.map(_._3).max
+      if (ymax > best) { out ++= g.filter(_._3 == ymax); best = ymax }
+    }
+    out.toSeq
+  }
 }

@@ -279,6 +279,37 @@ object PipelineQueries {
         "quality", "n_chars")
     },
 
+    // Per-domain skyline (round 11): one Pareto frontier per language —
+    // every stage keyed by domain, so even the prefix-max window
+    // parallelizes across domains (strictly more scalable than d105's
+    // global form). The curator's per-language candidate sheet.
+    "d106_skyline_by_lang" -> { (s, dir) =>
+      graft.ops.Skyline.skylineByDomain(
+        docs(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("n_chars")),
+        "lang", "quality", "n_chars")
+    },
+
+    // d106's LIVE twin (round 11): flatMapGroupsWithState keeps exactly
+    // the current frontier per language (state bounded by frontier size,
+    // never stream length — dominated points are dropped on arrival and
+    // cannot return), re-emitting a touched domain's frontier per batch
+    // in update mode. Finite source -> one batch -> the final frontier
+    // once per domain; the oracle gates stream == batch.
+    "d107_skyline_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          col("n_chars"))
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.SkylineStream.frontier(stream, "lang", "doc_id",
+          "quality", "n_chars"),
+        "d107_skyline", mode = "update")
+    },
+
     // Percentile calibration of the d01 quality score: census-based exact
     // percent_rank — corpus-relative thresholds without a global sort.
     "d65_score_percentile" -> { (s, dir) =>
@@ -1726,6 +1757,23 @@ object PipelineQueries {
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
     */
+  /** DuckDB replay of the per-language skyline census rules — shared by
+    * the batch (d106) and streaming (d107) frontier oracles.
+    */
+  private lazy val SkylineByLangSql: String =
+    s"""WITH pts AS (SELECT doc_id, lang, $QualitySql AS quality, n_chars
+         FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+       c AS (SELECT lang, quality, max(n_chars) AS ymax FROM pts
+         GROUP BY lang, quality),
+       w AS (SELECT lang, quality, ymax, max(ymax) OVER (PARTITION BY lang
+           ORDER BY quality DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre FROM c),
+       sky AS (SELECT lang, quality, ymax FROM w
+         WHERE pre IS NULL OR ymax > pre)
+       SELECT p.doc_id, p.lang, p.quality, p.n_chars
+       FROM pts p JOIN sky s ON p.lang = s.lang AND p.quality = s.quality
+         AND p.n_chars = s.ymax"""
+
   /** DuckDB replay of d22's exact self-join at jaccard >= 0.8 — shared by
     * the d22 oracle and d103's exact-side audit baseline.
     */
@@ -2001,6 +2049,11 @@ object PipelineQueries {
          sky AS (SELECT quality, ymax FROM w WHERE pre IS NULL OR ymax > pre)
          SELECT p.doc_id, p.quality, p.n_chars
          FROM pts p JOIN sky s ON p.quality = s.quality AND p.n_chars = s.ymax""",
+    // d106/d107: the same census rules keyed by language; the streaming
+    // twin replays identically (one micro-batch over the finite source,
+    // update mode emits each domain's final frontier once).
+    "d106_skyline_by_lang" -> SkylineByLangSql,
+    "d107_skyline_stream" -> SkylineByLangSql,
     "d37_ngram_repetition" ->
       """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          g AS (SELECT doc_id,
