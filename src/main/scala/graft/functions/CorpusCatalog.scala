@@ -62,19 +62,32 @@ object CorpusCatalog {
     * d87 columns plus `inter_est`.
     */
   def overlaps(spark: SparkSession, path: String, k: Int = 256): DataFrame = {
-    val cat = spark.read.parquet(path)
+    // mergeSchema: a catalog appended to across library versions holds
+    // BOTH pre-`k`-column and post-`k`-column files; without the merge a
+    // single sampled footer decides whether `k` is visible at all, and a
+    // pre-`k` file would silently fall back to the caller's default — the
+    // exact skew the stored k exists to prevent.
+    val cat = spark.read.option("mergeSchema", "true").parquet(path)
     // The sketch size k is part of the estimator: splicing a k=64 sketch
     // under k=256 treats it as an exact set and skews union/inter
     // estimates silently. Rows written since the `k` column exists carry
     // it; use the stored value (and require one uniform k across the
-    // catalog). Pre-`k` catalogs fall back to the caller's parameter.
+    // catalog — rows from pre-`k` files read as null and are rejected
+    // LOUDLY rather than guessed at). Catalogs with no `k` column at all
+    // fall back to the caller's parameter.
     val effK =
       if (cat.columns.contains("k")) {
-        val ks = cat.select(col("k")).distinct().collect().map(_.getInt(0))
-        require(ks.length == 1,
-          s"catalog at $path mixes sketch sizes k=${ks.sorted.mkString(",")}; " +
+        val ks = cat.select(col("k")).distinct().collect()
+          .map(r => Option(r.getAs[Integer](0)).map(_.toInt))
+        require(!ks.contains(None),
+          s"catalog at $path mixes rows with and without a stored sketch " +
+            "size k (pre-round-11 appends); re-append those dumps or " +
+            "rebuild the catalog before splicing")
+        val vals = ks.flatten
+        require(vals.length == 1,
+          s"catalog at $path mixes sketch sizes k=${vals.sorted.mkString(",")}; " +
             "overlaps() needs one uniform k")
-        ks.head
+        vals.head
       } else k
     val a = cat.select(col("dump_id").as("dump_a"), col("sketch").as("sk_a"))
     val b = cat.select(col("dump_id").as("dump_b"), col("sketch").as("sk_b"))

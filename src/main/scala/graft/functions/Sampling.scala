@@ -174,19 +174,30 @@ object Sampling {
                      domainCol: String,
                      temperature: Double): org.apache.spark.sql.DataFrame = {
     require(temperature > 0, s"temperature=$temperature must be positive")
-    val census = df
+    // NULL-domain rows are dropped, and dropped BEFORE the census: a null
+    // group would otherwise contribute mass to the normalization (skewing
+    // every real domain's rate, and breaking "the binding domain keeps
+    // everything") while its rows silently vanish at the rate join — the
+    // matchDistribution unlisted-domain discipline applied to null.
+    val pts = df.where(col(domainCol).isNotNull)
+    // masses on the 1e-6 integer grid, summed as LONGS (d30's order-free
+    // discipline): pow is a libm call, so its 1-ulp cross-engine wobble
+    // dies at the per-domain grid; the normalizer is then an exact
+    // integer sum rather than an order-dependent float reduction.
+    val census = pts
       .groupBy(col(domainCol))
       .agg(count(lit(1)).cast("double").as("__cnt"))
-      .withColumn("__m", pow(col("__cnt"), lit(1.0 / temperature)))
-    val msum = census.agg(sum(col("__m")).as("__msum"))
+      .withColumn("__mg",
+        round(pow(col("__cnt"), lit(1.0 / temperature)) * 1e6, 0).cast("long"))
+    val msum = census.agg(sum(col("__mg")).as("__msumg"))
     val q = census.crossJoin(broadcast(msum))
       .select(col(domainCol), col("__cnt"),
-        (col("__m") / col("__msum")).as("__q"))
+        (col("__mg").cast("double") / col("__msumg").cast("double")).as("__q"))
     val nOut = q.agg(min(col("__cnt") / col("__q")).as("__nout"))
     val rates = q.crossJoin(broadcast(nOut))
       .select(col(domainCol),
         round(col("__q") * col("__nout") / col("__cnt"), 6).as("__rate"))
-    df.join(broadcast(rates), Seq(domainCol))
+    pts.join(broadcast(rates), Seq(domainCol))
       .where(hashValue(col(idCol)) <
         round(col("__rate") * 4294967296.0).cast("long"))
       .withColumn("rate", col("__rate"))

@@ -79,13 +79,15 @@ object Skyline {
   /** Sequential skyline over an in-memory point set — the per-group merge
     * step the streaming frontier ([[graft.streaming.SkylineStream]]) runs
     * inside its state update; x-desc sweep with a running y max, per-x
-    * ties all kept. O(n log n), n = frontier + batch group.
+    * ties all kept. O(n log n), n = frontier + batch group. Generic in
+    * the id type; both dimensions compare as Double (the streaming twin
+    * carries the input's native y through a double — exact below 2^53).
     */
-  private[graft] def localSkyline(
-      pts: Seq[(Long, Double, Long)]): Seq[(Long, Double, Long)] = {
+  private[graft] def localSkyline[I](
+      pts: Seq[(I, Double, Double)]): Seq[(I, Double, Double)] = {
     val byX = pts.groupBy(_._2).toSeq.sortBy(-_._1)
-    var best = Long.MinValue
-    val out = scala.collection.mutable.Buffer.empty[(Long, Double, Long)]
+    var best = Double.NegativeInfinity
+    val out = scala.collection.mutable.Buffer.empty[(I, Double, Double)]
     for ((_, g) <- byX) {
       val ymax = g.map(_._3).max
       if (ymax > best) { out ++= g.filter(_._3 == ymax); best = ymax }

@@ -22,20 +22,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SkylineStream {
 
+  /** Internal comparisons run on DOUBLES for both x and y — casting y to
+    * an integer type would merge distinct fractional y values into fake
+    * ties and break the documented stream == batch parity with
+    * [[graft.ops.Skyline.skylineByDomain]] (which compares the native
+    * type). Ids travel as strings (lossless for any atomic id type).
+    * Output columns are cast back to the INPUT's own types, so a long
+    * n_chars comes back long (exact for |y| < 2^53 — the double round
+    * trip is the standard parquet/JS-number bound).
+    */
   def frontier(stream: DataFrame, domCol: String, idCol: String,
                xCol: String, yCol: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val typed: Dataset[(String, Long, Double, Long)] = stream
+    val idType = stream.schema(idCol).dataType
+    val yType = stream.schema(yCol).dataType
+    val typed: Dataset[(String, String, Double, Double)] = stream
       .where(col(domCol).isNotNull && col(xCol).isNotNull &&
         col(yCol).isNotNull)
-      .select(col(domCol).cast("string"), col(idCol).cast("long"),
-        col(xCol).cast("double"), col(yCol).cast("long"))
-      .as[(String, Long, Double, Long)]
+      .select(col(domCol).cast("string"), col(idCol).cast("string"),
+        col(xCol).cast("double"), col(yCol).cast("double"))
+      .as[(String, String, Double, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (dom: String, rows: Iterator[(String, Long, Double, Long)],
-         state: GroupState[Seq[(Long, Double, Long)]]) =>
+        (dom: String, rows: Iterator[(String, String, Double, Double)],
+         state: GroupState[Seq[(String, Double, Double)]]) =>
           val merged = graft.ops.Skyline.localSkyline(
             state.getOption.getOrElse(Seq.empty) ++
               rows.map(r => (r._2, r._3, r._4)))
@@ -43,5 +54,7 @@ object SkylineStream {
           merged.iterator.map(p => (dom, p._1, p._2, p._3))
       }
       .toDF(domCol, idCol, xCol, yCol)
+      .withColumn(idCol, col(idCol).cast(idType))
+      .withColumn(yCol, col(yCol).cast(yType))
   }
 }

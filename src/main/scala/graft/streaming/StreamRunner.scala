@@ -39,7 +39,14 @@ object StreamRunner {
       // state rows — so a bench exceedance on a streaming row can be
       // decomposed into batches×cost instead of guessed at. stderr keeps
       // the Bench stdout contract line clean.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_METRICS"))
+      if (sys.env.contains("SPARK_GRAFT_STREAM_METRICS")) {
+        // recentProgress retains only the last N batches (default 100):
+        // mark truncation explicitly so a batches×cost reconciliation
+        // can't silently miss the early (often cold) batches.
+        q.recentProgress.headOption.filter(_.batchId > 0).foreach(p =>
+          System.err.println(s"[stream-metrics] $name TRUNCATED: first " +
+            s"retained batch=${p.batchId} (raise " +
+            "spark.sql.streaming.numRecentProgressUpdates for full capture)"))
         q.recentProgress.foreach { p =>
           val state = p.stateOperators.map(s =>
             s"${s.operatorName}:rows=${s.numRowsTotal},updated=${s.numRowsUpdated}")
@@ -50,6 +57,7 @@ object StreamRunner {
             s"[stream-metrics] $name batch=${p.batchId} rows=${p.numInputRows} " +
               s"triggerMs=$trig state=$state")
         }
+      }
       q.stop()
     }
     spark.table(name)

@@ -2246,10 +2246,13 @@ object PipelineQueries {
     // grid-rounded rates -> md5 keep, replayed with the same pow.
     "d102_temperature_mix" ->
       """WITH census AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
-           FROM documents GROUP BY lang),
-         mass AS (SELECT lang, cnt, pow(cnt, 0.5) AS m FROM census),
-         s AS (SELECT sum(m) AS msum FROM mass),
-         q AS (SELECT lang, cnt, m / msum AS q FROM mass CROSS JOIN s),
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         mass AS (SELECT lang, cnt,
+             CAST(round(pow(cnt, 0.5) * 1e6, 0) AS BIGINT) AS mg FROM census),
+         s AS (SELECT CAST(sum(mg) AS BIGINT) AS msumg FROM mass),
+         q AS (SELECT lang, cnt,
+             CAST(mg AS DOUBLE) / CAST(msumg AS DOUBLE) AS q
+           FROM mass CROSS JOIN s),
          nout AS (SELECT min(cnt / q) AS n FROM q),
          rates AS (SELECT lang, round(q * n / cnt, 6) AS rate
            FROM q CROSS JOIN nout)

@@ -862,6 +862,34 @@ class SkylineStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fractional y and non-long ids survive the stream: no integer cast") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // y values that an integer cast would merge into fake ties
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Double, Double)]
+    val q = graft.streaming.SkylineStream
+      .frontier(in.toDF().toDF("dom", "id", "x", "y"), "dom", "id", "x", "y")
+      .writeStream.format("memory").queryName("skyfrac")
+      .outputMode("update").start()
+    try {
+      in.addData(("a", "p1", 1.0, 2.9), ("a", "p2", 2.0, 2.1),
+        ("a", "p3", 1.0, 2.4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("skyfrac").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toSet
+    // batch semantics: p1 (x=1, y=2.9) and p2 (higher x, lower y) are the
+    // frontier; p3 is dominated by p1 — an integer y cast would instead
+    // tie p3 with p1 and keep all three
+    assert(got === Set(("p1", 2.9), ("p2", 2.1)))
+    val batch = graft.ops.Skyline.skylineByDomain(
+        Seq(("a", "p1", 1.0, 2.9), ("a", "p2", 2.0, 2.1), ("a", "p3", 1.0, 2.4))
+          .toDF("dom", "id", "x", "y"), "dom", "x", "y")
+      .select("id", "y").collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got === batch)
+  }
+
   test("multi-batch stream frontier equals the batch skylineByDomain") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
@@ -896,7 +924,7 @@ class SkylineStreamSpec extends SparkSpec {
     // and no id outside the batch skyline can be in the LAST emission:
     // verify by replaying localSkyline over everything
     val want = pts.groupBy(_._1).view.mapValues(g =>
-      graft.ops.Skyline.localSkyline(g.map(t => (t._2, t._3, t._4)))
+      graft.ops.Skyline.localSkyline(g.map(t => (t._2, t._3, t._4.toDouble)))
         .map(_._1).toSet).toMap
     assert(want === batch)
   }
