@@ -38,6 +38,9 @@ object ScaleStress {
     if (args.contains("round10")) {
       runRound10Probes(spark); spark.stop(); return
     }
+    if (args.contains("round11")) {
+      runRound11Probes(spark); spark.stop(); return
+    }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val n1 = docs1.count()
@@ -235,6 +238,50 @@ object ScaleStress {
     * map-only, must scale ~linearly; (c) funnel — one key exchange,
     * ~linear. 10x corpora are tag-disjoint (zero shared grams).
     */
+  /** Round-11 census-family probe: skylineByDomain and temperatureMix at
+    * x1 vs x10. Both ops' only corpus-sized stage is one partial-agg
+    * census shuffle; the frontier window / rate math runs on the census.
+    * A wall ratio near the scan ratio (~10x or below, since fixed
+    * session cost amortizes) confirms the shape; far above flags a
+    * regression to data-sized windows or joins.
+    */
+  private def runRound11Probes(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "lang", "text", "n_chars")
+    val docs10 = (0 until 10).map { r =>
+      docs1.select((col("doc_id") + lit(r * 10_000_000L)).as("doc_id"),
+        col("lang"), col("text"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    def pts(d: DataFrame) = d.select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"), col("n_chars"))
+    def sky(tag: String, d: DataFrame) = t(s"$tag skylineByDomain") {
+      val n = graft.ops.Skyline
+        .skylineByDomain(pts(d), "lang", "quality", "n_chars").count()
+      drop(); n
+    }
+    def tmix(tag: String, d: DataFrame) = t(s"$tag temperatureMix") {
+      val n = graft.functions.Sampling
+        .temperatureMix(d, "doc_id", "lang", temperature = 2.0).count()
+      drop(); n
+    }
+    sky("warmup", docs1)
+    val s1 = sky("x1", docs1); val s10 = sky("x10", docs10)
+    val m1 = tmix("x1", docs1); val m10 = tmix("x10", docs10)
+    println(f"skyline x1=$s1%6.2f x10=$s10%6.2f ratio=${s10 / s1}%5.1f | " +
+      f"tmix x1=$m1%6.2f x10=$m10%6.2f ratio=${m10 / m1}%5.1f")
+  }
+
   private def runRound10Probes(spark: SparkSession): Unit = {
     def t(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
