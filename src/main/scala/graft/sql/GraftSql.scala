@@ -268,6 +268,15 @@ object GraftSql {
     graft.ops.Skyline.skyline2D(df, xCol, yCol)
       .createOrReplaceTempView(viewName)
 
+  /** Per-domain skyline (the d106 shape) as a named temp view. See
+    * [[graft.ops.Skyline.skylineByDomain]].
+    */
+  def registerSkylineByDomain(spark: SparkSession, viewName: String,
+                              df: DataFrame, domCol: String, xCol: String,
+                              yCol: String): Unit =
+    graft.ops.Skyline.skylineByDomain(df, domCol, xCol, yCol)
+      .createOrReplaceTempView(viewName)
+
   /** Temporal (as-of) enrichment against an SCD2 interval table (the q49
     * shape) as a named temp view: each event row picks up the dimension
     * value in effect at its event time. Works on batch frames here — the

@@ -1345,6 +1345,13 @@ class GraftSqlSpec extends SparkSpec {
     val ids = spark.sql("SELECT id FROM sky ORDER BY id").collect()
       .map(_.getLong(0))
     assert(ids.toSeq === Seq(1L, 2L)) // (0.5, 9) dominated by (1, 10)
+    val dpts = Seq((1L, "a", 1.0, 10L), (2L, "a", 2.0, 8L),
+      (3L, "b", 0.5, 9L)).toDF("id", "dom", "x", "y")
+    graft.sql.GraftSql.registerSkylineByDomain(spark, "skyd", dpts,
+      "dom", "x", "y")
+    val perDom = spark.sql("SELECT id FROM skyd ORDER BY id").collect()
+      .map(_.getLong(0))
+    assert(perDom.toSeq === Seq(1L, 2L, 3L)) // b's lone point survives
   }
 
   test("enrich-as-of view answers plain SQL against the scd2 view's shape") {
