@@ -509,3 +509,19 @@ class DriverQueryPlanSpec extends SparkSpec {
     assert(df.limit(1).count() === 1)
   }
 }
+
+class DriverContractSpec extends SparkSpec {
+
+  test("every declared query has an oracle; no orphan oracle SQL") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    // a query without an oracle silently downgrades to the driver's
+    // weaker rows-only check — surface it as a failing contract instead
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles with no query: ${(o -- q).toSeq.sorted}")
+    assert(graft.SparkEntry.oracleSql.values.forall(_.trim.nonEmpty))
+    // oracle SQL must never reference the Spark-side temp-view namespace
+    assert(!graft.SparkEntry.oracleSql.values.exists(_.contains("graft_")),
+      "oracle SQL must be pure DuckDB (no graft_ UDF references)")
+  }
+}
