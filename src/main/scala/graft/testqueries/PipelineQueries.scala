@@ -595,6 +595,17 @@ object PipelineQueries {
       MinHashLSH.clusters(pairs).select(col("id").as("doc_id"), col("cluster"))
     },
 
+    // d12's components via ALTERNATING STAR CONTRACTION (round 11;
+    // Kiveris et al. 2014): O(log n) rounds on ANY graph vs min-label's
+    // O(diameter) — the variant a chain-shaped dup graph needs. Same
+    // oracle as d12: the labeling is algorithm-independent.
+    "d109_dedup_clusters_star" -> { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+      MinHashLSH.clustersStar(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+    },
+
     // The COMPOSED cleaning pipeline — what a corpus pipeline actually
     // runs, as one DAG: quality gate (map-only) -> exact-dedup canonical
     // (fingerprint argmin) -> near-dup cluster canonical (LSH pairs ->
@@ -1757,6 +1768,23 @@ object PipelineQueries {
   /** DuckDB replay of the full MinHash pipeline — shared by the d05
     * pair check and the d12 clustering oracle.
     */
+  /** DuckDB replay of exact near-dup connected components (recursive
+    * transitive closure) — shared by d12 (min-label propagation) and d109
+    * (alternating star contraction): the component labeling is a pure
+    * function of the pair graph, independent of the distributed algorithm.
+    */
+  private lazy val DedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
+         SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
+         FROM reach GROUP BY id"""
+
   /** DuckDB replay of the per-language skyline census rules — shared by
     * the batch (d106) and streaming (d107) frontier oracles.
     */
@@ -2295,17 +2323,11 @@ object PipelineQueries {
            CAST(list_min(fps) AS BIGINT) AS min_fp,
            CAST(list_max(fps) AS BIGINT) AS max_fp
          FROM wins""",
-    "d12_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
-         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
-                   UNION ALL SELECT doc_b, doc_a FROM thr),
-         reach(id, lab) AS (
-           SELECT DISTINCT a, a FROM edges
-           UNION
-           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b)
-         SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
-         FROM reach GROUP BY id""",
+    "d12_dedup_clusters" -> DedupClustersSql,
+    // d109: connected components are algorithm-independent — the star-
+    // contraction result must hash-match the exact transitive closure the
+    // min-label d12 row is gated on, so the SAME oracle serves both.
+    "d109_dedup_clusters_star" -> DedupClustersSql,
     "d06_simhash" -> SimhashSql,
     "d20_simhash_dup" -> simhashDupSqlFor(SimhashSql, 4, 8, 3),
     "d07_knn" ->

@@ -2894,3 +2894,52 @@ class PackShuffledSpec extends SparkSpec {
       .fieldNames.toSeq === Seq("doc_id", "start", "n_tokens"))
   }
 }
+
+class StarContractionSpec extends SparkSpec {
+
+  import graft.functions.MinHashLSH
+
+  test("clustersStar == clusters on random graphs (incl. heavy merging)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 10
+      val pairs = (1 to n).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val df = pairs.toDF("doc_a", "doc_b")
+      val a = MinHashLSH.clusters(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = MinHashLSH.clustersStar(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b, s"trial $trial: star labels diverge from min-label")
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("deep chain: star contraction needs ~log rounds where min-label needs diameter") {
+    import spark.implicits._
+    // path graph 0-1-...-30: diameter 30. min-label with maxIter=8 CANNOT
+    // converge (throws); star contraction converges comfortably within 8
+    // alternating rounds (~log2(31) + constant).
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      MinHashLSH.clusters(pairs, maxIter = 8).collect()
+    }
+    val got = MinHashLSH.clustersStar(pairs, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 31 && got.values.toSet === Set(0L))
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("clustersStar: empty input, self-pairs, two components") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(MinHashLSH.clustersStar(empty).count() === 0)
+    val mixed = Seq((5L, 5L), (1L, 2L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val got = MinHashLSH.clustersStar(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 8L -> 8L, 9L -> 8L))
+    graft.CacheRegistry.releaseAll()
+  }
+}
