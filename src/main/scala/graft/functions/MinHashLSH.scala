@@ -270,18 +270,29 @@ object MinHashLSH {
     // normalized undirected edge list as (hi, lo) with hi > lo; self
     // loops drop. Node labels are read off the contracted edges at the
     // end; nodes whose edges contract away entirely label themselves.
-    var edges = graft.CacheRegistry.track(pairs
-      .select(greatest(col("doc_a"), col("doc_b")).as("a"),
-        least(col("doc_a"), col("doc_b")).as("b"))
+    // pairs is scanned through ONE persisted projection: both the initial
+    // edge list and the node set derive from it, so an expensive pairs
+    // lineage (d109's full LSH pipeline) computes once, not once per
+    // consumer. Released with the result via CacheRegistry.
+    val pp = graft.CacheRegistry.track(pairs
+      .select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+      .persist(disk))
+    var edges = graft.CacheRegistry.track(pp
+      .select(greatest(col("pa"), col("pb")).as("a"),
+        least(col("pa"), col("pb")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
       .persist(disk))
-    val nodes = pairs
-      .select(col("doc_a").as("id"))
-      .unionByName(pairs.select(col("doc_b").as("id")))
+    val nodes = pp
+      .select(col("pa").as("id"))
+      .unionByName(pp.select(col("pb").as("id")))
       .distinct()
+    // cast each endpoint to decimal BEFORE the addition: ids near 2^63
+    // (hash-derived node ids) would wrap a long a+b and a wrapped sum
+    // colliding across rounds would declare convergence on a non-fixpoint
     def edgeSum(e: DataFrame): java.math.BigDecimal =
-      Option(e.agg(sum((col("a") + col("b")).cast("decimal(38,0)")))
+      Option(e.agg(sum(col("a").cast("decimal(38,0)") +
+          col("b").cast("decimal(38,0)")))
         .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     // the two star operations, exactly per the paper: each center u links
     // a side of its neighborhood to a local minimum.
@@ -332,6 +343,11 @@ object MinHashLSH {
       val s = edgeSum(next)
       converged = s.compareTo(prev) == 0
       prev = s
+      // only round 1's unpersist frees anything (the genuinely persisted
+      // initial edge list); later rounds' frames are checkpoint results
+      // whose blocks Dataset.unpersist doesn't govern — they are freed by
+      // the ContextCleaner as superseded rounds lose their references,
+      // acceptable because the ~log n live rounds are edge-list-sized
       edges.unpersist(false)
       edges = next
       i += 1

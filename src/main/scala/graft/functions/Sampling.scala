@@ -173,7 +173,11 @@ object Sampling {
   def temperatureMix(df: org.apache.spark.sql.DataFrame, idCol: String,
                      domainCol: String,
                      temperature: Double): org.apache.spark.sql.DataFrame = {
-    require(temperature > 0, s"temperature=$temperature must be positive")
+    require(temperature >= 1,
+      s"temperature=$temperature must be >= 1 (1 = natural mix, larger " +
+        "flattens toward uniform); sharpening T<1 would overflow the " +
+        "1e-6 integer-grid mass for large domains (cnt^(1/T) > 2^63) " +
+        "and is not what the published knob does")
     // NULL-domain rows are dropped, and dropped BEFORE the census: a null
     // group would otherwise contribute mass to the normalization (skewing
     // every real domain's rate, and breaking "the binding domain keeps

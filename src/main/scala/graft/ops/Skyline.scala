@@ -85,12 +85,21 @@ object Skyline {
     */
   private[graft] def localSkyline[I](
       pts: Seq[(I, Double, Double)]): Seq[(I, Double, Double)] = {
-    val byX = pts.groupBy(_._2).toSeq.sortBy(-_._1)
+    // canonicalize -0.0 x keys to 0.0: Scala's boxed-Double groupBy keeps
+    // them distinct while Spark SQL's groupBy (and the batch census)
+    // merges them — parity requires one group
+    val byX = pts.groupBy(p => if (p._2 == 0.0) 0.0 else p._2)
+      .toSeq.sortBy(-_._1)
+    // `first` rather than a -Infinity sentinel: a highest-x group whose
+    // ymax IS -Infinity must still survive (batch rule: prefix max NULL)
     var best = Double.NegativeInfinity
+    var first = true
     val out = scala.collection.mutable.Buffer.empty[(I, Double, Double)]
     for ((_, g) <- byX) {
       val ymax = g.map(_._3).max
-      if (ymax > best) { out ++= g.filter(_._3 == ymax); best = ymax }
+      if (first || ymax > best) {
+        out ++= g.filter(_._3 == ymax); best = ymax; first = false
+      }
     }
     out.toSeq
   }

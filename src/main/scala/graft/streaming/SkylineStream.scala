@@ -13,12 +13,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * as one batch, each domain's final frontier is emitted exactly once,
   * which is what the d107 oracle gates against the batch operator).
   *
-  * State is BOUNDED by the frontier size — at most |distinct x| points
-  * per domain (grid-rounded scores keep that small), NOT by stream
-  * length: a dominated point is dropped the moment a dominating one
-  * arrives and can never return. The per-batch merge is the
-  * [[graft.ops.Skyline.localSkyline]] x-desc sweep, O(n log n) in
-  * frontier + batch-group size.
+  * State per domain = the frontier INCLUDING (x, y)-tied duplicates
+  * (required for batch parity — equal points don't dominate each other):
+  * bounded by |distinct x| × the duplicate multiplicity of frontier
+  * points, not by stream length for dominated points (a dominated point
+  * is dropped the moment a dominating one arrives and can never return).
+  * A corpus where many docs share a frontier (x, y) cell accumulates
+  * those ids; if ties don't matter downstream, dedupe to one id per
+  * (x, y) before this operator and state is strictly |distinct x|. The
+  * per-batch merge is the [[graft.ops.Skyline.localSkyline]] x-desc
+  * sweep, O(n log n) in frontier + batch-group size.
   */
 object SkylineStream {
 
@@ -35,7 +39,9 @@ object SkylineStream {
                xCol: String, yCol: String): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val domType = stream.schema(domCol).dataType
     val idType = stream.schema(idCol).dataType
+    val xType = stream.schema(xCol).dataType
     val yType = stream.schema(yCol).dataType
     val typed: Dataset[(String, String, Double, Double)] = stream
       .where(col(domCol).isNotNull && col(xCol).isNotNull &&
@@ -54,7 +60,9 @@ object SkylineStream {
           merged.iterator.map(p => (dom, p._1, p._2, p._3))
       }
       .toDF(domCol, idCol, xCol, yCol)
+      .withColumn(domCol, col(domCol).cast(domType))
       .withColumn(idCol, col(idCol).cast(idType))
+      .withColumn(xCol, col(xCol).cast(xType))
       .withColumn(yCol, col(yCol).cast(yType))
   }
 }

@@ -228,16 +228,6 @@ object ScaleStress {
     spark.stop()
   }
 
-  /** `runMain graft.tools.ScaleStress semantic` — just the embedding-side
-    * probes (semdedup + the round-10 semantic family), skipping the text
-    * suite.
-    */
-  /** Round-10 probes: (a) KMV sketch vs exact COUNT(DISTINCT) on the
-    * gram set at 1x and 10x — the sketch's win must GROW with scale
-    * (bounded exchange vs all-distinct-values exchange); (b) PQ encode —
-    * map-only, must scale ~linearly; (c) funnel — one key exchange,
-    * ~linear. 10x corpora are tag-disjoint (zero shared grams).
-    */
   /** Round-11 census-family probe: skylineByDomain and temperatureMix at
     * x1 vs x10. Both ops' only corpus-sized stage is one partial-agg
     * census shuffle; the frontier window / rate math runs on the census.
@@ -282,6 +272,12 @@ object ScaleStress {
       f"tmix x1=$m1%6.2f x10=$m10%6.2f ratio=${m10 / m1}%5.1f")
   }
 
+  /** Round-10 probes: (a) KMV sketch vs exact COUNT(DISTINCT) on the
+    * gram set at 1x and 10x — the sketch's win must GROW with scale
+    * (bounded exchange vs all-distinct-values exchange); (b) PQ encode —
+    * map-only, must scale ~linearly; (c) funnel — one key exchange,
+    * ~linear. 10x corpora are tag-disjoint (zero shared grams).
+    */
   private def runRound10Probes(spark: SparkSession): Unit = {
     def t(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
@@ -375,6 +371,10 @@ object ScaleStress {
     println(f"funnel x1=$f1%6.2f x10=$f10%6.2f ratio=${f10 / f1}%5.1f")
   }
 
+  /** `runMain graft.tools.ScaleStress semantic` — just the embedding-side
+    * probes (semdedup + the round-10 semantic family), skipping the text
+    * suite.
+    */
   private def runEmbeddingProbes(spark: SparkSession): Unit = {
     def t(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
