@@ -290,6 +290,35 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "de", "y", "un", "una", "es", "en",
       "que", "no", "por"))
 
+  /** Unicode-script character profile — the SCRIPT-mix complement to the
+    * stopword [[langIdHeuristic]]: per-document fractions of characters in
+    * the Latin-letter, CJK-ideograph, Cyrillic, Arabic and ASCII-digit
+    * ranges. Stopword profiles can only separate languages that share a
+    * script; the script profile catches what they cannot — mixed-script
+    * spam, wrong-script boilerplate inside a declared-language corpus,
+    * digit-heavy table dumps. Map-only codegen'd expressions (five
+    * regexp_replace length-diffs over the scan — no shuffle,
+    * embarrassingly parallel at 100 TB); ranges are written as \\x{...}
+    * hex classes, the syntax Java regex AND RE2 share, so an external SQL
+    * oracle runs the byte-identical pattern. Fractions on the 1e-6 grid;
+    * an empty string reports zeros.
+    */
+  def scriptProfile(text: Column): Column = {
+    val n = length(text).cast("double")
+    def frac(pat: String): Column = {
+      val cnt = (length(text) - length(regexp_replace(text, pat, "")))
+        .cast("double")
+      when(length(text) === 0, lit(0.0)).otherwise(round(cnt / n, 6))
+    }
+    struct(
+      length(text).cast("long").as("n_chars"),
+      frac("[A-Za-z]").as("frac_latin"),
+      frac("[\\x{4E00}-\\x{9FFF}]").as("frac_cjk"),
+      frac("[\\x{0400}-\\x{04FF}]").as("frac_cyrillic"),
+      frac("[\\x{0600}-\\x{06FF}]").as("frac_arabic"),
+      frac("[0-9]").as("frac_digit"))
+  }
+
   /** Language-ID heuristic: stopword-ratio per language profile, argmax with
     * 'und' (undetermined) when no profile clears the floor. Kept as the
     * single-profile fast path; [[langId]] is the multi-profile argmax.

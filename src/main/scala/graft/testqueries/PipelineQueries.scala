@@ -50,6 +50,21 @@ object PipelineQueries {
         TextAnalysis.qualityScore(t).as("quality"))
     },
 
+    // Unicode-script character profile (round 11) — the script-mix
+    // complement to the stopword langID: mixed-script runs are
+    // synthesized per doc_id (as d98/d101 synthesize blobs) so the
+    // fractions genuinely vary on the ASCII test corpus, and the oracle
+    // rebuilds the identical string and runs the byte-identical \x{...}
+    // ranges (the regex-class syntax Java regex and RE2 share).
+    "d108_script_profile" -> { (s, dir) =>
+      val mixed = concat(col("text"),
+        expr("repeat('世', CAST(doc_id % 5 AS INT))"),
+        expr("repeat('ж', CAST(doc_id % 3 AS INT))"))
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.scriptProfile(mixed).as("sp"))
+        .select(col("doc_id"), col("sp.*"))
+    },
+
     // Language-ID heuristic (stopword profile argmax with 'und' floor).
     "d02_lang_id" -> { (s, dir) =>
       docs(s, dir).select(
@@ -2077,6 +2092,25 @@ object PipelineQueries {
          sky AS (SELECT quality, ymax FROM w WHERE pre IS NULL OR ymax > pre)
          SELECT p.doc_id, p.quality, p.n_chars
          FROM pts p JOIN sky s ON p.quality = s.quality AND p.n_chars = s.ymax""",
+    // d108: the same mixed-script synthesis + the same five \x{...}
+    // character classes, length-diff counted; fractions on the 1e-6 grid.
+    "d108_script_profile" ->
+      """WITH t AS (SELECT doc_id,
+           text || repeat('世', CAST(doc_id % 5 AS INT))
+                || repeat('ж', CAST(doc_id % 3 AS INT)) AS tx
+           FROM documents)
+         SELECT doc_id, CAST(length(tx) AS BIGINT) AS n_chars,
+           round((length(tx) - length(regexp_replace(tx, '[A-Za-z]', '', 'g')))
+             / CAST(length(tx) AS DOUBLE), 6) AS frac_latin,
+           round((length(tx) - length(regexp_replace(tx, '[\x{4E00}-\x{9FFF}]', '', 'g')))
+             / CAST(length(tx) AS DOUBLE), 6) AS frac_cjk,
+           round((length(tx) - length(regexp_replace(tx, '[\x{0400}-\x{04FF}]', '', 'g')))
+             / CAST(length(tx) AS DOUBLE), 6) AS frac_cyrillic,
+           round((length(tx) - length(regexp_replace(tx, '[\x{0600}-\x{06FF}]', '', 'g')))
+             / CAST(length(tx) AS DOUBLE), 6) AS frac_arabic,
+           round((length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')))
+             / CAST(length(tx) AS DOUBLE), 6) AS frac_digit
+         FROM t""",
     // d106/d107: the same census rules keyed by language; the streaming
     // twin replays identically (one micro-batch over the finite source,
     // update mode emits each domain's final frontier once).

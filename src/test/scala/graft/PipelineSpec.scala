@@ -2943,3 +2943,29 @@ class StarContractionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 }
+
+class ScriptProfileSpec extends SparkSpec {
+
+  test("script fractions exact on known mixed strings; empty reports zeros") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "abcd"),             // pure latin
+      (2L, "ab12"),             // half latin, half digit
+      (3L, "a世世ж"),           // mixed: 1 latin, 2 cjk, 1 cyrillic
+      (4L, "سلام"),             // pure arabic (4 chars)
+      (5L, ""))                 // empty: zeros, no div-by-zero
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.functions.TextAnalysis.scriptProfile(col("t")).as("sp"))
+      .select(col("id"), col("sp.*"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got(1L) === ((4L, 1.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(2L) === ((4L, 0.5, 0.0, 0.0, 0.0, 0.5)))
+    assert(got(3L) === ((4L, 0.25, 0.5, 0.25, 0.0, 0.0)))
+    assert(got(4L) === ((4L, 0.0, 0.0, 0.0, 1.0, 0.0)))
+    assert(got(5L) === ((0L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+}
