@@ -264,6 +264,13 @@ object MinHashLSH {
     * strictly monotone decreasing until the fixpoint — the same exact
     * decimal convergence test [[clusters]] uses, no join-based change
     * detection.
+    *
+    * Reliable-checkpoint retention: each round's frame is EDGE-LIST-sized
+    * (not label-sized like [[clusters]]'), so superseded rounds' checkpoint
+    * files are deleted explicitly as the loop advances — only the final
+    * round's file remains for the app's lifetime (it backs the returned
+    * labels' lineage), regardless of whether the deployment enables
+    * spark.cleaner.referenceTracking.cleanCheckpoints.
     */
   def clustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -329,26 +336,48 @@ object MinHashLSH {
     var converged = prev.signum == 0 && edges.isEmpty
     var i = 0
     val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
     // checkpoint EVERY round, not on a cadence: one round stacks ~6 plan
     // operators (two stars of groupBy+join+union+distinct), so un-truncated
     // lineage makes driver-side analysis the dominant cost within 2-3
     // rounds (measured: 75 s for an 11-node chain on cadence-5; 3 s with
     // per-round truncation). Rounds are O(log n), so the per-round
     // materialization is the cheap side of the trade everywhere.
+    //
+    // Reliable-checkpoint retention: these per-round frames are EDGE-LIST-
+    // sized (unlike clusters()' tiny label frames), and without
+    // spark.cleaner.referenceTracking.cleanCheckpoints their files live for
+    // the app's lifetime — ~log n full edge-list copies. So the reliable
+    // path checkpoints through an RDD we own (getCheckpointFile is public
+    // there) and DELETES each superseded round's file as soon as the next
+    // round has materialized; only the FINAL round's file survives (it
+    // backs the returned labels' lineage) — one edge-list-sized file for
+    // the app's lifetime instead of a stack of them.
+    var prevCkptFile: Option[String] = None
+    def deletePrevCkpt(): Unit = prevCkptFile.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
     while (!converged && i < maxIter) {
       val nextRaw = star(star(edges, large = true), large = false)
-      val next =
-        if (sc.getCheckpointDir.isDefined) nextRaw.checkpoint(true)
-        else nextRaw.localCheckpoint(true)
+      val (next, ckptFile) =
+        if (sc.getCheckpointDir.isDefined) {
+          val rdd = nextRaw.rdd
+          rdd.checkpoint()
+          rdd.count() // materialize into reliable storage now
+          (spark.createDataFrame(rdd, nextRaw.schema), rdd.getCheckpointFile)
+        } else (nextRaw.localCheckpoint(true), None)
       val s = edgeSum(next)
       converged = s.compareTo(prev) == 0
       prev = s
       // only round 1's unpersist frees anything (the genuinely persisted
       // initial edge list); later rounds' frames are checkpoint results
-      // whose blocks Dataset.unpersist doesn't govern — they are freed by
-      // the ContextCleaner as superseded rounds lose their references,
-      // acceptable because the ~log n live rounds are edge-list-sized
+      // whose blocks Dataset.unpersist doesn't govern. Local-checkpoint
+      // blocks are freed by the ContextCleaner as superseded rounds lose
+      // their references; reliable files are deleted explicitly here.
       edges.unpersist(false)
+      deletePrevCkpt() // the file backing the OLD edges — no reader remains
+      prevCkptFile = ckptFile
       edges = next
       i += 1
     }

@@ -85,20 +85,27 @@ object Skyline {
     */
   private[graft] def localSkyline[I](
       pts: Seq[(I, Double, Double)]): Seq[(I, Double, Double)] = {
-    // canonicalize -0.0 x keys to 0.0: Scala's boxed-Double groupBy keeps
-    // them distinct while Spark SQL's groupBy (and the batch census)
-    // merges them — parity requires one group
-    val byX = pts.groupBy(p => if (p._2 == 0.0) 0.0 else p._2)
-      .toSeq.sortBy(-_._1)
+    // Parity with Spark SQL's total order on BOTH dimensions: NaN is the
+    // greatest value and equals itself; -0.0 == 0.0. Primitive ==/> get
+    // both wrong for NaN (NaN == NaN is false, NaN > best is false) — a
+    // single NaN y would first make its x group emit nothing and then, as
+    // `best`, reject every later group, wiping the frontier. Canonicalize
+    // -0.0 for key/tie classes and compare through Double.compare (all
+    // NaN payloads one class); output tuples keep their ORIGINAL values.
+    def canon(v: Double) = if (v == 0.0) 0.0 else v
+    val to = Ordering.Double.TotalOrdering
+    val byX = pts.groupBy(p => canon(p._2)).toSeq
+      .sortBy(_._1)(to.reverse) // x descending; NaN-x group first
     // `first` rather than a -Infinity sentinel: a highest-x group whose
     // ymax IS -Infinity must still survive (batch rule: prefix max NULL)
     var best = Double.NegativeInfinity
     var first = true
     val out = scala.collection.mutable.Buffer.empty[(I, Double, Double)]
     for ((_, g) <- byX) {
-      val ymax = g.map(_._3).max
-      if (first || ymax > best) {
-        out ++= g.filter(_._3 == ymax); best = ymax; first = false
+      val ymax = g.map(p => canon(p._3)).max(to)
+      if (first || java.lang.Double.compare(ymax, best) > 0) {
+        out ++= g.filter(p => java.lang.Double.compare(canon(p._3), ymax) == 0)
+        best = ymax; first = false
       }
     }
     out.toSeq

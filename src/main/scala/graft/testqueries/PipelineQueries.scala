@@ -2094,22 +2094,30 @@ object PipelineQueries {
          FROM pts p JOIN sky s ON p.quality = s.quality AND p.n_chars = s.ymax""",
     // d108: the same mixed-script synthesis + the same five \x{...}
     // character classes, length-diff counted; fractions on the 1e-6 grid.
+    // Each fraction carries the Spark side's empty-input rule (zeros, not
+    // NULL/div-by-zero) so the pair stays total-input equivalent — an
+    // empty text with doc_id % 15 == 0 yields an empty tx.
     "d108_script_profile" ->
       """WITH t AS (SELECT doc_id,
            text || repeat('世', CAST(doc_id % 5 AS INT))
                 || repeat('ж', CAST(doc_id % 3 AS INT)) AS tx
            FROM documents)
          SELECT doc_id, CAST(length(tx) AS BIGINT) AS n_chars,
-           round((length(tx) - length(regexp_replace(tx, '[A-Za-z]', '', 'g')))
-             / CAST(length(tx) AS DOUBLE), 6) AS frac_latin,
-           round((length(tx) - length(regexp_replace(tx, '[\x{4E00}-\x{9FFF}]', '', 'g')))
-             / CAST(length(tx) AS DOUBLE), 6) AS frac_cjk,
-           round((length(tx) - length(regexp_replace(tx, '[\x{0400}-\x{04FF}]', '', 'g')))
-             / CAST(length(tx) AS DOUBLE), 6) AS frac_cyrillic,
-           round((length(tx) - length(regexp_replace(tx, '[\x{0600}-\x{06FF}]', '', 'g')))
-             / CAST(length(tx) AS DOUBLE), 6) AS frac_arabic,
-           round((length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')))
-             / CAST(length(tx) AS DOUBLE), 6) AS frac_digit
+           CASE WHEN length(tx) = 0 THEN 0.0 ELSE
+             round((length(tx) - length(regexp_replace(tx, '[A-Za-z]', '', 'g')))
+               / CAST(length(tx) AS DOUBLE), 6) END AS frac_latin,
+           CASE WHEN length(tx) = 0 THEN 0.0 ELSE
+             round((length(tx) - length(regexp_replace(tx, '[\x{4E00}-\x{9FFF}]', '', 'g')))
+               / CAST(length(tx) AS DOUBLE), 6) END AS frac_cjk,
+           CASE WHEN length(tx) = 0 THEN 0.0 ELSE
+             round((length(tx) - length(regexp_replace(tx, '[\x{0400}-\x{04FF}]', '', 'g')))
+               / CAST(length(tx) AS DOUBLE), 6) END AS frac_cyrillic,
+           CASE WHEN length(tx) = 0 THEN 0.0 ELSE
+             round((length(tx) - length(regexp_replace(tx, '[\x{0600}-\x{06FF}]', '', 'g')))
+               / CAST(length(tx) AS DOUBLE), 6) END AS frac_arabic,
+           CASE WHEN length(tx) = 0 THEN 0.0 ELSE
+             round((length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')))
+               / CAST(length(tx) AS DOUBLE), 6) END AS frac_digit
          FROM t""",
     // d106/d107: the same census rules keyed by language; the streaming
     // twin replays identically (one micro-batch over the finite source,

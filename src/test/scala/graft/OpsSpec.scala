@@ -816,4 +816,30 @@ class SkylineSpec extends SparkSpec {
     val one = Seq((1L, 0.0, 0L)).toDF("id", "x", "y")
     assert(Skyline.skyline2D(one, "x", "y").count() === 1)
   }
+
+  test("NaN x/y: localSkyline matches batch (NaN greatest, NaN == NaN)") {
+    import spark.implicits._
+    // Spark SQL's total order makes NaN the GREATEST value and equal to
+    // itself; a primitive-== sweep would let the NaN-y point erase the
+    // whole frontier (the round-11 advisor finding). Pin local == batch.
+    val pts = Seq(
+      (1L, 1.0, 10.0),        // dominated: x=2's NaN ymax > 10
+      (2L, 2.0, Double.NaN),  // skyline: NaN y beats every lower-x group
+      (3L, 3.0, 5.0),         // skyline: highest finite x
+      (4L, Double.NaN, 1.0),  // skyline: NaN x is the highest x group
+      (5L, 2.0, 7.0))         // dominated within its x group (7 != NaN)
+    val df = pts.toDF("id", "x", "y")
+    val batch = Skyline.skyline2D(df, "x", "y")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(batch === Seq(2L, 3L, 4L))
+    val local = Skyline.localSkyline(pts.map(p => (p._1, p._2, p._3)))
+      .map(_._1).sorted
+    assert(local === batch)
+    // -0.0 and 0.0 stay one tie class in both engines
+    val zs = Seq((1L, -0.0, 5.0), (2L, 0.0, 5.0), (3L, 0.0, 4.0))
+    val zBatch = Skyline.skyline2D(zs.toDF("id", "x", "y"), "x", "y")
+      .select("id").as[Long].collect().sorted.toSeq
+    val zLocal = Skyline.localSkyline(zs).map(_._1).sorted
+    assert(zLocal === zBatch && zBatch === Seq(1L, 2L))
+  }
 }

@@ -2932,6 +2932,33 @@ class StarContractionSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("reliable-checkpoint path keeps only the final round's file") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // path graph: converges in several alternating rounds, so without
+      // the explicit per-round deletion the checkpoint dir would hold one
+      // edge-list-sized rdd-* directory PER ROUND for the app's lifetime
+      val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = MinHashLSH.clustersStar(pairs, maxIter = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 31 && got.values.toSet === Set(0L))
+      val ckpt = new java.io.File(new java.net.URI(sc.getCheckpointDir.get).getPath)
+      val rdds = Option(ckpt.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rdds.length <= 1, rdds.map(_.getName).mkString(","))
+      graft.CacheRegistry.releaseAll()
+    } finally {
+      // restore the shared session's localCheckpoint default (checkpointDir
+      // is private[spark] — public at bytecode level, reachable reflectively)
+      classOf[org.apache.spark.SparkContext]
+        .getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(sc, None)
+    }
+  }
+
   test("clustersStar: empty input, self-pairs, two components") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
