@@ -92,11 +92,18 @@ object Bench {
     }
     val warmRuns = 3
     case class QBench(name: String, steady: Double, cold: Double,
-                      runs: Seq[Double], spread: Double)
+                      runs: Seq[Double], spread: Double, tOff: Double)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     var calibMid = -1.0
+    // wall-clock offset of each query's first sample from bench start:
+    // calib_ms only probes three points, so a contended window BETWEEN
+    // probes (the r11 driver d38-d58 block) is invisible without a
+    // per-query time axis — with it, an exceedance block maps to a
+    // bounded [start, end] window a reader can correlate with host load
+    val benchT0 = System.nanoTime()
     val results = sorted.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == sorted.size / 2) calibMid = calib()
+      val tOff = (System.nanoTime() - benchT0) / 1e9
       val cold = timeOnce(fn)
       dropCaches()
       val warms = Seq.fill(warmRuns) {
@@ -110,7 +117,7 @@ object Bench {
       // the host was contended — lets a reader of the artifact tell a
       // noisy run from a plan regression without rerunning the harness
       val spread = if (ok.isEmpty || ok.min <= 0) -1.0 else ok.max / ok.min
-      QBench(name, steady, cold, runs, spread)
+      QBench(name, steady, cold, runs, spread, tOff)
     }
     val calibEnd = calib()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -123,6 +130,7 @@ object Bench {
       .map(q => s"\"" + q.name + "\":" + q.runs.map(r3).mkString("[", ",", "]"))
       .mkString("{", ",", "}")
     val spreads = jsonMap(_.spread)
+    val tOffs = jsonMap(_.tOff)
     val total = results.map(_.steady).sum
     val coldTotal = results.map(_.cold).sum
     // Full per-query detail (steady, cold, and the raw samples each run
@@ -137,7 +145,7 @@ object Bench {
     // BENCH_DETAIL.json holds the untruncated four maps, so a contended
     // run is still self-diagnosing (high spread across the board).
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"calib_ms":{"start":${r3(calibStart)},"mid":${r3(calibMid)},"end":${r3(calibEnd)}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"t_off":$tOffs,"calib_ms":{"start":${r3(calibStart)},"mid":${r3(calibMid)},"end":${r3(calibEnd)}},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort
