@@ -115,4 +115,97 @@ object Sketches {
     sa.crossJoin(broadcast(sb))
       .select(overlapColumns(col("sk_a"), col("sk_b"), k): _*)
   }
+
+  // ——— Count-Min: bounded-state FREQUENCY, the dual of KMV's distinct ———
+
+  /** The CMS mixing modulus / low-bit mask (2^31−1) — see
+    * [[graft.plans.CmsSketch]].
+    */
+  val CmsP: Long = graft.plans.CmsSketch.P
+
+  /** Row-r bucket of hash `h` in a width-`width` CMS row — the
+    * Kirsch–Mitzenmacher double-hash in exact integer arithmetic, the
+    * SAME closed form the aggregate's JVM loop and every DuckDB oracle
+    * evaluate: `((h & M) + r·(1 + ((h >> 31) & M))) % P % width`.
+    */
+  def cmsBucket(h: Column, r: Column, width: Int): Column =
+    pmod(pmod(h.bitwiseAND(lit(CmsP)) +
+      r.cast("long") * (lit(1L) + shiftright(h, 31).bitwiseAND(lit(CmsP))),
+      lit(CmsP)), lit(width.toLong))
+
+  /** The CMS aggregate column over an already-hashed 60-bit column:
+    * row-major `depth × width` bucket counts as `array<long>`. State per
+    * group = depth·width longs; merge = element-wise add.
+    */
+  def cmsAgg(df: DataFrame, h: Column, depth: Int, width: Int): Column =
+    graft.plans.SketchExpressions.cmsColumn(df.sparkSession, h, depth, width)
+
+  /** Point-frequency estimate from a sketch column: min over the rows'
+    * buckets — never an undercount; overcount ≈ e/width · N with
+    * probability 1−e^−depth. Closed-form array math (no UDF), replayed by
+    * the oracle as the identical min-over-rows splice.
+    */
+  def cmsEstimate(sketch: Column, h: Column, depth: Int, width: Int): Column =
+    array_min(transform(sequence(lit(0), lit(depth - 1)), r =>
+      element_at(sketch,
+        (r.cast("long") * width + cmsBucket(h, r, width) + lit(1L)).cast("int"))))
+
+  /** Heavy-key frequency gate: the CMS estimate vs the EXACT count for
+    * the `topK` most frequent hashes (ties to the smaller hash). The
+    * census here is the gate's truth source, not part of the deployed CMS
+    * path — in production the sketch answers point queries WITHOUT it;
+    * this shape exists so the driver oracle checks the no-undercount
+    * invariant and the estimates themselves on every run.
+    *
+    * Plan: one bounded partial-agg for the sketch (≤ partitions·depth·
+    * width longs through the exchange), one census shuffle for the truth,
+    * a driver-bounded top-k, and the one-row sketch broadcast onto it.
+    */
+  def cmsTopFreq(items: DataFrame, h: Column, depth: Int, width: Int,
+                 topK: Int): DataFrame = {
+    val hashed = items.select(h.cast("long").as("h"))
+    val sk = hashed.agg(cmsAgg(hashed, col("h"), depth, width).as("sk"))
+    val top = hashed.groupBy("h").agg(count(lit(1)).as("cnt_true"))
+      .orderBy(col("cnt_true").desc, col("h")).limit(topK)
+    top.crossJoin(broadcast(sk))
+      .select(col("h").as("item_hash"), col("cnt_true"),
+        cmsEstimate(col("sk"), col("h"), depth, width).as("cms_est"))
+      .withColumn("no_undercount",
+        (col("cms_est") >= col("cnt_true")).cast("int"))
+  }
+
+  /** Grouped CMS: one sketch per domain (state depth·width longs per
+    * group), gated on each domain's single most frequent hash. The shape
+    * a per-dump/per-domain catalog maintains continuously next to its KMV
+    * sketch: KMV answers "how many distinct", this answers "how often is
+    * x" — both mergeable, both tiny, both engine-replayable.
+    */
+  def cmsByDomain(items: DataFrame, domCol: String, h: Column, depth: Int,
+                  width: Int): DataFrame = {
+    val hashed = items.select(col(domCol).as("dom"), h.cast("long").as("h"))
+    val sk = hashed.groupBy("dom")
+      .agg(cmsAgg(hashed, col("h"), depth, width).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dom").orderBy(col("cnt_true").desc, col("h"))
+    val top = hashed.groupBy("dom", "h").agg(count(lit(1)).as("cnt_true"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1).drop("__rk")
+    top.join(sk, "dom")
+      .select(col("dom").as(domCol), col("h").as("item_hash"),
+        col("cnt_true"),
+        cmsEstimate(col("sk"), col("h"), depth, width).as("cms_est"))
+      .withColumn("no_undercount",
+        (col("cms_est") >= col("cnt_true")).cast("int"))
+  }
+
+  /** The full sketch as one oracle-comparable row: CSV of all depth·width
+    * counts plus the item total (row 0's sum — every row sums to N).
+    * This is the streaming twin's emission shape (the d88/d99 convention:
+    * update-mode final emission over a finite replay must equal the batch
+    * sketch to the last bucket).
+    */
+  def cmsSummary(sketch: Column, depth: Int, width: Int): Seq[Column] = Seq(
+    array_join(sketch.cast("array<string>"), ",").as("sketch_csv"),
+    aggregate(slice(sketch, 1, width), lit(0L), (acc, c) => acc + c)
+      .as("n_items"))
 }

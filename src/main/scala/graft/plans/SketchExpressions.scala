@@ -119,7 +119,111 @@ case class KmvSketch(child: Expression, k: Int,
     copy(child = newChild)
 }
 
-/** Registration for [[KmvSketch]] under the SQL name `graft_kmv`. */
+/** Native Count-Min sketch — the bounded-state FREQUENCY counterpart of
+  * [[KmvSketch]]'s distinct count: "how often does item x occur" over a
+  * 100 TB stream of items, answered from `depth × width` longs instead of
+  * a census whose exchange carries every distinct item (Cormode &
+  * Muthukrishnan, "An improved data stream summary: the count-min sketch
+  * and its applications", J. Algorithms 2005).
+  *
+  * Each input hash increments one bucket per row; a point estimate is the
+  * MIN over the rows' buckets — never an undercount, overcounts bounded
+  * by collisions (≈ e/width · N with probability 1−e^−depth). The buffer
+  * is a dense `depth × width` long array (row-major), so the exchange
+  * carries ≤ partitions × depth × width longs regardless of input size,
+  * and merge is element-wise addition — per-shard sketches persist tiny
+  * and any union's sketch is the sum, the same standing-artifact property
+  * the KMV family has.
+  *
+  * Deterministic and engine-replayable: inputs are the repo-standard
+  * 60-bit md5 hashes, and the per-row bucket is the Kirsch–Mitzenmacher
+  * double-hash (ESA 2006) in exact integer arithmetic any SQL engine
+  * reproduces —
+  * `((h & M) + r·(1 + ((h >> 31) & M))) % P % width` with
+  * `M = P = 2^31−1` — so a DuckDB oracle rebuilds the ENTIRE sketch
+  * bit-for-bit from a bucket-count census and the estimates from the same
+  * min-over-rows splice (no private hash seeds, unlike Spark's built-in
+  * CountMinSketchAgg whose binary layout no second engine replays).
+  *
+  * Null inputs are skipped (SQL aggregate convention). Output:
+  * `array<long>` of length depth·width, row-major, no nulls.
+  */
+case class CmsSketch(child: Expression, depth: Int, width: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(depth > 0 && depth <= 16, s"graft_cms depth=$depth must be in [1,16]")
+  require(width > 0, s"graft_cms width=$width must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_cms"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val h1 = h & CmsSketch.M
+      val h2 = 1L + ((h >>> 31) & CmsSketch.M)
+      var r = 0
+      while (r < depth) {
+        val b = (((h1 + r.toLong * h2) % CmsSketch.P) % width).toInt
+        buf(r * width + b) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketch =
+    copy(child = newChild)
+}
+
+object CmsSketch {
+  /** 2^31−1: both the low-31-bit mask and the mixing modulus — small
+    * enough that `h1 + 15·h2 < 2^36` never overflows a long, and exactly
+    * reproducible as `(x & 2147483647) % 2147483647` in any BIGINT SQL.
+    */
+  val P: Long = 2147483647L
+  val M: Long = 2147483647L
+}
+
+/** Registration for [[KmvSketch]] (`graft_kmv`) and [[CmsSketch]]
+  * (`graft_cms`).
+  */
 object SketchExpressions {
 
   private val fid = FunctionIdentifier("graft_kmv")
@@ -131,9 +235,23 @@ object SketchExpressions {
       .toAggregateExpression()
   }
 
+  private val cmsFid = FunctionIdentifier("graft_cms")
+  private val cmsInfo = new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms")
+  private[plans] val cmsBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, s"graft_cms expects 3 arguments, got ${exprs.length}")
+    require(exprs(1).foldable && exprs(2).foldable,
+      "graft_cms depth and width must be literals")
+    CmsSketch(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue,
+      exprs(2).eval().asInstanceOf[Number].intValue)
+      .toAggregateExpression()
+  }
+
   /** Idempotent runtime registration (see [[VectorExpressions.ensureRegistered]]). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
+    spark.sessionState.functionRegistry.registerFunction(cmsFid, cmsInfo, cmsBuilder)
+  }
 
   /** `Column` surface: the KMV sketch (k smallest distinct hashes,
     * ascending) of a 60-bit-hash column, as an aggregate.
@@ -142,5 +260,15 @@ object SketchExpressions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(
       "graft_kmv", h, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** `Column` surface: the Count-Min sketch (row-major `depth × width`
+    * bucket counts) of a 60-bit-hash column, as an aggregate.
+    */
+  def cmsColumn(spark: SparkSession, h: Column, depth: Int, width: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_cms", h, org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
   }
 }

@@ -313,6 +313,25 @@ object GraftSql {
       .createOrReplaceTempView(viewName)
   }
 
+  /** Gram-frequency gate (the d110 shape) as a named temp view: the CMS
+    * estimate vs the exact count for the `topK` heaviest n-gram hashes of
+    * a text frame — the bounded-state point-frequency dual of
+    * [[registerGramCardinality]]. The `graft_cms` aggregate itself is
+    * also registered for direct SQL use
+    * (`SELECT graft_cms(h, 4, 2048) FROM ...`).
+    * See [[graft.functions.Sketches.cmsTopFreq]].
+    */
+  def registerGramFrequency(spark: SparkSession, viewName: String,
+                            docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, depth: Int = 4, width: Int = 2048,
+                            topK: Int = 15): Unit = {
+    graft.plans.SketchExpressions.ensureRegistered(spark)
+    val g = graft.functions.MinHashLSH.shingles(docs, idCol, textCol, n)
+    graft.functions.Sketches
+      .cmsTopFreq(g, org.apache.spark.sql.functions.col("sh"), depth, width, topK)
+      .createOrReplaceTempView(viewName)
+  }
+
   /** Weighted sample (the d90 shape) as a named temp view: top-n rows per
     * domain with inclusion probability proportional to `weightCol`
     * (Efraimidis–Spirakis). See [[graft.functions.Sampling.weightedSample]].

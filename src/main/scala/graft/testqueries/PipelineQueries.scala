@@ -485,6 +485,48 @@ object PipelineQueries {
         mode = "update")
     },
 
+    // Count-Min frequency sketch (round 12): the bounded-state FREQUENCY
+    // dual of the d86 KMV distinct sketch — "in how many docs does gram x
+    // occur" answered from depth×width longs (exchange ≤ partitions×8192
+    // longs) instead of a gram census. Gated on the 15 heaviest grams:
+    // estimate vs exact count, plus the structural no-undercount
+    // invariant (each CMS row counts every true occurrence, min over
+    // rows can only add collisions). The exact census here is the GATE's
+    // truth source — the deployed path answers point queries without it.
+    "d110_cms_freq" -> { (s, dir) =>
+      val g = MinHashLSH.shingles(docs(s, dir), "doc_id", "text", n = 3)
+      graft.functions.Sketches.cmsTopFreq(g, col("sh"), depth = 4,
+        width = 2048, topK = 15)
+    },
+
+    // Grouped CMS (round 12): one sketch per source next to d92's grouped
+    // KMV — the per-domain catalog answers both "how many distinct grams"
+    // and "how often is gram x" from mergeable, engine-replayable state
+    // (depth×width longs per domain). Gated on each source's single
+    // heaviest gram.
+    "d111_cms_by_domain" -> { (s, dir) =>
+      val g = MinHashLSH.shingles(docs(s, dir), "source", "text", n = 3)
+      graft.functions.Sketches.cmsByDomain(g, "source", col("sh"),
+        depth = 4, width = 256)
+    },
+
+    // Streaming CMS (round 12): the d88 convention — streaming state IS
+    // the sketch (depth×width longs, watermark-free, bounded by
+    // construction), update-mode final emission over the finite replay
+    // must equal the batch sketch TO THE LAST BUCKET (the oracle
+    // assembles the full dense array), plus the item total.
+    "d112_cms_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val g = MinHashLSH.shingles(stream, "doc_id", "text", n = 3)
+      val agg = g
+        .agg(graft.functions.Sketches.cmsAgg(g, col("sh"), 4, 256).as("sk"))
+        .select(graft.functions.Sketches.cmsSummary(col("sk"), 4, 256): _*)
+      graft.streaming.StreamRunner.runToBatch(agg, "d112_cms_stream",
+        mode = "update")
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -2981,6 +3023,16 @@ object PipelineQueries {
     // is the sketch itself (k longs), so batch and stream must agree to
     // the last hash.
     "d88_kmv_stream" -> KmvDistinctSql,
+    // d110: the CMS replayed from first principles — bucket counts as a
+    // (row, bucket) census over the same gram stream, estimates as the
+    // same min-over-rows splice, byte-identical double-hash arithmetic.
+    "d110_cms_freq" -> CmsFreqSql,
+    // d111: the grouped CMS — per-source bucket census, per-source top-1
+    // gram by (count desc, hash), same splice.
+    "d111_cms_by_domain" -> CmsByDomainSql,
+    // d112: the streamed sketch must equal the batch-assembled DENSE
+    // array to the last bucket (zeros included), plus the item total.
+    "d112_cms_stream" -> CmsStreamSql,
     // d87: the theta-splice replayed — per-dump bottom-256 sketches, union
     // re-trimmed to 256, membership-in-both as the Jaccard sample.
     "d87_kmv_overlap" ->
@@ -3811,6 +3863,83 @@ object PipelineQueries {
                 ELSE 255 * 1152921504606846976.0 / (CAST(sketch[256] AS DOUBLE) + 1.0)
            END AS est_distinct
          FROM sk"""
+
+  /** The CMS row-r bucket of `h` in DuckDB — byte-identical arithmetic to
+    * [[graft.plans.CmsSketch]]'s JVM loop and
+    * [[graft.functions.Sketches.cmsBucket]] (Kirsch–Mitzenmacher double
+    * hash over the 60-bit md5 space, M = P = 2^31−1).
+    */
+  private def cmsBucketSql(h: String, r: String, width: Int): String =
+    s"(((($h & 2147483647) + $r * (1 + (($h >> 31) & 2147483647))) % 2147483647) % $width)"
+
+  /** Per-doc-distinct 3-gram hashes — the d86/d110 item stream. (Lazy:
+    * the oracle map above forces the lazy SQL vals during object init,
+    * before a plain val this far down the file would be assigned.)
+    */
+  private lazy val CmsGramCte: String =
+    """words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         g AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM words WHERE len(w) >= 3))"""
+
+  private lazy val CmsFreqSql: String =
+    s"""WITH $CmsGramCte,
+         bc AS (SELECT r, ${cmsBucketSql("h", "r", 2048)} AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM g CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+         top AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt_true FROM g
+           GROUP BY h ORDER BY cnt_true DESC, h LIMIT 15),
+         est AS (SELECT top.h, top.cnt_true, MIN(bc.c) AS cms_est
+           FROM top CROSS JOIN range(4) t(r)
+           JOIN bc ON bc.r = t.r AND bc.b = ${cmsBucketSql("top.h", "t.r", 2048)}
+           GROUP BY 1, 2)
+         SELECT h AS item_hash, cnt_true, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(CASE WHEN cms_est >= cnt_true THEN 1 ELSE 0 END AS INT)
+             AS no_undercount
+         FROM est"""
+
+  private lazy val CmsByDomainSql: String =
+    s"""WITH words AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         g AS (SELECT DISTINCT doc_id, source,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT doc_id, source, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM words WHERE len(w) >= 3)),
+         bc AS (SELECT source, r, ${cmsBucketSql("h", "r", 256)} AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM g CROSS JOIN range(4) t(r) GROUP BY 1, 2, 3),
+         cen AS (SELECT source, h, CAST(count(*) AS BIGINT) AS cnt_true
+           FROM g GROUP BY 1, 2),
+         top AS (SELECT source, h, cnt_true FROM (
+           SELECT source, h, cnt_true, row_number() OVER (
+             PARTITION BY source ORDER BY cnt_true DESC, h) AS rk FROM cen)
+           WHERE rk = 1),
+         est AS (SELECT top.source, top.h, top.cnt_true, MIN(bc.c) AS cms_est
+           FROM top CROSS JOIN range(4) t(r)
+           JOIN bc ON bc.source = top.source AND bc.r = t.r
+             AND bc.b = ${cmsBucketSql("top.h", "t.r", 256)}
+           GROUP BY 1, 2, 3)
+         SELECT source, h AS item_hash, cnt_true,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(CASE WHEN cms_est >= cnt_true THEN 1 ELSE 0 END AS INT)
+             AS no_undercount
+         FROM est"""
+
+  private lazy val CmsStreamSql: String =
+    s"""WITH $CmsGramCte,
+         bc AS (SELECT r, ${cmsBucketSql("h", "r", 256)} AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM g CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+         grid AS (SELECT t.r AS r, u.b AS b
+           FROM range(4) t(r) CROSS JOIN range(256) u(b)),
+         dense AS (SELECT grid.r, grid.b, COALESCE(bc.c, 0) AS c
+           FROM grid LEFT JOIN bc ON bc.r = grid.r AND bc.b = grid.b)
+         SELECT array_to_string(list(c ORDER BY r, b), ',') AS sketch_csv,
+           CAST((SELECT count(*) FROM g) AS BIGINT) AS n_items
+         FROM dense"""
 
   private lazy val BloomDecontamSql: String =
     s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

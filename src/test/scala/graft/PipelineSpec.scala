@@ -1302,6 +1302,16 @@ class GraftSqlSpec extends SparkSpec {
     val per = spark.sql(
       "SELECT source, count(*) AS n FROM wsample GROUP BY source").collect()
     assert(per.nonEmpty && per.forall(_.getLong(1) <= 3))
+    // graft_cms by its SQL name + the gram-frequency gate view (d110)
+    val cms = spark.sql(
+      """SELECT graft_cms(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 2, 8) AS s
+         FROM documents""").head().getSeq[Long](0)
+    assert(cms.length === 16 && cms.sum > 0)
+    graft.sql.GraftSql.registerGramFrequency(spark, "gram_freq", docs,
+      "doc_id", "text", n = 3, depth = 4, width = 2048, topK = 5)
+    val gf = spark.sql(
+      "SELECT count(*) AS n, min(no_undercount) AS ok FROM gram_freq").head()
+    assert(gf.getLong(0) === 5L && gf.getInt(1) === 1)
   }
 
   test("scd2 + funnel views answer plain SQL") {

@@ -115,6 +115,147 @@ class SketchSpec extends SparkSpec {
   }
 }
 
+/** Count-Min sketch (`graft_cms` + the Sketches surface): the sketch must
+  * equal the closed-form per-bucket census under any partitioning, merge
+  * must be element-wise addition, estimates must never undercount and be
+  * exact without collisions, and the streamed sketch must equal the batch
+  * one to the last bucket.
+  */
+class CmsSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.plans.CmsSketch.{P => CP}
+
+  private def hashed(n: Int, salt: String = "") =
+    spark.range(n).select(Sketches.hash60(concat(lit(salt), col("id"))).as("h"))
+
+  /** The reference sketch, computed in plain Scala from the same closed
+    * form the aggregate's JVM loop and the DuckDB oracles evaluate.
+    */
+  private def reference(hs: Seq[Long], depth: Int, width: Int): Seq[Long] = {
+    val buf = Array.fill(depth * width)(0L)
+    for (h <- hs) {
+      val h1 = h & CP
+      val h2 = 1L + ((h >>> 31) & CP)
+      for (r <- 0 until depth)
+        buf(r * width + (((h1 + r * h2) % CP) % width).toInt) += 1L
+    }
+    buf.toSeq
+  }
+
+  test("sketch = closed-form bucket census, invariant under partitioning") {
+    // duplicates INCLUDED: CMS counts occurrences, not distincts
+    val vals = hashed(300).union(hashed(100))
+    val hs = vals.as[Long].collect().toSeq
+    val expect = reference(hs, depth = 4, width = 64)
+    for (parts <- Seq(1, 7)) {
+      val sk = vals.repartition(parts)
+        .agg(Sketches.cmsAgg(vals, col("h"), 4, 64).as("s"))
+        .select($"s").as[Seq[Long]].head()
+      assert(sk === expect, s"parts=$parts")
+    }
+  }
+
+  test("merge is element-wise addition: sketch(A ∪ B) = sketch(A) + sketch(B)") {
+    val a = hashed(200)
+    val b = hashed(150, salt = "b")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Sketches.cmsAgg(df, col("h"), 4, 32).as("s"))
+        .select($"s").as[Seq[Long]].head()
+    val summed = sk(a).zip(sk(b)).map { case (x, y) => x + y }
+    assert(sk(a.union(b)) === summed)
+  }
+
+  test("estimates never undercount; exact when the table is collision-free") {
+    // 20 keys in a 4x1024 table: collisions are possible but each key's
+    // min-over-rows must still be >= its true count; with so few keys the
+    // chance all four rows collide for some key is negligible, so est is
+    // exact here (and the assert documents WHICH keys would break it)
+    val freq = (1 to 20).map(i => i.toLong -> i.toLong) // key i occurs i times
+    val rows = freq.flatMap { case (k, n) => Seq.fill(n.toInt)(k) }
+    val df = rows.toDF("v").select(Sketches.hash60(col("v")).as("h"))
+    val out = Sketches.cmsTopFreq(df, col("h"), depth = 4, width = 1024,
+      topK = 20).collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      assert(r.getAs[Int]("no_undercount") === 1, r.toString)
+      assert(r.getAs[Long]("cms_est") === r.getAs[Long]("cnt_true"), r.toString)
+    }
+  }
+
+  test("forced collisions (width 2): still no undercount, overcount visible") {
+    val df = (1 to 50).map(_.toLong).toDF("v")
+      .select(Sketches.hash60(col("v")).as("h"))
+    val out = Sketches.cmsTopFreq(df, col("h"), depth = 2, width = 2,
+      topK = 10).collect()
+    out.foreach(r => assert(r.getAs[Long]("cms_est") >=
+      r.getAs[Long]("cnt_true"), r.toString))
+    // 50 distinct keys into 2x2 buckets MUST overcount somewhere
+    assert(out.exists(r => r.getAs[Long]("cms_est") > r.getAs[Long]("cnt_true")))
+  }
+
+  test("null inputs are skipped; empty input -> all-zero sketch") {
+    val mixed = hashed(5).union(Seq.fill(3)(null.asInstanceOf[java.lang.Long])
+      .toDF("h").select(col("h").cast("long")))
+    val sk = mixed.agg(Sketches.cmsAgg(mixed, col("h"), 2, 16).as("s"))
+      .select($"s").as[Seq[Long]].head()
+    assert(sk === reference(hashed(5).as[Long].collect().toSeq, 2, 16))
+    val empty = hashed(0)
+    val sk0 = empty.agg(Sketches.cmsAgg(empty, col("h"), 2, 16).as("s"))
+      .select($"s").as[Seq[Long]].head()
+    assert(sk0 === Seq.fill(32)(0L))
+  }
+
+  test("grouped aggregation yields each group's own sketch (d111 shape)") {
+    val vals = hashed(600).withColumn("g", pmod(col("h"), lit(3L)))
+    val got = vals.groupBy("g")
+      .agg(Sketches.cmsAgg(vals, col("h"), 4, 32).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (g <- 0L to 2L) {
+      val hs = vals.where(col("g") === g).select("h").as[Long].collect().toSeq
+      assert(got(g) === reference(hs, 4, 32), s"group $g")
+    }
+  }
+
+  test("streamed sketch across micro-batches equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Long]
+    val stream = in.toDF().select(Sketches.hash60(col("value")).as("h"))
+    val agg = stream.agg(Sketches.cmsAgg(stream, col("h"), 4, 32).as("s"))
+    val q = agg.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    try {
+      in.addData(0L to 99L: _*)
+      q.processAllAvailable()
+      in.addData(50L to 199L: _*) // 50..99 occur TWICE — counts accumulate
+      q.processAllAvailable()
+      val last = spark.table("cms_stream").collect().last.getSeq[Long](0)
+      val hs = (0L to 99L) ++ (50L to 199L)
+      val expect = reference(
+        hs.toDF("v").select(Sketches.hash60(col("v")).as("h"))
+          .as[Long].collect().toSeq, 4, 32)
+      assert(last === expect)
+    } finally q.stop()
+  }
+
+  test("aggregation is partial+final (no pre-shuffle of raw values)") {
+    val vals = hashed(1000)
+    val plan = vals.agg(Sketches.cmsAgg(vals, col("h"), 4, 256))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert("Exchange".r.findAllIn(plan).size === 1)
+  }
+
+  test("cmsSummary: n_items equals the input size (row 0 sums to N)") {
+    val vals = hashed(123).union(hashed(77))
+    val row = vals.agg(Sketches.cmsAgg(vals, col("h"), 4, 32).as("s"))
+      .select(Sketches.cmsSummary(col("s"), 4, 32): _*).head()
+    assert(row.getAs[Long]("n_items") === 200L)
+    assert(row.getAs[String]("sketch_csv").split(",").length === 128)
+  }
+}
+
 class CorpusCatalogSpec extends SparkSpec {
 
   import org.apache.spark.sql.functions._
