@@ -198,6 +198,57 @@ object Sketches {
         (col("cms_est") >= col("cnt_true")).cast("int"))
   }
 
+  /** Inner-product (equijoin-size) estimate from two sketches built with
+    * the SAME (depth, width): `min over rows r of Σ_b a[r,b]·b[r,b]`.
+    * Each row's bucket-wise product sum includes every diagonal term
+    * `fA(x)·fB(x)` (same x lands in the same bucket), so the estimate is
+    * structurally never an UNDERestimate of `Σ_x fA(x)·fB(x)` — the size
+    * of the equijoin between the two item streams, the quantity a join
+    * planner wants before running the join (Cormode & Muthukrishnan 2005,
+    * §4.2). Closed-form array math over two broadcast-sized sketches.
+    */
+  def cmsInnerProduct(skA: Column, skB: Column, depth: Int, width: Int): Column =
+    array_min(transform(sequence(lit(0), lit(depth - 1)), r =>
+      aggregate(
+        zip_with(
+          slice(skA, r.cast("int") * width + 1, lit(width)),
+          slice(skB, r.cast("int") * width + 1, lit(width)),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)))
+
+  /** Join-size gate (the d113 shape): the CMS estimate of the gram-
+    * equijoin size between two corpora vs the exact value, plus the
+    * structural no-underestimate flag. The exact side (two censuses +
+    * one equijoin) exists ONLY as the gate's truth source — the deployed
+    * path answers from two persisted sketches (depth·width longs each)
+    * without touching either corpus again, the same standing-artifact
+    * contract as [[kmvOverlap]] for set overlap.
+    *
+    * Accuracy regime (measured, tools/ScaleStress round12): relative
+    * error ≈ distinct-keys/width, so the estimate is TIGHT for
+    * heavy-hitter-dominated streams (100 keys at width 2048 → 1.04× the
+    * true 1.25e13 on 50M×75M rows) and a LOOSE-but-sound upper bound on
+    * sparse wide-domain joins (20M keys → collision mass dominates).
+    * d113's gram streams are the sparse case — its estimate is honestly
+    * a conservative bound (≈7× true at sf0.01), gated as such.
+    */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, ha: Column, hb: Column,
+                  depth: Int, width: Int): DataFrame = {
+    val sa = a.select(ha.cast("long").as("h"))
+    val sb = b.select(hb.cast("long").as("h"))
+    val skA = sa.agg(cmsAgg(sa, col("h"), depth, width).as("sk_a"))
+    val skB = sb.agg(cmsAgg(sb, col("h"), depth, width).as("sk_b"))
+    val truth = sa.groupBy("h").agg(count(lit(1)).as("ca"))
+      .join(sb.groupBy("h").agg(count(lit(1)).as("cb")), "h")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_join"))
+    skA.crossJoin(broadcast(skB)).crossJoin(broadcast(truth))
+      .select(
+        cmsInnerProduct(col("sk_a"), col("sk_b"), depth, width).as("est_join"),
+        col("true_join"))
+      .withColumn("no_underestimate",
+        (col("est_join") >= col("true_join")).cast("int"))
+  }
+
   /** The full sketch as one oracle-comparable row: CSV of all depth·width
     * counts plus the item total (row 0's sum — every row sums to N).
     * This is the streaming twin's emission shape (the d88/d99 convention:

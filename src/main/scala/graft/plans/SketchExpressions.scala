@@ -155,6 +155,11 @@ case class CmsSketch(child: Expression, depth: Int, width: Int,
     with ImplicitCastInputTypes with UnaryLike[Expression] {
   require(depth > 0 && depth <= 16, s"graft_cms depth=$depth must be in [1,16]")
   require(width > 0, s"graft_cms width=$width must be positive")
+  // the buffer is depth·width longs PER GROUP (per partition while
+  // partial): cap the table at 2^24 cells (128 MB of longs) so a typo'd
+  // width fails loudly here instead of as an executor OOM mid-stage
+  require(depth.toLong * width <= (1L << 24),
+    s"graft_cms table depth*width=${depth.toLong * width} exceeds 2^24 cells")
 
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -527,6 +527,27 @@ object PipelineQueries {
         mode = "update")
     },
 
+    // CMS join-size estimation (round 12): the other classic CMS splice —
+    // the gram-equijoin size between two dumps (Σ_h dfA·dfB, the number
+    // of cross-dump doc pairs per shared gram) estimated as the min over
+    // rows of the bucket-wise product sum of two persisted sketches. The
+    // quantity a join planner wants BEFORE running the join, answered
+    // without touching either corpus; structurally never an
+    // underestimate. Same old/cur dump split as d87's set-overlap splice
+    // so the two standing-artifact answers sit side by side.
+    "d113_cms_join_size" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val old = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val cur = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.functions.Sketches.cmsJoinSize(
+        MinHashLSH.shingles(old, "doc_id", "text", n = 3),
+        MinHashLSH.shingles(cur, "doc_id", "text", n = 3),
+        col("sh"), col("sh"), depth = 4, width = 2048)
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -3033,6 +3054,10 @@ object PipelineQueries {
     // d112: the streamed sketch must equal the batch-assembled DENSE
     // array to the last bucket (zeros included), plus the item total.
     "d112_cms_stream" -> CmsStreamSql,
+    // d113: the inner-product splice replayed — two bucket censuses,
+    // per-row product sums (missing rows count 0), min over rows, vs the
+    // exact census equijoin.
+    "d113_cms_join_size" -> CmsJoinSizeSql,
     // d87: the theta-splice replayed — per-dump bottom-256 sketches, union
     // re-trimmed to 256, membership-in-both as the Jaccard sample.
     "d87_kmv_overlap" ->
@@ -3927,6 +3952,44 @@ object PipelineQueries {
            CAST(CASE WHEN cms_est >= cnt_true THEN 1 ELSE 0 END AS INT)
              AS no_undercount
          FROM est"""
+
+  private lazy val CmsJoinSizeSql: String =
+    s"""WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+         curd AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 5 != 0),
+         ga AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM oldd)
+           WHERE len(w) >= 3)),
+         gb AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM curd)
+           WHERE len(w) >= 3)),
+         bca AS (SELECT r, ${cmsBucketSql("h", "r", 2048)} AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM ga CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+         bcb AS (SELECT r, ${cmsBucketSql("h", "r", 2048)} AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM gb CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+         ip AS (SELECT t.r,
+             CAST(COALESCE(SUM(bca.c * bcb.c), 0) AS BIGINT) AS v
+           FROM range(4) t(r)
+           LEFT JOIN bca ON bca.r = t.r
+           LEFT JOIN bcb ON bcb.r = t.r AND bcb.b = bca.b
+           GROUP BY 1),
+         est AS (SELECT MIN(v) AS est_join FROM ip),
+         tr AS (SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS true_join
+           FROM (SELECT h, count(*) AS c FROM ga GROUP BY h) ca
+           JOIN (SELECT h, count(*) AS c FROM gb GROUP BY h) cb USING (h))
+         SELECT CAST(est_join AS BIGINT) AS est_join, true_join,
+           CAST(CASE WHEN est_join >= true_join THEN 1 ELSE 0 END AS INT)
+             AS no_underestimate
+         FROM est, tr"""
 
   private lazy val CmsStreamSql: String =
     s"""WITH $CmsGramCte,

@@ -41,6 +41,9 @@ object ScaleStress {
     if (args.contains("round11")) {
       runRound11Probes(spark); spark.stop(); return
     }
+    if (args.contains("round12")) {
+      runRound12Probes(spark); spark.stop(); return
+    }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val n1 = docs1.count()
@@ -235,6 +238,91 @@ object ScaleStress {
     * session cost amortizes) confirms the shape; far above flags a
     * regression to data-sized windows or joins.
     */
+  /** Round-12 probe: CMS frequency/join-size vs the exact census at
+    * WIDE key domains — the d110/d113 scale claim. The sketch's exchange
+    * is partitions × depth × width longs whatever the domain; the exact
+    * census shuffles every distinct key, and the exact join-size answer
+    * additionally joins two censuses. Results recorded in SCALE.md.
+    */
+  private def runRound12Probes(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    // n items over a dom-wide key domain (each key ~ n/dom occurrences),
+    // hashed into the repo's 60-bit space like every CMS consumer
+    def wide(n: Long, dom: Long, salt: String = "") = spark.range(n)
+      .select(conv(substring(md5(concat(lit(salt),
+          pmod(col("id"), lit(dom)).cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    def cms(tag: String, n: Long, dom: Long) = t(s"$tag cms") {
+      val d = wide(n, dom)
+      val r = d.agg(graft.functions.Sketches
+        .cmsAgg(d, col("h"), 4, 2048).as("s")).count()
+      drop(); r
+    }
+    def census(tag: String, n: Long, dom: Long) = t(s"$tag census") {
+      val r = wide(n, dom).groupBy("h").count().count(); drop(); r
+    }
+    cms("warmup 5M/2M", 5_000_000L, 2_000_000L)
+    val c1 = cms("50M/20M", 50_000_000L, 20_000_000L)
+    val e1 = census("50M/20M", 50_000_000L, 20_000_000L)
+    val c2 = cms("200M/80M", 200_000_000L, 80_000_000L)
+    val e2 = census("200M/80M", 200_000_000L, 80_000_000L)
+    println(f"wide-domain cms 50M=$c1%6.2f census 50M=$e1%6.2f " +
+      f"(${e1 / c1}%4.2fx) | cms 200M=$c2%6.2f census 200M=$e2%6.2f " +
+      f"(${e2 / c2}%4.2fx)")
+
+    // join-size: sketch path = two bounded aggs + array math; exact path
+    // = two censuses + an equijoin on the distinct keys. Two regimes,
+    // because the CMS inner-product error is ADDITIVE e/width·‖a‖₁‖b‖₁:
+    //  - sparse (wide domains, small true join): the estimate is a loose
+    //    but sound upper bound — collision mass dominates;
+    //  - dense (heavy-hitter streams, domain ≲ width): collisions are
+    //    rare and the estimate is essentially exact.
+    def joinPair(tag: String, a: DataFrame, b: DataFrame): Unit = {
+      var est = -1L; var exact = -1L
+      val ts = t(s"$tag cms_join_size") {
+        val ska = a.agg(graft.functions.Sketches.cmsAgg(a, col("h"), 4, 2048).as("sa"))
+        val skb = b.agg(graft.functions.Sketches.cmsAgg(b, col("h"), 4, 2048).as("sb"))
+        est = ska.crossJoin(broadcast(skb))
+          .select(graft.functions.Sketches
+            .cmsInnerProduct(col("sa"), col("sb"), 4, 2048).as("e"))
+          .head().getLong(0)
+        drop(); est
+      }
+      val tx = t(s"$tag exact_join_size") {
+        exact = a.groupBy("h").count().withColumnRenamed("count", "ca")
+          .join(b.groupBy("h").count().withColumnRenamed("count", "cb"), "h")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)))
+          .head().getLong(0)
+        drop(); exact
+      }
+      println(f"$tag join-size est=$est true=$exact " +
+        f"(est/true=${est.toDouble / exact}%8.3f) " +
+        f"wall cms=$ts%6.2f s exact=$tx%6.2f s")
+    }
+    joinPair("sparse 50Mx60M/20M-keys",
+      wide(50_000_000L, 20_000_000L),
+      wide(50_000_000L, 20_000_000L, salt = "b")
+        .union(wide(10_000_000L, 5_000_000L)))
+    // relative error ≈ distinct-keys/width (collision pairs K²/width at
+    // weight (n/K)² vs true n²/K): K=1000 at width 2048 still ~2x over;
+    // K=100 lands within a few percent — the heavy-hitter regime where
+    // join-size estimation from sketches is actually informative
+    joinPair("dense 50Mx75M/100-keys",
+      wide(50_000_000L, 100L),
+      wide(50_000_000L, 100L, salt = "b")
+        .union(wide(25_000_000L, 50L)))
+  }
+
   private def runRound11Probes(spark: SparkSession): Unit = {
     def t(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()

@@ -247,6 +247,33 @@ class CmsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size === 1)
   }
 
+  test("inner product: exact when collision-free, never an underestimate") {
+    // A holds key i with freq i (1..10), B holds key i with freq 11-i for
+    // even i only: true join size = sum over even i of i*(11-i)
+    val aRows = (1 to 10).flatMap(i => Seq.fill(i)(i.toLong))
+    val bRows = (1 to 10).filter(_ % 2 == 0)
+      .flatMap(i => Seq.fill(11 - i)(i.toLong))
+    val a = aRows.toDF("v").select(Sketches.hash60(col("v")).as("h"))
+    val b = bRows.toDF("v").select(Sketches.hash60(col("v")).as("h"))
+    val expect = (1 to 10).filter(_ % 2 == 0).map(i => i * (11 - i)).sum
+    val row = Sketches.cmsJoinSize(a, b, col("h"), col("h"),
+      depth = 4, width = 1024).head()
+    assert(row.getAs[Long]("true_join") === expect.toLong)
+    assert(row.getAs[Long]("est_join") === expect.toLong) // 10 keys, no collisions
+    assert(row.getAs[Int]("no_underestimate") === 1)
+    // forced collisions (width 2): estimate inflates but never undercuts
+    val tight = Sketches.cmsJoinSize(a, b, col("h"), col("h"),
+      depth = 2, width = 2).head()
+    assert(tight.getAs[Long]("est_join") >= tight.getAs[Long]("true_join"))
+    // disjoint streams: truth is 0, the flag still holds
+    val c = (100 to 110).map(_.toLong).toDF("v")
+      .select(Sketches.hash60(col("v")).as("h"))
+    val dis = Sketches.cmsJoinSize(a, c, col("h"), col("h"),
+      depth = 4, width = 1024).head()
+    assert(dis.getAs[Long]("true_join") === 0L)
+    assert(dis.getAs[Int]("no_underestimate") === 1)
+  }
+
   test("cmsSummary: n_items equals the input size (row 0 sums to N)") {
     val vals = hashed(123).union(hashed(77))
     val row = vals.agg(Sketches.cmsAgg(vals, col("h"), 4, 32).as("s"))
