@@ -364,6 +364,48 @@ object Sampling {
       .select((df.columns.map(col) :+ col("pct")): _*)
   }
 
+  /** Per-domain quantile SUMMARY — p50/p90/p99-style corpus health stats
+    * per source/language, the grouped complement of
+    * [[percentileCalibrate]] (that one attaches a per-ROW percentile;
+    * this one reduces each domain to a few quantile points a curation
+    * dashboard or mix designer reads directly).
+    *
+    * Quantile definition: the inverted CDF without interpolation —
+    * `q(p) = smallest value v with 100·cum(v) >= p·N` (ties share their
+    * value; `pcts` are integer percents, so the comparison is EXACT
+    * integer arithmetic — no `ceil(0.9·N)` float round-trip whose last
+    * ulp an external engine might disagree on).
+    *
+    * Scale shape: the corpus is NEVER sorted. One partial-agg exchange
+    * builds the per-(domain, value) census (producer scores are
+    * grid-rounded, so |census| is |domains| × grid, corpus-size-free);
+    * the running count and the quantile picks are a window + groupBy over
+    * THAT census. Null values are excluded (no order against null); an
+    * all-null or empty domain vanishes from the output.
+    *
+    * Output: (domCol, n_rows, p<pct>... ) — value columns keep the input
+    * value type.
+    */
+  def quantilesByDomain(df: org.apache.spark.sql.DataFrame, domCol: String,
+                        valueCol: String,
+                        pcts: Seq[Int] = Seq(50, 90, 99)): org.apache.spark.sql.DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be integer percents in [1,100], got $pcts")
+    val census = df
+      .where(col(domCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(domCol).as("__d"), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("__d").orderBy("__v")
+    val cum = census
+      .withColumn("__cum", sum("__c").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__d")))
+    val picks = pcts.map(p =>
+      min(when(col("__cum") * 100 >= col("__n") * p, col("__v"))).as(s"p$p"))
+    cum.groupBy(col("__d").as(domCol))
+      .agg(max(col("__cum")).as("n_rows"), picks: _*)
+  }
+
   /** Shared epoch expansion: rows arrive with a `__w` weight column and
     * leave replicated into kept (row, epoch) pairs. The generator input is
     * cheap arithmetic (`sequence` over ceil(w)), so Spark's

@@ -332,6 +332,18 @@ object GraftSql {
       .createOrReplaceTempView(viewName)
   }
 
+  /** Per-domain quantile summary (the d114 shape) as a named temp view:
+    * one row per domain with n_rows and the requested integer-percent
+    * quantile points (inverted CDF, census-shaped — the corpus is never
+    * sorted). See [[graft.functions.Sampling.quantilesByDomain]].
+    */
+  def registerQuantilesByDomain(spark: SparkSession, viewName: String,
+                                df: DataFrame, domCol: String,
+                                valueCol: String,
+                                pcts: Seq[Int] = Seq(50, 90, 99)): Unit =
+    graft.functions.Sampling.quantilesByDomain(df, domCol, valueCol, pcts)
+      .createOrReplaceTempView(viewName)
+
   /** Weighted sample (the d90 shape) as a named temp view: top-n rows per
     * domain with inclusion probability proportional to `weightCol`
     * (Efraimidis–Spirakis). See [[graft.functions.Sampling.weightedSample]].

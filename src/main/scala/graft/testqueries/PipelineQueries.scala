@@ -334,6 +334,18 @@ object PipelineQueries {
           "quality")
     },
 
+    // Per-domain quantile summary (round 12): p50/p90/p99 of the quality
+    // score per source WITHOUT sorting the corpus — one census exchange,
+    // window + picks over census rows only (the d65 calibration's grouped
+    // summary complement; integer-exact inverted-CDF definition so no
+    // float threshold can diverge across engines).
+    "d114_quantiles_by_domain" -> { (s, dir) =>
+      Sampling.quantilesByDomain(
+        docs(s, dir).select(col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "source", "quality", Seq(50, 90, 99))
+    },
+
     // Benchmark-contamination report — "which held-out items leaked into
     // the training corpus": EXACT cross-set near-dup detection (prefix
     // filtering, so zero false negatives — the property a contamination
@@ -2144,6 +2156,23 @@ object PipelineQueries {
          SELECT doc_id, quality,
            round(percent_rank() OVER (ORDER BY quality), 6) AS pct
          FROM q""",
+    // d114: the grouped quantile summary replayed — per-(source, quality)
+    // census, running count, integer-exact inverted-CDF picks.
+    "d114_quantiles_by_domain" ->
+      s"""WITH q AS (SELECT source, $QualitySql AS quality FROM documents),
+         c AS (SELECT source, quality AS v, CAST(count(*) AS BIGINT) AS c
+           FROM q WHERE source IS NOT NULL AND quality IS NOT NULL
+           GROUP BY 1, 2),
+         cum AS (SELECT source, v, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+           FROM c)
+         SELECT source, CAST(max(cum) AS BIGINT) AS n_rows,
+           min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+           min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
+           min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
+         FROM cum GROUP BY source""",
     // d105: the census skyline replayed — per-quality max length, prefix
     // max over strictly higher quality, equality join back.
     "d105_skyline" ->

@@ -163,6 +163,36 @@ class TfIdfSpec extends SparkSpec {
 
 class SamplingSpec extends SparkSpec {
 
+  test("quantilesByDomain: exact inverted-CDF picks incl. ties, nulls out") {
+    import spark.implicits._
+    // domain a: values 1..10 → p50=5, p90=9, p99=10 (cum*100 >= n*p rule);
+    // domain b: heavy ties — 1 x8, 9 x2 → p50=1 (cum 8*100 >= 10*50),
+    // p90=9 (cum 8 < 9), p99=9; null values and null domains drop
+    val rows = (1 to 10).map(v => ("a", Option(v.toDouble))) ++
+      (Seq.fill(8)(1.0) ++ Seq.fill(2)(9.0)).map(v => ("b", Option(v))) ++
+      Seq(("a", Option.empty[Double]), (null.asInstanceOf[String], Option(3.0)))
+    val got = Sampling.quantilesByDomain(rows.toDF("dom", "v"), "dom", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === Map(
+      "a" -> ((10L, 5.0, 9.0, 10.0)),
+      "b" -> ((10L, 1.0, 9.0, 9.0))))
+    // brute-force parity on the same definition for every pct
+    for (p <- Seq(50, 90, 99); (dom, vs) <- Seq(
+        "a" -> (1 to 10).map(_.toDouble), "b" -> (Seq.fill(8)(1.0) ++ Seq.fill(2)(9.0)))) {
+      val sorted = vs.sorted
+      val expect = sorted(sorted.indices.find(i => (i + 1) * 100 >= sorted.size * p).get)
+      val gotP = Sampling.quantilesByDomain(rows.toDF("dom", "v"), "dom", "v", Seq(p))
+        .where(col("dom") === dom).head().getDouble(2)
+      assert(gotP === expect, s"dom=$dom p=$p")
+    }
+    // plan: the window's input subtree is the census aggregate, never raw rows
+    val plan = Sampling.quantilesByDomain(rows.toDF("dom", "v"), "dom", "v")
+      .queryExecution.executedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) >= 0, plan)
+  }
+
   test("groupSplit co-assigns every member of a group") {
     import spark.implicits._
     val df = (1L to 60L).map(i => (i, s"site${i % 6}")).toDF("id", "domain")
@@ -1312,6 +1342,12 @@ class GraftSqlSpec extends SparkSpec {
     val gf = spark.sql(
       "SELECT count(*) AS n, min(no_undercount) AS ok FROM gram_freq").head()
     assert(gf.getLong(0) === 5L && gf.getInt(1) === 1)
+    // per-domain quantile summary view (d114)
+    graft.sql.GraftSql.registerQuantilesByDomain(spark, "qtiles",
+      docs.select(col("source"), col("n_chars")), "source", "n_chars")
+    val qt = spark.sql(
+      "SELECT count(*) AS n FROM qtiles WHERE p50 <= p90 AND p90 <= p99").head()
+    assert(qt.getLong(0) > 0)
   }
 
   test("scd2 + funnel views answer plain SQL") {
