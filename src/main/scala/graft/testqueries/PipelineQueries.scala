@@ -346,6 +346,23 @@ object PipelineQueries {
         "source", "quality", Seq(50, 90, 99))
     },
 
+    // Streaming per-domain quantile summary (round 12): the d114 census
+    // maintained over an ARRIVING corpus — state per domain is the
+    // (value → count) census, bounded by the score GRID (not the stream),
+    // so watermark-free like the sketch streams; update-mode final
+    // emission over the finite replay equals the batch summary.
+    "d115_quantiles_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = stream.select(col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val out = graft.streaming.QuantileStream
+        .quantilesByDomain(q, "source", "quality", Seq(50, 90, 99))
+      graft.streaming.StreamRunner.runToBatch(out, "d115_quantiles_stream",
+        mode = "update")
+    },
+
     // Benchmark-contamination report — "which held-out items leaked into
     // the training corpus": EXACT cross-set near-dup detection (prefix
     // filtering, so zero false negatives — the property a contamination
@@ -2158,21 +2175,10 @@ object PipelineQueries {
          FROM q""",
     // d114: the grouped quantile summary replayed — per-(source, quality)
     // census, running count, integer-exact inverted-CDF picks.
-    "d114_quantiles_by_domain" ->
-      s"""WITH q AS (SELECT source, $QualitySql AS quality FROM documents),
-         c AS (SELECT source, quality AS v, CAST(count(*) AS BIGINT) AS c
-           FROM q WHERE source IS NOT NULL AND quality IS NOT NULL
-           GROUP BY 1, 2),
-         cum AS (SELECT source, v, c,
-             SUM(c) OVER (PARTITION BY source ORDER BY v
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             SUM(c) OVER (PARTITION BY source) AS n
-           FROM c)
-         SELECT source, CAST(max(cum) AS BIGINT) AS n_rows,
-           min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
-           min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
-           min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
-         FROM cum GROUP BY source""",
+    "d114_quantiles_by_domain" -> QuantilesByDomainSql,
+    // d115: the streamed twin — census state per domain, update-mode
+    // final emission over the finite replay equals the batch summary.
+    "d115_quantiles_stream" -> QuantilesByDomainSql,
     // d105: the census skyline replayed — per-quality max length, prefix
     // max over strictly higher quality, equality join back.
     "d105_skyline" ->
@@ -3917,6 +3923,27 @@ object PipelineQueries {
                 ELSE 255 * 1152921504606846976.0 / (CAST(sketch[256] AS DOUBLE) + 1.0)
            END AS est_distinct
          FROM sk"""
+
+  /** The d114/d115 grouped quantile replay: per-(source, quality) census,
+    * running count, integer-exact inverted-CDF picks — shared by the
+    * batch operator and its streaming twin (finite replay, update-mode
+    * final emission per domain).
+    */
+  private lazy val QuantilesByDomainSql: String =
+    s"""WITH q AS (SELECT source, $QualitySql AS quality FROM documents),
+         c AS (SELECT source, quality AS v, CAST(count(*) AS BIGINT) AS c
+           FROM q WHERE source IS NOT NULL AND quality IS NOT NULL
+           GROUP BY 1, 2),
+         cum AS (SELECT source, v, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+           FROM c)
+         SELECT source, CAST(max(cum) AS BIGINT) AS n_rows,
+           min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+           min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90,
+           min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p99
+         FROM cum GROUP BY source"""
 
   /** The CMS row-r bucket of `h` in DuckDB — byte-identical arithmetic to
     * [[graft.plans.CmsSketch]]'s JVM loop and

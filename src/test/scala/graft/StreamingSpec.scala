@@ -929,3 +929,57 @@ class SkylineStreamSpec extends SparkSpec {
     assert(want === batch)
   }
 }
+
+class QuantileStreamSpec extends SparkSpec {
+
+  import graft.functions.Sampling
+
+  test("multi-batch stream quantiles equal the batch quantilesByDomain") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two domains, heavy ties, values on a coarse grid (the bounded-state
+    // contract); batches split mid-domain so state must accumulate
+    val rows = (1 to 40).map(i => (s"d${i % 2}", (i % 5).toDouble)) ++
+      (1 to 10).map(_ => ("d0", 9.0))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val q = graft.streaming.QuantileStream
+      .quantilesByDomain(in.toDF().toDF("dom", "v"), "dom", "v")
+      .writeStream.format("memory").queryName("qstream")
+      .outputMode("update").start()
+    try {
+      rows.grouped(17).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = Sampling.quantilesByDomain(rows.toDF("dom", "v"), "dom", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // last emission per domain (sink rows arrive in emission order)
+    val streamed = spark.table("qstream").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .foldLeft(Map.empty[String, (Long, Double, Double, Double)])(_ + _)
+    assert(streamed === batch)
+    // every domain re-emitted on every batch that touched it (update mode)
+    assert(spark.table("qstream").count() > batch.size)
+  }
+
+  test("stream quantiles: null domain/value rows are excluded like batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.lang.Double)]
+    val q = graft.streaming.QuantileStream
+      .quantilesByDomain(in.toDF().toDF("dom", "v"), "dom", "v")
+      .writeStream.format("memory").queryName("qstream_null")
+      .outputMode("update").start()
+    try {
+      in.addData(("a", java.lang.Double.valueOf(1.0)),
+        ("a", null.asInstanceOf[java.lang.Double]),
+        (null.asInstanceOf[String], java.lang.Double.valueOf(2.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("qstream_null").collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "a" && got.head.getLong(1) === 1L)
+  }
+}
