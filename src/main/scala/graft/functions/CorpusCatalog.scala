@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
 object CorpusCatalog {
 
   /** The catalog row for one dump: (dump_id, n_docs, n_tokens,
-    * mean_quality on the 1e-4 grid, sketch).
+    * mean_quality on the 1e-4 grid, the KMV distinct-gram sketch, and —
+    * round 12 — the CMS frequency sketch over the same gram stream, so
+    * the catalog answers "how much do two dumps' gram SETS overlap"
+    * (KMV splice) AND "how big is their gram EQUIJOIN" (CMS
+    * inner-product splice) without re-reading any dump).
     */
   def summarize(docs: DataFrame, idCol: String, textCol: String,
-                dumpId: String, k: Int = 256): DataFrame = {
+                dumpId: String, k: Int = 256,
+                cmsDepth: Int = 4, cmsWidth: Int = 2048): DataFrame = {
     // the S4 persist-where-reused rule: the doc-stats branch and the
     // gram-sketch branch both read the same projection; without the
     // persist, Spark scans the dump TWICE (aggregate branches don't
@@ -43,18 +48,23 @@ object CorpusCatalog {
       coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)).as("n_tokens"),
       round(avg(TextAnalysis.qualityScore(col(textCol))), 4).as("mean_quality"))
     val grams = MinHashLSH.shingles(base, idCol, textCol, n = 3)
+    // ONE gram pass builds both sketches (two TypedImperativeAggregates
+    // share the ObjectHashAggregate) — the shingle hashing never repeats
     val sketch = grams.agg(
-      Sketches.kmvAgg(grams, col("sh"), k).as("sketch"))
+      Sketches.kmvAgg(grams, col("sh"), k).as("sketch"),
+      Sketches.cmsAgg(grams, col("sh"), cmsDepth, cmsWidth).as("cms"))
     stats.crossJoin(broadcast(sketch))
       .select(lit(dumpId).as("dump_id"), col("n_docs"), col("n_tokens"),
         col("mean_quality"), col("sketch"), lit(k).as("k"),
-        Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"))
+        Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"),
+        col("cms"), lit(cmsDepth).as("cms_depth"), lit(cmsWidth).as("cms_width"))
   }
 
   /** Append one dump's catalog row. */
   def append(docs: DataFrame, idCol: String, textCol: String,
-             path: String, dumpId: String, k: Int = 256): Unit =
-    summarize(docs, idCol, textCol, dumpId, k)
+             path: String, dumpId: String, k: Int = 256,
+             cmsDepth: Int = 4, cmsWidth: Int = 2048): Unit =
+    summarize(docs, idCol, textCol, dumpId, k, cmsDepth, cmsWidth)
       .write.mode("append").parquet(path)
 
   /** All pairwise dump overlaps from the persisted catalog alone — no
@@ -94,5 +104,41 @@ object CorpusCatalog {
     a.join(b, col("dump_a") < col("dump_b"))
       .select(col("dump_a") +: col("dump_b") +:
         Sketches.overlapColumns(col("sk_a"), col("sk_b"), effK): _*)
+  }
+
+  /** All pairwise gram-EQUIJOIN-size estimates from the persisted catalog
+    * alone — the [[Sketches.cmsInnerProduct]] splice over stored CMS
+    * sketches (one definition with d113's in-query path, cannot drift).
+    * Output one row per unordered dump pair: (dump_a, dump_b, est_join).
+    * Structurally never an underestimate; accuracy regime documented on
+    * [[Sketches.cmsJoinSize]].
+    *
+    * The CMS dimensions are part of the estimator the same way k is for
+    * [[overlaps]]: rows from pre-CMS catalog files (null cms) or mixed
+    * (depth, width) are rejected LOUDLY rather than spliced wrongly.
+    */
+  def joinSizes(spark: SparkSession, path: String): DataFrame = {
+    val cat = spark.read.option("mergeSchema", "true").parquet(path)
+    require(cat.columns.contains("cms"),
+      s"catalog at $path predates the CMS column (round-12 appends carry " +
+        "it); re-append the dumps or rebuild the catalog before splicing " +
+        "join sizes")
+    val dims = cat.select(col("cms_depth"), col("cms_width")).distinct()
+      .collect()
+      .map(r => (Option(r.getAs[Integer](0)).map(_.toInt),
+        Option(r.getAs[Integer](1)).map(_.toInt)))
+    require(dims.forall(d => d._1.isDefined && d._2.isDefined),
+      s"catalog at $path mixes rows with and without CMS dimensions; " +
+        "re-append those dumps before splicing join sizes")
+    require(dims.length == 1,
+      s"catalog at $path mixes CMS dimensions ${dims.mkString(",")}; " +
+        "joinSizes() needs one uniform (depth, width)")
+    val (depth, width) = (dims.head._1.get, dims.head._2.get)
+    val a = cat.select(col("dump_id").as("dump_a"), col("cms").as("cms_a"))
+    val b = cat.select(col("dump_id").as("dump_b"), col("cms").as("cms_b"))
+    a.join(b, col("dump_a") < col("dump_b"))
+      .select(col("dump_a"), col("dump_b"),
+        Sketches.cmsInnerProduct(col("cms_a"), col("cms_b"), depth, width)
+          .as("est_join"))
   }
 }

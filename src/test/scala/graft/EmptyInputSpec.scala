@@ -223,3 +223,28 @@ class EmptyInputRound11Spec extends SparkSpec {
     assert(graft.ops.Skyline.skyline2D(pts, "x", "y").count() === 0)
   }
 }
+
+class EmptyInputRound12Spec extends SparkSpec {
+
+  import org.apache.spark.sql.functions._
+  import graft.functions.Sketches
+
+  test("round-12 sketch/quantile ops are total on empty frames") {
+    import spark.implicits._
+    val noH = Seq.empty[Long].toDF("h")
+    // CMS gates: the sketch row exists (zero table) but no candidates
+    assert(Sketches.cmsTopFreq(noH, col("h"), 4, 64, topK = 5).count() === 0)
+    assert(Sketches.cmsByDomain(
+      Seq.empty[(String, Long)].toDF("dom", "h"), "dom", col("h"), 4, 64)
+      .count() === 0)
+    // join size of two empty streams: est 0, true 0, invariant holds
+    val js = Sketches.cmsJoinSize(noH, noH, col("h"), col("h"), 4, 64).head()
+    assert(js.getAs[Long]("est_join") === 0L &&
+      js.getAs[Long]("true_join") === 0L &&
+      js.getAs[Int]("no_underestimate") === 1)
+    // quantile summary: empty and all-null domains vanish
+    val noV = Seq.empty[(String, Double)].toDF("dom", "v")
+    assert(graft.functions.Sampling.quantilesByDomain(noV, "dom", "v")
+      .count() === 0)
+  }
+}

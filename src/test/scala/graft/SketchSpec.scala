@@ -334,5 +334,34 @@ class CorpusCatalogSpec extends SparkSpec {
     // disjoint-tag dump shares none
     assert(got(("dump1", "dump2"))._1 > 0)
     assert(got(("dump1", "dump3"))._1 === 0)
+
+    // round 12: the SAME catalog answers pairwise gram-equijoin sizes
+    // from its stored CMS sketches, identically to the in-query splice
+    val sizes = CorpusCatalog.joinSizes(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def directJoin(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsJoinSize(
+        MinHashLSH.shingles(a, "doc_id", "text", 3),
+        MinHashLSH.shingles(b, "doc_id", "text", 3),
+        col("sh"), col("sh"), depth = 4, width = 2048).head()
+    for ((pair, (x, y)) <- Seq(("dump1", "dump2") -> ((d1, d2)),
+        ("dump1", "dump3") -> ((d1, d3)), ("dump2", "dump3") -> ((d2, d3)))) {
+      val direct = directJoin(x, y)
+      assert(sizes(pair) === direct.getAs[Long]("est_join"), pair)
+      assert(sizes(pair) >= direct.getAs[Long]("true_join"), pair)
+    }
+  }
+
+  test("joinSizes rejects catalogs with mixed CMS dimensions loudly") {
+    import spark.implicits._
+    val d = (0 until 5).map(i => (i.toLong, s"a b c d e f$i g h i j k"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("catalog_mix").toString
+    CorpusCatalog.append(d, "doc_id", "text", path, "d1", cmsWidth = 2048)
+    CorpusCatalog.append(d, "doc_id", "text", path, "d2", cmsWidth = 256)
+    val e = intercept[IllegalArgumentException] {
+      CorpusCatalog.joinSizes(spark, path).collect()
+    }
+    assert(e.getMessage.contains("mixes CMS dimensions"))
   }
 }
