@@ -376,6 +376,67 @@ class VectorPropertySpec extends SparkSpec {
   }
 }
 
+class SketchPropertySpec extends SparkSpec {
+
+  import org.scalacheck.{Gen, Prop}
+  import graft.functions.{Sampling, Sketches}
+
+  test("graft_cms equals the closed-form census on random hashes and dims") {
+    import spark.implicits._
+    val caseGen = for {
+      depth <- Gen.chooseNum(1, 6)
+      width <- Gen.oneOf(2, 7, 32, 257)
+      // 60-bit non-negative hashes incl. boundary values
+      hs <- Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.chooseNum(0L, (1L << 60) - 1), Gen.const(0L),
+        Gen.const((1L << 60) - 1)))
+    } yield (depth, width, hs)
+    val cp = graft.plans.CmsSketch.P
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAllNoShrink(caseGen) { case (depth, width, hs) =>
+        val want = {
+          val buf = Array.fill(depth * width)(0L)
+          for (h <- hs; r <- 0 until depth) {
+            val h1 = h & cp; val h2 = 1L + ((h >>> 31) & cp)
+            buf(r * width + (((h1 + r * h2) % cp) % width).toInt) += 1L
+          }
+          buf.toSeq
+        }
+        val df = hs.toDF("h")
+        val got = df.repartition(3)
+          .agg(Sketches.cmsAgg(df, col("h"), depth, width).as("s"))
+          .select(col("s")).head().getSeq[Long](0)
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("quantilesByDomain equals the sorted-scan model on random censuses") {
+    import spark.implicits._
+    // tiny value grid forces heavy ties; two domains exercise grouping
+    val rowsGen = Gen.nonEmptyListOf(for {
+      dom <- Gen.oneOf("a", "b")
+      v <- Gen.chooseNum(0, 4)
+    } yield (dom, v.toDouble))
+    val pcts = Seq(25, 50, 75, 90, 100)
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAllNoShrink(rowsGen) { rows =>
+        val got = Sampling.quantilesByDomain(rows.toDF("dom", "v"), "dom", "v", pcts)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), pcts.indices.map(i => r.getDouble(2 + i)))).toMap
+        val want = rows.groupBy(_._1).map { case (dom, g) =>
+          val sorted = g.map(_._2).sorted
+          dom -> ((sorted.size.toLong, pcts.map(p =>
+            sorted(sorted.indices.find(i => (i + 1) * 100 >= sorted.size * p).get))))
+        }
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+}
+
 class SkylinePropertySpec extends SparkSpec {
 
   import org.scalacheck.{Gen, Prop}
