@@ -160,6 +160,10 @@ object Sketches {
     * Plan: one bounded partial-agg for the sketch (≤ partitions·depth·
     * width longs through the exchange), one census shuffle for the truth,
     * a driver-bounded top-k, and the one-row sketch broadcast onto it.
+    * The two branches re-read `items` DELIBERATELY unpersisted (an S4
+    * exception): this query shape exists only as a gate — the deployed
+    * path is the sketch branch alone, and a persist here would trade a
+    * cache fill for halving work no production run performs.
     */
   def cmsTopFreq(items: DataFrame, h: Column, depth: Int, width: Int,
                  topK: Int): DataFrame = {
