@@ -71,6 +71,43 @@ object VectorOps {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Contrastive pair mining — the training-set construction step for
+    * embedding/retrieval models: for each anchor, its `kPos` most-similar
+    * SAME-label rows (positives) and its `kNeg` most-similar
+    * DIFFERENT-label rows (hard negatives — high cosine but wrong label,
+    * exactly the pairs a contrastive loss learns the most from; random
+    * negatives are trivially separable). Returns
+    * (anchor_id, cand_id, is_pos ∈ {1,0}, rank), ties to the smaller
+    * candidate id.
+    *
+    * Scale shape: one scored pass — anchors broadcast (small anchor set,
+    * the [[knnBruteForce]] contract), candidates stay put, one window
+    * partitioned by (anchor, side). For corpus-scale anchor sets, restrict
+    * candidates through the IVF cell path first ([[VectorIVF]]) and feed
+    * the cell-joined pairs here — the window shape is unchanged.
+    */
+  def contrastivePairs(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, labelCol: String,
+                       kPos: Int, kNeg: Int): DataFrame = {
+    val q = withNormalized(anchors, vecCol, "qv")
+      .select(col(idCol).as("anchor_id"), col(labelCol).as("anchor_label"),
+        col("qv"))
+    val c = withNormalized(corpus, vecCol, "cv")
+      .select(col(idCol).as("cand_id"), col(labelCol).as("cand_label"),
+        col("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("cand_id") =!= col("anchor_id"))
+      .withColumn("is_pos",
+        (col("cand_label") === col("anchor_label")).cast("int"))
+      .withColumn("cos", fastDot(corpus.sparkSession)(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("anchor_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where((col("is_pos") === 1 && col("rank") <= kPos) ||
+        (col("is_pos") === 0 && col("rank") <= kNeg))
+      .select("anchor_id", "cand_id", "is_pos", "rank")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by
     * `blockCol` (label, cluster id, LSH bucket...) so the self-join is an
     * equality join on the block key.

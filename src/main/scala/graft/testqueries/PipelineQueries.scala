@@ -686,6 +686,17 @@ object PipelineQueries {
       VectorOps.knnBruteForce(e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5)
     },
 
+    // Contrastive pair mining (round 12): per anchor, the 2 most-similar
+    // same-label rows (positives) and the 3 most-similar DIFFERENT-label
+    // rows (hard negatives — high cosine, wrong label, the pairs a
+    // contrastive loss learns from). One scored pass, anchors broadcast,
+    // one (anchor, side) window — the d07 plan with a label split.
+    "d116_contrastive_pairs" -> { (s, dir) =>
+      val e = embs(s, dir)
+      VectorOps.contrastivePairs(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", kPos = 2, kNeg = 3)
+    },
+
     // Embedding near-dup pairs over a blocking key (label) — the IVF-shaped
     // scale path: equality join on the block, never an open cross product.
     "d08_vec_dup" -> { (s, dir) =>
@@ -2479,6 +2490,18 @@ object PipelineQueries {
            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
            WHERE q.vec_id < 10)
          WHERE rank <= 5""",
+    // d116: the d07 replay split by label side — positives rank within
+    // same-label candidates, hard negatives within different-label ones.
+    "d116_contrastive_pairs" ->
+      """SELECT anchor_id, cand_id, is_pos, CAST(rank AS INT) AS rank FROM (
+           SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+             CAST(CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS INT) AS is_pos,
+             row_number() OVER (PARTITION BY q.vec_id, (c.label = q.label)
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+         WHERE (is_pos = 1 AND rank <= 2) OR (is_pos = 0 AND rank <= 3)""",
     "d08_vec_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
          FROM embeddings a

@@ -832,6 +832,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("contrastive pairs: positives rank within label, negatives across") {
+    import spark.implicits._
+    // anchor 0 (label 0) against: 1,2 same label; 3,4,5 other label.
+    // cosines to the anchor: 1→0.95, 2→0.0, 3→0.99, 4→0.5, 5→−1.0
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.95f, 0.3124f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(0.99f, 0.141f), 1),
+      (4L, Array(0.5f, 0.866f), 1),
+      (5L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.contrastivePairs(df.where(col("vec_id") === 0), df,
+      "vec_id", "embedding", "label", kPos = 2, kNeg = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // positives: 1 (cos .95) then 2 (cos 0); hard negatives: 3 (cos .99,
+    // the high-similarity wrong-label row) then 4; 5 falls outside kNeg
+    assert(got === Set((1L, 1, 1), (2L, 1, 2), (3L, 0, 1), (4L, 0, 2)))
+    // the anchor set broadcasts — no shuffled join of the candidate side
+    val plan = VectorOps.contrastivePairs(df.where(col("vec_id") === 0), df,
+      "vec_id", "embedding", "label", 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("semantic decontamination flags train rows near any bench vector, with hit counts") {
     import spark.implicits._
     val bench = Seq(
