@@ -383,6 +383,20 @@ object GraftSql {
       .semanticDecontaminate(train, bench, idCol, vecCol, threshold)
       .createOrReplaceTempView(viewName)
 
+  /** Contrastive pairs (the d116 shape) as a named temp view:
+    * (anchor_id, cand_id, is_pos, rank) — per anchor, the top-kPos
+    * same-label positives and top-kNeg different-label hard negatives.
+    * See [[graft.functions.VectorOps.contrastivePairs]].
+    */
+  def registerContrastivePairs(spark: SparkSession, viewName: String,
+                               anchors: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               labelCol: String, kPos: Int,
+                               kNeg: Int): Unit =
+    graft.functions.VectorOps
+      .contrastivePairs(anchors, corpus, idCol, vecCol, labelCol, kPos, kNeg)
+      .createOrReplaceTempView(viewName)
+
   /** IVF cell routing (the d84 shape) as a named temp view: every row of
     * `vectors` plus its nearest-quantizer `cell` — `GROUP BY cell` is the
     * occupancy census, `WHERE cell = ?` the probe-side scan. Quantizer =

@@ -1613,6 +1613,16 @@ class GraftSqlSpec extends SparkSpec {
            min(cell) AS lo, max(cell) AS hi FROM ivf_cells""").head()
     assert(ic.getLong(0) === e.count())
     assert(ic.getLong(1) >= 1L && ic.getInt(2) >= 0 && ic.getInt(3) <= 7)
+    // contrastive pairs view (d116): per anchor at most kPos positives
+    // and kNeg negatives, ranks contiguous from 1 per (anchor, side)
+    graft.sql.GraftSql.registerContrastivePairs(spark, "cpairs",
+      e.where(col("vec_id") < 5), e, "vec_id", "embedding", "label",
+      kPos = 2, kNeg = 3)
+    val cp = spark.sql(
+      """SELECT max(CASE WHEN is_pos = 1 THEN rank ELSE 0 END) AS maxp,
+           max(CASE WHEN is_pos = 0 THEN rank ELSE 0 END) AS maxn,
+           count(DISTINCT anchor_id) AS anchors FROM cpairs""").head()
+    assert(cp.getInt(0) <= 2 && cp.getInt(1) <= 3 && cp.getLong(2) === 5L)
   }
 
   test("registerSessions serves the q39 rollup to plain SQL") {
