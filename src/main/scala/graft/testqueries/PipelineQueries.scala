@@ -556,6 +556,25 @@ object PipelineQueries {
         mode = "update")
     },
 
+    // The live per-domain CMS (round 12): d111's grouped sketch maintained
+    // over an ARRIVING corpus — streaming state is depth×width longs PER
+    // SOURCE, watermark-free, update-mode final emission per key.
+    // Completes the batch/stream × global/grouped CMS matrix
+    // (d110/d111/d112/this), exactly as d86/d92/d88/d99 do for KMV; the
+    // oracle assembles each source's full dense array.
+    "d117_cms_domain_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val g = MinHashLSH.shingles(stream, "source", "text", n = 3)
+      val agg = g.groupBy("source")
+        .agg(graft.functions.Sketches.cmsAgg(g, col("sh"), 4, 256).as("sk"))
+        .select(col("source") +:
+          graft.functions.Sketches.cmsSummary(col("sk"), 4, 256): _*)
+      graft.streaming.StreamRunner.runToBatch(agg, "d117_cms_domain_stream",
+        mode = "update")
+    },
+
     // CMS join-size estimation (round 12): the other classic CMS splice —
     // the gram-equijoin size between two dumps (Σ_h dfA·dfB, the number
     // of cross-dump doc pairs per shared gram) estimated as the min over
@@ -3112,6 +3131,9 @@ object PipelineQueries {
     // d112: the streamed sketch must equal the batch-assembled DENSE
     // array to the last bucket (zeros included), plus the item total.
     "d112_cms_stream" -> CmsStreamSql,
+    // d117: the grouped replay — each source's streamed sketch equals its
+    // batch-assembled dense array (zeros included) plus the item total.
+    "d117_cms_domain_stream" -> CmsDomainStreamSql,
     // d113: the inner-product splice replayed — two bucket censuses,
     // per-row product sums (missing rows count 0), min over rows, vs the
     // exact census equijoin.
@@ -4082,6 +4104,31 @@ object PipelineQueries {
          SELECT array_to_string(list(c ORDER BY r, b), ',') AS sketch_csv,
            CAST((SELECT count(*) FROM g) AS BIGINT) AS n_items
          FROM dense"""
+
+  private lazy val CmsDomainStreamSql: String =
+    s"""WITH words AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+           FROM documents),
+         g AS (SELECT DISTINCT doc_id, source,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT doc_id, source, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM words WHERE len(w) >= 3)),
+         bc AS (SELECT source, r, ${cmsBucketSql("h", "r", 256)} AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM g CROSS JOIN range(4) t(r) GROUP BY 1, 2, 3),
+         srcs AS (SELECT DISTINCT source FROM g),
+         grid AS (SELECT s.source, t.r AS r, u.b AS b
+           FROM srcs s CROSS JOIN range(4) t(r) CROSS JOIN range(256) u(b)),
+         dense AS (SELECT grid.source, grid.r, grid.b, COALESCE(bc.c, 0) AS c
+           FROM grid LEFT JOIN bc ON bc.source = grid.source
+             AND bc.r = grid.r AND bc.b = grid.b),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items
+           FROM g GROUP BY source)
+         SELECT d.source,
+           array_to_string(list(c ORDER BY r, b), ',') AS sketch_csv,
+           any_value(n.n_items) AS n_items
+         FROM dense d JOIN n ON d.source = n.source
+         GROUP BY d.source"""
 
   private lazy val BloomDecontamSql: String =
     s"""WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
