@@ -109,7 +109,10 @@ object CorpusCatalog {
   /** All pairwise gram-EQUIJOIN-size estimates from the persisted catalog
     * alone — the [[Sketches.cmsInnerProduct]] splice over stored CMS
     * sketches (one definition with d113's in-query path, cannot drift).
-    * Output one row per unordered dump pair: (dump_a, dump_b, est_join).
+    * Output one row per unordered dump pair: (dump_a, dump_b, est_join),
+    * with est_join as exact `decimal(38,0)` — the deployed surface keeps
+    * the full-precision estimate ([[Sketches.cmsInnerProduct]]'s overflow
+    * note; a long would wrap past 2^63 at ~1e11-item streams).
     * Structurally never an underestimate; accuracy regime documented on
     * [[Sketches.cmsJoinSize]].
     *

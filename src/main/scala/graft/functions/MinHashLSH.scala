@@ -363,8 +363,15 @@ object MinHashLSH {
       val (next, ckptFile) =
         if (sc.getCheckpointDir.isDefined) {
           val rdd = nextRaw.rdd
+          // persist BEFORE the materializing action: checkpoint() writes
+          // its files in a SEPARATE job after the first action, which
+          // would otherwise recompute the whole round's plan a second
+          // time; the cached blocks feed that write job, then free —
+          // the checkpoint files back all later reads
+          rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           rdd.checkpoint()
-          rdd.count() // materialize into reliable storage now
+          rdd.count() // materialize: runs the plan once, then the ckpt write
+          rdd.unpersist(false)
           (spark.createDataFrame(rdd, nextRaw.schema), rdd.getCheckpointFile)
         } else (nextRaw.localCheckpoint(true), None)
       val s = edgeSum(next)

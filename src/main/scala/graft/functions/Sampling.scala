@@ -385,15 +385,27 @@ object Sampling {
     *
     * Output: (domCol, n_rows, p<pct>... ) — value columns keep the input
     * value type.
+    *
+    * `gridDecimals`: optional pre-census rounding (`round(v, d)`), the
+    * parity knob for [[graft.streaming.QuantileStream.quantilesByDomain]]
+    * — the streaming twin ALWAYS grid-rounds (its state bound is the
+    * grid), so feed ungridded data to both with the SAME gridDecimals to
+    * keep batch and stream answers identical. The batch default (None)
+    * keeps the exact census: a batch census row per raw distinct value
+    * is a shuffle-size matter, not an unbounded-state one.
     */
   def quantilesByDomain(df: org.apache.spark.sql.DataFrame, domCol: String,
                         valueCol: String,
-                        pcts: Seq[Int] = Seq(50, 90, 99)): org.apache.spark.sql.DataFrame = {
+                        pcts: Seq[Int] = Seq(50, 90, 99),
+                        gridDecimals: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percents in [1,100], got $pcts")
+    require(gridDecimals.forall(d => d >= 0 && d <= 9),
+      s"gridDecimals must be in [0,9], got $gridDecimals")
+    val v = gridDecimals.fold(col(valueCol))(d => round(col(valueCol), d))
     val census = df
       .where(col(domCol).isNotNull && col(valueCol).isNotNull)
-      .groupBy(col(domCol).as("__d"), col(valueCol).as("__v"))
+      .groupBy(col(domCol).as("__d"), v.as("__v"))
       .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy("__d").orderBy("__v")
     val cum = census

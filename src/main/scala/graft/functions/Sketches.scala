@@ -126,11 +126,20 @@ object Sketches {
   /** Row-r bucket of hash `h` in a width-`width` CMS row — the
     * Kirsch–Mitzenmacher double-hash in exact integer arithmetic, the
     * SAME closed form the aggregate's JVM loop and every DuckDB oracle
-    * evaluate: `((h & M) + r·(1 + ((h >> 31) & M))) % P % width`.
+    * evaluate: `((h & M) + r·(1 + ((h >>> 31) & M))) % P % width`.
+    *
+    * The second-hash shift is LOGICAL (`shiftrightunsigned`), matching
+    * the aggregate's `h >>> 31` ([[graft.plans.CmsSketch]]) for every
+    * long — an arithmetic shift would sign-extend a negative hash and
+    * probe different buckets than the sketch incremented, silently
+    * breaking the no-undercount invariant. (The oracles' `h >> 31` is
+    * unaffected: their hashes are 60-bit md5 prefixes, always ≥ 0,
+    * where the two shifts agree.)
     */
   def cmsBucket(h: Column, r: Column, width: Int): Column =
     pmod(pmod(h.bitwiseAND(lit(CmsP)) +
-      r.cast("long") * (lit(1L) + shiftright(h, 31).bitwiseAND(lit(CmsP))),
+      r.cast("long") * (lit(1L) +
+        shiftrightunsigned(h, 31).bitwiseAND(lit(CmsP))),
       lit(CmsP)), lit(width.toLong))
 
   /** The CMS aggregate column over an already-hashed 60-bit column:
@@ -210,6 +219,13 @@ object Sketches {
     * of the equijoin between the two item streams, the quantity a join
     * planner wants before running the join (Cormode & Muthukrishnan 2005,
     * §4.2). Closed-form array math over two broadcast-sized sketches.
+    *
+    * Returns `decimal(38,0)`, NOT long: a row's product sum is
+    * ~N_A·N_B/width, which wraps past 2^63 once the streams reach ~1e11
+    * items at width 2048 — squarely inside the 100 TB regime — and a
+    * silently wrapped (possibly negative) estimate would violate the
+    * never-an-underestimate guarantee. Bucket counts are cast to decimal
+    * BEFORE the multiply, so the whole product-sum is exact up to 1e38.
     */
   def cmsInnerProduct(skA: Column, skB: Column, depth: Int, width: Int): Column =
     array_min(transform(sequence(lit(0), lit(depth - 1)), r =>
@@ -217,8 +233,8 @@ object Sketches {
         zip_with(
           slice(skA, r.cast("int") * width + 1, lit(width)),
           slice(skB, r.cast("int") * width + 1, lit(width)),
-          (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v)))
+          (x, y) => x.cast("decimal(38,0)") * y.cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)"), (acc, v) => acc + v)))
 
   /** Join-size gate (the d113 shape): the CMS estimate of the gram-
     * equijoin size between two corpora vs the exact value, plus the
@@ -244,11 +260,17 @@ object Sketches {
     val skB = sb.agg(cmsAgg(sb, col("h"), depth, width).as("sk_b"))
     val truth = sa.groupBy("h").agg(count(lit(1)).as("ca"))
       .join(sb.groupBy("h").agg(count(lit(1)).as("cb")), "h")
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_join"))
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(0L).cast("decimal(38,0)")).as("true_join"))
+    // the GATE emits longs (the oracle's BIGINT surface); both values are
+    // exact decimals first, so an out-of-long-range estimate fails the
+    // ANSI cast LOUDLY instead of wrapping — the deployed decimal path is
+    // [[CorpusCatalog.joinSizes]]
     skA.crossJoin(broadcast(skB)).crossJoin(broadcast(truth))
       .select(
-        cmsInnerProduct(col("sk_a"), col("sk_b"), depth, width).as("est_join"),
-        col("true_join"))
+        cmsInnerProduct(col("sk_a"), col("sk_b"), depth, width)
+          .cast("long").as("est_join"),
+        col("true_join").cast("long").as("true_join"))
       .withColumn("no_underestimate",
         (col("est_join") >= col("true_join")).cast("int"))
   }

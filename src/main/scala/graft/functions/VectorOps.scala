@@ -85,14 +85,21 @@ object VectorOps {
     * partitioned by (anchor, side). For corpus-scale anchor sets, restrict
     * candidates through the IVF cell path first ([[VectorIVF]]) and feed
     * the cell-joined pairs here — the window shape is unchanged.
+    *
+    * NULL-label convention: rows with a null label are DROPPED from both
+    * sides, explicitly. An unlabeled row is neither a positive (same
+    * label) nor a hard negative (provably different label), and the
+    * alternative readings disagree — SQL `=` makes it neither (null
+    * comparison), a CASE-WHEN-ELSE-0 makes it a negative — so the
+    * operator takes the one stance both engines state identically.
     */
   def contrastivePairs(anchors: DataFrame, corpus: DataFrame, idCol: String,
                        vecCol: String, labelCol: String,
                        kPos: Int, kNeg: Int): DataFrame = {
-    val q = withNormalized(anchors, vecCol, "qv")
+    val q = withNormalized(anchors.where(col(labelCol).isNotNull), vecCol, "qv")
       .select(col(idCol).as("anchor_id"), col(labelCol).as("anchor_label"),
         col("qv"))
-    val c = withNormalized(corpus, vecCol, "cv")
+    val c = withNormalized(corpus.where(col(labelCol).isNotNull), vecCol, "cv")
       .select(col(idCol).as("cand_id"), col(labelCol).as("cand_label"),
         col("cv"))
     val scored = c.crossJoin(broadcast(q))

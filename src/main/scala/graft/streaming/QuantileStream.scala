@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
 
 /** LIVE per-domain quantile summary — the streaming twin of
   * [[graft.functions.Sampling.quantilesByDomain]]: as documents arrive,
@@ -13,12 +14,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * emitted exactly once, which is what the d115 oracle gates against the
   * batch operator).
   *
-  * State per domain = the census map, bounded by the VALUE GRID, not the
-  * stream: producer scores are grid-rounded (1e-4/1e-6), so a domain's
-  * state is |grid| entries forever — the same bounded-by-construction
-  * argument as the sketch streams (d88/d99/d112), no watermark needed.
-  * Feeding an ungridded continuous value would grow state with distinct
-  * values — round first, exactly as the batch census would want.
+  * State per domain = the census map, bounded STRUCTURALLY by the value
+  * grid: every value is rounded to `gridDecimals` decimals before it
+  * becomes a census key, so a domain's state is at most
+  * `range · 10^gridDecimals` entries no matter how many distinct raw
+  * doubles arrive — the same bounded-by-construction argument as the
+  * sketch streams (d88/d99/d112), no watermark needed, and no longer a
+  * caller promise: an ungridded continuous stream is bounded by the
+  * rounding itself. The default grid (1e-6) is the finest grid the
+  * repo's score producers emit on (quality 1e-4, calibration 1e-6), so
+  * already-gridded input passes through bit-identically.
+  *
+  * Supported value types: byte/short/int/float/double — every value
+  * exactly representable as the census's double key. Long and decimal
+  * are REJECTED loudly: above 2^53 distinct longs collapse under the
+  * double cast and the twin would silently diverge from the batch
+  * operator (which keeps the input type end to end) — cast to double
+  * explicitly if the approximation is acceptable, or use the batch
+  * operator.
   *
   * Quantile rule: identical to batch — smallest value v (Spark total
   * order: NaN greatest, −0.0 = 0.0) with `100·cum(v) >= p·N`, integer
@@ -26,19 +39,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object QuantileStream {
 
-  /** Internal comparisons run on doubles (exact for the long/score types
-    * the census carries, |v| < 2^53); output value columns are cast back
-    * to the INPUT's own type. Census keys canonicalize −0.0 to 0.0 and
-    * order NaN greatest, mirroring Spark SQL's grouping and sort.
+  /** Spark's `round(col, d)` on a double, replicated exactly
+    * (`BigDecimal.valueOf` = shortest-decimal repr, HALF_UP): the
+    * streaming JVM fold and a batch `round` column cannot diverge.
+    * NaN/±Inf pass through (as Spark's Round does); −0.0 rounds to 0.0,
+    * which the census canonicalizes anyway.
     */
+  private[graft] def gridRound(v: Double, d: Int): Double =
+    if (v.isNaN || v.isInfinite) v
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(d, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** One micro-batch's census update for one domain — factored out so a
+    * spec can prove the state bound structurally: after ANY number of
+    * distinct raw values, `census.size <= range · 10^gridDecimals (+ NaN
+    * and ±Inf classes)`.
+    */
+  private[graft] def updateCensus(census: Map[Double, Long],
+                                  values: Iterator[Double],
+                                  gridDecimals: Int): Map[Double, Long] =
+    values.foldLeft(census) { (acc, raw) =>
+      val g = gridRound(raw, gridDecimals)
+      val v = if (g == 0.0) 0.0 else g // one −0.0/0.0 class
+      acc + (v -> (acc.getOrElse(v, 0L) + 1L))
+    }
+
   def quantilesByDomain(stream: DataFrame, domCol: String, valueCol: String,
-                        pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+                        pcts: Seq[Int] = Seq(50, 90, 99),
+                        gridDecimals: Int = 6): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be integer percents in [1,100], got $pcts")
+    require(gridDecimals >= 0 && gridDecimals <= 9,
+      s"gridDecimals must be in [0,9], got $gridDecimals")
     val spark = stream.sparkSession
     import spark.implicits._
     val domType = stream.schema(domCol).dataType
     val vType = stream.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, FloatType, DoubleType)
+      .contains(vType),
+      s"quantilesByDomain (streaming) supports byte/short/int/float/double " +
+        s"value columns; got $vType for '$valueCol'. Long/decimal values " +
+        "above 2^53 would collapse under the census's double key — cast " +
+        "to double explicitly if that loss is acceptable, or use the " +
+        "batch operator, which keeps the input type")
     val typed: Dataset[(String, Double)] = stream
       .where(col(domCol).isNotNull && col(valueCol).isNotNull)
       .select(col(domCol).cast("string"), col(valueCol).cast("double"))
@@ -48,11 +91,9 @@ object QuantileStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (dom: String, rows: Iterator[(String, Double)],
          state: GroupState[Map[Double, Long]]) =>
-          val census = rows.foldLeft(state.getOption.getOrElse(Map.empty[Double, Long])) {
-            (acc, r) =>
-              val v = if (r._2 == 0.0) 0.0 else r._2 // one −0.0/0.0 class
-              acc + (v -> (acc.getOrElse(v, 0L) + 1L))
-          }
+          val census = updateCensus(
+            state.getOption.getOrElse(Map.empty[Double, Long]),
+            rows.map(_._2), gridDecimals)
           state.update(census)
           val sorted = census.toSeq.sortBy(_._1)(to) // ascending, NaN last
           val n = sorted.iterator.map(_._2).sum

@@ -2511,6 +2511,10 @@ object PipelineQueries {
          WHERE rank <= 5""",
     // d116: the d07 replay split by label side — positives rank within
     // same-label candidates, hard negatives within different-label ones.
+    // Null-label rows are dropped from BOTH sides, stating the operator's
+    // documented convention in the oracle too (a bare CASE WHEN label =
+    // label would silently classify null-label rows as negatives, which
+    // the Spark side's null-comparison semantics never would).
     "d116_contrastive_pairs" ->
       """SELECT anchor_id, cand_id, is_pos, CAST(rank AS INT) AS rank FROM (
            SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
@@ -2518,7 +2522,9 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY q.vec_id, (c.label = q.label)
                ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
                         c.vec_id ASC) AS rank
-           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           FROM (SELECT * FROM embeddings WHERE label IS NOT NULL) q
+           JOIN (SELECT * FROM embeddings WHERE label IS NOT NULL) c
+             ON q.vec_id != c.vec_id
            WHERE q.vec_id < 10)
          WHERE (is_pos = 1 AND rank <= 2) OR (is_pos = 0 AND rank <= 3)""",
     "d08_vec_dup" ->

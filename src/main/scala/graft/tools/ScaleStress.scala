@@ -295,7 +295,7 @@ object ScaleStress {
         est = ska.crossJoin(broadcast(skb))
           .select(graft.functions.Sketches
             .cmsInnerProduct(col("sa"), col("sb"), 4, 2048).as("e"))
-          .head().getLong(0)
+          .head().getDecimal(0).longValueExact
         drop(); est
       }
       val tx = t(s"$tag exact_join_size") {

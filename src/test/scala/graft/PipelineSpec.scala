@@ -859,6 +859,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("contrastive pairs: null-label rows drop from both sides explicitly") {
+    import spark.implicits._
+    // candidate 9 has the highest cosine to the anchor but a NULL label:
+    // under the documented convention it is neither positive nor negative
+    // (and a null-label anchor mines nothing)
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), Integer.valueOf(0)),
+      (1L, Array(0.95f, 0.3124f), Integer.valueOf(0)),
+      (3L, Array(0.5f, 0.866f), Integer.valueOf(1)),
+      (9L, Array(0.999f, 0.04f), null.asInstanceOf[Integer]))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.contrastivePairs(df.where(col("vec_id") === 0), df,
+      "vec_id", "embedding", "label", kPos = 2, kNeg = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set((1L, 1, 1), (3L, 0, 1)))
+    val anchorNull = VectorOps.contrastivePairs(
+      df.where(col("vec_id") === 9), df,
+      "vec_id", "embedding", "label", kPos = 2, kNeg = 2).count()
+    assert(anchorNull === 0L)
+  }
+
   test("semantic decontamination flags train rows near any bench vector, with hit counts") {
     import spark.implicits._
     val bench = Seq(

@@ -338,7 +338,10 @@ class CorpusCatalogSpec extends SparkSpec {
     // round 12: the SAME catalog answers pairwise gram-equijoin sizes
     // from its stored CMS sketches, identically to the in-query splice
     val sizes = CorpusCatalog.joinSizes(spark, path)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getDecimal(2).longValueExact)
+      .toMap
     def directJoin(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
       Sketches.cmsJoinSize(
         MinHashLSH.shingles(a, "doc_id", "text", 3),

@@ -982,4 +982,60 @@ class QuantileStreamSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got.head.getString(0) === "a" && got.head.getLong(1) === 1L)
   }
+
+  test("census state is |grid|-bounded under a high-cardinality stream") {
+    // 100,001 distinct raw doubles on the 1e-5 grid; at gridDecimals=2
+    // the census can never exceed the 101-point [0,1] grid — the bound is
+    // structural (rounding), not a caller promise
+    val raw = (0 to 100000).iterator.map(_ / 100000.0)
+    val census = graft.streaming.QuantileStream
+      .updateCensus(Map.empty, raw, gridDecimals = 2)
+    assert(census.size <= 101)
+    assert(census.valuesIterator.sum === 100001L)
+    // NaN and infinities pass through as their own (bounded) classes
+    val special = graft.streaming.QuantileStream.updateCensus(
+      census, Iterator(Double.NaN, Double.PositiveInfinity), 2)
+    assert(special.size <= 103)
+  }
+
+  test("ungridded stream equals batch when both share gridDecimals") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // ungridded continuous values (thirds/sevenths); both twins on the
+    // 1e-3 grid — the streaming JVM rounding must replicate Spark's
+    // round() bit-for-bit or the comparison fails
+    val rows = (1 to 60).map(i => (s"d${i % 2}", i / 7.0)) ++
+      (1 to 30).map(i => (s"d${i % 2}", i / 3.0))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Double)]
+    val q = graft.streaming.QuantileStream
+      .quantilesByDomain(in.toDF().toDF("dom", "v"), "dom", "v",
+        gridDecimals = 3)
+      .writeStream.format("memory").queryName("qstream_grid")
+      .outputMode("update").start()
+    try {
+      rows.grouped(23).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = Sampling.quantilesByDomain(rows.toDF("dom", "v"), "dom", "v",
+        gridDecimals = Some(3))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val streamed = spark.table("qstream_grid").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .foldLeft(Map.empty[String, (Long, Double, Double, Double)])(_ + _)
+    assert(streamed === batch)
+  }
+
+  test("streaming twin rejects long/decimal value columns loudly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.QuantileStream
+        .quantilesByDomain(in.toDF().toDF("dom", "v"), "dom", "v")
+    }
+    assert(e.getMessage.contains("2^53"))
+  }
 }
