@@ -35,7 +35,8 @@ object CorpusCatalog {
     */
   def summarize(docs: DataFrame, idCol: String, textCol: String,
                 dumpId: String, k: Int = 256,
-                cmsDepth: Int = 4, cmsWidth: Int = 2048): DataFrame = {
+                cmsDepth: Int = 4, cmsWidth: Int = 2048,
+                csDepth: Int = 5, csWidth: Int = 2048): DataFrame = {
     // the S4 persist-where-reused rule: the doc-stats branch and the
     // gram-sketch branch both read the same projection; without the
     // persist, Spark scans the dump TWICE (aggregate branches don't
@@ -48,23 +49,27 @@ object CorpusCatalog {
       coalesce(sum(TextAnalysis.tokenCount(col(textCol))), lit(0L)).as("n_tokens"),
       round(avg(TextAnalysis.qualityScore(col(textCol))), 4).as("mean_quality"))
     val grams = MinHashLSH.shingles(base, idCol, textCol, n = 3)
-    // ONE gram pass builds both sketches (two TypedImperativeAggregates
+    // ONE gram pass builds all three sketches (the TypedImperativeAggregates
     // share the ObjectHashAggregate) — the shingle hashing never repeats
     val sketch = grams.agg(
       Sketches.kmvAgg(grams, col("sh"), k).as("sketch"),
-      Sketches.cmsAgg(grams, col("sh"), cmsDepth, cmsWidth).as("cms"))
+      Sketches.cmsAgg(grams, col("sh"), cmsDepth, cmsWidth).as("cms"),
+      Sketches.csAgg(grams, col("sh"), csDepth, csWidth).as("cs"))
     stats.crossJoin(broadcast(sketch))
       .select(lit(dumpId).as("dump_id"), col("n_docs"), col("n_tokens"),
         col("mean_quality"), col("sketch"), lit(k).as("k"),
         Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"),
-        col("cms"), lit(cmsDepth).as("cms_depth"), lit(cmsWidth).as("cms_width"))
+        col("cms"), lit(cmsDepth).as("cms_depth"), lit(cmsWidth).as("cms_width"),
+        col("cs"), lit(csDepth).as("cs_depth"), lit(csWidth).as("cs_width"))
   }
 
   /** Append one dump's catalog row. */
   def append(docs: DataFrame, idCol: String, textCol: String,
              path: String, dumpId: String, k: Int = 256,
-             cmsDepth: Int = 4, cmsWidth: Int = 2048): Unit =
-    summarize(docs, idCol, textCol, dumpId, k, cmsDepth, cmsWidth)
+             cmsDepth: Int = 4, cmsWidth: Int = 2048,
+             csDepth: Int = 5, csWidth: Int = 2048): Unit =
+    summarize(docs, idCol, textCol, dumpId, k, cmsDepth, cmsWidth,
+        csDepth, csWidth)
       .write.mode("append").parquet(path)
 
   /** All pairwise dump overlaps from the persisted catalog alone — no
@@ -137,11 +142,41 @@ object CorpusCatalog {
       s"catalog at $path mixes CMS dimensions ${dims.mkString(",")}; " +
         "joinSizes() needs one uniform (depth, width)")
     val (depth, width) = (dims.head._1.get, dims.head._2.get)
-    val a = cat.select(col("dump_id").as("dump_a"), col("cms").as("cms_a"))
-    val b = cat.select(col("dump_id").as("dump_b"), col("cms").as("cms_b"))
-    a.join(b, col("dump_a") < col("dump_b"))
-      .select(col("dump_a"), col("dump_b"),
+    val hasCs = cat.columns.contains("cs")
+    val csDims: Option[(Int, Int)] = if (hasCs) {
+      val ds = cat.select(col("cs_depth"), col("cs_width")).distinct()
+        .collect()
+        .map(r => (Option(r.getAs[Integer](0)).map(_.toInt),
+          Option(r.getAs[Integer](1)).map(_.toInt)))
+      require(ds.forall(d => d._1.isDefined && d._2.isDefined),
+        s"catalog at $path mixes rows with and without Count-Sketch " +
+          "dimensions; re-append those dumps before splicing join sizes")
+      require(ds.length == 1,
+        s"catalog at $path mixes Count-Sketch dimensions ${ds.mkString(",")}; " +
+          "joinSizes() needs one uniform (cs_depth, cs_width)")
+      Some((ds.head._1.get, ds.head._2.get))
+    } else None
+    val csCols = if (hasCs) Seq(col("cs").as("cs_a")) else Nil
+    val csColsB = if (hasCs) Seq(col("cs").as("cs_b")) else Nil
+    val a = cat.select(col("dump_id").as("dump_a") +:
+      col("cms").as("cms_a") +: csCols: _*)
+    val b = cat.select(col("dump_id").as("dump_b") +:
+      col("cms").as("cms_b") +: csColsB: _*)
+    val joined = a.join(b, col("dump_a") < col("dump_b"))
+    // est_join: the CMS min-over-rows — a structural UPPER BOUND, tight
+    // on heavy-hitter streams. est_join_cs (when the catalog carries
+    // Count-Sketches; round-13 appends do): the AMS median-of-rows —
+    // UNBIASED, the number to plan with in the sparse wide-domain regime
+    // where the CMS bound is loose. Pre-CS catalogs get est_join only.
+    val base = joined.select(col("dump_a"), col("dump_b"),
+      Sketches.cmsInnerProduct(col("cms_a"), col("cms_b"), depth, width)
+        .as("est_join"))
+    csDims.fold(base) { case (csD, csW) =>
+      joined.select(col("dump_a"), col("dump_b"),
         Sketches.cmsInnerProduct(col("cms_a"), col("cms_b"), depth, width)
-          .as("est_join"))
+          .as("est_join"),
+        Sketches.csInnerProduct(col("cs_a"), col("cs_b"), csD, csW)
+          .as("est_join_cs"))
+    }
   }
 }

@@ -285,4 +285,94 @@ object Sketches {
     array_join(sketch.cast("array<string>"), ",").as("sketch_csv"),
     aggregate(slice(sketch, 1, width), lit(0L), (acc, c) => acc + c)
       .as("n_items"))
+
+  // ——— Count-Sketch (AMS): UNBIASED inner product for the sparse regime ———
+
+  /** Row-r ±1 sign of hash `h` in a depth-`depth` Count-Sketch — family
+    * row `depth + r` of the same Kirsch–Mitzenmacher mix the bucket uses
+    * (see [[graft.plans.CountSketch]]):
+    * `1 − 2·(((h & M) + (depth+r)·(1 + ((h >>> 31) & M))) % P & 1)`.
+    */
+  def csSign(h: Column, r: Column, depth: Int): Column =
+    lit(1L) - lit(2L) * pmod(h.bitwiseAND(lit(CmsP)) +
+      (r.cast("long") + depth) *
+        (lit(1L) + shiftrightunsigned(h, 31).bitwiseAND(lit(CmsP))),
+      lit(CmsP)).bitwiseAND(lit(1L))
+
+  /** The Count-Sketch aggregate column over an already-hashed 60-bit
+    * column: row-major `depth × width` SIGNED bucket counts as
+    * `array<long>`. Same state/merge contract as [[cmsAgg]].
+    */
+  def csAgg(df: DataFrame, h: Column, depth: Int, width: Int): Column =
+    graft.plans.SketchExpressions.csColumn(df.sparkSession, h, depth, width)
+
+  /** UNBIASED inner-product (equijoin-size) estimate from two
+    * Count-Sketches built with the SAME (depth, width): the MEDIAN over
+    * rows of `Σ_b a[r,b]·b[r,b]`. Per row, diagonal terms contribute
+    * exactly `fA(x)·fB(x)` (same bucket, sign² = 1); collision terms
+    * carry independent ±1 signs and cancel in expectation, so — unlike
+    * [[cmsInnerProduct]]'s min-over-rows, which stacks all-positive
+    * collision mass — the estimate has no systematic bias in the sparse
+    * wide-domain regime. Std per row ≈ √(F2_A·F2_B/width); the median of
+    * `depth` rows concentrates it. `depth` must be ODD so the median is
+    * an exact middle element both engines pick identically
+    * (`element_at(array_sort(...), (depth+1)/2)` here,
+    * `quantile_disc(v, 0.5)` in DuckDB).
+    *
+    * decimal(38,0) throughout, like [[cmsInnerProduct]] — row sums at
+    * 100 TB scale exceed long range.
+    */
+  def csInnerProduct(skA: Column, skB: Column, depth: Int, width: Int): Column = {
+    require(depth % 2 == 1,
+      s"csInnerProduct depth=$depth must be odd (exact median element)")
+    element_at(
+      array_sort(transform(sequence(lit(0), lit(depth - 1)), r =>
+        aggregate(
+          zip_with(
+            slice(skA, r.cast("int") * width + 1, lit(width)),
+            slice(skB, r.cast("int") * width + 1, lit(width)),
+            (x, y) => x.cast("decimal(38,0)") * y.cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)"), (acc, v) => acc + v))),
+      (depth + 1) / 2)
+  }
+
+  /** The d118 gate (the d113 shape, unbiased estimator): Count-Sketch
+    * join-size estimate vs the exact census equijoin, with the WHOLE
+    * signed sketch emitted (row-major CSV, both sides) so the oracle's
+    * bit-for-bit rebuild is itself hash-compared — approximation quality
+    * AND sketch construction gated in one row. Summary columns make
+    * silent failure impossible: both item totals, the estimate, the
+    * truth, the signed ratio, and the band flag.
+    *
+    * `band`: |est − true| ≤ band·true ⇒ in_band = 1. The exact side is
+    * the gate's truth source only, as in [[cmsJoinSize]].
+    */
+  def csJoinSize(a: DataFrame, b: DataFrame, ha: Column, hb: Column,
+                 depth: Int, width: Int, band: Double): DataFrame = {
+    val sa = a.select(ha.cast("long").as("h"))
+    val sb = b.select(hb.cast("long").as("h"))
+    val skA = sa.agg(csAgg(sa, col("h"), depth, width).as("sk_a"),
+      count(lit(1)).as("n_a"))
+    val skB = sb.agg(csAgg(sb, col("h"), depth, width).as("sk_b"),
+      count(lit(1)).as("n_b"))
+    val truth = sa.groupBy("h").agg(count(lit(1)).as("ca"))
+      .join(sb.groupBy("h").agg(count(lit(1)).as("cb")), "h")
+      .agg(coalesce(sum(col("ca").cast("decimal(38,0)") * col("cb")),
+        lit(0L).cast("decimal(38,0)")).as("true_join"))
+    val est = csInnerProduct(col("sk_a"), col("sk_b"), depth, width)
+    skA.crossJoin(broadcast(skB)).crossJoin(broadcast(truth))
+      .select(
+        array_join(col("sk_a").cast("array<string>"), ",").as("sketch_csv_a"),
+        array_join(col("sk_b").cast("array<string>"), ",").as("sketch_csv_b"),
+        col("n_a"), col("n_b"),
+        est.cast("long").as("est_join"),
+        col("true_join").cast("long").as("true_join"),
+        when(col("true_join") === 0, lit(null).cast("double"))
+          .otherwise(round(est.cast("double") /
+            col("true_join").cast("double"), 6)).as("est_over_true"),
+        when(col("true_join") === 0, (est === 0).cast("int"))
+          .otherwise((abs(est - col("true_join")) <=
+            lit(band) * col("true_join").cast("double")).cast("int"))
+          .as("in_band"))
+  }
 }

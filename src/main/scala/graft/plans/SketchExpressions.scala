@@ -226,6 +226,103 @@ object CmsSketch {
   val M: Long = 2147483647L
 }
 
+/** Native Count-Sketch (AMS) — the SIGNED sibling of [[CmsSketch]], and
+  * the estimator that fixes CMS's one structural weakness: on SPARSE
+  * wide-domain streams the CMS inner product is a sound but loose upper
+  * bound (collision mass is all positive, ~N_A·N_B/width additive error —
+  * the d113 regime, measured ~7× at sf0.01). Count-Sketch flips each
+  * update's sign with a pairwise-independent ±1 hash, so collision terms
+  * cancel in EXPECTATION and the per-row inner product
+  * `Σ_b a_r[b]·b_r[b]` is an UNBIASED estimate of `Σ_x fA(x)·fB(x)`;
+  * the median over rows concentrates it (Alon–Matias–Szegedy, STOC 1996;
+  * Charikar–Chen–Farach-Colton, ICALP 2002 — the "tug-of-war" sketch).
+  *
+  * Same scale contract as CMS: dense `depth × width` SIGNED long counts,
+  * row-major; exchange ≤ partitions × depth × width longs; merge =
+  * element-wise add; mergeable standing artifact per dump.
+  *
+  * Deterministic and engine-replayable — both hashes come from the SAME
+  * Kirsch–Mitzenmacher family `g_i(h) = (h1 + i·h2) mod P` the CMS uses
+  * (h1 = h & M, h2 = 1 + ((h >>> 31) & M)), with DISTINCT family rows for
+  * the two roles:
+  *   bucket_r = g_r(h) mod width            (rows 0..depth−1, = CMS)
+  *   sign_r   = 1 − 2·(g_{depth+r}(h) & 1)  (rows depth..2depth−1)
+  * so a DuckDB oracle rebuilds the ENTIRE signed sketch bit-for-bit from
+  * a (row, bucket, Σsign) census. depth ≤ 16 keeps the family index
+  * < 32 and every product within long range.
+  *
+  * Null inputs are skipped. Output: `array<long>` of length depth·width,
+  * row-major (values may be negative — that is the point).
+  */
+case class CountSketch(child: Expression, depth: Int, width: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+  require(depth > 0 && depth <= 16,
+    s"graft_countsketch depth=$depth must be in [1,16]")
+  require(width > 0, s"graft_countsketch width=$width must be positive")
+  require(depth.toLong * width <= (1L << 24),
+    s"graft_countsketch table depth*width=${depth.toLong * width} " +
+      "exceeds 2^24 cells")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_countsketch"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val h1 = h & CmsSketch.M
+      val h2 = 1L + ((h >>> 31) & CmsSketch.M)
+      var r = 0
+      while (r < depth) {
+        val b = (((h1 + r.toLong * h2) % CmsSketch.P) % width).toInt
+        val s = 1L - 2L * (((h1 + (depth + r).toLong * h2) % CmsSketch.P) & 1L)
+        buf(r * width + b) += s
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountSketch =
+    copy(child = newChild)
+}
+
 /** Registration for [[KmvSketch]] (`graft_kmv`) and [[CmsSketch]]
   * (`graft_cms`).
   */
@@ -252,10 +349,25 @@ object SketchExpressions {
       .toAggregateExpression()
   }
 
+  private val csFid = FunctionIdentifier("graft_countsketch")
+  private val csInfo = new ExpressionInfo(classOf[CountSketch].getName,
+    "graft_countsketch")
+  private[plans] val csBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      s"graft_countsketch expects 3 arguments, got ${exprs.length}")
+    require(exprs(1).foldable && exprs(2).foldable,
+      "graft_countsketch depth and width must be literals")
+    CountSketch(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue,
+      exprs(2).eval().asInstanceOf[Number].intValue)
+      .toAggregateExpression()
+  }
+
   /** Idempotent runtime registration (see [[VectorExpressions.ensureRegistered]]). */
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
     spark.sessionState.functionRegistry.registerFunction(cmsFid, cmsInfo, cmsBuilder)
+    spark.sessionState.functionRegistry.registerFunction(csFid, csInfo, csBuilder)
   }
 
   /** `Column` surface: the KMV sketch (k smallest distinct hashes,
@@ -274,6 +386,16 @@ object SketchExpressions {
     ensureRegistered(spark)
     org.apache.spark.sql.functions.call_function(
       "graft_cms", h, org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
+  }
+
+  /** `Column` surface: the Count-Sketch (row-major `depth × width` SIGNED
+    * bucket counts) of a 60-bit-hash column, as an aggregate.
+    */
+  def csColumn(spark: SparkSession, h: Column, depth: Int, width: Int): Column = {
+    ensureRegistered(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_countsketch", h, org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width))
   }
 }

@@ -596,6 +596,27 @@ object PipelineQueries {
         col("sh"), col("sh"), depth = 4, width = 2048)
     },
 
+    // Count-Sketch join-size estimation (round 13): the UNBIASED fix for
+    // d113's one honest weakness — on this sparse gram split the CMS
+    // min-over-rows is a ~7× upper bound (collision mass is all
+    // positive), while the AMS ±1-signed median-of-rows cancels collision
+    // terms in expectation and lands within the gated band of the exact
+    // census join. SAME split, SAME truth source; the whole signed sketch
+    // is emitted (CSV, both sides) so the oracle's bit-for-bit rebuild is
+    // itself part of the hash compare.
+    "d118_countsketch_join_size" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val old = d.where(pmod(col("doc_id"), lit(7)) =!= 0)
+      val cur = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.functions.Sketches.csJoinSize(
+        MinHashLSH.shingles(old, "doc_id", "text", n = 3),
+        MinHashLSH.shingles(cur, "doc_id", "text", n = 3),
+        col("sh"), col("sh"), depth = 5, width = 2048, band = 0.1)
+    },
+
     // Sliding-window chunking (context-window packing) — map-only explode,
     // overlap-suppressed tails; the chunk key is the 1-based token start.
     "d25_chunk" -> { (s, dir) =>
@@ -3140,6 +3161,9 @@ object PipelineQueries {
     // d117: the grouped replay — each source's streamed sketch equals its
     // batch-assembled dense array (zeros included) plus the item total.
     "d117_cms_domain_stream" -> CmsDomainStreamSql,
+    // d118: the SIGNED inner-product splice replayed — the unbiased AMS
+    // estimator on d113's sparse split, whole sketch hash-compared.
+    "d118_countsketch_join_size" -> CountSketchJoinSizeSql,
     // d113: the inner-product splice replayed — two bucket censuses,
     // per-row product sums (missing rows count 0), min over rows, vs the
     // exact census equijoin.
@@ -4004,6 +4028,15 @@ object PipelineQueries {
   private def cmsBucketSql(h: String, r: String, width: Int): String =
     s"(((($h & 2147483647) + $r * (1 + (($h >> 31) & 2147483647))) % 2147483647) % $width)"
 
+  /** The Count-Sketch row-r ±1 sign in DuckDB — family row `depth + r` of
+    * the same Kirsch–Mitzenmacher mix, byte-identical to
+    * [[graft.plans.CountSketch]]'s JVM loop and
+    * [[graft.functions.Sketches.csSign]].
+    */
+  private def csSignSql(h: String, r: String, depth: Int): String =
+    s"(1 - 2 * (((($h & 2147483647) + ($r + $depth) * " +
+      s"(1 + (($h >> 31) & 2147483647))) % 2147483647) & 1))"
+
   /** Per-doc-distinct 3-gram hashes — the d86/d110 item stream. (Lazy:
     * the oracle map above forces the lazy SQL vals during object init,
     * before a plain val this far down the file would be assigned.)
@@ -4097,6 +4130,69 @@ object PipelineQueries {
            CAST(CASE WHEN est_join >= true_join THEN 1 ELSE 0 END AS INT)
              AS no_underestimate
          FROM est, tr"""
+
+  /** d118: the signed sketch rebuilt from first principles — per-row
+    * bucket Σsign censuses densified to the full row-major arrays (the
+    * bit-for-bit compare), per-row inner products, exact middle element
+    * via quantile_disc(0.5) over the odd depth, and the same exact-census
+    * truth as d113.
+    */
+  private lazy val CountSketchJoinSizeSql: String = {
+    val depth = 5; val width = 2048; val band = 0.1
+    s"""WITH oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+         curd AS (SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 5 != 0),
+         ga AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM oldd)
+           WHERE len(w) >= 3)),
+         gb AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM curd)
+           WHERE len(w) >= 3)),
+         bca AS (SELECT r, ${cmsBucketSql("h", "r", width)} AS b,
+             CAST(SUM(${csSignSql("h", "r", depth)}) AS BIGINT) AS c
+           FROM ga CROSS JOIN range($depth) t(r) GROUP BY 1, 2),
+         bcb AS (SELECT r, ${cmsBucketSql("h", "r", width)} AS b,
+             CAST(SUM(${csSignSql("h", "r", depth)}) AS BIGINT) AS c
+           FROM gb CROSS JOIN range($depth) t(r) GROUP BY 1, 2),
+         grid AS (SELECT t.r AS r, u.b AS b
+           FROM range($depth) t(r) CROSS JOIN range($width) u(b)),
+         da AS (SELECT grid.r, grid.b, COALESCE(bca.c, 0) AS c FROM grid
+           LEFT JOIN bca ON bca.r = grid.r AND bca.b = grid.b),
+         db AS (SELECT grid.r, grid.b, COALESCE(bcb.c, 0) AS c FROM grid
+           LEFT JOIN bcb ON bcb.r = grid.r AND bcb.b = grid.b),
+         csv AS (SELECT
+             (SELECT array_to_string(list(c ORDER BY r, b), ',') FROM da)
+               AS sketch_csv_a,
+             (SELECT array_to_string(list(c ORDER BY r, b), ',') FROM db)
+               AS sketch_csv_b),
+         ip AS (SELECT t.r,
+             CAST(COALESCE(SUM(bca.c * bcb.c), 0) AS BIGINT) AS v
+           FROM range($depth) t(r)
+           LEFT JOIN bca ON bca.r = t.r
+           LEFT JOIN bcb ON bcb.r = t.r AND bcb.b = bca.b
+           GROUP BY 1),
+         est AS (SELECT CAST(quantile_disc(v, 0.5) AS BIGINT) AS est_join
+           FROM ip),
+         tr AS (SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT) AS true_join
+           FROM (SELECT h, count(*) AS c FROM ga GROUP BY h) ca
+           JOIN (SELECT h, count(*) AS c FROM gb GROUP BY h) cb USING (h)),
+         ns AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ga) AS n_a,
+                       (SELECT CAST(count(*) AS BIGINT) FROM gb) AS n_b)
+         SELECT sketch_csv_a, sketch_csv_b, n_a, n_b, est_join, true_join,
+           ROUND(CAST(est_join AS DOUBLE) / CAST(true_join AS DOUBLE), 6)
+             AS est_over_true,
+           CAST(CASE WHEN ABS(est_join - true_join)
+             <= $band * CAST(true_join AS DOUBLE) THEN 1 ELSE 0 END AS INT)
+             AS in_band
+         FROM csv, est, tr, ns"""
+  }
 
   private lazy val CmsStreamSql: String =
     s"""WITH $CmsGramCte,

@@ -283,6 +283,117 @@ class CmsSpec extends SparkSpec {
   }
 }
 
+/** Count-Sketch (`graft_countsketch` + the Sketches surface): the signed
+  * sketch must equal the closed-form ±1 census under any partitioning,
+  * merge must be element-wise addition, the median-of-rows inner product
+  * must be exact without collisions and UNBIASED (not an upper bound) in
+  * the sparse regime the CMS estimator is loose in.
+  */
+class CountSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+  import graft.plans.CmsSketch.{P => CP}
+
+  private def hashed(n: Int, salt: String = "") =
+    spark.range(n).select(Sketches.hash60(concat(lit(salt), col("id"))).as("h"))
+
+  /** The reference signed sketch, computed in plain Scala from the same
+    * closed form the aggregate's JVM loop and the d118 oracle evaluate.
+    */
+  private def reference(hs: Seq[Long], depth: Int, width: Int): Seq[Long] = {
+    val buf = Array.fill(depth * width)(0L)
+    for (h <- hs) {
+      val h1 = h & CP
+      val h2 = 1L + ((h >>> 31) & CP)
+      for (r <- 0 until depth) {
+        val b = (((h1 + r * h2) % CP) % width).toInt
+        val s = 1L - 2L * (((h1 + (depth + r) * h2) % CP) & 1L)
+        buf(r * width + b) += s
+      }
+    }
+    buf.toSeq
+  }
+
+  test("signed sketch = closed-form ±1 census, invariant under partitioning") {
+    val vals = hashed(300).union(hashed(100))
+    val hs = vals.as[Long].collect().toSeq
+    val expect = reference(hs, depth = 5, width = 64)
+    for (parts <- Seq(1, 7)) {
+      val sk = vals.repartition(parts)
+        .agg(Sketches.csAgg(vals, col("h"), 5, 64).as("s"))
+        .select($"s").as[Seq[Long]].head()
+      assert(sk === expect, s"parts=$parts")
+    }
+    // signs actually fire: a signed sketch of distinct items has negative
+    // cells (a CMS never does)
+    assert(expect.exists(_ < 0))
+  }
+
+  test("merge is element-wise addition: sketch(A ∪ B) = sketch(A) + sketch(B)") {
+    val a = hashed(200)
+    val b = hashed(150, salt = "b")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Sketches.csAgg(df, col("h"), 5, 32).as("s"))
+        .select($"s").as[Seq[Long]].head()
+    val summed = sk(a).zip(sk(b)).map { case (x, y) => x + y }
+    assert(sk(a.union(b)) === summed)
+  }
+
+  test("inner product: exact when collision-free; unbiased in the sparse regime") {
+    // the d250-style frequency fixture: collision-free at width 1024, so
+    // every row's product sum IS the true join and the median is exact
+    val aRows = (1 to 10).flatMap(i => Seq.fill(i)(i.toLong))
+    val bRows = (1 to 10).filter(_ % 2 == 0)
+      .flatMap(i => Seq.fill(11 - i)(i.toLong))
+    val a = aRows.toDF("v").select(Sketches.hash60(col("v")).as("h"))
+    val b = bRows.toDF("v").select(Sketches.hash60(col("v")).as("h"))
+    val expect = (1 to 10).filter(_ % 2 == 0).map(i => i * (11 - i)).sum
+    val row = Sketches.csJoinSize(a, b, col("h"), col("h"),
+      depth = 5, width = 1024, band = 0.1).head()
+    assert(row.getAs[Long]("true_join") === expect.toLong)
+    assert(row.getAs[Long]("est_join") === expect.toLong)
+    assert(row.getAs[Int]("in_band") === 1)
+    assert(row.getAs[String]("sketch_csv_a").split(",").length === 5 * 1024)
+    // sparse regime (5000 distinct keys on each side, width 128 => heavy
+    // collisions): the CMS min-over-rows stacks positive collision mass —
+    // a multiple of the truth — while the AMS median stays within ±50%
+    val sa = hashed(5000)
+    val sb = hashed(5000, salt = "")
+    val cms = Sketches.cmsJoinSize(sa, sb, col("h"), col("h"),
+      depth = 5, width = 128).head()
+    val ams = Sketches.csJoinSize(sa, sb, col("h"), col("h"),
+      depth = 5, width = 128, band = 0.5).head()
+    val truth = cms.getAs[Long]("true_join").toDouble
+    assert(cms.getAs[Long]("est_join") > 2 * truth,
+      s"CMS should be loose here: ${cms.getAs[Long]("est_join")} vs $truth")
+    assert(ams.getAs[Int]("in_band") === 1,
+      s"AMS drifted: ${ams.getAs[Long]("est_join")} vs $truth")
+    // disjoint streams: truth 0, the unbiased estimate must not pretend
+    // otherwise beyond noise — gate only the summary's null convention
+    val c = (100000 to 100010).map(_.toLong).toDF("v")
+      .select(Sketches.hash60(col("v")).as("h"))
+    val dis = Sketches.csJoinSize(a, c, col("h"), col("h"),
+      depth = 5, width = 1024, band = 0.1).head()
+    assert(dis.getAs[Long]("true_join") === 0L)
+    assert(dis.isNullAt(dis.fieldIndex("est_over_true")))
+  }
+
+  test("csInnerProduct rejects even depth loudly (median must be exact)") {
+    val e = intercept[IllegalArgumentException] {
+      Sketches.csInnerProduct(col("a"), col("b"), depth = 4, width = 64)
+    }
+    assert(e.getMessage.contains("odd"))
+  }
+
+  test("aggregation is partial+final (no pre-shuffle of raw values)") {
+    val vals = hashed(100)
+    val plan = vals.agg(Sketches.csAgg(vals, col("h"), 5, 32).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert("Exchange".r.findAllIn(plan).size === 1)
+  }
+}
+
 class CorpusCatalogSpec extends SparkSpec {
 
   import org.apache.spark.sql.functions._
@@ -340,18 +451,26 @@ class CorpusCatalogSpec extends SparkSpec {
     val sizes = CorpusCatalog.joinSizes(spark, path)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        r.getDecimal(2).longValueExact)
+        (r.getDecimal(2).longValueExact, r.getDecimal(3).longValueExact))
       .toMap
     def directJoin(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
       Sketches.cmsJoinSize(
         MinHashLSH.shingles(a, "doc_id", "text", 3),
         MinHashLSH.shingles(b, "doc_id", "text", 3),
         col("sh"), col("sh"), depth = 4, width = 2048).head()
+    def directCs(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Sketches.csJoinSize(
+        MinHashLSH.shingles(a, "doc_id", "text", 3),
+        MinHashLSH.shingles(b, "doc_id", "text", 3),
+        col("sh"), col("sh"), depth = 5, width = 2048, band = 0.5).head()
     for ((pair, (x, y)) <- Seq(("dump1", "dump2") -> ((d1, d2)),
         ("dump1", "dump3") -> ((d1, d3)), ("dump2", "dump3") -> ((d2, d3)))) {
       val direct = directJoin(x, y)
-      assert(sizes(pair) === direct.getAs[Long]("est_join"), pair)
-      assert(sizes(pair) >= direct.getAs[Long]("true_join"), pair)
+      assert(sizes(pair)._1 === direct.getAs[Long]("est_join"), pair)
+      assert(sizes(pair)._1 >= direct.getAs[Long]("true_join"), pair)
+      // the second column: the stored Count-Sketches splice to the same
+      // unbiased estimate the in-query path computes
+      assert(sizes(pair)._2 === directCs(x, y).getAs[Long]("est_join"), pair)
     }
   }
 
