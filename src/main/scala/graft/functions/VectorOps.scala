@@ -115,6 +115,63 @@ object VectorOps {
       .select("anchor_id", "cand_id", "is_pos", "rank")
   }
 
+  /** The corpus-scale [[contrastivePairs]] path: candidates routed
+    * through the IVF coarse quantizer instead of broadcast-scoring every
+    * (anchor, candidate) pair. The corpus is assigned to its nearest
+    * centroid cell once (map-side partial-agg argmax, ~N rows through the
+    * exchange — [[VectorIVF.assign]]); each anchor probes its `nprobe`
+    * closest cells ([[VectorIVF.probes]]); the candidate set is the
+    * CELL-EQUALITY join of probes × assignments — never an anchors ×
+    * corpus cross product, so the plan survives anchor sets far beyond
+    * broadcast size. Scoring/splitting/ranking are the d116 window
+    * unchanged: one (anchor, side) window over the candidates.
+    *
+    * Same null-label convention as [[contrastivePairs]] (dropped both
+    * sides). Recall < 1 is the IVF trade: a positive/negative living in
+    * an unprobed cell is missed — the d119/d123 oracle rows gate the
+    * pair set and its recall against the exact path.
+    *
+    * With `nprobe >= K` (every cell probed) the candidate set is every
+    * labeled pair and the output equals [[contrastivePairs]] exactly
+    * (spec-pinned).
+    */
+  def contrastivePairsIVF(anchors: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String, labelCol: String,
+                          kPos: Int, kNeg: Int, centroids: DataFrame,
+                          cellIdCol: String, cellVecCol: String,
+                          nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val nd = fastDot(spark) _
+    val a = anchors.where(col(labelCol).isNotNull)
+    val cells = VectorIVF.assign(corpus.where(col(labelCol).isNotNull),
+        idCol, vecCol, centroids, cellIdCol, cellVecCol)
+      .select(col(idCol).as("cand_id"), col(labelCol).as("cand_label"),
+        col("cell"), col("__nv").as("cv"))
+    val qp = VectorIVF.probes(a, idCol, vecCol, centroids, cellIdCol,
+      cellVecCol, nprobe)
+    // probes() carries only (query_id, cell, qv); the anchor label rides
+    // in on an id-equality join — anchor-sized, shuffle-partitioned,
+    // still no cross product anywhere
+    val lbl = a.select(col(idCol).as("query_id"),
+      col(labelCol).as("anchor_label"))
+    // a candidate lives in exactly ONE cell, so a (anchor, candidate)
+    // pair appears at most once across the nprobe probed cells — no
+    // dedup step needed before the window
+    val scored = qp.join(lbl, Seq("query_id"))
+      .join(cells, Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("is_pos",
+        (col("cand_label") === col("anchor_label")).cast("int"))
+      .withColumn("cos", nd(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"), col("is_pos"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where((col("is_pos") === 1 && col("rank") <= kPos) ||
+        (col("is_pos") === 0 && col("rank") <= kNeg))
+      .select(col("query_id").as("anchor_id"), col("cand_id"),
+        col("is_pos"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked by
     * `blockCol` (label, cluster id, LSH bucket...) so the self-join is an
     * equality join on the block key.

@@ -737,6 +737,44 @@ object PipelineQueries {
         "vec_id", "embedding", "label", kPos = 2, kNeg = 3)
     },
 
+    // Corpus-scale contrastive mining (round 13): d116's window over
+    // IVF-routed candidates — corpus assigned to md5 centroid cells once,
+    // anchors probe their 2 nearest cells, candidates via cell-equality
+    // join (never anchors × corpus). The d15 probe plumbing feeding the
+    // d116 label split; misses are the IVF trade, gated by d123's recall
+    // row.
+    "d119_contrastive_ivf" -> { (s, dir) =>
+      val e = embs(s, dir)
+      VectorOps.contrastivePairsIVF(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", kPos = 2, kNeg = 3,
+        VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2)
+    },
+
+    // The IVF mining path's recall against the exact d116 pair set (the
+    // d103/d104 audit shape): one row — how much of the exact
+    // positive+hard-negative mass the cell routing catches at nprobe=2.
+    // The exact side is the audit-scale baseline; production runs only
+    // the routed side.
+    "d123_contrastive_ivf_recall" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val anchors = e.where(col("vec_id") < 10)
+      val exact = VectorOps.contrastivePairs(anchors, e,
+          "vec_id", "embedding", "label", kPos = 2, kNeg = 3)
+        .select("anchor_id", "cand_id", "is_pos")
+      val ivf = VectorOps.contrastivePairsIVF(anchors, e,
+          "vec_id", "embedding", "label", kPos = 2, kNeg = 3,
+          VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 2)
+        .select("anchor_id", "cand_id", "is_pos")
+      val hit = exact.join(ivf, Seq("anchor_id", "cand_id", "is_pos"),
+        "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ivf.agg(count(lit(1)).as("n_ivf")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_ivf"), col("n_hit"),
+          when(col("n_exact") === 0, lit(1.0))
+            .otherwise(round(col("n_hit") / col("n_exact"), 6)).as("recall"))
+    },
+
     // Embedding near-dup pairs over a blocking key (label) — the IVF-shaped
     // scale path: equality join on the block, never an open cross product.
     "d08_vec_dup" -> { (s, dir) =>
@@ -2548,6 +2586,12 @@ object PipelineQueries {
              ON q.vec_id != c.vec_id
            WHERE q.vec_id < 10)
          WHERE (is_pos = 1 AND rank <= 2) OR (is_pos = 0 AND rank <= 3)""",
+    // d119: the d15 assignment/probe CTEs feeding the d116 label split —
+    // candidates restricted to the anchors' 2 probed cells.
+    "d119_contrastive_ivf" -> ContrastiveIvfSql,
+    // d123: the d116 exact pair set vs the d119 routed pair set — one
+    // audit row (the d103 shape) over the two CTE stacks.
+    "d123_contrastive_ivf_recall" -> ContrastiveIvfRecallSql,
     "d08_vec_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label
          FROM embeddings a
@@ -4193,6 +4237,67 @@ object PipelineQueries {
              AS in_band
          FROM csv, est, tr, ns"""
   }
+
+  /** Shared d119 CTE stack: md5 centroids (the d15 quantizer), null-label
+    * guards (the d116 convention), nprobe=2 probes, and the label-split
+    * ranking over cell-routed candidates only.
+    */
+  private lazy val ContrastiveIvfPairsCte: String =
+    """cents AS (SELECT c, d,
+           (CAST(('0x' || substr(md5('c' || c || ':' || d), 1, 7)) AS BIGINT) % 2001 - 1000) / 1000.0 AS v
+           FROM range(8) t1(c) CROSS JOIN range(64) t2(d)),
+         cv AS (SELECT c, list(v ORDER BY d) AS cvec FROM cents GROUP BY c),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv WHERE e.label IS NOT NULL) WHERE rn = 1),
+         prb AS (SELECT vec_id, cell FROM (
+           SELECT e.vec_id, cv.c AS cell, row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec) DESC, cv.c ASC) AS rn
+           FROM embeddings e CROSS JOIN cv
+           WHERE e.vec_id < 10 AND e.label IS NOT NULL) WHERE rn <= 2),
+         ivfpairs AS (
+           SELECT anchor_id, cand_id, is_pos, rank FROM (
+             SELECT p.vec_id AS anchor_id, a.vec_id AS cand_id,
+               CAST(CASE WHEN n.label = q.label THEN 1 ELSE 0 END AS INT) AS is_pos,
+               row_number() OVER (PARTITION BY p.vec_id, (n.label = q.label)
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                          a.vec_id ASC) AS rank
+             FROM prb p JOIN asn a ON a.cell = p.cell AND a.vec_id != p.vec_id
+             JOIN embeddings q ON q.vec_id = p.vec_id
+             JOIN embeddings n ON n.vec_id = a.vec_id)
+           WHERE (is_pos = 1 AND rank <= 2) OR (is_pos = 0 AND rank <= 3))"""
+
+  private lazy val ContrastiveIvfSql: String =
+    s"""WITH $ContrastiveIvfPairsCte
+         SELECT anchor_id, cand_id, is_pos, CAST(rank AS INT) AS rank
+         FROM ivfpairs"""
+
+  private lazy val ContrastiveIvfRecallSql: String =
+    s"""WITH $ContrastiveIvfPairsCte,
+         expairs AS (
+           SELECT anchor_id, cand_id, is_pos FROM (
+             SELECT q.vec_id AS anchor_id, c.vec_id AS cand_id,
+               CAST(CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS INT) AS is_pos,
+               row_number() OVER (PARTITION BY q.vec_id, (c.label = q.label)
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id ASC) AS rank
+             FROM (SELECT * FROM embeddings WHERE label IS NOT NULL) q
+             JOIN (SELECT * FROM embeddings WHERE label IS NOT NULL) c
+               ON q.vec_id != c.vec_id
+             WHERE q.vec_id < 10)
+           WHERE (is_pos = 1 AND rank <= 2) OR (is_pos = 0 AND rank <= 3)),
+         hit AS (SELECT e.* FROM expairs e
+           JOIN ivfpairs i ON i.anchor_id = e.anchor_id
+             AND i.cand_id = e.cand_id AND i.is_pos = e.is_pos),
+         ns AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM expairs) AS n_exact,
+             (SELECT CAST(count(*) AS BIGINT) FROM ivfpairs) AS n_ivf,
+             (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+         SELECT n_exact, n_ivf, n_hit,
+           CASE WHEN n_exact = 0 THEN 1.0
+             ELSE ROUND(n_hit / CAST(n_exact AS DOUBLE), 6) END AS recall
+         FROM ns"""
 
   private lazy val CmsStreamSql: String =
     s"""WITH $CmsGramCte,

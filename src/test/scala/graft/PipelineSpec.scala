@@ -880,6 +880,55 @@ class VectorOpsSpec extends SparkSpec {
     assert(anchorNull === 0L)
   }
 
+  test("contrastivePairsIVF == contrastivePairs when every cell is probed") {
+    import spark.implicits._
+    val df = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(4)(d => math.sin(i * 2.0 + d).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val anchors = df.where(col("vec_id") < 5)
+    val cents = graft.functions.VectorIVF.mdCentroids(spark, 4, 4)
+    val exact = VectorOps.contrastivePairs(anchors, df,
+        "vec_id", "embedding", "label", kPos = 2, kNeg = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    // nprobe = K: all cells probed -> the candidate set is every labeled
+    // pair, so the routed output must equal the exact one bit-for-bit
+    val all = VectorOps.contrastivePairsIVF(anchors, df,
+        "vec_id", "embedding", "label", kPos = 2, kNeg = 3,
+        cents, "cell_id", "cvec", nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(all === exact)
+    // nprobe = 1: a subset of the candidate pairs — never an invention
+    val routed = VectorOps.contrastivePairsIVF(anchors, df,
+        "vec_id", "embedding", "label", kPos = 2, kNeg = 3,
+        cents, "cell_id", "cvec", nprobe = 1)
+      .select("anchor_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = exact.map(t => (t._1, t._2)) ++
+      VectorOps.contrastivePairsIVF(anchors, df, "vec_id", "embedding",
+          "label", 30, 30, cents, "cell_id", "cvec", nprobe = 4)
+        .select("anchor_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed.subsetOf(allPairs))
+  }
+
+  test("contrastivePairsIVF plan: candidates join by cell, never anchors × corpus") {
+    import spark.implicits._
+    val df = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(4)(d => math.sin(i * 2.0 + d).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val plan = VectorOps.contrastivePairsIVF(df.where(col("vec_id") < 5), df,
+        "vec_id", "embedding", "label", 2, 3,
+        graft.functions.VectorIVF.mdCentroids(spark, 4, 4),
+        "cell_id", "cvec", nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop joins are the two tiny centroid broadcasts
+    // (corpus assign + anchor probes); anchors meet the corpus ONLY
+    // through the cell/id equality joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("semantic decontamination flags train rows near any bench vector, with hit counts") {
     import spark.implicits._
     val bench = Seq(
