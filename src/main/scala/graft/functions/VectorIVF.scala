@@ -80,23 +80,34 @@ object VectorIVF {
       .toDF("cell_id", "cvec")
   }
 
-  /** Distributed spherical-k-means (Lloyd's) trainer for the coarse
-    * quantizer, so the IVF path is self-contained on real embeddings:
-    * init is the k corpus vectors whose md5-hashed ids sort first — a
-    * deterministic pseudo-random sample (no `rand()`, replayable, and real
-    * data points so no cell starts empty) — then `iters` rounds of
-    * [[assign]] (partial-agg argmax, ~N rows through the exchange) and a
-    * per-(cell, dim) partial-agg mean. Same per-round discipline as
+  /** Distributed k-means (Lloyd's) trainer for the coarse quantizer, so
+    * the IVF path is self-contained on real embeddings: init is the k
+    * corpus vectors whose md5-hashed ids sort first — a deterministic
+    * pseudo-random sample (no `rand()`, replayable, and real data points
+    * so no cell starts empty) — then `iters` rounds of [[assign]]
+    * (partial-agg argmax, ~N rows through the exchange) and a per-(cell,
+    * dim) partial-agg mean. Same per-round discipline as
     * [[MinHashLSH.clusters]]: the only driver-side data are the k×dim
     * centroid scalars, bounded by the CALLER'S k — the
     * [[VectorOps.knnBruteForce]] small-side bound, not a data-sized
     * collect. A cell that loses all members keeps its previous centroid.
     *
-    * Centroids are means of the NORMALIZED members (spherical k-means —
-    * the cosine-geometry variant, Dhillon & Modha, Mach. Learn. 42, 2001);
+    * Assignment is by COSINE (cosine is scale-invariant in the centroid,
+    * so an unnormalized centroid is a fully valid quantizer); centroids
+    * are means of the RAW members on the 1e-6 integer grid — the d100
+    * discipline: each element rounds to a LONG term and the terms sum
+    * exactly, so the mean is order-free and a SQL oracle replays every
+    * Lloyd round bit-for-bit (a distributed float `avg()` would differ
+    * from any replay in the last ulp and flip assignment ties; a
+    * normalized-member mean would additionally route every member through
+    * a per-element sqrt-divide the replay must match exactly). Raw means
+    * + cosine assignment is the classic k-means/IVF pairing (Jégou et al.
+    * 2011 use l2; cosine here matches the repo's similarity metric).
     * [[assign]] re-normalizes internally so the returned frame plugs
     * straight into [[annTopK]]. Reference has no trainer (its index is
-    * external); this closes the loop Spark-side.
+    * external); this closes the loop Spark-side — and d120 gates the
+    * trained quantizer's recall against a full SQL replay of the
+    * training.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
             iters: Int = 5): DataFrame = {
@@ -104,15 +115,16 @@ object VectorIVF {
     require(iters >= 0, s"iters=$iters must be non-negative")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Normalize ONCE and keep the (id, unit-vector) projection hot across
-    // init + every Lloyd round — without this each round redoes the per-row
-    // rsqrt-scale on the full corpus before assignment.
-    val norm = VectorOps.withNormalized(corpus, vecCol, "__nv")
-      .select(col(idCol), col("__nv"))
+    // Normalize ONCE and keep the (id, raw, unit-vector) projection hot
+    // across init + every Lloyd round — without this each round redoes the
+    // per-row rsqrt-scale on the full corpus before assignment.
+    val norm = VectorOps.withNormalized(
+        corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+        "__v", "__nv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Seq[(Int, Seq[Double])] =
-        norm.select(col(idCol).cast("string").as("__id"), col("__nv"))
+        norm.select(col(idCol).cast("string").as("__id"), col("__v"))
           .orderBy(md5(col("__id")), col("__id"))
           .limit(k)
           .collect().zipWithIndex
@@ -134,8 +146,10 @@ object VectorIVF {
       for (_ <- 1 to iters) {
         val cdf = cents.toDF("cell_id", "cvec")
         val means = assignNormalized(norm, idCol, cdf, "cell_id", "cvec")
-          .select(col("cell"), posexplode(col("__nv")))
-          .groupBy("cell", "pos").agg(avg("col").as("m"))
+          .select(col("cell"), posexplode(col("__v")))
+          .groupBy("cell", "pos")
+          .agg((sum(round(col("col") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6).as("m"))
           .collect()
         val byCell = means.groupBy(_.getInt(0))
         cents = (0 until k).map { c =>

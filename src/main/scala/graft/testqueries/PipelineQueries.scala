@@ -1642,6 +1642,24 @@ object PipelineQueries {
           VectorIVF.mdCentroids(s, 8, 64), "cell_id", "cvec", nprobe = 4))
     },
 
+    // TRAINED-IVF recall gate (round 13) — the d100 pattern for the IVF
+    // family: two Lloyd rounds over the corpus (md5-ordered init of raw
+    // corpus vectors, cosine assignment, 1e-6-grid raw-member means),
+    // then the exact d73 recall splice with the TRAINED quantizer at the
+    // same nprobe=2 operating point. The oracle replays BOTH unrolled
+    // training rounds and the probe/rank tail in SQL, pinning the full
+    // train->assign->probe->rank->recall chain; its recall materially
+    // above d73's untrained md5-quantizer number is part of the gated
+    // hash.
+    "d120_ivf_trained_recall" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      val cents = VectorIVF.train(e, "vec_id", "embedding", k = 8, iters = 2)
+      annRecall(queries, e,
+        VectorIVF.annTopK(queries, e, "vec_id", "embedding", 5,
+          cents, "cell_id", "cvec", nprobe = 2))
+    },
+
     "d77_ann_recall_wide" -> { (s, dir) =>
       val e = embs(s, dir)
       val queries = e.where(col("vec_id") < 10)
@@ -3509,6 +3527,9 @@ object PipelineQueries {
            round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
          FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
          LEFT JOIN hits h ON q.vec_id = h.query_id""",
+    // d120: the FULL trained-IVF chain replayed — two unrolled Lloyd
+    // rounds, then d73's probe/rank tail with the trained quantizer.
+    "d120_ivf_trained_recall" -> IvfTrainedRecallSql,
     // d73 at the second operating point: nprobe=4 (prb rn <= 4).
     "d76_ivf_recall_np4" ->
       """WITH cents AS (SELECT c, d,
@@ -4298,6 +4319,82 @@ object PipelineQueries {
            CASE WHEN n_exact = 0 THEN 1.0
              ELSE ROUND(n_hit / CAST(n_exact AS DOUBLE), 6) END AS recall
          FROM ns"""
+
+  /** d120: the trained-IVF chain replayed end to end — md5-ordered raw
+    * init, two unrolled Lloyd rounds (cosine assignment, 1e-6-grid raw
+    * means, lost cells keep their centroid), then the d73 probe/rank/
+    * recall tail with the trained quantizer.
+    */
+  private lazy val IvfTrainedRecallSql: String =
+    """WITH nrm AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         ord AS (SELECT vec_id, v, row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) AS rn
+           FROM nrm),
+         cb0 AS (SELECT rn - 1 AS c, v AS w FROM ord WHERE rn <= 8),
+         b1 AS (SELECT vec_id, c FROM (
+           SELECT n.vec_id, cb.c, row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY list_cosine_similarity(n.v, cb.w) DESC, cb.c ASC) AS rn
+           FROM nrm n CROSS JOIN cb0 cb) WHERE rn = 1),
+         m1 AS (SELECT b.c, dd.d,
+             CAST(sum(CAST(round(n.v[dd.d + 1] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS mv
+           FROM b1 b JOIN nrm n ON n.vec_id = b.vec_id
+           CROSS JOIN range(64) dd(d)
+           GROUP BY b.c, dd.d),
+         cb1 AS (SELECT c0.c,
+             CASE WHEN count(m.mv) = 0 THEN c0.w
+                  ELSE list(m.mv ORDER BY m.d) END AS w
+           FROM cb0 c0 LEFT JOIN m1 m ON m.c = c0.c
+           GROUP BY c0.c, c0.w),
+         b2 AS (SELECT vec_id, c FROM (
+           SELECT n.vec_id, cb.c, row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY list_cosine_similarity(n.v, cb.w) DESC, cb.c ASC) AS rn
+           FROM nrm n CROSS JOIN cb1 cb) WHERE rn = 1),
+         m2 AS (SELECT b.c, dd.d,
+             CAST(sum(CAST(round(n.v[dd.d + 1] * 1e6, 0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS mv
+           FROM b2 b JOIN nrm n ON n.vec_id = b.vec_id
+           CROSS JOIN range(64) dd(d)
+           GROUP BY b.c, dd.d),
+         cb2 AS (SELECT c1.c,
+             CASE WHEN count(m.mv) = 0 THEN c1.w
+                  ELSE list(m.mv ORDER BY m.d) END AS w
+           FROM cb1 c1 LEFT JOIN m2 m ON m.c = c1.c
+           GROUP BY c1.c, c1.w),
+         asn AS (SELECT vec_id, cell FROM (
+           SELECT n.vec_id, cb.c AS cell, row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY list_cosine_similarity(n.v, cb.w) DESC, cb.c ASC) AS rn
+           FROM nrm n CROSS JOIN cb2 cb) WHERE rn = 1),
+         prb AS (SELECT vec_id, cell FROM (
+           SELECT n.vec_id, cb.c AS cell, row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY list_cosine_similarity(n.v, cb.w) DESC, cb.c ASC) AS rn
+           FROM nrm n CROSS JOIN cb2 cb WHERE n.vec_id < 10) WHERE rn <= 2),
+         cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+           FROM prb p JOIN asn a ON a.cell = p.cell WHERE p.vec_id != a.vec_id),
+         approx AS (SELECT query_id, neighbor_id FROM (
+           SELECT c.query_id, c.neighbor_id,
+             row_number() OVER (PARTITION BY c.query_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+                        c.neighbor_id ASC) AS rank
+           FROM cand c
+           JOIN embeddings q ON q.vec_id = c.query_id
+           JOIN embeddings n ON n.vec_id = c.neighbor_id)
+           WHERE rank <= 5),
+         exact AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10)
+           WHERE rank <= 5),
+         hits AS (SELECT e.query_id, count(*) AS n_hit FROM exact e
+           JOIN approx a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           GROUP BY 1)
+         SELECT q.vec_id AS query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+         LEFT JOIN hits h ON q.vec_id = h.query_id"""
 
   private lazy val CmsStreamSql: String =
     s"""WITH $CmsGramCte,
