@@ -233,10 +233,10 @@ object Sampling {
     * sort. Quota selection is a top-k per group; the per-stratum sort is
     * the honest cost (rank needs a total order) and holds while strata
     * fit an executor's spill budget — the usual case for domain strata.
-    * For quotas over a HANDFUL of giant strata, the two-pass refinement
-    * (md5-threshold from a quantile sketch, then exact boundary fix-up)
-    * drops the sort; not implemented until a consumer needs it.
-    * Output = input columns + `rk` (1-based rank in the kept order).
+    * For quotas over a HANDFUL of giant strata, use
+    * [[stratifiedQuotaCensus]]: identical rows AND ranks, no
+    * stratum-sized sort. Output = input columns + `rk` (1-based rank in
+    * the kept order).
     */
   def stratifiedQuota(df: org.apache.spark.sql.DataFrame, idCol: String,
                       domainCol: String,
@@ -249,6 +249,66 @@ object Sampling {
     df.withColumn("rk", row_number().over(w))
       .where(col("rk") <= coalesce(
         try_element_at(typedLit(quotas), col(domainCol)), lit(default)))
+  }
+
+  /** [[stratifiedQuota]] without the stratum-sized sort — the GIANT-
+    * stratum path: identical rows AND identical ranks (spec-pinned
+    * equivalence on skewed fixtures), but the only sort in the plan runs
+    * over ~quota-sized candidate sets, so one billion-row domain no
+    * longer funnels through a single task's sort/spill.
+    *
+    * Two passes:
+    *  1. '''census''': rows bucket by the TOP `bucketBits` bits of their
+    *     md5 hash (high bits, so bucket order = hash order); one
+    *     partial-agg exchange builds the per-(stratum, bucket) census
+    *     (≤ 2^bucketBits rows per stratum — corpus-size-free), a
+    *     census-sized window takes the running count, and the per-stratum
+    *     THRESHOLD bucket is the first whose cumulative count reaches the
+    *     quota. Everything after it cannot contain a kept row; everything
+    *     before it is entirely kept.
+    *  2. '''boundary fix-up''': rows at-or-below the threshold bucket
+    *     (≈ quota + stratum/2^bucketBits rows — md5 is uniform) join the
+    *     broadcast threshold table and rank with the SAME (md5, id)
+    *     window as the one-pass form. Every discarded row ordered after
+    *     every candidate, so candidate-local ranks ARE global ranks.
+    *
+    * Cost trade: the input is read twice (the census pass is a two-column
+    * projection — column-pruned at the scan), which buys the sort bound.
+    * A stratum SHORTER than its quota never crosses the threshold and
+    * keeps everything, ranked — its full sort is quota-bounded by
+    * definition. Same output contract as [[stratifiedQuota]].
+    */
+  def stratifiedQuotaCensus(df: org.apache.spark.sql.DataFrame, idCol: String,
+                            domainCol: String,
+                            quotas: Map[String, Int],
+                            default: Int = 0,
+                            bucketBits: Int = 12): org.apache.spark.sql.DataFrame = {
+    require(quotas.values.forall(_ >= 0) && default >= 0,
+      s"quotas must be non-negative, got $quotas default=$default")
+    require(bucketBits >= 1 && bucketBits <= 31,
+      s"bucketBits=$bucketBits must be in [1,31]")
+    val quota = coalesce(
+      try_element_at(typedLit(quotas), col(domainCol)), lit(default))
+    val bucket = shiftrightunsigned(hashValue(col(idCol)), 32 - bucketBits)
+    val census = df.select(col(domainCol), bucket.as("__b"))
+      .groupBy(col(domainCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(domainCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = census
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .where(col("__cum") >= quota)
+      .groupBy(col(domainCol)).agg(min(col("__b")).as("__thr"))
+    // |thr| = |strata with >= quota rows| — broadcast-sized; a stratum
+    // with no threshold (shorter than its quota) keeps all its rows
+    val cand = df
+      .join(broadcast(thr), Seq(domainCol), "left")
+      .where(bucket <= coalesce(col("__thr"), lit(Long.MaxValue)))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(hashValue(col(idCol)), col(idCol))
+    cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .select((df.columns.map(col) :+ col("rk")): _*)
   }
 
   /** Weighted sampling WITHOUT replacement, n per domain, inclusion

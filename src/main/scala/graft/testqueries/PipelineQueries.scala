@@ -168,6 +168,17 @@ object PipelineQueries {
         .select("doc_id", "source", "rk")
     },
 
+    // Two-pass giant-stratum quotas (round 13): d64's selection and ranks
+    // from the census → threshold → boundary-fix-up plan — the only sort
+    // runs over ~quota-sized candidates, never a stratum. Same fixture,
+    // SAME oracle as d64: rows and ranks are identical by construction,
+    // so the gate pins the equivalence on driver data too.
+    "d121_stratified_quota_census" -> { (s, dir) =>
+      Sampling.stratifiedQuotaCensus(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 5, "src1" -> 5, "src2" -> 5), default = 2)
+        .select("doc_id", "source", "rk")
+    },
+
     // Weighted sampling without replacement (round 10): 10 docs per
     // source with inclusion probability proportional to length — the
     // Efraimidis–Spirakis top-n by u^(1/w) key, md5-deterministic, the
@@ -2212,6 +2223,15 @@ object PipelineQueries {
            CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
          FROM d""",
     "d64_stratified_quota" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source
+             ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+               doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, source, rk FROM r
+         WHERE rk <= (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5 ELSE 2 END)""",
+    // d121: the census plan must yield d64's EXACT output — one oracle.
+    "d121_stratified_quota_census" ->
       """WITH r AS (SELECT doc_id, source, row_number() OVER (
              PARTITION BY source
              ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),

@@ -225,6 +225,50 @@ class SamplingSpec extends SparkSpec {
     assert(again === got.collect().map(_.getLong(0)).toSet)
   }
 
+  test("stratifiedQuotaCensus == stratifiedQuota (rows AND ranks) on skew") {
+    import spark.implicits._
+    // one mega-stratum (5000 rows, quota 40), one short of its quota, one
+    // at quota 0, plus an unlisted default stratum — every threshold edge
+    val df = ((1L to 5000L).map(i => (i, "mega")) ++
+      (1L to 3L).map(i => (9000L + i, "short")) ++
+      (1L to 50L).map(i => (20000L + i, "none")) ++
+      (1L to 30L).map(i => (30000L + i, "dflt")))
+      .toDF("id", "domain")
+    val quotas = Map("mega" -> 40, "short" -> 10, "none" -> 0)
+    val direct = Sampling.stratifiedQuota(df, "id", "domain", quotas,
+      default = 5).select("id", "domain", "rk").collect().toSet
+    val census = Sampling.stratifiedQuotaCensus(df, "id", "domain", quotas,
+      default = 5)
+    assert(census.select("id", "domain", "rk").collect().toSet === direct)
+    // a COARSE bucket grid (4 buckets) forces big boundary candidate sets
+    // — the fix-up must still land on identical rows and ranks
+    val coarse = Sampling.stratifiedQuotaCensus(df, "id", "domain", quotas,
+        default = 5, bucketBits = 2)
+      .select("id", "domain", "rk").collect().toSet
+    assert(coarse === direct)
+  }
+
+  test("stratifiedQuotaCensus plan: the sort runs over threshold-filtered candidates") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"d${i % 3}")).toDF("id", "domain")
+    val out = Sampling.stratifiedQuotaCensus(df, "id", "domain",
+      Map("d0" -> 10), default = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // the window's sort must sit ABOVE the broadcast threshold join (its
+    // input is the candidate set, never the raw stratum), and the
+    // threshold itself must come from the census aggregate
+    val sortIdx = plan.indexOf("Sort ")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(sortIdx >= 0 && joinIdx >= 0, plan)
+    assert(sortIdx < joinIdx, // printed top-down: sort consumes the join
+      s"window sort must consume the threshold join:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    // and the behavior bound: with 2^12 buckets over 1000 uniform rows,
+    // candidates per stratum stay ~quota-sized, far under the stratum
+    val candRows = out.count()
+    assert(candRows === 30) // 10 per stratum, 3 strata
+  }
+
   test("weightedSample: n per domain, no replacement, stable, w<=0 excluded") {
     import spark.implicits._
     val df = ((1L to 40L).map(i => (i, "a", 1.0)) ++
