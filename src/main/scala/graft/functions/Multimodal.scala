@@ -87,8 +87,9 @@ object Multimodal {
     }
   }
 
-  /** REAL codec for the two formats whose headers are parseable with zero
-    * native libraries — proof the [[MediaCodec]] seam carries an actual
+  /** REAL codec for the formats whose headers are parseable with zero
+    * native libraries (BMP/WAV below, plus JPEG, PNG, GIF and MP4 in
+    * their own walks) — proof the [[MediaCodec]] seam carries an actual
     * decoder, not only [[FakeCodec]]:
     *
     *  - **BMP** (`BM` magic, BITMAPINFOHEADER): width/height are the int32
@@ -125,6 +126,10 @@ object Multimodal {
     private def be16(b: Array[Byte], off: Int): Int = {
       require(off + 2 <= b.length, s"truncated header at offset $off")
       ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+    }
+    private def be64(b: Array[Byte], off: Int): Long = {
+      require(off + 8 <= b.length, s"truncated header at offset $off")
+      ((be32(b, off) & 0xFFFFFFFFL) << 32) | (be32(b, off + 4) & 0xFFFFFFFFL)
     }
     /** Skip a GIF sub-block chain (size-prefixed blocks, 0 terminator);
       * returns the offset just past the terminator.
@@ -197,10 +202,99 @@ object Multimodal {
       out
     }
 
+    /** MP4 / ISO-BMFF (ISO/IEC 14496-12): walk the top-level box list
+      * (uint32-BE size incl. the 8-byte header; size 1 → 64-bit
+      * `largesize` follows; size 0 → box runs to the end of its
+      * container) for `moov`, then moov's children for `mvhd` (movie
+      * timescale + duration, v0/v1 layouts) and each `trak`'s `tkhd`
+      * (presentation width/height as 16.16 fixed point at spec-exact
+      * offsets, v0/v1). Reports width/height from the FIRST track with
+      * nonzero dims (the video track; audio tracks carry 0×0), channels
+      * = track count, nFrames = whole seconds of movie duration
+      * (`duration / timescale` — the mvhd duration is in timescale
+      * units; "frames" is per-modality, as WAV's sample frames are).
+      * Strict on malformed input like every other arm: truncated box
+      * headers, sizes that overrun their container, a missing moov/mvhd/
+      * trak, or a zero timescale all throw.
+      */
+    private def decodeMp4(bytes: Array[Byte]): MediaInfo = {
+      def walkChildren(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+        var off = start
+        while (off < end) {
+          require(off + 8 <= end, s"truncated MP4 box header at offset $off")
+          val size32 = be32(bytes, off.toInt) & 0xFFFFFFFFL
+          val typ = ascii(bytes, off.toInt + 4, 4)
+          var hdr = 8L
+          val boxSize: Long =
+            if (size32 == 1) { // 64-bit largesize follows the type
+              require(off + 16 <= end, s"truncated largesize box at offset $off")
+              hdr = 16L
+              be64(bytes, off.toInt + 8)
+            } else if (size32 == 0) end - off // box runs to container end
+            else size32
+          require(boxSize >= hdr,
+            s"MP4 box '$typ' size $boxSize smaller than its $hdr-byte header")
+          require(off + boxSize <= end,
+            s"MP4 box '$typ' size $boxSize overruns its container at $end")
+          f(typ, off + hdr, off + boxSize)
+          off += boxSize
+        }
+      }
+      var timescale = -1L; var duration = -1L
+      var w = 0; var h = 0; var traks = 0
+      var sawMoov = false
+      walkChildren(0L, bytes.length.toLong) { (typ, ps, pe) =>
+        if (typ == "moov") {
+          sawMoov = true
+          walkChildren(ps, pe) { (t2, cs, ce) =>
+            if (t2 == "mvhd") {
+              require(ce - cs >= 4, "truncated mvhd")
+              if ((bytes(cs.toInt) & 0xFF) == 1) { // v1: 64-bit times
+                require(ce - cs >= 32, "truncated v1 mvhd")
+                timescale = be32(bytes, cs.toInt + 20) & 0xFFFFFFFFL
+                duration = be64(bytes, cs.toInt + 24)
+              } else {
+                require(ce - cs >= 20, "truncated v0 mvhd")
+                timescale = be32(bytes, cs.toInt + 12) & 0xFFFFFFFFL
+                duration = be32(bytes, cs.toInt + 16) & 0xFFFFFFFFL
+              }
+            } else if (t2 == "trak") {
+              traks += 1
+              walkChildren(cs, ce) { (t3, ts, te) =>
+                if (t3 == "tkhd") {
+                  require(te - ts >= 4, "truncated tkhd")
+                  // width/height offsets are spec-fixed per version:
+                  // v0 payload is 84 bytes (dims at 76/80), v1 is 96
+                  // (dims at 88/92) — 16.16 fixed point, integer part
+                  val dimOff =
+                    if ((bytes(ts.toInt) & 0xFF) == 1) {
+                      require(te - ts >= 96, "truncated v1 tkhd"); 88
+                    } else {
+                      require(te - ts >= 84, "truncated v0 tkhd"); 76
+                    }
+                  val tw = be32(bytes, ts.toInt + dimOff) >>> 16
+                  val th = be32(bytes, ts.toInt + dimOff + 4) >>> 16
+                  if (w == 0 && h == 0 && tw > 0 && th > 0) { w = tw; h = th }
+                }
+              }
+            }
+          }
+        }
+      }
+      require(sawMoov, "MP4 without a moov box")
+      require(timescale > 0 && duration >= 0,
+        "MP4 moov without a valid mvhd (timescale must be positive)")
+      require(traks > 0, "MP4 moov without any trak box")
+      MediaInfo(width = w, height = h, channels = traks,
+        nFrames = (duration / timescale).toInt)
+    }
+
     override def decode(bytes: Array[Byte]): MediaInfo =
       if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xFF &&
           (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF) {
         decodeJpeg(bytes)
+      } else if (bytes.length >= 12 && ascii(bytes, 4, 4) == "ftyp") {
+        decodeMp4(bytes)
       } else if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
           ascii(bytes, 1, 3) == "PNG") {
         // PNG: the IHDR chunk is mandatory and first (ISO 15948 §11.2.2)
@@ -298,7 +392,7 @@ object Multimodal {
           nFrames = (dataSize / blockAlign).toInt)
       case _ =>
         throw new IllegalArgumentException(
-          "undecodable blob: no JPEG, BMP, RIFF/WAVE, PNG or GIF magic")
+          "undecodable blob: no JPEG, BMP, RIFF/WAVE, PNG, GIF or MP4 magic")
     }
   }
 

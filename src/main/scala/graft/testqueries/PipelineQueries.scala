@@ -253,6 +253,46 @@ object PipelineQueries {
       Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
     },
 
+    // MP4/ISO-BMFF box-tree decode (round 13): the missing crawl modality
+    // — VIDEO — through the same strict HeaderCodec seam. Boxes
+    // synthesized per doc_id in closed form (ftyp, a skipped free box,
+    // moov{mvhd + 1-2 trak{tkhd}}): movie duration/timescale from mvhd,
+    // 16.16 fixed-point dims from the first video tkhd, channels = track
+    // count (odd ids carry a dimensionless audio track). The oracle
+    // inverts the synthesis without parsing a byte.
+    "d122_mp4_decode" -> { (s, dir) =>
+      def be32h(c: Column): Column = lpad(hex(c), 8, "0")
+      def be16h(c: Column): Column = lpad(hex(c), 4, "0")
+      val id = col("doc_id")
+      val w = lit(16) + pmod(id, lit(1900))
+      val h = lit(16) + pmod(id, lit(1000))
+      val dur = (lit(1) + pmod(id, lit(300))) * lit(1000)
+      val matrix = "00010000000000000000000000000000" +
+        "0001000000000000000000000000000040000000"
+      val mvhd = concat(lit("0000006C6D766864"),
+        lit("00000000" + "00000000" + "00000000" + "000003E8"), be32h(dur),
+        lit("00010000" + "0100" + "0" * 20 + matrix + "0" * 48 + "00000002"))
+      def tkhd(trackId: String, vol: String, wh: Column): Column =
+        concat(lit("0000005C746B6864" + "00000007" +
+          "00000000" + "00000000" + trackId + "00000000"), be32h(dur),
+          lit("0" * 16 + "0000" + "0000" + vol + "0000" + matrix), wh)
+      val trakV = concat(lit("000000647472616B"),
+        tkhd("00000001", "0000",
+          concat(be16h(w), lit("0000"), be16h(h), lit("0000"))))
+      val trakA = concat(lit("000000647472616B"),
+        tkhd("00000002", "0100", lit("00000000" + "00000000")))
+      val moov = concat(
+        be32h(lit(216) + pmod(id, lit(2)) * lit(100)), lit("6D6F6F76"),
+        mvhd, trakV,
+        when(pmod(id, lit(2)) === 1, trakA).otherwise(lit("")))
+      val mp4Hex = concat(
+        lit("000000106674797069736F6D00000200"), // ftyp isom
+        lit("0000000866726565"),                 // free box: the skip arm
+        moov)
+      val media = docs(s, dir).select(id, unhex(mp4Hex).as("blob"))
+      Multimodal.decode(media, "doc_id", "blob", Multimodal.HeaderCodec)
+    },
+
     // JPEG SOF header decode (round 11): the codec matrix's most common
     // crawl format gets a REAL marker-segment walk — SOI, then a JFIF
     // APP0, a variable-length COM segment (exercises the skip arm), then
@@ -2253,6 +2293,16 @@ object PipelineQueries {
            ELSE 1 END AS channels,
            CASE WHEN doc_id % 2 = 0 THEN 1
                 ELSE doc_id % 3 + 1 END AS n_frames
+         FROM documents""",
+    // d122: the MP4 box synthesis inverted in closed form — dims from the
+    // video tkhd formulas, channels = trak count (odd ids add an audio
+    // trak), n_frames = mvhd duration/timescale = the seconds knob.
+    "d122_mp4_decode" ->
+      """SELECT doc_id,
+           16 + doc_id % 1900 AS width,
+           16 + doc_id % 1000 AS height,
+           1 + doc_id % 2 AS channels,
+           1 + doc_id % 300 AS n_frames
          FROM documents""",
     // d101: the synthesized JPEG headers inverted in closed form — the
     // Spark side must walk SOI -> APP0 -> COM -> SOFn to agree.

@@ -2045,6 +2045,95 @@ class HeaderCodecSpec extends SparkSpec {
     }
   }
 
+  // --- MP4 / ISO-BMFF -------------------------------------------------
+
+  private def mp4Box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    b.array()
+  }
+
+  private def mvhd(timescale: Int, duration: Long, v1: Boolean = false): Array[Byte] =
+    if (v1) {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.putInt(0x01000000)          // version 1, zero flags
+      b.putLong(0L).putLong(0L)     // creation/modification (64-bit)
+      b.putInt(timescale).putLong(duration)
+      mp4Box("mvhd", b.array())
+    } else {
+      val b = java.nio.ByteBuffer.allocate(20)
+      b.putInt(0)                   // version 0, zero flags
+      b.putInt(0).putInt(0)         // creation/modification
+      b.putInt(timescale).putInt(duration.toInt)
+      mp4Box("mvhd", b.array())
+    }
+
+  private def trak(width: Int, height: Int, v1: Boolean = false): Array[Byte] = {
+    val payloadLen = if (v1) 96 else 84
+    val b = java.nio.ByteBuffer.allocate(payloadLen)
+    b.putInt(if (v1) 0x01000000 else 0) // version byte drives the dim offset
+    b.position(payloadLen - 8)
+    b.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+    mp4Box("trak", mp4Box("tkhd", b.array()))
+  }
+
+  private val ftyp = mp4Box("ftyp", "isom   ".getBytes("US-ASCII"))
+
+  test("MP4 box walk: v0/v1 headers, largesize, size-0 box, audio trak") {
+    import spark.implicits._
+    // m1: plain v0 — ftyp, a skipped free box, moov{mvhd, video trak}
+    val m1 = ftyp ++ mp4Box("free", Array.emptyByteArray) ++
+      mp4Box("moov", mvhd(1000, 5000) ++ trak(1280, 720))
+    // m2: v1 mvhd + v1 tkhd, audio trak (0x0 dims) BEFORE the video trak —
+    // dims must come from the first NONZERO track, channels = trak count
+    val m2 = ftyp ++ mp4Box("moov",
+      mvhd(600, 600L * 42, v1 = true) ++ trak(0, 0) ++ trak(320, 240, v1 = true))
+    // m3: a 16-byte largesize free box (size32 == 1, 64-bit size follows)
+    // and a size-0 moov that runs to the end of the blob
+    val large = {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putInt(1).put("free".getBytes("US-ASCII")).putLong(16L)
+      b.array()
+    }
+    val moovZero = {
+      val inner = mvhd(10, 70) ++ trak(64, 48)
+      val b = java.nio.ByteBuffer.allocate(8 + inner.length)
+      b.putInt(0).put("moov".getBytes("US-ASCII")).put(inner)
+      b.array()
+    }
+    val m3 = ftyp ++ large ++ moovZero
+    val df = Seq((1L, m1), (2L, m2), (3L, m3)).toDF("id", "blob")
+    val got = Multimodal.decode(df, "id", "blob", Multimodal.HeaderCodec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) === ((1280, 720, 1, 5)))
+    assert(got(2L) === ((320, 240, 2, 42)))
+    assert(got(3L) === ((64, 48, 1, 7)))
+  }
+
+  test("malformed MP4 throws IllegalArgumentException, never index errors") {
+    def iae(b: Array[Byte]): Unit =
+      intercept[IllegalArgumentException](Multimodal.HeaderCodec.decode(b))
+    iae(ftyp)                                           // no moov at all
+    iae(ftyp ++ mp4Box("moov", trak(8, 8)))             // moov without mvhd
+    iae(ftyp ++ mp4Box("moov", mvhd(1000, 1000)))       // moov without trak
+    iae(ftyp ++ mp4Box("moov", mvhd(0, 1000) ++ trak(8, 8))) // zero timescale
+    // box size overruns its container
+    val overrun = ftyp.clone(); overrun(3) = 0x7F.toByte
+    iae(overrun)
+    // box size smaller than its own 8-byte header
+    val tiny = ftyp.clone(); tiny(3) = 4.toByte
+    iae(tiny)
+    // truncated v1 tkhd: version byte says 96-byte layout, payload is 84
+    val badTkhd = {
+      val b = java.nio.ByteBuffer.allocate(84); b.putInt(0x01000000)
+      mp4Box("trak", mp4Box("tkhd", b.array()))
+    }
+    iae(ftyp ++ mp4Box("moov", mvhd(1000, 1000) ++ badTkhd))
+    // truncated largesize: size32 == 1 but fewer than 16 header bytes
+    iae(ftyp ++ Array[Byte](0, 0, 0, 1, 'f', 'r', 'e', 'e'))
+  }
+
   test("header codec agrees with the magic-byte sniffer; strict on junk") {
     import spark.implicits._
     val df = Seq((1L, wav(1, 8000, 8, 16))).toDF("id", "blob")
