@@ -44,6 +44,9 @@ object ScaleStress {
     if (args.contains("round12")) {
       runRound12Probes(spark); spark.stop(); return
     }
+    if (args.contains("round13")) {
+      runRound13Probes(spark); spark.stop(); return
+    }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val n1 = docs1.count()
@@ -574,6 +577,99 @@ object ScaleStress {
     println(f"${"release_screen"}%-18s exact 1x=$tExact1%5.2f -> 10x=$tExact10%5.2f " +
       f"(grows with corpus); bloom=$tBloom%5.2f flat " +
       f"(bitmap build $tBuild%.2f s, once per corpus)")
+    spark.stop()
+  }
+
+  /** Round-13 probe: the q23 reconstruction's epoch bound vs history size.
+    *
+    * The claim under test (SURVEY §2.10 / MessageReconstruct.getMessage):
+    * with a snapshot bracket, the delta scan is bounded to
+    * `instance_message_id ∈ [snap_min, target]` — a parquet-pushable range
+    * — so reconstruction wall time tracks the EPOCH size, not the total
+    * history size. At 100 TB that is the difference between a dashboard
+    * query and a table scan.
+    *
+    * Setup: the sf0.1 events log mapped to the instance_field shape
+    * (~100k rows, epoch slice ~25k rows fixed across arms), then histories
+    * of 100× and 1000× built by appending replicas whose ids are shifted
+    * into strictly PRE-epoch (negative) ranges — pure old-history mass;
+    * the bracketed slice is byte-identical in every arm. Each history is
+    * written to parquet range-partitioned on instance_message_id so
+    * row-group stats make the range predicate actually prunable, as a real
+    * id-ordered log store would be. Two arms per history:
+    *   bounded   — getMessage with the snapshot catalog (epoch scan)
+    *   unbounded — getMessage without it (sliceLo = −∞: argmax over the
+    *               entire log, the cost a user pays without snapshots)
+    * Expectation: bounded stays flat 1×→1000×; unbounded grows with the
+    * history. min-of-3 wall clock per arm, caches dropped between runs.
+    */
+  private def runRound13Probes(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def minOf3(name: String)(f: => Long): Double =
+      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+
+    val base = "/tmp/graft_scale13"
+    val e = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val maxId = e.agg(max("event_id")).head().getLong(0)
+    val (snapAt, target) = (maxId / 2, 3 * maxId / 4)
+    val types = e.select("event_type").distinct()
+      .orderBy("event_type").as[String].collect().toSeq
+    val fm = types.zipWithIndex.map { case (n, i) => (i + 1, n) }
+      .toDF("fid", "event_type")
+    val if1 = e.join(broadcast(fm), "event_type")
+      .select(col("fid").as("uevol_field_id"), lit(1).as("uevol_message_id"),
+        col("event_id").as("instance_message_id"),
+        col("user_id").cast("int").as("src_id"), lit(0).as("dst_id"),
+        lit("000").as("relative_path"), col("value").as("new_value"))
+    // History ×n: replicas r=1..n-1 shifted to disjoint negative id ranges
+    // — all strictly below snap_min, so the bracketed slice never grows.
+    // Built by crossJoin with a replica index (one flat plan; a 1000-way
+    // union would blow up plan compilation, [[deep-plan lineage]] lesson).
+    def hist(n: Int): DataFrame = if1
+      .crossJoin(spark.range(n).select(col("id").as("rep")))
+      .withColumn("instance_message_id",
+        col("instance_message_id") - col("rep") * lit(maxId + 1))
+      .drop("rep")
+    val arms = Seq(1, 100, 1000)
+    arms.foreach { n =>
+      hist(n).repartitionByRange(32, col("instance_message_id"))
+        .sortWithinPartitions("instance_message_id")
+        .write.mode("overwrite").parquet(s"$base/if$n")
+    }
+    val uevolField = types.zipWithIndex.map { case (n, i) => (i + 1, 1, n, 0) }
+      .toDF("id", "uevol_message_id", "name", "type")
+    val instanceMessage = Seq((target, 1, 7, 0))
+      .toDF("id", "uevol_message_id", "src_id", "dst_id")
+    val catalog = Seq(("snap_s", snapAt))
+      .toDF("name", "start_instance_message_id")
+    // Constant-size materialized snapshot (what a real store holds): one
+    // scalar-path json per (field, user 7) at S. Its cost must not vary
+    // across arms — the probe isolates the DELTA scan.
+    val snap = types.indices.map(i => (i + 1, 7, 0, snapAt, """{"000": 1.5}"""))
+      .toDF("uevol_field_id", "src_id", "dst_id", "instance_message_id",
+        "json_value")
+    def run(n: Int, bounded: Boolean): Long =
+      graft.queries.MessageReconstruct.getMessage(
+        spark.read.parquet(s"$base/if$n"), instanceMessage, uevolField,
+        if (bounded) Some(catalog) else None, _ => snap, target).count()
+    t("warmup (bounded 1x)")(run(1, bounded = true)); drop()
+    val b = arms.map(n => n -> minOf3(s"bounded ${n}x")(run(n, bounded = true))).toMap
+    val u = arms.map(n => n -> minOf3(s"unbounded ${n}x")(run(n, bounded = false))).toMap
+    println(f"${"q23_epoch_bound"}%-18s bounded 1x=${b(1)}%5.2f 100x=${b(100)}%5.2f " +
+      f"1000x=${b(1000)}%5.2f (flat = epoch-sized); " +
+      f"unbounded 1x=${u(1)}%5.2f 100x=${u(100)}%5.2f 1000x=${u(1000)}%5.2f " +
+      f"(grows with history)")
     spark.stop()
   }
 }
