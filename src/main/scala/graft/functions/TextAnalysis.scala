@@ -466,6 +466,71 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** BM25 relevance scores with distributed top-k retrieval for a literal
+    * query-term set — the eval-set mining / targeted-curation primitive
+    * ("find the corpus documents most relevant to THIS query") a
+    * training-data pipeline runs next to [[tfidfTopK]]'s per-doc keyword
+    * extraction. Okapi BM25 with the Lucene non-negative idf,
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`, k1/b defaults 1.2/0.75.
+    *
+    * Plan shape, scan-bounded: doc length comes from `size(split(...))`
+    * in the SAME projection that explodes the term-filtered word array
+    * (`filter(words, isin(terms))` — non-query tokens never leave the
+    * row), so there is no corpus-wide dl join; the only corpus-sized agg
+    * is the 1-row (N, Σdl) broadcast. tf/df are partial-agg shuffles over
+    * QUERY-MATCHING rows only, and the global top-k is `orderBy.limit`
+    * — Spark's TakeOrderedAndProject (per-partition heap + driver merge
+    * of topK rows), never a single-partition rank window.
+    *
+    * Determinism across engines (the [[unigramLogProb]] discipline): each
+    * (doc, term) contribution is rounded onto the 1e-6 grid and summed as
+    * a LONG, ranking orders by (micro-score desc, id asc) — exact,
+    * order-free, replayable in SQL. `explode_outer` + null-filter rather
+    * than `explode`, for [[graft.functions.MinHashLSH.shingles]]'s
+    * inferred-filter reason. Returns (idCol, bm25, rk), rk 1..topK.
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, terms: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75, topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(topK > 0, s"topK=$topK must be positive")
+    val lowered = terms.map(_.toLowerCase)
+    val words = split(lower(col(textCol)), " ")
+    val totals = df
+      .select(size(words).cast("long").as("__dl"))
+      .agg(count(lit(1)).cast("long").as("__nd"),
+        sum("__dl").cast("long").as("__total"))
+    val rows = df
+      .select(col(idCol), size(words).cast("long").as("__dl"),
+        explode_outer(filter(words, t => t.isInCollection(lowered))).as("__tok"))
+      .where(col("__tok").isNotNull)
+    // Reused 2× (df derives FROM tf — the S4 rule): without the persist
+    // the corpus scan + term-filter explode run once per branch.
+    val tf = graft.CacheRegistry.track(
+      rows.groupBy(col(idCol), col("__tok"))
+        .agg(max("__dl").as("__dl"), count(lit(1)).as("__tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = tf.groupBy("__tok").agg(count(lit(1)).cast("long").as("__df"))
+    // idf · tf·(k1+1) / (tf + k1·(1−b + b·dl·N/Σdl)), on the 1e-6 grid —
+    // the oracle mirrors this expression tree verbatim (float ops are
+    // order-sensitive; association must match).
+    val term = round(
+      log(lit(1.0) + (col("__nd") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+        (col("__tf") * lit(k1 + 1)) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") * col("__nd")) / col("__total"))) *
+        lit(1e6), 0).cast("long")
+    val top = tf.join(broadcast(dfreq), "__tok")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), term.as("__m"))
+      .groupBy(col(idCol)).agg(sum("__m").cast("long").as("__micro"))
+      .orderBy(col("__micro").desc, col(idCol).asc)
+      .limit(topK)
+    top // rank the topK survivors only — a window over ≤ topK rows
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__micro").desc, col(idCol).asc)))
+      .select(col(idCol), round(col("__micro") / lit(1e6), 6).as("bm25"), col("rk"))
+  }
+
   /** Corpus-conditional unigram log-likelihood — the CCNet-style fluency
     * signal (Wenzek et al., LREC 2020 filter corpora by LM perplexity;
     * this is its zero-external-model unigram floor): `logprob(doc)` = mean

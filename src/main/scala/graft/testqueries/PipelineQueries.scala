@@ -103,6 +103,18 @@ object PipelineQueries {
       MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text", n = 3, k = 8, r = 2)
     },
 
+    // Incremental dedup against a STANDING index (round 13): docs ending
+    // in 0 play the arriving crawl batch, the rest the released corpus
+    // whose band index is the precomputed artifact. One keep/drop row per
+    // batch doc; the corpus is touched only for candidate verification.
+    "d124_dedup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val batch = d.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      MinHashLSH.dedupAgainstIndex(batch, corpus, index, "doc_id", "text")
+    },
+
     // Corpus distribution audit — the "what does this training set look
     // like" one-rower: doc/token counts, vocabulary size, token-length and
     // quality quantiles. Exact `percentile` here because the driver oracle
@@ -683,6 +695,15 @@ object PipelineQueries {
     // unrounded score within ~1 ulp of a 5e-7 rounding boundary.
     "d23_tfidf" -> { (s, dir) =>
       TextAnalysis.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+    },
+
+    // BM25 top-10 retrieval for a fixed query (round 13) — integer-grid
+    // per-term contributions summed as longs, distributed top-k via
+    // orderBy.limit (TakeOrderedAndProject, no global rank window). Same
+    // bounded ln() risk note as d23.
+    "d125_bm25_topk" -> { (s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "vector", "query"))
     },
 
     // EXACT n-gram Jaccard similarity join via prefix filtering (AllPairs/
@@ -2111,6 +2132,49 @@ object PipelineQueries {
          JOIN sizes nb ON nb.doc_id = i.doc_b"""
       }
 
+  /** DuckDB replay of the d124 incremental dedup report: the same
+    * signature/band CTEs as [[MinhashPairsSql]], candidates restricted to
+    * batch (id%10=0) × corpus (id%10≠0), exact-Jaccard verification,
+    * best match per batch doc (jaccard desc, corpus id asc), left-joined
+    * back onto every batch id for the keep/drop verdict row.
+    */
+  private lazy val DedupIndexSql: String = {
+      val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
+        .map { case (a, j) => s"($j, $a)" }.mkString(", ")
+      s"""WITH $ShingleCtesSql,
+         hx AS (SELECT doc_id, j,
+             CAST(min(CAST(((sh % ${MinHashLSH.P}) * a + j) AS BIGINT) % ${MinHashLSH.P}) AS BIGINT) AS mh
+           FROM sh CROSS JOIN (VALUES $seedRows) AS seeds(j, a) GROUP BY doc_id, j),
+         bands AS (SELECT doc_id, j // 2 AS band,
+             concat(CAST(min(CASE WHEN j % 2 = 0 THEN mh END) AS VARCHAR), ',',
+                    CAST(min(CASE WHEN j % 2 = 1 THEN mh END) AS VARCHAR)) AS bkey
+           FROM hx GROUP BY doc_id, j // 2),
+         cand AS (SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+           WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.bid, c.cid, count(*) AS ni
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.bid
+           JOIN sh sb ON sb.doc_id = c.cid AND sb.sh = sa.sh
+           GROUP BY c.bid, c.cid),
+         thr AS (SELECT i.bid, i.cid,
+             round(CAST(ni AS DOUBLE) / CAST(na.n + nb.n - ni AS DOUBLE), 6) AS j
+           FROM inter i
+           JOIN sizes na ON na.doc_id = i.bid
+           JOIN sizes nb ON nb.doc_id = i.cid),
+         best AS (SELECT bid, cid, j,
+             row_number() OVER (PARTITION BY bid ORDER BY j DESC, cid) AS rk
+           FROM thr WHERE j >= 0.5)
+         SELECT d.doc_id,
+           CASE WHEN b.cid IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+           CAST(coalesce(b.cid, -1) AS BIGINT) AS matched_doc,
+           coalesce(b.j, 0.0) AS jaccard
+         FROM documents d
+         LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.bid = d.doc_id
+         WHERE d.doc_id % 10 = 0"""
+      }
+
   /** DuckDB replay of the d75 streaming near-dup edge emission: with
     * event time monotone in doc_id, each band bucket's canonical is its
     * min doc_id; every later bucket member with exact shingle-set Jaccard
@@ -2185,6 +2249,9 @@ object PipelineQueries {
          count(*) AS n_copies
          FROM documents GROUP BY 1""",
     "d05_minhash_pairs" -> MinhashPairsSql,
+    // d124: the full incremental-dedup report replayed — band index,
+    // cross-split candidates, exact verify, best-match window, verdicts.
+    "d124_dedup_incremental" -> DedupIndexSql,
     "d75_neardup_stream_edges" -> NearDupStreamEdgesSql,
     // Stream-static band join + exact-Jaccard verify, bench split vs rest.
     "d80_neardup_tag_stream" -> {
@@ -2570,6 +2637,29 @@ object PipelineQueries {
              ORDER BY score DESC, token ASC) AS rank
            FROM scored)
          WHERE rank <= 3""",
+    // d125: the BM25 integer-grid replay — same expression tree (float ops
+    // are order-sensitive), micro-score longs summed exactly, same
+    // (micro desc, doc_id) ordering.
+    "d125_bm25_topk" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total
+           FROM documents),
+         t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+             unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(max(dl) AS BIGINT) AS dl,
+             count(*) AS tf
+           FROM t WHERE tok IN ('spark', 'vector', 'query') GROUP BY 1, 2),
+         dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         term AS (SELECT doc_id, CAST(round(
+             ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl * nd) / total)) * 1e6, 0)
+             AS BIGINT) AS m
+           FROM tf JOIN dfq USING (tok) CROSS JOIN tot),
+         s AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS micro FROM term GROUP BY 1),
+         r AS (SELECT doc_id, micro,
+             row_number() OVER (ORDER BY micro DESC, doc_id) AS rk FROM s)
+         SELECT doc_id, round(micro / 1e6, 6) AS bm25, rk FROM r WHERE rk <= 10""",
     "d22_jaccard_join" -> JaccardPairsSql,
     // d103: both sides of the audit replayed — the exact >= 0.8 pair set
     // (d22's CTE chain) and the banded candidates verified at the same

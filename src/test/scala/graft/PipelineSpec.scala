@@ -105,6 +105,28 @@ class MinHashLSHSpec extends SparkSpec {
     assert(sh.where(col("doc_id") === 2).count() === 2)
   }
 
+  test("dedupAgainstIndex: per-batch-doc verdicts with deterministic best match") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (11L, text),                                      // exact dup of batch 1
+      (12L, text),                                      // second exact dup: tie -> min id
+      (13L, "totally different words entirely here now"),
+      (14L, text + " iota")).toDF("doc_id", "text")     // near dup, lower jaccard
+    val batch = Seq(
+      (1L, text),                                       // should drop vs 11 (tie-break)
+      (2L, "nothing in common with anything at all"),   // keep
+      (3L, "xy")).toDF("doc_id", "text")                // < n words: keep
+    val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+    val got = MinHashLSH.dedupAgainstIndex(batch, corpus, index, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === (("drop", 11L, 1.0))) // jaccard 1.0 twice -> smallest corpus id
+    assert(got(2L) === (("keep", -1L, 0.0)))
+    assert(got(3L) === (("keep", -1L, 0.0)))
+    assert(got.size === 3) // exactly one row per batch doc
+  }
+
   test("shingles survive inferred filters on a file scan (short docs, big n)") {
     import spark.implicits._
     // regression: InferFiltersFromGenerate copies size(sh_arr) > 0 into the
@@ -158,6 +180,34 @@ class TfIdfSpec extends SparkSpec {
     val got = TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 1)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSet === Set((1L, "aa"), (2L, "aa")))
+  }
+
+  test("bm25: tf saturates, length norm discounts, non-matching docs drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark spark pad"),          // tf 3, dl 4
+      (2L, "spark pad pad pad"),              // tf 1, dl 4
+      (3L, "spark pad pad pad pad pad pad pad"), // tf 1, dl 8: longer -> below 2
+      (4L, "pad pad pad pad")).toDF("doc_id", "text") // no term: absent
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("spark"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L)) // rk order, doc 4 absent
+    assert(got.map(_._3).toSeq === Seq(1, 2, 3))
+    val s = got.map(t => t._1 -> t._2).toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L))
+    // closed form for doc 2: N=4, df=3, dl=4, Σdl=20
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / 3.5)
+    val norm = 1 + 1.2 * (0.25 + 0.75 * (4.0 * 4) / 20)
+    val expect = math.round(idf * 2.2 / norm * 1e6) / 1e6
+    assert(math.abs(s(2L) - expect) < 1e-9)
+  }
+
+  test("bm25: topK truncates on the (score, id) total order") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, "hit word")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("hit"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(got.toSeq === (1 to 5).map(i => (i.toLong, i))) // equal scores: id asc
   }
 }
 
