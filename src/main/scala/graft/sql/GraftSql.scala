@@ -133,6 +133,18 @@ object GraftSql {
       .similarPairsAcross(r, s, idCol, textCol, threshold)
       .createOrReplaceTempView(viewName)
 
+  /** BM25 top-k retrieval ([[graft.functions.TextAnalysis.bm25TopK]]) as a
+    * named temp view — `SELECT * FROM <viewName>` is the ranked result
+    * list (idCol, bm25, rk) for the given literal query terms; the d125
+    * shape for `spark.sql` users.
+    */
+  def registerBm25(spark: SparkSession, viewName: String, docs: DataFrame,
+                   idCol: String, textCol: String, terms: Seq[String],
+                   topK: Int = 10): Unit =
+    graft.functions.TextAnalysis
+      .bm25TopK(docs, idCol, textCol, terms, topK = topK)
+      .createOrReplaceTempView(viewName)
+
   /** Gap-based session rollup over a (user_id, ts, value) events frame as
     * a named temp view — the q39 shape for `spark.sql` users: one row per
     * closed-or-open session with (user_id, session_idx, n_events,

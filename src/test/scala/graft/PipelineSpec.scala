@@ -1539,6 +1539,12 @@ class GraftSqlSpec extends SparkSpec {
     val qt = spark.sql(
       "SELECT count(*) AS n FROM qtiles WHERE p50 <= p90 AND p90 <= p99").head()
     assert(qt.getLong(0) > 0)
+    // BM25 retrieval view (d125): ranked, rk dense from 1
+    graft.sql.GraftSql.registerBm25(spark, "bm25_hits", docs,
+      "doc_id", "text", Seq("spark", "table"), topK = 5)
+    val bm = spark.sql(
+      "SELECT count(*) AS n, min(rk) AS lo, max(rk) AS hi FROM bm25_hits").head()
+    assert(bm.getLong(0) === 5L && bm.getInt(1) === 1 && bm.getInt(2) === 5)
   }
 
   test("scd2 + funnel views answer plain SQL") {
