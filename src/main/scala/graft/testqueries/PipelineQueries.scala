@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.functions.{CorpusDiff, JaccardJoin, MinHashLSH, Multimodal, Sampling, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
+import graft.functions.{CorpusDiff, GraphOps, JaccardJoin, MinHashLSH, Multimodal, Sampling, SimHash, TextAnalysis, VectorIVF, VectorLSH, VectorOps}
 
 /** Training-data pipeline operators (dedup, similarity search, text
   * analysis) over the `documents` / `embeddings` tables, each with a DuckDB
@@ -704,6 +704,20 @@ object PipelineQueries {
     "d125_bm25_topk" -> { (s, dir) =>
       TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
         terms = Seq("spark", "vector", "query"))
+    },
+
+    // PageRank centrality over the near-dup similarity graph (round 13):
+    // central documents are the natural canonical representatives of
+    // their duplicate neighborhoods — the global complement of d49's
+    // per-cluster min-label pick. Integer ppb grid, 3 damped iterations,
+    // engine-replayable bit-for-bit (see GraphOps scaladoc).
+    "d126_pagerank_dups" -> { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      GraphOps.pageRank(sym, "doc_a", "doc_b", iters = 3)
+        .selectExpr("id AS doc_id", "rank_ppb")
     },
 
     // EXACT n-gram Jaccard similarity join via prefix filtering (AllPairs/
@@ -2660,6 +2674,32 @@ object PipelineQueries {
          r AS (SELECT doc_id, micro,
              row_number() OVER (ORDER BY micro DESC, doc_id) AS rk FROM s)
          SELECT doc_id, round(micro / 1e6, 6) AS bm25, rk FROM r WHERE rk <= 10""",
+    // d126: the integer-grid PageRank recurrence unrolled 3 iterations
+    // over the d05/d12 near-dup pair graph (jaccard >= 0.5, symmetrized).
+    // Every step is BIGINT floor division over non-negative values —
+    // identical to Spark's truncating `div` — so no float drift exists to
+    // replay; DuckDB's HUGEINT sums are cast back to BIGINT at each use.
+    "d126_pagerank_dups" -> {
+      def iter(t: Int): String =
+        s"""s$t AS (SELECT e.dst AS id, CAST(sum(r.r // dg.d) AS BIGINT) AS s
+             FROM edges e JOIN r${t - 1} r ON r.id = e.src
+             JOIN dg ON dg.src = e.src GROUP BY e.dst),
+           r$t AS (SELECT nodes.id, CAST(150000000 AS BIGINT) // n
+               + CAST(85 * coalesce(s$t.s, 0) AS BIGINT) // 100 AS r
+             FROM nodes LEFT JOIN s$t ON s$t.id = nodes.id CROSS JOIN nn)"""
+      s"""WITH pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges
+                GROUP BY src),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // n AS r
+                FROM nodes CROSS JOIN nn),
+         ${iter(1)}, ${iter(2)}, ${iter(3)}
+         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r3"""
+    },
     "d22_jaccard_join" -> JaccardPairsSql,
     // d103: both sides of the audit replayed — the exact >= 0.8 pair set
     // (d22's CTE chain) and the banded candidates verified at the same
