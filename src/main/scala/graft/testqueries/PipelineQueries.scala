@@ -720,6 +720,22 @@ object PipelineQueries {
         .selectExpr("id AS doc_id", "rank_ppb")
     },
 
+    // Hybrid retrieval (round 13): the d125 lexical list and a d07-style
+    // semantic list for ONE query (terms + the id-0 embedding, over the
+    // shared doc_id/vec_id space), fused by reciprocal rank on the integer
+    // micro grid — rank-only fusion, no cross-signal score calibration.
+    "d127_hybrid_rrf" -> { (s, dir) =>
+      val lex = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "vector", "query"), topK = 20)
+        .select(col("doc_id"), col("rk").as("rank"))
+      val e = embs(s, dir)
+      val sem = VectorOps.knnBruteForce(e.where(col("vec_id") === 0), e,
+        "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.functions.Retrieval.rrfFuse(
+        Seq("lex" -> lex, "sem" -> sem), "doc_id", "rank")
+    },
+
     // EXACT n-gram Jaccard similarity join via prefix filtering (AllPairs/
     // PPJoin): rarest-first prefixes make candidates an equijoin with NO
     // false negatives — the exact complement of d05's probabilistic banding.
@@ -2022,6 +2038,29 @@ object PipelineQueries {
              i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
            FROM words WHERE len(w) >= 3))"""
 
+  /** DuckDB replay of the BM25 per-doc micro-score chain (terms 'spark
+    * vector query', k1=1.2, b=0.75) — shared by the d125 ranked list and
+    * the d127 fusion's lexical side, so both agree on what "the BM25
+    * score" is. Ends at CTE `bm(doc_id, micro)`.
+    */
+  private val Bm25MicroCtesSql: String =
+    """tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total
+           FROM documents),
+         t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+             unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, CAST(max(dl) AS BIGINT) AS dl,
+             count(*) AS tf
+           FROM t WHERE tok IN ('spark', 'vector', 'query') GROUP BY 1, 2),
+         dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         term AS (SELECT doc_id, CAST(round(
+             ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl * nd) / total)) * 1e6, 0)
+             AS BIGINT) AS m
+           FROM tf JOIN dfq USING (tok) CROSS JOIN tot),
+         bm AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS micro FROM term GROUP BY 1)"""
+
   /** DuckDB replay of the JL projection: the 8×64 md5 plane matrix
     * rendered as a literal (Scala Double.toString and DuckDB both bind
     * the nearest double of the same decimal), embedding floats widened
@@ -2655,25 +2694,39 @@ object PipelineQueries {
     // are order-sensitive), micro-score longs summed exactly, same
     // (micro desc, doc_id) ordering.
     "d125_bm25_topk" ->
-      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total
-           FROM documents),
-         t AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
-             unnest(string_split(lower(text), ' ')) AS tok
-           FROM documents),
-         tf AS (SELECT doc_id, tok, CAST(max(dl) AS BIGINT) AS dl,
-             count(*) AS tf
-           FROM t WHERE tok IN ('spark', 'vector', 'query') GROUP BY 1, 2),
-         dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         term AS (SELECT doc_id, CAST(round(
-             ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * (tf * 2.2)
-               / (tf + 1.2 * (0.25 + 0.75 * (dl * nd) / total)) * 1e6, 0)
-             AS BIGINT) AS m
-           FROM tf JOIN dfq USING (tok) CROSS JOIN tot),
-         s AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS micro FROM term GROUP BY 1),
+      s"""WITH $Bm25MicroCtesSql,
          r AS (SELECT doc_id, micro,
-             row_number() OVER (ORDER BY micro DESC, doc_id) AS rk FROM s)
+             row_number() OVER (ORDER BY micro DESC, doc_id) AS rk FROM bm)
          SELECT doc_id, round(micro / 1e6, 6) AS bm25, rk FROM r WHERE rk <= 10""",
+    // d127: both retrieval lists replayed (the d125 BM25 chain at k=20 and
+    // the d07 cosine chain pinned to query id 0), fused by reciprocal rank
+    // — integer micro-grid contributions, absent-from-a-list = 0.
+    "d127_hybrid_rrf" ->
+      s"""WITH $Bm25MicroCtesSql,
+         lex AS (SELECT doc_id, rk FROM (SELECT doc_id,
+             row_number() OVER (ORDER BY micro DESC, doc_id) AS rk FROM bm)
+           WHERE rk <= 20),
+         sem AS (SELECT doc_id, rank FROM (
+             SELECT c.vec_id AS doc_id, row_number() OVER (ORDER BY
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                   c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank
+             FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+             WHERE q.vec_id = 0)
+           WHERE rank <= 20),
+         fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.rk AS rk_lex, s.rank AS rk_sem
+           FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id),
+         sc AS (SELECT doc_id, rk_lex, rk_sem,
+             CAST(coalesce(CAST(1000000 AS BIGINT) // (60 + rk_lex), 0)
+               + coalesce(CAST(1000000 AS BIGINT) // (60 + rk_sem), 0)
+               AS BIGINT) AS rrf_micro
+           FROM fused),
+         rr AS (SELECT *, row_number() OVER (ORDER BY rrf_micro DESC,
+             doc_id) AS rk FROM sc)
+         SELECT doc_id, CAST(rk_lex AS BIGINT) AS rk_lex,
+           CAST(rk_sem AS BIGINT) AS rk_sem, rrf_micro,
+           CAST(rk AS INT) AS rk
+         FROM rr WHERE rk <= 10""",
     // d126: the integer-grid PageRank recurrence unrolled 3 iterations
     // over the d05/d12 near-dup pair graph (jaccard >= 0.5, symmetrized).
     // Every step is BIGINT floor division over non-negative values —

@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+
+  test("rrf: closed-form fusion, missing list membership contributes 0") {
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val sem = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq("lex" -> lex, "sem" -> sem), "id", "rank")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getLong(3), r.getInt(4)))
+    // 10^6 div 61 = 16393, div 62 = 16129
+    assert(got.toSeq === Seq(
+      (2L, Some(2L), Some(1L), 16129L + 16393L, 1),
+      (1L, Some(1L), None, 16393L, 2),
+      (3L, None, Some(2L), 16129L, 3)))
+  }
+
+  test("rrf: equal scores break ties by id ascending; topK truncates") {
+    import spark.implicits._
+    val one = (1L to 9L).map(i => (i, 1)).toDF("id", "rank") // all rank 1
+    val got = Retrieval.rrfFuse(Seq("a" -> one), "id", "rank", topK = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(got.toSeq === (1 to 4).map(i => (i.toLong, i)))
+  }
+
+  test("rrf: duplicate labels rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 1)).toDF("id", "rank")
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("a" -> df, "a" -> df), "id", "rank")
+    }
+  }
+}
