@@ -419,4 +419,61 @@ object DocStream {
         maxRepetition))
     if (redactPii) redactStage(gated) else gated
   }
+
+  /** Streaming BM25 relevance tag — the live twin of
+    * [[TextAnalysis.bm25TopK]]'s scoring half: each ARRIVING doc is scored
+    * against a STANDING corpus's statistics (per-term df, N, Σdl over
+    * `refDocs`) for a fixed query-term set, the d124 incremental
+    * philosophy applied to retrieval (corpus stats computed once per
+    * release; arriving docs tagged as they land, e.g. to route crawl
+    * output by relevance to a curation target).
+    *
+    * Fully STATELESS: per-term tf comes from `filter(words, ...)` inside
+    * the row (no explode, no per-doc aggregation state), and the corpus
+    * statistics join is a broadcast stream-static equijoin on a constant
+    * key — one row, recomputed per micro-batch unless the caller persists
+    * `refDocs`' aggregate (at scale: persist it, or write it to a table
+    * per corpus release). Append mode, emits (idCol, bm25) for docs
+    * matching ≥1 term.
+    *
+    * Per-(doc, term) contributions use the EXACT expression tree of
+    * [[TextAnalysis.bm25TopK]] (1e-6 grid, long sum), so a doc's streamed
+    * score equals its batch score bit-for-bit.
+    */
+  def bm25Tag(docs: DataFrame, refDocs: DataFrame, idCol: String,
+              textCol: String, terms: Seq[String], k1: Double = 1.2,
+              b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    val lowered = terms.map(_.toLowerCase)
+    val words = split(lower(col(textCol)), " ")
+    val dfAggs = lowered.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("__w"), t), 1L).otherwise(0L))
+        .cast("long").as(s"__df$i")
+    }
+    val stats = refDocs.select(words.as("__w"))
+      .agg(count(lit(1)).cast("long").as("__nd"),
+        (sum(size(col("__w")).cast("long")).cast("long").as("__total")
+          +: dfAggs): _*)
+      .withColumn("__k", lit(1))
+    val st = docs
+      .withColumn("__w", words)
+      .withColumn("__dl", size(col("__w")).cast("long"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(stats), "__k")
+    def tf(t: String) = size(filter(col("__w"), w => w === lit(t))).cast("long")
+    // the bm25TopK expression tree verbatim — float ops are
+    // order-sensitive, association must match the batch/oracle form
+    val termMicro = lowered.zipWithIndex.map { case (t, i) =>
+      val tfc = tf(t)
+      when(tfc > 0, round(
+        log(lit(1.0) + (col("__nd") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5))) *
+          (tfc * lit(k1 + 1)) /
+          (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") * col("__nd")) / col("__total"))) *
+          lit(1e6), 0).cast("long")).otherwise(lit(0L))
+    }
+    val hits = lowered.map(t => tf(t)).reduce(_ + _)
+    st.where(hits > 0)
+      .select(col(idCol),
+        round(termMicro.reduce(_ + _) / lit(1e6), 6).as("bm25"))
+  }
 }

@@ -736,6 +736,28 @@ object PipelineQueries {
         Seq("lex" -> lex, "sem" -> sem), "doc_id", "rank")
     },
 
+    // The live twin of d125's scoring half (round 13): arriving docs
+    // tagged with their BM25 relevance against the standing corpus stats
+    // — stateless stream-static, per-doc score equals batch bit-for-bit.
+    "d128_bm25_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val tagged = graft.streaming.DocStream.bm25Tag(stream, d,
+        "doc_id", "text", Seq("spark", "vector", "query"))
+      graft.streaming.StreamRunner.runToBatch(tagged, "d128_bm25_stream")
+    },
+
+    // Triangle census of the near-dup graph (round 13): one-row structural
+    // audit — a genuine duplicate graph is triangle-dense, band-collision
+    // noise is wedge-heavy, so gcc gates the pair set itself.
+    "d129_triangle_census" -> { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      GraphOps.triangleStats(pairs, "doc_a", "doc_b")
+    },
+
     // EXACT n-gram Jaccard similarity join via prefix filtering (AllPairs/
     // PPJoin): rarest-first prefixes make candidates an equijoin with NO
     // false negatives — the exact complement of d05's probabilistic banding.
@@ -2727,6 +2749,31 @@ object PipelineQueries {
            CAST(rk_sem AS BIGINT) AS rk_sem, rrf_micro,
            CAST(rk AS INT) AS rk
          FROM rr WHERE rk <= 10""",
+    // d128: the streamed per-doc score IS the batch micro-score — the
+    // shared BM25 chain, un-truncated (every doc matching >= 1 term).
+    "d128_bm25_stream" ->
+      s"""WITH $Bm25MicroCtesSql
+         SELECT doc_id, round(micro / 1e6, 6) AS bm25 FROM bm""",
+    // d129: ordered-orientation triangle count (each u<v<w matched once),
+    // wedge census from symmetrized degrees, gcc on the 1e-6 integer grid.
+    "d129_triangle_census" ->
+      s"""WITH pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         e AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+             greatest(doc_a, doc_b) AS b FROM thr WHERE doc_a != doc_b),
+         tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         dg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM
+           (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+         w AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM dg),
+         ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, t AS n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0
+             THEN CAST(3 * t * 1000000 AS BIGINT) // n_wedges
+             ELSE CAST(0 AS BIGINT) END AS gcc_micro
+         FROM w CROSS JOIN ne CROSS JOIN tri""",
     // d126: the integer-grid PageRank recurrence unrolled 3 iterations
     // over the d05/d12 near-dup pair graph (jaccard >= 0.5, symmetrized).
     // Every step is BIGINT floor division over non-negative values —

@@ -51,4 +51,32 @@ class GraphOpsSpec extends SparkSpec {
     val total = r.values.sum
     assert(total <= 1000000000L && total > 900000000L) // div-truncation only
   }
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = GraphOps.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("triangles: one triangle, gcc = 1") {
+    // 3 nodes deg 2 each: 1 wedge per node, all closed
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === (3L, 3L, 1L, 3L, 1000000L))
+  }
+
+  test("triangles: open path has zero triangles, one wedge") {
+    assert(tri(Seq((1L, 2L), (2L, 3L))) === (3L, 2L, 0L, 1L, 0L))
+  }
+
+  test("triangles: reversed and duplicate edges normalize away") {
+    // (2,1) and (1,2) are the same undirected edge; self-loop dropped
+    val got = tri(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L)))
+    assert(got === (3L, 3L, 1L, 3L, 1000000L))
+  }
+
+  test("triangles: K4 closes every wedge") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    // 4 triangles, deg 3 each -> 3 wedges per node = 12, gcc = 12/12
+    assert(tri(k4) === (4L, 6L, 4L, 12L, 1000000L))
+  }
 }

@@ -465,6 +465,40 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25Tag: streamed score equals the batch micro-score bit-for-bit") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, "spark spark spark pad"),
+      (2L, "spark pad pad pad"),
+      (3L, "spark pad pad pad pad pad pad pad"),
+      (4L, "pad pad pad pad")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.bm25Tag(
+        in.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+        Seq("spark"))
+      .writeStream.format("memory").queryName("doc_bm25")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "spark spark spark pad"), (4L, "pad pad pad pad"),
+        (9L, "spark fresh arrival"))
+      q.processAllAvailable()
+      val rows = spark.table("doc_bm25").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(!rows.contains(4L)) // no query term: never emits
+      val batch = graft.functions.TextAnalysis
+        .bm25TopK(corpus, "doc_id", "text", Seq("spark"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows(1L) === batch(1L)) // same 1e-6 grid value, not approx
+      // arriving doc 9 (dl=3, tf=1) scored against the STANDING stats
+      // (N=4, df=3, Σdl=20): closed form on the same grid
+      val idf = math.log(1.0 + (4 - 3 + 0.5) / 3.5)
+      val norm = 1 + 1.2 * (0.25 + 0.75 * (3.0 * 4) / 20)
+      assert(rows(9L) === math.round(idf * 2.2 / norm * 1e6) / 1e6)
+    } finally q.stop()
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("nearDupTag: stream docs tagged against the static corpus, append mode") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
