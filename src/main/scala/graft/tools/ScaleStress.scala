@@ -47,6 +47,9 @@ object ScaleStress {
     if (args.contains("round13")) {
       runRound13Probes(spark); spark.stop(); return
     }
+    if (args.contains("round13graph")) {
+      runRound13GraphProbes(spark); spark.stop(); return
+    }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val n1 = docs1.count()
@@ -671,5 +674,57 @@ object ScaleStress {
       f"unbounded 1x=${u(1)}%5.2f 100x=${u(100)}%5.2f 1000x=${u(1000)}%5.2f " +
       f"(grows with history)")
     spark.stop()
+  }
+
+  /** Graph-family slope probe (round 13): pageRank and triangleStats on a
+    * synthesized deterministic graph at 1x and 10x EDGE volume — both are
+    * per-iteration join+agg pipelines, so wall time should track |E|
+    * linearly; a super-linear slope would mean a corpus-sized cross
+    * product or a lineage blowup snuck in. Edges are materialized to
+    * parquet first so the probe measures the GRAPH operator, not the
+    * upstream generator.
+    */
+  private def runRound13GraphProbes(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def minOf3(name: String)(f: => Long): Double =
+      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+
+    val base = "/tmp/graft_scale13g"
+    // Deterministic pseudo-random regular digraph: 4 out-edges per node,
+    // targets by LCG hash mod n — same degree structure at every scale.
+    def gen(nodes: Long): org.apache.spark.sql.DataFrame =
+      spark.range(nodes).select(col("id").as("src"))
+        .crossJoin(spark.range(4).select(col("id").as("o")))
+        .select(col("src"), pmod(col("src") * lit(1103515245L)
+          + col("o") * lit(12345L) + lit(7L), lit(nodes)).as("dst"))
+        .where(col("src") =!= col("dst"))
+    val arms = Seq(("1x", 2_000_000L), ("10x", 20_000_000L))
+    arms.foreach { case (tag, n) =>
+      gen(n).write.mode("overwrite").parquet(s"$base/e$tag")
+    }
+    val prT = arms.map { case (tag, _) =>
+      val e = spark.read.parquet(s"$base/e$tag")
+      tag -> minOf3(s"pagerank3 $tag")(
+        graft.functions.GraphOps.pageRank(e, "src", "dst", iters = 3).count())
+    }.toMap
+    val trT = arms.map { case (tag, _) =>
+      val e = spark.read.parquet(s"$base/e$tag")
+      tag -> minOf3(s"triangles $tag")(
+        graft.functions.GraphOps.triangleStats(e, "src", "dst").count())
+    }.toMap
+    println(f"${"graph_slope"}%-18s pagerank 1x=${prT("1x")}%5.2f " +
+      f"10x=${prT("10x")}%5.2f (${prT("10x") / prT("1x")}%4.1fx); " +
+      f"triangles 1x=${trT("1x")}%5.2f 10x=${trT("10x")}%5.2f " +
+      f"(${trT("10x") / trT("1x")}%4.1fx)")
   }
 }

@@ -79,4 +79,18 @@ class GraphOpsSpec extends SparkSpec {
     // 4 triangles, deg 3 each -> 3 wedges per node = 12, gcc = 12/12
     assert(tri(k4) === (4L, 6L, 4L, 12L, 1000000L))
   }
+
+  test("plans: edge-sized work is always an equijoin, never a cross product") {
+    import spark.implicits._
+    val edges = (1L to 50L).map(i => (i, i % 50 + 1)).toDF("src", "dst")
+    // the only nested-loop joins allowed are the broadcast 1-row scalar
+    // frames (N, totals) — a cross product over edges would be O(|E|^2)
+    val pr = GraphOps.pageRank(edges, "src", "dst", iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("CartesianProduct"), pr)
+    val ts = GraphOps.triangleStats(edges, "src", "dst")
+      .queryExecution.executedPlan.toString
+    assert(!ts.contains("CartesianProduct"), ts)
+    assert(ts.contains("Join"), ts) // triangle closure is a real equijoin
+  }
 }
