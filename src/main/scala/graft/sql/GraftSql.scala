@@ -145,6 +145,27 @@ object GraftSql {
       .bm25TopK(docs, idCol, textCol, terms, topK = topK)
       .createOrReplaceTempView(viewName)
 
+  /** PageRank over an edge frame ([[graft.functions.GraphOps.pageRank]])
+    * as a named temp view — `SELECT * FROM <viewName>` is (id, rank_ppb),
+    * the d126 shape for `spark.sql` users (e.g. canonical-doc election by
+    * centrality: highest rank_ppb per cluster).
+    */
+  def registerPageRank(spark: SparkSession, viewName: String,
+                       edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): Unit =
+    graft.functions.GraphOps.pageRank(edges, srcCol, dstCol, iters)
+      .createOrReplaceTempView(viewName)
+
+  /** Reciprocal-rank fusion ([[graft.functions.Retrieval.rrfFuse]]) as a
+    * named temp view — the d127 shape: fuse any top-k lists (each a
+    * (idCol, rankCol) frame) into one ranked view.
+    */
+  def registerRrf(spark: SparkSession, viewName: String,
+                  lists: Seq[(String, DataFrame)], idCol: String,
+                  rankCol: String, topK: Int = 10): Unit =
+    graft.functions.Retrieval.rrfFuse(lists, idCol, rankCol, topK = topK)
+      .createOrReplaceTempView(viewName)
+
   /** Gap-based session rollup over a (user_id, ts, value) events frame as
     * a named temp view — the q39 shape for `spark.sql` users: one row per
     * closed-or-open session with (user_id, session_idx, n_events,

@@ -1545,6 +1545,22 @@ class GraftSqlSpec extends SparkSpec {
     val bm = spark.sql(
       "SELECT count(*) AS n, min(rk) AS lo, max(rk) AS hi FROM bm25_hits").head()
     assert(bm.getLong(0) === 5L && bm.getInt(1) === 1 && bm.getInt(2) === 5)
+    // PageRank view (d126): symmetric 2-cycle fixpoint through plain SQL
+    import spark.implicits._
+    graft.sql.GraftSql.registerPageRank(spark, "pr",
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), "src", "dst")
+    val pr = spark.sql(
+      "SELECT count(*) AS n, min(rank_ppb) AS lo, max(rank_ppb) AS hi FROM pr")
+      .head()
+    assert(pr.getLong(0) === 2L && pr.getLong(1) === 500000000L &&
+      pr.getLong(2) === 500000000L)
+    // RRF view (d127): single-list fusion preserves rank order
+    val lst = Seq((7L, 1), (8L, 2)).toDF("id", "rank")
+    graft.sql.GraftSql.registerRrf(spark, "rrf_hits", Seq("a" -> lst),
+      "id", "rank")
+    val rf = spark.sql(
+      "SELECT id FROM rrf_hits WHERE rk = 1").head()
+    assert(rf.getLong(0) === 7L)
   }
 
   test("scd2 + funnel views answer plain SQL") {
