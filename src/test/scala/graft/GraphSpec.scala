@@ -1,5 +1,8 @@
 package graft
 
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+
 import graft.functions.GraphOps
 
 class GraphOpsSpec extends SparkSpec {
@@ -78,6 +81,61 @@ class GraphOpsSpec extends SparkSpec {
     val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     // 4 triangles, deg 3 each -> 3 wedges per node = 12, gcc = 12/12
     assert(tri(k4) === (4L, 6L, 4L, 12L, 1000000L))
+  }
+
+  private def checkProp(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // model-based: the distributed integer recurrence vs a sequential Scala
+  // replay of the SAME arithmetic over random multigraphs (self-loops and
+  // duplicate edges included — the operator takes edges as given)
+  test("pagerank equals the sequential integer-recurrence replay") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 7L); v <- Gen.chooseNum(1L, 7L)
+    } yield (u, v))
+    def model(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val n = nodes.size
+      val deg = edges.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+      var r = nodes.map(_ -> 1000000000L / n).toMap
+      for (_ <- 1 to iters) {
+        val s = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _) => r(u) / deg(u) }.sum }
+        r = nodes.map(v =>
+          v -> (150000000L / n + 85L * s.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    checkProp(Prop.forAllNoShrink(edgeGen, Gen.chooseNum(1, 4)) {
+      (edges, iters) => ranks(edges, iters) == model(edges, iters)
+    })
+  }
+
+  test("triangle census equals brute-force enumeration on random graphs") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 8L); v <- Gen.chooseNum(1L, 8L)
+    } yield (u, v))
+    checkProp(Prop.forAllNoShrink(edgeGen) { edges =>
+      val norm = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+        .filter(e => e._1 != e._2).distinct.toSet
+      if (norm.isEmpty) true // operator requires >= 1 surviving edge rows
+      else {
+        val nodes = norm.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val t = (for {
+          a <- nodes; b <- nodes if a < b && norm((a, b))
+          c <- nodes if b < c && norm((b, c)) && norm((a, c))
+        } yield 1).size.toLong
+        val deg = nodes.map(v =>
+          norm.count(e => e._1 == v || e._2 == v).toLong)
+        val wedges = deg.map(d => d * (d - 1) / 2).sum
+        val gcc = if (wedges > 0) 3 * t * 1000000L / wedges else 0L
+        tri(norm.toSeq) ==
+          ((nodes.size.toLong, norm.size.toLong, t, wedges, gcc))
+      }
+    })
   }
 
   test("plans: edge-sized work is always an equijoin, never a cross product") {

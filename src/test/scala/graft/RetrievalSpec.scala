@@ -33,4 +33,35 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.rrfFuse(Seq("a" -> df, "a" -> df), "id", "rank")
     }
   }
+
+  test("rrf equals the sequential fusion model on random list sets") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    // each list: a random distinct-id subset in rank order 1..m
+    val listGen = Gen.chooseNum(1, 3).flatMap(nl =>
+      Gen.listOfN(nl, Gen.someOf(0L to 9L).map(_.toList)
+        .suchThat(_.nonEmpty)))
+    val prop = Prop.forAllNoShrink(listGen, Gen.chooseNum(1, 6)) {
+      (lists, topK) =>
+        val ranks = lists.map(_.zipWithIndex
+          .map { case (id, i) => id -> (i + 1).toLong }.toMap)
+        val ids = ranks.flatMap(_.keys).distinct
+        val want = ids.map(id => id -> ranks.map(m =>
+            m.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)).sum)
+          .sortBy { case (id, s) => (-s, id) }.take(topK)
+          .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+        val dfs = lists.zipWithIndex.map { case (l, i) =>
+          s"l$i" -> l.zipWithIndex.map { case (id, r) => (id, r + 1) }
+            .toDF("id", "rank")
+        }
+        val got = Retrieval.rrfFuse(dfs, "id", "rank", topK = topK)
+          .select("id", "rrf_micro", "rk")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toList
+        got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
