@@ -30,8 +30,11 @@ object GraphOps {
     * Recurrence (all BIGINT, N = |nodes|, deg = out-degree):
     * {{{
     *   r0(v)     = 10^9 div N
-    *   r_t+1(v)  = (15*10^7) div N  +  (85 * Σ_{u→v} (r_t(u) div deg(u))) div 100
+    *   r_t+1(v)  = (15*10^7) div N  +  (85 * Σ_{u→v} (r_t(u)·w_uv div W_u)) div 100
     * }}}
+    * where `w_uv` is the edge weight (1 when `weightCol` is absent — then
+    * `W_u = deg(u)` and the split is uniform; weights must be POSITIVE
+    * longs, e.g. micro-scaled similarities) —
     * i.e. damping 0.85 with truncating integer division at every step —
     * deterministic across engines and partitionings because long `div` and
     * long `sum` are exact and order-free, unlike a double recurrence whose
@@ -54,16 +57,26 @@ object GraphOps {
     * summing to ≤ 10^9 (truncation loses ≤ 1 ppb per edge per round).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+               iters: Int = 3, checkpointEvery: Int = 8,
+               weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     val disk = StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
-      col(dstCol).cast("long").as("__dst"))
-    // Degree fused onto each edge ONCE — re-deriving it per iteration
+    // Weighted form: an out-edge receives mass ∝ its positive integer
+    // weight, `(r·w) div Σw` — with w ≡ 1 this is IDENTICAL (bit-for-bit)
+    // to the uniform `r div deg` split, so one loop serves both. Weights
+    // must fit the product bound r·w < 2^63: r ≤ 10^9, so w ≤ ~9·10^9 —
+    // micro-scaled similarities (≤ 10^6) are far inside it.
+    val e = weightCol match {
+      case Some(w) => edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"), col(w).cast("long").as("__w"))
+      case None => edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"), lit(1L).as("__w"))
+    }
+    // Out-weight fused onto each edge ONCE — re-deriving it per iteration
     // would re-shuffle the full edge table every round.
-    val deg = e.groupBy("__src").agg(count(lit(1)).cast("long").as("__deg"))
-    val ed = graft.CacheRegistry.track(e.join(deg, "__src").persist(disk))
+    val tw = e.groupBy("__src").agg(sum("__w").as("__tw"))
+    val ed = graft.CacheRegistry.track(e.join(tw, "__src").persist(disk))
     val nodes = graft.CacheRegistry.track(
       e.select(col("__src").as("__id"))
         .union(e.select(col("__dst").as("__id")))
@@ -73,7 +86,7 @@ object GraphOps {
       .selectExpr("__id", "CAST(1000000000 AS BIGINT) div __n AS __r")
     for (t <- 1 to iters) {
       val sums = ed.join(r, col("__src") === col("__id"))
-        .selectExpr("__dst", "__r div __deg AS __c")
+        .selectExpr("__dst", "(__r * __w) div __tw AS __c")
         .groupBy("__dst").agg(sum("__c").as("__s"))
       r = nodes.join(sums, nodes("__id") === sums("__dst"), "left")
         .crossJoin(nRow)

@@ -720,6 +720,20 @@ object PipelineQueries {
         .selectExpr("id AS doc_id", "rank_ppb")
     },
 
+    // d126's weighted form (round 13): mass splits by micro-jaccard edge
+    // weight, so strong duplicates pull more centrality than marginal
+    // band matches — the sharper canonical-election signal.
+    "d130_pagerank_weighted" -> { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard") * lit(1e6), 0).cast("long").as("w"))
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"), col("w")))
+      GraphOps.pageRank(sym, "doc_a", "doc_b", iters = 3,
+          weightCol = Some("w"))
+        .selectExpr("id AS doc_id", "rank_ppb")
+    },
+
     // Hybrid retrieval (round 13): the d125 lexical list and a d07-style
     // semantic list for ONE query (terms + the id-0 embedding, over the
     // shared doc_id/vec_id space), fused by reciprocal rank on the integer
@@ -2060,6 +2074,39 @@ object PipelineQueries {
              i -> array_to_string(w[i+1:i+3], ' '))) AS sh_txt
            FROM words WHERE len(w) >= 3))"""
 
+  /** DuckDB replay of the integer-grid PageRank recurrence (3 unrolled
+    * iterations) over the jaccard >= 0.5 near-dup pair graph — shared by
+    * the uniform-split (d126) and micro-jaccard-weighted (d130) oracles:
+    * with w ≡ 1 the weighted recurrence reduces to `r // deg` exactly, so
+    * one builder keeps the two forms in sync.
+    */
+  private def pageRankDupsSql(weighted: Boolean): String = {
+    val wSel =
+      if (weighted) ", CAST(round(jaccard * 1e6, 0) AS BIGINT) AS w" else ""
+    val wCol = if (weighted) ", w" else ""
+    val twExpr =
+      if (weighted) "CAST(sum(w) AS BIGINT)" else "CAST(count(*) AS BIGINT)"
+    val contrib = if (weighted) "(r.r * e.w) // t.tw" else "r.r // t.tw"
+    def iter(t: Int): String =
+      s"""s$t AS (SELECT e.dst AS id, CAST(sum($contrib) AS BIGINT) AS s
+           FROM edges e JOIN r${t - 1} r ON r.id = e.src
+           JOIN tw t ON t.src = e.src GROUP BY e.dst),
+         r$t AS (SELECT nodes.id, CAST(150000000 AS BIGINT) // n
+             + CAST(85 * coalesce(s$t.s, 0) AS BIGINT) // 100 AS r
+           FROM nodes LEFT JOIN s$t ON s$t.id = nodes.id CROSS JOIN nn)"""
+    s"""WITH pairs AS ($MinhashPairsSql),
+       thr AS (SELECT doc_a, doc_b$wSel FROM pairs WHERE jaccard >= 0.5),
+       edges AS (SELECT doc_a AS src, doc_b AS dst$wCol FROM thr
+                 UNION ALL SELECT doc_b, doc_a$wCol FROM thr),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       tw AS (SELECT src, $twExpr AS tw FROM edges GROUP BY src),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // n AS r
+              FROM nodes CROSS JOIN nn),
+       ${iter(1)}, ${iter(2)}, ${iter(3)}
+       SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r3"""
+  }
+
   /** DuckDB replay of the BM25 per-doc micro-score chain (terms 'spark
     * vector query', k1=1.2, b=0.75) — shared by the d125 ranked list and
     * the d127 fusion's lexical side, so both agree on what "the BM25
@@ -2774,32 +2821,14 @@ object PipelineQueries {
              THEN CAST(3 * t * 1000000 AS BIGINT) // n_wedges
              ELSE CAST(0 AS BIGINT) END AS gcc_micro
          FROM w CROSS JOIN ne CROSS JOIN tri""",
-    // d126: the integer-grid PageRank recurrence unrolled 3 iterations
-    // over the d05/d12 near-dup pair graph (jaccard >= 0.5, symmetrized).
-    // Every step is BIGINT floor division over non-negative values —
-    // identical to Spark's truncating `div` — so no float drift exists to
-    // replay; DuckDB's HUGEINT sums are cast back to BIGINT at each use.
-    "d126_pagerank_dups" -> {
-      def iter(t: Int): String =
-        s"""s$t AS (SELECT e.dst AS id, CAST(sum(r.r // dg.d) AS BIGINT) AS s
-             FROM edges e JOIN r${t - 1} r ON r.id = e.src
-             JOIN dg ON dg.src = e.src GROUP BY e.dst),
-           r$t AS (SELECT nodes.id, CAST(150000000 AS BIGINT) // n
-               + CAST(85 * coalesce(s$t.s, 0) AS BIGINT) // 100 AS r
-             FROM nodes LEFT JOIN s$t ON s$t.id = nodes.id CROSS JOIN nn)"""
-      s"""WITH pairs AS ($MinhashPairsSql),
-         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
-                   UNION ALL SELECT doc_b, doc_a FROM thr),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges
-                GROUP BY src),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // n AS r
-                FROM nodes CROSS JOIN nn),
-         ${iter(1)}, ${iter(2)}, ${iter(3)}
-         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r3"""
-    },
+    // d126/d130: the integer-grid PageRank recurrence unrolled 3
+    // iterations over the d05/d12 near-dup pair graph (jaccard >= 0.5,
+    // symmetrized; d130 splits mass by micro-jaccard edge weight). Every
+    // step is BIGINT floor division over non-negative values — identical
+    // to Spark's truncating `div` — so no float drift exists to replay;
+    // DuckDB's HUGEINT sums are cast back to BIGINT at each use.
+    "d126_pagerank_dups" -> pageRankDupsSql(weighted = false),
+    "d130_pagerank_weighted" -> pageRankDupsSql(weighted = true),
     "d22_jaccard_join" -> JaccardPairsSql,
     // d103: both sides of the audit replayed — the exact >= 0.8 pair set
     // (d22's CTE chain) and the banded candidates verified at the same

@@ -55,6 +55,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(total <= 1000000000L && total > 900000000L) // div-truncation only
   }
 
+  private def ranksW(edges: Seq[(Long, Long, Long)],
+                     iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", iters,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pagerank weighted: mass splits by weight (exact)") {
+    // 1 -> 2 (w 3), 1 -> 3 (w 1), 2 -> 1, 3 -> 1. N=3, W(1)=4.
+    val r = ranksW(Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L),
+      (3L, 1L, 1L)), 1)
+    assert(r(1L) === 50000000L + 85L * (333333333L + 333333333L) / 100L)
+    assert(r(2L) === 50000000L + 85L * (333333333L * 3 / 4) / 100L)
+    assert(r(3L) === 50000000L + 85L * (333333333L / 4) / 100L)
+    assert(r(2L) > r(3L)) // the heavier edge pulls more centrality
+  }
+
+  test("pagerank weighted: unit weights equal the uniform split bit-for-bit") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (4L, 1L), (1L, 4L))
+    assert(ranksW(edges.map(e => (e._1, e._2, 1L)), 3) === ranks(edges, 3))
+  }
+
+  test("pagerank weighted equals the sequential replay on random weights") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 6L); v <- Gen.chooseNum(1L, 6L)
+      w <- Gen.chooseNum(1L, 5L)
+    } yield (u, v, w))
+    def model(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val n = nodes.size
+      val tw = edges.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+      var r = nodes.map(_ -> 1000000000L / n).toMap
+      for (_ <- 1 to iters) {
+        val s = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _, w) => r(u) * w / tw(u) }.sum }
+        r = nodes.map(v =>
+          v -> (150000000L / n + 85L * s.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    checkProp(Prop.forAllNoShrink(edgeGen, Gen.chooseNum(1, 3)) {
+      (edges, iters) => ranksW(edges, iters) == model(edges, iters)
+    })
+  }
+
   private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
     import spark.implicits._
     val r = GraphOps.triangleStats(edges.toDF("src", "dst"), "src", "dst")
