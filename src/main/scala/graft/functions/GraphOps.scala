@@ -139,7 +139,10 @@ object GraphOps {
       .union(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).cast("long").as("d"))
     val wedge = dg.agg(count(lit(1)).cast("long").as("n_nodes"),
-      sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+      // coalesce: sum over ZERO nodes (empty edge input) is null, and the
+      // census must stay total on empty frames (EmptyInputSpec)
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+        .cast("long").as("n_wedges"))
     val ne = e.agg(count(lit(1)).cast("long").as("n_edges"))
     wedge.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
       .selectExpr("n_nodes", "n_edges", "n_triangles", "n_wedges",

@@ -247,4 +247,19 @@ class EmptyInputRound12Spec extends SparkSpec {
     assert(graft.functions.Sampling.quantilesByDomain(noV, "dom", "v")
       .count() === 0)
   }
+
+  test("round-13 graph/fusion ops are total on empty frames") {
+    import spark.implicits._
+    val noE = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // no nodes -> no ranks (and no divide-by-zero on the N scalar)
+    assert(graft.functions.GraphOps.pageRank(noE, "src", "dst").count() === 0)
+    // the census row still exists and is all-zero, never null
+    val t = graft.functions.GraphOps.triangleStats(noE, "src", "dst").head()
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3),
+      t.getLong(4)) === ((0L, 0L, 0L, 0L, 0L)))
+    // fusing empty lists is an empty ranking
+    val noL = Seq.empty[(Long, Int)].toDF("id", "rank")
+    assert(graft.functions.Retrieval.rrfFuse(
+      Seq("a" -> noL, "b" -> noL), "id", "rank").count() === 0)
+  }
 }
