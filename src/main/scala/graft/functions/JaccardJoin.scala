@@ -202,4 +202,59 @@ object JaccardJoin {
         MinHashLSH.jaccardCol(col("sa"), col("sb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** DIRECTED containment pairs: every (doc_a, doc_b, containment) with
+    * `|A∩B| / |A| ≥ threshold` (Broder 1997's containment) — the
+    * ASYMMETRIC near-dup relation Jaccard cannot see: a page quoting
+    * another verbatim, boilerplate wrapping a shared body, a subset dump —
+    * |A∩B|/|A| ≈ 1 while Jaccard stays low because |B| dominates the
+    * union. A dedup gate keeps the superset doc and drops the contained
+    * one; a contamination gate flags benchmark items contained in
+    * training docs regardless of how much padding surrounds them.
+    *
+    * Prefix lemma, containment form: if B covers ≥ t·|A| of A's shingles,
+    * B must hit one of A's first `|A| − ⌈t·|A|⌉ + 1` rarest-first shingles
+    * — so only the PROBE side (A) emits a prefix; the candidate side (B)
+    * exposes all its shingles (ranked under the SAME global order, which
+    * is [[prefixRows]] at threshold 0). Length filter `|B| ≥ ⌈t·|A|⌉`
+    * (containment needs that many shared elements) and the positional
+    * bound `1 + min(|A|−ra, |B|−rb) ≥ ⌈t·|A|⌉` prune before the exact
+    * verify — no false negatives at any scale, same as [[similarPairs]].
+    * Pairs are returned in BOTH directions when both contain each other.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 3,
+                       freqOrder: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold out of (0,1]")
+    val sh = CacheRegistry.track(
+      MinHashLSH.shingleArrays(df, idCol, textCol, n).persist(disk))
+    val freq = if (freqOrder) Some(docFreq(sh)) else None
+    val prefix = CacheRegistry.track(
+      prefixRows(sh, Seq(idCol), threshold, freq).persist(disk))
+    // threshold 0 keeps every ranked row: the candidate side of a
+    // containment probe cannot be prefix-pruned (B may be arbitrarily
+    // larger than the A it contains)
+    val full = CacheRegistry.track(
+      prefixRows(sh, Seq(idCol), 0.0, freq).persist(disk))
+    val cand = prefix
+      .select(col(idCol).as("doc_a"), col("sz").as("sz_a"),
+        col("sh"), col("r").as("ra"))
+      .join(full.select(col(idCol).as("doc_b"), col("sz").as("sz_b"),
+        col("sh"), col("r").as("rb")), Seq("sh"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .where(col("sz_b") >= safeCeil(col("sz_a") * threshold))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(min("ra").as("ra"), min("rb").as("rb"))
+      .where(lit(1) + least(col("sz_a") - col("ra"), col("sz_b") - col("rb")) >=
+        safeCeil(col("sz_a") * threshold))
+      .select("doc_a", "doc_b")
+    cand
+      .join(sh.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
+      .join(sh.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
 }

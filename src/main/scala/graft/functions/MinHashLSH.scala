@@ -452,6 +452,48 @@ object MinHashLSH {
     jaccard(candidates(b, idCol), sh, idCol)
   }
 
+  /** Near-dup pairs verified by CHARACTER edit distance instead of shingle
+    * Jaccard: the same LSH banding prunes candidates, but the verdict is
+    * `levenshtein(text_a, text_b)` normalized by the longer text on the
+    * 1e-6 integer grid — the right verifier when "duplicate" means
+    * character-level revision (typo fixes, template fills, small edits),
+    * where shingle sets can diverge fast while the edit span stays tiny.
+    *
+    * Plan shape: candidates are the banding equijoin (never a cross
+    * product); the O(len²) Levenshtein runs ONLY on banded candidates —
+    * the d124 principle (expensive verify on a pruned set). `dist` is an
+    * int and `norm_micro = dist·10^6 div max(len)` a long, so the result
+    * is engine-exact; zero-length-on-both-sides pairs are excluded (the
+    * normalization is undefined). At 100 TB, cap verify cost with Spark's
+    * thresholded `levenshtein(l, r, max)` (returns −1 past `max`, so the
+    * DP row aborts early) — kept un-thresholded here for oracle parity.
+    *
+    * Returns (doc_a, doc_b, dist, norm_micro), doc_a < doc_b,
+    * norm_micro ≤ maxNorm·10^6.
+    */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 8, r: Int = 2,
+                        maxNorm: Double = 0.3): DataFrame = {
+    require(maxNorm > 0.0 && maxNorm <= 1.0, s"maxNorm=$maxNorm out of (0,1]")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val b = graft.CacheRegistry.track(
+      bands(signatureArray(shingleArrays(df, idCol, textCol, n), idCol, k),
+        idCol, k, r).persist(disk))
+    val texts = df.select(col(idCol), col(textCol))
+    candidates(b, idCol)
+      .join(texts.select(col(idCol).as("doc_a"), col(textCol).as("__ta")),
+        Seq("doc_a"))
+      .join(texts.select(col(idCol).as("doc_b"), col(textCol).as("__tb")),
+        Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .where(greatest(length(col("__ta")), length(col("__tb"))) > 0)
+      .withColumn("norm_micro", expr(
+        "CAST(dist AS BIGINT) * 1000000 div " +
+          "greatest(length(__ta), length(__tb))"))
+      .where(col("norm_micro") <= (maxNorm * 1e6).toLong)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("norm_micro"))
+  }
+
   /** Standing near-dup band index — the per-corpus-release ARTIFACT: one
     * (id, band, bkey) row per doc × k/r bands, from the same
     * [[signatureCol]]/[[bandKeysCol]] definitions every other consumer

@@ -58,4 +58,49 @@ object Retrieval {
         Window.orderBy(col("rrf_micro").desc, col("__id").asc)).cast("int"))
       .select(outCols: _*)
   }
+
+  /** Kendall rank agreement between two top-k lists — the retrieval-eval
+    * census that tells a pipeline whether its lexical and semantic rankers
+    * actually DISAGREE (fusion only helps when they do): over the ids both
+    * lists rank, count concordant vs discordant pairs; tau = (C−D)/(C+D)
+    * on the 1e-6 integer grid. Ranks within a list are distinct by
+    * construction, so the tie terms of tau-b vanish and tau-a == tau-b.
+    *
+    * Both inputs are already top-k-reduced, so the intersection join and
+    * the k²-pair census are constant-sized at any corpus scale (the
+    * [[rrfFuse]] argument); the pair join is the one deliberate
+    * inequality join in this file, over ≤ k rows. The signed division is
+    * computed as `sign · (|C−D|·10^6 div (C+D))` — dividing only
+    * non-negative values, because floor (DuckDB `//`) and truncate
+    * (Spark `div`) disagree on negative dividends.
+    *
+    * Returns ONE row: (n_common, concordant, discordant, tau_micro).
+    */
+  def rankAgreement(a: DataFrame, b: DataFrame, idCol: String,
+                    rankCol: String): DataFrame = {
+    val ja = a.select(col(idCol).cast("long").as("__id"),
+      col(rankCol).cast("long").as("__ra"))
+    val jb = b.select(col(idCol).cast("long").as("__id"),
+      col(rankCol).cast("long").as("__rb"))
+    val j = ja.join(jb, Seq("__id"))
+    val pairs = j.select(col("__id").as("__i"), col("__ra").as("__rax"),
+        col("__rb").as("__rbx"))
+      .join(j, col("__i") < col("__id"))
+      .select(
+        ((col("__rax") - col("__ra")) * (col("__rbx") - col("__rb")))
+          .as("__prod"))
+    val census = pairs.agg(
+      coalesce(sum(when(col("__prod") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("concordant"),
+      coalesce(sum(when(col("__prod") < 0, 1L).otherwise(0L)), lit(0L))
+        .as("discordant"))
+    val nRow = broadcast(j.agg(count(lit(1)).cast("long").as("n_common")))
+    census.crossJoin(nRow)
+      .selectExpr("n_common", "concordant", "discordant",
+        ("CASE WHEN concordant + discordant = 0 THEN CAST(0 AS BIGINT)" +
+          " WHEN concordant >= discordant THEN (concordant - discordant)" +
+          " * CAST(1000000 AS BIGINT) div (concordant + discordant)" +
+          " ELSE -((discordant - concordant) * CAST(1000000 AS BIGINT)" +
+          " div (concordant + discordant)) END AS tau_micro"))
+  }
 }

@@ -772,6 +772,36 @@ object PipelineQueries {
       GraphOps.triangleStats(pairs, "doc_a", "doc_b")
     },
 
+    // DIRECTED containment pairs (round 13): |A∩B|/|A| — the asymmetric
+    // near-dup relation (quotes, boilerplate wrapping, subset dumps) that
+    // Jaccard cannot see; prefix-filtered with NO false negatives.
+    "d131_containment_join" -> { (s, dir) =>
+      JaccardJoin.containmentPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.6, n = 3)
+    },
+
+    // Edit-distance-verified near-dup pairs (round 13): LSH banding
+    // prunes, levenshtein on the 1e-6 grid decides — the character-level
+    // revision detector next to d05's shingle-set one.
+    "d132_edit_verified" -> { (s, dir) =>
+      MinHashLSH.editVerifiedPairs(docs(s, dir), "doc_id", "text",
+        maxNorm = 0.3)
+    },
+
+    // Kendall agreement between the d127 lexical and semantic lists
+    // (round 13): the one-row census that says whether the two rankers
+    // disagree enough for fusion to matter.
+    "d133_rank_agreement" -> { (s, dir) =>
+      val lex = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "vector", "query"), topK = 20)
+        .select(col("doc_id"), col("rk").as("rank"))
+      val e = embs(s, dir)
+      val sem = VectorOps.knnBruteForce(e.where(col("vec_id") === 0), e,
+        "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.functions.Retrieval.rankAgreement(lex, sem, "doc_id", "rank")
+    },
+
     // EXACT n-gram Jaccard similarity join via prefix filtering (AllPairs/
     // PPJoin): rarest-first prefixes make candidates an equijoin with NO
     // false negatives — the exact complement of d05's probabilistic banding.
@@ -2227,10 +2257,14 @@ object PipelineQueries {
            JOIN sizes nb ON nb.doc_id = i.doc_b)
          WHERE jaccard >= 0.8"""
 
-  private lazy val MinhashPairsSql: String = {
+  /** The MinHash chain up to the banded candidate set — shared by the
+    * pair verify (d05/d12/d126/d130) and the edit-distance verify (d132),
+    * so every banding consumer agrees on what "the candidates" are.
+    */
+  private lazy val MinhashCandCtesSql: String = {
       val seedRows = MinHashLSH.SeedA.take(8).zipWithIndex
         .map { case (a, j) => s"($j, $a)" }.mkString(", ")
-      s"""WITH $ShingleCtesSql,
+      s"""$ShingleCtesSql,
          hx AS (SELECT doc_id, j,
              CAST(min(CAST(((sh % ${MinHashLSH.P}) * a + j) AS BIGINT) % ${MinHashLSH.P}) AS BIGINT) AS mh
            FROM sh CROSS JOIN (VALUES $seedRows) AS seeds(j, a) GROUP BY doc_id, j),
@@ -2240,7 +2274,11 @@ object PipelineQueries {
            FROM hx GROUP BY doc_id, j // 2),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id),
+             AND a.doc_id < b.doc_id)"""
+      }
+
+  private lazy val MinhashPairsSql: String =
+      s"""WITH $MinhashCandCtesSql,
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
            FROM cand c
@@ -2252,7 +2290,6 @@ object PipelineQueries {
          FROM inter i
          JOIN sizes na ON na.doc_id = i.doc_a
          JOIN sizes nb ON nb.doc_id = i.doc_b"""
-      }
 
   /** DuckDB replay of the d124 incremental dedup report: the same
     * signature/band CTEs as [[MinhashPairsSql]], candidates restricted to
@@ -2821,6 +2858,67 @@ object PipelineQueries {
              THEN CAST(3 * t * 1000000 AS BIGINT) // n_wedges
              ELSE CAST(0 AS BIGINT) END AS gcc_micro
          FROM w CROSS JOIN ne CROSS JOIN tri""",
+    // d131: exact directed containment over the shared shingle sets —
+    // no prefix machinery to replay (the filters are lossless; only the
+    // verified relation is observable).
+    "d131_containment_join" ->
+      s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, containment FROM (
+           SELECT i.doc_a, i.doc_b,
+             round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
+           FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
+         WHERE containment >= 0.6""",
+    // d132: the banded candidate set (shared CTEs) re-verified by
+    // levenshtein on the 1e-6 integer grid.
+    "d132_edit_verified" ->
+      s"""WITH $MinhashCandCtesSql,
+         t AS (SELECT c.doc_a, c.doc_b,
+             levenshtein(da.text, db.text) AS dist,
+             greatest(length(da.text), length(db.text)) AS ml
+           FROM cand c
+           JOIN documents da ON da.doc_id = c.doc_a
+           JOIN documents db ON db.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, CAST(dist AS INT) AS dist,
+           CAST(dist AS BIGINT) * 1000000 // ml AS norm_micro
+         FROM t
+         WHERE ml > 0 AND CAST(dist AS BIGINT) * 1000000 // ml <= 300000""",
+    // d133: Kendall pair census over the intersection of the d127 lists;
+    // signed division computed as sign * (|C-D| // (C+D)) because floor
+    // and truncate disagree on negative dividends.
+    "d133_rank_agreement" ->
+      s"""WITH $Bm25MicroCtesSql,
+         lex AS (SELECT doc_id, rk FROM (SELECT doc_id,
+             row_number() OVER (ORDER BY micro DESC, doc_id) AS rk FROM bm)
+           WHERE rk <= 20),
+         sem AS (SELECT doc_id, rank FROM (
+             SELECT c.vec_id AS doc_id, row_number() OVER (ORDER BY
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                   c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank
+             FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+             WHERE q.vec_id = 0)
+           WHERE rank <= 20),
+         j AS (SELECT l.doc_id, l.rk AS ra, s.rank AS rb
+           FROM lex l JOIN sem s ON l.doc_id = s.doc_id),
+         p AS (SELECT (x.ra - y.ra) * (x.rb - y.rb) AS prod
+           FROM j x JOIN j y ON x.doc_id < y.doc_id),
+         cd AS (SELECT
+             CAST(coalesce(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS concordant,
+             CAST(coalesce(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS discordant FROM p),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM j)
+         SELECT n_common, concordant, discordant,
+           CASE WHEN concordant + discordant = 0 THEN CAST(0 AS BIGINT)
+             WHEN concordant >= discordant
+               THEN CAST((concordant - discordant) * 1000000 AS BIGINT)
+                 // (concordant + discordant)
+             ELSE -(CAST((discordant - concordant) * 1000000 AS BIGINT)
+                 // (concordant + discordant)) END AS tau_micro
+         FROM cd CROSS JOIN nc""",
     // d126/d130: the integer-grid PageRank recurrence unrolled 3
     // iterations over the d05/d12 near-dup pair graph (jaccard >= 0.5,
     // symmetrized; d130 splits mass by micro-jaccard edge weight). Every

@@ -97,6 +97,23 @@ class MinHashLSHSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.9)
   }
 
+  test("editVerifiedPairs: levenshtein verdict on banded candidates") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val edited = base.replace("tok5 ", "tokX ") // one char substituted
+    val df = Seq((1L, base), (2L, edited),
+      (3L, "entirely different words " * 4)).toDF("doc_id", "text")
+    val got = MinHashLSH.editVerifiedPairs(df, "doc_id", "text",
+        maxNorm = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1, 1000000L / base.length))) // exact grid value; 3 absent
+    // a tight budget excludes the same verified candidate
+    assert(MinHashLSH.editVerifiedPairs(df, "doc_id", "text",
+      maxNorm = 1.0 / (2 * base.length)).count() === 0)
+  }
+
   test("shingles: docs shorter than n emit nothing") {
     import spark.implicits._
     val df = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
@@ -657,6 +674,42 @@ class JaccardJoinSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a === b)
     assert(a.nonEmpty)
+  }
+
+  /** Brute-force DIRECTED containment over the same shingle sets. */
+  private def bruteForceContainment(df: org.apache.spark.sql.DataFrame,
+                                    threshold: Double): Set[(Long, Long, Double)] = {
+    val sh = MinHashLSH.shingleArrays(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a != b
+      ni = (sa & sb).size
+      c = BigDecimal(ni.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= threshold
+    } yield (a, b, c)).toSet
+  }
+
+  test("containment: prefix filtering reproduces brute force, both orders") {
+    val df = mixedCorpus
+    for (t <- Seq(0.4, 0.6, 0.8, 1.0); fo <- Seq(true, false)) {
+      val got = JaccardJoin.containmentPairs(df, "doc_id", "text", t,
+          freqOrder = fo)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === bruteForceContainment(df, t), s"t=$t freqOrder=$fo")
+    }
+  }
+
+  test("containment is asymmetric where jaccard is blind") {
+    import spark.implicits._
+    // shingles(1) ⊂ shingles(3) (doc 3 = doc 1 + one word): 1→3 contains
+    // fully, 3→1 only partially — and BOTH beat the symmetric jaccard
+    val df = mixedCorpus
+    val got = JaccardJoin.containmentPairs(df, "doc_id", "text", 0.96)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 3L)) === 1.0) // subset side scores full containment
+    assert(!got.contains((3L, 1L))) // 18/19 = 0.947 < 0.96: direction matters
   }
 
   test("threshold 1.0 keeps only exact shingle-set duplicates") {

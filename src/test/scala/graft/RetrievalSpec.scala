@@ -34,6 +34,24 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rank agreement: identical, inverted, partial and disjoint lists") {
+    import spark.implicits._
+    def agree(a: Seq[(Long, Int)], b: Seq[(Long, Int)]) = {
+      val r = Retrieval.rankAgreement(a.toDF("id", "rank"),
+        b.toDF("id", "rank"), "id", "rank").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val asc = Seq((1L, 1), (2L, 2), (3L, 3))
+    assert(agree(asc, asc) === ((3L, 3L, 0L, 1000000L)))
+    assert(agree(asc, Seq((1L, 3), (2L, 2), (3L, 1))) ===
+      ((3L, 0L, 3L, -1000000L))) // full inversion, exact -1
+    // one swapped pair: C=2, D=1, tau = 1e6 div 3
+    assert(agree(asc, Seq((1L, 1), (2L, 3), (3L, 2))) ===
+      ((3L, 2L, 1L, 333333L)))
+    // disjoint id spaces: empty census, tau pinned to 0
+    assert(agree(asc, Seq((9L, 1))) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("rrf equals the sequential fusion model on random list sets") {
     import org.scalacheck.{Gen, Prop}
     import spark.implicits._
