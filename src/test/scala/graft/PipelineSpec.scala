@@ -700,6 +700,17 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("containment and edit-verify plans never contain a cross product") {
+    val cp = JaccardJoin.containmentPairs(mixedCorpus, "doc_id", "text", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct"), cp)
+    assert(!cp.contains("BroadcastNestedLoopJoin"), cp)
+    val ev = MinHashLSH.editVerifiedPairs(mixedCorpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!ev.contains("CartesianProduct"), ev)
+    assert(!ev.contains("BroadcastNestedLoopJoin"), ev)
+  }
+
   test("containment is asymmetric where jaccard is blind") {
     import spark.implicits._
     // shingles(1) ⊂ shingles(3) (doc 3 = doc 1 + one word): 1→3 contains
