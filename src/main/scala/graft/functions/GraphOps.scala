@@ -98,6 +98,55 @@ object GraphOps {
     r.selectExpr("__id AS id", "__r AS rank_ppb")
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), fixed rounds —
+    * community detection over a similarity graph: where connected
+    * components ([[MinHashLSH.clusters]]) answer "transitively linked at
+    * all?", LPA's majority vote splits a component into its densely-linked
+    * cores, the granularity diversity-aware sampling wants (cap per
+    * community, not per giant component).
+    *
+    * Determinism: labels start as own ids; each round every node takes the
+    * label most frequent among its IN-neighbors, ties broken by smallest
+    * label, nodes with no in-edges keep their label — a pure integer
+    * argmax, so fixed-round output is a pure function of the edge set
+    * (asynchronous/randomized LPA is not, which is why rounds are fixed
+    * and synchronous). Per round: ONE equijoin + a (node, label) count agg
+    * + a per-node argmax window — all keyed on node id, no cross product;
+    * `localCheckpoint` cadence as in [[pageRank]]. Pass a symmetrized
+    * edge list for undirected semantics.
+    *
+    * Returns (id, community) for every node in the edge set.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    val disk = StorageLevel.MEMORY_AND_DISK
+    val e = graft.CacheRegistry.track(
+      edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst")).persist(disk))
+    val nodes = graft.CacheRegistry.track(
+      e.select(col("__src").as("__id"))
+        .union(e.select(col("__dst").as("__id")))
+        .distinct().persist(disk))
+    var lab = nodes.select(col("__id"), col("__id").as("__lab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__dst").orderBy(col("__v").desc, col("__lab").asc)
+    for (t <- 1 to iters) {
+      val win = e.join(lab, col("__src") === col("__id"))
+        .groupBy(col("__dst"), col("__lab"))
+        .agg(count(lit(1)).as("__v"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("__dst"), col("__lab").as("__newlab"))
+      lab = lab.join(win, lab("__id") === win("__dst"), "left")
+        .select(col("__id"),
+          coalesce(col("__newlab"), col("__lab")).as("__lab"))
+      if (t % checkpointEvery == 0 && t < iters) lab = lab.localCheckpoint()
+    }
+    lab.selectExpr("__id AS id", "__lab AS community")
+  }
+
   /** Triangle census of an undirected graph — the structure audit of a
     * similarity graph: a near-dup graph whose edges are real duplicates is
     * triangle-dense (duplicates of a duplicate are duplicates), while

@@ -493,4 +493,41 @@ object Sampling {
           col("epoch").cast("string"))) <
           round((col("__w") - floor(col("__w"))) * 4294967296.0).cast("long"))
       .drop("__w")
+
+  /** Source-mixture entropy census — the one-row diversity monitor a
+    * mixture pipeline watches per release: Shannon entropy of the
+    * domain/source distribution plus its evenness against the uniform
+    * mixture (`H / ln k` — 1.0 means perfectly balanced, →0 means one
+    * source dominates). The signal [[epochMix]]/[[matchDistribution]]
+    * change; this is the meter that says whether they need to.
+    *
+    * One partial-agg census (domains), a broadcast 1-row total, and a
+    * per-domain map — no corpus-sized shuffle beyond the domain groupBy.
+    * Determinism ([[graft.functions.TextAnalysis.unigramLogProb]]'s
+    * discipline): each domain's `−p·ln p` term is rounded onto the 1e-6
+    * grid and summed as a LONG; the evenness ratio divides grid longs, so
+    * the result replays exactly in any engine whose `ln` agrees on the
+    * shared doubles (the same dependency every ln-based green oracle has).
+    * NULL domains count as a domain, matching SQL GROUP BY.
+    *
+    * Returns ONE row: (n_sources, n_docs, entropy_micro, evenness_micro).
+    */
+  def mixtureEntropy(df: org.apache.spark.sql.DataFrame,
+                     domainCol: String): org.apache.spark.sql.DataFrame = {
+    val cnt = df.groupBy(col(domainCol).as("__d"))
+      .agg(count(lit(1)).cast("long").as("__c"))
+    val tot = broadcast(cnt.agg(sum("__c").cast("long").as("__n"),
+      count(lit(1)).cast("long").as("__k")))
+    // the oracle mirrors this expression tree verbatim (float ops are
+    // order-sensitive): -(c/n) * ln(c/n) * 1e6, c widened to double first
+    val p = col("__c").cast("double") / col("__n")
+    cnt.crossJoin(tot)
+      .select(round(-p * log(p) * lit(1e6), 0).cast("long").as("__t"),
+        col("__n"), col("__k"))
+      .groupBy("__n", "__k").agg(sum("__t").cast("long").as("entropy_micro"))
+      .selectExpr("__k AS n_sources", "__n AS n_docs", "entropy_micro",
+        ("CASE WHEN __k <= 1 THEN CAST(1000000 AS BIGINT)" +
+          " ELSE entropy_micro * 1000000 div CAST(round(ln(CAST(__k AS" +
+          " DOUBLE)) * 1000000, 0) AS BIGINT) END AS evenness_micro"))
+  }
 }

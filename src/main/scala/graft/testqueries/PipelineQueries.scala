@@ -788,6 +788,25 @@ object PipelineQueries {
         maxNorm = 0.3)
     },
 
+    // Source-mixture entropy census (round 13): the one-row diversity
+    // meter for the mixture family — entropy + evenness of the source
+    // distribution on the 1e-6 integer grid.
+    "d134_mixture_entropy" -> { (s, dir) =>
+      Sampling.mixtureEntropy(docs(s, dir), "source")
+    },
+
+    // Label-propagation communities over the near-dup graph (round 13):
+    // majority-vote cores within components — the per-community cap
+    // granularity for diversity-aware sampling.
+    "d135_communities" -> { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      GraphOps.labelPropagation(sym, "doc_a", "doc_b", iters = 3)
+        .selectExpr("id AS doc_id", "community")
+    },
+
     // Kendall agreement between the d127 lexical and semantic lists
     // (round 13): the one-row census that says whether the two rankers
     // disagree enough for fusion to matter.
@@ -2886,6 +2905,46 @@ object PipelineQueries {
            CAST(dist AS BIGINT) * 1000000 // ml AS norm_micro
          FROM t
          WHERE ml > 0 AND CAST(dist AS BIGINT) * 1000000 // ml <= 300000""",
+    // d134: per-source -p*ln(p) terms on the 1e-6 grid summed as longs;
+    // evenness divides grid longs, CASE-guarded for the 1-source corpus.
+    "d134_mixture_entropy" ->
+      """WITH c AS (SELECT source AS d, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k FROM c),
+         terms AS (SELECT CAST(round(-(CAST(c.c AS DOUBLE) / t.n)
+               * ln(CAST(c.c AS DOUBLE) / t.n) * 1e6, 0) AS BIGINT) AS tm,
+             t.n, t.k
+           FROM c CROSS JOIN t)
+         SELECT k AS n_sources, n AS n_docs,
+           CAST(sum(tm) AS BIGINT) AS entropy_micro,
+           CASE WHEN k <= 1 THEN CAST(1000000 AS BIGINT)
+             ELSE CAST(sum(tm) AS BIGINT) * 1000000
+               // CAST(round(ln(CAST(k AS DOUBLE)) * 1000000, 0) AS BIGINT)
+             END AS evenness_micro
+         FROM terms GROUP BY k, n""",
+    // d135: the synchronous majority-vote recurrence unrolled 3 rounds
+    // over the same symmetrized pair graph as d126 — per-round (node,
+    // label) count + (count desc, label asc) argmax, no-in-edge nodes
+    // keep their label.
+    "d135_communities" -> {
+      def round(t: Int): String =
+        s"""v$t AS (SELECT e.dst AS id, l.lab, count(*) AS v
+             FROM edges e JOIN l${t - 1} l ON l.id = e.src GROUP BY 1, 2),
+           w$t AS (SELECT id, lab FROM (SELECT id, lab, row_number()
+               OVER (PARTITION BY id ORDER BY v DESC, lab ASC) AS rn
+             FROM v$t) WHERE rn = 1),
+           l$t AS (SELECT l.id, coalesce(w$t.lab, l.lab) AS lab
+             FROM l${t - 1} l LEFT JOIN w$t ON w$t.id = l.id)"""
+      s"""WITH pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         l0 AS (SELECT id, id AS lab FROM nodes),
+         ${round(1)}, ${round(2)}, ${round(3)}
+         SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l3"""
+    },
     // d133: Kendall pair census over the intersection of the d127 lists;
     // signed division computed as sign * (|C-D| // (C+D)) because floor
     // and truncate disagree on negative dividends.

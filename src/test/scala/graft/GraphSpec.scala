@@ -184,6 +184,49 @@ class GraphOpsSpec extends SparkSpec {
     })
   }
 
+  private def communities(edges: Seq[(Long, Long)],
+                          iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("label propagation: a clique collapses onto its smallest id") {
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+    assert(communities(sym, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("label propagation: disjoint cliques get disjoint communities") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val got = communities(clique(Seq(1L, 2L, 3L)) ++ clique(Seq(7L, 8L, 9L)), 3)
+    assert(got.filterKeys(_ <= 3L).values.toSet === Set(1L))
+    assert(got.filterKeys(_ >= 7L).values.toSet === Set(7L))
+  }
+
+  test("label propagation equals the sequential synchronous replay") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 7L); v <- Gen.chooseNum(1L, 7L)
+    } yield (u, v))
+    def model(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var lab = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        val next = nodes.map { v =>
+          val votes = edges.filter(_._2 == v).map(e => lab(e._1))
+            .groupBy(identity).map { case (l, g) => (l, g.size) }
+          v -> (if (votes.isEmpty) lab(v)
+                else votes.toSeq.maxBy { case (l, c) => (c, -l) }._1)
+        }.toMap
+        lab = next
+      }
+      lab
+    }
+    checkProp(Prop.forAllNoShrink(edgeGen, Gen.chooseNum(1, 4)) {
+      (edges, iters) => communities(edges, iters) == model(edges, iters)
+    })
+  }
+
   test("plans: edge-sized work is always an equijoin, never a cross product") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i % 50 + 1)).toDF("src", "dst")

@@ -537,6 +537,26 @@ class SamplingSpec extends SparkSpec {
     assert(again === got.map(_._1).toSet)
   }
 
+  test("mixtureEntropy: closed forms on balanced, single and skewed mixes") {
+    import spark.implicits._
+    def ent(doms: Seq[String]) = {
+      val r = Sampling.mixtureEntropy(
+        doms.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+          .toDF("id", "dom"), "dom").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // 50/50: H = ln 2 on the grid, term-wise rounded then summed
+    val half = math.round(0.5 * math.log(2) * 1e6)
+    val ln2 = math.round(math.log(2) * 1e6)
+    assert(ent(Seq("a", "a", "b", "b")) ===
+      ((2L, 4L, 2 * half, 2 * half * 1000000L / ln2)))
+    // single source: zero entropy, evenness pinned to 1
+    assert(ent(Seq("a", "a", "a")) === ((1L, 3L, 0L, 1000000L)))
+    // skew lowers both entropy and evenness below the balanced mix
+    val (k, n, h, ev) = ent(Seq("a", "a", "a", "b"))
+    assert(k === 2L && n === 4L && h < 2 * half && ev < 1000000L && h > 0L)
+  }
+
   test("plan: epochMix is map-only; tokenBudgetMix broadcasts its census") {
     import spark.implicits._
     val df = (1L to 50L).map(i => (i, "a", "w w w")).toDF("id", "dom", "text")
