@@ -55,10 +55,22 @@ object GraphOps {
     *
     * Returns one row per node: (id, rank_ppb) — rank scaled by 10^9,
     * summing to ≤ 10^9 (truncation loses ≤ 1 ppb per edge per round).
+    *
+    * `seeds` (personalized PageRank, Haveliwala 2002): when given (first
+    * column = node id), BOTH the initial mass and the per-iteration
+    * teleport land only on seed nodes — `10^9 div |S∩nodes|` and
+    * `(15·10^7) div |S∩nodes|` respectively, 0 elsewhere — so rank
+    * measures proximity to the seed set through the graph, the "expand a
+    * trusted subset" primitive (seed = curated docs, rank = crawl-quality
+    * prior). With `seeds = None` the uniform recurrence above is computed
+    * bit-for-bit unchanged. The seed set must intersect the node set —
+    * an empty intersection makes the teleport division fail loudly
+    * rather than silently returning the zero vector.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, checkpointEvery: Int = 8,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     val disk = StorageLevel.MEMORY_AND_DISK
@@ -77,25 +89,91 @@ object GraphOps {
     // would re-shuffle the full edge table every round.
     val tw = e.groupBy("__src").agg(sum("__w").as("__tw"))
     val ed = graft.CacheRegistry.track(e.join(tw, "__src").persist(disk))
-    val nodes = graft.CacheRegistry.track(
-      e.select(col("__src").as("__id"))
-        .union(e.select(col("__dst").as("__id")))
-        .distinct().persist(disk))
-    val nRow = broadcast(nodes.agg(count(lit(1)).cast("long").as("__n")))
-    var r = nodes.crossJoin(nRow)
-      .selectExpr("__id", "CAST(1000000000 AS BIGINT) div __n AS __r")
+    // (__id, __init, __tele) — initial mass and per-iteration teleport,
+    // fused once (uniform or seed-restricted) and persisted: every
+    // iteration's rebuild joins against it.
+    val nodesRaw = e.select(col("__src").as("__id"))
+      .union(e.select(col("__dst").as("__id")))
+      .distinct()
+    val nt = seeds match {
+      case None =>
+        val nRow = broadcast(nodesRaw.agg(count(lit(1)).cast("long").as("__n")))
+        nodesRaw.crossJoin(nRow).selectExpr("__id",
+          "CAST(1000000000 AS BIGINT) div __n AS __init",
+          "CAST(150000000 AS BIGINT) div __n AS __tele")
+      case Some(sd) =>
+        // seed list is a broadcast-sized id set; flag + count ∩ nodes in
+        // one left join (never a collect)
+        val s = sd.select(col(sd.columns.head).cast("long").as("__id"))
+          .distinct().withColumn("__sd", lit(1))
+        val flagged = nodesRaw.join(broadcast(s), Seq("__id"), "left")
+        val nsRow = broadcast(flagged.agg(
+          sum(when(col("__sd").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("__ns")))
+        flagged.crossJoin(nsRow).selectExpr("__id",
+          ("CASE WHEN __sd IS NOT NULL THEN CAST(1000000000 AS BIGINT)" +
+            " div __ns ELSE CAST(0 AS BIGINT) END AS __init"),
+          ("CASE WHEN __sd IS NOT NULL THEN CAST(150000000 AS BIGINT)" +
+            " div __ns ELSE CAST(0 AS BIGINT) END AS __tele"))
+    }
+    val nodes = graft.CacheRegistry.track(nt.persist(disk))
+    var r = nodes.select(col("__id"), col("__init").as("__r"))
     for (t <- 1 to iters) {
       val sums = ed.join(r, col("__src") === col("__id"))
         .selectExpr("__dst", "(__r * __w) div __tw AS __c")
         .groupBy("__dst").agg(sum("__c").as("__s"))
       r = nodes.join(sums, nodes("__id") === sums("__dst"), "left")
-        .crossJoin(nRow)
         .selectExpr("__id",
-          ("CAST(150000000 AS BIGINT) div __n" +
-            " + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100 AS __r"))
+          "__tele + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100 AS __r")
       if (t % checkpointEvery == 0 && t < iters) r = r.localCheckpoint()
     }
     r.selectExpr("__id AS id", "__r AS rank_ppb")
+  }
+
+  /** Fixed-round k-core peel (Seidman 1983) of an undirected graph — the
+    * density audit of a near-dup neighborhood: the k-core is the maximal
+    * subgraph where every node keeps ≥ k neighbors, so core membership
+    * separates genuinely duplicate-dense regions (which survive peeling)
+    * from band-collision fringe (degree-1/2 tendrils peel off in the
+    * first rounds) — a sharper structural gate than [[triangleStats]]'
+    * one-row census, per node instead of global.
+    *
+    * One peel round: restrict edges to pairs whose BOTH endpoints
+    * survived the previous round (two semi joins on the persisted edge
+    * table), recount degrees (one keyed agg), keep nodes with degree ≥ k.
+    * Rounds are FIXED like [[labelPropagation]] — the output after R
+    * rounds is the R-round peel (a superset of the true k-core that
+    * equals it once peeling stabilizes, which the spec checks on its
+    * fixtures by comparing R and R+1) and a pure integer function of the
+    * edge set, replayable by any engine as R unrolled restrict-count
+    * rounds. Per round the surviving edge set only shrinks, so the
+    * shuffle budget is monotonically decreasing; `localCheckpoint`
+    * cadence as in [[pageRank]]. Pass a symmetrized edge list.
+    *
+    * Returns (id, degree) for nodes surviving round R — degree counted
+    * in the round-R restricted graph.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(rounds >= 1 && rounds <= 100, s"rounds=$rounds out of [1,100]")
+    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    val disk = StorageLevel.MEMORY_AND_DISK
+    val e = graft.CacheRegistry.track(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .where(col("__src") =!= col("__dst"))
+        .distinct().persist(disk))
+    var surv = e.select(col("__src").as("__id")).distinct()
+    var deg: DataFrame = null
+    for (t <- 1 to rounds) {
+      val rs = e.join(surv, e("__src") === surv("__id"), "left_semi")
+      val rd = rs.join(surv, rs("__dst") === surv("__id"), "left_semi")
+      deg = rd.groupBy("__src").agg(count(lit(1)).cast("long").as("__d"))
+      surv = deg.where(col("__d") >= k).select(col("__src").as("__id"))
+      if (t % checkpointEvery == 0 && t < rounds) surv = surv.localCheckpoint()
+    }
+    deg.where(col("__d") >= k).selectExpr("__src AS id", "__d AS degree")
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007), fixed rounds —
@@ -145,6 +223,79 @@ object GraphOps {
       if (t % checkpointEvery == 0 && t < iters) lab = lab.localCheckpoint()
     }
     lab.selectExpr("__id AS id", "__lab AS community")
+  }
+
+  /** Newman modularity of a community assignment on the 1e-6 integer
+    * grid — the closure of the [[labelPropagation]] loop: LPA proposes
+    * communities, modularity SCORES them (`Q = Σ_c [L_c/m − (D_c/2m)²]`,
+    * Newman & Girvan 2004 — intra-community edge mass vs the degree-
+    * preserving random expectation), so a pipeline can gate "cap
+    * sampling per community" on the partition actually being denser than
+    * chance (Q > 0) instead of trusting the fixed-round vote blindly.
+    *
+    * Integer discipline: per community the positive term
+    * `(L_c·10^6) div m` and the expectation term
+    * `(D_c²·10^6) div (4m²)` are each computed in decimal(38,0) (D_c² at
+    * web scale exceeds long range) and truncated to a long SEPARATELY —
+    * both non-negative, so truncating `div` and the oracle's floor `//`
+    * agree — then summed exactly: `q_micro = Σadd − Σsub`. No float
+    * enters, so the score is a pure function of (edges, assignment).
+    *
+    * Plan: orient + dedup edges once (persisted, read twice — the
+    * [[triangleStats]] S4 shape); TWO broadcast-or-keyed joins hang the
+    * community id on each endpoint; intra-edge count and community
+    * degree are keyed aggs; the scalar m rides a broadcast 1-row
+    * crossJoin. Nodes missing from `assign` keep their own id as a
+    * singleton community (coalesce), so the score is total.
+    *
+    * Returns ONE row: (n_nodes, n_edges, n_communities, intra_edges,
+    * q_micro).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 assign: DataFrame, idCol: String,
+                 commCol: String): DataFrame = {
+    val disk = StorageLevel.MEMORY_AND_DISK
+    val e = graft.CacheRegistry.track(
+      edges.select(
+          least(col(srcCol), col(dstCol)).cast("long").as("a"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct().persist(disk))
+    val cm = assign.select(col(idCol).cast("long").as("__id"),
+      col(commCol).cast("long").as("__cm"))
+    val mRow = broadcast(e.agg(count(lit(1)).cast("long").as("m")))
+    // community on each endpoint; unassigned nodes become singletons
+    val cma = cm.select(col("__id").as("__ida"), col("__cm").as("__ca"))
+    val cmb = cm.select(col("__id").as("__idb"), col("__cm").as("__cb"))
+    val withC = e
+      .join(cma, e("a") === col("__ida"), "left")
+      .join(cmb, e("b") === col("__idb"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("__ca"), col("a")).as("ca"),
+        coalesce(col("__cb"), col("b")).as("cb"))
+    val intra = withC.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).cast("long").as("lc"))
+    val deg = withC.select(col("ca").as("c"))
+      .union(withC.select(col("cb").as("c")))
+      .groupBy("c").agg(count(lit(1)).cast("long").as("dc"))
+    val terms = deg.join(intra, Seq("c"), "left")
+      .select(col("c"), coalesce(col("lc"), lit(0L)).as("lc"), col("dc"))
+      .crossJoin(mRow)
+      .selectExpr("c", "lc",
+        "lc * CAST(1000000 AS BIGINT) div m AS add_micro",
+        ("CAST(dc AS DECIMAL(38,0)) * dc * 1000000" +
+          " div (CAST(4 AS DECIMAL(38,0)) * m * m) AS sub_micro"))
+    val nn = broadcast(e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+      .agg(count(lit(1)).cast("long").as("n_nodes")))
+    terms.agg(
+        count(lit(1)).cast("long").as("n_communities"),
+        coalesce(sum("lc"), lit(0L)).cast("long").as("intra_edges"),
+        (coalesce(sum("add_micro"), lit(0L)) -
+          coalesce(sum("sub_micro"), lit(0L))).cast("long").as("q_micro"))
+      .crossJoin(nn).crossJoin(mRow)
+      .selectExpr("n_nodes", "m AS n_edges", "n_communities",
+        "intra_edges", "q_micro")
   }
 
   /** Triangle census of an undirected graph — the structure audit of a

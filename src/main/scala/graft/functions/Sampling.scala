@@ -513,9 +513,24 @@ object Sampling {
     * Returns ONE row: (n_sources, n_docs, entropy_micro, evenness_micro).
     */
   def mixtureEntropy(df: org.apache.spark.sql.DataFrame,
-                     domainCol: String): org.apache.spark.sql.DataFrame = {
-    val cnt = df.groupBy(col(domainCol).as("__d"))
-      .agg(count(lit(1)).cast("long").as("__c"))
+                     domainCol: String): org.apache.spark.sql.DataFrame =
+    mixtureEntropyFromCensus(
+      df.groupBy(col(domainCol).as("__d"))
+        .agg(count(lit(1)).cast("long").as("__c")), "__d", "__c")
+
+  /** The grid-combine half of [[mixtureEntropy]], over an ALREADY-BUILT
+    * (domain, count) census — the one definition shared by the batch
+    * operator and the streaming twin ([[graft.streaming.DocStream]]'s
+    * entropy stream maintains the census live and hands its final rows
+    * here), so the two paths cannot drift. Also the standing-artifact
+    * entry point: a persisted per-release census answers the meter
+    * without re-reading the corpus (the [[CorpusCatalog]] contract).
+    */
+  def mixtureEntropyFromCensus(census: org.apache.spark.sql.DataFrame,
+                               domCol: String,
+                               cntCol: String): org.apache.spark.sql.DataFrame = {
+    val cnt = census.select(col(domCol).as("__d"),
+      col(cntCol).cast("long").as("__c"))
     val tot = broadcast(cnt.agg(sum("__c").cast("long").as("__n"),
       count(lit(1)).cast("long").as("__k")))
     // the oracle mirrors this expression tree verbatim (float ops are
@@ -529,5 +544,65 @@ object Sampling {
         ("CASE WHEN __k <= 1 THEN CAST(1000000 AS BIGINT)" +
           " ELSE entropy_micro * 1000000 div CAST(round(ln(CAST(__k AS" +
           " DOUBLE)) * 1000000, 0) AS BIGINT) END AS evenness_micro"))
+  }
+
+  /** Mutual information between two categorical columns on the 1e-6
+    * integer grid — the dependence meter next to [[mixtureEntropy]]'s
+    * diversity meter: `I(A;B) = H(A) + H(B) − H(A,B)` says whether two
+    * stratification axes (language × source, domain × quality bucket)
+    * carry independent signal or duplicate each other, which decides
+    * whether a mixture policy needs the joint grid or the marginals
+    * suffice. Normalized form `I/min(H_A,H_B)` ∈ [0,1] (Kvålseth 1987)
+    * rides along for comparability across column pairs.
+    *
+    * All three entropies use the [[mixtureEntropy]] discipline — per-cell
+    * `round(−p·ln p·1e6)` longs, summed exactly — and the combination is
+    * pure long arithmetic, so the row is engine-replayable bit-for-bit
+    * (per-term rounding can leave `mi_micro` a few micro-nats negative on
+    * independent data; it is emitted raw, not clamped, because the raw
+    * value is the replayable one).
+    *
+    * ONE corpus pass: the (a,b) joint census is the only corpus-sized
+    * shuffle (bounded by |A|·|B| cells); marginals and totals re-aggregate
+    * the persisted census rows, and the three 1-row entropies meet in
+    * broadcast crossJoins. Returns ONE row: (n_rows, n_a, n_b, n_cells,
+    * h_a_micro, h_b_micro, h_ab_micro, mi_micro, nmi_micro).
+    */
+  def mutualInformation(df: org.apache.spark.sql.DataFrame,
+                        aCol: String, bCol: String): org.apache.spark.sql.DataFrame = {
+    val joint = graft.CacheRegistry.track(
+      df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+        .agg(count(lit(1)).cast("long").as("__c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = broadcast(joint.agg(
+      coalesce(sum("__c"), lit(0L)).cast("long").as("__n"),
+      count(lit(1)).cast("long").as("__cells")))
+    // the oracle mirrors this expression tree verbatim (float ops are
+    // order-sensitive): -(c/n) * ln(c/n) * 1e6 per cell, summed as longs
+    def entMicro(census: org.apache.spark.sql.DataFrame, h: String,
+                 k: String): org.apache.spark.sql.DataFrame = {
+      val p = col("__c").cast("double") / col("__n")
+      census.crossJoin(tot)
+        .select(round(-p * log(p) * lit(1e6), 0).cast("long").as("__t"))
+        .agg(coalesce(sum("__t"), lit(0L)).cast("long").as(h),
+          count(lit(1)).cast("long").as(k))
+    }
+    val ha = entMicro(joint.groupBy("__a").agg(sum("__c").as("__c")),
+      "h_a_micro", "n_a")
+    val hb = entMicro(joint.groupBy("__b").agg(sum("__c").as("__c")),
+      "h_b_micro", "n_b")
+    val hab = entMicro(joint, "h_ab_micro", "__nc")
+    ha.crossJoin(broadcast(hb)).crossJoin(broadcast(hab)).crossJoin(tot)
+      .selectExpr("__n AS n_rows", "n_a", "n_b", "__cells AS n_cells",
+        "h_a_micro", "h_b_micro", "h_ab_micro",
+        "h_a_micro + h_b_micro - h_ab_micro AS mi_micro",
+        // nmi divides a CLAMPED-at-0 numerator: a rounding-negative MI is
+        // noise, and keeping the dividend non-negative is what lets
+        // truncating `div` and the oracle's floor `//` agree (the d133
+        // signed-division lesson)
+        ("CASE WHEN least(h_a_micro, h_b_micro) <= 0" +
+          " OR h_a_micro + h_b_micro - h_ab_micro <= 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE (h_a_micro + h_b_micro - h_ab_micro) * 1000000" +
+          " div least(h_a_micro, h_b_micro) END AS nmi_micro"))
   }
 }

@@ -807,6 +807,70 @@ object PipelineQueries {
         .selectExpr("id AS doc_id", "community")
     },
 
+    // Fixed-round k-core peel of the near-dup graph (round 13): nodes
+    // that keep >= 2 neighbors through 3 peel rounds — duplicate-dense
+    // cores vs band-collision fringe, the per-node complement of d129's
+    // global triangle census.
+    "d136_kcore" -> { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      GraphOps.kCore(sym, "doc_a", "doc_b", k = 2, rounds = 3)
+        .selectExpr("id AS doc_id", "degree")
+    },
+
+    // Personalized PageRank from the English-doc seed set (round 13):
+    // teleport mass restricted to seeds, so rank measures proximity to
+    // the trusted subset through the dup graph — the "expand a curated
+    // set" primitive next to d126's global centrality.
+    "d137_pagerank_seeded" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = MinHashLSH.nearDupPairs(d, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      GraphOps.pageRank(sym, "doc_a", "doc_b", iters = 3,
+          seeds = Some(d.where(col("lang") === "en").select("doc_id")))
+        .selectExpr("id AS doc_id", "rank_ppb")
+    },
+
+    // Mutual information between the two stratification axes (round 13):
+    // does language duplicate source, or do the mixture policies need
+    // the joint grid? One joint census, the rest is census-row math.
+    "d138_mutual_information" -> { (s, dir) =>
+      Sampling.mutualInformation(docs(s, dir), "lang", "source")
+    },
+
+    // Modularity of the d135 LPA communities (round 13): LPA proposes,
+    // Newman Q scores — the one-row gate that says the partition is
+    // denser than the degree-preserving random expectation (Q > 0)
+    // before per-community caps trust it.
+    "d139_modularity" -> { (s, dir) =>
+      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      val comm = GraphOps.labelPropagation(sym, "doc_a", "doc_b", iters = 3)
+      GraphOps.modularity(pairs, "doc_a", "doc_b", comm, "id", "community")
+    },
+
+    // The live twin of d134 (round 13): the source census maintained as
+    // streaming state (update-mode final emission — one row per source,
+    // state bounded by source cardinality), handed to the SAME grid
+    // combine the batch meter uses (mixtureEntropyFromCensus) — streamed
+    // equals batch bit-for-bit because the combine is shared code.
+    "d140_entropy_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val census = stream.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val live = graft.streaming.StreamRunner.runToBatch(census,
+        "d140_entropy_stream", mode = "update")
+      Sampling.mixtureEntropyFromCensus(live, "source", "cnt")
+    },
+
     // Kendall agreement between the d127 lexical and semantic lists
     // (round 13): the one-row census that says whether the two rankers
     // disagree enough for fusion to matter.
@@ -2129,31 +2193,97 @@ object PipelineQueries {
     * with w ≡ 1 the weighted recurrence reduces to `r // deg` exactly, so
     * one builder keeps the two forms in sync.
     */
-  private def pageRankDupsSql(weighted: Boolean): String = {
+  private def pageRankDupsSql(weighted: Boolean,
+                              seeded: Boolean = false): String = {
     val wSel =
       if (weighted) ", CAST(round(jaccard * 1e6, 0) AS BIGINT) AS w" else ""
     val wCol = if (weighted) ", w" else ""
     val twExpr =
       if (weighted) "CAST(sum(w) AS BIGINT)" else "CAST(count(*) AS BIGINT)"
     val contrib = if (weighted) "(r.r * e.w) // t.tw" else "r.r // t.tw"
+    // seeded: initial mass and teleport land only on seed∩nodes (fl.fs
+    // flag, ns = seed-node count); unseeded: uniform over nn
+    val (nodeTab, massTab, init, tele) =
+      if (seeded) ("fl", "ns",
+        ("CASE WHEN fs IS NOT NULL THEN CAST(1000000000 AS BIGINT) // ns" +
+          " ELSE CAST(0 AS BIGINT) END"),
+        ("CASE WHEN fs IS NOT NULL THEN CAST(150000000 AS BIGINT) // ns" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      else ("nodes", "nn",
+        "CAST(1000000000 AS BIGINT) // n",
+        "CAST(150000000 AS BIGINT) // n")
+    val seedCtes = if (seeded)
+      s""",
+       sd AS (SELECT DISTINCT doc_id AS id FROM documents WHERE lang = 'en'),
+       fl AS (SELECT nodes.id, CASE WHEN sd.id IS NOT NULL THEN 1 END AS fs
+              FROM nodes LEFT JOIN sd ON sd.id = nodes.id),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM fl
+              WHERE fs IS NOT NULL)""" else ""
     def iter(t: Int): String =
       s"""s$t AS (SELECT e.dst AS id, CAST(sum($contrib) AS BIGINT) AS s
            FROM edges e JOIN r${t - 1} r ON r.id = e.src
            JOIN tw t ON t.src = e.src GROUP BY e.dst),
-         r$t AS (SELECT nodes.id, CAST(150000000 AS BIGINT) // n
+         r$t AS (SELECT $nodeTab.id, $tele
              + CAST(85 * coalesce(s$t.s, 0) AS BIGINT) // 100 AS r
-           FROM nodes LEFT JOIN s$t ON s$t.id = nodes.id CROSS JOIN nn)"""
+           FROM $nodeTab LEFT JOIN s$t ON s$t.id = $nodeTab.id
+           CROSS JOIN $massTab)"""
     s"""WITH pairs AS ($MinhashPairsSql),
        thr AS (SELECT doc_a, doc_b$wSel FROM pairs WHERE jaccard >= 0.5),
        edges AS (SELECT doc_a AS src, doc_b AS dst$wCol FROM thr
                  UNION ALL SELECT doc_b, doc_a$wCol FROM thr),
        nodes AS (SELECT DISTINCT src AS id FROM edges),
        tw AS (SELECT src, $twExpr AS tw FROM edges GROUP BY src),
-       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-       r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // n AS r
-              FROM nodes CROSS JOIN nn),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)$seedCtes,
+       r0 AS (SELECT id, $init AS r
+              FROM $nodeTab CROSS JOIN $massTab),
        ${iter(1)}, ${iter(2)}, ${iter(3)}
        SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r3"""
+  }
+
+  /** DuckDB replay of the per-source −p·ln p grid terms summed as longs,
+    * with the evenness division on grid longs — shared verbatim by the
+    * batch meter (d134) and its streaming twin (d140), whose Spark sides
+    * share the combine code ([[graft.functions.Sampling.mixtureEntropyFromCensus]]).
+    */
+  private val MixtureEntropySql: String =
+    """WITH c AS (SELECT source AS d, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k FROM c),
+         terms AS (SELECT CAST(round(-(CAST(c.c AS DOUBLE) / t.n)
+               * ln(CAST(c.c AS DOUBLE) / t.n) * 1e6, 0) AS BIGINT) AS tm,
+             t.n, t.k
+           FROM c CROSS JOIN t)
+         SELECT k AS n_sources, n AS n_docs,
+           CAST(sum(tm) AS BIGINT) AS entropy_micro,
+           CASE WHEN k <= 1 THEN CAST(1000000 AS BIGINT)
+             ELSE CAST(sum(tm) AS BIGINT) * 1000000
+               // CAST(round(ln(CAST(k AS DOUBLE)) * 1000000, 0) AS BIGINT)
+             END AS evenness_micro
+         FROM terms GROUP BY k, n"""
+
+  /** DuckDB replay of the 3-round synchronous label-propagation vote over
+    * the jaccard >= 0.5 near-dup pair graph, ending at CTE `l3(id, lab)`
+    * (with `thr`/`edges`/`nodes` in scope) — shared by the d135 community
+    * oracle and the d139 modularity oracle, so the proposal chain and the
+    * score chain replay the SAME communities.
+    */
+  private lazy val LpaCtesSql: String = {
+    def round(t: Int): String =
+      s"""v$t AS (SELECT e.dst AS id, l.lab, count(*) AS v
+           FROM edges e JOIN l${t - 1} l ON l.id = e.src GROUP BY 1, 2),
+         w$t AS (SELECT id, lab FROM (SELECT id, lab, row_number()
+             OVER (PARTITION BY id ORDER BY v DESC, lab ASC) AS rn
+           FROM v$t) WHERE rn = 1),
+         l$t AS (SELECT l.id, coalesce(w$t.lab, l.lab) AS lab
+           FROM l${t - 1} l LEFT JOIN w$t ON w$t.id = l.id)"""
+    s"""pairs AS ($MinhashPairsSql),
+       thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
+                 UNION ALL SELECT doc_b, doc_a FROM thr),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       l0 AS (SELECT id, id AS lab FROM nodes),
+       ${round(1)}, ${round(2)}, ${round(3)}"""
   }
 
   /** DuckDB replay of the BM25 per-doc micro-score chain (terms 'spark
@@ -2907,44 +3037,49 @@ object PipelineQueries {
          WHERE ml > 0 AND CAST(dist AS BIGINT) * 1000000 // ml <= 300000""",
     // d134: per-source -p*ln(p) terms on the 1e-6 grid summed as longs;
     // evenness divides grid longs, CASE-guarded for the 1-source corpus.
-    "d134_mixture_entropy" ->
-      """WITH c AS (SELECT source AS d, CAST(count(*) AS BIGINT) AS c
-           FROM documents GROUP BY source),
-         t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-             CAST(count(*) AS BIGINT) AS k FROM c),
-         terms AS (SELECT CAST(round(-(CAST(c.c AS DOUBLE) / t.n)
-               * ln(CAST(c.c AS DOUBLE) / t.n) * 1e6, 0) AS BIGINT) AS tm,
-             t.n, t.k
-           FROM c CROSS JOIN t)
-         SELECT k AS n_sources, n AS n_docs,
-           CAST(sum(tm) AS BIGINT) AS entropy_micro,
-           CASE WHEN k <= 1 THEN CAST(1000000 AS BIGINT)
-             ELSE CAST(sum(tm) AS BIGINT) * 1000000
-               // CAST(round(ln(CAST(k AS DOUBLE)) * 1000000, 0) AS BIGINT)
-             END AS evenness_micro
-         FROM terms GROUP BY k, n""",
+    "d134_mixture_entropy" -> MixtureEntropySql,
+    // d140: the streamed census feeds the SAME shared combine as batch,
+    // so one oracle definition covers both paths by construction.
+    "d140_entropy_stream" -> MixtureEntropySql,
     // d135: the synchronous majority-vote recurrence unrolled 3 rounds
     // over the same symmetrized pair graph as d126 — per-round (node,
     // label) count + (count desc, label asc) argmax, no-in-edge nodes
     // keep their label.
-    "d135_communities" -> {
-      def round(t: Int): String =
-        s"""v$t AS (SELECT e.dst AS id, l.lab, count(*) AS v
-             FROM edges e JOIN l${t - 1} l ON l.id = e.src GROUP BY 1, 2),
-           w$t AS (SELECT id, lab FROM (SELECT id, lab, row_number()
-               OVER (PARTITION BY id ORDER BY v DESC, lab ASC) AS rn
-             FROM v$t) WHERE rn = 1),
-           l$t AS (SELECT l.id, coalesce(w$t.lab, l.lab) AS lab
-             FROM l${t - 1} l LEFT JOIN w$t ON w$t.id = l.id)"""
-      s"""WITH pairs AS ($MinhashPairsSql),
-         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
-                   UNION ALL SELECT doc_b, doc_a FROM thr),
-         nodes AS (SELECT DISTINCT src AS id FROM edges),
-         l0 AS (SELECT id, id AS lab FROM nodes),
-         ${round(1)}, ${round(2)}, ${round(3)}
-         SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l3"""
-    },
+    "d135_communities" ->
+      s"""WITH $LpaCtesSql
+         SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l3""",
+    // d139: the d135 vote chain (shared CTEs — proposal and score cannot
+    // drift) scored by Newman modularity: per-community add/sub terms
+    // floor-divided SEPARATELY on non-negative values (so `//` == Spark's
+    // truncating div), expectation term in HUGEINT (D² exceeds BIGINT at
+    // web scale), exact long subtraction at the end.
+    "d139_modularity" ->
+      s"""WITH $LpaCtesSql,
+         e AS (SELECT DISTINCT least(doc_a, doc_b) AS a,
+             greatest(doc_a, doc_b) AS b FROM thr WHERE doc_a != doc_b),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         wc AS (SELECT e.a, e.b, coalesce(ca.lab, e.a) AS ca,
+             coalesce(cb.lab, e.b) AS cb
+           FROM e LEFT JOIN l3 ca ON ca.id = e.a
+           LEFT JOIN l3 cb ON cb.id = e.b),
+         intra AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS lc
+           FROM wc WHERE ca = cb GROUP BY 1),
+         dg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM
+           (SELECT ca AS c FROM wc UNION ALL SELECT cb FROM wc) GROUP BY 1),
+         terms AS (SELECT dg.c, coalesce(intra.lc, 0) AS lc,
+             CAST(coalesce(intra.lc, 0) * 1000000 AS BIGINT) // m AS add_micro,
+             CAST((CAST(dc AS HUGEINT) * dc * 1000000)
+               // (CAST(4 AS HUGEINT) * m * m) AS BIGINT) AS sub_micro
+           FROM dg LEFT JOIN intra ON intra.c = dg.c CROSS JOIN mm),
+         tm AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(coalesce(sum(lc), 0) AS BIGINT) AS intra_edges,
+             CAST(coalesce(sum(add_micro), 0) - coalesce(sum(sub_micro), 0)
+               AS BIGINT) AS q_micro
+           FROM terms),
+         nn AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes FROM
+           (SELECT a AS x FROM e UNION ALL SELECT b FROM e))
+         SELECT n_nodes, m AS n_edges, n_communities, intra_edges, q_micro
+         FROM tm CROSS JOIN nn CROSS JOIN mm""",
     // d133: Kendall pair census over the intersection of the d127 lists;
     // signed division computed as sign * (|C-D| // (C+D)) because floor
     // and truncate disagree on negative dividends.
@@ -2986,6 +3121,57 @@ object PipelineQueries {
     // DuckDB's HUGEINT sums are cast back to BIGINT at each use.
     "d126_pagerank_dups" -> pageRankDupsSql(weighted = false),
     "d130_pagerank_weighted" -> pageRankDupsSql(weighted = true),
+    // d137: the same 3-iteration integer recurrence with initial mass and
+    // teleport restricted to the English-doc seed set (ns = |seed∩nodes|).
+    "d137_pagerank_seeded" -> pageRankDupsSql(weighted = false, seeded = true),
+    // d136: 3 unrolled peel rounds — restrict edges to surviving
+    // endpoints, recount degrees, keep >= k — over the same symmetrized
+    // pair graph; output = round-3 degrees still >= k.
+    "d136_kcore" -> {
+      def peel(t: Int): String =
+        s"""d$t AS (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS d
+             FROM e JOIN s${t - 1} a ON a.id = e.src
+             JOIN s${t - 1} b ON b.id = e.dst GROUP BY e.src),
+           s$t AS (SELECT id FROM d$t WHERE d >= 2)"""
+      s"""WITH pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         e AS (SELECT DISTINCT src, dst FROM edges WHERE src != dst),
+         s0 AS (SELECT DISTINCT src AS id FROM e),
+         ${peel(1)}, ${peel(2)}, ${peel(3)}
+         SELECT id AS doc_id, d AS degree FROM d3 WHERE d >= 2"""
+    },
+    // d138: the three entropies on the shared per-cell 1e-6 grid — joint
+    // census once, marginals re-aggregated from it — combined in BIGINT.
+    "d138_mutual_information" ->
+      """WITH j AS (SELECT lang AS a, source AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS cells FROM j),
+         ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS c FROM j GROUP BY a),
+         mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS c FROM j GROUP BY b),
+         ha AS (SELECT CAST(coalesce(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+               * ln(CAST(c AS DOUBLE) / n) * 1e6, 0) AS BIGINT)), 0)
+             AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS k
+           FROM ma CROSS JOIN t),
+         hb AS (SELECT CAST(coalesce(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+               * ln(CAST(c AS DOUBLE) / n) * 1e6, 0) AS BIGINT)), 0)
+             AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS k
+           FROM mb CROSS JOIN t),
+         hj AS (SELECT CAST(coalesce(sum(CAST(round(-(CAST(c AS DOUBLE) / n)
+               * ln(CAST(c AS DOUBLE) / n) * 1e6, 0) AS BIGINT)), 0)
+             AS BIGINT) AS h
+           FROM j CROSS JOIN t)
+         SELECT t.n AS n_rows, ha.k AS n_a, hb.k AS n_b, t.cells AS n_cells,
+           ha.h AS h_a_micro, hb.h AS h_b_micro, hj.h AS h_ab_micro,
+           ha.h + hb.h - hj.h AS mi_micro,
+           CASE WHEN least(ha.h, hb.h) <= 0
+               OR ha.h + hb.h - hj.h <= 0 THEN CAST(0 AS BIGINT)
+             ELSE (ha.h + hb.h - hj.h) * 1000000 // least(ha.h, hb.h)
+             END AS nmi_micro
+         FROM ha CROSS JOIN hb CROSS JOIN hj CROSS JOIN t""",
     "d22_jaccard_join" -> JaccardPairsSql,
     // d103: both sides of the audit replayed — the exact >= 0.8 pair set
     // (d22's CTE chain) and the banded candidates verified at the same

@@ -261,5 +261,10 @@ class EmptyInputRound12Spec extends SparkSpec {
     val noL = Seq.empty[(Long, Int)].toDF("id", "rank")
     assert(graft.functions.Retrieval.rrfFuse(
       Seq("a" -> noL, "b" -> noL), "id", "rank").count() === 0)
+    // k-core and seeded pagerank: no edges -> no rows, no seed-count div0
+    assert(graft.functions.GraphOps.kCore(noE, "src", "dst", k = 2)
+      .count() === 0)
+    assert(graft.functions.GraphOps.pageRank(noE, "src", "dst",
+      seeds = Some(Seq(1L).toDF("id"))).count() === 0)
   }
 }

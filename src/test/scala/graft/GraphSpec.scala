@@ -227,6 +227,184 @@ class GraphOpsSpec extends SparkSpec {
     })
   }
 
+  private def ranksSeeded(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                          iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst", iters,
+        seeds = Some(seeds.toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("seeded pagerank: 2-cycle with one seed (exact)") {
+    // ns=1: r0 = (1e9, 0); iter 1: r(1) = 15e7 + 0, r(2) = 0 + 85e7
+    val r = ranksSeeded(Seq((1L, 2L), (2L, 1L)), Seq(1L), 1)
+    assert(r === Map(1L -> 150000000L, 2L -> 850000000L))
+  }
+
+  test("seeded pagerank: seeding every node equals the uniform recurrence") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (4L, 1L), (1L, 4L))
+    assert(ranksSeeded(edges, Seq(1L, 2L, 3L, 4L), 3) === ranks(edges, 3))
+  }
+
+  test("seeded pagerank: seed ids outside the graph are ignored") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    assert(ranksSeeded(edges, Seq(1L, 99L), 1) ===
+      ranksSeeded(edges, Seq(1L), 1))
+  }
+
+  test("seeded pagerank equals the sequential replay on random seed sets") {
+    val caseGen = for {
+      edges <- Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(1L, 6L); v <- Gen.chooseNum(1L, 6L)
+      } yield (u, v))
+      seeds <- Gen.atLeastOne(edges.flatMap(e => Seq(e._1, e._2)).distinct)
+    } yield (edges, seeds.toList)
+    def model(edges: Seq[(Long, Long)], seeds: Seq[Long],
+              iters: Int): Map[Long, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val sd = seeds.toSet.intersect(nodes.toSet)
+      val ns = sd.size
+      val deg = edges.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+      var r = nodes.map(v => v -> (if (sd(v)) 1000000000L / ns else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val s = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _) => r(u) / deg(u) }.sum }
+        r = nodes.map(v => v -> ((if (sd(v)) 150000000L / ns else 0L) +
+          85L * s.getOrElse(v, 0L) / 100L)).toMap
+      }
+      r
+    }
+    checkProp(Prop.forAllNoShrink(caseGen, Gen.chooseNum(1, 3)) {
+      case ((edges, seeds), iters) =>
+        ranksSeeded(edges, seeds, iters) == model(edges, seeds, iters)
+    })
+  }
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+                   rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val sym = df.union(df.select(df("dst"), df("src")))
+    GraphOps.kCore(sym, "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kcore: triangle survives k=2, tail peels off") {
+    val got = core(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)), 2, 3)
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: k=3 cascade empties a triangle-plus-tail graph") {
+    // deg(3)=3 survives round 1 alone, then loses all neighbors
+    assert(core(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)), 3, 3) === Map())
+  }
+
+  test("kcore: fixed rounds expose the peel frontier on a path") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    // round 1 peels the endpoints, round 2 peels 2 and 4, round 3 starves 3
+    assert(core(path, 2, 2) === Map(3L -> 2L))
+    assert(core(path, 2, 3) === Map())
+  }
+
+  test("kcore: K4 is its own 3-core") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(core(k4, 3, 3) === (1L to 4L).map(_ -> 3L).toMap)
+  }
+
+  test("kcore: rounds beyond the fixpoint change nothing (spec fixture)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L))
+    assert(core(edges, 2, 3) === core(edges, 2, 4))
+  }
+
+  test("kcore equals the sequential peel replay on random graphs") {
+    val edgeGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 8L); v <- Gen.chooseNum(1L, 8L)
+    } yield (u, v))
+    def model(edges: Seq[(Long, Long)], k: Int,
+              rounds: Int): Map[Long, Long] = {
+      // mirror the operator's intake: symmetrized, self-loops out, distinct
+      val e = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .filter(p => p._1 != p._2).distinct
+      var surv = e.map(_._1).distinct.toSet
+      var deg = Map.empty[Long, Long]
+      for (_ <- 1 to rounds) {
+        val r = e.filter(p => surv(p._1) && surv(p._2))
+        deg = r.groupBy(_._1).map { case (n, g) => n -> g.size.toLong }
+        surv = deg.filter(_._2 >= k).keySet
+      }
+      deg.filter(_._2 >= k)
+    }
+    checkProp(Prop.forAllNoShrink(edgeGen, Gen.chooseNum(1, 3),
+        Gen.chooseNum(1, 4)) { (edges, k, rounds) =>
+      val e = edges.filter(p => p._1 != p._2)
+      e.isEmpty || core(e, k, rounds) == model(e, k, rounds)
+    })
+  }
+
+  private def mod(edges: Seq[(Long, Long)],
+                  assign: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val r = GraphOps.modularity(edges.toDF("src", "dst"), "src", "dst",
+      assign.toDF("id", "comm"), "id", "comm").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("modularity: one community scores exactly zero") {
+    // L=m and D=2m make the two grid terms equal: 1e6 - 1e6
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(mod(tri, Seq((1L, 9L), (2L, 9L), (3L, 9L))) ===
+      ((3L, 3L, 1L, 3L, 0L)))
+  }
+
+  test("modularity: two disjoint cliques with own labels (exact)") {
+    // per community: add = 3e6 div 6, sub = 36e6 div 144 -> Q = 2*250000
+    val two = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L))
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 7L))
+    assert(mod(two, asg) === ((6L, 6L, 2L, 6L, 500000L)))
+  }
+
+  test("modularity: unassigned nodes become singleton communities") {
+    // 1-2 split into singletons: no intra mass, sub = 1e6 div 4 each
+    assert(mod(Seq((1L, 2L)), Seq.empty) === ((2L, 1L, 2L, 0L, -500000L)))
+  }
+
+  test("modularity: one total row on empty edges") {
+    assert(mod(Seq.empty, Seq((1L, 1L))) === ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("modularity equals the sequential integer replay on random partitions") {
+    val caseGen = for {
+      edges <- Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(1L, 8L); v <- Gen.chooseNum(1L, 8L)
+      } yield (u, v))
+      labels <- Gen.listOfN(8, Gen.chooseNum(1L, 3L))
+    } yield (edges, (1L to 8L).zip(labels).toList)
+    def model(edges: Seq[(Long, Long)],
+              assign: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val e = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+        .filter(p => p._1 != p._2).distinct
+      val m = e.size.toLong
+      val cm = assign.toMap
+      def c(v: Long) = cm.getOrElse(v, v)
+      val ends = e.flatMap(p => Seq(c(p._1), c(p._2)))
+      val dc = ends.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      val lc = e.filter(p => c(p._1) == c(p._2)).groupBy(p => c(p._1))
+        .map { case (k, g) => k -> g.size.toLong }
+      val q = dc.keys.toSeq.map { k =>
+        lc.getOrElse(k, 0L) * 1000000L / m -
+          (BigInt(dc(k)) * dc(k) * 1000000 / (BigInt(4) * m * m)).toLong
+      }.sum
+      val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong
+      (nodes, m, dc.size.toLong, lc.values.sum, q)
+    }
+    checkProp(Prop.forAllNoShrink(caseGen) { case (edges, assign) =>
+      val e = edges.filter(p => p._1 != p._2)
+      e.isEmpty || mod(e, assign) == model(e, assign)
+    })
+  }
+
   test("plans: edge-sized work is always an equijoin, never a cross product") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i % 50 + 1)).toDF("src", "dst")
@@ -239,5 +417,15 @@ class GraphOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!ts.contains("CartesianProduct"), ts)
     assert(ts.contains("Join"), ts) // triangle closure is a real equijoin
+    // k-core restriction is two semi joins per round — never a cross
+    // product, and the seed flag in seeded pagerank rides a broadcast
+    val kc = GraphOps.kCore(edges, "src", "dst", k = 2, rounds = 2)
+      .queryExecution.executedPlan.toString
+    assert(!kc.contains("CartesianProduct"), kc)
+    import spark.implicits._
+    val ps = GraphOps.pageRank(edges, "src", "dst", iters = 2,
+        seeds = Some(Seq(1L, 2L).toDF("id")))
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("CartesianProduct"), ps)
   }
 }

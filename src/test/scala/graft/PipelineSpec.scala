@@ -557,6 +557,40 @@ class SamplingSpec extends SparkSpec {
     assert(k === 2L && n === 4L && h < 2 * half && ev < 1000000L && h > 0L)
   }
 
+  test("mutualInformation: closed forms on independent, equal and constant") {
+    import spark.implicits._
+    def mi(rows: Seq[(String, String)]) = {
+      val r = Sampling.mutualInformation(
+        rows.toDF("a", "b"), "a", "b").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))
+    }
+    val half = math.round(0.5 * math.log(2) * 1e6)   // -p ln p at p=1/2
+    val quart = math.round(0.25 * math.log(4) * 1e6) // -p ln p at p=1/4
+    // independent uniform 2x2: H_a = H_b = ln 2, H_ab = ln 4 -> MI = 0
+    val indep = for (a <- Seq("x", "y"); b <- Seq("u", "v");
+                     _ <- 1 to 5) yield (a, b)
+    assert(mi(indep) === ((20L, 2L, 2L, 4L, 2 * half, 2 * half, 4 * quart,
+      2 * half + 2 * half - 4 * quart, 0L)))
+    // perfectly dependent (b = a): H_ab = H_a -> MI = H, NMI = 1
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+    assert(mi(dep) === ((4L, 2L, 2L, 2L, 2 * half, 2 * half, 2 * half,
+      2 * half, 1000000L)))
+    // constant column: zero marginal entropy pins MI and NMI to 0
+    val const = Seq(("x", "u"), ("x", "v"), ("x", "u"), ("x", "v"))
+    val (_, na, _, _, ha2, _, _, m, nm) = mi(const)
+    assert(na === 1L && ha2 === 0L && m === 0L && nm === 0L)
+  }
+
+  test("mutualInformation: one total row on empty input") {
+    import spark.implicits._
+    val r = Sampling.mutualInformation(
+      Seq.empty[(String, String)].toDF("a", "b"), "a", "b").collect()
+    assert(r.length === 1 && r.head.getLong(0) === 0L &&
+      r.head.getLong(7) === 0L && r.head.getLong(8) === 0L)
+  }
+
   test("plan: epochMix is map-only; tokenBudgetMix broadcasts its census") {
     import spark.implicits._
     val df = (1L to 50L).map(i => (i, "a", "w w w")).toDF("id", "dom", "text")

@@ -997,6 +997,33 @@ class QuantileStreamSpec extends SparkSpec {
     assert(spark.table("qstream").count() > batch.size)
   }
 
+  test("multi-batch streamed census entropy equals the batch meter") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val census = in.toDF().toDF("source").groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("cnt"))
+    val q = census.writeStream.format("memory").queryName("estream")
+      .outputMode("update").start()
+    try {
+      rows.grouped(4).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // last emission per source = the final census; the SHARED combine
+    // turns it into the meter row
+    val fin = spark.table("estream").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .foldLeft(Map.empty[String, Long])(_ + _).toSeq
+    val streamed = Sampling.mixtureEntropyFromCensus(
+      fin.toDF("source", "cnt"), "source", "cnt").head()
+    val batch = Sampling.mixtureEntropy(rows.toDF("source"), "source").head()
+    assert(streamed === batch)
+    // mid-stream emissions existed (update mode re-emits touched sources)
+    assert(spark.table("estream").count() > fin.size)
+  }
+
   test("stream quantiles: null domain/value rows are excluded like batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
