@@ -605,4 +605,101 @@ object Sampling {
           " ELSE (h_a_micro + h_b_micro - h_ab_micro) * 1000000" +
           " div least(h_a_micro, h_b_micro) END AS nmi_micro"))
   }
+
+  /** Jensen–Shannon divergence between two corpora's domain distributions
+    * on the 1e-6 integer grid — the drift meter that closes the release
+    * loop: [[mixtureEntropy]] says how diverse ONE release's mixture is,
+    * [[mutualInformation]] whether two axes within it are redundant, JSD
+    * says how far release P has MOVED from reference Q
+    * (`JSD = H(M) − (H(P)+H(Q))/2`, `M = (P+Q)/2`; Lin 1991) — symmetric,
+    * always finite (unlike KL, which blows up on any domain Q lacks —
+    * exactly the new-source-appeared case a drift monitor exists to
+    * catch), and bounded by `ln 2`.
+    *
+    * Same grid discipline as [[mixtureEntropy]]: per-domain
+    * `round(−p·ln p·1e6)` long terms for each of H(P), H(Q), H(M), summed
+    * exactly. To keep the combination in pure long arithmetic the row
+    * carries `jsd2_micro = 2·H(M) − H(P) − H(Q)` (twice the divergence —
+    * no halving truncation), emitted RAW: per-term rounding can leave it
+    * a few micro-nats outside [0, 2·ln 2·1e6], and the raw value is the
+    * replayable one. The normalized `jsd_norm_micro` divides the
+    * clamped-at-0 value by `2·round(ln 2·1e6)` (non-negative dividend, so
+    * truncating `div` == floor `//` — the d133 lesson); rounding can land
+    * it a hair above 1e6 on fully disjoint supports.
+    *
+    * Plan: one census groupBy per side (the only corpus-sized shuffles),
+    * a census-sized full-outer join on domain (persisted, read twice),
+    * broadcast 1-row totals, one term pass. Missing domains contribute 0
+    * to their side and `c/(2n)` to the mixture — the guarded CASE keeps
+    * an empty side NaN-free.
+    *
+    * Returns ONE row: (n_p, n_q, k_p, k_q, k_union, h_p_micro, h_q_micro,
+    * h_m_micro, jsd2_micro, jsd_norm_micro).
+    */
+  def jensenShannon(p: org.apache.spark.sql.DataFrame,
+                    q: org.apache.spark.sql.DataFrame,
+                    domainCol: String): org.apache.spark.sql.DataFrame =
+    jensenShannonFromCensus(
+      p.groupBy(col(domainCol).as("__d"))
+        .agg(count(lit(1)).cast("long").as("__c")),
+      q.groupBy(col(domainCol).as("__d"))
+        .agg(count(lit(1)).cast("long").as("__c")),
+      "__d", "__c")
+
+  /** The grid-combine half of [[jensenShannon]], over two ALREADY-BUILT
+    * (domain, count) censuses — shared by the batch operator and the
+    * streaming drift twin (live census vs reference census), and the
+    * standing-artifact entry point: two persisted per-release censuses
+    * answer the drift question with zero corpus passes (the
+    * [[CorpusCatalog]] contract).
+    */
+  def jensenShannonFromCensus(censusP: org.apache.spark.sql.DataFrame,
+                              censusQ: org.apache.spark.sql.DataFrame,
+                              domCol: String,
+                              cntCol: String): org.apache.spark.sql.DataFrame = {
+    val cp = censusP.select(col(domCol).as("__d"),
+      col(cntCol).cast("long").as("__cp"))
+    val cq = censusQ.select(col(domCol).as("__d"),
+      col(cntCol).cast("long").as("__cq"))
+    val j = graft.CacheRegistry.track(cp.join(cq, Seq("__d"), "full_outer")
+      .select(coalesce(col("__cp"), lit(0L)).as("__cp"),
+        coalesce(col("__cq"), lit(0L)).as("__cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = broadcast(j.agg(
+      coalesce(sum("__cp"), lit(0L)).cast("long").as("__np"),
+      coalesce(sum("__cq"), lit(0L)).cast("long").as("__nq"),
+      count(lit(1)).cast("long").as("__ku"),
+      coalesce(sum(when(col("__cp") > 0, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("__kp"),
+      coalesce(sum(when(col("__cq") > 0, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("__kq")))
+    // the oracle mirrors these expression trees verbatim (float ops are
+    // order-sensitive): guarded c/n per side (0.0 when the side lacks the
+    // domain — also what keeps an empty side off 0/0), mixture = the
+    // guarded halves' mean, each term -x * ln(x) * 1e6 rounded to a long
+    val pp = when(col("__cp") > 0,
+      col("__cp").cast("double") / col("__np")).otherwise(lit(0.0))
+    val qq = when(col("__cq") > 0,
+      col("__cq").cast("double") / col("__nq")).otherwise(lit(0.0))
+    val mm = (pp + qq) / lit(2.0)
+    val terms = j.crossJoin(tot).select(
+      when(col("__cp") > 0, round(-pp * log(pp) * lit(1e6), 0).cast("long"))
+        .otherwise(lit(0L)).as("__tp"),
+      when(col("__cq") > 0, round(-qq * log(qq) * lit(1e6), 0).cast("long"))
+        .otherwise(lit(0L)).as("__tq"),
+      round(-mm * log(mm) * lit(1e6), 0).cast("long").as("__tm"))
+      .agg(coalesce(sum("__tp"), lit(0L)).cast("long").as("h_p_micro"),
+        coalesce(sum("__tq"), lit(0L)).cast("long").as("h_q_micro"),
+        coalesce(sum("__tm"), lit(0L)).cast("long").as("h_m_micro"))
+    terms.crossJoin(tot)
+      .selectExpr("__np AS n_p", "__nq AS n_q", "__kp AS k_p",
+        "__kq AS k_q", "__ku AS k_union",
+        "h_p_micro", "h_q_micro", "h_m_micro",
+        "2 * h_m_micro - h_p_micro - h_q_micro AS jsd2_micro",
+        ("CASE WHEN 2 * h_m_micro - h_p_micro - h_q_micro <= 0" +
+          " THEN CAST(0 AS BIGINT)" +
+          " ELSE (2 * h_m_micro - h_p_micro - h_q_micro) * 1000000" +
+          " div (2 * CAST(round(ln(CAST(2 AS DOUBLE)) * 1000000, 0)" +
+          " AS BIGINT)) END AS jsd_norm_micro"))
+  }
 }

@@ -871,6 +871,38 @@ object PipelineQueries {
       Sampling.mixtureEntropyFromCensus(live, "source", "cnt")
     },
 
+    // Jensen-Shannon drift between two release halves (round 13): how far
+    // has the source mixture of the even-id half MOVED from the odd-id
+    // half — the symmetric, always-finite drift meter next to d134's
+    // diversity meter and d138's dependence meter. All three entropies on
+    // the shared 1e-6 grid; one census per side, census-sized join.
+    "d141_jensen_shannon" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Sampling.jensenShannon(
+        d.where(pmod(col("doc_id"), lit(2)) === 0),
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "source")
+    },
+
+    // The live drift twin (round 13): the even-id half's source census
+    // maintained as streaming state (the d140 pattern), the odd-id half's
+    // census built in batch as the standing reference, both handed to the
+    // SAME grid combine (jensenShannonFromCensus) — streamed drift equals
+    // batch drift bit-for-bit because the combine is shared code.
+    "d142_drift_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val census = stream.where(pmod(col("doc_id"), lit(2)) === 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val live = graft.streaming.StreamRunner.runToBatch(census,
+        "d142_drift_stream", mode = "update")
+      val ref = d.where(pmod(col("doc_id"), lit(2)) === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      Sampling.jensenShannonFromCensus(live, ref, "source", "cnt")
+    },
+
     // Kendall agreement between the d127 lexical and semantic lists
     // (round 13): the one-row census that says whether the two rankers
     // disagree enough for fusion to matter.
@@ -2262,6 +2294,58 @@ object PipelineQueries {
              END AS evenness_micro
          FROM terms GROUP BY k, n"""
 
+  /** DuckDB replay of the Jensen-Shannon grid math between the even-id
+    * and odd-id halves' source censuses — guarded c/n halves, mixture
+    * terms, `jsd2 = 2·H(M) − H(P) − H(Q)` in exact longs, the normalized
+    * form dividing the clamped value by `2·round(ln 2·1e6)` — shared
+    * verbatim by the batch meter (d141) and its streaming twin (d142),
+    * whose Spark sides share the combine code
+    * ([[graft.functions.Sampling.jensenShannonFromCensus]]).
+    */
+  private val JensenShannonSql: String =
+    """WITH cp AS (SELECT source AS d, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+         cq AS (SELECT source AS d, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY source),
+         j AS (SELECT coalesce(cp.c, 0) AS cp, coalesce(cq.c, 0) AS cq
+           FROM cp FULL OUTER JOIN cq ON cq.d = cp.d),
+         t AS (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) AS np,
+             CAST(coalesce(sum(cq), 0) AS BIGINT) AS nq,
+             CAST(count(*) AS BIGINT) AS ku,
+             CAST(coalesce(sum(CASE WHEN cp > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS kp,
+             CAST(coalesce(sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS kq
+           FROM j),
+         terms AS (SELECT
+             CASE WHEN cp > 0 THEN CAST(round(-(CAST(cp AS DOUBLE) / t.np)
+               * ln(CAST(cp AS DOUBLE) / t.np) * 1e6, 0) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS tp,
+             CASE WHEN cq > 0 THEN CAST(round(-(CAST(cq AS DOUBLE) / t.nq)
+               * ln(CAST(cq AS DOUBLE) / t.nq) * 1e6, 0) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS tq,
+             CAST(round(-((CASE WHEN cp > 0 THEN CAST(cp AS DOUBLE) / t.np
+                 ELSE 0.0 END + CASE WHEN cq > 0 THEN
+                 CAST(cq AS DOUBLE) / t.nq ELSE 0.0 END) / 2.0)
+               * ln((CASE WHEN cp > 0 THEN CAST(cp AS DOUBLE) / t.np
+                 ELSE 0.0 END + CASE WHEN cq > 0 THEN
+                 CAST(cq AS DOUBLE) / t.nq ELSE 0.0 END) / 2.0)
+               * 1e6, 0) AS BIGINT) AS tm
+           FROM j CROSS JOIN t),
+         h AS (SELECT CAST(coalesce(sum(tp), 0) AS BIGINT) AS hp,
+             CAST(coalesce(sum(tq), 0) AS BIGINT) AS hq,
+             CAST(coalesce(sum(tm), 0) AS BIGINT) AS hm
+           FROM terms)
+         SELECT t.np AS n_p, t.nq AS n_q, t.kp AS k_p, t.kq AS k_q,
+           t.ku AS k_union, h.hp AS h_p_micro, h.hq AS h_q_micro,
+           h.hm AS h_m_micro,
+           2 * h.hm - h.hp - h.hq AS jsd2_micro,
+           CASE WHEN 2 * h.hm - h.hp - h.hq <= 0 THEN CAST(0 AS BIGINT)
+             ELSE (2 * h.hm - h.hp - h.hq) * 1000000
+               // (2 * CAST(round(ln(CAST(2 AS DOUBLE)) * 1000000, 0)
+               AS BIGINT)) END AS jsd_norm_micro
+         FROM t CROSS JOIN h"""
+
   /** DuckDB replay of the 3-round synchronous label-propagation vote over
     * the jaccard >= 0.5 near-dup pair graph, ending at CTE `l3(id, lab)`
     * (with `thr`/`edges`/`nodes` in scope) — shared by the d135 community
@@ -3041,6 +3125,12 @@ object PipelineQueries {
     // d140: the streamed census feeds the SAME shared combine as batch,
     // so one oracle definition covers both paths by construction.
     "d140_entropy_stream" -> MixtureEntropySql,
+    // d141: guarded c/n halves, mixture terms, jsd2 in exact longs — the
+    // whole grid chain replayed over the two parity-half censuses.
+    "d141_jensen_shannon" -> JensenShannonSql,
+    // d142: the live census feeds the SAME shared combine as d141's
+    // batch side, so one oracle definition covers both drift paths.
+    "d142_drift_stream" -> JensenShannonSql,
     // d135: the synchronous majority-vote recurrence unrolled 3 rounds
     // over the same symmetrized pair graph as d126 — per-round (node,
     // label) count + (count desc, label asc) argmax, no-in-edge nodes

@@ -266,5 +266,9 @@ class EmptyInputRound12Spec extends SparkSpec {
       .count() === 0)
     assert(graft.functions.GraphOps.pageRank(noE, "src", "dst",
       seeds = Some(Seq(1L).toDF("id"))).count() === 0)
+    // jensenShannon: empty vs empty -> one all-zero total row, no 0/0 NaN
+    val noS = Seq.empty[String].toDF("source")
+    assert(graft.functions.Sampling.jensenShannon(noS, noS, "source")
+      .head().toSeq === Seq.fill(10)(0L))
   }
 }

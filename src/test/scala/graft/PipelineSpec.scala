@@ -591,6 +591,43 @@ class SamplingSpec extends SparkSpec {
       r.head.getLong(7) === 0L && r.head.getLong(8) === 0L)
   }
 
+  test("jensenShannon: closed forms on identical, disjoint and one-sided") {
+    import spark.implicits._
+    def js(p: Seq[String], q: Seq[String]) = {
+      val r = Sampling.jensenShannon(
+        p.toDF("source"), q.toDF("source"), "source").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))
+    }
+    // identical distributions: mixture == each side bit-for-bit -> 0 drift
+    val same = Seq("a", "a", "b")
+    assert(js(same, same)._9 === 0L)
+    assert(js(same, same)._10 === 0L)
+    // disjoint supports: hp = hq = 0 (point masses), hm = 2 half-terms,
+    // jsd2 = 2*2*round(0.5*ln2*1e6); norm overshoots 1e6 by rounding (doc'd)
+    val half = math.round(0.5 * math.log(2) * 1e6)
+    assert(js(Seq("a", "a"), Seq("b")) ===
+      ((2L, 1L, 1L, 1L, 2L, 0L, 0L, 2 * half, 4 * half,
+        4 * half * 1000000L / (2 * math.round(math.log(2) * 1e6)))))
+    // one side empty: its total/domain counts are 0, the mixture halves
+    // the other side's masses, and the row still comes out in one piece
+    def t(p: Double) = math.round(-p * math.log(p) * 1e6)
+    val (np, nq, kp, kq, ku, hp, hq, hm, j2, _) =
+      js(Seq("a", "a", "b"), Seq.empty)
+    assert((np, nq, kp, kq, ku, hq) === ((3L, 0L, 2L, 0L, 2L, 0L)))
+    assert(hp === t(2.0 / 3) + t(1.0 / 3))
+    assert(hm === t((2.0 / 3) / 2) + t((1.0 / 3) / 2))
+    assert(j2 === 2 * hm - hp)
+  }
+
+  test("jensenShannon: one total row of zeros on two empty inputs") {
+    import spark.implicits._
+    val e = Seq.empty[String].toDF("source")
+    val r = Sampling.jensenShannon(e, e, "source").collect()
+    assert(r.length === 1 && r.head.toSeq === Seq.fill(10)(0L))
+  }
+
   test("plan: epochMix is map-only; tokenBudgetMix broadcasts its census") {
     import spark.implicits._
     val df = (1L to 50L).map(i => (i, "a", "w w w")).toDF("id", "dom", "text")

@@ -1024,6 +1024,37 @@ class QuantileStreamSpec extends SparkSpec {
     assert(spark.table("estream").count() > fin.size)
   }
 
+  test("streamed census vs batch reference census: drift equals batch JSD") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val live = Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c")
+    val ref = Seq.fill(4)("a") ++ Seq.fill(4)("b")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val census = in.toDF().toDF("source").groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("cnt"))
+    val q = census.writeStream.format("memory").queryName("dstream")
+      .outputMode("update").start()
+    try {
+      live.grouped(3).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val fin = spark.table("dstream").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .foldLeft(Map.empty[String, Long])(_ + _).toSeq
+    val refCensus = ref.toDF("source").groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("cnt"))
+    // the SHARED combine makes streamed == batch bit-for-bit
+    val streamed = Sampling.jensenShannonFromCensus(
+      fin.toDF("source", "cnt"), refCensus, "source", "cnt").head()
+    val batch = Sampling.jensenShannon(
+      live.toDF("source"), ref.toDF("source"), "source").head()
+    assert(streamed === batch)
+    // and the drift is real on these mixtures (c is P-only, shares shift)
+    assert(batch.getLong(8) > 0L)
+  }
+
   test("stream quantiles: null domain/value rows are excluded like batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
