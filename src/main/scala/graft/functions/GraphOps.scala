@@ -261,8 +261,14 @@ object GraphOps {
           greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
         .where(col("a") =!= col("b"))
         .distinct().persist(disk))
-    val cm = assign.select(col(idCol).cast("long").as("__id"),
-      col(commCol).cast("long").as("__cm"))
+    // persisted: BOTH endpoint joins read the assignment, and the caller
+    // may hand over an expensive unmaterialized proposal (d139 feeds the
+    // 3-round LPA output here — unpersisted, every vote round would
+    // recompute once per endpoint side)
+    val cm = graft.CacheRegistry.track(
+      assign.select(col(idCol).cast("long").as("__id"),
+          col(commCol).cast("long").as("__cm"))
+        .persist(disk))
     val mRow = broadcast(e.agg(count(lit(1)).cast("long").as("m")))
     // community on each endpoint; unassigned nodes become singletons
     val cma = cm.select(col("__id").as("__ida"), col("__cm").as("__ca"))
@@ -348,5 +354,66 @@ object GraphOps {
       .selectExpr("n_nodes", "n_edges", "n_triangles", "n_wedges",
         ("CASE WHEN n_wedges > 0 THEN (3 * n_triangles * CAST(1000000 AS" +
           " BIGINT)) div n_wedges ELSE CAST(0 AS BIGINT) END AS gcc_micro"))
+  }
+
+  /** Degree assortativity of an undirected graph on the 1e-6 integer
+    * grid (Newman 2002): the Pearson correlation of endpoint degrees
+    * across edges — positive means dup hubs link to other hubs (template
+    * farms, mirror rings: one component worth capping as a unit),
+    * negative means hub-and-spoke (one canonical page quoted everywhere:
+    * per-node election is the right dedup). The structural complement of
+    * [[triangleStats]]' closure census and [[kCore]]'s per-node density.
+    *
+    * PURE integer arithmetic end to end — degrees are counts, every sum
+    * runs in decimal(38,0) (Σdeg² at web scale exceeds long), and the
+    * correlation lands by signed grid division `sign·(|num·10^6| div den)`
+    * (num < 0 on disassortative graphs — the d133 truncate-vs-floor
+    * lesson). Unlike the entropy meters there is NO shared-libm
+    * dependency at all: any engine replays the row from the edge set
+    * bit-for-bit. On the symmetrized list the two endpoint-degree
+    * marginals coincide, so `r = (m·Σxy − (Σx)²) div (m·Σx² − (Σx)²)`;
+    * a degree-regular graph (den = 0, r undefined) reports 0.
+    *
+    * Plan: one degree agg (keyed), two equijoins hanging the degree on
+    * each endpoint, one 1-row total agg — no iteration, no float, and
+    * the only corpus-sized exchanges key on node id. Pass a symmetrized
+    * edge list ([[kCore]]'s contract).
+    *
+    * Returns ONE row: (n_nodes, n_edges, max_degree, r_micro) —
+    * n_edges counts directed (symmetrized) edges.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val disk = StorageLevel.MEMORY_AND_DISK
+    val e = graft.CacheRegistry.track(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .where(col("__src") =!= col("__dst"))
+        .distinct().persist(disk))
+    val deg = e.groupBy(col("__src").as("__id"))
+      .agg(count(lit(1)).cast("long").as("__d"))
+    val da = deg.select(col("__id").as("__ida"), col("__d").as("__du"))
+    val db = deg.select(col("__id").as("__idb"), col("__d").as("__dv"))
+    val s = e.join(da, e("__src") === col("__ida"))
+      .join(db, e("__dst") === col("__idb"))
+      .selectExpr("CAST(__du AS DECIMAL(38,0)) AS du",
+        "CAST(__dv AS DECIMAL(38,0)) AS dv")
+      .agg(count(lit(1)).cast("long").as("m"),
+        coalesce(sum(col("du")), lit(0L).cast("decimal(38,0)")).as("sx"),
+        coalesce(sum(col("du") * col("dv")),
+          lit(0L).cast("decimal(38,0)")).as("sxy"),
+        coalesce(sum(col("du") * col("du")),
+          lit(0L).cast("decimal(38,0)")).as("sxx"),
+        coalesce(max(col("du")), lit(0L).cast("decimal(38,0)"))
+          .cast("long").as("max_degree"))
+    val nn = broadcast(e.select(col("__src")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_nodes")))
+    s.crossJoin(nn).selectExpr("n_nodes", "m AS n_edges", "max_degree",
+      ("CASE WHEN m * sxx - sx * sx <= 0 THEN CAST(0 AS BIGINT)" +
+        " WHEN m * sxy - sx * sx >= 0" +
+        " THEN CAST((m * sxy - sx * sx) * 1000000" +
+        " div (m * sxx - sx * sx) AS BIGINT)" +
+        " ELSE -CAST((-(m * sxy - sx * sx)) * 1000000" +
+        " div (m * sxx - sx * sx) AS BIGINT) END AS r_micro"))
   }
 }

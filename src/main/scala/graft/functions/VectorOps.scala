@@ -254,4 +254,90 @@ object VectorOps {
           .select(col(idCol), col(labelCol))
     }
   }
+
+  /** Embedding-space drift census between two releases — the vector
+    * modality's twin of [[Sampling.jensenShannon]]: per dimension, the
+    * integer-grid mean and mean-square of each side plus the mean shift,
+    * answering "did the embedding model or the data distribution move
+    * between release P and reference Q" before any ANN index built on P
+    * is trusted to serve Q-era centroids.
+    *
+    * Integer discipline: each component lands on the 1e-6 grid
+    * (`round(v·1e6)` as a long — sums stay exact and partition-order-free
+    * where float sums are not; Σ|g| ≤ rows·maxg keeps the per-dim sum in
+    * long range through ~10^11 rows at |v| ≤ 10). Mean division is the
+    * d133 signed form `sign·(|s| div n)` because component sums go
+    * negative and truncating `div` (Spark) and floor `//` (DuckDB)
+    * disagree below zero; the mean-square sum runs in decimal(38,0)
+    * (g² ≤ 10^12 per component — past long range when summed at corpus
+    * scale) and its division is non-negative, so plain `div` is safe.
+    * `var_*_micro2 = E[g²] − E[g]²` (micro² units) can land a hair
+    * negative on near-constant dimensions by truncation; emitted raw, the
+    * replayable value.
+    *
+    * Plan: one posexplode + partial-agg census per side (the exchanges
+    * carry ≤ dim rows per map task — map-side combine makes the shuffle
+    * dim-sized, not corpus-sized), then a dim-sized full-outer join.
+    * Ragged inputs are total: a dimension missing from a side reports
+    * n=0 and zero moments.
+    *
+    * Returns one row per dimension: (dim, n_p, n_q, mean_p_micro,
+    * mean_q_micro, dmean_micro, var_p_micro2, var_q_micro2).
+    */
+  def embeddingDrift(p: DataFrame, q: DataFrame, vecCol: String): DataFrame =
+    embeddingDriftFromCensus(embeddingCensus(p, vecCol),
+      embeddingCensus(q, vecCol))
+
+  /** The census half of [[embeddingDrift]]: per-dimension (dim, n, s, ss)
+    * integer-grid moments — n components seen, Σg as a long, Σg² in
+    * decimal(38,0). Works on a streaming frame too (one update-mode agg,
+    * state = dim rows), and a persisted census per release is the
+    * standing artifact that answers drift with zero corpus passes (the
+    * [[graft.functions.CorpusCatalog]] contract).
+    */
+  def embeddingCensus(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .select(col("__i").cast("long").as("dim"),
+        round(col("__v").cast("double") * lit(1e6), 0).cast("long").as("__g"))
+      .groupBy("dim").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum("__g").cast("long").as("s"),
+        sum((col("__g").cast("decimal(38,0)") * col("__g"))).as("ss"))
+
+  /** The grid-combine half of [[embeddingDrift]], over two ALREADY-BUILT
+    * per-dimension censuses (the [[embeddingCensus]] schema) — shared by
+    * the batch operator and the streaming drift twin, so live == batch
+    * bit-for-bit by construction.
+    */
+  def embeddingDriftFromCensus(censusP: DataFrame,
+                               censusQ: DataFrame): DataFrame = {
+    def side(c: DataFrame, n: String, s: String, ss: String): DataFrame =
+      c.select(col("dim").cast("long").as("dim"),
+        col("n").cast("long").as(n), col("s").cast("long").as(s),
+        col("ss").cast("decimal(38,0)").as(ss))
+    val j = side(censusP, "n_p", "__sp", "__ssp")
+      .join(side(censusQ, "n_q", "__sq", "__ssq"), Seq("dim"), "full_outer")
+      .select(col("dim"),
+        coalesce(col("n_p"), lit(0L)).as("n_p"),
+        coalesce(col("n_q"), lit(0L)).as("n_q"),
+        coalesce(col("__sp"), lit(0L)).as("__sp"),
+        coalesce(col("__sq"), lit(0L)).as("__sq"),
+        coalesce(col("__ssp"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")).as("__ssp"),
+        coalesce(col("__ssq"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(38,0)")).as("__ssq"))
+    j.selectExpr("dim", "n_p", "n_q",
+        ("CASE WHEN n_p = 0 THEN CAST(0 AS BIGINT) WHEN __sp >= 0" +
+          " THEN __sp div n_p ELSE -((-__sp) div n_p) END AS mean_p_micro"),
+        ("CASE WHEN n_q = 0 THEN CAST(0 AS BIGINT) WHEN __sq >= 0" +
+          " THEN __sq div n_q ELSE -((-__sq) div n_q) END AS mean_q_micro"),
+        ("CASE WHEN n_p = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(__ssp div n_p AS BIGINT) END AS __msqp"),
+        ("CASE WHEN n_q = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(__ssq div n_q AS BIGINT) END AS __msqq"))
+      .selectExpr("dim", "n_p", "n_q", "mean_p_micro", "mean_q_micro",
+        "mean_p_micro - mean_q_micro AS dmean_micro",
+        "__msqp - mean_p_micro * mean_p_micro AS var_p_micro2",
+        "__msqq - mean_q_micro * mean_q_micro AS var_q_micro2")
+  }
 }

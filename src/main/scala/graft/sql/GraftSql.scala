@@ -166,6 +166,81 @@ object GraftSql {
     graft.functions.Retrieval.rrfFuse(lists, idCol, rankCol, topK = topK)
       .createOrReplaceTempView(viewName)
 
+  /** Fixed-round k-core peel ([[graft.functions.GraphOps.kCore]]) as a
+    * named temp view — the d136 shape: (id, degree) of the duplicate-dense
+    * core of a symmetrized edge frame.
+    */
+  def registerKCore(spark: SparkSession, viewName: String, edges: DataFrame,
+                    srcCol: String, dstCol: String, k: Int,
+                    rounds: Int = 3): Unit =
+    graft.functions.GraphOps.kCore(edges, srcCol, dstCol, k, rounds)
+      .createOrReplaceTempView(viewName)
+
+  /** Label-propagation communities ([[graft.functions.GraphOps
+    * .labelPropagation]]) as a named temp view — the d135 shape.
+    */
+  def registerCommunities(spark: SparkSession, viewName: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          iters: Int = 3): Unit =
+    graft.functions.GraphOps.labelPropagation(edges, srcCol, dstCol, iters)
+      .createOrReplaceTempView(viewName)
+
+  /** One-row Newman modularity ([[graft.functions.GraphOps.modularity]])
+    * of a community view over an edge frame — the d139 gate as SQL.
+    */
+  def registerModularity(spark: SparkSession, viewName: String,
+                         edges: DataFrame, srcCol: String, dstCol: String,
+                         assign: DataFrame, idCol: String,
+                         commCol: String): Unit =
+    graft.functions.GraphOps
+      .modularity(edges, srcCol, dstCol, assign, idCol, commCol)
+      .createOrReplaceTempView(viewName)
+
+  /** One-row degree assortativity ([[graft.functions.GraphOps
+    * .degreeAssortativity]]) of a symmetrized edge frame — the d144
+    * meter as SQL.
+    */
+  def registerAssortativity(spark: SparkSession, viewName: String,
+                            edges: DataFrame, srcCol: String,
+                            dstCol: String): Unit =
+    graft.functions.GraphOps.degreeAssortativity(edges, srcCol, dstCol)
+      .createOrReplaceTempView(viewName)
+
+  /** One-row mixture-entropy meter ([[graft.functions.Sampling
+    * .mixtureEntropy]]) — the d134 diversity census as SQL.
+    */
+  def registerMixtureEntropy(spark: SparkSession, viewName: String,
+                             df: DataFrame, domainCol: String): Unit =
+    graft.functions.Sampling.mixtureEntropy(df, domainCol)
+      .createOrReplaceTempView(viewName)
+
+  /** One-row mutual-information meter ([[graft.functions.Sampling
+    * .mutualInformation]]) — the d138 dependence census as SQL.
+    */
+  def registerMutualInformation(spark: SparkSession, viewName: String,
+                                df: DataFrame, aCol: String,
+                                bCol: String): Unit =
+    graft.functions.Sampling.mutualInformation(df, aCol, bCol)
+      .createOrReplaceTempView(viewName)
+
+  /** One-row Jensen-Shannon drift meter ([[graft.functions.Sampling
+    * .jensenShannon]]) between two frames' domain mixtures — the d141
+    * release-drift census as SQL.
+    */
+  def registerDrift(spark: SparkSession, viewName: String, p: DataFrame,
+                    q: DataFrame, domainCol: String): Unit =
+    graft.functions.Sampling.jensenShannon(p, q, domainCol)
+      .createOrReplaceTempView(viewName)
+
+  /** Per-dimension embedding-drift census ([[graft.functions.VectorOps
+    * .embeddingDrift]]) between two vector frames — the d143 meter as SQL.
+    */
+  def registerEmbeddingDrift(spark: SparkSession, viewName: String,
+                             p: DataFrame, q: DataFrame,
+                             vecCol: String): Unit =
+    graft.functions.VectorOps.embeddingDrift(p, q, vecCol)
+      .createOrReplaceTempView(viewName)
+
   /** Gap-based session rollup over a (user_id, ts, value) events frame as
     * a named temp view — the q39 shape for `spark.sql` users: one row per
     * closed-or-open session with (user_id, session_idx, n_events,

@@ -17,6 +17,29 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** The jaccard >= 0.5 near-dup pair graph, PERSISTED — the shared input
+    * of every graph-structure query (d126/d130/d135/d136/d137/d139/d144).
+    * The persist is load-bearing (the S4 rule): symmetrization unions the
+    * frame with its own swap, and Spark performs no common-subexpression
+    * elimination across union branches — unpersisted, the whole MinHash
+    * banding pipeline would run once PER BRANCH (and once more for each
+    * additional consumer, e.g. d139's modularity pass after its LPA pass).
+    */
+  private def dupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.track(
+      MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Symmetrized (both-directions) edge view of [[dupPairs]] — the input
+    * contract of the degree-based graph operators.
+    */
+  private def dupGraphSym(pairs: DataFrame): DataFrame = {
+    val e = pairs.select("doc_a", "doc_b")
+    e.union(e.select(col("doc_b"), col("doc_a")))
+  }
+
   /** Per-query recall@5 of an approximate neighbor frame against the
     * exact brute-force top-5 — shared by d72 (LSH) and d73 (IVF).
     */
@@ -712,11 +735,8 @@ object PipelineQueries {
     // per-cluster min-label pick. Integer ppb grid, 3 damped iterations,
     // engine-replayable bit-for-bit (see GraphOps scaladoc).
     "d126_pagerank_dups" -> { (s, dir) =>
-      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      GraphOps.pageRank(sym, "doc_a", "doc_b", iters = 3)
+      GraphOps.pageRank(dupGraphSym(dupPairs(s, dir)), "doc_a", "doc_b",
+          iters = 3)
         .selectExpr("id AS doc_id", "rank_ppb")
     },
 
@@ -724,10 +744,8 @@ object PipelineQueries {
     // weight, so strong duplicates pull more centrality than marginal
     // band matches — the sharper canonical-election signal.
     "d130_pagerank_weighted" -> { (s, dir) =>
-      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
-        .where(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("jaccard") * lit(1e6), 0).cast("long").as("w"))
+      val pairs = dupPairs(s, dir).select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * lit(1e6), 0).cast("long").as("w"))
       val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"), col("w")))
       GraphOps.pageRank(sym, "doc_a", "doc_b", iters = 3,
           weightCol = Some("w"))
@@ -766,6 +784,9 @@ object PipelineQueries {
     // audit — a genuine duplicate graph is triangle-dense, band-collision
     // noise is wedge-heavy, so gcc gates the pair set itself.
     "d129_triangle_census" -> { (s, dir) =>
+      // single consumer, and triangleStats persists its own oriented
+      // projection — the shared dupPairs persist would only add a
+      // cache-fill barrier here (the q43 lesson)
       val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
         .where(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
@@ -799,11 +820,8 @@ object PipelineQueries {
     // majority-vote cores within components — the per-community cap
     // granularity for diversity-aware sampling.
     "d135_communities" -> { (s, dir) =>
-      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      GraphOps.labelPropagation(sym, "doc_a", "doc_b", iters = 3)
+      GraphOps.labelPropagation(dupGraphSym(dupPairs(s, dir)),
+          "doc_a", "doc_b", iters = 3)
         .selectExpr("id AS doc_id", "community")
     },
 
@@ -812,11 +830,8 @@ object PipelineQueries {
     // cores vs band-collision fringe, the per-node complement of d129's
     // global triangle census.
     "d136_kcore" -> { (s, dir) =>
-      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      GraphOps.kCore(sym, "doc_a", "doc_b", k = 2, rounds = 3)
+      GraphOps.kCore(dupGraphSym(dupPairs(s, dir)), "doc_a", "doc_b",
+          k = 2, rounds = 3)
         .selectExpr("id AS doc_id", "degree")
     },
 
@@ -825,13 +840,10 @@ object PipelineQueries {
     // the trusted subset through the dup graph — the "expand a curated
     // set" primitive next to d126's global centrality.
     "d137_pagerank_seeded" -> { (s, dir) =>
-      val d = docs(s, dir)
-      val pairs = MinHashLSH.nearDupPairs(d, "doc_id", "text")
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      GraphOps.pageRank(sym, "doc_a", "doc_b", iters = 3,
-          seeds = Some(d.where(col("lang") === "en").select("doc_id")))
+      GraphOps.pageRank(dupGraphSym(dupPairs(s, dir)), "doc_a", "doc_b",
+          iters = 3,
+          seeds = Some(docs(s, dir).where(col("lang") === "en")
+            .select("doc_id")))
         .selectExpr("id AS doc_id", "rank_ppb")
     },
 
@@ -847,11 +859,9 @@ object PipelineQueries {
     // denser than the degree-preserving random expectation (Q > 0)
     // before per-community caps trust it.
     "d139_modularity" -> { (s, dir) =>
-      val pairs = MinHashLSH.nearDupPairs(docs(s, dir), "doc_id", "text")
-        .where(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      val comm = GraphOps.labelPropagation(sym, "doc_a", "doc_b", iters = 3)
+      val pairs = dupPairs(s, dir)
+      val comm = GraphOps.labelPropagation(dupGraphSym(pairs),
+        "doc_a", "doc_b", iters = 3)
       GraphOps.modularity(pairs, "doc_a", "doc_b", comm, "id", "community")
     },
 
@@ -901,6 +911,45 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("cnt"))
       Sampling.jensenShannonFromCensus(live, ref, "source", "cnt")
+    },
+
+    // Degree assortativity of the near-dup graph (round 13): do dup hubs
+    // link to hubs (template farms — cap the component) or to spokes
+    // (one canonical quoted everywhere — elect per node)? Pure integer
+    // Pearson over endpoint degrees; no float, no libm dependency.
+    "d144_assortativity" -> { (s, dir) =>
+      GraphOps.degreeAssortativity(dupGraphSym(dupPairs(s, dir)),
+        "doc_a", "doc_b")
+    },
+
+    // Embedding-space drift between two release halves (round 13): the
+    // vector modality's twin of d141 — per-dimension integer-grid means
+    // and variances of the even-id vs odd-id vectors plus the mean shift,
+    // the gate that says whether an ANN index built on one release can
+    // serve the other. Census exchanges are dim-sized (map-side combine).
+    "d143_embedding_drift" -> { (s, dir) =>
+      val e = embs(s, dir)
+      VectorOps.embeddingDrift(
+        e.where(pmod(col("vec_id"), lit(2)) === 0),
+        e.where(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+    },
+
+    // The live twin of d143 (round 13): the even-id half's per-dimension
+    // grid-moment census maintained as streaming state (update mode —
+    // state is dim rows, not vectors), the odd-id half's census built in
+    // batch as the standing reference, both handed to the SAME combine
+    // (embeddingDriftFromCensus) — streamed == batch bit-for-bit.
+    "d145_edrift_stream" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val stream = s.readStream.schema(e.schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val live = graft.streaming.StreamRunner.runToBatch(
+        VectorOps.embeddingCensus(
+          stream.where(pmod(col("vec_id"), lit(2)) === 0), "embedding"),
+        "d145_edrift_stream", mode = "update")
+      val ref = VectorOps.embeddingCensus(
+        e.where(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+      VectorOps.embeddingDriftFromCensus(live, ref)
     },
 
     // Kendall agreement between the d127 lexical and semantic lists
@@ -2346,6 +2395,48 @@ object PipelineQueries {
                AS BIGINT)) END AS jsd_norm_micro
          FROM t CROSS JOIN h"""
 
+  /** DuckDB replay of the per-dimension grid-moment censuses (signed mean
+    * division, HUGEINT mean-square, raw variance terms) — shared verbatim
+    * by the batch meter (d143) and its streaming twin (d145), whose Spark
+    * sides share the combine code
+    * ([[graft.functions.VectorOps.embeddingDriftFromCensus]]).
+    */
+  private val EmbeddingDriftSql: String =
+    """WITH gp AS (SELECT i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS g
+       FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+             FROM embeddings WHERE vec_id % 2 = 0)),
+     gq AS (SELECT i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT) AS g
+       FROM (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i
+             FROM embeddings WHERE vec_id % 2 = 1)),
+     cp AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_p,
+         CAST(sum(g) AS BIGINT) AS s, sum(CAST(g AS HUGEINT) * g) AS ss
+       FROM gp GROUP BY dim),
+     cq AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_q,
+         CAST(sum(g) AS BIGINT) AS s, sum(CAST(g AS HUGEINT) * g) AS ss
+       FROM gq GROUP BY dim),
+     j AS (SELECT coalesce(cp.dim, cq.dim) AS dim,
+         coalesce(n_p, 0) AS n_p, coalesce(n_q, 0) AS n_q,
+         coalesce(cp.s, 0) AS sp, coalesce(cq.s, 0) AS sq,
+         coalesce(cp.ss, 0) AS ssp, coalesce(cq.ss, 0) AS ssq
+       FROM cp FULL OUTER JOIN cq ON cq.dim = cp.dim),
+     m AS (SELECT dim, n_p, n_q,
+         CASE WHEN n_p = 0 THEN CAST(0 AS BIGINT) WHEN sp >= 0
+           THEN sp // n_p ELSE -((-sp) // n_p) END AS mean_p_micro,
+         CASE WHEN n_q = 0 THEN CAST(0 AS BIGINT) WHEN sq >= 0
+           THEN sq // n_q ELSE -((-sq) // n_q) END AS mean_q_micro,
+         CASE WHEN n_p = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(ssp // n_p AS BIGINT) END AS msq_p,
+         CASE WHEN n_q = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(ssq // n_q AS BIGINT) END AS msq_q
+       FROM j)
+     SELECT dim, n_p, n_q, mean_p_micro, mean_q_micro,
+       mean_p_micro - mean_q_micro AS dmean_micro,
+       msq_p - mean_p_micro * mean_p_micro AS var_p_micro2,
+       msq_q - mean_q_micro * mean_q_micro AS var_q_micro2
+     FROM m"""
+
   /** DuckDB replay of the 3-round synchronous label-propagation vote over
     * the jaccard >= 0.5 near-dup pair graph, ending at CTE `l3(id, lab)`
     * (with `thr`/`edges`/`nodes` in scope) — shared by the d135 community
@@ -3131,6 +3222,40 @@ object PipelineQueries {
     // d142: the live census feeds the SAME shared combine as d141's
     // batch side, so one oracle definition covers both drift paths.
     "d142_drift_stream" -> JensenShannonSql,
+    // d144: endpoint-degree Pearson over the same symmetrized pair graph
+    // as d126 — HUGEINT moments, signed grid division, zero floats.
+    "d144_assortativity" ->
+      s"""WITH pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+           FROM edges GROUP BY src),
+         ed AS (SELECT da.d AS du, db.d AS dv FROM edges e
+           JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(coalesce(sum(CAST(du AS HUGEINT)), 0) AS HUGEINT) AS sx,
+             CAST(coalesce(sum(CAST(du AS HUGEINT) * dv), 0) AS HUGEINT) AS sxy,
+             CAST(coalesce(sum(CAST(du AS HUGEINT) * du), 0) AS HUGEINT) AS sxx,
+             CAST(coalesce(max(du), 0) AS BIGINT) AS max_degree
+           FROM ed),
+         n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes
+           FROM edges)
+         SELECT n.n_nodes, s.m AS n_edges, s.max_degree,
+           CASE WHEN s.m * s.sxx - s.sx * s.sx <= 0 THEN CAST(0 AS BIGINT)
+             WHEN s.m * s.sxy - s.sx * s.sx >= 0
+             THEN CAST((s.m * s.sxy - s.sx * s.sx) * 1000000
+               // (s.m * s.sxx - s.sx * s.sx) AS BIGINT)
+             ELSE -CAST((-(s.m * s.sxy - s.sx * s.sx)) * 1000000
+               // (s.m * s.sxx - s.sx * s.sx) AS BIGINT)
+           END AS r_micro
+         FROM s CROSS JOIN n""",
+    // d143: per-dim grid censuses of the two parity halves — signed mean
+    // division (the d133 form), mean-square in HUGEINT, raw var terms.
+    "d143_embedding_drift" -> EmbeddingDriftSql,
+    // d145: the live per-dim census feeds the SAME shared combine as
+    // d143's batch side, so one oracle definition covers both paths.
+    "d145_edrift_stream" -> EmbeddingDriftSql,
     // d135: the synchronous majority-vote recurrence unrolled 3 rounds
     // over the same symmetrized pair graph as d126 — per-round (node,
     // label) count + (count desc, label asc) argmax, no-in-edge nodes

@@ -428,4 +428,53 @@ class GraphOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!ps.contains("CartesianProduct"), ps)
   }
+
+  private def assort(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val sym = df.union(df.select(df("dst"), df("src")))
+    val r = GraphOps.degreeAssortativity(sym, "src", "dst").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("assortativity: star is exactly -1, clique union is exactly +1") {
+    // K1,3: every edge joins deg-3 hub to deg-1 leaf -> perfect disassort
+    assert(assort(Seq((1L, 2L), (1L, 3L), (1L, 4L))) ===
+      ((4L, 6L, 3L, -1000000L)))
+    // K3 + K2: within-component degrees equal -> perfect assort
+    assert(assort(Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))) ===
+      ((5L, 8L, 2L, 1000000L)))
+  }
+
+  test("assortativity: degree-regular graphs report 0, empty edges total") {
+    import spark.implicits._
+    // single edge: both endpoints deg 1, den = 0 -> the documented 0
+    assert(assort(Seq((1L, 2L)))._4 === 0L)
+    val none = GraphOps.degreeAssortativity(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").head()
+    assert(none.toSeq === Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("assortativity equals the exact BigInt model on random graphs") {
+    def model(edges: Seq[(Long, Long)]): Long = {
+      val sym = (edges ++ edges.map(_.swap)).filter(p => p._1 != p._2).distinct
+      val deg = sym.groupBy(_._1).map { case (k, g) => k -> BigInt(g.size) }
+      val m = BigInt(sym.size)
+      val sx = sym.map { case (u, _) => deg(u) }.sum
+      val sxy = sym.map { case (u, v) => deg(u) * deg(v) }.sum
+      val sxx = sym.map { case (u, _) => deg(u) * deg(u) }.sum
+      val num = m * sxy - sx * sx
+      val den = m * sxx - sx * sx
+      if (den <= 0) 0L
+      else if (num >= 0) ((num * 1000000) / den).toLong
+      else -(((-num) * 1000000) / den).toLong
+    }
+    val edgesGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 7L); v <- Gen.chooseNum(1L, 7L)
+    } yield (u, v))
+    checkProp(Prop.forAllNoShrink(edgesGen) { edges =>
+      val e = edges.filter(p => p._1 != p._2)
+      e.isEmpty || assort(e.distinct)._4 == model(e)
+    })
+  }
 }

@@ -1228,6 +1228,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.columns.toSeq === Seq("vec_id", "label"))
     assert(got.count() === 0)
   }
+
+  test("embeddingDrift: closed forms incl. signed means and raw variance") {
+    import spark.implicits._
+    def drift(p: Seq[Array[Float]], q: Seq[Array[Float]]) =
+      VectorOps.embeddingDrift(
+        p.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding"),
+        q.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding"), "embedding")
+        .orderBy("dim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // identical sides: zero shift, equal variance
+    val same = Seq(Array(1.0f, -0.5f), Array(0.5f, 0.5f))
+    drift(same, same).foreach { case (_, np, nq, mp, mq, dm, vp, vq) =>
+      assert(np === 2L && nq === 2L && mp === mq && dm === 0L && vp === vq)
+    }
+    // signed mean: dim0 sums to -500000 over 2 rows -> -(500000 div 2);
+    // variance = E[g^2] - E[g]^2 exactly on the grid
+    val got = drift(Seq(Array(-1.0f), Array(0.5f)), Seq(Array(0.25f)))
+    val (d0, np, nq, mp, mq, dm, vp, vq) = got.head
+    assert((d0, np, nq) === ((0L, 2L, 1L)))
+    assert(mp === -250000L && mq === 250000L && dm === -500000L)
+    assert(vp === (1000000L * 1000000L + 500000L * 500000L) / 2
+      - 250000L * 250000L)
+    assert(vq === 0L)
+    // ragged dims: the extra dimension reports n=0 moments for the short side
+    val rag = drift(Seq(Array(1.0f, 1.0f)), Seq(Array(1.0f)))
+    assert(rag.length === 2)
+    assert(rag(1) === ((1L, 1L, 0L, 1000000L, 0L, 1000000L, 0L, 0L)))
+    // empty sides: no rows at all
+    assert(drift(Seq.empty, Seq.empty).length === 0)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -1716,6 +1749,49 @@ class GraftSqlSpec extends SparkSpec {
     val rf = spark.sql(
       "SELECT id FROM rrf_hits WHERE rk = 1").head()
     assert(rf.getLong(0) === 7L)
+  }
+
+  test("round-13 graph and meter views answer plain SQL") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val sym = tri.union(tri.select(tri("dst"), tri("src")))
+    // k-core view (d136): triangle survives k=2, tail peels
+    graft.sql.GraftSql.registerKCore(spark, "core", sym, "src", "dst", k = 2)
+    assert(spark.sql("SELECT count(*) AS n FROM core").head().getLong(0) === 3L)
+    // communities view (d135): one clique collapses to one label
+    graft.sql.GraftSql.registerCommunities(spark, "comm", sym, "src", "dst")
+    assert(spark.sql(
+      "SELECT count(DISTINCT community) AS k FROM comm WHERE id <= 3")
+      .head().getLong(0) === 1L)
+    // modularity view (d139) over those communities
+    graft.sql.GraftSql.registerModularity(spark, "mq", tri, "src", "dst",
+      spark.table("comm"), "id", "community")
+    assert(spark.sql("SELECT n_edges FROM mq").head().getLong(0) === 4L)
+    // assortativity view (d144): star is exactly -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    graft.sql.GraftSql.registerAssortativity(spark, "ast",
+      star.union(star.select(star("dst"), star("src"))), "src", "dst")
+    assert(spark.sql("SELECT r_micro FROM ast").head().getLong(0) === -1000000L)
+    // entropy + MI + drift meters (d134/d138/d141)
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("dom", "other")
+    graft.sql.GraftSql.registerMixtureEntropy(spark, "ent", df, "dom")
+    // balanced 2-source mix: 2*round(0.5*ln2*1e6) = 693148 over the ln2
+    // grid 693147 -> the documented 1-micro-nat overshoot
+    assert(spark.sql("SELECT evenness_micro FROM ent").head()
+      .getLong(0) === 1000001L)
+    graft.sql.GraftSql.registerMutualInformation(spark, "mi", df,
+      "dom", "other")
+    assert(spark.sql("SELECT nmi_micro FROM mi").head().getLong(0) === 1000000L)
+    graft.sql.GraftSql.registerDrift(spark, "drift", df, df, "dom")
+    assert(spark.sql("SELECT jsd2_micro FROM drift").head().getLong(0) === 0L)
+    // embedding drift view (d143): identical sides -> zero shift
+    val vecs = Seq((1L, Array(1.0f, -0.5f))).toDF("vec_id", "embedding")
+    graft.sql.GraftSql.registerEmbeddingDrift(spark, "edrift", vecs, vecs,
+      "embedding")
+    assert(spark.sql(
+      "SELECT max(abs(dmean_micro)) AS s FROM edrift").head().getLong(0) === 0L)
   }
 
   test("scd2 + funnel views answer plain SQL") {

@@ -1055,6 +1055,40 @@ class QuantileStreamSpec extends SparkSpec {
     assert(batch.getLong(8) > 0L)
   }
 
+  test("streamed embedding census equals the batch drift meter") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val live = Seq(Array(1.0f, -0.5f), Array(0.5f, 0.25f), Array(0.0f, 1.0f))
+    val ref = Seq(Array(0.5f, 0.5f), Array(-1.0f, 0.0f))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Array[Float]]
+    val census = graft.functions.VectorOps.embeddingCensus(
+      in.toDF().toDF("embedding"), "embedding")
+    val q = census.writeStream.format("memory").queryName("ecstream")
+      .outputMode("update").start()
+    try {
+      live.grouped(2).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // last emission per dim = the final census (update mode re-emits)
+    val fin = spark.table("ecstream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDecimal(3)))
+      .foldLeft(Map.empty[Long, (Long, Long, java.math.BigDecimal)])(_ + _)
+      .toSeq.map { case (d, (n, s, ss)) => (d, n, s, ss) }
+    val refCensus = graft.functions.VectorOps.embeddingCensus(
+      ref.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding"), "embedding")
+    val streamed = graft.functions.VectorOps.embeddingDriftFromCensus(
+      fin.toDF("dim", "n", "s", "ss"), refCensus)
+      .orderBy("dim").collect().toSeq
+    val batch = graft.functions.VectorOps.embeddingDrift(
+      live.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding"),
+      ref.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding"), "embedding")
+      .orderBy("dim").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("stream quantiles: null domain/value rows are excluded like batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
