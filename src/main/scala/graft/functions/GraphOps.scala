@@ -147,8 +147,12 @@ object GraphOps {
     * fixtures by comparing R and R+1) and a pure integer function of the
     * edge set, replayable by any engine as R unrolled restrict-count
     * rounds. Per round the surviving edge set only shrinks, so the
-    * shuffle budget is monotonically decreasing; `localCheckpoint`
-    * cadence as in [[pageRank]]. Pass a symmetrized edge list.
+    * shuffle budget is monotonically decreasing; the round's node-sized
+    * degree table is materialized eagerly (`localCheckpoint`) because
+    * BOTH next-round semi joins and the loop exit read it — lazy, the
+    * recompute tree doubles per round (`checkpointEvery` is retained for
+    * signature stability; per-round materialization supersedes it). Pass
+    * a symmetrized edge list.
     *
     * Returns (id, degree) for nodes surviving round R — degree counted
     * in the round-R restricted graph.
@@ -169,9 +173,14 @@ object GraphOps {
     for (t <- 1 to rounds) {
       val rs = e.join(surv, e("__src") === surv("__id"), "left_semi")
       val rd = rs.join(surv, rs("__dst") === surv("__id"), "left_semi")
+      // deg is MATERIALIZED each round (eager localCheckpoint): the next
+      // round reads surv TWICE (both endpoint semi joins) and the loop
+      // exit reads deg again — left lazy, the recompute tree would double
+      // per round (2^rounds plans), the Pregel-superstep lesson. Node-
+      // sized, so the materialization is the cheapest step of the round.
       deg = rd.groupBy("__src").agg(count(lit(1)).cast("long").as("__d"))
+        .localCheckpoint()
       surv = deg.where(col("__d") >= k).select(col("__src").as("__id"))
-      if (t % checkpointEvery == 0 && t < rounds) surv = surv.localCheckpoint()
     }
     deg.where(col("__d") >= k).selectExpr("__src AS id", "__d AS degree")
   }
@@ -189,9 +198,13 @@ object GraphOps {
     * argmax, so fixed-round output is a pure function of the edge set
     * (asynchronous/randomized LPA is not, which is why rounds are fixed
     * and synchronous). Per round: ONE equijoin + a (node, label) count agg
-    * + a per-node argmax window — all keyed on node id, no cross product;
-    * `localCheckpoint` cadence as in [[pageRank]]. Pass a symmetrized
-    * edge list for undirected semantics.
+    * + a per-node argmax window — all keyed on node id, no cross product.
+    * Each round's node-sized label table is materialized eagerly
+    * (`localCheckpoint`): the next round reads it twice (vote join +
+    * carry-forward), so a lazy lineage doubles the recompute tree per
+    * round — the Pregel superstep shape (`checkpointEvery` retained for
+    * signature stability; per-round materialization supersedes it). Pass
+    * a symmetrized edge list for undirected semantics.
     *
     * Returns (id, community) for every node in the edge set.
     */
@@ -217,10 +230,15 @@ object GraphOps {
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
         .select(col("__dst"), col("__lab").as("__newlab"))
+      // lab is MATERIALIZED each round (eager localCheckpoint): the next
+      // round reads it TWICE — the vote join and the carry-forward left
+      // join — so a lazy lineage doubles the recompute tree per round
+      // (2^iters plans; the cadence checkpoint alone cannot prevent it).
+      // One node-sized materialization per superstep is the Pregel shape.
       lab = lab.join(win, lab("__id") === win("__dst"), "left")
         .select(col("__id"),
           coalesce(col("__newlab"), col("__lab")).as("__lab"))
-      if (t % checkpointEvery == 0 && t < iters) lab = lab.localCheckpoint()
+        .localCheckpoint()
     }
     lab.selectExpr("__id AS id", "__lab AS community")
   }

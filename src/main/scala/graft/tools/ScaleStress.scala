@@ -50,6 +50,9 @@ object ScaleStress {
     if (args.contains("round13graph")) {
       runRound13GraphProbes(spark); spark.stop(); return
     }
+    if (args.contains("round13b")) {
+      runRound13bProbes(spark); spark.stop(); return
+    }
     val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val n1 = docs1.count()
@@ -726,5 +729,84 @@ object ScaleStress {
       f"10x=${prT("10x")}%5.2f (${prT("10x") / prT("1x")}%4.1fx); " +
       f"triangles 1x=${trT("1x")}%5.2f 10x=${trT("10x")}%5.2f " +
       f"(${trT("10x") / trT("1x")}%4.1fx)")
+  }
+
+  /** 10× slope probe for the round-13 second batch: the peel/vote/score
+    * graph family on the same deterministic regular digraph as
+    * [[runRound13GraphProbes]] (symmetrized — the operators' contract),
+    * and the census meters on a synthetic multi-domain frame. Modularity
+    * scores a plan-literal `id mod 1024` assignment so the probe measures
+    * the SCORE's edge passes, not a vote chain.
+    */
+  private def runRound13bProbes(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def minOf3(name: String)(f: => Long): Double =
+      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+
+    val base = "/tmp/graft_scale13b"
+    def gen(nodes: Long): org.apache.spark.sql.DataFrame =
+      spark.range(nodes).select(col("id").as("src"))
+        .crossJoin(spark.range(4).select(col("id").as("o")))
+        .select(col("src"), pmod(col("src") * lit(1103515245L)
+          + col("o") * lit(12345L) + lit(7L), lit(nodes)).as("dst"))
+        .where(col("src") =!= col("dst"))
+    val arms = Seq(("1x", 2_000_000L), ("10x", 20_000_000L))
+    arms.foreach { case (tag, n) =>
+      val e = gen(n)
+      e.union(e.select(col("dst"), col("src")))
+        .write.mode("overwrite").parquet(s"$base/e$tag")
+    }
+    def edges(tag: String) = spark.read.parquet(s"$base/e$tag")
+    val results = Seq(
+      "kcore3" -> arms.map { case (tag, _) => tag -> minOf3(s"kcore3 $tag")(
+        graft.functions.GraphOps.kCore(edges(tag), "src", "dst",
+          k = 3, rounds = 3).count()) }.toMap,
+      "lpa3" -> arms.map { case (tag, _) => tag -> minOf3(s"lpa3 $tag")(
+        graft.functions.GraphOps.labelPropagation(edges(tag), "src", "dst",
+          iters = 3).count()) }.toMap,
+      "modularity" -> arms.map { case (tag, n) =>
+        val assign = spark.range(n).select(col("id"),
+          pmod(col("id"), lit(1024L)).as("community"))
+        tag -> minOf3(s"modularity $tag")(
+          graft.functions.GraphOps.modularity(edges(tag), "src", "dst",
+            assign, "id", "community").count()) }.toMap,
+      "assortativity" -> arms.map { case (tag, _) =>
+        tag -> minOf3(s"assortativity $tag")(
+          graft.functions.GraphOps.degreeAssortativity(edges(tag),
+            "src", "dst").count()) }.toMap)
+    // census meters over a synthetic (id, dom, axis2) frame: 1024 domains,
+    // 97 second-axis values — census sizes fixed while rows scale 10x
+    def doms(rows: Long) = spark.range(rows).select(
+      pmod(col("id"), lit(1024L)).cast("string").as("dom"),
+      pmod(col("id"), lit(97L)).cast("string").as("ax2"))
+    val meterArms = Seq(("1x", 5_000_000L), ("10x", 50_000_000L))
+    val meters = Seq(
+      "mixture_entropy" -> meterArms.map { case (tag, n) =>
+        tag -> minOf3(s"mixture_entropy $tag")(
+          graft.functions.Sampling.mixtureEntropy(doms(n), "dom").count())
+      }.toMap,
+      "mutual_information" -> meterArms.map { case (tag, n) =>
+        tag -> minOf3(s"mutual_information $tag")(
+          graft.functions.Sampling.mutualInformation(doms(n), "dom", "ax2")
+            .count()) }.toMap,
+      "jensen_shannon" -> meterArms.map { case (tag, n) =>
+        tag -> minOf3(s"jensen_shannon $tag")(
+          graft.functions.Sampling.jensenShannon(
+            doms(n).where(col("ax2") === "0"),
+            doms(n).where(col("ax2") === "1"), "dom").count()) }.toMap)
+    (results ++ meters).foreach { case (name, m) =>
+      println(f"$name%-18s 1x=${m("1x")}%6.2f 10x=${m("10x")}%6.2f " +
+        f"(${m("10x") / m("1x")}%4.1fx)")
+    }
   }
 }
