@@ -36,13 +36,15 @@ object CorpusCatalog {
   def summarize(docs: DataFrame, idCol: String, textCol: String,
                 dumpId: String, k: Int = 256,
                 cmsDepth: Int = 4, cmsWidth: Int = 2048,
-                csDepth: Int = 5, csWidth: Int = 2048): DataFrame = {
+                csDepth: Int = 5, csWidth: Int = 2048,
+                domainCol: Option[String] = None): DataFrame = {
     // the S4 persist-where-reused rule: the doc-stats branch and the
     // gram-sketch branch both read the same projection; without the
     // persist, Spark scans the dump TWICE (aggregate branches don't
     // share a scan)
     val base = graft.CacheRegistry.track(
-      docs.select(col(idCol), col(textCol))
+      docs.select(col(idCol) +: col(textCol) +:
+          domainCol.map(col).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val stats = base.agg(
       count(lit(1)).as("n_docs"),
@@ -55,21 +57,37 @@ object CorpusCatalog {
       Sketches.kmvAgg(grams, col("sh"), k).as("sketch"),
       Sketches.cmsAgg(grams, col("sh"), cmsDepth, cmsWidth).as("cms"),
       Sketches.csAgg(grams, col("sh"), csDepth, csWidth).as("cs"))
-    stats.crossJoin(broadcast(sketch))
+    // round 14: the per-release DOMAIN CENSUS rides the catalog row too —
+    // domain cardinality is census-sized, so the sorted (domain, cnt)
+    // array is a few KB and release-over-release mixture drift
+    // ([[domainDrift]]) becomes pure catalog math, the d87 pattern
+    // applied to the d141 meter. sort_array pins a deterministic layout.
+    val census = domainCol match {
+      case Some(dc) => base
+        .groupBy(col(dc).cast("string").as("domain"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(sort_array(collect_list(struct(col("domain"), col("cnt"))))
+          .as("domain_census"))
+      case None => docs.sparkSession.sql("SELECT CAST(NULL AS " +
+        "ARRAY<STRUCT<domain: STRING, cnt: BIGINT>>) AS domain_census")
+    }
+    stats.crossJoin(broadcast(sketch)).crossJoin(broadcast(census))
       .select(lit(dumpId).as("dump_id"), col("n_docs"), col("n_tokens"),
         col("mean_quality"), col("sketch"), lit(k).as("k"),
         Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"),
         col("cms"), lit(cmsDepth).as("cms_depth"), lit(cmsWidth).as("cms_width"),
-        col("cs"), lit(csDepth).as("cs_depth"), lit(csWidth).as("cs_width"))
+        col("cs"), lit(csDepth).as("cs_depth"), lit(csWidth).as("cs_width"),
+        col("domain_census"))
   }
 
   /** Append one dump's catalog row. */
   def append(docs: DataFrame, idCol: String, textCol: String,
              path: String, dumpId: String, k: Int = 256,
              cmsDepth: Int = 4, cmsWidth: Int = 2048,
-             csDepth: Int = 5, csWidth: Int = 2048): Unit =
+             csDepth: Int = 5, csWidth: Int = 2048,
+             domainCol: Option[String] = None): Unit =
     summarize(docs, idCol, textCol, dumpId, k, cmsDepth, cmsWidth,
-        csDepth, csWidth)
+        csDepth, csWidth, domainCol)
       .write.mode("append").parquet(path)
 
   /** All pairwise dump overlaps from the persisted catalog alone — no
@@ -109,6 +127,82 @@ object CorpusCatalog {
     a.join(b, col("dump_a") < col("dump_b"))
       .select(col("dump_a") +: col("dump_b") +:
         Sketches.overlapColumns(col("sk_a"), col("sk_b"), effK): _*)
+  }
+
+  /** One release's (domain, cnt) census exploded back out of its catalog
+    * row — the input shape [[Sampling.jensenShannonFromCensus]] and
+    * [[Sampling.mixtureEntropyFromCensus]] consume. Fails loudly on a
+    * missing/duplicated dump or a row appended without `domainCol`
+    * (splicing an empty census would silently report total drift).
+    */
+  def domainCensus(spark: SparkSession, path: String,
+                   dumpId: String): DataFrame = {
+    val cat = spark.read.option("mergeSchema", "true").parquet(path)
+    require(cat.columns.contains("domain_census"),
+      s"catalog at $path predates the domain_census column (round-14 " +
+        "appends carry it); re-append the dumps before splicing drift")
+    val rows = cat.where(col("dump_id") === dumpId)
+    val n = rows.count()
+    require(n == 1, s"catalog at $path has $n rows for dump '$dumpId'; " +
+      "domainCensus needs exactly one")
+    require(rows.where(col("domain_census").isNotNull).count() == 1,
+      s"catalog row for dump '$dumpId' at $path carries no domain census " +
+        "(appended without domainCol); splicing an empty census would " +
+        "read as total drift - re-append the dump with domainCol set")
+    explodeDomainCensus(rows)
+  }
+
+  /** The explode half of [[domainCensus]], usable on an in-memory
+    * [[summarize]] row too (the d150 query path). */
+  def explodeDomainCensus(row: DataFrame): DataFrame =
+    row.select(explode(col("domain_census")).as("dc"))
+      .select(col("dc.domain").as("domain"), col("dc.cnt").as("cnt"))
+
+  /** Release-over-release source-mixture drift answered from the CATALOG
+    * ALONE — two census explodes and the shared d141 grid combine; zero
+    * corpus passes (the [[overlaps]] promise, extended to the
+    * distribution meters).
+    */
+  def domainDrift(spark: SparkSession, path: String,
+                  dumpA: String, dumpB: String): DataFrame =
+    Sampling.jensenShannonFromCensus(
+      domainCensus(spark, path, dumpA),
+      domainCensus(spark, path, dumpB), "domain", "cnt")
+
+  /** Append one release's per-dimension embedding-moment census
+    * ([[VectorOps.embeddingCensus]] schema + dump_id) — dim-sized rows,
+    * the standing artifact that answers embedding drift (d143) without
+    * re-reading any vectors. A separate table from the text catalog
+    * because it censuses a different source (the embeddings table) at a
+    * different grain (one row per dimension, not per dump).
+    */
+  def appendEmbeddingCensus(embs: DataFrame, vecCol: String,
+                            path: String, dumpId: String): Unit =
+    VectorOps.embeddingCensus(embs, vecCol)
+      .withColumn("dump_id", lit(dumpId))
+      .write.mode("append").parquet(path)
+
+  /** Embedding drift between two releases from the persisted census
+    * table alone — the [[VectorOps.embeddingDriftFromCensus]] combine
+    * over stored moments (one definition with d143's in-query path).
+    */
+  def embeddingDriftFromCatalog(spark: SparkSession, path: String,
+                                dumpA: String, dumpB: String): DataFrame = {
+    val cat = spark.read.parquet(path)
+    def side(id: String): DataFrame = {
+      val c = cat.where(col("dump_id") === id)
+        .select("dim", "n", "s", "ss")
+      // a re-appended dump would double every moment silently — the
+      // census table is dim-sized, so the uniqueness probe is two tiny
+      // counts, not a corpus pass
+      val rows = c.count()
+      val dims = c.select("dim").distinct().count()
+      require(rows > 0, s"census at $path has no rows for dump '$id'")
+      require(rows == dims, s"census at $path has duplicate dim rows for " +
+        s"dump '$id' ($rows rows, $dims dims) - re-appended? rebuild it")
+      c
+    }
+    VectorOps.embeddingDriftFromCensus(side(dumpA), side(dumpB))
   }
 
   /** All pairwise gram-EQUIJOIN-size estimates from the persisted catalog

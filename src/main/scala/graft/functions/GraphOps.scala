@@ -38,9 +38,28 @@ object GraphOps {
     * i.e. damping 0.85 with truncating integer division at every step —
     * deterministic across engines and partitionings because long `div` and
     * long `sum` are exact and order-free, unlike a double recurrence whose
-    * reduction order differs per shuffle. Dangling mass (deg-0 nodes) is
-    * dropped, the common simplification; on a symmetrized similarity graph
-    * every node has out-edges so none exists there.
+    * reduction order differs per shuffle.
+    *
+    * Dangling nodes (no out-edges): with `danglingMass = false` their
+    * mass is dropped, the common simplification — harmless on a
+    * symmetrized similarity graph where every node has out-edges, but on
+    * a DIRECTED graph (hyperlink crawls, containment DAGs — where
+    * dangling pages are routinely 20-30% of the node set) dropped mass
+    * deflates every rank and breaks the Σrank ≈ 10^9 invariant. With
+    * `danglingMass = true` each iteration folds the dangling nodes' total
+    * rank into the teleport distribution — uniformly (`dangle div N`), or
+    * onto the seed set when personalized (`dangle div ns`, the standard
+    * PPR convention) — inside the damping factor:
+    * {{{
+    *   r_t+1(v) = tele(v) + (85 * (Σcontrib(v) + dangle_t div den)) div 100
+    * }}}
+    * still pure BIGINT, still engine-replayable. The per-iteration cost
+    * is one 1-row sum over the rank vector semi-joined against the
+    * once-persisted dangling-node set (never a data collect), plus an
+    * eager node-sized materialization of each round's rank vector — the
+    * rank frame is read twice per round in this mode (contrib join +
+    * dangle sum), so a lazy lineage would double the recompute tree per
+    * round (the Pregel superstep rule).
     *
     * Plan shape, per iteration: ONE equijoin of the rank vector against
     * the degree-fused edge table (hash-partitioned on src) + ONE keyed sum
@@ -70,7 +89,8 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, checkpointEvery: Int = 8,
                weightCol: Option[String] = None,
-               seeds: Option[DataFrame] = None): DataFrame = {
+               seeds: Option[DataFrame] = None,
+               danglingMass: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
     require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     val disk = StorageLevel.MEMORY_AND_DISK
@@ -100,7 +120,8 @@ object GraphOps {
         val nRow = broadcast(nodesRaw.agg(count(lit(1)).cast("long").as("__n")))
         nodesRaw.crossJoin(nRow).selectExpr("__id",
           "CAST(1000000000 AS BIGINT) div __n AS __init",
-          "CAST(150000000 AS BIGINT) div __n AS __tele")
+          "CAST(150000000 AS BIGINT) div __n AS __tele",
+          "__n AS __dden")
       case Some(sd) =>
         // seed list is a broadcast-sized id set; flag + count ∩ nodes in
         // one left join (never a collect)
@@ -114,18 +135,46 @@ object GraphOps {
           ("CASE WHEN __sd IS NOT NULL THEN CAST(1000000000 AS BIGINT)" +
             " div __ns ELSE CAST(0 AS BIGINT) END AS __init"),
           ("CASE WHEN __sd IS NOT NULL THEN CAST(150000000 AS BIGINT)" +
-            " div __ns ELSE CAST(0 AS BIGINT) END AS __tele"))
+            " div __ns ELSE CAST(0 AS BIGINT) END AS __tele"),
+          // dangling mass teleports by the personalization vector (the
+          // standard PPR convention): onto seeds only
+          ("CASE WHEN __sd IS NOT NULL THEN __ns" +
+            " ELSE CAST(0 AS BIGINT) END AS __dden"))
     }
     val nodes = graft.CacheRegistry.track(nt.persist(disk))
+    // dangling node set (no out-edges) computed ONCE and persisted —
+    // node-sized, read every iteration by the 1-row dangle sum
+    val dang = if (danglingMass) Some(graft.CacheRegistry.track(
+      nodes.select("__id")
+        .join(e.select(col("__src").as("__id")).distinct(),
+          Seq("__id"), "left_anti")
+        .persist(disk)))
+    else None
     var r = nodes.select(col("__id"), col("__init").as("__r"))
     for (t <- 1 to iters) {
       val sums = ed.join(r, col("__src") === col("__id"))
         .selectExpr("__dst", "(__r * __w) div __tw AS __c")
         .groupBy("__dst").agg(sum("__c").as("__s"))
-      r = nodes.join(sums, nodes("__id") === sums("__dst"), "left")
-        .selectExpr("__id",
-          "__tele + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100 AS __r")
-      if (t % checkpointEvery == 0 && t < iters) r = r.localCheckpoint()
+      r = dang match {
+        case Some(dn) =>
+          val dRow = broadcast(r.join(dn, Seq("__id"), "left_semi")
+            .agg(coalesce(sum("__r"), lit(0L)).cast("long").as("__dangle")))
+          nodes.join(sums, nodes("__id") === sums("__dst"), "left")
+            .crossJoin(dRow)
+            .selectExpr("__id",
+              ("__tele + (85 * (coalesce(__s, CAST(0 AS BIGINT))" +
+                " + CASE WHEN __dden > 0 THEN __dangle div __dden" +
+                " ELSE CAST(0 AS BIGINT) END)) div 100 AS __r"))
+        case None =>
+          nodes.join(sums, nodes("__id") === sums("__dst"), "left")
+            .selectExpr("__id",
+              "__tele + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100 AS __r")
+      }
+      // dangling mode reads r twice per round (contrib join + dangle
+      // sum): materialize each round or the recompute tree doubles
+      if (danglingMass && t < iters) r = graft.Checkpoints.eager(r)
+      else if (t % checkpointEvery == 0 && t < iters)
+        r = graft.Checkpoints.eager(r)
     }
     r.selectExpr("__id AS id", "__r AS rank_ppb")
   }
@@ -150,18 +199,16 @@ object GraphOps {
     * shuffle budget is monotonically decreasing; the round's node-sized
     * degree table is materialized eagerly (`localCheckpoint`) because
     * BOTH next-round semi joins and the loop exit read it — lazy, the
-    * recompute tree doubles per round (`checkpointEvery` is retained for
-    * signature stability; per-round materialization supersedes it). Pass
-    * a symmetrized edge list.
+    * recompute tree doubles per round. Pass a symmetrized edge list.
+    * For peel-to-fixpoint semantics see [[kCoreConverged]].
     *
     * Returns (id, degree) for nodes surviving round R — degree counted
     * in the round-R restricted graph.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, rounds: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+            k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     require(rounds >= 1 && rounds <= 100, s"rounds=$rounds out of [1,100]")
-    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
     val disk = StorageLevel.MEMORY_AND_DISK
     val e = graft.CacheRegistry.track(
       edges.select(col(srcCol).cast("long").as("__src"),
@@ -178,9 +225,50 @@ object GraphOps {
       // exit reads deg again — left lazy, the recompute tree would double
       // per round (2^rounds plans), the Pregel-superstep lesson. Node-
       // sized, so the materialization is the cheapest step of the round.
-      deg = rd.groupBy("__src").agg(count(lit(1)).cast("long").as("__d"))
-        .localCheckpoint()
+      deg = graft.Checkpoints.eager(
+        rd.groupBy("__src").agg(count(lit(1)).cast("long").as("__d")))
       surv = deg.where(col("__d") >= k).select(col("__src").as("__id"))
+    }
+    deg.where(col("__d") >= k).selectExpr("__src AS id", "__d AS degree")
+  }
+
+  /** [[kCore]] that peels until the survivor set STABILIZES (the true
+    * k-core, Matula & Beck 1983's algorithm distributed) or `maxRounds`
+    * is reached. Peeling is monotone — each round's survivor set is a
+    * subset of the previous round's — so "survivor count unchanged"
+    * is an EXACT fixpoint test (count equality on nested sets is set
+    * equality), one 1-row driver scalar per round. And because rounds
+    * past the fixpoint are identity, the result ALWAYS equals the
+    * `maxRounds`-unrolled fixed-round peel — the early exit buys wall
+    * clock, never changes the answer, which keeps the variant
+    * oracle-replayable despite the data-dependent stop.
+    */
+  def kCoreConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxRounds: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(maxRounds >= 1 && maxRounds <= 100,
+      s"maxRounds=$maxRounds out of [1,100]")
+    val disk = StorageLevel.MEMORY_AND_DISK
+    val e = graft.CacheRegistry.track(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"))
+        .where(col("__src") =!= col("__dst"))
+        .distinct().persist(disk))
+    var surv = e.select(col("__src").as("__id")).distinct()
+    var nSurv = -1L // sentinel: first round always runs
+    var deg: DataFrame = null
+    var t = 0
+    var converged = false
+    while (t < maxRounds && !converged) {
+      val rs = e.join(surv, e("__src") === surv("__id"), "left_semi")
+      val rd = rs.join(surv, rs("__dst") === surv("__id"), "left_semi")
+      deg = graft.Checkpoints.eager(
+        rd.groupBy("__src").agg(count(lit(1)).cast("long").as("__d")))
+      surv = deg.where(col("__d") >= k).select(col("__src").as("__id"))
+      t += 1
+      val n = surv.count()
+      converged = n == nSurv
+      nSurv = n
     }
     deg.where(col("__d") >= k).selectExpr("__src AS id", "__d AS degree")
   }
@@ -202,45 +290,105 @@ object GraphOps {
     * Each round's node-sized label table is materialized eagerly
     * (`localCheckpoint`): the next round reads it twice (vote join +
     * carry-forward), so a lazy lineage doubles the recompute tree per
-    * round — the Pregel superstep shape (`checkpointEvery` retained for
-    * signature stability; per-round materialization supersedes it). Pass
-    * a symmetrized edge list for undirected semantics.
+    * round — the Pregel superstep shape. Pass a symmetrized edge list
+    * for undirected semantics.
+    *
+    * `weightCol` (must be POSITIVE longs, e.g. micro-scaled jaccard
+    * similarities): the vote sums edge weights instead of counting
+    * edges, so a node joins the community its STRONGEST duplicates
+    * vote for, not its most numerous marginal band matches — the same
+    * sharpening [[pageRank]]'s weighted form gives centrality. With
+    * `weightCol = None` every edge weighs 1 and the recurrence is the
+    * classic count vote, bit-for-bit. For vote-until-stable semantics
+    * see [[labelPropagationConverged]].
     *
     * Returns (id, community) for every node in the edge set.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int = 3, checkpointEvery: Int = 8): DataFrame = {
+                       iters: Int = 3,
+                       weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
-    require(checkpointEvery >= 1, s"checkpointEvery=$checkpointEvery")
+    val (e, nodes) = lpaInputs(edges, srcCol, dstCol, weightCol)
+    var lab = nodes.select(col("__id"), col("__id").as("__lab"))
+    for (t <- 1 to iters) lab = lpaRound(e, lab)
+    lab.selectExpr("__id AS id", "__lab AS community")
+  }
+
+  /** [[labelPropagation]] that votes until the labels STABILIZE (no node
+    * changes its label between rounds) or `maxRounds` is reached —
+    * whichever comes first. Once a round leaves every label unchanged,
+    * every later synchronous round reproduces it verbatim (the vote is a
+    * pure function of the incoming labels), so the early exit is
+    * semantics-free: the result ALWAYS equals the `maxRounds`-unrolled
+    * fixed-round recurrence, which is what makes the variant
+    * oracle-replayable despite the data-dependent stop. Synchronous LPA
+    * can oscillate on 2-cycles (bipartite cores), hence the hard
+    * `maxRounds` bound instead of an unbounded loop. The convergence
+    * probe is ONE 1-row count of changed labels per round — a driver
+    * scalar, never a data collect.
+    */
+  def labelPropagationConverged(edges: DataFrame, srcCol: String,
+                                dstCol: String, maxRounds: Int = 10,
+                                weightCol: Option[String] = None): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 100,
+      s"maxRounds=$maxRounds out of [1,100]")
+    val (e, nodes) = lpaInputs(edges, srcCol, dstCol, weightCol)
+    var lab = nodes.select(col("__id"), col("__id").as("__lab"))
+    var t = 0
+    var converged = false
+    while (t < maxRounds && !converged) {
+      val prev = lab
+      lab = lpaRound(e, prev)
+      t += 1
+      // fixpoint ⟺ zero changed labels — an exact test (the labelSum
+      // shortcut of MinHashLSH.clusters is a proxy; the count is not)
+      val changed = lab.join(prev.withColumnRenamed("__lab", "__old"), "__id")
+        .where(col("__lab") =!= col("__old"))
+        .count()
+      converged = changed == 0L
+    }
+    lab.selectExpr("__id AS id", "__lab AS community")
+  }
+
+  /** Shared LPA inputs: weight-fused persisted edge table + node set. */
+  private def lpaInputs(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: Option[String]): (DataFrame, DataFrame) = {
     val disk = StorageLevel.MEMORY_AND_DISK
-    val e = graft.CacheRegistry.track(
-      edges.select(col(srcCol).cast("long").as("__src"),
-        col(dstCol).cast("long").as("__dst")).persist(disk))
+    val sel = weightCol match {
+      case Some(w) => edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"), col(w).cast("long").as("__w"))
+      case None => edges.select(col(srcCol).cast("long").as("__src"),
+        col(dstCol).cast("long").as("__dst"), lit(1L).as("__w"))
+    }
+    val e = graft.CacheRegistry.track(sel.persist(disk))
     val nodes = graft.CacheRegistry.track(
       e.select(col("__src").as("__id"))
         .union(e.select(col("__dst").as("__id")))
         .distinct().persist(disk))
-    var lab = nodes.select(col("__id"), col("__id").as("__lab"))
+    (e, nodes)
+  }
+
+  /** One synchronous vote round. The new label table is MATERIALIZED
+    * (eager localCheckpoint): the next round reads it TWICE — the vote
+    * join and the carry-forward left join — so a lazy lineage doubles the
+    * recompute tree per round (2^iters plans). One node-sized
+    * materialization per superstep is the Pregel shape. The weighted vote
+    * `sum(__w)` reduces to the classic count with __w ≡ 1 bit-for-bit
+    * (long sums are exact), so one round serves both forms.
+    */
+  private def lpaRound(e: DataFrame, lab: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__dst").orderBy(col("__v").desc, col("__lab").asc)
-    for (t <- 1 to iters) {
-      val win = e.join(lab, col("__src") === col("__id"))
-        .groupBy(col("__dst"), col("__lab"))
-        .agg(count(lit(1)).as("__v"))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("__dst"), col("__lab").as("__newlab"))
-      // lab is MATERIALIZED each round (eager localCheckpoint): the next
-      // round reads it TWICE — the vote join and the carry-forward left
-      // join — so a lazy lineage doubles the recompute tree per round
-      // (2^iters plans; the cadence checkpoint alone cannot prevent it).
-      // One node-sized materialization per superstep is the Pregel shape.
-      lab = lab.join(win, lab("__id") === win("__dst"), "left")
+    val win = e.join(lab, col("__src") === col("__id"))
+      .groupBy(col("__dst"), col("__lab"))
+      .agg(sum("__w").as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__dst"), col("__lab").as("__newlab"))
+    graft.Checkpoints.eager(
+      lab.join(win, lab("__id") === win("__dst"), "left")
         .select(col("__id"),
-          coalesce(col("__newlab"), col("__lab")).as("__lab"))
-        .localCheckpoint()
-    }
-    lab.selectExpr("__id AS id", "__lab AS community")
+          coalesce(col("__newlab"), col("__lab")).as("__lab")))
   }
 
   /** Newman modularity of a community assignment on the 1e-6 integer
@@ -282,10 +430,14 @@ object GraphOps {
     // persisted: BOTH endpoint joins read the assignment, and the caller
     // may hand over an expensive unmaterialized proposal (d139 feeds the
     // 3-round LPA output here — unpersisted, every vote round would
-    // recompute once per endpoint side)
+    // recompute once per endpoint side). Deduplicated to ONE community
+    // per id (smallest, a deterministic tie-break) — duplicate (id,comm)
+    // rows would otherwise fan out both endpoint joins and silently
+    // inflate lc/dc past n_edges.
     val cm = graft.CacheRegistry.track(
       assign.select(col(idCol).cast("long").as("__id"),
           col(commCol).cast("long").as("__cm"))
+        .groupBy("__id").agg(min("__cm").as("__cm"))
         .persist(disk))
     val mRow = broadcast(e.agg(count(lit(1)).cast("long").as("m")))
     // community on each endpoint; unassigned nodes become singletons
@@ -329,49 +481,80 @@ object GraphOps {
     * clustering coefficient is a one-row quality gate on the LSH pair set
     * itself (the d103 recall gate's structural complement).
     *
-    * Counting uses the ordered-orientation identity: normalize every edge
-    * to `a < b`, then each triangle `u < v < w` is exactly ONE match of
-    * `(u,v) ⋈ (v,w) ⋈ (u,w)` — two equijoins over the oriented edge table,
-    * no permutation double-count, no DISTINCT. The oriented table is
+    * Counting uses the ordered-orientation identity: orient every edge
+    * along a TOTAL order on vertices, then each triangle `u < v < w` is
+    * exactly ONE match of `(u,v) ⋈ (v,w) ⋈ (u,w)` — two equijoins over
+    * the oriented edge table, no permutation double-count, no DISTINCT.
+    * The order used is **(degree, id)** — the Chiba–Nishizeki/degree
+    * orientation: every vertex's OUT-degree in the oriented table is
+    * O(√|E|) (a vertex only keeps edges toward higher-degree endpoints,
+    * and at most 2√|E| vertices have degree ≥ √|E|), so a template-farm
+    * hub of raw degree D contributes O(min(D,√|E|)²) join candidates on
+    * its key instead of O(D²) — the skew bound that keeps the two
+    * equijoins partitionable at 100 TB without leaning on AQE skew
+    * splitting. Costs one degree pre-join over the undirected table; the
+    * triangle count itself is orientation-invariant, so the census is
+    * bit-identical to the raw-id orientation. The oriented table is
     * persisted once and read three times (S4). Wedges are a pure degree
     * aggregate: `Σ d(d−1)/2` over the symmetrized degree — all BIGINT, and
     * the coefficient is emitted on the 1e-6 integer grid
     * (`3·T·10^6 div wedges`), engine-replayable like [[pageRank]].
     *
-    * Skew note: a hub of degree D contributes O(D²) join candidates; the
-    * `a < b` orientation halves it, and at 100 TB the standard refinement
-    * — orient by (degree, id) instead of raw id so every vertex keeps
-    * out-degree O(√|E|) — is a drop-in change of the `least/greatest` pair
-    * here, at the cost of a degree pre-join. AQE skew-join covers the
-    * moderate cases (SCALE.md).
-    *
     * Returns ONE row: (n_nodes, n_edges, n_triangles, n_wedges, gcc_micro).
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val disk = StorageLevel.MEMORY_AND_DISK
-    val e = graft.CacheRegistry.track(
+    val und = graft.CacheRegistry.track(
       edges.select(
           least(col(srcCol), col(dstCol)).cast("long").as("a"),
           greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
         .where(col("a") =!= col("b"))
         .distinct().persist(disk))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e2.a") === col("e1.b"))
-      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+    // symmetrized degree — read by the wedge census AND both orientation
+    // joins (node-sized, broadcast-eligible)
+    val dg = graft.CacheRegistry.track(
+      und.select(col("a").as("id"))
+        .union(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).cast("long").as("d"))
+        .persist(disk))
+    val ori = graft.CacheRegistry.track(
+      orientByDegree(und, dg).persist(disk))
+    val tri = ori.as("e1")
+      .join(ori.as("e2"), col("e2.x") === col("e1.y"))
+      .join(ori.as("e3"), col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
       .agg(count(lit(1)).cast("long").as("n_triangles"))
-    val dg = e.select(col("a").as("id"))
-      .union(e.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).cast("long").as("d"))
     val wedge = dg.agg(count(lit(1)).cast("long").as("n_nodes"),
       // coalesce: sum over ZERO nodes (empty edge input) is null, and the
       // census must stay total on empty frames (EmptyInputSpec)
       coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
         .cast("long").as("n_wedges"))
-    val ne = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    val ne = und.agg(count(lit(1)).cast("long").as("n_edges"))
     wedge.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
       .selectExpr("n_nodes", "n_edges", "n_triangles", "n_wedges",
         ("CASE WHEN n_wedges > 0 THEN (3 * n_triangles * CAST(1000000 AS" +
           " BIGINT)) div n_wedges ELSE CAST(0 AS BIGINT) END AS gcc_micro"))
+  }
+
+  /** (degree, id)-orientation of a deduped undirected edge table
+    * `und(a, b)` given its symmetrized degree table `dg(id, d)`: each
+    * edge points from its (degree, id)-smaller endpoint to the larger,
+    * a total acyclic order under which every vertex's out-degree is
+    * O(√|E|) — the [[triangleStats]] skew bound, exposed for the spec
+    * that pins it on a power-law fixture. No broadcast hint: the degree
+    * table is node-sized — AQE broadcasts it at bench scale and keys the
+    * join at corpus scale.
+    */
+  private[graft] def orientByDegree(und: DataFrame, dg: DataFrame): DataFrame = {
+    val da = dg.select(col("id").as("__ia"), col("d").as("__da"))
+    val db = dg.select(col("id").as("__ib"), col("d").as("__db"))
+    und.join(da, col("a") === col("__ia"))
+      .join(db, col("b") === col("__ib"))
+      .select(
+        when(col("__da") < col("__db") ||
+            (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("x"), col("b").as("y")))
+          .otherwise(struct(col("b").as("x"), col("a").as("y"))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
   }
 
   /** Degree assortativity of an undirected graph on the 1e-6 integer
@@ -386,11 +569,20 @@ object GraphOps {
     * runs in decimal(38,0) (Σdeg² at web scale exceeds long), and the
     * correlation lands by signed grid division `sign·(|num·10^6| div den)`
     * (num < 0 on disassortative graphs — the d133 truncate-vs-floor
-    * lesson). Unlike the entropy meters there is NO shared-libm
+    * lesson), with a common-shift rescale guarding the ×10^6 layer (see
+    * the inline note). Unlike the entropy meters there is NO shared-libm
     * dependency at all: any engine replays the row from the edge set
     * bit-for-bit. On the symmetrized list the two endpoint-degree
     * marginals coincide, so `r = (m·Σxy − (Σx)²) div (m·Σx² − (Σx)²)`;
     * a degree-regular graph (den = 0, r undefined) reports 0.
+    *
+    * Capacity bound (exact, fails LOUDLY via ANSI decimal overflow, never
+    * silently): the moments `m·Σdeg²` must fit decimal(38,0), i.e.
+    * `E²·D² < 10^38` ⇒ `E·D < 10^19` for E symmetrized edges and max
+    * degree D — e.g. 10^12 edges with hub degree up to 10^7, which covers
+    * any banding-capped near-dup graph; a pathological star at 10^12
+    * edges (D ≈ E) exceeds it and errors rather than returning a wrong
+    * correlation.
     *
     * Plan: one degree agg (keyed), two equijoins hanging the degree on
     * each endpoint, one 1-row total agg — no iteration, no float, and
@@ -426,12 +618,34 @@ object GraphOps {
           .cast("long").as("max_degree"))
     val nn = broadcast(e.select(col("__src")).distinct()
       .agg(count(lit(1)).cast("long").as("n_nodes")))
-    s.crossJoin(nn).selectExpr("n_nodes", "m AS n_edges", "max_degree",
-      ("CASE WHEN m * sxx - sx * sx <= 0 THEN CAST(0 AS BIGINT)" +
-        " WHEN m * sxy - sx * sx >= 0" +
-        " THEN CAST((m * sxy - sx * sx) * 1000000" +
-        " div (m * sxx - sx * sx) AS BIGINT)" +
-        " ELSE -CAST((-(m * sxy - sx * sx)) * 1000000" +
-        " div (m * sxx - sx * sx) AS BIGINT) END AS r_micro"))
+    // Grid division with an overflow guard: num and den are bounded by
+    // m·sxx ≲ 10^37 (see scaladoc), but num·10^6 would cross decimal's
+    // 10^38 ceiling once den exceeds ~10^31 — so when it does, BOTH num
+    // and den are pre-divided by the SAME shift (den div 10^30, making
+    // den' ≈ 10^30-10^31). The shift is a pure integer function of the
+    // edge set (replayable), and its relative error is ≤ 2·shift/den ≈
+    // 10^-30 — twenty-four orders below the 1e-6 grid, so the emitted
+    // micro value is unchanged anywhere the unshifted form is computable.
+    s.crossJoin(nn)
+      .selectExpr("n_nodes", "m", "max_degree",
+        "m * sxy - sx * sx AS num", "m * sxx - sx * sx AS den")
+      .selectExpr("n_nodes", "m", "max_degree", "den",
+        ("CASE WHEN den > 10000000000000000000000000000000" +
+          " THEN den div 1000000000000000000000000000000" +
+          " ELSE CAST(1 AS DECIMAL(38,0)) END AS shift"), "num")
+      .selectExpr("n_nodes", "m", "max_degree", "num", "shift",
+        // exact decimal floor-div (x - x%s)/s — `div` itself returns
+        // LONG and the ~10^30 shifted values exceed it; the subtraction
+        // makes the decimal `/` land on an exact integer, so the
+        // round-half-up cast back to decimal(38,0) is lossless
+        "CAST((den - den % shift) / shift AS DECIMAL(38,0)) AS dens",
+        "den")
+      .selectExpr("n_nodes", "m AS n_edges", "max_degree",
+        ("CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)" +
+          " WHEN num >= 0" +
+          " THEN CAST(CAST((num - num % shift) / shift AS DECIMAL(38,0))" +
+          " * 1000000 div dens AS BIGINT)" +
+          " ELSE -CAST(CAST((-num - (-num) % shift) / shift AS DECIMAL(38,0))" +
+          " * 1000000 div dens AS BIGINT) END AS r_micro"))
   }
 }

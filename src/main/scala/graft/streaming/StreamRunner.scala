@@ -25,15 +25,44 @@ object StreamRunner {
     * changelog aggregations — with a finite source arriving as one
     * micro-batch, update mode emits each key exactly once (the final
     * state), which is what makes an update-mode aggregation
-    * oracle-comparable here.
+    * oracle-comparable here. That single-batch premise is ENFORCED, not
+    * assumed: with several data micro-batches (multi-file source,
+    * maxFilesPerTrigger) update mode re-emits changed keys per batch and
+    * the memory table would hold a changelog, silently double-counting
+    * any downstream sum — so such a run fails loudly instead. (Append
+    * mode rows are final by definition and need no guard.)
+    */
+  /** `noDataBatches = false` skips the trailing no-data micro-batch
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`). Safe ONLY for
+    * sinks whose every row is emitted in the data batch itself — inner
+    * stream-stream joins and stateless maps, where the no-data batch
+    * exists purely to advance the watermark and evict state (~2.2 s of
+    * q45's 5.1 s row was this lifecycle batch). NOT safe for aggregations
+    * or outer joins that emit on watermark passage — their finalized rows
+    * would never appear. The conf is session-global, so it is set for the
+    * run and restored after (queries run sequentially in Verify/Bench).
     */
   def runToBatch(stream: DataFrame, prefix: String,
-                 mode: String = "append"): DataFrame = {
+                 mode: String = "append",
+                 noDataBatches: Boolean = true): DataFrame = {
     val spark = stream.sparkSession
     val name = s"${prefix}_run${n.incrementAndGet()}"
+    val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevConf = spark.conf.getOption(confKey)
+    if (!noDataBatches) spark.conf.set(confKey, "false")
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    try q.processAllAvailable() finally {
+    try {
+      q.processAllAvailable()
+      if (mode == "update") {
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches <= 1,
+          s"$name: update-mode memory sink saw $dataBatches data " +
+            "micro-batches; its rows form a changelog, not final state - " +
+            "fold to the last emission per key before consuming, or run " +
+            "the finite source as a single batch")
+      }
+    } finally {
       // Micro-batch accounting (SPARK_GRAFT_STREAM_METRICS=1): one stderr
       // line per progress event — batch id, input rows, trigger wall time,
       // state rows — so a bench exceedance on a streaming row can be
@@ -59,6 +88,10 @@ object StreamRunner {
         }
       }
       q.stop()
+      if (!noDataBatches) prevConf match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     }
     spark.table(name)
   }

@@ -922,6 +922,93 @@ object PipelineQueries {
         "doc_a", "doc_b")
     },
 
+    // PageRank with dangling-mass redistribution (round 14) over the
+    // DIRECTED containment graph (doc_a ⊆ doc_b edges from d131),
+    // oriented doc_a < doc_b so mutual containments keep one canonical
+    // direction (mass flows toward the newer/higher id) and the graph is
+    // a DAG — whose maximal elements have NO out-edges, exactly the
+    // hyperlink-crawl sink shape. Their mass folds into the teleport
+    // each iteration instead of silently draining, so Σrank stays
+    // ≈ 10^9 and rank reads as "how much content aggregates here".
+    "d146_pagerank_dangling" -> { (s, dir) =>
+      val edges = JaccardJoin.containmentPairs(docs(s, dir), "doc_id",
+          "text", threshold = 0.6, n = 3)
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      GraphOps.pageRank(edges, "doc_a", "doc_b", iters = 3,
+          danglingMass = true)
+        .selectExpr("id AS doc_id", "rank_ppb")
+    },
+
+    // Weighted LPA (round 14): the vote sums micro-jaccard edge weights
+    // instead of counting edges — a node joins the community its
+    // STRONGEST duplicates vote for, the d130 sharpening applied to
+    // communities instead of centrality.
+    "d147_communities_weighted" -> { (s, dir) =>
+      val pairs = dupPairs(s, dir).select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * lit(1e6), 0).cast("long").as("w"))
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"), col("w")))
+      GraphOps.labelPropagation(sym, "doc_a", "doc_b", iters = 3,
+          weightCol = Some("w"))
+        .selectExpr("id AS doc_id", "community")
+    },
+
+    // k-core peeled to FIXPOINT (round 14): the true maximal k-core, not
+    // a round-R superset — the early exit is semantics-free (the result
+    // always equals the maxRounds unroll, which is what the oracle
+    // replays), it only saves the rounds past stabilization.
+    "d148_kcore_converged" -> { (s, dir) =>
+      GraphOps.kCoreConverged(dupGraphSym(dupPairs(s, dir)),
+          "doc_a", "doc_b", k = 2, maxRounds = 8)
+        .selectExpr("id AS doc_id", "degree")
+    },
+
+    // LPA voted to stability (round 14): same semantics-free early exit
+    // — equals the 8-round unroll bit-for-bit whether the vote stabilizes
+    // at round 2 or oscillates to the bound.
+    "d149_lpa_converged" -> { (s, dir) =>
+      GraphOps.labelPropagationConverged(dupGraphSym(dupPairs(s, dir)),
+          "doc_a", "doc_b", maxRounds = 8)
+        .selectExpr("id AS doc_id", "community")
+    },
+
+    // Catalog-integrated mixture drift (round 14): two release halves
+    // INGESTED as full catalog rows (stats + sketches + the new domain
+    // census), then the d141 JSD answered from the census columns alone
+    // — proving the catalog row carries enough to answer drift with
+    // zero corpus re-reads (CorpusCatalogSpec pins the file round-trip).
+    "d150_catalog_drift" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val relA = graft.functions.CorpusCatalog.summarize(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        "relA", domainCol = Some("source"))
+      val relB = graft.functions.CorpusCatalog.summarize(
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        "relB", domainCol = Some("source"))
+      Sampling.jensenShannonFromCensus(
+        graft.functions.CorpusCatalog.explodeDomainCensus(relA),
+        graft.functions.CorpusCatalog.explodeDomainCensus(relB),
+        "domain", "cnt")
+    },
+
+    // Catalog-integrated embedding drift (round 14): the two parity
+    // halves' per-dim moment censuses tagged with release ids, unioned
+    // into the standing census-table shape, then the d143 combine over
+    // the filtered sides — the embeddingDriftFromCatalog path without
+    // the file hop (the spec covers the parquet round trip).
+    "d151_catalog_edrift" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val cat = VectorOps.embeddingCensus(
+          e.where(pmod(col("vec_id"), lit(2)) === 0), "embedding")
+        .withColumn("dump_id", lit("relA"))
+        .union(VectorOps.embeddingCensus(
+            e.where(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+          .withColumn("dump_id", lit("relB")))
+      VectorOps.embeddingDriftFromCensus(
+        cat.where(col("dump_id") === "relA").select("dim", "n", "s", "ss"),
+        cat.where(col("dump_id") === "relB").select("dim", "n", "s", "ss"))
+    },
+
     // Embedding-space drift between two release halves (round 13): the
     // vector modality's twin of d141 — per-dimension integer-grid means
     // and variances of the even-id vs odd-id vectors plus the mean shift,
@@ -984,10 +1071,18 @@ object PipelineQueries {
     // d72's brute-force KNN is — production runs only the banded side.
     "d103_lsh_recall" -> { (s, dir) =>
       val d = docs(s, dir)
-      val exact = JaccardJoin.similarPairs(d, "doc_id", "text",
-        threshold = 0.8, n = 3).select("doc_a", "doc_b")
-      val lsh = MinHashLSH.nearDupPairs(d, "doc_id", "text", n = 3, k = 8, r = 2)
-        .where(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+      // BOTH sides are consumed twice (their own count agg + the hit
+      // semi-join): persisted so the verify joins reuse the pair sets
+      // instead of re-running the PPJoin / banding per consumer (the d53
+      // pattern; AQE exchange reuse is not guaranteed across actions)
+      val exact = graft.CacheRegistry.track(
+        JaccardJoin.similarPairs(d, "doc_id", "text",
+            threshold = 0.8, n = 3).select("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val lsh = graft.CacheRegistry.track(
+        MinHashLSH.nearDupPairs(d, "doc_id", "text", n = 3, k = 8, r = 2)
+          .where(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val hit = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
       exact.agg(count(lit(1)).as("n_exact"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
@@ -2304,7 +2399,7 @@ object PipelineQueries {
       s"""s$t AS (SELECT e.dst AS id, CAST(sum($contrib) AS BIGINT) AS s
            FROM edges e JOIN r${t - 1} r ON r.id = e.src
            JOIN tw t ON t.src = e.src GROUP BY e.dst),
-         r$t AS (SELECT $nodeTab.id, $tele
+         r$t AS MATERIALIZED (SELECT $nodeTab.id, $tele
              + CAST(85 * coalesce(s$t.s, 0) AS BIGINT) // 100 AS r
            FROM $nodeTab LEFT JOIN s$t ON s$t.id = $nodeTab.id
            CROSS JOIN $massTab)"""
@@ -2443,22 +2538,62 @@ object PipelineQueries {
     * oracle and the d139 modularity oracle, so the proposal chain and the
     * score chain replay the SAME communities.
     */
-  private lazy val LpaCtesSql: String = {
+  private lazy val LpaCtesSql: String = lpaCtes()
+
+  /** Parameterized form: `rounds` unrolled votes, counting edges or
+    * (round 14) summing micro-jaccard weights — the weighted vote with
+    * w ≡ 1 reduces to the count exactly, and the CONVERGED engine
+    * variants (d148/d149) replay as the maxRounds unroll because rounds
+    * past a synchronous fixpoint are identity.
+    */
+  private def lpaCtes(rounds: Int = 3, weighted: Boolean = false): String = {
+    val wSel =
+      if (weighted) ", CAST(round(jaccard * 1e6, 0) AS BIGINT) AS w" else ""
+    val wCol = if (weighted) ", w" else ""
+    val vExpr = if (weighted) "sum(e.w)" else "count(*)"
+    // MATERIALIZED (DuckDB-only hint; oracles run only in DuckDB): each
+    // l$t is referenced twice by round t+1 and DuckDB inlines plain CTEs
+    // per reference, which would re-evaluate the whole MinHash chain
+    // O(2^rounds) times at the d148/d149 8-round unrolls
     def round(t: Int): String =
-      s"""v$t AS (SELECT e.dst AS id, l.lab, count(*) AS v
+      s"""v$t AS (SELECT e.dst AS id, l.lab, $vExpr AS v
            FROM edges e JOIN l${t - 1} l ON l.id = e.src GROUP BY 1, 2),
          w$t AS (SELECT id, lab FROM (SELECT id, lab, row_number()
              OVER (PARTITION BY id ORDER BY v DESC, lab ASC) AS rn
            FROM v$t) WHERE rn = 1),
-         l$t AS (SELECT l.id, coalesce(w$t.lab, l.lab) AS lab
+         l$t AS MATERIALIZED (SELECT l.id, coalesce(w$t.lab, l.lab) AS lab
            FROM l${t - 1} l LEFT JOIN w$t ON w$t.id = l.id)"""
     s"""pairs AS ($MinhashPairsSql),
+       thr AS (SELECT doc_a, doc_b$wSel FROM pairs WHERE jaccard >= 0.5),
+       edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst$wCol FROM thr
+                 UNION ALL SELECT doc_b, doc_a$wCol FROM thr),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       l0 AS (SELECT id, id AS lab FROM nodes),
+       ${(1 to rounds).map(round).mkString(", ")}"""
+  }
+
+  /** DuckDB replay of the k=2 core peel over the dup graph, `rounds`
+    * unrolled restrict-count rounds — shared by the fixed-round d136 and
+    * (at a deeper unroll) the converged d148, whose engine-side early
+    * exit is exact because peel rounds past the fixpoint are identity.
+    */
+  private def kCoreDupsSql(rounds: Int): String = {
+    // MATERIALIZED: s$t is referenced twice per following round and e in
+    // every round — plain CTEs re-inline the MinHash chain O(2^rounds)
+    // times at the d148 8-round unroll (DuckDB-only hint)
+    def peel(t: Int): String =
+      s"""d$t AS MATERIALIZED (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS d
+           FROM e JOIN s${t - 1} a ON a.id = e.src
+           JOIN s${t - 1} b ON b.id = e.dst GROUP BY e.src),
+         s$t AS (SELECT id FROM d$t WHERE d >= 2)"""
+    s"""WITH pairs AS ($MinhashPairsSql),
        thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
                  UNION ALL SELECT doc_b, doc_a FROM thr),
-       nodes AS (SELECT DISTINCT src AS id FROM edges),
-       l0 AS (SELECT id, id AS lab FROM nodes),
-       ${round(1)}, ${round(2)}, ${round(3)}"""
+       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src != dst),
+       s0 AS (SELECT DISTINCT src AS id FROM e),
+       ${(1 to rounds).map(peel).mkString(", ")}
+       SELECT id AS doc_id, d AS degree FROM d$rounds WHERE d >= 2"""
   }
 
   /** DuckDB replay of the BM25 per-doc micro-score chain (terms 'spark
@@ -3222,6 +3357,13 @@ object PipelineQueries {
     // d142: the live census feeds the SAME shared combine as d141's
     // batch side, so one oracle definition covers both drift paths.
     "d142_drift_stream" -> JensenShannonSql,
+    // d150: the catalog-exploded censuses feed the SAME combine as d141,
+    // and the census column is an exact groupBy count by construction —
+    // one oracle definition covers the catalog path too.
+    "d150_catalog_drift" -> JensenShannonSql,
+    // d151: the tagged-union census table filters back to exactly the
+    // d143 per-side censuses — same combine, same oracle.
+    "d151_catalog_edrift" -> EmbeddingDriftSql,
     // d144: endpoint-degree Pearson over the same symmetrized pair graph
     // as d126 — HUGEINT moments, signed grid division, zero floats.
     "d144_assortativity" ->
@@ -3240,16 +3382,23 @@ object PipelineQueries {
              CAST(coalesce(max(du), 0) AS BIGINT) AS max_degree
            FROM ed),
          n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes
-           FROM edges)
-         SELECT n.n_nodes, s.m AS n_edges, s.max_degree,
-           CASE WHEN s.m * s.sxx - s.sx * s.sx <= 0 THEN CAST(0 AS BIGINT)
-             WHEN s.m * s.sxy - s.sx * s.sx >= 0
-             THEN CAST((s.m * s.sxy - s.sx * s.sx) * 1000000
-               // (s.m * s.sxx - s.sx * s.sx) AS BIGINT)
-             ELSE -CAST((-(s.m * s.sxy - s.sx * s.sx)) * 1000000
-               // (s.m * s.sxx - s.sx * s.sx) AS BIGINT)
+           FROM edges),
+         nd AS (SELECT n.n_nodes, s.m, s.max_degree,
+             s.m * s.sxy - s.sx * s.sx AS num,
+             s.m * s.sxx - s.sx * s.sx AS den
+           FROM s CROSS JOIN n),
+         sh AS (SELECT n_nodes, m, max_degree, num, den,
+             CASE WHEN den > CAST('10000000000000000000000000000000' AS HUGEINT)
+               THEN den // CAST('1000000000000000000000000000000' AS HUGEINT)
+               ELSE CAST(1 AS HUGEINT) END AS shift
+           FROM nd)
+         SELECT n_nodes, m AS n_edges, max_degree,
+           CASE WHEN den <= 0 THEN CAST(0 AS BIGINT)
+             WHEN num >= 0
+             THEN CAST((num // shift) * 1000000 // (den // shift) AS BIGINT)
+             ELSE -CAST(((-num) // shift) * 1000000 // (den // shift) AS BIGINT)
            END AS r_micro
-         FROM s CROSS JOIN n""",
+         FROM sh""",
     // d143: per-dim grid censuses of the two parity halves — signed mean
     // division (the d133 form), mean-square in HUGEINT, raw var terms.
     "d143_embedding_drift" -> EmbeddingDriftSql,
@@ -3342,20 +3491,64 @@ object PipelineQueries {
     // d136: 3 unrolled peel rounds — restrict edges to surviving
     // endpoints, recount degrees, keep >= k — over the same symmetrized
     // pair graph; output = round-3 degrees still >= k.
-    "d136_kcore" -> {
-      def peel(t: Int): String =
-        s"""d$t AS (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS d
-             FROM e JOIN s${t - 1} a ON a.id = e.src
-             JOIN s${t - 1} b ON b.id = e.dst GROUP BY e.src),
-           s$t AS (SELECT id FROM d$t WHERE d >= 2)"""
-      s"""WITH pairs AS ($MinhashPairsSql),
-         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM thr
-                   UNION ALL SELECT doc_b, doc_a FROM thr),
-         e AS (SELECT DISTINCT src, dst FROM edges WHERE src != dst),
-         s0 AS (SELECT DISTINCT src AS id FROM e),
-         ${peel(1)}, ${peel(2)}, ${peel(3)}
-         SELECT id AS doc_id, d AS degree FROM d3 WHERE d >= 2"""
+    "d136_kcore" -> kCoreDupsSql(rounds = 3),
+    // d148: the CONVERGED engine peel replayed as the 8-round unroll —
+    // exact whether the peel stabilizes early (later rounds are identity
+    // on a fixpoint) or runs to the bound.
+    "d148_kcore_converged" -> kCoreDupsSql(rounds = 8),
+    // d147: the d135 vote chain with micro-jaccard weighted votes.
+    "d147_communities_weighted" ->
+      s"""WITH ${lpaCtes(rounds = 3, weighted = true)}
+         SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l3""",
+    // d149: the converged engine vote replayed as the 8-round unroll —
+    // same fixpoint-identity argument as d148.
+    "d149_lpa_converged" ->
+      s"""WITH ${lpaCtes(rounds = 8)}
+         SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l8""",
+    // d146: the integer PageRank recurrence over the DIRECTED d131
+    // containment graph with per-iteration dangling-mass redistribution:
+    // dg = Σ rank of nodes with no out-edge, folded into the damped term
+    // as dg // n — every step BIGINT floor-div on non-negatives, so
+    // DuckDB's // replays Spark's div exactly.
+    "d146_pagerank_dangling" -> {
+      // r$t is read three times by round t+1 (dangle sum, contribs,
+      // carry) — MATERIALIZED keeps the unroll linear (DuckDB-only hint)
+      def iter(t: Int): String =
+        s"""dg$t AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dg
+             FROM r${t - 1} r LEFT JOIN outs o ON o.id = r.id
+             WHERE o.id IS NULL),
+           s$t AS (SELECT e.dst AS id, CAST(sum(r.r // t.tw) AS BIGINT) AS s
+             FROM edges e JOIN r${t - 1} r ON r.id = e.src
+             JOIN tw t ON t.src = e.src GROUP BY e.dst),
+           r$t AS MATERIALIZED (SELECT nodes.id,
+               CAST(150000000 AS BIGINT) // nn.n
+               + CAST(85 * (coalesce(s$t.s, 0) + dg$t.dg // nn.n)
+                   AS BIGINT) // 100 AS r
+             FROM nodes LEFT JOIN s$t ON s$t.id = nodes.id
+             CROSS JOIN dg$t CROSS JOIN nn)"""
+      s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+           GROUP BY 1, 2),
+         cont AS (SELECT doc_a, doc_b FROM (
+             SELECT i.doc_a, i.doc_b,
+               round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
+             FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
+           WHERE containment >= 0.6),
+         edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM cont
+           WHERE doc_a < doc_b),
+         nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges
+                   UNION ALL SELECT dst FROM edges)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         tw AS (SELECT src, CAST(count(*) AS BIGINT) AS tw
+           FROM edges GROUP BY src),
+         outs AS (SELECT DISTINCT src AS id FROM edges),
+         r0 AS (SELECT id, CAST(1000000000 AS BIGINT) // nn.n AS r
+           FROM nodes CROSS JOIN nn),
+         ${iter(1)}, ${iter(2)}, ${iter(3)}
+         SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_ppb FROM r3"""
     },
     // d138: the three entropies on the shared per-cell 1e-6 grid — joint
     // census once, marginals re-aggregated from it — combined in BIGINT.

@@ -50,6 +50,9 @@ object ScaleStress {
     if (args.contains("round13graph")) {
       runRound13GraphProbes(spark); spark.stop(); return
     }
+    if (args.contains("round14tri")) {
+      runRound14TriangleSkewProbe(spark); spark.stop(); return
+    }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
     }
@@ -683,6 +686,64 @@ object ScaleStress {
       f"unbounded 1x=${u(1)}%5.2f 100x=${u(100)}%5.2f 1000x=${u(1000)}%5.2f " +
       f"(grows with history)")
     spark.stop()
+  }
+
+  /** Round-14 triangle skew probe: triangleStats on a HUB-HEAVY
+    * (power-law-ish) graph at 1x/10x edge volume — the regular-graph
+    * probe of round 13 cannot see orientation skew (every vertex has the
+    * same degree), and this is exactly the regime the (degree, id)
+    * orientation exists for. Targets are drawn as `h² div n` for uniform
+    * h, giving in-degree density ∝ 1/√k: node 0's degree is ~4√n (5.7k
+    * at 1x, 17.9k at 10x). Under the old raw-id orientation that hub —
+    * being the LOWEST id — would keep all its edges outgoing and
+    * materialize O(D²) = 32M/320M join candidates on one key; under the
+    * degree orientation its out-degree is 0 and every vertex is bounded
+    * by O(√E). A ~linear 1x→10x slope certifies the bound holds end to
+    * end.
+    */
+  private def runRound14TriangleSkewProbe(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def minOf3(name: String)(f: => Long): Double =
+      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+    val base = "/tmp/graft_scale14tri"
+    def gen(nodes: Long): org.apache.spark.sql.DataFrame =
+      spark.range(nodes).select(col("id").as("src"))
+        .crossJoin(spark.range(4).select(col("id").as("o")))
+        .select(col("src"),
+          (pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
+            + lit(7L), lit(nodes)) *
+            pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
+              + lit(7L), lit(nodes))).divide(lit(nodes)).cast("long")
+            .as("dst"))
+        .where(col("src") =!= col("dst"))
+    val arms = Seq(("1x", 2_000_000L), ("10x", 20_000_000L))
+    arms.foreach { case (tag, n) =>
+      gen(n).write.mode("overwrite").parquet(s"$base/e$tag")
+    }
+    // report the hub skew the generator actually produced
+    arms.foreach { case (tag, _) =>
+      val e = spark.read.parquet(s"$base/e$tag")
+      val d = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .groupBy("id").count()
+      println(s"skew $tag: " + d.agg(max("count"), count(lit(1))).collect().head)
+    }
+    val trT = arms.map { case (tag, _) =>
+      val e = spark.read.parquet(s"$base/e$tag")
+      tag -> minOf3(s"triangles_skew $tag")(
+        graft.functions.GraphOps.triangleStats(e, "src", "dst").count())
+    }.toMap
+    println(f"${"tri_skew_slope"}%-18s 1x=${trT("1x")}%5.2f " +
+      f"10x=${trT("10x")}%5.2f (${trT("10x") / trT("1x")}%4.1fx)")
   }
 
   /** Graph-family slope probe (round 13): pageRank and triangleStats on a

@@ -486,4 +486,72 @@ class CorpusCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mixes CMS dimensions"))
   }
+
+  test("persisted catalog answers domain drift identically to direct JSD") {
+    import spark.implicits._
+    def dump(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+    val a = dump(Seq((1L, "a b c d", "web"), (2L, "e f g h", "web"),
+      (3L, "i j k l", "book"), (4L, "m n o p", "wiki")))
+    val b = dump(Seq((5L, "a b c d", "web"), (6L, "q r s t", "book"),
+      (7L, "u v w x", "book"), (8L, "y z a b", "code")))
+    val path = java.nio.file.Files.createTempDirectory("catalog_jsd").toString
+    CorpusCatalog.append(a, "doc_id", "text", path, "relA",
+      domainCol = Some("source"))
+    CorpusCatalog.append(b, "doc_id", "text", path, "relB",
+      domainCol = Some("source"))
+    val fromCatalog = CorpusCatalog.domainDrift(spark, path, "relA", "relB")
+      .collect().head
+    val direct = graft.functions.Sampling.jensenShannon(a, b, "source")
+      .collect().head
+    assert(fromCatalog === direct) // catalog path == corpus path
+    // the census column itself is the exact groupBy count
+    val cen = CorpusCatalog.domainCensus(spark, path, "relA")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cen === Map("web" -> 2L, "book" -> 1L, "wiki" -> 1L))
+  }
+
+  test("domainCensus fails loudly on a dump appended without a domainCol") {
+    import spark.implicits._
+    val d = (0 until 4).map(i => (i.toLong, s"a b c d$i", "web"))
+      .toDF("doc_id", "text", "source")
+    val path = java.nio.file.Files.createTempDirectory("catalog_nodom").toString
+    CorpusCatalog.append(d, "doc_id", "text", path, "old") // pre-census row
+    CorpusCatalog.append(d, "doc_id", "text", path, "new",
+      domainCol = Some("source"))
+    // the census-carrying row works; the null-census row is refused
+    // instead of exploding into an empty census that reads as total drift
+    assert(CorpusCatalog.domainCensus(spark, path, "new").count() === 1)
+    val e = intercept[IllegalArgumentException] {
+      CorpusCatalog.domainCensus(spark, path, "old").collect()
+    }
+    assert(e.getMessage.contains("no domain census"))
+  }
+
+  test("persisted embedding census answers drift identically to d143") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    def vecs(ids: Range, shift: Float) = ids.map(i =>
+      (i.toLong, Array(0.1f + shift, 0.2f, 0.3f + i * 0.01f)))
+      .toDF("vec_id", "embedding")
+    val p = vecs(0 until 10, 0f)
+    val q = vecs(10 until 20, 0.5f)
+    val path = java.nio.file.Files.createTempDirectory("catalog_ecen").toString
+    CorpusCatalog.appendEmbeddingCensus(p, "embedding", path, "relA")
+    CorpusCatalog.appendEmbeddingCensus(q, "embedding", path, "relB")
+    val fromCatalog = CorpusCatalog
+      .embeddingDriftFromCatalog(spark, path, "relA", "relB")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val direct = VectorOps.embeddingDrift(p, q, "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(fromCatalog.keySet === direct.keySet)
+    for ((dim, row) <- direct) assert(fromCatalog(dim) === row, s"dim=$dim")
+    // a re-appended release would double the moments: refused loudly
+    CorpusCatalog.appendEmbeddingCensus(p, "embedding", path, "relA")
+    val e = intercept[IllegalArgumentException] {
+      CorpusCatalog.embeddingDriftFromCatalog(spark, path, "relA", "relB")
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicate dim rows"))
+  }
 }
