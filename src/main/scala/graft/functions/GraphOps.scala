@@ -106,14 +106,25 @@ object GraphOps {
         col(dstCol).cast("long").as("__dst"), lit(1L).as("__w"))
     }
     // Out-weight fused onto each edge ONCE — re-deriving it per iteration
-    // would re-shuffle the full edge table every round.
-    val tw = e.groupBy("__src").agg(sum("__w").as("__tw"))
-    val ed = graft.CacheRegistry.track(e.join(tw, "__src").persist(disk))
+    // would re-shuffle the full edge table every round. A whole-partition
+    // window sum (no orderBy → full-frame), NOT groupBy+self-join: the
+    // join form scans the caller's edge pipeline twice (agg branch +
+    // probe branch — d146's containment join ran 2× before this), the
+    // window scans it once with one exchange on __src and no join at all.
+    val ed = graft.CacheRegistry.track(
+      e.withColumn("__tw", sum("__w").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__src")))
+        .persist(disk))
     // (__id, __init, __tele) — initial mass and per-iteration teleport,
     // fused once (uniform or seed-restricted) and persisted: every
-    // iteration's rebuild joins against it.
-    val nodesRaw = e.select(col("__src").as("__id"))
-      .union(e.select(col("__dst").as("__id")))
+    // iteration's rebuild joins against it. Derived from the PERSISTED ed
+    // (row-equivalent to e: the tw join is inner on a key every edge
+    // has), not from e — deriving from e would re-run the caller's edge
+    // pipeline once per union branch (the d146 containment join ran 3×
+    // extra before this; the S4 rule applied to the operator's own
+    // internals).
+    val nodesRaw = ed.select(col("__src").as("__id"))
+      .union(ed.select(col("__dst").as("__id")))
       .distinct()
     val nt = seeds match {
       case None =>
@@ -146,7 +157,7 @@ object GraphOps {
     // node-sized, read every iteration by the 1-row dangle sum
     val dang = if (danglingMass) Some(graft.CacheRegistry.track(
       nodes.select("__id")
-        .join(e.select(col("__src").as("__id")).distinct(),
+        .join(ed.select(col("__src").as("__id")).distinct(),
           Seq("__id"), "left_anti")
         .persist(disk)))
     else None
@@ -321,11 +332,18 @@ object GraphOps {
     * pure function of the incoming labels), so the early exit is
     * semantics-free: the result ALWAYS equals the `maxRounds`-unrolled
     * fixed-round recurrence, which is what makes the variant
-    * oracle-replayable despite the data-dependent stop. Synchronous LPA
-    * can oscillate on 2-cycles (bipartite cores), hence the hard
-    * `maxRounds` bound instead of an unbounded loop. The convergence
-    * probe is ONE 1-row count of changed labels per round — a driver
-    * scalar, never a data collect.
+    * oracle-replayable despite the data-dependent stop.
+    *
+    * Synchronous LPA routinely settles into a period-2 OSCILLATION
+    * instead of a fixpoint (bipartite cores — and symmetric near-dup
+    * graphs hit this constantly), which would burn every round to the
+    * bound. Detected and fast-forwarded: when `lab_t == lab_{t-2}`, the
+    * vote's determinism pins the whole future orbit
+    * (`lab_s = lab_t` for s ≡ t, `lab_{t-1}` otherwise, mod 2), so the
+    * round-`maxRounds` labels are selected by PARITY without running the
+    * remaining rounds — still exactly the unrolled recurrence. Both
+    * probes (fixpoint + cycle) are 1-row counts over adjacent
+    * materialized label tables — driver scalars, never data collects.
     */
   def labelPropagationConverged(edges: DataFrame, srcCol: String,
                                 dstCol: String, maxRounds: Int = 10,
@@ -334,10 +352,12 @@ object GraphOps {
       s"maxRounds=$maxRounds out of [1,100]")
     val (e, nodes) = lpaInputs(edges, srcCol, dstCol, weightCol)
     var lab = nodes.select(col("__id"), col("__id").as("__lab"))
+    var prev: DataFrame = null
     var t = 0
-    var converged = false
-    while (t < maxRounds && !converged) {
-      val prev = lab
+    var done = false
+    while (t < maxRounds && !done) {
+      val prev2 = prev
+      prev = lab
       lab = lpaRound(e, prev)
       t += 1
       // fixpoint ⟺ zero changed labels — an exact test (the labelSum
@@ -345,7 +365,17 @@ object GraphOps {
       val changed = lab.join(prev.withColumnRenamed("__lab", "__old"), "__id")
         .where(col("__lab") =!= col("__old"))
         .count()
-      converged = changed == 0L
+      if (changed == 0L) done = true
+      else if (prev2 != null) {
+        val cyc = lab.join(prev2.withColumnRenamed("__lab", "__old"), "__id")
+          .where(col("__lab") =!= col("__old"))
+          .count()
+        if (cyc == 0L) {
+          // period-2 orbit: round-maxRounds labels by parity
+          if ((maxRounds - t) % 2 != 0) lab = prev
+          done = true
+        }
+      }
     }
     lab.selectExpr("__id AS id", "__lab AS community")
   }

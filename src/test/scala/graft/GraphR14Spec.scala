@@ -149,6 +149,23 @@ class GraphR14Spec extends SparkSpec {
 
   // ---- converged variants ----
 
+  test("lpaConverged fast-forwards a period-2 oscillation by parity") {
+    import spark.implicits._
+    // symmetric single edge: labels swap every round, forever — the
+    // cycle detector must stop early AND still return the exact
+    // round-maxRounds labels for both parities
+    val sym = Seq((1L, 2L), (2L, 1L))
+    for (mr <- 1 to 6) {
+      val fixed = GraphOps.labelPropagation(sym.toDF("src", "dst"),
+          "src", "dst", iters = mr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val conv = GraphOps.labelPropagationConverged(sym.toDF("src", "dst"),
+          "src", "dst", maxRounds = mr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(conv === fixed, s"maxRounds=$mr")
+    }
+  }
+
   test("lpaConverged equals the maxRounds unroll (identity theorem)") {
     val edgeGen = Gen.nonEmptyListOf(for {
       u <- Gen.chooseNum(1L, 8L); v <- Gen.chooseNum(1L, 8L)
