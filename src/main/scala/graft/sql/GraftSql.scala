@@ -152,8 +152,12 @@ object GraftSql {
     */
   def registerPageRank(spark: SparkSession, viewName: String,
                        edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int = 3): Unit =
-    graft.functions.GraphOps.pageRank(edges, srcCol, dstCol, iters)
+                       iters: Int = 3,
+                       weightCol: Option[String] = None,
+                       seeds: Option[DataFrame] = None,
+                       danglingMass: Boolean = false): Unit =
+    graft.functions.GraphOps.pageRank(edges, srcCol, dstCol, iters,
+        weightCol = weightCol, seeds = seeds, danglingMass = danglingMass)
       .createOrReplaceTempView(viewName)
 
   /** Reciprocal-rank fusion ([[graft.functions.Retrieval.rrfFuse]]) as a
@@ -181,8 +185,45 @@ object GraftSql {
     */
   def registerCommunities(spark: SparkSession, viewName: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          iters: Int = 3): Unit =
-    graft.functions.GraphOps.labelPropagation(edges, srcCol, dstCol, iters)
+                          iters: Int = 3,
+                          weightCol: Option[String] = None): Unit =
+    graft.functions.GraphOps.labelPropagation(edges, srcCol, dstCol, iters,
+        weightCol)
+      .createOrReplaceTempView(viewName)
+
+  /** Fixpoint LPA communities ([[graft.functions.GraphOps
+    * .labelPropagationConverged]]) as a named temp view — the d149
+    * shape: vote until stable (or a period-2 orbit is detected and
+    * fast-forwarded), bounded by maxRounds.
+    */
+  def registerCommunitiesConverged(spark: SparkSession, viewName: String,
+                                   edges: DataFrame, srcCol: String,
+                                   dstCol: String, maxRounds: Int = 10,
+                                   weightCol: Option[String] = None): Unit =
+    graft.functions.GraphOps.labelPropagationConverged(edges, srcCol,
+        dstCol, maxRounds, weightCol)
+      .createOrReplaceTempView(viewName)
+
+  /** True-k-core view ([[graft.functions.GraphOps.kCoreConverged]]) —
+    * the d148 shape: peel to the fixpoint, bounded by maxRounds.
+    */
+  def registerKCoreConverged(spark: SparkSession, viewName: String,
+                             edges: DataFrame, srcCol: String,
+                             dstCol: String, k: Int,
+                             maxRounds: Int = 10): Unit =
+    graft.functions.GraphOps.kCoreConverged(edges, srcCol, dstCol, k,
+        maxRounds)
+      .createOrReplaceTempView(viewName)
+
+  /** Catalog-answered release drift ([[graft.functions.CorpusCatalog
+    * .domainDrift]]) as a one-row view — the d150 shape: JSD between two
+    * ingested releases with zero corpus passes.
+    */
+  def registerCatalogDrift(spark: SparkSession, viewName: String,
+                           catalogPath: String, dumpA: String,
+                           dumpB: String): Unit =
+    graft.functions.CorpusCatalog.domainDrift(spark, catalogPath,
+        dumpA, dumpB)
       .createOrReplaceTempView(viewName)
 
   /** One-row Newman modularity ([[graft.functions.GraphOps.modularity]])

@@ -88,6 +88,20 @@ object ExamplePipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n3 = deduped.count()
 
+    // 3b. structural audit of the pair set itself (round 14): is the
+    // near-dup graph duplicate-dense (triangle-heavy, positive
+    // modularity on its vote communities) or band-collision noise? One
+    // row each — the gates a production dedup run logs per release.
+    val sym = pairs.select("doc_a", "doc_b")
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+    val tri = graft.functions.GraphOps
+      .triangleStats(pairs.toDF(), "doc_a", "doc_b").head()
+    val comm = graft.functions.GraphOps
+      .labelPropagationConverged(sym, "doc_a", "doc_b", maxRounds = 8)
+    val q = graft.functions.GraphOps
+      .modularity(pairs.toDF(), "doc_a", "doc_b", comm, "id", "community")
+      .head()
+
     // 4. decontamination-in-place: excise spans carrying any benchmark
     // 13-gram (bench split = every 10th doc, standing in for a real
     // eval-suite table), keep the rest of each document.
@@ -139,16 +153,25 @@ object ExamplePipeline {
     graft.io.TableWriter.writeShards(packed, outDir, "seq_key", nShards = 8)
 
     // 7. append this run's catalog row — counts, grid quality, the KMV
-    // gram sketch: the standing artifact any later dump-overlap question
-    // splices against without re-reading this corpus.
-    graft.functions.CorpusCatalog.append(sampled, "doc_id", "text",
-      s"$outDir/_catalog", dumpId = "this_run")
+    // gram sketch, and (round 14) the language census: the standing
+    // artifact any later dump-overlap OR mixture-drift question splices
+    // against without re-reading this corpus
+    // (CorpusCatalog.domainDrift(path, thisRun, nextRun)).
+    graft.functions.CorpusCatalog.append(
+      sampled.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      "doc_id", "text", s"$outDir/_catalog", dumpId = "this_run",
+      domainCol = Some("lang"))
     val audit = spark.read.parquet(s"$outDir/_catalog")
       .where(col("dump_id") === "this_run").head()
 
     println(f"docs $n0%6d -> gated $n1%6d -> exact $n2%6d -> " +
       f"neardup $n3%6d -> decontaminated $n4%6d -> T-balanced $n5a%6d -> " +
       f"sampled $n5%6d -> packed seqs $n6%6d")
+    println(f"dup-graph audit: gcc=${tri.getAs[Long]("gcc_micro") / 1e6}%.3f " +
+      f"(${tri.getAs[Long]("n_triangles")} triangles / " +
+      f"${tri.getAs[Long]("n_wedges")} wedges), " +
+      f"modularity q=${q.getAs[Long]("q_micro") / 1e6}%.3f over " +
+      f"${q.getAs[Long]("n_communities")} communities")
     println(f"shipped distinct-3-gram estimate: " +
       f"${audit.getAs[Double]("est_distinct_grams")}%.0f " +
       f"(catalog row at $outDir/_catalog)")

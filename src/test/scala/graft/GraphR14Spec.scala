@@ -289,6 +289,48 @@ class GraphR14Spec extends SparkSpec {
     assert(row.getAs[Long]("n_edges") === 32L)
   }
 
+  // ---- round-14 SQL views ----
+
+  test("round-14 graph views answer plain SQL") {
+    import spark.implicits._
+    // dangling PageRank view: 1 -> 2 sink fixture, mass conserved
+    graft.sql.GraftSql.registerPageRank(spark, "pr14",
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 1,
+      danglingMass = true)
+    assert(spark.sql("SELECT sum(rank_ppb) AS s FROM pr14").head()
+      .getLong(0) === 1000000000L)
+    // weighted + converged community views: strong edge wins, and the
+    // converged view matches the fixed-round one on a stable clique
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("src", "dst")
+    val sym = tri.union(tri.select(tri("dst"), tri("src")))
+      .withColumn("w", lit(1L))
+    graft.sql.GraftSql.registerCommunitiesConverged(spark, "comm14", sym,
+      "src", "dst", maxRounds = 5, weightCol = Some("w"))
+    assert(spark.sql(
+      "SELECT count(DISTINCT community) AS k FROM comm14").head()
+      .getLong(0) === 1L)
+    // true-k-core view: 9-node path has an EMPTY 2-core
+    val path = (1L to 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    graft.sql.GraftSql.registerKCoreConverged(spark, "core14",
+      path.union(path.select(path("dst"), path("src"))), "src", "dst",
+      k = 2, maxRounds = 10)
+    assert(spark.sql("SELECT count(*) AS n FROM core14").head()
+      .getLong(0) === 0L)
+    // catalog drift view: two identical releases -> zero drift
+    val d = Seq((1L, "a b", "web"), (2L, "c d", "book"))
+      .toDF("doc_id", "text", "source")
+    val cdir = java.nio.file.Files.createTempDirectory("graft_cat14")
+    graft.functions.CorpusCatalog.append(d, "doc_id", "text",
+      cdir.toString, "rA", domainCol = Some("source"))
+    graft.functions.CorpusCatalog.append(d, "doc_id", "text",
+      cdir.toString, "rB", domainCol = Some("source"))
+    graft.sql.GraftSql.registerCatalogDrift(spark, "drift14",
+      cdir.toString, "rA", "rB")
+    assert(spark.sql("SELECT jsd2_micro FROM drift14").head()
+      .getLong(0) === 0L)
+  }
+
   // ---- assortativity overflow guard ----
 
   test("assortativity grid shift: exact at 10^36-scale moments") {
