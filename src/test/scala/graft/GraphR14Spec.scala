@@ -289,6 +289,17 @@ class GraphR14Spec extends SparkSpec {
     assert(row.getAs[Long]("n_edges") === 32L)
   }
 
+  test("plans: dangling pagerank keeps edge work equijoin-only") {
+    import spark.implicits._
+    val edges = (1L to 50L).map(i => (i, i % 25 + 1)).toDF("src", "dst")
+    // the dangle scalar rides a broadcast 1-row crossJoin like N — the
+    // only tolerated nested-loop shape; edge-sized work must stay keyed
+    val pr = GraphOps.pageRank(edges, "src", "dst", iters = 2,
+        danglingMass = true)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("CartesianProduct"), pr)
+  }
+
   // ---- round-14 SQL views ----
 
   test("round-14 graph views answer plain SQL") {
