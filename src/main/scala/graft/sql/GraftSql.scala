@@ -237,6 +237,19 @@ object GraftSql {
       .modularity(edges, srcCol, dstCol, assign, idCol, commCol)
       .createOrReplaceTempView(viewName)
 
+  /** Weighted Newman modularity ([[graft.functions.GraphOps
+    * .modularityWeighted]]) — the d152 gate as SQL.
+    */
+  def registerModularityWeighted(spark: SparkSession, viewName: String,
+                                 edges: DataFrame, srcCol: String,
+                                 dstCol: String, weightCol: String,
+                                 assign: DataFrame, idCol: String,
+                                 commCol: String): Unit =
+    graft.functions.GraphOps
+      .modularityWeighted(edges, srcCol, dstCol, weightCol, assign,
+        idCol, commCol)
+      .createOrReplaceTempView(viewName)
+
   /** One-row degree assortativity ([[graft.functions.GraphOps
     * .degreeAssortativity]]) of a symmetrized edge frame — the d144
     * meter as SQL.

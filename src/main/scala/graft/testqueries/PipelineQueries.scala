@@ -972,6 +972,20 @@ object PipelineQueries {
         .selectExpr("id AS doc_id", "community")
     },
 
+    // Weighted modularity of the weighted LPA communities (round 14):
+    // the d139 gate in the weighted regime — strong duplicate edges
+    // count proportionally in BOTH the vote (d147) and the score, so a
+    // small certain community outranks a marginal blob.
+    "d152_modularity_weighted" -> { (s, dir) =>
+      val pairs = dupPairs(s, dir).select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * lit(1e6), 0).cast("long").as("w"))
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"), col("w")))
+      val comm = GraphOps.labelPropagation(sym, "doc_a", "doc_b", iters = 3,
+        weightCol = Some("w"))
+      GraphOps.modularityWeighted(pairs, "doc_a", "doc_b", "w", comm,
+        "id", "community")
+    },
+
     // Catalog-integrated mixture drift (round 14): two release halves
     // INGESTED as full catalog rows (stats + sketches + the new domain
     // census), then the d141 JSD answered from the census columns alone
@@ -3505,6 +3519,46 @@ object PipelineQueries {
     "d149_lpa_converged" ->
       s"""WITH ${lpaCtes(rounds = 8)}
          SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l8""",
+    // d152: the weighted d147 vote chain scored by WEIGHTED Newman
+    // modularity — intra weight over total weight vs the strength-
+    // squared expectation, every sum a long, both grid terms truncated
+    // separately in HUGEINT (== Spark's decimal path bit-for-bit on
+    // non-negatives).
+    "d152_modularity_weighted" ->
+      s"""WITH ${lpaCtes(rounds = 3, weighted = true)},
+         e AS (SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b,
+             CAST(sum(w) AS BIGINT) AS w
+           FROM thr WHERE doc_a != doc_b GROUP BY 1, 2),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(coalesce(sum(w), 0) AS BIGINT) AS wt FROM e),
+         wc AS (SELECT e.a, e.b, e.w, coalesce(ca.lab, e.a) AS ca,
+             coalesce(cb.lab, e.b) AS cb
+           FROM e LEFT JOIN l3 ca ON ca.id = e.a
+           LEFT JOIN l3 cb ON cb.id = e.b),
+         intra AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS lc,
+             CAST(sum(w) AS BIGINT) AS lw
+           FROM wc WHERE ca = cb GROUP BY 1),
+         st AS (SELECT c, CAST(sum(w) AS BIGINT) AS sc FROM
+           (SELECT ca AS c, w FROM wc UNION ALL SELECT cb, w FROM wc)
+           GROUP BY 1),
+         terms AS (SELECT st.c, coalesce(intra.lc, 0) AS lc,
+             coalesce(intra.lw, 0) AS lw,
+             CAST(CAST(coalesce(intra.lw, 0) AS HUGEINT) * 1000000
+               // wt AS BIGINT) AS add_micro,
+             CAST((CAST(sc AS HUGEINT) * sc * 1000000)
+               // (CAST(4 AS HUGEINT) * wt * wt) AS BIGINT) AS sub_micro
+           FROM st LEFT JOIN intra ON intra.c = st.c CROSS JOIN mm),
+         tm AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(coalesce(sum(lc), 0) AS BIGINT) AS intra_edges,
+             CAST(coalesce(sum(lw), 0) AS BIGINT) AS intra_w,
+             CAST(coalesce(sum(add_micro), 0) - coalesce(sum(sub_micro), 0)
+               AS BIGINT) AS q_micro
+           FROM terms),
+         nn AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes FROM
+           (SELECT a AS x FROM e UNION ALL SELECT b FROM e))
+         SELECT n_nodes, m AS n_edges, wt AS total_w, n_communities,
+           intra_edges, intra_w, q_micro
+         FROM tm CROSS JOIN nn CROSS JOIN mm""",
     // d146: the integer PageRank recurrence over the DIRECTED d131
     // containment graph with per-iteration dangling-mass redistribution:
     // dg = Σ rank of nodes with no out-edge, folded into the damped term

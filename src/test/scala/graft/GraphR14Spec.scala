@@ -244,6 +244,62 @@ class GraphR14Spec extends SparkSpec {
     assert(run1.getAs[Long]("intra_edges") <= run1.getAs[Long]("n_edges"))
   }
 
+  // ---- weighted modularity ----
+
+  test("weighted modularity with w=1 equals the unweighted score") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "c")
+    val unw = GraphOps.modularity(edges.toDF("src", "dst"), "src", "dst",
+      assign, "id", "c").collect().head
+    val w = GraphOps.modularityWeighted(
+      edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", assign, "id", "c").collect().head
+    assert(w.getAs[Long]("q_micro") === unw.getAs[Long]("q_micro"))
+    assert(w.getAs[Long]("intra_edges") === unw.getAs[Long]("intra_edges"))
+    assert(w.getAs[Long]("total_w") === unw.getAs[Long]("n_edges"))
+  }
+
+  test("weighted modularity equals the exact BigInt replay on random graphs") {
+    val caseGen = for {
+      edges <- Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(1L, 6L); v <- Gen.chooseNum(1L, 6L)
+        w <- Gen.chooseNum(1L, 9L)
+      } yield (u, v, w))
+      comm <- Gen.listOfN(6, Gen.chooseNum(1L, 3L))
+    } yield (edges, (1L to 6L).zip(comm))
+    def model(edges: Seq[(Long, Long, Long)],
+              assign: Map[Long, Long]): (Long, Long) = {
+      // orient + weight-sum dedup, then the exact integer recurrence
+      val ew = edges.filter(e => e._1 != e._2)
+        .groupBy(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .map { case (k, g) => (k._1, k._2, g.map(_._3).sum) }.toSeq
+      if (ew.isEmpty) return (0L, 0L)
+      val wt = BigInt(ew.map(_._3).sum)
+      def c(v: Long) = assign.getOrElse(v, v)
+      val cs = (ew.map(e => c(e._1)) ++ ew.map(e => c(e._2))).distinct
+      val lw = cs.map(cc => cc -> BigInt(ew.filter(e =>
+        c(e._1) == cc && c(e._2) == cc).map(_._3).sum)).toMap
+      val sc = cs.map(cc => cc -> BigInt(ew.filter(e => c(e._1) == cc)
+        .map(_._3).sum + ew.filter(e => c(e._2) == cc).map(_._3).sum)).toMap
+      val q = cs.map(cc => lw(cc) * 1000000 / wt -
+        sc(cc) * sc(cc) * 1000000 / (4 * wt * wt)).sum
+      (q.toLong, lw.values.sum.toLong)
+    }
+    checkProp(Prop.forAllNoShrink(caseGen) { case (edges, ac) =>
+      import spark.implicits._
+      val e = edges.filter(x => x._1 != x._2)
+      e.isEmpty || {
+        val got = GraphOps.modularityWeighted(e.toDF("src", "dst", "w"),
+            "src", "dst", "w", ac.toDF("id", "c"), "id", "c")
+          .collect().head
+        val (q, iw) = model(e, ac.toMap)
+        got.getAs[Long]("q_micro") == q && got.getAs[Long]("intra_w") == iw
+      }
+    })
+  }
+
   // ---- degree-ordered triangle orientation ----
 
   test("orientByDegree: every out-degree is <= sqrt(2E)") {
