@@ -384,6 +384,15 @@ class GraphR14Spec extends SparkSpec {
       k = 2, maxRounds = 10)
     assert(spark.sql("SELECT count(*) AS n FROM core14").head()
       .getLong(0) === 0L)
+    // weighted modularity view over the converged communities
+    graft.sql.GraftSql.registerModularityWeighted(spark, "mq14",
+      tri.withColumn("w", lit(2L)), "src", "dst", "w",
+      spark.table("comm14"), "id", "community")
+    val mq = spark.sql(
+      "SELECT total_w, intra_w, q_micro FROM mq14").head()
+    // one community holding every edge: q = 1 - 1 = 0 exactly
+    assert(mq.getLong(0) === 6L && mq.getLong(1) === 6L &&
+      mq.getLong(2) === 0L)
     // catalog drift view: two identical releases -> zero drift
     val d = Seq((1L, "a b", "web"), (2L, "c d", "book"))
       .toDF("doc_id", "text", "source")
