@@ -67,8 +67,9 @@ object GraphOps {
     * nodes. The degree-fused edge table and the node set are computed once
     * and persisted (the S4 reuse rule — every iteration reads both); the
     * scalar N rides along as a broadcast 1-row crossJoin, never a driver
-    * collect. Lineage is truncated with `localCheckpoint` every
-    * `checkpointEvery` iterations — at deep iteration counts the
+    * collect. Lineage is truncated through [[graft.Checkpoints.eager]]
+    * (reliable checkpoint under [[graft.GraftConf]], localCheckpoint in
+    * local mode) every `checkpointEvery` iterations — at deep iteration counts the
     * accumulated join-over-join plan otherwise grows without bound (the
     * same cliff [[MinHashLSH.clustersStar]] hit in round 10).
     *
@@ -208,7 +209,7 @@ object GraphOps {
     * edge set, replayable by any engine as R unrolled restrict-count
     * rounds. Per round the surviving edge set only shrinks, so the
     * shuffle budget is monotonically decreasing; the round's node-sized
-    * degree table is materialized eagerly (`localCheckpoint`) because
+    * degree table is materialized eagerly ([[graft.Checkpoints.eager]]) because
     * BOTH next-round semi joins and the loop exit read it — lazy, the
     * recompute tree doubles per round. Pass a symmetrized edge list.
     * For peel-to-fixpoint semantics see [[kCoreConverged]].
@@ -231,7 +232,7 @@ object GraphOps {
     for (t <- 1 to rounds) {
       val rs = e.join(surv, e("__src") === surv("__id"), "left_semi")
       val rd = rs.join(surv, rs("__dst") === surv("__id"), "left_semi")
-      // deg is MATERIALIZED each round (eager localCheckpoint): the next
+      // deg is MATERIALIZED each round (Checkpoints.eager): the next
       // round reads surv TWICE (both endpoint semi joins) and the loop
       // exit reads deg again — left lazy, the recompute tree would double
       // per round (2^rounds plans), the Pregel-superstep lesson. Node-
@@ -299,7 +300,7 @@ object GraphOps {
     * and synchronous). Per round: ONE equijoin + a (node, label) count agg
     * + a per-node argmax window — all keyed on node id, no cross product.
     * Each round's node-sized label table is materialized eagerly
-    * (`localCheckpoint`): the next round reads it twice (vote join +
+    * ([[graft.Checkpoints.eager]]): the next round reads it twice (vote join +
     * carry-forward), so a lazy lineage doubles the recompute tree per
     * round — the Pregel superstep shape. Pass a symmetrized edge list
     * for undirected semantics.
@@ -399,7 +400,7 @@ object GraphOps {
   }
 
   /** One synchronous vote round. The new label table is MATERIALIZED
-    * (eager localCheckpoint): the next round reads it TWICE — the vote
+    * ([[graft.Checkpoints.eager]]): the next round reads it TWICE — the vote
     * join and the carry-forward left join — so a lazy lineage doubles the
     * recompute tree per round (2^iters plans). One node-sized
     * materialization per superstep is the Pregel shape. The weighted vote
