@@ -119,8 +119,8 @@ object GraphOps {
     // (__id, __init, __tele) — initial mass and per-iteration teleport,
     // fused once (uniform or seed-restricted) and persisted: every
     // iteration's rebuild joins against it. Derived from the PERSISTED ed
-    // (row-equivalent to e: the tw join is inner on a key every edge
-    // has), not from e — deriving from e would re-run the caller's edge
+    // (row-equivalent to e — the window sum adds a column, drops nothing),
+    // not from e: deriving from e would re-run the caller's edge
     // pipeline once per union branch (the d146 containment join ran 3×
     // extra before this; the S4 rule applied to the operator's own
     // internals).
