@@ -577,4 +577,55 @@ object MinHashLSH {
         coalesce(col("matched_doc"), lit(-1L)).as("matched_doc"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
   }
+
+  /** Duplication-CONCENTRATION census over a [[clusters]] labeling: is the
+    * dup mass one mega-cluster (cap the component, one canonical survives
+    * a million drops) or spread thin (per-cluster election barely
+    * matters)? One row — cluster count, total clustered docs, the largest
+    * cluster, and the GINI of cluster sizes on the 1e-6 grid (0 = all
+    * clusters equal, →1 = one cluster holds everything).
+    *
+    * Integer-exact via the sorted-rank identity
+    * `G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)` — but computed WITHOUT a
+    * global sort of the cluster table: ranks collapse onto the SIZE
+    * HISTOGRAM (ties contribute independently of rank assignment, so
+    * only (size v, count c_v, cumulative-below C_v) matter:
+    * `Σ i·x = Σ_v v·(c_v·C_v + c_v(c_v+1)/2)`). The histogram is
+    * census-sized (distinct size VALUES — the quantile-grid argument),
+    * so the one orderBy window runs over it, never over the billions of
+    * clusters a 100 TB corpus can hold; everything upstream is two keyed
+    * partial aggs. All arithmetic in decimal(38,0)-exact sums (the
+    * c(c+1)/2 term divides an even product — exact), one truncating
+    * division at the very end; `Σi·x ≤ n·Σx`, so every intermediate is
+    * ≤ 10^6·(n·Σx) — inside decimal's 10^38 for any physical corpus.
+    *
+    * Returns ONE row: (n_clusters, n_members, max_cluster, gini_micro).
+    */
+  def clusterSizeProfile(labels: DataFrame,
+                         clusterCol: String = "cluster"): DataFrame = {
+    val sizes = labels.groupBy(col(clusterCol).as("__c"))
+      .agg(count(lit(1)).cast("long").as("__sz"))
+    val hist = sizes.groupBy("__sz")
+      .agg(count(lit(1)).cast("long").as("__cv"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__sz")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("__cb", coalesce(sum("__cv").over(w), lit(0L)))
+    cum.selectExpr(
+        ("CAST(__sz AS DECIMAL(38,0)) * (CAST(__cv AS DECIMAL(38,0)) * __cb" +
+          " + CAST(CAST(__cv AS DECIMAL(38,0)) * (__cv + 1) / 2" +
+          " AS DECIMAL(38,0))) AS __ix"),
+        "CAST(__sz AS DECIMAL(38,0)) * __cv AS __sx",
+        "__cv", "__sz")
+      .agg(
+        coalesce(sum("__ix"), lit(0L).cast("decimal(38,0)")).as("__six"),
+        coalesce(sum("__sx"), lit(0L).cast("decimal(38,0)")).as("__s"),
+        coalesce(sum("__cv"), lit(0L)).cast("long").as("n_clusters"),
+        coalesce(max("__sz"), lit(0L)).cast("long").as("max_cluster"))
+      .selectExpr("n_clusters", "CAST(__s AS BIGINT) AS n_members",
+        "max_cluster",
+        ("CASE WHEN n_clusters = 0 OR __s = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST((2 * __six - (n_clusters + 1) * __s) * 1000000" +
+          " div (CAST(n_clusters AS DECIMAL(38,0)) * __s) AS BIGINT)" +
+          " END AS gini_micro"))
+  }
 }

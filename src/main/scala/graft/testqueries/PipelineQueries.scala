@@ -972,6 +972,15 @@ object PipelineQueries {
         .selectExpr("id AS doc_id", "community")
     },
 
+    // Duplication-concentration census (round 14): Gini over the d12
+    // component sizes — one mega-cluster (cap the component) vs spread
+    // dup mass (per-cluster election barely matters); computed on the
+    // SIZE HISTOGRAM, never a global sort over clusters.
+    "d153_dup_concentration" -> { (s, dir) =>
+      val labels = MinHashLSH.clusters(dupPairs(s, dir))
+      MinHashLSH.clusterSizeProfile(labels)
+    },
+
     // Weighted modularity of the weighted LPA communities (round 14):
     // the d139 gate in the weighted regime — strong duplicate edges
     // count proportionally in BOTH the vote (d147) and the score, so a
@@ -3709,6 +3718,43 @@ object PipelineQueries {
     // contraction result must hash-match the exact transitive closure the
     // min-label d12 row is gated on, so the SAME oracle serves both.
     "d109_dedup_clusters_star" -> DedupClustersSql,
+    // d153: Gini of the component sizes via the size-histogram identity
+    // (ties make rank assignment irrelevant, so Σi·x collapses onto
+    // (v, c_v, C_v) rows) — HUGEINT sums, exact even-product halving,
+    // one floor division at the end (== Spark's truncating div on
+    // non-negatives; 2Σi·x ≥ (n+1)Σx by Chebyshev).
+    "d153_dup_concentration" ->
+      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+         cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         szs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+           FROM cl GROUP BY cluster),
+         hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS cv
+           FROM szs GROUP BY sz),
+         cum AS (SELECT sz, cv, CAST(coalesce(sum(cv) OVER (ORDER BY sz
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cb FROM hist),
+         t AS (SELECT
+             CAST(coalesce(sum(CAST(sz AS HUGEINT) * (CAST(cv AS HUGEINT)
+               * cb + (CAST(cv AS HUGEINT) * (cv + 1)) // 2)), 0)
+               AS HUGEINT) AS six,
+             CAST(coalesce(sum(CAST(sz AS HUGEINT) * cv), 0)
+               AS HUGEINT) AS s,
+             CAST(coalesce(sum(cv), 0) AS BIGINT) AS n,
+             CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster
+           FROM cum)
+         SELECT n AS n_clusters, CAST(s AS BIGINT) AS n_members,
+           max_cluster,
+           CASE WHEN n = 0 OR s = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST((2 * six - (n + 1) * s) * 1000000
+               // (CAST(n AS HUGEINT) * s) AS BIGINT) END AS gini_micro
+         FROM t""",
     "d06_simhash" -> SimhashSql,
     "d20_simhash_dup" -> simhashDupSqlFor(SimhashSql, 4, 8, 3),
     "d07_knn" ->

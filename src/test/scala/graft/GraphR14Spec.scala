@@ -356,6 +356,51 @@ class GraphR14Spec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), pr)
   }
 
+  // ---- duplication-concentration census ----
+
+  test("cluster-size Gini: closed forms") {
+    import spark.implicits._
+    import graft.functions.MinHashLSH
+    // equal sizes -> 0
+    val eq = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("id", "cluster")
+    val r1 = MinHashLSH.clusterSizeProfile(eq).collect().head
+    assert(r1.getAs[Long]("gini_micro") === 0L)
+    assert(r1.getAs[Long]("n_clusters") === 2L)
+    assert(r1.getAs[Long]("n_members") === 4L)
+    // sizes 1 and 3: G = (2*(1*1+2*3) - 3*4) / (2*4) = 2/8 = 0.25
+    val sk = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 20L))
+      .toDF("id", "cluster")
+    val r2 = MinHashLSH.clusterSizeProfile(sk).collect().head
+    assert(r2.getAs[Long]("gini_micro") === 250000L)
+    assert(r2.getAs[Long]("max_cluster") === 3L)
+    // empty labels -> total zero row
+    val r3 = MinHashLSH.clusterSizeProfile(
+      Seq.empty[(Long, Long)].toDF("id", "cluster")).collect().head
+    assert(r3.getAs[Long]("n_clusters") === 0L)
+    assert(r3.getAs[Long]("gini_micro") === 0L)
+  }
+
+  test("cluster-size Gini equals the sorted-rank BigInt model") {
+    val labGen = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(1L, 60L); c <- Gen.chooseNum(1L, 12L)
+    } yield (id, c))
+    checkProp(Prop.forAllNoShrink(labGen) { labs =>
+      import spark.implicits._
+      val uniq = labs.toMap.toSeq // one cluster per id
+      val sizes = uniq.groupBy(_._2).values.map(_.size.toLong).toSeq.sorted
+      val n = BigInt(sizes.size); val s = BigInt(sizes.sum)
+      val six = sizes.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val expect =
+        if (n == 0 || s == 0) 0L
+        else ((2 * six - (n + 1) * s) * 1000000 / (n * s)).toLong
+      val got = graft.functions.MinHashLSH
+        .clusterSizeProfile(uniq.toDF("id", "cluster"))
+        .collect().head.getAs[Long]("gini_micro")
+      got == expect
+    })
+  }
+
   // ---- round-14 SQL views ----
 
   test("round-14 graph views answer plain SQL") {
