@@ -43,6 +43,35 @@ object GraftConf {
 /** The one materialization seam for per-superstep lineage truncation. */
 object Checkpoints {
 
+  // Block-holding RDDs behind localCheckpoint'd frames. localCheckpoint
+  // blocks are freed neither by Dataset.unpersist (they are not a SQL
+  // cache entry) nor by CacheRegistry/CacheManager — absent this registry
+  // they die only when the ContextCleaner notices the RDD object was
+  // GC'd, which on a large-heap driver can be tens of minutes after the
+  // frame is dead (spark.cleaner.periodicGC.interval defaults to 30 min).
+  // Round 14's bench measured exactly that: graph queries alphabetically
+  // early in the run parked GB of dead superstep blocks in the block
+  // manager, and the mid-run d38-d57 window paid for them in storage
+  // eviction churn. Tracking here makes the blocks explicitly releasable.
+  private val localFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** The block-holding RDD behind a frame produced by [[eager]]'s
+    * localCheckpoint path: its analyzed plan is a `LogicalRDD` whose
+    * `rdd` field is the persisted internal-row RDD. Accessed
+    * reflectively — `LogicalRDD` lives in `org.apache.spark.sql.execution`
+    * and is not API — with a None fallback (tracking is then skipped and
+    * behavior degrades to pre-round-15 GC-driven release, never an error).
+    */
+  private def blockRdd(cp: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    try {
+      val plan = cp.queryExecution.analyzed
+      if (plan.getClass.getSimpleName == "LogicalRDD")
+        Some(plan.getClass.getMethod("rdd").invoke(plan)
+          .asInstanceOf[org.apache.spark.rdd.RDD[_]])
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Eagerly materialize `df` with truncated lineage: a reliable
     * `checkpoint` when the session has a checkpoint dir (cluster
     * deployments — survives executor loss and unpersist), a
@@ -55,6 +84,12 @@ object Checkpoints {
     * second time — the cached blocks feed the write job, then free (the
     * [[functions.MinHashLSH.clustersStar]] pattern, shared here so every
     * iterative operator gets it instead of re-deriving it).
+    *
+    * Local-path frames are tracked: release one explicitly with
+    * [[release]] (iterative operators call it on the superseded superstep
+    * as soon as the next one materializes, bounding live blocks per query
+    * to ~2 supersteps), and drain the rest with [[releaseAll]] once the
+    * query's result is consumed (Bench does, between queries).
     */
   def eager(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -65,6 +100,46 @@ object Checkpoints {
       rdd.count() // one job computes + feeds the checkpoint write
       rdd.unpersist(false)
       spark.createDataFrame(rdd, df.schema)
-    } else df.localCheckpoint(true)
+    } else {
+      val cp = df.localCheckpoint(true)
+      blockRdd(cp).foreach(localFrames.add)
+      cp
+    }
   }
+
+  /** Free the blocks behind a frame [[eager]] produced, now — not at the
+    * next JVM GC. ONLY for frames that are fully dead: a released frame
+    * (and anything lazily derived from it) fails on its next action,
+    * because the truncated lineage cannot recompute. The iterative loops
+    * call this on superstep t once superstep t+1 has materialized; t+1's
+    * plan roots in its OWN blocks, so t is unreferenced by construction.
+    * No-op for reliable-checkpoint frames (their blocks were already
+    * dropped in [[eager]]; files are governed by the ContextCleaner under
+    * [[GraftConf.builderConf]]'s cleanCheckpoints).
+    */
+  def release(cp: DataFrame): Unit =
+    blockRdd(cp).foreach { r =>
+      localFrames.remove(r)
+      try r.unpersist(true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Unpersist every tracked localCheckpoint RDD and empty the registry.
+    * Call once per query AFTER its result is fully consumed (the
+    * [[CacheRegistry.releaseAll]] contract — and the same caveat: not
+    * safe while a graft query is mid-execution). Blocking, for the same
+    * reason CacheRegistry's release is.
+    */
+  def releaseAll(): Unit = {
+    var r = localFrames.poll()
+    while (r != null) {
+      try r.unpersist(true)
+      catch { case scala.util.control.NonFatal(_) => () }
+      r = localFrames.poll()
+    }
+  }
+
+  /** Number of currently tracked local-checkpoint RDDs (for specs and
+    * the Bench storage accounting). */
+  def trackedCount: Int = localFrames.size()
 }

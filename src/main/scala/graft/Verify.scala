@@ -26,9 +26,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // each query's result is fully written: release the intermediates the
-      // operators persisted internally, so one query's caches never crowd
-      // the next query's working set
-      finally CacheRegistry.releaseAll()
+      // operators persisted internally (tracked persists AND the iterative
+      // operators' localCheckpoint blocks), so one query's caches never
+      // crowd the next query's working set
+      finally { CacheRegistry.releaseAll(); Checkpoints.releaseAll() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -72,6 +72,12 @@ object GraphOps {
     * local mode) every `checkpointEvery` iterations — at deep iteration counts the
     * accumulated join-over-join plan otherwise grows without bound (the
     * same cliff [[MinHashLSH.clustersStar]] hit in round 10).
+    * `checkpointEvery` is INERT when `danglingMass = true`: that mode
+    * reads the rank vector twice per round (contrib join + dangle sum),
+    * so EVERY round materializes — under [[graft.GraftConf]] reliable
+    * checkpoints that is one checkpoint file-set per iteration, whose
+    * superseded members are freed by the cleaner (builderConf's
+    * cleanCheckpoints), with only the latest round's blocks held live.
     *
     * Returns one row per node: (id, rank_ppb) — rank scaled by 10^9,
     * summing to ≤ 10^9 (truncation loses ≤ 1 ppb per edge per round).
@@ -116,6 +122,8 @@ object GraphOps {
       e.withColumn("__tw", sum("__w").over(
         org.apache.spark.sql.expressions.Window.partitionBy("__src")))
         .persist(disk))
+    if (weightCol.isDefined)
+      requirePositiveWeights(ed, "__w", "pageRank(weighted)")
     // (__id, __init, __tele) — initial mass and per-iteration teleport,
     // fused once (uniform or seed-restricted) and persisted: every
     // iteration's rebuild joins against it. Derived from the PERSISTED ed
@@ -163,6 +171,18 @@ object GraphOps {
         .persist(disk)))
     else None
     var r = nodes.select(col("__id"), col("__init").as("__r"))
+    // the latest eager'd rank frame: superseded ones are released as soon
+    // as their successor materializes (successor roots in its OWN blocks),
+    // so live checkpoint blocks stay O(1) supersteps per query instead of
+    // O(iters) — the round-14 bench measured the O(iters) residue of dead
+    // localCheckpoint blocks as mid-run storage pressure
+    var rCp: DataFrame = null
+    def truncate(frame: DataFrame): DataFrame = {
+      val cp = graft.Checkpoints.eager(frame)
+      if (rCp != null) graft.Checkpoints.release(rCp)
+      rCp = cp
+      cp
+    }
     for (t <- 1 to iters) {
       val sums = ed.join(r, col("__src") === col("__id"))
         .selectExpr("__dst", "(__r * __w) div __tw AS __c")
@@ -183,10 +203,11 @@ object GraphOps {
               "__tele + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100 AS __r")
       }
       // dangling mode reads r twice per round (contrib join + dangle
-      // sum): materialize each round or the recompute tree doubles
-      if (danglingMass && t < iters) r = graft.Checkpoints.eager(r)
-      else if (t % checkpointEvery == 0 && t < iters)
-        r = graft.Checkpoints.eager(r)
+      // sum): materialize each round or the recompute tree doubles.
+      // NOTE: this makes checkpointEvery INERT when danglingMass=true —
+      // the per-round materialization subsumes any cadence (see scaladoc)
+      if ((danglingMass || t % checkpointEvery == 0) && t < iters)
+        r = truncate(r)
     }
     r.selectExpr("__id AS id", "__r AS rank_ppb")
   }
@@ -237,8 +258,12 @@ object GraphOps {
       // exit reads deg again — left lazy, the recompute tree would double
       // per round (2^rounds plans), the Pregel-superstep lesson. Node-
       // sized, so the materialization is the cheapest step of the round.
-      deg = graft.Checkpoints.eager(
+      // The superseded round's blocks are released immediately — the new
+      // frame roots in its own blocks, so round t-1 is dead once t lands.
+      val nd = graft.Checkpoints.eager(
         rd.groupBy("__src").agg(count(lit(1)).cast("long").as("__d")))
+      if (deg != null) graft.Checkpoints.release(deg)
+      deg = nd
       surv = deg.where(col("__d") >= k).select(col("__src").as("__id"))
     }
     deg.where(col("__d") >= k).selectExpr("__src AS id", "__d AS degree")
@@ -274,8 +299,10 @@ object GraphOps {
     while (t < maxRounds && !converged) {
       val rs = e.join(surv, e("__src") === surv("__id"), "left_semi")
       val rd = rs.join(surv, rs("__dst") === surv("__id"), "left_semi")
-      deg = graft.Checkpoints.eager(
+      val nd = graft.Checkpoints.eager(
         rd.groupBy("__src").agg(count(lit(1)).cast("long").as("__d")))
+      if (deg != null) graft.Checkpoints.release(deg)
+      deg = nd
       surv = deg.where(col("__d") >= k).select(col("__src").as("__id"))
       t += 1
       val n = surv.count()
@@ -322,7 +349,13 @@ object GraphOps {
     require(iters >= 1 && iters <= 100, s"iters=$iters out of [1,100]")
     val (e, nodes) = lpaInputs(edges, srcCol, dstCol, weightCol)
     var lab = nodes.select(col("__id"), col("__id").as("__lab"))
-    for (t <- 1 to iters) lab = lpaRound(e, lab)
+    for (t <- 1 to iters) {
+      val next = lpaRound(e, lab)
+      // round t's blocks are dead once t+1 materialized (release is a
+      // no-op on the initial non-checkpointed frame)
+      graft.Checkpoints.release(lab)
+      lab = next
+    }
     lab.selectExpr("__id AS id", "__lab AS community")
   }
 
@@ -354,10 +387,15 @@ object GraphOps {
     val (e, nodes) = lpaInputs(edges, srcCol, dstCol, weightCol)
     var lab = nodes.select(col("__id"), col("__id").as("__lab"))
     var prev: DataFrame = null
+    var prev2: DataFrame = null
     var t = 0
     var done = false
     while (t < maxRounds && !done) {
-      val prev2 = prev
+      // the outgoing prev2 (round t-3) is read by nothing past this
+      // point — the fixpoint/cycle probes only look two rounds back —
+      // so its checkpoint blocks are released here instead of at GC
+      if (prev2 != null) graft.Checkpoints.release(prev2)
+      prev2 = prev
       prev = lab
       lab = lpaRound(e, prev)
       t += 1
@@ -381,6 +419,25 @@ object GraphOps {
     lab.selectExpr("__id AS id", "__lab AS community")
   }
 
+  /** Loud-failure guard for the weighted operators' POSITIVE-weight
+    * precondition (the repo's require discipline, previously doc-only
+    * here): one tiny agg over an ALREADY-PERSISTED weight-fused edge
+    * table, so it never re-runs the caller's edge pipeline — it
+    * materializes the persist the first iteration needed anyway. Checked
+    * on the fused table, so for [[modularityWeighted]] it validates the
+    * summed multigraph weights (negative raws that cancel to a positive
+    * sum are not detectable without rescanning the caller's pipeline —
+    * the documented precondition remains on the raw weights).
+    */
+  private def requirePositiveWeights(e: DataFrame, wCol: String,
+                                     op: String): Unit = {
+    val r = e.agg(min(col(wCol))).head()
+    if (!r.isNullAt(0))
+      require(r.getLong(0) > 0L,
+        s"$op: weight column must contain POSITIVE longs " +
+          s"(micro-scaled similarities); found min weight ${r.getLong(0)}")
+  }
+
   /** Shared LPA inputs: weight-fused persisted edge table + node set. */
   private def lpaInputs(edges: DataFrame, srcCol: String, dstCol: String,
                         weightCol: Option[String]): (DataFrame, DataFrame) = {
@@ -392,6 +449,8 @@ object GraphOps {
         col(dstCol).cast("long").as("__dst"), lit(1L).as("__w"))
     }
     val e = graft.CacheRegistry.track(sel.persist(disk))
+    if (weightCol.isDefined)
+      requirePositiveWeights(e, "__w", "labelPropagation(weighted)")
     val nodes = graft.CacheRegistry.track(
       e.select(col("__src").as("__id"))
         .union(e.select(col("__dst").as("__id")))
@@ -546,6 +605,7 @@ object GraphOps {
         .where(col("a") =!= col("b"))
         .groupBy("a", "b").agg(sum("w").as("w"))
         .persist(disk))
+    requirePositiveWeights(e, "w", "modularityWeighted")
     val cm = graft.CacheRegistry.track(
       assign.select(col(idCol).cast("long").as("__id"),
           col(commCol).cast("long").as("__cm"))

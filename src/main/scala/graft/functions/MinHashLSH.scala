@@ -200,6 +200,9 @@ object MinHashLSH {
     // deep components.
     val checkpointEvery = 5
     val sc = pairs.sparkSession.sparkContext
+    // latest cadence checkpoint — kept alive (the returned labels'
+    // lineage may root in it); superseded ones released eagerly
+    var prevCkpt: Option[DataFrame] = None
     while (!converged && i < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "b"), "b")
@@ -215,7 +218,9 @@ object MinHashLSH {
       // Lineage bounding for FUTURE rounds only: the frame we return is
       // always the plain persisted `next` above, never a checkpointed
       // one, so CacheRegistry.releaseAll() leaves the result recomputable
-      // from lineage. Reliable checkpoint() when the session has a
+      // from lineage (recomputability also needs the LAST cadence
+      // checkpoint's blocks, which Checkpoints.releaseAll() drops — so
+      // drain that registry only once the result is fully consumed). Reliable checkpoint() when the session has a
       // checkpoint dir (the cluster deployment — survives executor loss
       // and unpersist); localCheckpoint otherwise, with its single-node
       // assumption made explicit: the truncated lineage roots in
@@ -227,9 +232,14 @@ object MinHashLSH {
       // spark.cleaner.referenceTracking.cleanCheckpoints (tiny label
       // frames, ~1/5 of rounds — but a long-running driver should set it).
       if (!converged && i % checkpointEvery == 0) {
-        val cp =
-          if (sc.getCheckpointDir.isDefined) labels.checkpoint(true)
-          else labels.localCheckpoint(true)
+        // Checkpoints.eager picks reliable vs local; the superseded
+        // checkpoint (5 rounds back) is released as soon as this one
+        // materializes — nothing reads it again (the intermediate rounds
+        // that rooted in it were materialized persists, themselves
+        // already dropped)
+        val cp = graft.Checkpoints.eager(labels)
+        prevCkpt.foreach(graft.Checkpoints.release)
+        prevCkpt = Some(cp)
         labels.unpersist(false)
         labels = cp
       }
@@ -373,17 +383,20 @@ object MinHashLSH {
           rdd.count() // materialize: runs the plan once, then the ckpt write
           rdd.unpersist(false)
           (spark.createDataFrame(rdd, nextRaw.schema), rdd.getCheckpointFile)
-        } else (nextRaw.localCheckpoint(true), None)
+        } else (graft.Checkpoints.eager(nextRaw), None)
       val s = edgeSum(next)
       converged = s.compareTo(prev) == 0
       prev = s
       // only round 1's unpersist frees anything (the genuinely persisted
       // initial edge list); later rounds' frames are checkpoint results
       // whose blocks Dataset.unpersist doesn't govern. Local-checkpoint
-      // blocks are freed by the ContextCleaner as superseded rounds lose
-      // their references; reliable files are deleted explicitly here.
+      // blocks are released explicitly (Checkpoints.release — the local
+      // analog of deletePrevCkpt; no reader of the OLD edges remains
+      // once `next` has materialized); reliable files are deleted
+      // explicitly here.
       edges.unpersist(false)
       deletePrevCkpt() // the file backing the OLD edges — no reader remains
+      graft.Checkpoints.release(edges)
       prevCkptFile = ckptFile
       edges = next
       i += 1

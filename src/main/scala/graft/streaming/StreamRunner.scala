@@ -4,6 +4,30 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.DataFrame
 
+/** Per-batch accounting of every [[StreamRunner.runToBatch]] run, kept in a
+  * bounded in-memory queue so the BENCH artifact can decompose a streaming
+  * row's wall time into batches×cost (round 14's d38 flag was bimodal
+  * 7 s / 36 s samples — a lifecycle signature no total-seconds number can
+  * explain). Bench drains this after each query into BENCH_DETAIL.json;
+  * Verify and tests ignore it (the queue caps itself, so not draining
+  * costs bounded memory, not growth).
+  */
+object StreamMetrics {
+  private val maxLines = 4096
+  private val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private[streaming] def add(line: String): Unit =
+    if (lines.size < maxLines) lines.add(line)
+
+  /** Return and clear everything recorded since the last drain. */
+  def drain(): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var l = lines.poll()
+    while (l != null) { b += l; l = lines.poll() }
+    b.result()
+  }
+}
+
 /** Runs a streaming frame over a FINITE source to completion and hands the
   * result back as a batch frame — the bridge that lets the driver's batch
   * oracle gate a genuinely streaming plan (real `readStream` file source,
@@ -21,6 +45,15 @@ object StreamRunner {
   // bench reruns (4x per query in one JVM) from appending into each other
   private val n = new AtomicLong(0)
 
+  // recentProgress normally retains only the last
+  // spark.sql.streaming.numRecentProgressUpdates batches (default 100);
+  // the update-mode guard below COUNTS data batches from it, so a
+  // truncated buffer could silently roll early data batches out and
+  // false-pass the guard. The runner raises the retention to this value
+  // for the duration of each run (restored after) and fails loudly if a
+  // run actually saturates it — the count is then provably complete.
+  private val progressRetention = 10000
+
   /** `mode`: "append" for stateless/final-emit streams; "update" for
     * changelog aggregations — with a finite source arriving as one
     * micro-batch, update mode emits each key exactly once (the final
@@ -30,9 +63,12 @@ object StreamRunner {
     * maxFilesPerTrigger) update mode re-emits changed keys per batch and
     * the memory table would hold a changelog, silently double-counting
     * any downstream sum — so such a run fails loudly instead. (Append
-    * mode rows are final by definition and need no guard.)
-    */
-  /** `noDataBatches = false` skips the trailing no-data micro-batch
+    * mode rows are final by definition and need no guard.) The guard
+    * counts data batches over an untruncated progress buffer — retention
+    * is raised to [[progressRetention]] for the run and saturation is
+    * itself a loud failure, so the count cannot be silently incomplete.
+    *
+    * `noDataBatches = false` skips the trailing no-data micro-batch
     * (`spark.sql.streaming.noDataMicroBatches.enabled`). Safe ONLY for
     * sinks whose every row is emitted in the data batch itself — inner
     * stream-stream joins and stateless maps, where the no-data batch
@@ -50,47 +86,61 @@ object StreamRunner {
     val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevConf = spark.conf.getOption(confKey)
     if (!noDataBatches) spark.conf.set(confKey, "false")
+    val retKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevRet = spark.conf.getOption(retKey)
+    spark.conf.set(retKey, progressRetention.toString)
     val q = stream.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     try {
       q.processAllAvailable()
+      val progress = q.recentProgress
+      // a saturated buffer means the data-batch count below could be
+      // incomplete — that must be an error, not a weaker guard
+      require(progress.length < progressRetention,
+        s"$name: progress buffer saturated at $progressRetention batches; " +
+          "raise StreamRunner.progressRetention for this workload")
       if (mode == "update") {
-        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        val dataBatches = progress.count(_.numInputRows > 0)
         require(dataBatches <= 1,
           s"$name: update-mode memory sink saw $dataBatches data " +
             "micro-batches; its rows form a changelog, not final state - " +
             "fold to the last emission per key before consuming, or run " +
             "the finite source as a single batch")
       }
-    } finally {
-      // Micro-batch accounting (SPARK_GRAFT_STREAM_METRICS=1): one stderr
-      // line per progress event — batch id, input rows, trigger wall time,
-      // state rows — so a bench exceedance on a streaming row can be
-      // decomposed into batches×cost instead of guessed at. stderr keeps
-      // the Bench stdout contract line clean.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_METRICS")) {
-        // recentProgress retains only the last N batches (default 100):
-        // mark truncation explicitly so a batches×cost reconciliation
-        // can't silently miss the early (often cold) batches.
-        q.recentProgress.headOption.filter(_.batchId > 0).foreach(p =>
-          System.err.println(s"[stream-metrics] $name TRUNCATED: first " +
-            s"retained batch=${p.batchId} (raise " +
-            "spark.sql.streaming.numRecentProgressUpdates for full capture)"))
-        q.recentProgress.foreach { p =>
-          val state = p.stateOperators.map(s =>
-            s"${s.operatorName}:rows=${s.numRowsTotal},updated=${s.numRowsUpdated}")
-            .mkString(";")
-          val trig = Option(p.durationMs.get("triggerExecution"))
-            .map(_.toString).getOrElse("-")
-          System.err.println(
-            s"[stream-metrics] $name batch=${p.batchId} rows=${p.numInputRows} " +
-              s"triggerMs=$trig state=$state")
-        }
+      // Micro-batch accounting: one line per progress event — batch id,
+      // input rows, trigger wall time, state rows — recorded into
+      // StreamMetrics (Bench writes it to BENCH_DETAIL.json) and, under
+      // SPARK_GRAFT_STREAM_METRICS=1, echoed to stderr (stderr keeps the
+      // Bench stdout contract line clean). Per-batch lines are capped;
+      // the summary line is always recorded.
+      val echo = sys.env.contains("SPARK_GRAFT_STREAM_METRICS")
+      def rec(line: String): Unit = {
+        StreamMetrics.add(line)
+        if (echo) System.err.println(s"[stream-metrics] $line")
       }
+      val totalTrig = progress.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
+      rec(s"$name batches=${progress.length} " +
+        s"dataBatches=${progress.count(_.numInputRows > 0)} " +
+        s"rows=${progress.map(_.numInputRows).sum} totalTriggerMs=$totalTrig")
+      progress.take(16).foreach { p =>
+        val state = p.stateOperators.map(s =>
+          s"${s.operatorName}:rows=${s.numRowsTotal},updated=${s.numRowsUpdated}")
+          .mkString(";")
+        val trig = Option(p.durationMs.get("triggerExecution"))
+          .map(_.toString).getOrElse("-")
+        rec(s"$name batch=${p.batchId} rows=${p.numInputRows} " +
+          s"triggerMs=$trig state=$state")
+      }
+    } finally {
       q.stop()
       if (!noDataBatches) prevConf match {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)
+      }
+      prevRet match {
+        case Some(v) => spark.conf.set(retKey, v)
+        case None => spark.conf.unset(retKey)
       }
     }
     spark.table(name)
