@@ -56,6 +56,13 @@ object Checkpoints {
   private val localFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
+  // A/B instrumentation ONLY (BASELINE.md round-15 adjudication): with
+  // SPARK_GRAFT_NO_EAGER_RELEASE=1 both release paths no-op, emulating
+  // the pre-round-15 lifetime where dead superstep blocks survive until
+  // a JVM GC lets the ContextCleaner reap them — so one binary can
+  // measure the block-accumulation mechanism and its fix side by side.
+  private val releaseDisabled = sys.env.contains("SPARK_GRAFT_NO_EAGER_RELEASE")
+
   /** The block-holding RDD behind a frame produced by [[eager]]'s
     * localCheckpoint path: its analyzed plan is a `LogicalRDD` whose
     * `rdd` field is the persisted internal-row RDD. Accessed
@@ -118,7 +125,7 @@ object Checkpoints {
     * [[GraftConf.builderConf]]'s cleanCheckpoints).
     */
   def release(cp: DataFrame): Unit =
-    blockRdd(cp).foreach { r =>
+    if (!releaseDisabled) blockRdd(cp).foreach { r =>
       localFrames.remove(r)
       try r.unpersist(true)
       catch { case scala.util.control.NonFatal(_) => () }
@@ -130,7 +137,7 @@ object Checkpoints {
     * safe while a graft query is mid-execution). Blocking, for the same
     * reason CacheRegistry's release is.
     */
-  def releaseAll(): Unit = {
+  def releaseAll(): Unit = if (!releaseDisabled) {
     var r = localFrames.poll()
     while (r != null) {
       try r.unpersist(true)
