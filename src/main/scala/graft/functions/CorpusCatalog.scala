@@ -37,7 +37,8 @@ object CorpusCatalog {
                 dumpId: String, k: Int = 256,
                 cmsDepth: Int = 4, cmsWidth: Int = 2048,
                 csDepth: Int = 5, csWidth: Int = 2048,
-                domainCol: Option[String] = None): DataFrame = {
+                domainCol: Option[String] = None,
+                clusterLabels: Option[DataFrame] = None): DataFrame = {
     // the S4 persist-where-reused rule: the doc-stats branch and the
     // gram-sketch branch both read the same projection; without the
     // persist, Spark scans the dump TWICE (aggregate branches don't
@@ -71,13 +72,31 @@ object CorpusCatalog {
       case None => docs.sparkSession.sql("SELECT CAST(NULL AS " +
         "ARRAY<STRUCT<domain: STRING, cnt: BIGINT>>) AS domain_census")
     }
+    // round 15: the near-dup CLUSTER-SIZE HISTOGRAM rides the row too —
+    // the histogram (distinct size values × counts) is census-sized, so
+    // the sorted (sz, cnt) array is a few KB and release-over-release
+    // duplication CONCENTRATION ([[MinHashLSH
+    // .clusterSizeProfileFromHistogram]]) becomes pure catalog math:
+    // the d150/d151 pattern applied to the d153 meter. `clusterLabels`
+    // is a [[MinHashLSH.clusters]] labeling of this dump (one row per
+    // clustered doc, column `cluster`).
+    val clusterCensus = clusterLabels match {
+      case Some(lab) => lab
+        .groupBy(col("cluster")).agg(count(lit(1)).cast("long").as("__s"))
+        .groupBy(col("__s").as("sz")).agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(sort_array(collect_list(struct(col("sz"), col("cnt"))))
+          .as("cluster_census"))
+      case None => docs.sparkSession.sql("SELECT CAST(NULL AS " +
+        "ARRAY<STRUCT<sz: BIGINT, cnt: BIGINT>>) AS cluster_census")
+    }
     stats.crossJoin(broadcast(sketch)).crossJoin(broadcast(census))
+      .crossJoin(broadcast(clusterCensus))
       .select(lit(dumpId).as("dump_id"), col("n_docs"), col("n_tokens"),
         col("mean_quality"), col("sketch"), lit(k).as("k"),
         Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"),
         col("cms"), lit(cmsDepth).as("cms_depth"), lit(cmsWidth).as("cms_width"),
         col("cs"), lit(csDepth).as("cs_depth"), lit(csWidth).as("cs_width"),
-        col("domain_census"))
+        col("domain_census"), col("cluster_census"))
   }
 
   /** Append one dump's catalog row. */
@@ -85,9 +104,10 @@ object CorpusCatalog {
              path: String, dumpId: String, k: Int = 256,
              cmsDepth: Int = 4, cmsWidth: Int = 2048,
              csDepth: Int = 5, csWidth: Int = 2048,
-             domainCol: Option[String] = None): Unit =
+             domainCol: Option[String] = None,
+             clusterLabels: Option[DataFrame] = None): Unit =
     summarize(docs, idCol, textCol, dumpId, k, cmsDepth, cmsWidth,
-        csDepth, csWidth, domainCol)
+        csDepth, csWidth, domainCol, clusterLabels)
       .write.mode("append").parquet(path)
 
   /** All pairwise dump overlaps from the persisted catalog alone — no
@@ -157,6 +177,40 @@ object CorpusCatalog {
   def explodeDomainCensus(row: DataFrame): DataFrame =
     row.select(explode(col("domain_census")).as("dc"))
       .select(col("dc.domain").as("domain"), col("dc.cnt").as("cnt"))
+
+  /** One release's near-dup cluster-SIZE histogram exploded back out of
+    * its catalog row — the input shape
+    * [[MinHashLSH.clusterSizeProfileFromHistogram]] consumes, so
+    * duplication concentration (n_clusters, max_cluster, Gini) is
+    * answerable release-over-release from the catalog with zero corpus
+    * passes. Fails loudly on a missing/duplicated dump or a row appended
+    * without `clusterLabels` (profiling an empty histogram would
+    * silently read as "no duplication").
+    */
+  def clusterCensus(spark: SparkSession, path: String,
+                    dumpId: String): DataFrame = {
+    val cat = spark.read.option("mergeSchema", "true").parquet(path)
+    require(cat.columns.contains("cluster_census"),
+      s"catalog at $path predates the cluster_census column (round-15 " +
+        "appends carry it); re-append the dumps before profiling " +
+        "duplication concentration")
+    val rows = cat.where(col("dump_id") === dumpId)
+    val n = rows.count()
+    require(n == 1, s"catalog at $path has $n rows for dump '$dumpId'; " +
+      "clusterCensus needs exactly one")
+    require(rows.where(col("cluster_census").isNotNull).count() == 1,
+      s"catalog row for dump '$dumpId' at $path carries no cluster census " +
+        "(appended without clusterLabels); profiling an empty histogram " +
+        "would silently read as zero duplication - re-append the dump " +
+        "with clusterLabels set")
+    explodeClusterCensus(rows)
+  }
+
+  /** The explode half of [[clusterCensus]], usable on an in-memory
+    * [[summarize]] row too (the d154 query path). */
+  def explodeClusterCensus(row: DataFrame): DataFrame =
+    row.select(explode(col("cluster_census")).as("cc"))
+      .select(col("cc.sz").as("sz"), col("cc.cnt").as("cnt"))
 
   /** Release-over-release source-mixture drift answered from the CATALOG
     * ALONE — two census explodes and the shared d141 grid combine; zero

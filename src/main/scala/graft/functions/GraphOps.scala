@@ -72,12 +72,14 @@ object GraphOps {
     * local mode) every `checkpointEvery` iterations — at deep iteration counts the
     * accumulated join-over-join plan otherwise grows without bound (the
     * same cliff [[MinHashLSH.clustersStar]] hit in round 10).
-    * `checkpointEvery` is INERT when `danglingMass = true`: that mode
-    * reads the rank vector twice per round (contrib join + dangle sum),
-    * so EVERY round materializes — under [[graft.GraftConf]] reliable
-    * checkpoints that is one checkpoint file-set per iteration, whose
-    * superseded members are freed by the cleaner (builderConf's
-    * cleanCheckpoints), with only the latest round's blocks held live.
+    * With `danglingMass = true` the rank vector is read twice per round
+    * (contrib join + dangle sum), so EVERY round MATERIALIZES — but via
+    * a cache-only persist; lineage TRUNCATION still follows
+    * `checkpointEvery`, so a reliable deployment under
+    * [[graft.GraftConf]] writes O(iters/cadence) checkpoint file-sets,
+    * not one per round. Superseded intermediates (persists and
+    * checkpoint blocks alike) are released as soon as their successor
+    * materializes — live state is O(1) rounds.
     *
     * Returns one row per node: (id, rank_ppb) — rank scaled by 10^9,
     * summing to ≤ 10^9 (truncation loses ≤ 1 ppb per edge per round).
@@ -177,10 +179,18 @@ object GraphOps {
     // O(iters) — the round-14 bench measured the O(iters) residue of dead
     // localCheckpoint blocks as mid-run storage pressure
     var rCp: DataFrame = null
+    var rMat: Option[DataFrame] = None
+    def dropMat(): Unit = {
+      rMat.foreach(f =>
+        try f.unpersist(true)
+        catch { case scala.util.control.NonFatal(_) => () })
+      rMat = None
+    }
     def truncate(frame: DataFrame): DataFrame = {
       val cp = graft.Checkpoints.eager(frame)
       if (rCp != null) graft.Checkpoints.release(rCp)
       rCp = cp
+      dropMat()
       cp
     }
     for (t <- 1 to iters) {
@@ -203,12 +213,26 @@ object GraphOps {
               "__tele + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100 AS __r")
       }
       // dangling mode reads r twice per round (contrib join + dangle
-      // sum): materialize each round or the recompute tree doubles.
-      // NOTE: this makes checkpointEvery INERT when danglingMass=true —
-      // the per-round materialization subsumes any cadence (see scaladoc)
-      if ((danglingMass || t % checkpointEvery == 0) && t < iters)
-        r = truncate(r)
+      // sum): MATERIALIZE each round or the recompute tree doubles — but
+      // only the checkpointEvery cadence TRUNCATES (a cache persist
+      // materializes without a checkpoint write, so reliable deployments
+      // pay one file-set per cadence, not per round; plan depth between
+      // truncations is bounded by the cadence, the uniform-mode budget)
+      if (t < iters) {
+        if (t % checkpointEvery == 0) r = truncate(r)
+        else if (danglingMass) {
+          val p = r.persist(disk)
+          p.count()
+          dropMat()
+          rMat = Some(p)
+          r = p
+        }
+      }
     }
+    // the LAST intermediate persist backs the returned frame's lineage:
+    // hand it to CacheRegistry so the caller's standard releaseAll
+    // discipline frees it (Verify/Bench between queries)
+    rMat.foreach(graft.CacheRegistry.track(_))
     r.selectExpr("__id AS id", "__r AS rank_ppb")
   }
 

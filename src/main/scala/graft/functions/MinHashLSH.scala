@@ -615,11 +615,35 @@ object MinHashLSH {
     * Returns ONE row: (n_clusters, n_members, max_cluster, gini_micro).
     */
   def clusterSizeProfile(labels: DataFrame,
-                         clusterCol: String = "cluster"): DataFrame = {
-    val sizes = labels.groupBy(col(clusterCol).as("__c"))
-      .agg(count(lit(1)).cast("long").as("__sz"))
-    val hist = sizes.groupBy("__sz")
-      .agg(count(lit(1)).cast("long").as("__cv"))
+                         clusterCol: String = "cluster"): DataFrame =
+    clusterSizeProfileFromSizes(
+      labels.groupBy(col(clusterCol).as("__c"))
+        .agg(count(lit(1)).cast("long").as("__sz")), "__sz")
+
+  /** [[clusterSizeProfile]] from an already-computed per-cluster SIZE
+    * frame (one row per cluster) — the seam the streaming twin enters
+    * through: an update-mode cluster census is exactly this shape, so
+    * streamed and batch concentration share every line of the combine.
+    */
+  def clusterSizeProfileFromSizes(sizes: DataFrame,
+                                  sizeCol: String): DataFrame =
+    clusterSizeProfileFromHistogram(
+      sizes.groupBy(col(sizeCol).cast("long").as("__sz"))
+        .agg(count(lit(1)).cast("long").as("__cv")), "__sz", "__cv")
+
+  /** [[clusterSizeProfile]] from the (size, count) HISTOGRAM itself —
+    * the seam the corpus catalog enters through ([[CorpusCatalog]]
+    * stores the histogram as a census column, so release-over-release
+    * duplication concentration is answerable with ZERO corpus passes,
+    * the d150/d151 pattern). The histogram is census-sized by
+    * construction (distinct size values), so the one orderBy window
+    * below never sees more rows than that.
+    */
+  def clusterSizeProfileFromHistogram(histogram: DataFrame,
+                                      sizeCol: String,
+                                      countCol: String): DataFrame = {
+    val hist = histogram.select(col(sizeCol).cast("long").as("__sz"),
+      col(countCol).cast("long").as("__cv"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("__sz")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cum = hist.withColumn("__cb", coalesce(sum("__cv").over(w), lit(0L)))

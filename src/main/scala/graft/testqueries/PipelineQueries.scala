@@ -32,6 +32,23 @@ object PipelineQueries {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The DIRECTED containment pairs at threshold 0.6, PERSISTED — the
+    * shared input of d131 (the containment-join row itself) and d146
+    * (dangling PageRank over the containment DAG). Same S4 rationale as
+    * [[dupPairs]]: the prefix-filter derivation is the expensive part
+    * (three shingle-table persists + a rank equijoin), and d146's
+    * PageRank internals reference its edge input from several plan
+    * branches (degree fusion, node set, dangling set) — against an
+    * unpersisted derivation those branches race concurrent cache fills
+    * of the SAME pipeline inside one job; against this tracked persist
+    * the derivation materializes once and every consumer reads blocks.
+    */
+  private def containPairs(s: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.track(
+      JaccardJoin.containmentPairs(docs(s, dir), "doc_id", "text",
+          threshold = 0.6, n = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Symmetrized (both-directions) edge view of [[dupPairs]] — the input
     * contract of the degree-based graph operators.
     */
@@ -797,8 +814,7 @@ object PipelineQueries {
     // near-dup relation (quotes, boilerplate wrapping, subset dumps) that
     // Jaccard cannot see; prefix-filtered with NO false negatives.
     "d131_containment_join" -> { (s, dir) =>
-      JaccardJoin.containmentPairs(docs(s, dir), "doc_id", "text",
-        threshold = 0.6, n = 3)
+      containPairs(s, dir)
     },
 
     // Edit-distance-verified near-dup pairs (round 13): LSH banding
@@ -931,8 +947,7 @@ object PipelineQueries {
     // each iteration instead of silently draining, so Σrank stays
     // ≈ 10^9 and rank reads as "how much content aggregates here".
     "d146_pagerank_dangling" -> { (s, dir) =>
-      val edges = JaccardJoin.containmentPairs(docs(s, dir), "doc_id",
-          "text", threshold = 0.6, n = 3)
+      val edges = containPairs(s, dir)
         .where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
       GraphOps.pageRank(edges, "doc_a", "doc_b", iters = 3,
@@ -979,6 +994,43 @@ object PipelineQueries {
     "d153_dup_concentration" -> { (s, dir) =>
       val labels = MinHashLSH.clusters(dupPairs(s, dir))
       MinHashLSH.clusterSizeProfile(labels)
+    },
+
+    // Catalog-answered duplication concentration (round 15): the dump's
+    // cluster-size HISTOGRAM rides its catalog row (the d150/d151
+    // pattern applied to the d153 meter), then the SAME histogram
+    // combine answers n_clusters/max/Gini from the census alone —
+    // release-over-release concentration with zero corpus re-reads
+    // (CorpusCatalogSpec pins the parquet round-trip equal to the
+    // direct profile).
+    "d154_catalog_dup_concentration" -> { (s, dir) =>
+      val labels = MinHashLSH.clusters(dupPairs(s, dir))
+      val row = graft.functions.CorpusCatalog.summarize(
+        docs(s, dir), "doc_id", "text", "rel",
+        clusterLabels = Some(labels))
+      MinHashLSH.clusterSizeProfileFromHistogram(
+        graft.functions.CorpusCatalog.explodeClusterCensus(row),
+        "sz", "cnt")
+    },
+
+    // The live twin of d153 (round 15): per-cluster sizes maintained as
+    // streaming state — stream docs inner-joined to the STANDING label
+    // frame (stream-static join, stateless), update-mode count per
+    // cluster, so state is one row per dup cluster (the census bound,
+    // the d140 pattern) — handed to the SAME size→histogram→Gini
+    // combine (clusterSizeProfileFromSizes): streamed == batch
+    // bit-for-bit because the combine is shared code.
+    "d155_dup_concentration_stream" -> { (s, dir) =>
+      val labels = MinHashLSH.clusters(dupPairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"))
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val census = stream.select("doc_id").join(labels, Seq("doc_id"))
+        .groupBy("cluster").agg(count(lit(1)).cast("long").as("sz"))
+      val live = graft.streaming.StreamRunner.runToBatch(census,
+        "d155_dup_concentration_stream", mode = "update")
+      MinHashLSH.clusterSizeProfileFromSizes(live.select("sz"), "sz")
     },
 
     // Weighted modularity of the weighted LPA communities (round 14):
@@ -2705,6 +2757,48 @@ object PipelineQueries {
          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster
          FROM reach GROUP BY id"""
 
+  /** DuckDB replay of the duplication-concentration profile (Gini of the
+    * component sizes via the size-histogram identity — ties make rank
+    * assignment irrelevant, so Σi·x collapses onto (v, c_v, C_v) rows;
+    * HUGEINT sums, exact even-product halving, one floor division at the
+    * end, == Spark's truncating div on non-negatives since
+    * 2Σi·x ≥ (n+1)Σx by Chebyshev). Shared by d153 (direct), d154 (the
+    * catalog path — the stored histogram is lossless) and d155 (the
+    * streaming twin — same clusters, shared combine).
+    */
+  private lazy val DupConcentrationSql: String =
+    s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
+         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
+                   UNION ALL SELECT doc_b, doc_a FROM thr),
+         reach(id, lab) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
+         cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+         szs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+           FROM cl GROUP BY cluster),
+         hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS cv
+           FROM szs GROUP BY sz),
+         cum AS (SELECT sz, cv, CAST(coalesce(sum(cv) OVER (ORDER BY sz
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cb FROM hist),
+         t AS (SELECT
+             CAST(coalesce(sum(CAST(sz AS HUGEINT) * (CAST(cv AS HUGEINT)
+               * cb + (CAST(cv AS HUGEINT) * (cv + 1)) // 2)), 0)
+               AS HUGEINT) AS six,
+             CAST(coalesce(sum(CAST(sz AS HUGEINT) * cv), 0)
+               AS HUGEINT) AS s,
+             CAST(coalesce(sum(cv), 0) AS BIGINT) AS n,
+             CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster
+           FROM cum)
+         SELECT n AS n_clusters, CAST(s AS BIGINT) AS n_members,
+           max_cluster,
+           CASE WHEN n = 0 OR s = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST((2 * six - (n + 1) * s) * 1000000
+               // (CAST(n AS HUGEINT) * s) AS BIGINT) END AS gini_micro
+         FROM t"""
+
   /** DuckDB replay of the per-language skyline census rules — shared by
     * the batch (d106) and streaming (d107) frontier oracles.
     */
@@ -3723,38 +3817,14 @@ object PipelineQueries {
     // (v, c_v, C_v) rows) — HUGEINT sums, exact even-product halving,
     // one floor division at the end (== Spark's truncating div on
     // non-negatives; 2Σi·x ≥ (n+1)Σx by Chebyshev).
-    "d153_dup_concentration" ->
-      s"""WITH RECURSIVE pairs AS ($MinhashPairsSql),
-         thr AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM thr
-                   UNION ALL SELECT doc_b, doc_a FROM thr),
-         reach(id, lab) AS (
-           SELECT DISTINCT a, a FROM edges
-           UNION
-           SELECT DISTINCT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b),
-         cl AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
-         szs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
-           FROM cl GROUP BY cluster),
-         hist AS (SELECT sz, CAST(count(*) AS BIGINT) AS cv
-           FROM szs GROUP BY sz),
-         cum AS (SELECT sz, cv, CAST(coalesce(sum(cv) OVER (ORDER BY sz
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS BIGINT) AS cb FROM hist),
-         t AS (SELECT
-             CAST(coalesce(sum(CAST(sz AS HUGEINT) * (CAST(cv AS HUGEINT)
-               * cb + (CAST(cv AS HUGEINT) * (cv + 1)) // 2)), 0)
-               AS HUGEINT) AS six,
-             CAST(coalesce(sum(CAST(sz AS HUGEINT) * cv), 0)
-               AS HUGEINT) AS s,
-             CAST(coalesce(sum(cv), 0) AS BIGINT) AS n,
-             CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster
-           FROM cum)
-         SELECT n AS n_clusters, CAST(s AS BIGINT) AS n_members,
-           max_cluster,
-           CASE WHEN n = 0 OR s = 0 THEN CAST(0 AS BIGINT)
-             ELSE CAST((2 * six - (n + 1) * s) * 1000000
-               // (CAST(n AS HUGEINT) * s) AS BIGINT) END AS gini_micro
-         FROM t""",
+    "d153_dup_concentration" -> DupConcentrationSql,
+    // d154 (catalog path): the catalog row stores the size histogram
+    // LOSSLESSLY, so the catalog-answered profile is the same pure
+    // function of the edge set — one oracle serves both. d155 (stream
+    // twin): the streamed census counts the same clusters; shared
+    // combine, same oracle.
+    "d154_catalog_dup_concentration" -> DupConcentrationSql,
+    "d155_dup_concentration_stream" -> DupConcentrationSql,
     "d06_simhash" -> SimhashSql,
     "d20_simhash_dup" -> simhashDupSqlFor(SimhashSql, 4, 8, 3),
     "d07_knn" ->

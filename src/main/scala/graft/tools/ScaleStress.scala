@@ -53,6 +53,9 @@ object ScaleStress {
     if (args.contains("round14tri")) {
       runRound14TriangleSkewProbe(spark); spark.stop(); return
     }
+    if (args.contains("round15hub")) {
+      runRound15HubProbes(spark); spark.stop(); return
+    }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
     }
@@ -744,6 +747,79 @@ object ScaleStress {
     }.toMap
     println(f"${"tri_skew_slope"}%-18s 1x=${trT("1x")}%5.2f " +
       f"10x=${trT("10x")}%5.2f (${trT("10x") / trT("1x")}%4.1fx)")
+  }
+
+  /** Round-15 hub-skew probes for LPA and k-core — the [[runRound14TriangleSkewProbe]]
+    * generator (in-degree density ∝ 1/√k, hub degree ~4√n: 5.7k at 1x,
+    * 17.9k at 10x), applied to the two operators whose per-round shuffles
+    * key on RAW node id: the LPA vote groups (dst, label) rows and the
+    * k-core peel recounts degree by dst, so the hub lands ~deg(hub) rows
+    * on one reducer per round. Unlike the triangle join (a D² candidate
+    * blowup the degree orientation had to fix), that is a COUNT bound —
+    * reducer work linear in hub degree — so wall time should track |E|
+    * ~linearly even as the hub grows with √n. A ~linear 1x→10x slope on
+    * the SAME skewed fixture certifies it the way round14tri certified
+    * the orientation; a super-linear one would say the vote needs a
+    * salted two-phase agg.
+    */
+  private def runRound15HubProbes(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      graft.Checkpoints.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def minOf3(name: String)(f: => Long): Double =
+      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+    val base = "/tmp/graft_scale15hub"
+    def gen(nodes: Long): org.apache.spark.sql.DataFrame =
+      spark.range(nodes).select(col("id").as("src"))
+        .crossJoin(spark.range(4).select(col("id").as("o")))
+        .select(col("src"),
+          (pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
+            + lit(7L), lit(nodes)) *
+            pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
+              + lit(7L), lit(nodes))).divide(lit(nodes)).cast("long")
+            .as("dst"))
+        .where(col("src") =!= col("dst"))
+    val arms = Seq(("1x", 2_000_000L), ("10x", 20_000_000L))
+    arms.foreach { case (tag, n) =>
+      // symmetrized on disk (the undirected input contract of both
+      // operators in the pipeline queries), so the probe measures the
+      // operator, not the generator or the union
+      val e = gen(n)
+      e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .write.mode("overwrite").parquet(s"$base/e$tag")
+    }
+    arms.foreach { case (tag, _) =>
+      val e = spark.read.parquet(s"$base/e$tag")
+      val d = e.groupBy(col("dst")).count()
+      println(s"skew $tag (max in-degree, nodes): " +
+        d.agg(max("count"), count(lit(1))).collect().head)
+    }
+    val lpaT = arms.map { case (tag, _) =>
+      val e = spark.read.parquet(s"$base/e$tag")
+      tag -> minOf3(s"lpa_skew $tag")(
+        graft.functions.GraphOps.labelPropagation(e, "src", "dst",
+          iters = 3).count())
+    }.toMap
+    val kcT = arms.map { case (tag, _) =>
+      val e = spark.read.parquet(s"$base/e$tag")
+      tag -> minOf3(s"kcore_skew $tag")(
+        graft.functions.GraphOps.kCore(e, "src", "dst", k = 3,
+          rounds = 3).count())
+    }.toMap
+    println(f"${"lpa_skew_slope"}%-18s 1x=${lpaT("1x")}%5.2f " +
+      f"10x=${lpaT("10x")}%5.2f (${lpaT("10x") / lpaT("1x")}%4.1fx)")
+    println(f"${"kcore_skew_slope"}%-18s 1x=${kcT("1x")}%5.2f " +
+      f"10x=${kcT("10x")}%5.2f (${kcT("10x") / kcT("1x")}%4.1fx)")
   }
 
   /** Graph-family slope probe (round 13): pageRank and triangleStats on a

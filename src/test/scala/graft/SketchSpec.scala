@@ -554,4 +554,43 @@ class CorpusCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate dim rows"))
   }
+
+  test("persisted catalog answers duplication concentration identically " +
+    "to the direct profile") {
+    import spark.implicits._
+    val d = (0 until 12).map(i => (i.toLong, s"a b c d$i e f g h i j k"))
+      .toDF("doc_id", "text")
+    // a labeling with a skewed size mix: one 5-cluster, one 3, two 2s —
+    // ties in the histogram (the two 2s) exercise the rank-collapse path
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L, 5L -> 10L,
+      6L -> 20L, 7L -> 20L, 8L -> 20L, 9L -> 30L, 10L -> 30L,
+      11L -> 40L, 12L -> 40L).toDF("id", "cluster")
+    val path = java.nio.file.Files.createTempDirectory("catalog_dup").toString
+    CorpusCatalog.append(d, "doc_id", "text", path, "rel",
+      clusterLabels = Some(labels))
+    val fromCatalog = MinHashLSH.clusterSizeProfileFromHistogram(
+      CorpusCatalog.clusterCensus(spark, path, "rel"), "sz", "cnt")
+      .collect().head
+    val direct = MinHashLSH.clusterSizeProfile(labels).collect().head
+    assert(fromCatalog === direct) // catalog path == direct path
+    assert(direct.getAs[Long]("n_clusters") === 4L)
+    assert(direct.getAs[Long]("n_members") === 12L)
+    assert(direct.getAs[Long]("max_cluster") === 5L)
+  }
+
+  test("clusterCensus fails loudly on a dump appended without labels") {
+    import spark.implicits._
+    val d = (0 until 4).map(i => (i.toLong, s"a b c d$i e f g h i j k"))
+      .toDF("doc_id", "text")
+    val labels = Seq(1L -> 10L, 2L -> 10L).toDF("id", "cluster")
+    val path = java.nio.file.Files.createTempDirectory("catalog_nocl").toString
+    CorpusCatalog.append(d, "doc_id", "text", path, "old") // pre-census row
+    CorpusCatalog.append(d, "doc_id", "text", path, "new",
+      clusterLabels = Some(labels))
+    assert(CorpusCatalog.clusterCensus(spark, path, "new").count() === 1)
+    val e = intercept[IllegalArgumentException] {
+      CorpusCatalog.clusterCensus(spark, path, "old").collect()
+    }
+    assert(e.getMessage.contains("no cluster census"))
+  }
 }
