@@ -304,6 +304,58 @@ object GraphOps {
     * clock, never changes the answer, which keeps the variant
     * oracle-replayable despite the data-dependent stop.
     */
+  /** STRENGTH-threshold core peel — [[kCore]] in the weighted regime
+    * (Eidsaa & Almaas 2013's s-core): per round, keep nodes whose
+    * STRENGTH (sum of incident edge weights, e.g. micro-scaled jaccard)
+    * stays ≥ s in the restricted graph. The weighted sharpening
+    * [[labelPropagation]]'s weightCol gives the vote, applied to the
+    * density gate: a node with ONE certain duplicate (w ≈ 10^6) can
+    * out-survive a node with three marginal band matches (w ≈ 5·10^5
+    * each) under the count peel's inversion — the s-core ranks by
+    * duplicate MASS, which is what a canonical-election cap wants.
+    *
+    * Same plan shape as [[kCore]] (two semi joins on the persisted
+    * weight-summed edge table + one keyed agg per round, superseded
+    * superstep blocks released immediately), same fixed-round
+    * replayability (the output after R rounds is a pure integer function
+    * of the weighted edge set). Duplicate (src, dst) rows SUM their
+    * weights (the [[modularityWeighted]] multigraph convention); weights
+    * must be POSITIVE longs — enforced loudly. With w ≡ 1 and s = k this
+    * is [[kCore]] bit-for-bit (strength = degree), which the spec pins.
+    *
+    * Returns (id, strength) for nodes surviving round R — strength
+    * summed in the round-R restricted graph. Pass a symmetrized edge
+    * list.
+    */
+  def kCoreWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, s: Long,
+                    rounds: Int = 3): DataFrame = {
+    require(s >= 1, s"s=$s must be >= 1")
+    require(rounds >= 1 && rounds <= 100, s"rounds=$rounds out of [1,100]")
+    val disk = StorageLevel.MEMORY_AND_DISK
+    val e = graft.CacheRegistry.track(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"),
+          col(weightCol).cast("long").as("__w"))
+        .where(col("__src") =!= col("__dst"))
+        .groupBy("__src", "__dst").agg(sum("__w").as("__w"))
+        .persist(disk))
+    requirePositiveWeights(e, "__w", "kCoreWeighted")
+    var surv = e.select(col("__src").as("__id")).distinct()
+    var st: DataFrame = null
+    for (t <- 1 to rounds) {
+      val rs = e.join(surv, e("__src") === surv("__id"), "left_semi")
+      val rd = rs.join(surv, rs("__dst") === surv("__id"), "left_semi")
+      val nd = graft.Checkpoints.eager(
+        rd.groupBy("__src").agg(sum("__w").cast("long").as("__st")))
+      if (st != null) graft.Checkpoints.release(st)
+      st = nd
+      surv = st.where(col("__st") >= s).select(col("__src").as("__id"))
+    }
+    st.where(col("__st") >= s)
+      .selectExpr("__src AS id", "__st AS strength")
+  }
+
   def kCoreConverged(edges: DataFrame, srcCol: String, dstCol: String,
                      k: Int, maxRounds: Int = 10): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")

@@ -257,4 +257,55 @@ object JaccardJoin {
           size(col("sa")), 6).as("containment"))
       .where(col("containment") >= threshold)
   }
+
+  /** Containment-dedup verdicts — the GATE [[containmentPairs]]' scaladoc
+    * promises ("keep the superset doc, drop the contained one"), as a
+    * per-doc keep/drop column over the full corpus: a doc is DROPPED iff
+    * some doc contains it that it does not contain back (a strict subset
+    * situation: quotes, boilerplate wrapping, partial dumps), or that it
+    * mutually contains but has the LARGER id (so a clique of
+    * mutually-containing near-identical docs keeps exactly its max-id
+    * member). The rule is deliberately PAIRWISE-LOCAL (the d04/d124
+    * verdict convention): "drop" certifies a containing doc existed in
+    * the corpus, not that that particular doc survives its own
+    * containers — chains resolve to at least one survivor (the max-id
+    * element of any mutual run, and every strict-superset maximal doc,
+    * are never dropped) without the transitive closure a billion-doc
+    * corpus cannot afford per release.
+    *
+    * `pairs` is the [[containmentPairs]] output (or any directed
+    * (doc_a contained-in doc_b) relation) — pass a PERSISTED frame when
+    * it feeds other consumers too (the d131/d146/d157 share).
+    *
+    * Scale shape: the pair relation is persisted by the caller and read
+    * three times here (mutuality anti/semi join + the container census);
+    * all three are keyed on pair columns, the corpus-side join is a left
+    * join against the pair-sized verdict frames (broadcastable when the
+    * dup set is small — left to AQE), and the corpus is never shuffled.
+    *
+    * Returns (idCol, verdict keep|drop, n_containers) for EVERY doc.
+    */
+  def containmentDedupVerdicts(docs: DataFrame, idCol: String,
+                               pairs: DataFrame): DataFrame = {
+    val c = pairs.select(col("doc_a"), col("doc_b"))
+    val rev = c.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
+    // drop a: some container b is not contained back...
+    val nonMutual = c.join(rev, Seq("doc_a", "doc_b"), "left_anti")
+      .select("doc_a")
+    // ...or is mutual with the larger id (max-id survivor per clique)
+    val mutualSmaller = c.join(rev, Seq("doc_a", "doc_b"), "left_semi")
+      .where(col("doc_b") > col("doc_a"))
+      .select("doc_a")
+    val dropped = nonMutual.union(mutualSmaller).distinct()
+      .select(col("doc_a").as(idCol)).withColumn("__drop", lit(1))
+    val containers = c.groupBy(col("doc_a").as(idCol))
+      .agg(count(lit(1)).cast("long").as("__nc"))
+    docs.select(col(idCol))
+      .join(dropped, Seq(idCol), "left")
+      .join(containers, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__drop").isNotNull, lit("drop")).otherwise(lit("keep"))
+          .as("verdict"),
+        coalesce(col("__nc"), lit(0L)).as("n_containers"))
+  }
 }

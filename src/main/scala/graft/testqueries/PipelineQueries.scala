@@ -1033,6 +1033,30 @@ object PipelineQueries {
       MinHashLSH.clusterSizeProfileFromSizes(live.select("sz"), "sz")
     },
 
+    // Strength-core peel (round 15): the k-core density gate in the
+    // weighted regime — survive 3 peel rounds with ≥ 1.2 jaccard-mass
+    // (micro grid) of incident duplicate weight, so one certain duplicate
+    // outranks several marginal band matches (the d147/d152 weighted
+    // sharpening applied to d136's peel).
+    "d156_kcore_weighted" -> { (s, dir) =>
+      val pairs = dupPairs(s, dir).select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * lit(1e6), 0).cast("long").as("w"))
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"), col("w")))
+      GraphOps.kCoreWeighted(sym, "doc_a", "doc_b", "w", s = 1200000L,
+          rounds = 3)
+        .selectExpr("id AS doc_id", "strength")
+    },
+
+    // Containment-dedup verdicts (round 15): the gate d131's relation
+    // exists for — keep the superset doc, drop the contained one
+    // (strict subsets always drop; mutual-containment cliques keep their
+    // max id), one verdict row per corpus doc. Shares the persisted
+    // containment-pair frame with d131/d146.
+    "d157_containment_dedup" -> { (s, dir) =>
+      JaccardJoin.containmentDedupVerdicts(docs(s, dir), "doc_id",
+        containPairs(s, dir))
+    },
+
     // Weighted modularity of the weighted LPA communities (round 14):
     // the d139 gate in the weighted regime — strong duplicate edges
     // count proportionally in BOTH the vote (d147) and the score, so a
@@ -2671,6 +2695,32 @@ object PipelineQueries {
        SELECT id AS doc_id, d AS degree FROM d$rounds WHERE d >= 2"""
   }
 
+  /** DuckDB replay of the s-core strength peel over the micro-weighted
+    * dup graph, `rounds` unrolled restrict-sum rounds — the weighted
+    * [[kCoreDupsSql]]: per-(src,dst) weights summed once (the multigraph
+    * convention), strength recomputed per round over surviving
+    * endpoints.
+    */
+  private def kCoreWeightedDupsSql(rounds: Int, s: Long): String = {
+    def peel(t: Int): String =
+      s"""d$t AS MATERIALIZED (SELECT e.src AS id,
+             CAST(sum(e.w) AS BIGINT) AS st
+           FROM e JOIN s${t - 1} a ON a.id = e.src
+           JOIN s${t - 1} b ON b.id = e.dst GROUP BY e.src),
+         s$t AS (SELECT id FROM d$t WHERE st >= $s)"""
+    s"""WITH pairs AS ($MinhashPairsSql),
+       thr AS (SELECT doc_a, doc_b,
+           CAST(round(jaccard * 1e6, 0) AS BIGINT) AS w
+         FROM pairs WHERE jaccard >= 0.5),
+       edges AS (SELECT doc_a AS src, doc_b AS dst, w FROM thr
+                 UNION ALL SELECT doc_b, doc_a, w FROM thr),
+       e AS MATERIALIZED (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+         FROM edges WHERE src != dst GROUP BY 1, 2),
+       s0 AS (SELECT DISTINCT src AS id FROM e),
+       ${(1 to rounds).map(peel).mkString(", ")}
+       SELECT id AS doc_id, st AS strength FROM d$rounds WHERE st >= $s"""
+  }
+
   /** DuckDB replay of the BM25 per-doc micro-score chain (terms 'spark
     * vector query', k1=1.2, b=0.75) — shared by the d125 ranked list and
     * the d127 fusion's lexical side, so both agree on what "the BM25
@@ -3448,6 +3498,37 @@ object PipelineQueries {
              round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
            FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
          WHERE containment >= 0.6""",
+    // d156: the strength peel's 3-round unroll over the micro-weighted
+    // dup graph.
+    "d156_kcore_weighted" -> kCoreWeightedDupsSql(rounds = 3, s = 1200000L),
+    // d157: the exact containment relation (the d131 chain) resolved to
+    // per-doc verdicts — drop iff some container is not contained back
+    // or is mutual with the larger id.
+    "d157_containment_dedup" ->
+      s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+           GROUP BY 1, 2),
+         c AS (SELECT doc_a, doc_b FROM (
+             SELECT i.doc_a, i.doc_b,
+               round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
+             FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
+           WHERE containment >= 0.6),
+         dropped AS (SELECT DISTINCT x.doc_a AS doc_id
+           FROM c x LEFT JOIN c y
+             ON y.doc_a = x.doc_b AND y.doc_b = x.doc_a
+           WHERE y.doc_a IS NULL OR x.doc_b > x.doc_a),
+         cont AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT)
+             AS n_containers
+           FROM c GROUP BY 1)
+         SELECT d.doc_id,
+           CASE WHEN dr.doc_id IS NOT NULL THEN 'drop' ELSE 'keep' END
+             AS verdict,
+           coalesce(cont.n_containers, 0) AS n_containers
+         FROM documents d
+         LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+         LEFT JOIN cont ON cont.doc_id = d.doc_id""",
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->

@@ -54,7 +54,11 @@ object ScaleStress {
       runRound14TriangleSkewProbe(spark); spark.stop(); return
     }
     if (args.contains("round15hub")) {
-      runRound15HubProbes(spark); spark.stop(); return
+      // "kcoreonly": re-run arm for the 10x k-core peel, which OOMs the
+      // default 8 GB probe heap (the round13b assortativity precedent) —
+      // run with SPARK_DRIVER_MEM=48g
+      runRound15HubProbes(spark, kcoreOnly = args.contains("kcoreonly"))
+      spark.stop(); return
     }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
@@ -762,7 +766,8 @@ object ScaleStress {
     * the orientation; a super-linear one would say the vote needs a
     * salted two-phase agg.
     */
-  private def runRound15HubProbes(spark: SparkSession): Unit = {
+  private def runRound15HubProbes(spark: SparkSession,
+                                  kcoreOnly: Boolean = false): Unit = {
     def t(name: String)(f: => Long): Double = {
       val t0 = System.nanoTime()
       val rows = f
@@ -804,11 +809,12 @@ object ScaleStress {
       println(s"skew $tag (max in-degree, nodes): " +
         d.agg(max("count"), count(lit(1))).collect().head)
     }
-    val lpaT = arms.map { case (tag, _) =>
-      val e = spark.read.parquet(s"$base/e$tag")
-      tag -> minOf3(s"lpa_skew $tag")(
-        graft.functions.GraphOps.labelPropagation(e, "src", "dst",
-          iters = 3).count())
+    val lpaT = if (kcoreOnly) Map.empty[String, Double] else arms.map {
+      case (tag, _) =>
+        val e = spark.read.parquet(s"$base/e$tag")
+        tag -> minOf3(s"lpa_skew $tag")(
+          graft.functions.GraphOps.labelPropagation(e, "src", "dst",
+            iters = 3).count())
     }.toMap
     val kcT = arms.map { case (tag, _) =>
       val e = spark.read.parquet(s"$base/e$tag")
@@ -816,8 +822,9 @@ object ScaleStress {
         graft.functions.GraphOps.kCore(e, "src", "dst", k = 3,
           rounds = 3).count())
     }.toMap
-    println(f"${"lpa_skew_slope"}%-18s 1x=${lpaT("1x")}%5.2f " +
-      f"10x=${lpaT("10x")}%5.2f (${lpaT("10x") / lpaT("1x")}%4.1fx)")
+    if (!kcoreOnly)
+      println(f"${"lpa_skew_slope"}%-18s 1x=${lpaT("1x")}%5.2f " +
+        f"10x=${lpaT("10x")}%5.2f (${lpaT("10x") / lpaT("1x")}%4.1fx)")
     println(f"${"kcore_skew_slope"}%-18s 1x=${kcT("1x")}%5.2f " +
       f"10x=${kcT("10x")}%5.2f (${kcT("10x") / kcT("1x")}%4.1fx)")
   }

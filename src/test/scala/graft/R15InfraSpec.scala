@@ -156,3 +156,88 @@ class WeightGuardSpec extends SparkSpec {
     CacheRegistry.releaseAll(); Checkpoints.releaseAll()
   }
 }
+
+/** Round-15 operators: the s-core strength peel and the containment
+  * dedup gate.
+  */
+class R15OperatorSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+  import graft.functions.{GraphOps, JaccardJoin}
+
+  private def drain(): Unit = {
+    CacheRegistry.releaseAll(); Checkpoints.releaseAll()
+  }
+
+  private def symW(edges: DataFrame): DataFrame =
+    edges.unionByName(edges.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+
+  test("kCoreWeighted with w=1 and s=k equals kCore bit-for-bit") {
+    import spark.implicits._
+    // a ring with tendrils: core survives, degree-1 fringe peels
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8, 1L))
+    val tendrils = (0L until 4L).map(i => (i, 100L + i, 1L))
+    val e = symW((ring ++ tendrils).toDF("src", "dst", "w"))
+    val sCore = GraphOps.kCoreWeighted(e, "src", "dst", "w", s = 2L,
+      rounds = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kCore = GraphOps.kCore(e.drop("w"), "src", "dst", k = 2,
+      rounds = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sCore === kCore) // strength == degree when w == 1
+    assert(sCore.keySet === (0L until 8L).toSet)
+    drain()
+  }
+
+  test("strength peel ranks by duplicate MASS where the count peel inverts") {
+    import spark.implicits._
+    // X-Y one CERTAIN duplicate edge (w=3); Z with three MARGINAL edges
+    // (w=1 each) to degree-1 spokes. The count peel (k=2) keeps only the
+    // marginal hub for a round and ends EMPTY; the strength peel (s=3)
+    // keeps the certain pair - the documented inversion.
+    val e = symW(Seq((1L, 2L, 3L),
+      (10L, 21L, 1L), (10L, 22L, 1L), (10L, 23L, 1L)).toDF("src", "dst", "w"))
+    val sCore = GraphOps.kCoreWeighted(e, "src", "dst", "w", s = 3L,
+      rounds = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sCore === Map(1L -> 3L, 2L -> 3L))
+    val cCore = GraphOps.kCore(e.drop("w"), "src", "dst", k = 2, rounds = 2)
+      .collect()
+    assert(cCore.isEmpty)
+    drain()
+  }
+
+  test("kCoreWeighted sums duplicate (src,dst) weights and rejects w<=0") {
+    import spark.implicits._
+    // the same pair twice at w=2 -> one multigraph edge of w=4
+    val e = symW(Seq((1L, 2L, 2L), (1L, 2L, 2L)).toDF("src", "dst", "w"))
+    val got = GraphOps.kCoreWeighted(e, "src", "dst", "w", s = 4L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 4L, 2L -> 4L))
+    drain()
+    val bad = symW(Seq((1L, 2L, 0L)).toDF("src", "dst", "w"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.kCoreWeighted(bad, "src", "dst", "w", s = 1L, rounds = 1)
+        .count()
+    }
+    assert(ex.getMessage.contains("POSITIVE"))
+    drain()
+  }
+
+  test("containment verdicts: strict subsets drop, mutual cliques keep max id") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 1 contained in 2 (strict); 3 and 4 mutually contained; 5 alone;
+    // chain 6 -> 1 (6 contained in 1, strict)
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 3L), (6L, 1L))
+      .toDF("doc_a", "doc_b")
+    val got = JaccardJoin.containmentDedupVerdicts(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) === (("drop", 1L))) // strict subset of 2
+    assert(got(2L) === (("keep", 0L))) // maximal superset
+    assert(got(3L) === (("drop", 1L))) // mutual, smaller id
+    assert(got(4L) === (("keep", 1L))) // mutual survivor (max id)
+    assert(got(5L) === (("keep", 0L))) // no containment at all
+    assert(got(6L) === (("drop", 1L))) // chain tail: a container existed
+    drain()
+  }
+}
