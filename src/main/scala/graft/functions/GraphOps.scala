@@ -73,13 +73,15 @@ object GraphOps {
     * accumulated join-over-join plan otherwise grows without bound (the
     * same cliff [[MinHashLSH.clustersStar]] hit in round 10).
     * With `danglingMass = true` the rank vector is read twice per round
-    * (contrib join + dangle sum), so EVERY round MATERIALIZES — but via
-    * a cache-only persist; lineage TRUNCATION still follows
-    * `checkpointEvery`, so a reliable deployment under
-    * [[graft.GraftConf]] writes O(iters/cadence) checkpoint file-sets,
-    * not one per round. Superseded intermediates (persists and
-    * checkpoint blocks alike) are released as soon as their successor
-    * materializes — live state is O(1) rounds.
+    * (contrib join + dangle sum), so EVERY round MATERIALIZES. Under
+    * RELIABLE checkpoints ([[graft.GraftConf]]) intermediate rounds use
+    * a cache-only persist and only the `checkpointEvery` cadence writes
+    * a checkpoint file-set — O(iters/cadence) file-sets, not one per
+    * round; in local mode every dangling round localCheckpoints (the
+    * cheap materialization there — measured, see the round-15 floor
+    * note). Superseded intermediates (persists and checkpoint blocks
+    * alike) are released as soon as their successor materializes — live
+    * state is O(1) rounds either way.
     *
     * Returns one row per node: (id, rank_ppb) — rank scaled by 10^9,
     * summing to ≤ 10^9 (truncation loses ≤ 1 ppb per edge per round).
@@ -213,13 +215,20 @@ object GraphOps {
               "__tele + (85 * coalesce(__s, CAST(0 AS BIGINT))) div 100 AS __r")
       }
       // dangling mode reads r twice per round (contrib join + dangle
-      // sum): MATERIALIZE each round or the recompute tree doubles — but
-      // only the checkpointEvery cadence TRUNCATES (a cache persist
-      // materializes without a checkpoint write, so reliable deployments
-      // pay one file-set per cadence, not per round; plan depth between
-      // truncations is bounded by the cadence, the uniform-mode budget)
+      // sum): MATERIALIZE each round or the recompute tree doubles. HOW
+      // to materialize depends on the deployment: under RELIABLE
+      // checkpoints a per-round file-set write is the cost to avoid, so
+      // intermediate rounds use a cache-only persist and only the
+      // checkpointEvery cadence truncates (one file-set per cadence);
+      // in local mode localCheckpoint IS the cheap materialization
+      // (measured: the persist+count variant ran d146 2.7x slower at
+      // bench scale — columnar cache encode + full-tree re-planning per
+      // round vs a raw block write), so every dangling round truncates
+      // there, tracked and released as before.
       if (t < iters) {
+        val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
         if (t % checkpointEvery == 0) r = truncate(r)
+        else if (danglingMass && !reliable) r = truncate(r)
         else if (danglingMass) {
           val p = r.persist(disk)
           p.count()

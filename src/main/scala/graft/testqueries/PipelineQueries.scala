@@ -947,6 +947,14 @@ object PipelineQueries {
     // each iteration instead of silently draining, so Σrank stays
     // ≈ 10^9 and rank reads as "how much content aggregates here".
     "d146_pagerank_dangling" -> { (s, dir) =>
+      // Shares the persisted containment-pair frame with d131/d157 (the
+      // dupPairs precedent). Measured trade (q43 measure-both rule,
+      // BASELINE.md round-15 note): in an isolated bench the share costs
+      // d146 ~+0.5 s (a second columnar fill of the pair frame before
+      // pageRank's own ed persist) - inside run noise - while a session
+      // computing d131/d146/d157 together without cache drops saves the
+      // full containment derivation per extra consumer, which is the
+      // 100 TB-relevant direction.
       val edges = containPairs(s, dir)
         .where(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")

@@ -39,6 +39,7 @@ object ProfileR11 {
     def dropCaches(): Unit = {
       graft.CacheRegistry.releaseAll()
       spark.sharedState.cacheManager.clearCache()
+      graft.Checkpoints.releaseAll()
     }
     def once(name: String): Double = {
       val fn = graft.SparkEntry.queries(name)
