@@ -82,6 +82,32 @@ class CheckpointReleaseSpec extends SparkSpec {
       "after consume + drain, no blocks may survive the query")
   }
 
+  test("dangling pageRank is identical under reliable checkpoints " +
+    "(cache-persist intermediates, cadence truncation)") {
+    import spark.implicits._
+    drainAll()
+    val edges = (1L until 25L).map(i => (i - 1, i)).toDF("src", "dst")
+    val local = GraphOps.pageRank(edges, "src", "dst", iters = 5,
+      danglingMass = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    drainAll()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_dang")
+    try {
+      GraftConf.enableReliableCheckpoints(spark, dir.toString)
+      // iters=5 < checkpointEvery=8: every intermediate round takes the
+      // NEW reliable-mode branch (cache persist + count, no file write)
+      val reliable = GraphOps.pageRank(edges, "src", "dst", iters = 5,
+        danglingMass = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable === local,
+        "materialization strategy must never change the recurrence")
+    } finally {
+      val f = spark.sparkContext.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+      drainAll()
+    }
+  }
+
   test("kCore and pageRank(dangling) release superseded supersteps too") {
     import spark.implicits._
     drainAll()
