@@ -248,6 +248,69 @@ class R15OperatorSpec extends SparkSpec {
     drain()
   }
 
+  test("kCoreWeighted equals a sequential exact model on random multigraphs") {
+    import spark.implicits._
+    // the operator's semantics replayed in plain Scala: multigraph
+    // weight-sum, then `rounds` restrict-and-sum rounds over survivors
+    def model(edges: Seq[(Long, Long, Long)], s: Long,
+              rounds: Int): Map[Long, Long] = {
+      val em = edges.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2))
+        .map { case (k, v) => k -> v.map(_._3).sum }
+      var surv = em.keys.map(_._1).toSet
+      var st = Map.empty[Long, Long]
+      for (_ <- 1 to rounds) {
+        val re = em.filter { case ((a, b), _) => surv(a) && surv(b) }
+        st = re.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+        surv = st.filter(_._2 >= s).keySet
+      }
+      st.filter(_._2 >= s)
+    }
+    val rnd = new scala.util.Random(1515L)
+    for (trial <- 1 to 8) {
+      val n = 4 + rnd.nextInt(8)
+      val raw = Seq.fill(8 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          1L + rnd.nextInt(5).toLong))
+      // symmetrize like every caller does (undirected contract)
+      val es = raw ++ raw.map(e => (e._2, e._1, e._3))
+      val s = 2L + rnd.nextInt(8)
+      val rounds = 1 + rnd.nextInt(4)
+      val got = GraphOps.kCoreWeighted(es.toDF("src", "dst", "w"),
+          "src", "dst", "w", s = s, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === model(es, s, rounds),
+        s"trial=$trial n=$n s=$s rounds=$rounds edges=$es")
+      drain()
+    }
+  }
+
+  test("containment verdicts equal the pairwise-rule model on random relations") {
+    import spark.implicits._
+    def model(ids: Seq[Long],
+              pairs: Set[(Long, Long)]): Map[Long, (String, Long)] =
+      ids.map { a =>
+        val conts = pairs.collect { case (x, b) if x == a => b }
+        val drop = conts.exists(b => !pairs((b, a)) || b > a)
+        a -> ((if (drop) "drop" else "keep", conts.size.toLong))
+      }.toMap
+    val rnd = new scala.util.Random(157L)
+    for (trial <- 1 to 8) {
+      val n = 3 + rnd.nextInt(8)
+      val ids = (1L to n.toLong)
+      val pairs = Seq.fill(2 + rnd.nextInt(12))(
+        (1L + rnd.nextInt(n).toLong, 1L + rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).toSet
+      val docs = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      val got = JaccardJoin.containmentDedupVerdicts(docs, "doc_id",
+          pairs.toSeq.toDF("doc_a", "doc_b"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === model(ids, pairs), s"trial=$trial pairs=$pairs")
+      drain()
+    }
+  }
+
   test("containment verdicts: strict subsets drop, mutual cliques keep max id") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
