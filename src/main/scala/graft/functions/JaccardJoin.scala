@@ -258,6 +258,65 @@ object JaccardJoin {
       .where(col("containment") >= threshold)
   }
 
+  /** Cross-set DIRECTED containment: every (doc_a ∈ probe, doc_b ∈ corpus,
+    * containment) with `|A∩B| / |A| ≥ threshold` — the CONTAMINATION
+    * shape of [[containmentPairs]]: "which benchmark/eval items are
+    * contained in which training docs, regardless of how much padding
+    * surrounds them" (the gate n-gram decontamination misses when the
+    * leaked span is reworded at the edges but the shingle SET survives).
+    * Only probe→corpus containment is computed; corpus×corpus pairs are
+    * never formed (the [[similarPairsAcross]] asymmetry, here for free —
+    * containment's prefix lemma is already one-sided).
+    *
+    * Ranking correctness: prefix(A) and full(B) must be ranked under ONE
+    * global order for the positional filter's min(ra)/min(rb) to land on
+    * the same shared shingle — the document-frequency order is computed
+    * over BOTH sides' shingles. Shared id spaces are fine (sides are
+    * tagged by frame, never unioned); a probe doc that also exists in
+    * the corpus will report its own copy at containment 1.0, which is
+    * the correct answer for a contamination audit.
+    *
+    * Scale shape: the probe side is typically tiny (a benchmark) — its
+    * prefix table broadcasts; the corpus side is scanned once into its
+    * ranked-rows table; candidates form only on shared shingles with the
+    * length + positional pruning of [[containmentPairs]] — no false
+    * negatives, never probe×corpus.
+    */
+  def containmentPairsAcross(probe: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             threshold: Double, n: Int = 3,
+                             freqOrder: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold out of (0,1]")
+    val shA = CacheRegistry.track(
+      MinHashLSH.shingleArrays(probe, idCol, textCol, n).persist(disk))
+    val shB = CacheRegistry.track(
+      MinHashLSH.shingleArrays(corpus, idCol, textCol, n).persist(disk))
+    val freq = if (freqOrder) Some(docFreq(shA, shB)) else None
+    val prefix = CacheRegistry.track(
+      prefixRows(shA, Seq(idCol), threshold, freq).persist(disk))
+    val full = CacheRegistry.track(
+      prefixRows(shB, Seq(idCol), 0.0, freq).persist(disk))
+    val cand = prefix
+      .select(col(idCol).as("doc_a"), col("sz").as("sz_a"),
+        col("sh"), col("r").as("ra"))
+      .join(full.select(col(idCol).as("doc_b"), col("sz").as("sz_b"),
+        col("sh"), col("r").as("rb")), Seq("sh"))
+      .where(col("sz_b") >= safeCeil(col("sz_a") * threshold))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(min("ra").as("ra"), min("rb").as("rb"))
+      .where(lit(1) + least(col("sz_a") - col("ra"), col("sz_b") - col("rb")) >=
+        safeCeil(col("sz_a") * threshold))
+      .select("doc_a", "doc_b")
+    cand
+      .join(shA.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
+      .join(shB.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Containment-dedup verdicts — the GATE [[containmentPairs]]' scaladoc
     * promises ("keep the superset doc, drop the contained one"), as a
     * per-doc keep/drop column over the full corpus: a doc is DROPPED iff

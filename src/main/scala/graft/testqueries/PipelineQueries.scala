@@ -1065,6 +1065,19 @@ object PipelineQueries {
         containPairs(s, dir))
     },
 
+    // Cross-set containment contamination audit (round 15): which
+    // "benchmark" docs (id % 5 == 0) are contained in which "training"
+    // docs — the asymmetric decontamination gate shingle-SET containment
+    // catches when edge rewording defeats exact 13-gram matching. Probe
+    // side tiny (broadcasts); training×training pairs never form.
+    "d158_containment_across" -> { (s, dir) =>
+      val d = docs(s, dir)
+      JaccardJoin.containmentPairsAcross(
+        d.where(pmod(col("doc_id"), lit(5)) === 0),
+        d.where(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", threshold = 0.6, n = 3)
+    },
+
     // Weighted modularity of the weighted LPA communities (round 14):
     // the d139 gate in the weighted regime — strong duplicate edges
     // count proportionally in BOTH the vote (d147) and the score, so a
@@ -3537,6 +3550,21 @@ object PipelineQueries {
          FROM documents d
          LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
          LEFT JOIN cont ON cont.doc_id = d.doc_id""",
+    // d158: exact cross-set containment — the d131 chain with the two
+    // parity sides; the prefix machinery is lossless so only the
+    // verified relation is observable.
+    "d158_containment_across" ->
+      s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh
+           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, containment FROM (
+           SELECT i.doc_a, i.doc_b,
+             round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
+           FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
+         WHERE containment >= 0.6""",
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->

@@ -311,6 +311,39 @@ class R15OperatorSpec extends SparkSpec {
     }
   }
 
+  test("cross-set containment equals the self-join restricted to cross pairs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      1L -> "quick brown fox jumps over the lazy dog", // contained in 4
+      2L -> base, // equal to 5 -> mutual containment
+      3L -> "completely different tokens about spark catalyst tungsten engines",
+      4L -> (base + " and then some extra trailing words pad this document out"),
+      5L -> base,
+      6L -> "another unrelated training document about vector quantization"
+    ).map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+    val probe = docs.where(col("doc_id") <= 3)
+    val corpus = docs.where(col("doc_id") > 3)
+    val got = graft.functions.JaccardJoin
+      .containmentPairsAcross(probe, corpus, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    drain()
+    // model: the already-verified single-frame operator over the union,
+    // restricted to (probe, corpus) pairs — ids are disjoint so the
+    // restriction is exact
+    val expect = graft.functions.JaccardJoin
+      .containmentPairs(docs, "doc_id", "text", 0.5)
+      .where(col("doc_a") <= 3 && col("doc_b") > 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    drain()
+    assert(got === expect)
+    assert(got.exists { case (a, b, c) => a == 1L && b == 4L && c >= 0.5 },
+      s"subset probe must be caught: $got")
+    assert(got.exists { case (a, b, c) => a == 2L && b == 5L && c == 1.0 },
+      "an exact copy in the corpus must report containment 1.0")
+    assert(!got.exists(_._1 == 3L), "unrelated probe doc must not match")
+  }
+
   test("containment verdicts: strict subsets drop, mutual cliques keep max id") {
     import spark.implicits._
     val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
