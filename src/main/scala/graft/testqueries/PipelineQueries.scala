@@ -1078,6 +1078,34 @@ object PipelineQueries {
         "doc_id", "text", threshold = 0.6, n = 3)
     },
 
+    // Ingest-time containment tag (round 15): the d124 incremental-dedup
+    // pattern applied to the containment relation — each NEW batch doc
+    // tagged drop/keep against the STANDING corpus only (batch×batch and
+    // corpus×corpus pairs never form), with its strongest container
+    // named. Batch-sized work per release; the corpus is scanned once
+    // into the ranked-shingle table.
+    "d159_containment_tag_incremental" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val batch = d.where(pmod(col("doc_id"), lit(5)) === 0)
+      val corpus = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val pairs = JaccardJoin.containmentPairsAcross(batch, corpus,
+        "doc_id", "text", threshold = 0.6, n = 3)
+      val top = pairs.groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_containers"),
+          max_by(col("doc_b"),
+            struct(col("containment"), (-col("doc_b")).as("nb")))
+            .as("top_container"),
+          max(col("containment")).as("containment"))
+      batch.select(col("doc_id"))
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("n_containers").isNotNull, lit("drop"))
+            .otherwise(lit("keep")).as("verdict"),
+          coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+          coalesce(col("top_container"), lit(-1L)).as("top_container"),
+          coalesce(col("containment"), lit(0.0)).as("containment"))
+    },
+
     // Weighted modularity of the weighted LPA communities (round 14):
     // the d139 gate in the weighted regime — strong duplicate edges
     // count proportionally in BOTH the vote (d147) and the score, so a
@@ -3565,6 +3593,37 @@ object PipelineQueries {
              round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
            FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
          WHERE containment >= 0.6""",
+    // d159: the d158 relation resolved to per-batch-doc verdicts with the
+    // strongest container (ties: smallest container id).
+    "d159_containment_tag_incremental" ->
+      s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh
+           WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+           GROUP BY 1, 2),
+         c AS (SELECT doc_a, doc_b, containment FROM (
+             SELECT i.doc_a, i.doc_b,
+               round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
+             FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
+           WHERE containment >= 0.6),
+         rk AS (SELECT doc_a, doc_b, containment, row_number() OVER (
+             PARTITION BY doc_a ORDER BY containment DESC, doc_b ASC) AS rn
+           FROM c),
+         agg AS (SELECT doc_a AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_containers FROM c GROUP BY 1),
+         top AS (SELECT doc_a AS doc_id, doc_b AS top_container, containment
+           FROM rk WHERE rn = 1)
+         SELECT d.doc_id,
+           CASE WHEN agg.doc_id IS NOT NULL THEN 'drop' ELSE 'keep' END
+             AS verdict,
+           coalesce(agg.n_containers, 0) AS n_containers,
+           CAST(coalesce(top.top_container, -1) AS BIGINT) AS top_container,
+           coalesce(top.containment, 0.0) AS containment
+         FROM documents d
+         LEFT JOIN agg ON agg.doc_id = d.doc_id
+         LEFT JOIN top ON top.doc_id = d.doc_id
+         WHERE d.doc_id % 5 = 0""",
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->
