@@ -109,7 +109,12 @@ object Checkpoints {
       spark.createDataFrame(rdd, df.schema)
     } else {
       val cp = df.localCheckpoint(true)
-      blockRdd(cp).foreach(localFrames.add)
+      // under the A/B disable flag, tracking must be skipped too: a
+      // tracked-but-never-released RDD is a strong reference that blocks
+      // the ContextCleaner's GC-driven reaping for the JVM lifetime,
+      // which would make the "disabled" arm strictly WORSE than the
+      // pre-round-15 behavior it exists to emulate
+      if (!releaseDisabled) blockRdd(cp).foreach(localFrames.add)
       cp
     }
   }

@@ -38,7 +38,8 @@ object CorpusCatalog {
                 cmsDepth: Int = 4, cmsWidth: Int = 2048,
                 csDepth: Int = 5, csWidth: Int = 2048,
                 domainCol: Option[String] = None,
-                clusterLabels: Option[DataFrame] = None): DataFrame = {
+                clusterLabels: Option[DataFrame] = None,
+                containmentVerdicts: Option[DataFrame] = None): DataFrame = {
     // the S4 persist-where-reused rule: the doc-stats branch and the
     // gram-sketch branch both read the same projection; without the
     // persist, Spark scans the dump TWICE (aggregate branches don't
@@ -89,14 +90,34 @@ object CorpusCatalog {
       case None => docs.sparkSession.sql("SELECT CAST(NULL AS " +
         "ARRAY<STRUCT<sz: BIGINT, cnt: BIGINT>>) AS cluster_census")
     }
+    // round 16: the CONTAINMENT-VERDICT CENSUS rides the row too — one
+    // (verdict, n_containers, cnt) row per distinct value pair, so
+    // release-over-release containment posture (keep/drop split, fan-in
+    // distribution, total containment edges) is pure catalog math via
+    // [[JaccardJoin.containmentProfileFromCensus]]: the d154 pattern
+    // applied to the d157 gate. `containmentVerdicts` is a
+    // [[JaccardJoin.containmentDedupVerdicts]] frame for this dump.
+    val containCensus = containmentVerdicts match {
+      case Some(v) => v
+        .groupBy(col("verdict").cast("string").as("verdict"),
+          col("n_containers").cast("long").as("nc"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .agg(sort_array(collect_list(
+          struct(col("verdict"), col("nc"), col("cnt"))))
+          .as("containment_census"))
+      case None => docs.sparkSession.sql("SELECT CAST(NULL AS " +
+        "ARRAY<STRUCT<verdict: STRING, nc: BIGINT, cnt: BIGINT>>) " +
+        "AS containment_census")
+    }
     stats.crossJoin(broadcast(sketch)).crossJoin(broadcast(census))
-      .crossJoin(broadcast(clusterCensus))
+      .crossJoin(broadcast(clusterCensus)).crossJoin(broadcast(containCensus))
       .select(lit(dumpId).as("dump_id"), col("n_docs"), col("n_tokens"),
         col("mean_quality"), col("sketch"), lit(k).as("k"),
         Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"),
         col("cms"), lit(cmsDepth).as("cms_depth"), lit(cmsWidth).as("cms_width"),
         col("cs"), lit(csDepth).as("cs_depth"), lit(csWidth).as("cs_width"),
-        col("domain_census"), col("cluster_census"))
+        col("domain_census"), col("cluster_census"),
+        col("containment_census"))
   }
 
   /** Append one dump's catalog row. */
@@ -105,9 +126,10 @@ object CorpusCatalog {
              cmsDepth: Int = 4, cmsWidth: Int = 2048,
              csDepth: Int = 5, csWidth: Int = 2048,
              domainCol: Option[String] = None,
-             clusterLabels: Option[DataFrame] = None): Unit =
+             clusterLabels: Option[DataFrame] = None,
+             containmentVerdicts: Option[DataFrame] = None): Unit =
     summarize(docs, idCol, textCol, dumpId, k, cmsDepth, cmsWidth,
-        csDepth, csWidth, domainCol, clusterLabels)
+        csDepth, csWidth, domainCol, clusterLabels, containmentVerdicts)
       .write.mode("append").parquet(path)
 
   /** All pairwise dump overlaps from the persisted catalog alone — no
@@ -211,6 +233,42 @@ object CorpusCatalog {
   def explodeClusterCensus(row: DataFrame): DataFrame =
     row.select(explode(col("cluster_census")).as("cc"))
       .select(col("cc.sz").as("sz"), col("cc.cnt").as("cnt"))
+
+  /** One release's containment-verdict census exploded back out of its
+    * catalog row — the input shape
+    * [[JaccardJoin.containmentProfileFromCensus]] consumes, so the
+    * containment posture (keep/drop split, container fan-in, total
+    * containment edges) is answerable release-over-release from the
+    * catalog with zero corpus passes. Fails loudly on a
+    * missing/duplicated dump or a row appended without
+    * `containmentVerdicts` (profiling an empty census would silently
+    * read as "no containment").
+    */
+  def containmentCensus(spark: SparkSession, path: String,
+                        dumpId: String): DataFrame = {
+    val cat = spark.read.option("mergeSchema", "true").parquet(path)
+    require(cat.columns.contains("containment_census"),
+      s"catalog at $path predates the containment_census column " +
+        "(round-16 appends carry it); re-append the dumps before " +
+        "profiling containment posture")
+    val rows = cat.where(col("dump_id") === dumpId)
+    val n = rows.count()
+    require(n == 1, s"catalog at $path has $n rows for dump '$dumpId'; " +
+      "containmentCensus needs exactly one")
+    require(rows.where(col("containment_census").isNotNull).count() == 1,
+      s"catalog row for dump '$dumpId' at $path carries no containment " +
+        "census (appended without containmentVerdicts); profiling an " +
+        "empty census would silently read as zero containment - " +
+        "re-append the dump with containmentVerdicts set")
+    explodeContainmentCensus(rows)
+  }
+
+  /** The explode half of [[containmentCensus]], usable on an in-memory
+    * [[summarize]] row too (the d160 query path). */
+  def explodeContainmentCensus(row: DataFrame): DataFrame =
+    row.select(explode(col("containment_census")).as("vc"))
+      .select(col("vc.verdict").as("verdict"), col("vc.nc").as("nc"),
+        col("vc.cnt").as("cnt"))
 
   /** Release-over-release source-mixture drift answered from the CATALOG
     * ALONE — two census explodes and the shared d141 grid combine; zero

@@ -221,6 +221,11 @@ object JaccardJoin {
     * bound `1 + min(|A|−ra, |B|−rb) ≥ ⌈t·|A|⌉` prune before the exact
     * verify — no false negatives at any scale, same as [[similarPairs]].
     * Pairs are returned in BOTH directions when both contain each other.
+    *
+    * Output: (doc_a, doc_b, containment, sz_a, sz_b) — the shingle-set
+    * sizes ride along (computed anyway for the verify) so
+    * [[containmentDedupVerdicts]] can tie-break mutual pairs on
+    * (size, id), the ordering that makes its drop relation acyclic.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        threshold: Double, n: Int = 3,
@@ -254,7 +259,9 @@ object JaccardJoin {
       .join(sh.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(col("sa")), 6).as("containment"))
+          size(col("sa")), 6).as("containment"),
+        size(col("sa")).cast("long").as("sz_a"),
+        size(col("sb")).cast("long").as("sz_b"))
       .where(col("containment") >= threshold)
   }
 
@@ -313,7 +320,9 @@ object JaccardJoin {
       .join(shB.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(col("sa")), 6).as("containment"))
+          size(col("sa")), 6).as("containment"),
+        size(col("sa")).cast("long").as("sz_a"),
+        size(col("sb")).cast("long").as("sz_b"))
       .where(col("containment") >= threshold)
   }
 
@@ -322,15 +331,27 @@ object JaccardJoin {
     * per-doc keep/drop column over the full corpus: a doc is DROPPED iff
     * some doc contains it that it does not contain back (a strict subset
     * situation: quotes, boilerplate wrapping, partial dumps), or that it
-    * mutually contains but has the LARGER id (so a clique of
-    * mutually-containing near-identical docs keeps exactly its max-id
-    * member). The rule is deliberately PAIRWISE-LOCAL (the d04/d124
-    * verdict convention): "drop" certifies a containing doc existed in
-    * the corpus, not that that particular doc survives its own
-    * containers — chains resolve to at least one survivor (the max-id
-    * element of any mutual run, and every strict-superset maximal doc,
-    * are never dropped) without the transitive closure a billion-doc
-    * corpus cannot afford per release.
+    * mutually contains and wins the LEXICOGRAPHIC (shingle-set size, id)
+    * tie-break — so a clique of mutually-containing near-identical docs
+    * keeps exactly its max-(size,id) member. The rule is deliberately
+    * PAIRWISE-LOCAL (the d04/d124 verdict convention): no transitive
+    * closure, no connected components — a billion-doc corpus cannot
+    * afford either per release.
+    *
+    * Survivor guarantee (when `pairs` carries `sz_a`/`sz_b`, which
+    * [[containmentPairs]] emits): every drop points at a container with
+    * strictly greater (size, id) — a strict (non-mutual) container is
+    * strictly larger whenever the relation is threshold-complete in both
+    * directions (t·|A| ≤ |A∩B| and |A∩B| < t·|B| force |B| > |A|), and
+    * the mutual tie-break is strictly-greater by construction — so the
+    * drop relation is ACYCLIC and the max-(size,id) doc of every
+    * connected group survives. (The previous id-only mutual tie-break
+    * could, on mixed mutual/strict cycles, drop every member of a group:
+    * a mutual hop may point at a SMALLER doc with a larger id while a
+    * strict hop points size-upward, closing a cycle.) When the size
+    * columns are absent (a bare (doc_a, doc_b) relation), the id-only
+    * rule applies and NO cross-cycle survivor guarantee is made — each
+    * drop still certifies a containing doc existed.
     *
     * `pairs` is the [[containmentPairs]] output (or any directed
     * (doc_a contained-in doc_b) relation) — pass a PERSISTED frame when
@@ -346,14 +367,24 @@ object JaccardJoin {
     */
   def containmentDedupVerdicts(docs: DataFrame, idCol: String,
                                pairs: DataFrame): DataFrame = {
-    val c = pairs.select(col("doc_a"), col("doc_b"))
+    val hasSizes = pairs.columns.contains("sz_a") &&
+      pairs.columns.contains("sz_b")
+    val c =
+      if (hasSizes) pairs.select(col("doc_a"), col("doc_b"),
+        col("sz_a"), col("sz_b"))
+      else pairs.select(col("doc_a"), col("doc_b"))
     val rev = c.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))
     // drop a: some container b is not contained back...
     val nonMutual = c.join(rev, Seq("doc_a", "doc_b"), "left_anti")
       .select("doc_a")
-    // ...or is mutual with the larger id (max-id survivor per clique)
+    // ...or is mutual and b wins the tie-break: lexicographic (size, id)
+    // when sizes are known (acyclic — see scaladoc), id alone otherwise
+    val bWins =
+      if (hasSizes) col("sz_b") > col("sz_a") ||
+        (col("sz_b") === col("sz_a") && col("doc_b") > col("doc_a"))
+      else col("doc_b") > col("doc_a")
     val mutualSmaller = c.join(rev, Seq("doc_a", "doc_b"), "left_semi")
-      .where(col("doc_b") > col("doc_a"))
+      .where(bWins)
       .select("doc_a")
     val dropped = nonMutual.union(mutualSmaller).distinct()
       .select(col("doc_a").as(idCol)).withColumn("__drop", lit(1))
@@ -367,4 +398,50 @@ object JaccardJoin {
           .as("verdict"),
         coalesce(col("__nc"), lit(0L)).as("n_containers"))
   }
+
+  /** One-row containment-posture profile from the (verdict,
+    * n_containers) CENSUS — the combine shared by the batch path
+    * ([[containmentProfile]]), the corpus-catalog path
+    * ([[CorpusCatalog.explodeContainmentCensus]]) and the streaming twin,
+    * so all three agree bit-for-bit by construction (the d154/d155
+    * discipline applied to the containment family). The census is tiny
+    * by construction — one row per distinct (verdict, n_containers)
+    * value, bounded by the container-count support, not the corpus.
+    *
+    * Returns (n_docs, n_keep, n_drop, n_contained, max_containers,
+    * n_container_edges): docs under the gate, keep/drop split, docs with
+    * ≥1 container, the heaviest containment fan-in, and the total
+    * directed containment edge count (Σ n_containers).
+    */
+  def containmentProfileFromCensus(census: DataFrame,
+                                   verdictCol: String = "verdict",
+                                   ncCol: String = "nc",
+                                   cntCol: String = "cnt"): DataFrame = {
+    // same defensive combine as the histogram profile: the aggregate
+    // below is correct on any (verdict, nc) multiplicity, but max() over
+    // nc and the sums must see consistent rows — group first (census
+    // sized, free) so an un-aggregated census cannot corrupt anything
+    val c = census.select(col(verdictCol).cast("string").as("__v"),
+        col(ncCol).cast("long").as("__nc"),
+        col(cntCol).cast("long").as("__cnt"))
+      .groupBy("__v", "__nc").agg(sum("__cnt").cast("long").as("__cnt"))
+    c.agg(
+      coalesce(sum("__cnt"), lit(0L)).cast("long").as("n_docs"),
+      coalesce(sum(when(col("__v") === "keep", col("__cnt"))
+        .otherwise(0L)), lit(0L)).cast("long").as("n_keep"),
+      coalesce(sum(when(col("__v") === "drop", col("__cnt"))
+        .otherwise(0L)), lit(0L)).cast("long").as("n_drop"),
+      coalesce(sum(when(col("__nc") > 0, col("__cnt"))
+        .otherwise(0L)), lit(0L)).cast("long").as("n_contained"),
+      coalesce(max(col("__nc")), lit(0L)).cast("long").as("max_containers"),
+      coalesce(sum(col("__nc") * col("__cnt")), lit(0L)).cast("long")
+        .as("n_container_edges"))
+  }
+
+  /** [[containmentProfileFromCensus]] over a [[containmentDedupVerdicts]]
+    * frame directly — the batch entry point. */
+  def containmentProfile(verdicts: DataFrame): DataFrame =
+    containmentProfileFromCensus(
+      verdicts.groupBy(col("verdict"), col("n_containers").as("nc"))
+        .agg(count(lit(1)).cast("long").as("cnt")))
 }

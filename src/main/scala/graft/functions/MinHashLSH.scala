@@ -642,8 +642,14 @@ object MinHashLSH {
   def clusterSizeProfileFromHistogram(histogram: DataFrame,
                                       sizeCol: String,
                                       countCol: String): DataFrame = {
+    // defensive combine: the cumulative-base window below assumes ONE row
+    // per distinct size — a caller handing an un-aggregated census (the
+    // public seam accepts any frame) would otherwise get silently wrong
+    // cumulative bases, i.e. a corrupt gini. The groupBy is census-sized,
+    // a no-op shuffle-wise when the input is already a true histogram.
     val hist = histogram.select(col(sizeCol).cast("long").as("__sz"),
-      col(countCol).cast("long").as("__cv"))
+        col(countCol).cast("long").as("__cv"))
+      .groupBy("__sz").agg(sum("__cv").cast("long").as("__cv"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("__sz")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cum = hist.withColumn("__cb", coalesce(sum("__cv").over(w), lit(0L)))

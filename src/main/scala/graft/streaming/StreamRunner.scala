@@ -85,13 +85,18 @@ object StreamRunner {
     val name = s"${prefix}_run${n.incrementAndGet()}"
     val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevConf = spark.conf.getOption(confKey)
-    if (!noDataBatches) spark.conf.set(confKey, "false")
     val retKey = "spark.sql.streaming.numRecentProgressUpdates"
     val prevRet = spark.conf.getOption(retKey)
-    spark.conf.set(retKey, progressRetention.toString)
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
+    // the conf sets AND start() sit inside the try: if start() throws
+    // (bad plan, unresolvable source), the finally must still restore
+    // both session-global overrides — otherwise retention=10000 and
+    // noDataBatches=false would leak into every later query this session
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      if (!noDataBatches) spark.conf.set(confKey, "false")
+      spark.conf.set(retKey, progressRetention.toString)
+      q = stream.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
       q.processAllAvailable()
       val progress = q.recentProgress
       // a saturated buffer means the data-batch count below could be
@@ -133,7 +138,7 @@ object StreamRunner {
           s"triggerMs=$trig state=$state")
       }
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       if (!noDataBatches) prevConf match {
         case Some(v) => spark.conf.set(confKey, v)
         case None => spark.conf.unset(confKey)

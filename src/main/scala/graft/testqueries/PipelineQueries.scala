@@ -814,7 +814,9 @@ object PipelineQueries {
     // near-dup relation (quotes, boilerplate wrapping, subset dumps) that
     // Jaccard cannot see; prefix-filtered with NO false negatives.
     "d131_containment_join" -> { (s, dir) =>
-      containPairs(s, dir)
+      // the shared persist carries sz_a/sz_b for d157's tie-break; this
+      // row's public shape stays the 3-column relation the oracle pins
+      containPairs(s, dir).select("doc_a", "doc_b", "containment")
     },
 
     // Edit-distance-verified near-dup pairs (round 13): LSH banding
@@ -1073,9 +1075,10 @@ object PipelineQueries {
     "d158_containment_across" -> { (s, dir) =>
       val d = docs(s, dir)
       JaccardJoin.containmentPairsAcross(
-        d.where(pmod(col("doc_id"), lit(5)) === 0),
-        d.where(pmod(col("doc_id"), lit(5)) =!= 0),
-        "doc_id", "text", threshold = 0.6, n = 3)
+          d.where(pmod(col("doc_id"), lit(5)) === 0),
+          d.where(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text", threshold = 0.6, n = 3)
+        .select("doc_a", "doc_b", "containment")
     },
 
     // Ingest-time containment tag (round 15): the d124 incremental-dedup
@@ -1104,6 +1107,42 @@ object PipelineQueries {
           coalesce(col("n_containers"), lit(0L)).as("n_containers"),
           coalesce(col("top_container"), lit(-1L)).as("top_container"),
           coalesce(col("containment"), lit(0.0)).as("containment"))
+    },
+
+    // Catalog-answered containment posture (round 16): the d157 verdict
+    // census rides the corpus-catalog row (the d154 precedent), so
+    // release-over-release contamination posture — keep/drop split,
+    // container fan-in, total containment edges — is pure catalog math
+    // with ZERO corpus passes. One shared combine
+    // (containmentProfileFromCensus) serves batch, catalog and stream.
+    "d160_catalog_containment_census" -> { (s, dir) =>
+      val verdicts = JaccardJoin.containmentDedupVerdicts(docs(s, dir),
+        "doc_id", containPairs(s, dir))
+      val row = graft.functions.CorpusCatalog.summarize(
+        docs(s, dir), "doc_id", "text", "rel",
+        containmentVerdicts = Some(verdicts))
+      JaccardJoin.containmentProfileFromCensus(
+        graft.functions.CorpusCatalog.explodeContainmentCensus(row))
+    },
+
+    // The live twin of d160 (round 16): per-(verdict, fan-in) counts
+    // maintained as streaming state — stream docs inner-joined to the
+    // STANDING verdict frame (stream-static join, stateless), update-mode
+    // count per census key, so state is census-sized (the d155 bound) —
+    // handed to the SAME census→profile combine: streamed == batch ==
+    // catalog bit-for-bit because the combine is shared code.
+    "d161_containment_verdict_stream" -> { (s, dir) =>
+      val verdicts = JaccardJoin.containmentDedupVerdicts(docs(s, dir),
+        "doc_id", containPairs(s, dir))
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val census = stream.select("doc_id").join(verdicts, Seq("doc_id"))
+        .groupBy(col("verdict"), col("n_containers").as("nc"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val live = graft.streaming.StreamRunner.runToBatch(census,
+        "d161_containment_verdict_stream", mode = "update")
+      JaccardJoin.containmentProfileFromCensus(live)
     },
 
     // Weighted modularity of the weighted LPA communities (round 14):
@@ -2503,6 +2542,58 @@ object PipelineQueries {
     * MinHash (d05/d12) and exact-Jaccard (d22) oracles, so every
     * set-similarity oracle agrees on what "the shingle set" is.
     */
+  /** The d157 verdict rows as a reusable CTE chain (ends with a
+    * `verdicts(doc_id, verdict, n_containers)` CTE) — shared by the
+    * d157 row itself and the d160/d161 census rollups so the three
+    * oracles cannot drift. Mutual tie-break is lexicographic
+    * (shingle-set size, id), matching
+    * [[graft.functions.JaccardJoin.containmentDedupVerdicts]].
+    */
+  private lazy val ContainmentVerdictCtesSql: String =
+    s"""$ShingleCtesSql,
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+         GROUP BY 1, 2),
+       c AS (SELECT doc_a, doc_b FROM (
+           SELECT i.doc_a, i.doc_b,
+             round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
+           FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
+         WHERE containment >= 0.6),
+       dropped AS (SELECT DISTINCT x.doc_a AS doc_id
+         FROM c x
+         JOIN sizes sa ON sa.doc_id = x.doc_a
+         JOIN sizes sb ON sb.doc_id = x.doc_b
+         LEFT JOIN c y
+           ON y.doc_a = x.doc_b AND y.doc_b = x.doc_a
+         WHERE y.doc_a IS NULL OR sb.n > sa.n
+           OR (sb.n = sa.n AND x.doc_b > x.doc_a)),
+       cont AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT)
+           AS n_containers
+         FROM c GROUP BY 1),
+       verdicts AS (SELECT d.doc_id,
+           CASE WHEN dr.doc_id IS NOT NULL THEN 'drop' ELSE 'keep' END
+             AS verdict,
+           coalesce(cont.n_containers, 0) AS n_containers
+         FROM documents d
+         LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+         LEFT JOIN cont ON cont.doc_id = d.doc_id)"""
+
+  /** The one-row containment-posture rollup over the d157 verdict rows —
+    * shared verbatim by d160 (catalog path) and d161 (streaming path). */
+  private lazy val ContainmentProfileSql: String =
+    s"""WITH $ContainmentVerdictCtesSql
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep,
+         CAST(sum(CASE WHEN verdict = 'drop' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_drop,
+         CAST(sum(CASE WHEN n_containers > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contained,
+         CAST(coalesce(max(n_containers), 0) AS BIGINT) AS max_containers,
+         CAST(coalesce(sum(n_containers), 0) AS BIGINT) AS n_container_edges
+       FROM verdicts"""
+
   private val ShingleCtesSql: String =
     """words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
          sh AS (SELECT DISTINCT doc_id,
@@ -3552,32 +3643,11 @@ object PipelineQueries {
     "d156_kcore_weighted" -> kCoreWeightedDupsSql(rounds = 3, s = 1200000L),
     // d157: the exact containment relation (the d131 chain) resolved to
     // per-doc verdicts — drop iff some container is not contained back
-    // or is mutual with the larger id.
+    // or is mutual and wins the lexicographic (shingle-set size, id)
+    // tie-break (the acyclic ordering: at least one survivor per group).
     "d157_containment_dedup" ->
-      s"""WITH $ShingleCtesSql,
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
-           GROUP BY 1, 2),
-         c AS (SELECT doc_a, doc_b FROM (
-             SELECT i.doc_a, i.doc_b,
-               round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
-             FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
-           WHERE containment >= 0.6),
-         dropped AS (SELECT DISTINCT x.doc_a AS doc_id
-           FROM c x LEFT JOIN c y
-             ON y.doc_a = x.doc_b AND y.doc_b = x.doc_a
-           WHERE y.doc_a IS NULL OR x.doc_b > x.doc_a),
-         cont AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT)
-             AS n_containers
-           FROM c GROUP BY 1)
-         SELECT d.doc_id,
-           CASE WHEN dr.doc_id IS NOT NULL THEN 'drop' ELSE 'keep' END
-             AS verdict,
-           coalesce(cont.n_containers, 0) AS n_containers
-         FROM documents d
-         LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
-         LEFT JOIN cont ON cont.doc_id = d.doc_id""",
+      s"""WITH $ContainmentVerdictCtesSql
+         SELECT doc_id, verdict, n_containers FROM verdicts""",
     // d158: exact cross-set containment — the d131 chain with the two
     // parity sides; the prefix machinery is lossless so only the
     // verified relation is observable.
@@ -3624,6 +3694,12 @@ object PipelineQueries {
          LEFT JOIN agg ON agg.doc_id = d.doc_id
          LEFT JOIN top ON top.doc_id = d.doc_id
          WHERE d.doc_id % 5 = 0""",
+    // d160/d161: the d157 verdict rows rolled up to the one-row
+    // containment-posture profile — identical SQL for the catalog path
+    // (d160) and the streaming path (d161) because the Spark side
+    // guarantees census/stream/batch share one combine.
+    "d160_catalog_containment_census" -> ContainmentProfileSql,
+    "d161_containment_verdict_stream" -> ContainmentProfileSql,
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->
