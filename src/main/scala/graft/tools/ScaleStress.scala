@@ -60,6 +60,9 @@ object ScaleStress {
       runRound15HubProbes(spark, kcoreOnly = args.contains("kcoreonly"))
       spark.stop(); return
     }
+    if (args.contains("round16wcore")) {
+      runRound16WeightedCoreProbe(spark); spark.stop(); return
+    }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
     }
@@ -827,6 +830,69 @@ object ScaleStress {
         f"10x=${lpaT("10x")}%5.2f (${lpaT("10x") / lpaT("1x")}%4.1fx)")
     println(f"${"kcore_skew_slope"}%-18s 1x=${kcT("1x")}%5.2f " +
       f"10x=${kcT("10x")}%5.2f (${kcT("10x") / kcT("1x")}%4.1fx)")
+  }
+
+  /** Round-16 hub-skew probe for [[graft.functions.GraphOps.kCoreWeighted]]
+    * — closes the round-15 family: the s-core recount SUMS weights by dst
+    * under the same (dst-keyed agg per peel round) pattern the unweighted
+    * peel uses, so the hub lands ~deg(hub) rows on one reducer per round
+    * with a sum instead of a count — still a linear-in-degree reducer
+    * bound, no pair blowup possible. A ~linear 1x→10x slope on the SAME
+    * skewed fixture (hub degree ~4√n) certifies it the way round15hub
+    * certified kCore; super-linear would say the strength recount needs a
+    * salted two-phase agg. Weights are a deterministic positive LCG hash
+    * in [1, 1e6] so the weighted path (decimal-ish long sums) is
+    * exercised at full width. Reuses the round15hub parquet fixture when
+    * present (generate with `round15hub` first or let this arm write it).
+    */
+  private def runRound16WeightedCoreProbe(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      graft.Checkpoints.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def minOf3(name: String)(f: => Long): Double =
+      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+    val base = "/tmp/graft_scale15hub"
+    def gen(nodes: Long): org.apache.spark.sql.DataFrame =
+      spark.range(nodes).select(col("id").as("src"))
+        .crossJoin(spark.range(4).select(col("id").as("o")))
+        .select(col("src"),
+          (pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
+            + lit(7L), lit(nodes)) *
+            pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
+              + lit(7L), lit(nodes))).divide(lit(nodes)).cast("long")
+            .as("dst"))
+        .where(col("src") =!= col("dst"))
+    val arms = Seq(("1x", 2_000_000L), ("10x", 20_000_000L))
+    arms.foreach { case (tag, n) =>
+      if (!new java.io.File(s"$base/e$tag/_SUCCESS").exists()) {
+        val e = gen(n)
+        e.select(col("src"), col("dst"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .write.mode("overwrite").parquet(s"$base/e$tag")
+      }
+    }
+    val wcT = arms.map { case (tag, _) =>
+      // weight: positive LCG hash of the (src,dst) pair on the micro grid,
+      // symmetric by construction is NOT required (kCoreWeighted sums
+      // multi-edges per direction independently)
+      val e = spark.read.parquet(s"$base/e$tag")
+        .withColumn("w", pmod(col("src") * lit(2654435761L)
+          + col("dst") * lit(40503L), lit(1000000L)) + lit(1L))
+      tag -> minOf3(s"wcore_skew $tag")(
+        graft.functions.GraphOps.kCoreWeighted(e, "src", "dst", "w",
+          s = 3000000L, rounds = 3).count())
+    }.toMap
+    println(f"${"wcore_skew_slope"}%-18s 1x=${wcT("1x")}%5.2f " +
+      f"10x=${wcT("10x")}%5.2f (${wcT("10x") / wcT("1x")}%4.1fx)")
   }
 
   /** Graph-family slope probe (round 13): pageRank and triangleStats on a
