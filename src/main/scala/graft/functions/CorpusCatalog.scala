@@ -270,6 +270,37 @@ object CorpusCatalog {
       .select(col("vc.verdict").as("verdict"), col("vc.nc").as("nc"),
         col("vc.cnt").as("cnt"))
 
+  /** Release-over-release containment-posture DRIFT answered from the
+    * CATALOG ALONE — the [[domainDrift]] promise extended to the
+    * contamination gate: both releases' verdict censuses explode out of
+    * their catalog rows, each feeds the SHARED one-row profile combine
+    * ([[JaccardJoin.containmentProfileFromCensus]]), and the two 1-row
+    * frames join on nothing (a broadcast 1×1) into side-by-side columns
+    * plus signed deltas. Zero corpus passes; the heavy verdict
+    * computation happened once per release at append time.
+    *
+    * Returns ONE row: `(n_docs_a, n_drop_a, n_contained_a,
+    * n_container_edges_a, same *_b, d_drop, d_contained, d_edges)` —
+    * "did this release get more contaminated/duplicated than the last"
+    * as pure catalog math.
+    */
+  def containmentDrift(spark: SparkSession, path: String,
+                       dumpA: String, dumpB: String): DataFrame = {
+    def side(id: String, tag: String): DataFrame =
+      graft.functions.JaccardJoin.containmentProfileFromCensus(
+          containmentCensus(spark, path, id))
+        .select(col("n_docs").as(s"n_docs_$tag"),
+          col("n_drop").as(s"n_drop_$tag"),
+          col("n_contained").as(s"n_contained_$tag"),
+          col("n_container_edges").as(s"n_container_edges_$tag"))
+    side(dumpA, "a").crossJoin(broadcast(side(dumpB, "b")))
+      .withColumn("d_drop", col("n_drop_b") - col("n_drop_a"))
+      .withColumn("d_contained",
+        col("n_contained_b") - col("n_contained_a"))
+      .withColumn("d_edges",
+        col("n_container_edges_b") - col("n_container_edges_a"))
+  }
+
   /** Release-over-release source-mixture drift answered from the CATALOG
     * ALONE — two census explodes and the shared d141 grid combine; zero
     * corpus passes (the [[overlaps]] promise, extended to the

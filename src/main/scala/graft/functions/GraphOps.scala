@@ -365,6 +365,53 @@ object GraphOps {
       .selectExpr("__src AS id", "__st AS strength")
   }
 
+  /** [[kCoreWeighted]] peeled to the TRUE s-core fixpoint (or `maxRounds`)
+    * — the weighted twin of [[kCoreConverged]], same convergence probe:
+    * the survivor set only SHRINKS per round (restricting edges to
+    * survivors can only lower strengths), so "survivor count unchanged"
+    * is an exact fixpoint test (count equality on nested sets is set
+    * equality), one 1-row driver scalar per round; rounds past the
+    * fixpoint are identity, so the result always equals the
+    * maxRounds-unrolled [[kCoreWeighted]] — oracle-replayable despite
+    * the data-dependent stop.
+    */
+  def kCoreWeightedConverged(edges: DataFrame, srcCol: String,
+                             dstCol: String, weightCol: String, s: Long,
+                             maxRounds: Int = 10): DataFrame = {
+    require(s >= 1, s"s=$s must be >= 1")
+    require(maxRounds >= 1 && maxRounds <= 100,
+      s"maxRounds=$maxRounds out of [1,100]")
+    val disk = StorageLevel.MEMORY_AND_DISK
+    val e = graft.CacheRegistry.track(
+      edges.select(col(srcCol).cast("long").as("__src"),
+          col(dstCol).cast("long").as("__dst"),
+          col(weightCol).cast("long").as("__w"))
+        .where(col("__src") =!= col("__dst"))
+        .groupBy("__src", "__dst").agg(sum("__w").as("__w"))
+        .persist(disk))
+    requirePositiveWeights(e, "__w", "kCoreWeightedConverged")
+    var surv = e.select(col("__src").as("__id")).distinct()
+    var nSurv = -1L // sentinel: first round always runs
+    var st: DataFrame = null
+    var t = 0
+    var converged = false
+    while (t < maxRounds && !converged) {
+      val rs = e.join(surv, e("__src") === surv("__id"), "left_semi")
+      val rd = rs.join(surv, rs("__dst") === surv("__id"), "left_semi")
+      val nd = graft.Checkpoints.eager(
+        rd.groupBy("__src").agg(sum("__w").cast("long").as("__st")))
+      if (st != null) graft.Checkpoints.release(st)
+      st = nd
+      surv = st.where(col("__st") >= s).select(col("__src").as("__id"))
+      t += 1
+      val n = surv.count()
+      converged = n == nSurv
+      nSurv = n
+    }
+    st.where(col("__st") >= s)
+      .selectExpr("__src AS id", "__st AS strength")
+  }
+
   def kCoreConverged(edges: DataFrame, srcCol: String, dstCol: String,
                      k: Int, maxRounds: Int = 10): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")

@@ -1145,6 +1145,51 @@ object PipelineQueries {
       JaccardJoin.containmentProfileFromCensus(live)
     },
 
+    // Converged weighted s-core (round 16): the d148 fixpoint treatment
+    // applied to d156's strength peel — peel until the survivor set
+    // stabilizes (monotone shrink makes the 1-row count probe exact),
+    // provably equal to the maxRounds unroll, so the data-dependent stop
+    // is still oracle-replayable.
+    "d162_score_converged" -> { (s, dir) =>
+      val pairs = dupPairs(s, dir).select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * lit(1e6), 0).cast("long").as("w"))
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a"), col("w")))
+      GraphOps.kCoreWeightedConverged(sym, "doc_a", "doc_b", "w",
+          s = 1200000L, maxRounds = 8)
+        .selectExpr("id AS doc_id", "strength")
+    },
+
+    // Catalog-answered containment-posture DRIFT (round 16): the
+    // d150/d151 domain-drift promise extended to the contamination gate —
+    // two releases' verdict censuses are appended to a REAL catalog
+    // (parquet write + read-back, the standing-artifact path), then
+    // "did this release get more contaminated than the last" is pure
+    // catalog math: two explodes, the shared profile combine, signed
+    // deltas. The corpus is touched once per release at append time.
+    "d163_containment_drift_catalog" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def verdicts(par: Int): DataFrame = {
+        val rel = d.where(pmod(col("doc_id"), lit(2)) === par)
+        // the verdict rule reads the pair relation three times (mutuality
+        // anti/semi + container census) — persist per release, the
+        // containPairs discipline
+        JaccardJoin.containmentDedupVerdicts(rel, "doc_id",
+          graft.CacheRegistry.track(
+            JaccardJoin.containmentPairs(rel, "doc_id", "text",
+                threshold = 0.6, n = 3)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      }
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_d163_catalog").toString
+      val relA = d.where(pmod(col("doc_id"), lit(2)) === 0)
+      val relB = d.where(pmod(col("doc_id"), lit(2)) === 1)
+      graft.functions.CorpusCatalog.append(relA, "doc_id", "text", path,
+        "relA", containmentVerdicts = Some(verdicts(0)))
+      graft.functions.CorpusCatalog.append(relB, "doc_id", "text", path,
+        "relB", containmentVerdicts = Some(verdicts(1)))
+      graft.functions.CorpusCatalog.containmentDrift(s, path, "relA", "relB")
+    },
+
     // Weighted modularity of the weighted LPA communities (round 14):
     // the d139 gate in the weighted regime — strong duplicate edges
     // count proportionally in BOTH the vote (d147) and the score, so a
@@ -3700,6 +3745,60 @@ object PipelineQueries {
     // guarantees census/stream/batch share one combine.
     "d160_catalog_containment_census" -> ContainmentProfileSql,
     "d161_containment_verdict_stream" -> ContainmentProfileSql,
+    // d162: the strength peel unrolled to the engine's maxRounds bound —
+    // converged == unroll is the operator's own identity, so the
+    // fixpoint exit needs no SQL analog.
+    "d162_score_converged" -> kCoreWeightedDupsSql(rounds = 8, s = 1200000L),
+    // d163: both parity releases' verdict rows replayed (the d157 chain
+    // restricted to same-parity pairs), rolled to per-release profiles,
+    // joined with signed deltas — the catalog math replayed directly.
+    "d163_containment_drift_catalog" ->
+      s"""WITH $ShingleCtesSql,
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS ni
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+             AND a.doc_id % 2 = b.doc_id % 2
+           GROUP BY 1, 2),
+         c AS (SELECT doc_a, doc_b FROM (
+             SELECT i.doc_a, i.doc_b,
+               round(CAST(ni AS DOUBLE) / na.n, 6) AS containment
+             FROM inter i JOIN sizes na ON na.doc_id = i.doc_a)
+           WHERE containment >= 0.6),
+         dropped AS (SELECT DISTINCT x.doc_a AS doc_id
+           FROM c x
+           JOIN sizes sa ON sa.doc_id = x.doc_a
+           JOIN sizes sb ON sb.doc_id = x.doc_b
+           LEFT JOIN c y
+             ON y.doc_a = x.doc_b AND y.doc_b = x.doc_a
+           WHERE y.doc_a IS NULL OR sb.n > sa.n
+             OR (sb.n = sa.n AND x.doc_b > x.doc_a)),
+         cont AS (SELECT doc_a AS doc_id, CAST(count(*) AS BIGINT)
+             AS n_containers
+           FROM c GROUP BY 1),
+         verdicts AS (SELECT d.doc_id, d.doc_id % 2 AS par,
+             CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dr,
+             coalesce(cont.n_containers, 0) AS nc
+           FROM documents d
+           LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+           LEFT JOIN cont ON cont.doc_id = d.doc_id),
+         pa AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_a,
+             CAST(sum(dr) AS BIGINT) AS n_drop_a,
+             CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contained_a,
+             CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_container_edges_a
+           FROM verdicts WHERE par = 0),
+         pb AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_b,
+             CAST(sum(dr) AS BIGINT) AS n_drop_b,
+             CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contained_b,
+             CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_container_edges_b
+           FROM verdicts WHERE par = 1)
+         SELECT pa.*, pb.*,
+           n_drop_b - n_drop_a AS d_drop,
+           n_contained_b - n_contained_a AS d_contained,
+           n_container_edges_b - n_container_edges_a AS d_edges
+         FROM pa, pb""",
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->

@@ -173,6 +173,46 @@ class R16InfraSpec extends SparkSpec {
     assert(a.getLong(0) == 5L && a.getLong(1) == 19L && a.getLong(2) == 5L)
   }
 
+  test("kCoreWeightedConverged equals the maxRounds unroll on random graphs") {
+    import spark.implicits._
+    import graft.functions.GraphOps
+    val rnd = new scala.util.Random(162L)
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(8)
+      val es = Seq.fill(6 + rnd.nextInt(20))(
+        (1L + rnd.nextInt(n).toLong, 1L + rnd.nextInt(n).toLong,
+          1L + rnd.nextInt(5).toLong))
+        .filter(e => e._1 != e._2)
+      val sym = (es ++ es.map(e => (e._2, e._1, e._3)))
+        .toDF("src", "dst", "w")
+      val s = 2L + rnd.nextInt(8).toLong
+      val conv = GraphOps.kCoreWeightedConverged(sym, "src", "dst", "w",
+          s = s, maxRounds = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      drain()
+      val unroll = GraphOps.kCoreWeighted(sym, "src", "dst", "w",
+          s = s, rounds = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      drain()
+      assert(conv === unroll, s"trial=$trial s=$s edges=$es")
+    }
+  }
+
+  test("kCoreWeightedConverged reaches the s-core fixpoint early") {
+    import spark.implicits._
+    import graft.functions.GraphOps
+    // triangle of weight-3 edges survives s=5 (strength 6 inside the
+    // core); the pendant (4) and its anchor-boost die in round 1-2; a
+    // fixpoint well before maxRounds=10
+    val es = Seq((1L, 2L, 3L), (2L, 3L, 3L), (3L, 1L, 3L), (1L, 4L, 3L))
+    val sym = (es ++ es.map(e => (e._2, e._1, e._3))).toDF("src", "dst", "w")
+    val got = GraphOps.kCoreWeightedConverged(sym, "src", "dst", "w",
+        s = 5L, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    drain()
+    assert(got === Map(1L -> 6L, 2L -> 6L, 3L -> 6L))
+  }
+
   test("StreamRunner restores session confs when start() throws") {
     import spark.implicits._
     val retKey = "spark.sql.streaming.numRecentProgressUpdates"

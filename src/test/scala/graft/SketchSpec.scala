@@ -593,4 +593,40 @@ class CorpusCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no cluster census"))
   }
+
+  test("persisted catalog answers containment posture identically to the " +
+    "direct profile") {
+    import spark.implicits._
+    import graft.functions.JaccardJoin
+    val d = (0 until 10).map(i => (i.toLong, s"a b c d$i e f g h i j k"))
+      .toDF("doc_id", "text")
+    // a verdict mix with repeated (verdict, fan-in) pairs so the census
+    // genuinely compresses: 4 keeps at nc=0, 2 keeps at nc=1 (mutual
+    // survivors), 3 drops at nc=1, 1 drop at nc=3
+    val verdicts = Seq(
+      (0L, "keep", 0L), (1L, "keep", 0L), (2L, "keep", 0L), (3L, "keep", 0L),
+      (4L, "keep", 1L), (5L, "keep", 1L),
+      (6L, "drop", 1L), (7L, "drop", 1L), (8L, "drop", 1L),
+      (9L, "drop", 3L)).toDF("doc_id", "verdict", "n_containers")
+    val path = java.nio.file.Files.createTempDirectory("catalog_cont").toString
+    CorpusCatalog.append(d, "doc_id", "text", path, "rel",
+      containmentVerdicts = Some(verdicts))
+    val fromCatalog = JaccardJoin.containmentProfileFromCensus(
+      CorpusCatalog.containmentCensus(spark, path, "rel"))
+      .collect().head
+    val direct = JaccardJoin.containmentProfile(verdicts).collect().head
+    assert(fromCatalog === direct) // catalog path == direct path
+    assert(direct.getAs[Long]("n_docs") === 10L)
+    assert(direct.getAs[Long]("n_keep") === 6L)
+    assert(direct.getAs[Long]("n_drop") === 4L)
+    assert(direct.getAs[Long]("n_contained") === 6L)
+    assert(direct.getAs[Long]("max_containers") === 3L)
+    assert(direct.getAs[Long]("n_container_edges") === 8L)
+    // and the loud-failure contract on a row appended without verdicts
+    CorpusCatalog.append(d, "doc_id", "text", path, "bare")
+    val e = intercept[IllegalArgumentException] {
+      CorpusCatalog.containmentCensus(spark, path, "bare").collect()
+    }
+    assert(e.getMessage.contains("no containment census"))
+  }
 }
