@@ -39,7 +39,8 @@ object CorpusCatalog {
                 csDepth: Int = 5, csWidth: Int = 2048,
                 domainCol: Option[String] = None,
                 clusterLabels: Option[DataFrame] = None,
-                containmentVerdicts: Option[DataFrame] = None): DataFrame = {
+                containmentVerdicts: Option[DataFrame] = None,
+                topGrams: Option[Int] = None): DataFrame = {
     // the S4 persist-where-reused rule: the doc-stats branch and the
     // gram-sketch branch both read the same projection; without the
     // persist, Spark scans the dump TWICE (aggregate branches don't
@@ -109,15 +110,38 @@ object CorpusCatalog {
         "ARRAY<STRUCT<verdict: STRING, nc: BIGINT, cnt: BIGINT>>) " +
         "AS containment_census")
     }
+    // round 16: the TOP-K GRAM CENSUS rides the row too — the exact
+    // (gram-hash, doc-frequency) rows of the dump's K most widespread
+    // 3-gram shingles (ties to the smaller hash), K rows of two longs.
+    // Together with the CMS already on the row it makes gram-level
+    // heavy-hitter DRIFT ([[heavyGramDriftFromRows]]) pure catalog math:
+    // exact counts for each release's own top set, CMS point estimates
+    // for the other release's counts of grams outside its top set —
+    // "which boilerplate surged between releases" with zero corpus
+    // passes at question time. The census is a second gram-level
+    // aggregate (the top-k runs over the census, never the corpus);
+    // the gram stream re-derives from the PERSISTED base projection, so
+    // the scan never repeats (the shingle hashing does, once — cheaper
+    // than persisting the corpus-sized exploded gram frame).
+    val gramTop = topGrams match {
+      case Some(kk) => grams
+        .groupBy(col("sh")).agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("sh")).limit(kk)
+        .agg(sort_array(collect_list(struct(col("sh"), col("cnt"))))
+          .as("gram_topk"))
+      case None => docs.sparkSession.sql("SELECT CAST(NULL AS " +
+        "ARRAY<STRUCT<sh: BIGINT, cnt: BIGINT>>) AS gram_topk")
+    }
     stats.crossJoin(broadcast(sketch)).crossJoin(broadcast(census))
       .crossJoin(broadcast(clusterCensus)).crossJoin(broadcast(containCensus))
+      .crossJoin(broadcast(gramTop))
       .select(lit(dumpId).as("dump_id"), col("n_docs"), col("n_tokens"),
         col("mean_quality"), col("sketch"), lit(k).as("k"),
         Sketches.kmvEstimate(col("sketch"), k).as("est_distinct_grams"),
         col("cms"), lit(cmsDepth).as("cms_depth"), lit(cmsWidth).as("cms_width"),
         col("cs"), lit(csDepth).as("cs_depth"), lit(csWidth).as("cs_width"),
         col("domain_census"), col("cluster_census"),
-        col("containment_census"))
+        col("containment_census"), col("gram_topk"))
   }
 
   /** Append one dump's catalog row. */
@@ -127,9 +151,11 @@ object CorpusCatalog {
              csDepth: Int = 5, csWidth: Int = 2048,
              domainCol: Option[String] = None,
              clusterLabels: Option[DataFrame] = None,
-             containmentVerdicts: Option[DataFrame] = None): Unit =
+             containmentVerdicts: Option[DataFrame] = None,
+             topGrams: Option[Int] = None): Unit =
     summarize(docs, idCol, textCol, dumpId, k, cmsDepth, cmsWidth,
-        csDepth, csWidth, domainCol, clusterLabels, containmentVerdicts)
+        csDepth, csWidth, domainCol, clusterLabels, containmentVerdicts,
+        topGrams)
       .write.mode("append").parquet(path)
 
   /** All pairwise dump overlaps from the persisted catalog alone — no
@@ -299,6 +325,113 @@ object CorpusCatalog {
         col("n_contained_b") - col("n_contained_a"))
       .withColumn("d_edges",
         col("n_container_edges_b") - col("n_container_edges_a"))
+  }
+
+  /** One release's top-K gram census exploded back out of its catalog
+    * row — (sh, cnt) rows, the input shape [[heavyGramDriftFromRows]]
+    * consumes. Fails loudly on a missing/duplicated dump or a row
+    * appended without `topGrams` (splicing an empty top set would
+    * silently read every gram of the other release as a total surge).
+    */
+  def gramTopk(spark: SparkSession, path: String,
+               dumpId: String): DataFrame = {
+    val cat = spark.read.option("mergeSchema", "true").parquet(path)
+    require(cat.columns.contains("gram_topk"),
+      s"catalog at $path predates the gram_topk column (round-16 " +
+        "appends carry it); re-append the dumps before splicing " +
+        "heavy-gram drift")
+    val rows = cat.where(col("dump_id") === dumpId)
+    val n = rows.count()
+    require(n == 1, s"catalog at $path has $n rows for dump '$dumpId'; " +
+      "gramTopk needs exactly one")
+    require(rows.where(col("gram_topk").isNotNull).count() == 1,
+      s"catalog row for dump '$dumpId' at $path carries no top-gram " +
+        "census (appended without topGrams); splicing an empty top set " +
+        "would read as a total surge - re-append the dump with topGrams " +
+        "set")
+    explodeGramTopk(rows)
+  }
+
+  /** The explode half of [[gramTopk]], usable on an in-memory
+    * [[summarize]] row too (the d165 query path). */
+  def explodeGramTopk(row: DataFrame): DataFrame =
+    row.select(explode(col("gram_topk")).as("gt"))
+      .select(col("gt.sh").as("sh"), col("gt.cnt").as("cnt"))
+
+  /** Gram-level heavy-hitter DRIFT between two releases from their
+    * catalog rows alone — "which boilerplate/slop grams surged
+    * release-over-release" with ZERO corpus passes at question time
+    * (the [[overlaps]] promise applied to the d91 heavy-hitter signal).
+    *
+    * For every gram hash in EITHER release's stored top-K census:
+    * exact doc-frequency where the gram made that release's top set,
+    * the release's stored-CMS point estimate where it did not (the
+    * sketch was built over the same gram stream at append time). Output
+    * one row per candidate gram: `(sh, in_top_a, in_top_b, est_a,
+    * est_b, surge = est_b − est_a)`.
+    *
+    * Estimate direction is CONSERVATIVE for surge detection: the CMS
+    * never undercounts, so a gram new to release B's top set has its
+    * A-side count OVERestimated and its surge UNDERestimated — no false
+    * surges from sketch error (misses need the true surge to sit within
+    * CMS error, ≈ e/width of the gram stream). Both frames are K rows;
+    * the join is broadcast-sized by construction.
+    */
+  def heavyGramDriftFromRows(rowA: DataFrame, rowB: DataFrame,
+                             cmsDepth: Int = 4,
+                             cmsWidth: Int = 2048): DataFrame = {
+    val ta = explodeGramTopk(rowA).select(col("sh"), col("cnt").as("cnt_a"))
+    val tb = explodeGramTopk(rowB).select(col("sh"), col("cnt").as("cnt_b"))
+    val skA = rowA.select(col("cms").as("cms_a"))
+    val skB = rowB.select(col("cms").as("cms_b"))
+    ta.join(tb, Seq("sh"), "full_outer")
+      .crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+      .select(col("sh"),
+        col("cnt_a").isNotNull.cast("int").as("in_top_a"),
+        col("cnt_b").isNotNull.cast("int").as("in_top_b"),
+        coalesce(col("cnt_a"),
+          Sketches.cmsEstimate(col("cms_a"), col("sh"), cmsDepth, cmsWidth))
+          .as("est_a"),
+        coalesce(col("cnt_b"),
+          Sketches.cmsEstimate(col("cms_b"), col("sh"), cmsDepth, cmsWidth))
+          .as("est_b"))
+      .withColumn("surge", col("est_b") - col("est_a"))
+  }
+
+  /** [[heavyGramDriftFromRows]] against the PERSISTED catalog: reads the
+    * two dumps' rows, validates uniform CMS dimensions (they parameterize
+    * the estimator the same way k does for [[overlaps]]), and runs the
+    * shared combine — one definition with the in-memory path, cannot
+    * drift.
+    */
+  def heavyGramDrift(spark: SparkSession, path: String,
+                     dumpA: String, dumpB: String): DataFrame = {
+    val cat = spark.read.option("mergeSchema", "true").parquet(path)
+    require(cat.columns.contains("gram_topk") && cat.columns.contains("cms"),
+      s"catalog at $path predates the gram_topk/cms columns; re-append " +
+        "the dumps before splicing heavy-gram drift")
+    def row(id: String): DataFrame = {
+      val r = cat.where(col("dump_id") === id)
+      val n = r.count()
+      require(n == 1, s"catalog at $path has $n rows for dump '$id'; " +
+        "heavyGramDrift needs exactly one")
+      require(r.where(col("gram_topk").isNotNull && col("cms").isNotNull)
+          .count() == 1,
+        s"catalog row for dump '$id' at $path carries no top-gram census " +
+          "or no CMS (appended without topGrams, or pre-round-12); " +
+          "re-append the dump before splicing heavy-gram drift")
+      r
+    }
+    val (ra, rb) = (row(dumpA), row(dumpB))
+    val dims = ra.unionByName(rb)
+      .select(col("cms_depth"), col("cms_width")).distinct().collect()
+      .map(x => (Option(x.getAs[Integer](0)).map(_.toInt),
+        Option(x.getAs[Integer](1)).map(_.toInt)))
+    require(dims.length == 1 && dims.head._1.isDefined && dims.head._2.isDefined,
+      s"catalog at $path mixes CMS dimensions ${dims.mkString(",")} " +
+        "across the two dumps; heavyGramDrift needs one uniform " +
+        "(depth, width)")
+    heavyGramDriftFromRows(ra, rb, dims.head._1.get, dims.head._2.get)
   }
 
   /** Release-over-release source-mixture drift answered from the CATALOG

@@ -530,4 +530,39 @@ object Multimodal {
     */
   private def intDiv(a: Column, b: Column): Column =
     floor(a.cast("double") / b.cast("double")).cast("int")
+
+  /** The grayscale pixel array of a fixed-size thumbnail BLOB: byte i of
+    * the blob is pixel i (row-major), decoded to INT 0–255. This is the
+    * expression form of the step a perceptual hasher runs after decode +
+    * resize: the blob IS the tiny grayscale thumbnail (a real codec
+    * plugged into the [[MediaCodec]] seam produces it in production;
+    * tests synthesize it), so pixel access is codegen'd byte math over
+    * the scan — no UDF, no shuffle, and the blob never leaves its
+    * partition. Fixed `nPixels` keeps the unrolled extraction inside
+    * whole-stage codegen (a thumbnail grid is a constant of the hasher,
+    * never data-dependent).
+    */
+  def grayPixels(bin: Column, nPixels: Int): Column =
+    array((0 until nPixels).map(i =>
+      conv(substring(hex(bin), i * 2 + 1, 2), 16, 10).cast("int")): _*)
+
+  /** 64-bit difference hash (dHash) over a 9×8 grayscale grid (the
+    * classic perceptual-hash layout: 8 rows × 8 left-vs-right
+    * comparisons over 9 columns): bit r·8+c is set when
+    * pixel(r,c) < pixel(r,c+1), pixels row-major as produced by
+    * [[grayPixels]](bin, 72). Brightness/contrast-invariant (any
+    * monotone per-image tone curve preserves every comparison), and a
+    * single-pixel perturbation flips at most 2 bits — the locality the
+    * hamming near-dup banding ([[SimHash.hammingPairs]]) exploits.
+    * Distinct powers of two sum overflow-free left-to-right; the top
+    * term is Long.MinValue (two's complement sign bit), added last —
+    * the same assembly as [[SimHash]]'s sketch.
+    */
+  def dHash64(pixels: Column): Column =
+    (0 until 64).map { k =>
+      val r = k / 8
+      val c = k % 8
+      when(element_at(pixels, r * 9 + c + 1) < element_at(pixels, r * 9 + c + 2),
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

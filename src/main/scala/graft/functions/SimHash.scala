@@ -89,6 +89,20 @@ object SimHash {
                      maxHamming: Int = 3): DataFrame =
     bandedPairs(simhash64(df, idCol, textCol), idCol, 64, maxHamming)
 
+  /** The banding + verify machinery over an ALREADY-COMPUTED sketch
+    * column — the same pigeonhole candidate generation [[nearDupPairs64]]
+    * runs on text SimHashes, opened to any fixed-width bit sketch (e.g.
+    * a perceptual image hash from [[Multimodal.dHash64]]): split into
+    * `maxHamming + 1` bands, candidates from the (band, key) EQUIJOIN
+    * (never all-pairs), exact hamming verify on candidates only.
+    * Returns (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingPairs(sketch: DataFrame, idCol: String, sketchCol: String,
+                   width: Int, maxHamming: Int = 3): DataFrame =
+    bandedPairs(
+      sketch.select(col(idCol), col(sketchCol).cast("long").as("simhash")),
+      idCol, width, maxHamming)
+
   private def bandedPairs(sh: DataFrame, idCol: String, width: Int,
                           maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < width,

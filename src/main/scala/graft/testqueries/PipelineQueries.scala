@@ -1190,6 +1190,84 @@ object PipelineQueries {
       graft.functions.CorpusCatalog.containmentDrift(s, path, "relA", "relB")
     },
 
+    // Perceptual-hash media near-dup (round 16): the media family decodes
+    // (d09/d10/d29/d98/d101/d122) but never DEDUPS the media itself —
+    // this is the image near-dup gate a multimodal pipeline runs after
+    // thumbnailing: BLOB → 9×8 grayscale pixel bytes → 64-bit dHash
+    // (bit = left<right neighbor comparison, tone-curve invariant) →
+    // the SAME pigeonhole banding machinery as text SimHash (4×16-bit
+    // band equijoin, exact hamming verify on candidates only; never
+    // all-pairs). Thumbnails are synthesized in pixel space — two docs
+    // share a base image, odd docs perturb one pixel (re-encode noise,
+    // flips ≤ 2 dHash bits) — and round-trip through a REAL binary blob,
+    // so the byte-extraction plumbing is the deployed path. Hamming ≤ 3
+    // keeps the perturbed variants and rejects unrelated images (~32
+    // bits apart). Map-side until the band equijoin; candidates are
+    // band-bucket-bounded exactly as d21.
+    "d164_phash_neardup" -> { (s, dir) =>
+      val img = expr("doc_id div 2")
+      def pix(r: Int, c: Int): Column = {
+        val base = conv(substring(
+          md5(concat_ws(":", img, lit(r), lit(c))), 1, 2), 16, 10)
+          .cast("long")
+        when(pmod(col("doc_id"), lit(2)) === 1 &&
+            pmod(img, lit(8)) === r && pmod(img, lit(9)) === c,
+          pmod(base + 60, lit(256))).otherwise(base)
+      }
+      val hexParts =
+        for { r <- 0 until 8; c <- 0 until 9 } yield lpad(hex(pix(r, c)), 2, "0")
+      val thumbs = docs(s, dir).select(col("doc_id"),
+        unhex(concat(hexParts: _*)).as("blob"))
+      val hashed = thumbs.select(col("doc_id"),
+        Multimodal.dHash64(Multimodal.grayPixels(col("blob"), 72)).as("phash"))
+      SimHash.hammingPairs(hashed, "doc_id", "phash", 64, maxHamming = 3)
+    },
+
+    // Catalog-answered heavy-gram drift (round 16): "which boilerplate/
+    // slop grams SURGED release-over-release" — the d91 heavy-hitter
+    // signal moved into the d150 catalog pattern. Each release's row
+    // stores its exact top-K gram census next to the CMS it already
+    // carries; drift is then pure catalog math over two K-row frames:
+    // exact counts where a gram made a release's top set, that release's
+    // CMS point estimate where it did not (conservative — CMS never
+    // undercounts, so surges are never overstated). Zero corpus passes
+    // at question time; at append time the top-k runs over the gram
+    // CENSUS, never sorts the corpus.
+    "d165_catalog_heavy_drift" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val relA = graft.functions.CorpusCatalog.summarize(
+        d.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+        "relA", topGrams = Some(20))
+      val relB = graft.functions.CorpusCatalog.summarize(
+        d.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        "relB", topGrams = Some(20))
+      graft.functions.CorpusCatalog.heavyGramDriftFromRows(relA, relB)
+    },
+
+    // The live twin of d91 (round 16): the (source, token) census
+    // maintained as update-mode streaming state, then the SAME top-5
+    // window the batch row runs — streamed == batch bit-for-bit because
+    // the census semantics are shared. State is one row per live
+    // (source, token) pair: VOCABULARY-sized (the same bound as d91's
+    // batch census shuffle), not corpus-sized; if the vocabulary
+    // outgrows the state store at 100 TB, the knob is a SpaceSaving-
+    // style capped synopsis — a semantics change this row deliberately
+    // does not make, so the oracle stays exact.
+    "d166_heavy_hitters_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val census = stream
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).cast("long").as("cnt"))
+      val live = graft.streaming.StreamRunner.runToBatch(census,
+        "d166_heavy_hitters_stream", mode = "update")
+      live.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("cnt").desc, col("tok"))))
+        .where(col("rk") <= 5)
+    },
+
     // Weighted modularity of the weighted LPA communities (round 14):
     // the d139 gate in the weighted regime — strong duplicate edges
     // count proportionally in BOTH the vote (d147) and the score, so a
@@ -2583,6 +2661,34 @@ object PipelineQueries {
        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
        FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming"""
 
+  /** DuckDB replay of the d164 perceptual-hash sketch: the synthesized
+    * 9×8 thumbnail pixels closed-form from (img, r, c) — base byte from
+    * md5, one perturbed pixel on odd ids — then the dHash assembly
+    * (bit r·8+c when pixel(r,c) < pixel(r,c+1); bit 63 is the BIGINT
+    * sign bit, assembled as −2^63 exactly like the SimHash oracles'
+    * top term). Ends as a `(doc_id, simhash)` SELECT so
+    * [[simhashDupSqlFor]] bands it unchanged.
+    */
+  private lazy val PhashSketchSql: String = {
+    val md5px = "md5(CAST(doc_id // 2 AS VARCHAR) || ':' || " +
+      "CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR))"
+    s"""WITH px AS (SELECT doc_id, r, c,
+          CASE WHEN doc_id % 2 = 1 AND (doc_id // 2) % 8 = r
+                AND (doc_id // 2) % 9 = c
+            THEN (CAST(('0x' || substr($md5px, 1, 2)) AS BIGINT) + 60) % 256
+            ELSE CAST(('0x' || substr($md5px, 1, 2)) AS BIGINT) END AS p
+        FROM documents CROSS JOIN range(8) t1(r) CROSS JOIN range(9) t2(c))
+      SELECT a.doc_id,
+        CAST(sum(CASE WHEN a.p < b.p THEN
+            CASE WHEN a.r * 8 + a.c = 63 THEN -9223372036854775807 - 1
+                 ELSE (CAST(1 AS BIGINT) << CAST(a.r * 8 + a.c AS INT)) END
+            ELSE 0 END) AS BIGINT) AS simhash
+      FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r
+        AND b.c = a.c + 1
+      WHERE a.c < 8
+      GROUP BY a.doc_id"""
+  }
+
   /** DuckDB replay of the 60-bit hashed 3-gram shingle sets — shared by the
     * MinHash (d05/d12) and exact-Jaccard (d22) oracles, so every
     * set-similarity oracle agrees on what "the shingle set" is.
@@ -3357,14 +3463,7 @@ object PipelineQueries {
              AS model_score
          FROM documents""",
     // d91: the census + top-k window replayed.
-    "d91_heavy_hitters" ->
-      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
-           FROM documents),
-         c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
-         r AS (SELECT source, tok, CAST(n AS BIGINT) AS cnt,
-             row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
-           FROM c)
-         SELECT source, tok, cnt, rk FROM r WHERE rk <= 5""",
+    "d91_heavy_hitters" -> HeavyHittersSql,
     // d99: the streamed twin of d92 — identical replay (one micro-batch
     // over the finite source, update mode emits each domain's final
     // sketch once).
@@ -3799,6 +3898,19 @@ object PipelineQueries {
            n_contained_b - n_contained_a AS d_contained,
            n_container_edges_b - n_container_edges_a AS d_edges
          FROM pa, pb""",
+    // d164: the thumbnail pixels closed-form from (img, r, c), the dHash
+    // bit assembly, then the SAME banding+verify generator as d20/d21
+    // over the resulting sketch CTE — one banding oracle for text and
+    // image sketches, cannot drift.
+    "d164_phash_neardup" -> simhashDupSqlFor(PhashSketchSql, 4, 16, 3),
+    // d165: per-parity-release gram streams, exact top-20 censuses, CMS
+    // bucket tables, and the full-outer combine with min-over-rows CMS
+    // point estimates for the missing side (absent buckets read as the
+    // stored zeros they are).
+    "d165_catalog_heavy_drift" -> HeavyGramDriftSql,
+    // d166: the streamed census feeds the SAME top-5 window as d91, so
+    // one oracle definition covers both paths by construction.
+    "d166_heavy_hitters_stream" -> HeavyHittersSql,
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->
@@ -5714,6 +5826,73 @@ object PipelineQueries {
            SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
              i -> array_to_string(w[i+1:i+3], ' '))) AS gt
            FROM words WHERE len(w) >= 3))"""
+
+  /** The d91 heavy-hitter census + top-5 window — shared verbatim by the
+    * batch row (d91) and its streaming twin (d166): the Spark sides share
+    * the census semantics, so one oracle covers both by construction.
+    */
+  private lazy val HeavyHittersSql: String =
+    """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+         FROM documents),
+       c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+       r AS (SELECT source, tok, CAST(n AS BIGINT) AS cnt,
+           row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
+         FROM c)
+       SELECT source, tok, cnt, rk FROM r WHERE rk <= 5"""
+
+  /** DuckDB replay of the d165 catalog heavy-gram drift: per-parity-
+    * release distinct-gram streams (the CmsGramCte derivation restricted
+    * by parity), exact top-20 censuses, CMS bucket tables, and the
+    * full-outer combine with min-over-rows CMS point estimates for the
+    * side a gram's top set misses — absent bucket rows read as the
+    * stored zeros they are (the engine's CMS array holds explicit 0s).
+    */
+  private lazy val HeavyGramDriftSql: String = {
+    def gramCte(g: String, par: Int): String =
+      s"""words_$g AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents WHERE doc_id % 2 = $par),
+         g_$g AS (SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(gt), 1, 15)) AS BIGINT) AS h FROM (
+           SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))) AS gt
+           FROM words_$g WHERE len(w) >= 3))"""
+    def cmsCte(g: String): String =
+      s"""bc_$g AS (SELECT r, ${cmsBucketSql("h", "r", 2048)} AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM g_$g CROSS JOIN range(4) t(r) GROUP BY 1, 2)"""
+    def topCte(g: String): String =
+      s"""top_$g AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt
+           FROM g_$g GROUP BY h ORDER BY cnt DESC, h LIMIT 20)"""
+    def estCte(g: String): String =
+      s"""ce_$g AS (SELECT sel.sh, MIN(COALESCE(bc.c, 0)) AS e
+           FROM sel CROSS JOIN range(4) t(r)
+           LEFT JOIN bc_$g bc ON bc.r = t.r
+             AND bc.b = ${cmsBucketSql("sel.sh", "t.r", 2048)}
+           GROUP BY sel.sh)"""
+    s"""WITH ${gramCte("a", 0)},
+       ${gramCte("b", 1)},
+       ${cmsCte("a")},
+       ${cmsCte("b")},
+       ${topCte("a")},
+       ${topCte("b")},
+       sel AS (SELECT coalesce(ta.h, tb.h) AS sh, ta.cnt AS cnt_a,
+           tb.cnt AS cnt_b
+         FROM top_a ta FULL OUTER JOIN top_b tb ON ta.h = tb.h),
+       ${estCte("a")},
+       ${estCte("b")}
+       SELECT sel.sh,
+         CAST(CASE WHEN sel.cnt_a IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS in_top_a,
+         CAST(CASE WHEN sel.cnt_b IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS in_top_b,
+         CAST(coalesce(sel.cnt_a, ea.e) AS BIGINT) AS est_a,
+         CAST(coalesce(sel.cnt_b, eb.e) AS BIGINT) AS est_b,
+         CAST(coalesce(sel.cnt_b, eb.e) - coalesce(sel.cnt_a, ea.e)
+           AS BIGINT) AS surge
+       FROM sel
+       JOIN ce_a ea ON ea.sh = sel.sh
+       JOIN ce_b eb ON eb.sh = sel.sh"""
+  }
 
   private lazy val CmsFreqSql: String =
     s"""WITH $CmsGramCte,

@@ -1039,6 +1039,101 @@ class SimHashDupSpec extends SparkSpec {
   }
 }
 
+/** The d164 perceptual-hash chain: blob → grayscale pixels → dHash →
+  * generic hamming banding.
+  */
+class PHashSpec extends SparkSpec {
+
+  import graft.functions.{Multimodal, SimHash}
+
+  private def dhashOf(pixelRows: Seq[(Long, Seq[Int])]): Map[Long, Long] = {
+    import spark.implicits._
+    pixelRows.toDF("id", "px")
+      .select(col("id"), Multimodal.dHash64(col("px")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // the sequential dHash reference model
+  private def dhashModel(px: Seq[Int]): Long =
+    (0 until 64).map { k =>
+      val r = k / 8; val c = k % 8
+      if (px(r * 9 + c) < px(r * 9 + c + 1)) 1L << k else 0L
+    }.sum
+
+  test("grayPixels round-trips blob bytes as 0-255 ints (incl. 0x00/0x0F/0xFF)") {
+    import spark.implicits._
+    val bytes = (Seq(0x00, 0x0F, 0xFF, 0x80, 0x01) ++
+      (5 until 72).map(i => (i * 7) % 256)).map(_.toByte).toArray
+    val got = Seq((1L, bytes)).toDF("id", "blob")
+      .select(Multimodal.grayPixels(col("blob"), 72).as("px"))
+      .head().getSeq[Int](0)
+    assert(got === bytes.map(b => b & 0xFF).toSeq)
+  }
+
+  test("dHash64 matches the sequential model and flips <= 2 bits per pixel perturbation") {
+    val rnd = new scala.util.Random(42)
+    val bases = (0 until 20).map(i =>
+      i.toLong -> Seq.fill(72)(rnd.nextInt(256)))
+    val got = dhashOf(bases)
+    bases.foreach { case (id, px) => assert(got(id) === dhashModel(px), id) }
+    // single-pixel perturbation: a pixel participates in at most 2
+    // comparisons, so hamming(base, perturbed) <= 2 — the locality the
+    // d164 banding budget (maxHamming=3) rides on
+    val perturbed = bases.map { case (id, px) =>
+      val at = rnd.nextInt(72)
+      (id + 1000L, px.updated(at, (px(at) + 60) % 256))
+    }
+    val got2 = dhashOf(bases ++ perturbed)
+    bases.foreach { case (id, _) =>
+      val h = java.lang.Long.bitCount(got2(id) ^ got2(id + 1000L))
+      assert(h <= 2, s"perturbation flipped $h bits")
+    }
+  }
+
+  test("dHash64 is invariant under any monotone per-image tone curve") {
+    val rnd = new scala.util.Random(7)
+    val px = Seq.fill(72)(rnd.nextInt(200))
+    val toned = px.map(p => p / 2 + 28) // monotone NON-strict is not safe;
+    // p/2 merges adjacent values and may flip < into ==, so use a strictly
+    // monotone curve instead for the invariance claim:
+    val strict = px.map(p => math.min(255, p + 55))
+    val got = dhashOf(Seq((1L, px), (2L, strict)))
+    assert(got(1L) === got(2L))
+    // and the non-strict curve is allowed to differ — no assertion on
+    // `toned` beyond it computing at all
+    dhashOf(Seq((3L, toned)))
+  }
+
+  test("hammingPairs equals brute force over planted near-dups and random sketches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 30).map(i => i.toLong -> rnd.nextLong())
+    // plant near-dups at hamming 1..3 and one exact dup
+    def flip(h: Long, n: Int): Long = {
+      var x = h
+      rnd.shuffle((0 until 64).toList).take(n).foreach(b => x ^= (1L << b))
+      x
+    }
+    val planted = Seq(
+      100L -> base(0)._2, // hamming 0
+      101L -> flip(base(1)._2, 1),
+      102L -> flip(base(2)._2, 3),
+      103L -> flip(base(3)._2, 4)) // just over budget: must NOT pair via verify
+    val all = base ++ planted
+    val df = all.toDF("id", "sk")
+    val got = SimHash.hammingPairs(df, "id", "sk", 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 0) && want.exists(_._3 == 1) &&
+      want.exists(_._3 == 3)) // non-vacuous: the planted pairs are in
+    CacheRegistry.releaseAll()
+  }
+}
+
 class VectorOpsSpec extends SparkSpec {
 
   test("cosine matches hand computation") {

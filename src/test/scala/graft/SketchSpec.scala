@@ -629,4 +629,57 @@ class CorpusCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no containment census"))
   }
+
+  test("persisted catalog answers heavy-gram drift identically to " +
+    "in-memory rows, with conservative CMS estimates") {
+    import spark.implicits._
+    // release A: gram "a b c" in every doc; release B: it survives in 2
+    // docs while "x y z" surges into every doc — the drift must read the
+    // surge from exact top-set counts and fill the missing sides from CMS
+    val a = (0 until 8).map(i => (i.toLong, s"a b c pad$i"))
+      .toDF("doc_id", "text")
+    val b = ((0 until 2).map(i => (100L + i, s"a b c pad$i")) ++
+      (2 until 10).map(i => (100L + i, s"x y z pad$i")))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("catalog_heavy").toString
+    CorpusCatalog.append(a, "doc_id", "text", path, "relA",
+      topGrams = Some(3))
+    CorpusCatalog.append(b, "doc_id", "text", path, "relB",
+      topGrams = Some(3))
+    val fromCatalog = CorpusCatalog.heavyGramDrift(spark, path, "relA", "relB")
+    val direct = CorpusCatalog.heavyGramDriftFromRows(
+      CorpusCatalog.summarize(a, "doc_id", "text", "relA", topGrams = Some(3)),
+      CorpusCatalog.summarize(b, "doc_id", "text", "relB", topGrams = Some(3)))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+    val got = keyed(fromCatalog)
+    assert(got === keyed(direct)) // catalog path == in-memory path
+    // semantics: every doc's distinct-gram doc-frequency is exact where
+    // the gram made the top set, and the CMS fill never undercounts —
+    // so no gram's surge is overstated
+    val abc = graft.functions.MinHashLSH
+      .shingles(a.limit(1), "doc_id", "text", 3)
+      .collect() // 2 grams per 4-word doc; just sanity that grams exist
+    assert(abc.length === 2)
+    // "a b c" is top in A (8 docs) and top in B (2 docs): exact on both
+    val inBoth = got.filter { case (_, v) => v._1 == 1 && v._2 == 1 }
+    assert(inBoth.exists { case (_, v) => v._3 === 8L && v._4 === 2L &&
+      v._5 === -6L })
+    // "x y z"-side grams: top in B at 8 docs, CMS-estimated on the A side
+    // where they never occur — the estimate is >= 0 and the conservative
+    // direction bounds the surge from below: est_a >= true 0 ⇒ surge <= 8
+    val onlyB = got.filter { case (_, v) => v._1 == 0 && v._2 == 1 }
+    assert(onlyB.nonEmpty)
+    onlyB.values.foreach { v =>
+      assert(v._3 >= 0L && v._4 === 8L && v._5 <= 8L)
+    }
+    // loud-failure contract on a row appended without topGrams
+    CorpusCatalog.append(a, "doc_id", "text", path, "bare")
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusCatalog.gramTopk(spark, path, "bare").collect()
+    }
+    assert(e2.getMessage.contains("no top-gram census"))
+  }
 }
