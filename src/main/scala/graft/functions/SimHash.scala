@@ -103,23 +103,32 @@ object SimHash {
       sketch.select(col(idCol), col(sketchCol).cast("long").as("simhash")),
       idCol, width, maxHamming)
 
-  private def bandedPairs(sh: DataFrame, idCol: String, width: Int,
-                          maxHamming: Int): DataFrame = {
+  /** The band-key ARRAY for a fixed-width bit sketch under pigeonhole
+    * banding: band b = bits [b·bw, (b+1)·bw), the tail band keeping the
+    * remainder bits so every bit belongs to exactly one band. The SINGLE
+    * key derivation shared by the self-join ([[hammingPairs]]) and the
+    * stream-static tag ([[graft.streaming.DocStream.mediaDupTag]]), so
+    * the two sides of a band equijoin can never drift. shiftright
+    * sign-extends on the 64-bit sketch's negative values; the mask makes
+    * the key exact either way. A full-width band (maxHamming=0 on the
+    * 64-bit sketch) masks with -1: (1L << 64) wraps to 1, which would
+    * zero every key and degenerate the equijoin into all-pairs.
+    */
+  def bandKeys(sketch: Column, width: Int, maxHamming: Int): Column = {
     require(maxHamming >= 0 && maxHamming < width,
       s"maxHamming=$maxHamming out of [0,$width)")
     val nBands = maxHamming + 1
     val bw = width / nBands
-    // band b = bits [b*bw, (b+1)*bw); the tail band keeps the remainder
-    // bits so every bit belongs to exactly one band. shiftright
-    // sign-extends on the 64-bit sketch's negative values; the mask makes
-    // the key exact either way. A full-width band (k=0 on the 64-bit
-    // sketch) masks with -1: (1L << 64) wraps to 1, which would zero every
-    // key and degenerate the equijoin into all-pairs.
-    val keys = array((0 until nBands).map { b =>
+    array((0 until nBands).map { b =>
       val bits = if (b == nBands - 1) width - b * bw else bw
       val mask = if (bits >= 64) -1L else (1L << bits) - 1
-      shiftright(col("simhash"), b * bw).bitwiseAND(lit(mask))
+      shiftright(sketch, b * bw).bitwiseAND(lit(mask))
     }: _*)
+  }
+
+  private def bandedPairs(sh: DataFrame, idCol: String, width: Int,
+                          maxHamming: Int): DataFrame = {
+    val keys = bandKeys(col("simhash"), width, maxHamming)
     // persisted before the self-join (the S4 rule, as in
     // MinHashLSH.nearDupPairs): both join sides read it, and the sketch
     // aggregation behind it is the dominant cost

@@ -97,6 +97,37 @@ object DocStream {
       .select(col(idCol), col("ref_id"), col("band"), col("jaccard"))
   }
 
+  /** Ingest-time MEDIA near-dup tag — [[nearDupTag]]'s shape for
+    * perceptual image hashes: arriving media rows (already carrying a
+    * fixed-width bit sketch, e.g. [[graft.functions.Multimodal.dHash64]])
+    * band-join the STANDING reference sketches under the SAME
+    * [[graft.functions.SimHash.bandKeys]] derivation both sides use (the
+    * two sides cannot drift), then the exact hamming verify runs on band
+    * collisions only. Stateless stream-static — no state store, no
+    * watermark; per arriving row the work is its band keys against a
+    * band-bucketed static frame. Emits one row per (doc, ref, band)
+    * collision that clears the budget: `(idCol, ref_id, band, hamming)`.
+    * The reference frame is recomputed per micro-batch unless the caller
+    * persists it — at scale, persist it (the [[nearDupTag]] note).
+    */
+  def mediaDupTag(media: DataFrame, refMedia: DataFrame,
+                  idCol: String = "doc_id", sketchCol: String = "phash",
+                  width: Int = 64, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.SimHash
+    def banded(df: DataFrame, id: String, sk: String): DataFrame =
+      df.select(col(idCol).as(id), col(sketchCol).cast("long").as(sk),
+          posexplode(SimHash.bandKeys(col(sketchCol).cast("long"),
+            width, maxHamming)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bkey")
+    banded(media, idCol, "sk")
+      .join(banded(refMedia, "ref_id", "ref_sk"), Seq("band", "bkey"))
+      .withColumn("hamming", SimHash.hamming(col("sk"), col("ref_sk")))
+      .where(col("hamming") <= maxHamming)
+      .select(col(idCol), col("ref_id"), col("band"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
   /** Verbatim-span contamination tag as a STREAMING stage — the d35 rule
     * (any exact n-gram shared with a static held-out benchmark set) applied
     * per arriving doc. Stateless stream-static LEFT SEMI on the gram hash:

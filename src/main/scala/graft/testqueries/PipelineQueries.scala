@@ -49,6 +49,31 @@ object PipelineQueries {
           threshold = 0.6, n = 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The d164/d167 perceptual-hash frame: synthesized 9×8 grayscale
+    * thumbnails (two docs share a base image; odd docs perturb one pixel
+    * — re-encode noise, ≤ 2 flipped dHash bits) round-tripped through a
+    * REAL binary blob, then hashed via the deployed byte-extraction
+    * chain. ONE builder for the batch near-dup row and the streaming tag
+    * row, so their hash sides cannot drift; pure Column expressions, so
+    * it runs identically on a batch or streaming frame.
+    */
+  private def phashed(df: DataFrame): DataFrame = {
+    val img = expr("doc_id div 2")
+    def pix(r: Int, c: Int): Column = {
+      val base = conv(substring(
+        md5(concat_ws(":", img, lit(r), lit(c))), 1, 2), 16, 10)
+        .cast("long")
+      when(pmod(col("doc_id"), lit(2)) === 1 &&
+          pmod(img, lit(8)) === r && pmod(img, lit(9)) === c,
+        pmod(base + 60, lit(256))).otherwise(base)
+    }
+    val hexParts =
+      for { r <- 0 until 8; c <- 0 until 9 } yield lpad(hex(pix(r, c)), 2, "0")
+    df.select(col("doc_id"), unhex(concat(hexParts: _*)).as("blob"))
+      .select(col("doc_id"),
+        Multimodal.dHash64(Multimodal.grayPixels(col("blob"), 72)).as("phash"))
+  }
+
   /** Symmetrized (both-directions) edge view of [[dupPairs]] — the input
     * contract of the degree-based graph operators.
     */
@@ -1205,22 +1230,27 @@ object PipelineQueries {
     // bits apart). Map-side until the band equijoin; candidates are
     // band-bucket-bounded exactly as d21.
     "d164_phash_neardup" -> { (s, dir) =>
-      val img = expr("doc_id div 2")
-      def pix(r: Int, c: Int): Column = {
-        val base = conv(substring(
-          md5(concat_ws(":", img, lit(r), lit(c))), 1, 2), 16, 10)
-          .cast("long")
-        when(pmod(col("doc_id"), lit(2)) === 1 &&
-            pmod(img, lit(8)) === r && pmod(img, lit(9)) === c,
-          pmod(base + 60, lit(256))).otherwise(base)
-      }
-      val hexParts =
-        for { r <- 0 until 8; c <- 0 until 9 } yield lpad(hex(pix(r, c)), 2, "0")
-      val thumbs = docs(s, dir).select(col("doc_id"),
-        unhex(concat(hexParts: _*)).as("blob"))
-      val hashed = thumbs.select(col("doc_id"),
-        Multimodal.dHash64(Multimodal.grayPixels(col("blob"), 72)).as("phash"))
-      SimHash.hammingPairs(hashed, "doc_id", "phash", 64, maxHamming = 3)
+      SimHash.hammingPairs(phashed(docs(s, dir)), "doc_id", "phash", 64,
+        maxHamming = 3)
+    },
+
+    // Ingest-time media dedup tag (round 16): the d80 stream-static
+    // pattern for IMAGES — the %10 split arrives as a stream, its
+    // thumbnails hash through the SAME phash chain as d164 (shared
+    // builder, cannot drift), and each arriving image band-joins the
+    // standing rest-of-corpus sketches (SimHash.bandKeys on both sides),
+    // hamming-verified on band collisions only. Stateless — no state
+    // store, no watermark; per arriving image the work is 4 band keys
+    // against a static band frame.
+    "d167_phash_tag_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+      val ref = phashed(d.where(pmod(col("doc_id"), lit(10)) =!= 0))
+      val tagged = graft.streaming.DocStream.mediaDupTag(
+        phashed(stream), ref, "doc_id", "phash")
+      graft.streaming.StreamRunner.runToBatch(tagged, "d167_phash_tag_stream")
     },
 
     // Catalog-answered heavy-gram drift (round 16): "which boilerplate/
@@ -3911,6 +3941,19 @@ object PipelineQueries {
     // d166: the streamed census feeds the SAME top-5 window as d91, so
     // one oracle definition covers both paths by construction.
     "d166_heavy_hitters_stream" -> HeavyHittersSql,
+    // d167: the shared phash sketch CTE banded asymmetrically (stream
+    // side %10=0, reference side the rest), one row per band collision
+    // clearing the hamming budget — the d80 oracle shape on bit sketches.
+    "d167_phash_tag_stream" ->
+      s"""WITH shs AS ($PhashSketchSql),
+         bnd AS (SELECT doc_id, simhash, CAST(b AS INT) AS band,
+             (simhash >> CAST(b * 16 AS INT)) & 65535 AS bkey
+           FROM shs CROSS JOIN range(4) t(b))
+         SELECT s.doc_id, r.doc_id AS ref_id, s.band,
+           CAST(bit_count(xor(s.simhash, r.simhash)) AS INT) AS hamming
+         FROM bnd s JOIN bnd r ON s.band = r.band AND s.bkey = r.bkey
+         WHERE s.doc_id % 10 = 0 AND r.doc_id % 10 != 0
+           AND bit_count(xor(s.simhash, r.simhash)) <= 3""",
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->

@@ -1132,6 +1132,29 @@ class PHashSpec extends SparkSpec {
       want.exists(_._3 == 3)) // non-vacuous: the planted pairs are in
     CacheRegistry.releaseAll()
   }
+
+  test("mediaDupTag equals the asymmetric brute force (batch-static run)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val probe = (0 until 12).map(i => (i.toLong, rnd.nextLong()))
+    val ref = (100 until 130).map(i => (i.toLong, rnd.nextLong())) ++
+      probe.take(4).map { case (id, h) => (id + 500, h ^ 3L) } // hamming 2
+    // mediaDupTag is pure projections + a band equijoin, so it runs
+    // identically on batch frames — the asymmetric (probe x ref only,
+    // never ref x ref) brute force is the model; pigeonhole says every
+    // within-budget pair collides in >= 1 band, so distinct-by-pair
+    // equality is exact
+    val got = graft.streaming.DocStream.mediaDupTag(
+        probe.toDF("doc_id", "phash"), ref.toDF("doc_id", "phash"))
+      .select("doc_id", "ref_id", "hamming").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (a, ha) <- probe; (b, hb) <- ref
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === want)
+    assert(want.size >= 4) // the planted near-dups are in
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
