@@ -557,6 +557,14 @@ object Multimodal {
     * Distinct powers of two sum overflow-free left-to-right; the top
     * term is Long.MinValue (two's complement sign bit), added last —
     * the same assembly as [[SimHash]]'s sketch.
+    *
+    * Pass a MATERIALIZED pixel column (a named alias from a previous
+    * projection), not an inline [[grayPixels]] expression: the hash
+    * references the array 128 times, and outside codegen's CSE an
+    * inlined array re-evaluates per reference — the shingleArrays
+    * lesson; CollapseProject keeps a non-cheap multiply-referenced
+    * alias apart, so the two-projection form evaluates it once per row
+    * (measured 12× on the d164 chain).
     */
   def dHash64(pixels: Column): Column =
     (0 until 64).map { k =>

@@ -59,19 +59,31 @@ object PipelineQueries {
     */
   private def phashed(df: DataFrame): DataFrame = {
     val img = expr("doc_id div 2")
-    def pix(r: Int, c: Int): Column = {
-      val base = conv(substring(
-        md5(concat_ws(":", img, lit(r), lit(c))), 1, 2), 16, 10)
-        .cast("long")
-      when(pmod(col("doc_id"), lit(2)) === 1 &&
-          pmod(img, lit(8)) === r && pmod(img, lit(9)) === c,
-        pmod(base + 60, lit(256))).otherwise(base)
-    }
-    val hexParts =
-      for { r <- 0 until 8; c <- 0 until 9 } yield lpad(hex(pix(r, c)), 2, "0")
-    df.select(col("doc_id"), unhex(concat(hexParts: _*)).as("blob"))
-      .select(col("doc_id"),
-        Multimodal.dHash64(Multimodal.grayPixels(col("blob"), 72)).as("phash"))
+    // base image: 72 pseudo-random bytes from FIVE md5 calls (16 pixel
+    // bytes each, not one md5 per pixel — a giant projection falls out of
+    // whole-stage codegen, and 72 interpreted md5s/row measured ~2 s at
+    // sf0.1; 5/row is ~0.3 s)
+    val hx = substring(concat((0 until 5).map(ch =>
+      md5(concat_ws(":", img, lit(ch)))): _*), 1, 144)
+    // odd ids perturb ONE pixel (re-encode noise) by hex surgery, so the
+    // BLOB is the perturbed image — pixel p at hex chars [2p+1, 2p+2]
+    val p = (pmod(img, lit(8)) * 9 + pmod(img, lit(9))).cast("int")
+    val origPix = conv(hx.substr(p * 2 + 1, lit(2)), 16, 10).cast("long")
+    val hxPert = concat(hx.substr(lit(1), p * 2),
+      lpad(hex(pmod(origPix + 60, lit(256))), 2, "0"),
+      hx.substr(p * 2 + 3, lit(144)))
+    val blobHex = when(pmod(col("doc_id"), lit(2)) === 1, hxPert)
+      .otherwise(hx)
+    // blob, pixel array, and hash are SEPARATE projections deliberately —
+    // the shingleArrays lesson: each alias is non-cheap and multiply
+    // referenced by the next stage (blob 72× by the extraction, px 128×
+    // by the comparisons), so CollapseProject keeps them apart and each
+    // evaluates once per row; inlined, the pixel array would re-evaluate
+    // per element_at reference (measured: 8.4 s -> 2.5 s at sf0.1, and
+    // the md5 cut above takes the chain under 1 s)
+    df.select(col("doc_id"), unhex(blobHex).as("blob"))
+      .select(col("doc_id"), Multimodal.grayPixels(col("blob"), 72).as("px"))
+      .select(col("doc_id"), Multimodal.dHash64(col("px")).as("phash"))
   }
 
   /** Symmetrized (both-directions) edge view of [[dupPairs]] — the input
@@ -2700,14 +2712,19 @@ object PipelineQueries {
     * [[simhashDupSqlFor]] bands it unchanged.
     */
   private lazy val PhashSketchSql: String = {
-    val md5px = "md5(CAST(doc_id // 2 AS VARCHAR) || ':' || " +
-      "CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR))"
-    s"""WITH px AS (SELECT doc_id, r, c,
+    val hxFull = (0 until 5).map(ch =>
+      "md5(CAST(doc_id // 2 AS VARCHAR) || ':' || '" + ch + "')")
+      .mkString(" || ")
+    s"""WITH hx AS (SELECT doc_id, substr($hxFull, 1, 144) AS h
+          FROM documents),
+        px AS (SELECT doc_id, r, c,
           CASE WHEN doc_id % 2 = 1 AND (doc_id // 2) % 8 = r
                 AND (doc_id // 2) % 9 = c
-            THEN (CAST(('0x' || substr($md5px, 1, 2)) AS BIGINT) + 60) % 256
-            ELSE CAST(('0x' || substr($md5px, 1, 2)) AS BIGINT) END AS p
-        FROM documents CROSS JOIN range(8) t1(r) CROSS JOIN range(9) t2(c))
+            THEN (CAST(('0x' || substr(h, CAST((r * 9 + c) * 2 + 1 AS INT), 2))
+                    AS BIGINT) + 60) % 256
+            ELSE CAST(('0x' || substr(h, CAST((r * 9 + c) * 2 + 1 AS INT), 2))
+                   AS BIGINT) END AS p
+        FROM hx CROSS JOIN range(8) t1(r) CROSS JOIN range(9) t2(c))
       SELECT a.doc_id,
         CAST(sum(CASE WHEN a.p < b.p THEN
             CASE WHEN a.r * 8 + a.c = 63 THEN -9223372036854775807 - 1
