@@ -226,6 +226,31 @@ object GraftSql {
         dumpA, dumpB)
       .createOrReplaceTempView(viewName)
 
+  /** Perceptual-hash near-dup pairs ([[graft.functions.SimHash
+    * .hammingPairs]]) over an (id, bit-sketch) media frame — the d164
+    * media dedup gate as SQL: `(id_a, id_b, hamming)`, id_a < id_b,
+    * pigeonhole band equijoin + exact verify (never all-pairs).
+    */
+  def registerPhashDups(spark: SparkSession, viewName: String,
+                        media: DataFrame, idCol: String, sketchCol: String,
+                        width: Int = 64, maxHamming: Int = 3): Unit =
+    graft.functions.SimHash.hammingPairs(media, idCol, sketchCol, width,
+        maxHamming)
+      .createOrReplaceTempView(viewName)
+
+  /** Release-over-release heavy-gram surge ([[graft.functions
+    * .CorpusCatalog.heavyGramDrift]]) from the persisted catalog alone —
+    * the d165 "which boilerplate surged" detector as SQL: one row per
+    * gram in either release's stored top-K census, exact counts where a
+    * gram made a top set, stored-CMS estimates where it did not.
+    */
+  def registerHeavyGramDrift(spark: SparkSession, viewName: String,
+                             catalogPath: String, dumpA: String,
+                             dumpB: String): Unit =
+    graft.functions.CorpusCatalog.heavyGramDrift(spark, catalogPath,
+        dumpA, dumpB)
+      .createOrReplaceTempView(viewName)
+
   /** One-row Newman modularity ([[graft.functions.GraphOps.modularity]])
     * of a community view over an edge frame — the d139 gate as SQL.
     */

@@ -1265,6 +1265,36 @@ object PipelineQueries {
       graft.streaming.StreamRunner.runToBatch(tagged, "d167_phash_tag_stream")
     },
 
+    // WINDOWED streaming cardinality (round 16): distinct users per
+    // tumbling event-time minute at SKETCH-BOUNDED state — the d88
+    // global KMV keyed by window under a REAL 10-minute watermark,
+    // append mode (closed windows only, the q42 emission discipline).
+    // State per window = k longs regardless of user volume, and windows
+    // EVICT as the watermark passes — the "distinct per hour" ops meter
+    // a 100 TB event stream needs; an exact per-window distinct set
+    // would grow state with cardinality, the sketch caps it at k.
+    "d168_kmv_window_stream" -> { (s, dir) =>
+      val schema = graft.io.Tables.loadEventsRaw(s, dir).schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ets",
+          graft.io.Tables.asTimestamp(schema("ts").dataType, "ts"))
+        .select(col("ets"),
+          graft.functions.Sketches.hash60(col("user_id")).as("h"))
+      val agg = stream.withWatermark("ets", "10 minutes")
+        .groupBy(window(col("ets"), "1 minute").as("win"))
+        .agg(graft.functions.Sketches.kmvAgg(stream, col("h"), 64)
+          .as("sketch"))
+        .select(col("win.start").as("window_start"),
+          col("win.end").as("window_end"),
+          array_join(col("sketch").cast("array<string>"), ",")
+            .as("sketch_csv"),
+          size(col("sketch")).as("n_sketch"),
+          graft.functions.Sketches.kmvEstimate(col("sketch"), 64)
+            .as("est_distinct"))
+      graft.streaming.StreamRunner.runToBatch(agg, "d168_kmv_window_stream")
+    },
+
     // Catalog-answered heavy-gram drift (round 16): "which boilerplate/
     // slop grams SURGED release-over-release" — the d91 heavy-hitter
     // signal moved into the d150 catalog pattern. Each release's row
@@ -3958,6 +3988,31 @@ object PipelineQueries {
     // d166: the streamed census feeds the SAME top-5 window as d91, so
     // one oracle definition covers both paths by construction.
     "d166_heavy_hitters_stream" -> HeavyHittersSql,
+    // d168: per-window KMV replay under the q42 watermark-emission rule —
+    // ms-floored watermark (max event time − 10 min), closed windows
+    // only, the d86 sketch/estimate splice per window.
+    "d168_kmv_window_stream" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS tus,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+           FROM events),
+         mx AS (SELECT (max(tus) // 1000) - 600000 AS wm_ms FROM e),
+         d AS (SELECT DISTINCT tus // 60000000 AS wmin, h FROM e),
+         sk AS (SELECT wmin, list(h ORDER BY h) AS sketch FROM (
+             SELECT wmin, h,
+               row_number() OVER (PARTITION BY wmin ORDER BY h) AS rk
+             FROM d)
+           WHERE rk <= 64 GROUP BY wmin)
+         SELECT make_timestamp(wmin * 60000000) AS window_start,
+           make_timestamp((wmin + 1) * 60000000) AS window_end,
+           array_to_string(sketch, ',') AS sketch_csv,
+           len(sketch) AS n_sketch,
+           CASE WHEN len(sketch) < 64 THEN CAST(len(sketch) AS DOUBLE)
+                ELSE 63 * 1152921504606846976.0
+                  / (CAST(sketch[64] AS DOUBLE) + 1.0)
+           END AS est_distinct
+         FROM sk, mx
+         WHERE (wmin + 1) * 60000 <= wm_ms""",
     // d167: the shared phash sketch CTE banded asymmetrically (stream
     // side %10=0, reference side the rest), one row per band collision
     // clearing the hamming budget — the d80 oracle shape on bit sketches.

@@ -63,6 +63,9 @@ object ScaleStress {
     if (args.contains("round16wcore")) {
       runRound16WeightedCoreProbe(spark); spark.stop(); return
     }
+    if (args.contains("round16phash")) {
+      runRound16PhashProbe(spark); spark.stop(); return
+    }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
     }
@@ -893,6 +896,70 @@ object ScaleStress {
     }.toMap
     println(f"${"wcore_skew_slope"}%-18s 1x=${wcT("1x")}%5.2f " +
       f"10x=${wcT("10x")}%5.2f (${wcT("10x") / wcT("1x")}%4.1fx)")
+  }
+
+  /** Banding slope for the perceptual-hash near-dup chain (d164/d167):
+    * synthetic image sketches at 1x/10x (50k/500k images — 10x/100x the
+    * sf0.1 image count; base image per id-pair, odd ids perturb one
+    * pixel like the driver row), the hamming banding over a MATERIALIZED
+    * (id, phash) parquet so the slope measures the band equijoin +
+    * verify, not the synthesis (which is map-only and timed once for the
+    * record). Claim under test: candidates form only via the 4×16-bit
+    * band equijoin (65536 buckets per band — at 500k images ~7.6
+    * sketches per bucket, ~15M raw band collisions), so wall tracks the
+    * collision load, never an all-pairs product.
+    */
+  private def runRound16PhashProbe(spark: SparkSession): Unit = {
+    def t(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
+      s
+    }
+    def drop(): Unit = {
+      graft.CacheRegistry.releaseAll()
+      graft.Checkpoints.releaseAll()
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def minOf3(name: String)(f: => Long): Double =
+      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+    val base = "/tmp/graft_scale16phash"
+    // the d164 synthesis chain verbatim (5 md5s -> 72 thumbnail bytes ->
+    // blob -> pixel array -> dHash, three projections kept apart)
+    def phashFrame(n: Long): DataFrame = {
+      val img = expr("id div 2")
+      val hx = substring(concat((0 until 5).map(ch =>
+        md5(concat_ws(":", img, lit(ch)))): _*), 1, 144)
+      val p = (pmod(img, lit(8)) * 9 + pmod(img, lit(9))).cast("int")
+      val origPix = conv(hx.substr(p * 2 + 1, lit(2)), 16, 10).cast("long")
+      val hxPert = concat(hx.substr(lit(1), p * 2),
+        lpad(hex(pmod(origPix + 60, lit(256))), 2, "0"),
+        hx.substr(p * 2 + 3, lit(144)))
+      val blobHex = when(pmod(col("id"), lit(2)) === 1, hxPert).otherwise(hx)
+      spark.range(n)
+        .select(col("id").as("doc_id"), unhex(blobHex).as("blob"))
+        .select(col("doc_id"),
+          graft.functions.Multimodal.grayPixels(col("blob"), 72).as("px"))
+        .select(col("doc_id"),
+          graft.functions.Multimodal.dHash64(col("px")).as("phash"))
+    }
+    val arms = Seq(("1x", 50000L), ("10x", 500000L))
+    arms.foreach { case (tag, n) =>
+      if (!new java.io.File(s"$base/p$tag/_SUCCESS").exists()) {
+        val s0 = System.nanoTime()
+        phashFrame(n).write.mode("overwrite").parquet(s"$base/p$tag")
+        println(f"phash_synth $tag%-16s ${(System.nanoTime() - s0) / 1e9}%7.2f s (map-only)")
+      }
+    }
+    val res = arms.map { case (tag, _) =>
+      val ph = spark.read.parquet(s"$base/p$tag")
+      tag -> minOf3(s"phash_band $tag")(
+        SimHash.hammingPairs(ph, "doc_id", "phash", 64, maxHamming = 3)
+          .count())
+    }.toMap
+    println(f"${"phash_band_slope"}%-18s 1x=${res("1x")}%5.2f " +
+      f"10x=${res("10x")}%5.2f (${res("10x") / res("1x")}%4.1fx)")
   }
 
   /** Graph-family slope probe (round 13): pageRank and triangleStats on a

@@ -1155,6 +1155,30 @@ class PHashSpec extends SparkSpec {
     assert(got === want)
     assert(want.size >= 4) // the planted near-dups are in
   }
+
+  test("d164: the md5 blob chain never inlines into the dHash compare tree") {
+    // The d164/d167 floors are priced on the three-projection phash plan
+    // (blob → px → hash kept apart by CollapseProject's non-cheap
+    // multiply-referenced-alias rule). If a refactor or optimizer change
+    // ever inlines the pixel derivation into the hash's 128 element_at
+    // references, the chain re-evaluates per reference and the measured
+    // 8.4 s → 1.2 s win silently reverts. The pathology's signature in
+    // the OPTIMIZED plan: one projection expression containing BOTH an
+    // Md5 node (the blob derivation) and an ElementAt node (the hash
+    // compare).
+    import org.apache.spark.sql.catalyst.expressions.{ElementAt, Md5}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val df = SparkEntry.queries("d164_phash_neardup")(
+      spark, "/root/testdata/sf0.001")
+    val offenders = df.queryExecution.optimizedPlan.collect {
+      case p: Project => p.projectList.filter(e =>
+        e.exists(_.isInstanceOf[Md5]) && e.exists(_.isInstanceOf[ElementAt]))
+    }.flatten
+    CacheRegistry.releaseAll()
+    assert(offenders.isEmpty,
+      s"the phash pixel/blob derivation inlined into the hash compare: " +
+        s"${offenders.map(_.sql).mkString("; ").take(500)}")
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
@@ -1910,6 +1934,38 @@ class GraftSqlSpec extends SparkSpec {
       "embedding")
     assert(spark.sql(
       "SELECT max(abs(dmean_micro)) AS s FROM edrift").head().getLong(0) === 0L)
+  }
+
+  test("round-16 media-dedup and heavy-gram views answer plain SQL") {
+    import spark.implicits._
+    // phash dups view (d164): identical sketches pair at hamming 0, the
+    // all-bits-differ sketch stays out
+    val media = Seq((1L, 0L), (2L, 0L), (3L, -1L)).toDF("id", "ph")
+    graft.sql.GraftSql.registerPhashDups(spark, "pdups", media, "id", "ph")
+    val pd = spark.sql("SELECT id_a, id_b, hamming FROM pdups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pd === Seq((1L, 2L, 0)))
+    CacheRegistry.releaseAll()
+    // heavy-gram drift view (d165) from a real two-dump catalog: the
+    // gram owned by every release-B doc surges by exactly B's doc count
+    // (its A-side CMS estimate is 0 — eight distinct grams cannot
+    // collide across all four sketch rows)
+    val a = (0 until 4).map(i => (i.toLong, s"a b c p$i"))
+      .toDF("doc_id", "text")
+    val b = (0 until 4).map(i => (10L + i, s"x y z p$i"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("sql_heavy").toString
+    graft.functions.CorpusCatalog.append(a, "doc_id", "text", path, "ra",
+      topGrams = Some(2))
+    graft.functions.CorpusCatalog.append(b, "doc_id", "text", path, "rb",
+      topGrams = Some(2))
+    graft.sql.GraftSql.registerHeavyGramDrift(spark, "hsurge", path,
+      "ra", "rb")
+    assert(spark.sql("SELECT max(surge) AS s FROM hsurge").head()
+      .getLong(0) === 4L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM hsurge WHERE in_top_a = 1 AND in_top_b = 1")
+      .head().getLong(0) === 0L) // disjoint vocabularies share no top gram
   }
 
   test("scd2 + funnel views answer plain SQL") {
