@@ -39,6 +39,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed KMV (d168): closed windows emit once on watermark pass " +
+    "and their state evicts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    // offset from epoch 0: the initial watermark IS epoch 0 (the
+    // intervalJoin note above)
+    def ts(min: Int) = new Timestamp(86400000L + min * 60000L)
+    val src = in.toDF().toDF("user_id", "ets")
+      .select(col("ets"),
+        graft.functions.Sketches.hash60(col("user_id")).as("h"))
+    val agg = src.withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 minute").as("win"))
+      .agg(graft.functions.Sketches.kmvAgg(src, col("h"), 4).as("sketch"))
+      .select(col("win.start").as("ws"), size(col("sketch")).as("n"),
+        graft.functions.Sketches.kmvEstimate(col("sketch"), 4).as("est"))
+    val q = agg.writeStream.format("memory").queryName("kmvw")
+      .outputMode("append").start()
+    try {
+      // batch 1: 6 distinct users in minute 0, 2 in minute 1 — watermark
+      // (max − 10 min) passes neither window end, so NOTHING emits yet
+      in.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(0)), (4L, ts(0)),
+        (5L, ts(0)), (6L, ts(0)), (1L, ts(1)), (7L, ts(1)))
+      q.processAllAvailable()
+      assert(spark.table("kmvw").count() === 0)
+      // batch 2: one event at minute 15 → watermark 5 min → windows 0
+      // and 1 close and emit exactly once
+      in.addData((9L, ts(15)))
+      q.processAllAvailable()
+      val rows = spark.table("kmvw").as[(Timestamp, Int, Double)]
+        .collect().sortBy(_._1.getTime)
+      assert(rows.length === 2)
+      assert(rows(0)._2 === 4) // minute 0: 6 distinct users capped at k=4
+      assert(rows(1)._2 === 2 && rows(1)._3 === 2.0) // minute 1: exact < k
+      // the state-bound claim: closed windows LEAVE the store — only the
+      // open minute-15 window remains (k longs, not a distinct set)
+      val stateRows = q.recentProgress
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).last
+      assert(stateRows === 1L,
+        s"expected only the open window in state, found $stateRows rows")
+    } finally q.stop()
+  }
+
   test("Scd2Stream: closed intervals across batches, late rows dropped") {
     import spark.implicits._
     import graft.streaming.Scd2Stream
