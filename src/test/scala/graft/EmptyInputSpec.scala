@@ -271,4 +271,37 @@ class EmptyInputRound12Spec extends SparkSpec {
     assert(graft.functions.Sampling.jensenShannon(noS, noS, "source")
       .head().toSeq === Seq.fill(10)(0L))
   }
+
+  test("round-16 media/gram ops are total on empty and degenerate frames") {
+    import spark.implicits._
+    // empty sketch frame -> no pairs (no empty-reduce in the banding)
+    val noSk = Seq.empty[(Long, Long)].toDF("id", "ph")
+    assert(graft.functions.SimHash.hammingPairs(noSk, "id", "ph", 64)
+      .count() === 0)
+    // stream-static media tag: empty probe side, then empty reference side
+    val sk = Seq((1L, 42L)).toDF("id", "ph")
+    assert(graft.streaming.DocStream.mediaDupTag(noSk, sk, "id", "ph")
+      .count() === 0)
+    assert(graft.streaming.DocStream.mediaDupTag(sk, noSk, "id", "ph")
+      .count() === 0)
+    CacheRegistry.releaseAll()
+    // a TRUNCATED blob yields null-padded pixels and the all-zero hash
+    // (every null comparison falls to the 0 branch), never a throw — a
+    // corrupt thumbnail must not kill the scan
+    val h = Seq((1L, Array[Byte](7))).toDF("id", "blob")
+      .select(graft.functions.Multimodal.grayPixels(col("blob"), 72).as("px"))
+      .select(graft.functions.Multimodal.dHash64(col("px")).as("h"))
+      .head()
+    assert(!h.isNullAt(0) && h.getLong(0) === 0L)
+    // an EMPTY corpus still produces a well-formed catalog row: the
+    // top-gram census is an empty array (not null), and drift over two
+    // such rows is empty, not a throw
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val row = graft.functions.CorpusCatalog.summarize(
+      noDocs, "doc_id", "text", "e", topGrams = Some(4))
+    assert(graft.functions.CorpusCatalog.explodeGramTopk(row).count() === 0)
+    assert(graft.functions.CorpusCatalog
+      .heavyGramDriftFromRows(row, row).count() === 0)
+    CacheRegistry.releaseAll()
+  }
 }
