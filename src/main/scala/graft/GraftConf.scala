@@ -38,6 +38,35 @@ object GraftConf {
   /** True when the session will take the reliable path. */
   def reliableCheckpointsEnabled(spark: SparkSession): Boolean =
     spark.sparkContext.getCheckpointDir.isDefined
+
+  private val StateProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider = "org.apache.spark.sql.execution." +
+    "streaming.state.RocksDBStateStoreProvider"
+
+  /** Select the RocksDB state store for streaming queries whose state is
+    * CENSUS- rather than O(1)-sized — the heavy-hitter vocabulary census
+    * (d166) or a windowed sketch under a very long watermark horizon
+    * (d168). The default HDFS-backed provider holds every state row in
+    * executor-heap hash maps, so a vocabulary that outgrows the heap is
+    * an OOM; RocksDB keeps state in native memory + local disk and
+    * degrades to spill instead. Results are IDENTICAL — the provider
+    * changes where state lives, never what it holds (spec-pinned in
+    * `StreamingSpec`). Read at STREAM START: set it before `start()`,
+    * and existing checkpointed streams must not switch providers
+    * mid-checkpoint (Spark refuses the mixed checkpoint loudly).
+    */
+  def enableRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set(StateProviderKey, RocksDbProvider)
+
+  /** True when streaming queries started now will keep state in RocksDB. */
+  def rocksDbStateStoreEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(StateProviderKey).contains(RocksDbProvider)
+
+  /** Restore the default (HDFS-backed, heap) state store for streams
+    * started after this call. */
+  def disableRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.unset(StateProviderKey)
 }
 
 /** The one materialization seam for per-superstep lineage truncation. */

@@ -82,6 +82,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: identical census results, only the state's " +
+    "home changes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the d166 census shape on a MemoryStream, run under both providers —
+    // the large-state deployment knob must change WHERE state lives,
+    // never WHAT it holds
+    def runCensus(name: String): Map[(String, String), Long] = {
+      val in = MemoryStream[(String, String)]
+      val census = in.toDF().toDF("source", "tok")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val q = census.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(("web", "a"), ("web", "a"), ("web", "b"), ("wiki", "a"))
+        q.processAllAvailable()
+        in.addData(("web", "a"), ("wiki", "c"))
+        q.processAllAvailable()
+        // update sink: keep the LAST emission per key
+        spark.table(name).as[(String, String, Long)].collect()
+          .groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.map(_._3).max }
+      } finally q.stop()
+    }
+    val heap = runCensus("census_heap")
+    assert(!GraftConf.rocksDbStateStoreEnabled(spark))
+    GraftConf.enableRocksDbStateStore(spark)
+    try {
+      assert(GraftConf.rocksDbStateStoreEnabled(spark))
+      val rocks = runCensus("census_rocks")
+      assert(rocks === heap)
+      assert(rocks(("web", "a")) === 3L && rocks(("wiki", "c")) === 1L)
+    } finally GraftConf.disableRocksDbStateStore(spark)
+    assert(!GraftConf.rocksDbStateStoreEnabled(spark))
+  }
+
   test("Scd2Stream: closed intervals across batches, late rows dropped") {
     import spark.implicits._
     import graft.streaming.Scd2Stream
