@@ -163,6 +163,38 @@ object VectorIVF {
     } finally norm.unpersist(false)
   }
 
+  /** Persist a trained quantizer ([[train]]'s `(cell_id, cvec)` frame)
+    * as a STANDING INDEX artifact — train once at ingest, probe from any
+    * later session with zero retraining (the CorpusCatalog discipline
+    * applied to the ANN family; the reference keeps its index external —
+    * SURVEY.md §2 notes no trainer — and this closes the lifecycle
+    * engine-side). A quantizer is k×dim doubles: KBs, like a catalog row.
+    */
+  def saveIndex(centroids: DataFrame, path: String): Unit = {
+    require(centroids.columns.toSet == Set("cell_id", "cvec"),
+      s"not a (cell_id, cvec) quantizer frame: " +
+        centroids.columns.mkString(","))
+    centroids.write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveIndex]] artifact, validated LOUDLY: a duplicate cell id
+    * would silently double-route every probe and corrupt [[annTopK]]'s
+    * per-cell candidate bound; an empty index would assign nothing.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    require(idx.columns.toSet == Set("cell_id", "cvec"),
+      s"index at $path is not a (cell_id, cvec) quantizer frame")
+    val n = idx.count()
+    val cells = idx.select("cell_id").distinct().count()
+    require(n > 0, s"index at $path is empty")
+    require(n == cells, s"index at $path has duplicate cell ids " +
+      s"($n rows, $cells cells) — a duplicate cell double-routes every " +
+      "probe; rebuild the index")
+    idx
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * assign every embedding to its quantizer cell, compare ONLY within a
     * cell, and mark as duplicate every vector that has a smaller-id

@@ -174,6 +174,52 @@ object VectorPQ {
     cb
   }
 
+  /** Persist a trained codebook ([[train]]'s `[m][ksub][dsub]` array) as
+    * a STANDING INDEX artifact — one parquet row per (sub, code)
+    * codeword, m×ksub×dsub doubles total (KBs). Train once at ingest,
+    * [[loadCodebook]] in any later session, encode/ADC-scan with zero
+    * retraining — the [[VectorIVF.saveIndex]] lifecycle for the
+    * compression half of IVFADC.
+    */
+  def saveCodebook(spark: org.apache.spark.sql.SparkSession,
+                   codebook: Array[Array[Array[Double]]],
+                   path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (sub, codes) <- codebook.zipWithIndex.map(_.swap)
+      (code, vec) <- codes.zipWithIndex.map(_.swap)
+    } yield (sub, code, vec.toSeq)
+    rows.toSeq.toDF("sub", "code", "vec")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCodebook]] artifact, validated LOUDLY against holes:
+    * the encoder indexes the codebook as a dense `[m][ksub]` grid, so a
+    * missing (sub, code) cell or a ragged sub-vector width would throw an
+    * opaque IndexOutOfBounds mid-encode (or worse, silently shift every
+    * code after the hole).
+    */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub").cast("int"), col("code").cast("int"),
+        col("vec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"codebook at $path is empty")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val dsubs = rows.map(_._3.length).distinct
+    require(dsubs.length == 1, s"codebook at $path mixes sub-vector " +
+      s"widths ${dsubs.sorted.mkString(",")}")
+    require(rows.length == m * ksub && rows.map(x => (x._1, x._2)).distinct.length == rows.length,
+      s"codebook at $path is not a dense $m x $ksub grid " +
+        s"(${rows.length} rows) — re-save it from a trained codebook")
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (s, c, v) => cb(s)(c) = v }
+    cb
+  }
+
   /** The production composition: IVF cell pruning × PQ memory compression
     * (the classic IVFADC index layout). Queries probe their `nprobe`
     * nearest cells; only THOSE cells' codes are ADC-scanned — the two

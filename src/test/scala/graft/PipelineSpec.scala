@@ -1775,6 +1775,66 @@ class VectorIVFSpec extends SparkSpec {
     val ok = VectorIVF.train(corpus, "vec_id", "embedding", k = 2, iters = 1)
     assert(ok.count() === 2)
   }
+
+  test("standing IVF index: save/load round-trips and probes identically; " +
+    "corrupt indexes rejected loudly") {
+    import spark.implicits._
+    val corpus = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 1.3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val trained = VectorIVF.train(corpus, "vec_id", "embedding", k = 4,
+      iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    VectorIVF.saveIndex(trained, path)
+    val loaded = VectorIVF.loadIndex(spark, path)
+    def cents(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(loaded) === cents(trained)) // bit-exact round trip
+    // probing through the artifact equals probing the in-session quantizer
+    val q = corpus.where(col("vec_id") < 2)
+    def topk(c: org.apache.spark.sql.DataFrame) =
+      VectorIVF.annTopK(q, corpus, "vec_id", "embedding", 3, c,
+          "cell_id", "cvec")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(topk(loaded) === topk(trained))
+    // duplicate cell ids double-route probes: refused, never guessed at
+    val dup = java.nio.file.Files.createTempDirectory("ivf_dup").toString
+    VectorIVF.saveIndex(trained.union(trained.limit(1)), dup)
+    val ex2 = intercept[IllegalArgumentException] {
+      VectorIVF.loadIndex(spark, dup)
+    }
+    assert(ex2.getMessage.contains("duplicate cell ids"))
+  }
+
+  test("standing PQ codebook: save/load round-trips; holes rejected loudly") {
+    import spark.implicits._
+    val corpus = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.functions.VectorPQ.train(corpus, "vec_id", "embedding",
+      dim = 8, m = 2, ksub = 4, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("pq_cb").toString
+    graft.functions.VectorPQ.saveCodebook(spark, cb, path)
+    val loaded = graft.functions.VectorPQ.loadCodebook(spark, path)
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.map(_.map(_.toSeq).toSeq).toSeq) // bit-exact round trip
+    // encoding through the artifact equals encoding with the in-session
+    // codebook — the whole point of persisting it
+    def codes(c: Array[Array[Array[Double]]]) =
+      graft.functions.VectorPQ.encode(corpus, "vec_id", "embedding",
+          dim = 8, m = 2, ksub = 4, Some(c))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(loaded) === codes(cb))
+    // a hole in the (sub, code) grid shifts every later codeword: refused
+    val holey = java.nio.file.Files.createTempDirectory("pq_hole").toString
+    spark.read.parquet(path).where(!(col("sub") === 1 && col("code") === 2))
+      .write.mode("overwrite").parquet(holey)
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.VectorPQ.loadCodebook(spark, holey)
+    }
+    assert(ex.getMessage.contains("dense"))
+    CacheRegistry.releaseAll()
+  }
 }
 
 class DedupClusterSpec extends SparkSpec {
