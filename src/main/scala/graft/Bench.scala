@@ -106,9 +106,18 @@ object Bench {
           if (info != null) {
             // the UI's schedulerDelay: task wall minus every accounted
             // phase — what's left is queueing + dispatch, i.e. the
-            // per-job overhead that multiplies under host contention
+            // per-job overhead that multiplies under host contention.
+            // gettingResultTime is a START timestamp (0 = no indirect
+            // result fetch); its duration must be subtracted too, or a
+            // result-heavy task's fetch time masquerades as scheduler
+            // delay — the exact signal this accounting adjudicates
+            val fetchMs =
+              if (info.gettingResultTime > 0)
+                info.finishTime - info.gettingResultTime
+              else 0L
             val d = info.duration - m.executorRunTime -
-              m.executorDeserializeTime - m.resultSerializationTime
+              m.executorDeserializeTime - m.resultSerializationTime -
+              fetchMs
             schedMs.addAndGet(math.max(0L, d))
           }
         }

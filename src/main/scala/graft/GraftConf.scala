@@ -56,17 +56,31 @@ object GraftConf {
     * and existing checkpointed streams must not switch providers
     * mid-checkpoint (Spark refuses the mixed checkpoint loudly).
     */
-  def enableRocksDbStateStore(spark: SparkSession): Unit =
+  // the provider each session ran before enableRocksDbStateStore, so
+  // disable RESTORES rather than clobbers a custom provider (the
+  // StreamRunner prevConf discipline)
+  private val priorProvider =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Option[String]]()
+
+  def enableRocksDbStateStore(spark: SparkSession): Unit = {
+    priorProvider.putIfAbsent(spark, spark.conf.getOption(StateProviderKey))
     spark.conf.set(StateProviderKey, RocksDbProvider)
+  }
 
   /** True when streaming queries started now will keep state in RocksDB. */
   def rocksDbStateStoreEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption(StateProviderKey).contains(RocksDbProvider)
 
-  /** Restore the default (HDFS-backed, heap) state store for streams
-    * started after this call. */
+  /** Restore the provider that was configured before
+    * [[enableRocksDbStateStore]] (the session default if none was) for
+    * streams started after this call — a session running a custom
+    * third-party provider gets it back, not the HDFS default.
+    */
   def disableRocksDbStateStore(spark: SparkSession): Unit =
-    spark.conf.unset(StateProviderKey)
+    Option(priorProvider.remove(spark)).flatten match {
+      case Some(prev) => spark.conf.set(StateProviderKey, prev)
+      case None => spark.conf.unset(StateProviderKey)
+    }
 }
 
 /** The one materialization seam for per-superstep lineage truncation. */

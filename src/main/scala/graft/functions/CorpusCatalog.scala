@@ -380,10 +380,18 @@ object CorpusCatalog {
   def heavyGramDriftFromRows(rowA: DataFrame, rowB: DataFrame,
                              cmsDepth: Int = 4,
                              cmsWidth: Int = 2048): DataFrame = {
-    val ta = explodeGramTopk(rowA).select(col("sh"), col("cnt").as("cnt_a"))
-    val tb = explodeGramTopk(rowB).select(col("sh"), col("cnt").as("cnt_b"))
-    val skA = rowA.select(col("cms").as("cms_a"))
-    val skB = rowB.select(col("cms").as("cms_b"))
+    // the S4 persist-where-reused rule: each 1-row input feeds TWO
+    // branches (the top-set explode and the CMS attach), and Spark has
+    // no common-subtree reuse across DataFrame references — un-persisted,
+    // an in-memory summarize row would re-run its whole gram/sketch
+    // aggregation once per branch (the catalog path only dodges that by
+    // round-tripping through parquet). One row each: the cache is bytes.
+    val ra = graft.CacheRegistry.track(rowA.persist())
+    val rb = graft.CacheRegistry.track(rowB.persist())
+    val ta = explodeGramTopk(ra).select(col("sh"), col("cnt").as("cnt_a"))
+    val tb = explodeGramTopk(rb).select(col("sh"), col("cnt").as("cnt_b"))
+    val skA = ra.select(col("cms").as("cms_a"))
+    val skB = rb.select(col("cms").as("cms_b"))
     ta.join(tb, Seq("sh"), "full_outer")
       .crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
       .select(col("sh"),

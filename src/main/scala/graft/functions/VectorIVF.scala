@@ -192,6 +192,19 @@ object VectorIVF {
     require(n == cells, s"index at $path has duplicate cell ids " +
       s"($n rows, $cells cells) — a duplicate cell double-routes every " +
       "probe; rebuild the index")
+    // vector integrity, the loadCodebook discipline: a null or
+    // wrong-width centroid would make assign's distance NULL for that
+    // cell — the cell silently vanishes from probe routing instead of
+    // failing here
+    val widths = idx
+      .select(when(col("cvec").isNull || exists(col("cvec"), _.isNull),
+        lit(-1)).otherwise(size(col("cvec"))).as("w"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    require(widths.length == 1 && widths.head > 0,
+      s"index at $path has null or ragged centroid vectors " +
+        s"(widths ${widths.mkString(",")}; -1 = null entries) — a " +
+        "corrupt cell would silently drop out of probe routing; " +
+        "rebuild the index")
     idx
   }
 

@@ -57,7 +57,7 @@ object PipelineQueries {
     * row, so their hash sides cannot drift; pure Column expressions, so
     * it runs identically on a batch or streaming frame.
     */
-  private def phashed(df: DataFrame): DataFrame = {
+  private[graft] def phashed(df: DataFrame): DataFrame = {
     val img = expr("doc_id div 2")
     // base image: 72 pseudo-random bytes from FIVE md5 calls (16 pixel
     // bytes each, not one md5 per pixel — a giant projection falls out of
@@ -1216,8 +1216,19 @@ object PipelineQueries {
                 threshold = 0.6, n = 3)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
       }
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_d163_catalog").toString
+      // a FIXED per-JVM path, wiped before the two appends: a fresh
+      // createTempDirectory per evaluation leaked one catalog dir into
+      // java.io.tmpdir for every bench sample (4 per run, every round),
+      // while a fixed path WITHOUT the wipe would accumulate appended
+      // rows until containmentDrift's one-row-per-dump require fails
+      val catDir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_d163_catalog")
+      def wipe(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(wipe))
+        f.delete(); ()
+      }
+      wipe(catDir)
+      val path = catDir.toString
       val relA = d.where(pmod(col("doc_id"), lit(2)) === 0)
       val relB = d.where(pmod(col("doc_id"), lit(2)) === 1)
       graft.functions.CorpusCatalog.append(relA, "doc_id", "text", path,

@@ -52,8 +52,14 @@ object ProfileD120 {
         val m = t.taskMetrics
         if (info != null && m != null) {
           runMs.addAndGet(m.executorRunTime)
+          // subtract the indirect result-fetch duration too (Bench's
+          // formula): gettingResultTime is a start timestamp, 0 = none
+          val fetchMs =
+            if (info.gettingResultTime > 0)
+              info.finishTime - info.gettingResultTime
+            else 0L
           schedMs.addAndGet(math.max(0L, info.duration - m.executorRunTime -
-            m.executorDeserializeTime - m.resultSerializationTime))
+            m.executorDeserializeTime - m.resultSerializationTime - fetchMs))
         }
       }
     }

@@ -772,43 +772,50 @@ object ScaleStress {
     * the orientation; a super-linear one would say the vote needs a
     * salted two-phase agg.
     */
-  private def runRound15HubProbes(spark: SparkSession,
-                                  kcoreOnly: Boolean = false): Unit = {
-    def t(name: String)(f: => Long): Double = {
+  /** Shared probe statistic: min of 3 reps, registries + SQL cache
+    * dropped between reps, every rep printed — ONE definition for every
+    * probe arm so the statistic cannot drift between rounds.
+    */
+  private def probeMinOf3(spark: SparkSession)(name: String)
+                         (f: => Long): Double =
+    (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       val rows = f
       val s = (System.nanoTime() - t0) / 1e9
       println(f"$name%-28s ${s}%7.2f s  rows=$rows")
-      s
-    }
-    def drop(): Unit = {
       graft.CacheRegistry.releaseAll()
       graft.Checkpoints.releaseAll()
       spark.sharedState.cacheManager.clearCache()
-    }
+      s
+    }.min
+
+  /** THE hub-skew fixture (hub in-degree ~4√n via the `h² div n` target
+    * map), symmetrized on disk — one generator for every probe that
+    * reads `/tmp/graft_scale15hub`, so a parameter tweak cannot leave a
+    * stale fixture serving a probe that expects different skew.
+    */
+  private def writeHubFixture(spark: SparkSession, base: String,
+                              tag: String, nodes: Long): Unit = {
+    val h = pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
+      + lit(7L), lit(nodes))
+    val e = spark.range(nodes).select(col("id").as("src"))
+      .crossJoin(spark.range(4).select(col("id").as("o")))
+      .select(col("src"), (h * h).divide(lit(nodes)).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    // symmetrized on disk (the undirected input contract of the peel and
+    // vote operators), so probes measure the operator, not the union
+    e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .write.mode("overwrite").parquet(s"$base/e$tag")
+  }
+
+  private def runRound15HubProbes(spark: SparkSession,
+                                  kcoreOnly: Boolean = false): Unit = {
     def minOf3(name: String)(f: => Long): Double =
-      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+      probeMinOf3(spark)(name)(f)
     val base = "/tmp/graft_scale15hub"
-    def gen(nodes: Long): org.apache.spark.sql.DataFrame =
-      spark.range(nodes).select(col("id").as("src"))
-        .crossJoin(spark.range(4).select(col("id").as("o")))
-        .select(col("src"),
-          (pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
-            + lit(7L), lit(nodes)) *
-            pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
-              + lit(7L), lit(nodes))).divide(lit(nodes)).cast("long")
-            .as("dst"))
-        .where(col("src") =!= col("dst"))
     val arms = Seq(("1x", 2_000_000L), ("10x", 20_000_000L))
-    arms.foreach { case (tag, n) =>
-      // symmetrized on disk (the undirected input contract of both
-      // operators in the pipeline queries), so the probe measures the
-      // operator, not the generator or the union
-      val e = gen(n)
-      e.select(col("src"), col("dst"))
-        .union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .write.mode("overwrite").parquet(s"$base/e$tag")
-    }
+    arms.foreach { case (tag, n) => writeHubFixture(spark, base, tag, n) }
     arms.foreach { case (tag, _) =>
       val e = spark.read.parquet(s"$base/e$tag")
       val d = e.groupBy(col("dst")).count()
@@ -849,39 +856,15 @@ object ScaleStress {
     * present (generate with `round15hub` first or let this arm write it).
     */
   private def runRound16WeightedCoreProbe(spark: SparkSession): Unit = {
-    def t(name: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val rows = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
-      s
-    }
-    def drop(): Unit = {
-      graft.CacheRegistry.releaseAll()
-      graft.Checkpoints.releaseAll()
-      spark.sharedState.cacheManager.clearCache()
-    }
     def minOf3(name: String)(f: => Long): Double =
-      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+      probeMinOf3(spark)(name)(f)
     val base = "/tmp/graft_scale15hub"
-    def gen(nodes: Long): org.apache.spark.sql.DataFrame =
-      spark.range(nodes).select(col("id").as("src"))
-        .crossJoin(spark.range(4).select(col("id").as("o")))
-        .select(col("src"),
-          (pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
-            + lit(7L), lit(nodes)) *
-            pmod(col("src") * lit(1103515245L) + col("o") * lit(12345L)
-              + lit(7L), lit(nodes))).divide(lit(nodes)).cast("long")
-            .as("dst"))
-        .where(col("src") =!= col("dst"))
     val arms = Seq(("1x", 2_000_000L), ("10x", 20_000_000L))
     arms.foreach { case (tag, n) =>
-      if (!new java.io.File(s"$base/e$tag/_SUCCESS").exists()) {
-        val e = gen(n)
-        e.select(col("src"), col("dst"))
-          .union(e.select(col("dst").as("src"), col("src").as("dst")))
-          .write.mode("overwrite").parquet(s"$base/e$tag")
-      }
+      // reuses the round15hub fixture when present — safe ONLY because
+      // both arms call the ONE shared writeHubFixture generator
+      if (!new java.io.File(s"$base/e$tag/_SUCCESS").exists())
+        writeHubFixture(spark, base, tag, n)
     }
     val wcT = arms.map { case (tag, _) =>
       // weight: positive LCG hash of the (src,dst) pair on the micro grid,
@@ -910,40 +893,14 @@ object ScaleStress {
     * collision load, never an all-pairs product.
     */
   private def runRound16PhashProbe(spark: SparkSession): Unit = {
-    def t(name: String)(f: => Long): Double = {
-      val t0 = System.nanoTime()
-      val rows = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name%-28s ${s}%7.2f s  rows=$rows")
-      s
-    }
-    def drop(): Unit = {
-      graft.CacheRegistry.releaseAll()
-      graft.Checkpoints.releaseAll()
-      spark.sharedState.cacheManager.clearCache()
-    }
     def minOf3(name: String)(f: => Long): Double =
-      (1 to 3).map { _ => val s = t(name)(f); drop(); s }.min
+      probeMinOf3(spark)(name)(f)
     val base = "/tmp/graft_scale16phash"
-    // the d164 synthesis chain verbatim (5 md5s -> 72 thumbnail bytes ->
-    // blob -> pixel array -> dHash, three projections kept apart)
-    def phashFrame(n: Long): DataFrame = {
-      val img = expr("id div 2")
-      val hx = substring(concat((0 until 5).map(ch =>
-        md5(concat_ws(":", img, lit(ch)))): _*), 1, 144)
-      val p = (pmod(img, lit(8)) * 9 + pmod(img, lit(9))).cast("int")
-      val origPix = conv(hx.substr(p * 2 + 1, lit(2)), 16, 10).cast("long")
-      val hxPert = concat(hx.substr(lit(1), p * 2),
-        lpad(hex(pmod(origPix + 60, lit(256))), 2, "0"),
-        hx.substr(p * 2 + 3, lit(144)))
-      val blobHex = when(pmod(col("id"), lit(2)) === 1, hxPert).otherwise(hx)
-      spark.range(n)
-        .select(col("id").as("doc_id"), unhex(blobHex).as("blob"))
-        .select(col("doc_id"),
-          graft.functions.Multimodal.grayPixels(col("blob"), 72).as("px"))
-        .select(col("doc_id"),
-          graft.functions.Multimodal.dHash64(col("px")).as("phash"))
-    }
+    // THE d164 synthesis chain — the shared builder, not a copy, so the
+    // probe can never measure a different chain than the one benched
+    def phashFrame(n: Long): DataFrame =
+      graft.testqueries.PipelineQueries.phashed(
+        spark.range(n).select(col("id").as("doc_id")))
     val arms = Seq(("1x", 50000L), ("10x", 500000L))
     arms.foreach { case (tag, n) =>
       if (!new java.io.File(s"$base/p$tag/_SUCCESS").exists()) {
