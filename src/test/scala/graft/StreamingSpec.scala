@@ -117,6 +117,26 @@ class StreamingSpec extends SparkSpec {
     assert(!GraftConf.rocksDbStateStoreEnabled(spark))
   }
 
+  test("RocksDB knob restores a pre-existing custom provider, not the " +
+    "default") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val custom = "com.example.CustomStateStoreProvider"
+    spark.conf.set(key, custom)
+    try {
+      GraftConf.enableRocksDbStateStore(spark)
+      assert(GraftConf.rocksDbStateStoreEnabled(spark))
+      GraftConf.disableRocksDbStateStore(spark)
+      // the session gets ITS provider back — disable must not clobber a
+      // third-party provider with the HDFS default
+      assert(spark.conf.get(key) === custom)
+    } finally spark.conf.unset(key)
+    // and with no prior provider, disable returns to the session default
+    GraftConf.enableRocksDbStateStore(spark)
+    GraftConf.disableRocksDbStateStore(spark)
+    assert(spark.conf.getOption(key).isEmpty ||
+      !GraftConf.rocksDbStateStoreEnabled(spark))
+  }
+
   test("Scd2Stream: closed intervals across batches, late rows dropped") {
     import spark.implicits._
     import graft.streaming.Scd2Stream
