@@ -58,12 +58,19 @@ object GraftConf {
     */
   // the provider each session ran before enableRocksDbStateStore, so
   // disable RESTORES rather than clobbers a custom provider (the
-  // StreamRunner prevConf discipline)
+  // StreamRunner prevConf discipline). WEAK keys: a session that enables
+  // but never disables must not be pinned for the JVM lifetime by this
+  // registry (the entry dies with the session, and its stale prior value
+  // is meaningless once the session is unreachable anyway). WeakHashMap
+  // is not thread-safe, so all access goes through its own lock.
   private val priorProvider =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Option[String]]()
+    new java.util.WeakHashMap[SparkSession, Option[String]]()
 
   def enableRocksDbStateStore(spark: SparkSession): Unit = {
-    priorProvider.putIfAbsent(spark, spark.conf.getOption(StateProviderKey))
+    priorProvider.synchronized {
+      if (!priorProvider.containsKey(spark))
+        priorProvider.put(spark, spark.conf.getOption(StateProviderKey))
+    }
     spark.conf.set(StateProviderKey, RocksDbProvider)
   }
 
@@ -77,7 +84,9 @@ object GraftConf {
     * third-party provider gets it back, not the HDFS default.
     */
   def disableRocksDbStateStore(spark: SparkSession): Unit =
-    Option(priorProvider.remove(spark)).flatten match {
+    priorProvider.synchronized {
+      Option(priorProvider.remove(spark))
+    }.flatten match {
       case Some(prev) => spark.conf.set(StateProviderKey, prev)
       case None => spark.conf.unset(StateProviderKey)
     }

@@ -388,6 +388,17 @@ object CorpusCatalog {
     // round-tripping through parquet). One row each: the cache is bytes.
     val ra = graft.CacheRegistry.track(rowA.persist())
     val rb = graft.CacheRegistry.track(rowB.persist())
+    // loud-contract parity with the catalog loaders (gramTopk /
+    // heavyGramDrift): a summarize row built without topGrams has a NULL
+    // gram_topk, which explodeGramTopk silently turns into zero rows —
+    // the drift would come back empty or one-sided with no hint why. An
+    // EMPTY array stays allowed (the EmptyInputSpec contract: a release
+    // with no grams drifts against everything in the other top set).
+    Seq("A" -> ra, "B" -> rb).foreach { case (side, r) =>
+      require(r.where(col("gram_topk").isNotNull).count() == 1,
+        s"summarize row $side has a null gram_topk (built without " +
+          "topGrams?); heavy-gram drift needs both rows' top sets")
+    }
     val ta = explodeGramTopk(ra).select(col("sh"), col("cnt").as("cnt_a"))
     val tb = explodeGramTopk(rb).select(col("sh"), col("cnt").as("cnt_b"))
     val skA = ra.select(col("cms").as("cms_a"))

@@ -197,7 +197,7 @@ object JaccardJoin {
         .select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(shU.where(col("__side") === "s")
         .select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
-      .where(size(array_intersect(col("sa"), col("sb"))) > 0)
+      .where(MinHashLSH.intersectCountCol(col("sa"), col("sb")) > 0)
       .select(col("doc_a"), col("doc_b"),
         MinHashLSH.jaccardCol(col("sa"), col("sb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -258,8 +258,8 @@ object JaccardJoin {
       .join(sh.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(col("sa")), 6).as("containment"),
+        round(MinHashLSH.intersectCountCol(col("sa"), col("sb"))
+          .cast("double") / size(col("sa")), 6).as("containment"),
         size(col("sa")).cast("long").as("sz_a"),
         size(col("sb")).cast("long").as("sz_b"))
       .where(col("containment") >= threshold)
@@ -319,8 +319,8 @@ object JaccardJoin {
       .join(shA.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(shB.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(col("sa")), 6).as("containment"),
+        round(MinHashLSH.intersectCountCol(col("sa"), col("sb"))
+          .cast("double") / size(col("sa")), 6).as("containment"),
         size(col("sa")).cast("long").as("sz_a"),
         size(col("sb")).cast("long").as("sz_b"))
       .where(col("containment") >= threshold)

@@ -62,9 +62,16 @@ object MinHashLSH {
     // pre-filter, but it can never see an out-of-range index there.
     val sh = graft.plans.TextExpressions
       .shinglesColumn(df.sparkSession, w, n)
+    // SORTED at the source (one O(k log k) pass per DOC, map-side): every
+    // downstream pair verify then runs the zero-allocation two-pointer
+    // merge of graft_intersect_count instead of array_intersect's
+    // per-CANDIDATE hash set + materialized result array. Order is
+    // semantically free — every consumer is a set operation (minhash,
+    // jaccard, containment, prefix ranks) — and the sorted-distinct
+    // contract is property-pinned in SortedIntersectSpec.
     df.select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
       .where(size(w) >= n)
-      .select(col(idCol), array_distinct(sh).as("sh_arr"))
+      .select(col(idCol), sort_array(array_distinct(sh)).as("sh_arr"))
   }
 
   /** Row form of [[shingleArrays]]: (id, sh) rows, one per distinct hashed
@@ -134,26 +141,38 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** |a ∩ b| of two [[shingleArrays]]-derived columns — the native
+    * two-pointer merge ([[graft.plans.SortedLongIntersectCount]]): zero
+    * allocation per pair vs `array_intersect`'s hash set + materialized
+    * result array. INPUT CONTRACT: ascending-sorted distinct arrays,
+    * which is what [[shingleArrays]] emits; any other derivation must
+    * `sort_array` first (silent undercount otherwise).
+    */
+  def intersectCountCol(a: Column, b: Column): Column =
+    graft.plans.ArrayExpressions.intersectCountColumn(
+      org.apache.spark.sql.SparkSession.active, a, b)
+
   /** Exact Jaccard of two hashed-shingle-array columns, on the shared 1e-6
     * output grid — the one similarity definition every consumer (batch
-    * verify, exact join, stream-static tagger) computes with.
+    * verify, exact join, stream-static tagger) computes with. Inputs are
+    * [[shingleArrays]]-sorted (the [[intersectCountCol]] contract).
     */
   def jaccardCol(a: Column, b: Column): Column = {
-    val ni = size(array_intersect(a, b)).cast("long")
+    val ni = intersectCountCol(a, b)
     round(ni.cast("double") / (size(a) + size(b) - ni).cast("double"), 6)
   }
 
   /** Exact hashed-shingle-set Jaccard for candidate pairs only: two
-    * id-equijoins to attach the (deduped) long arrays, then
-    * `array_intersect` sizes — the per-pair work never re-explodes
-    * shingles, and the intersection compares longs, not strings. Pairs
-    * sharing no shingle drop out (they were band-collision candidates).
+    * id-equijoins to attach the (deduped, sorted) long arrays, then the
+    * native merge count — the per-pair work never re-explodes shingles,
+    * and the intersection compares longs, not strings. Pairs sharing no
+    * shingle drop out (they were band-collision candidates).
     */
   def jaccard(cand: DataFrame, shArr: DataFrame, idCol: String): DataFrame =
     cand
       .join(shArr.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(shArr.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
-      .where(size(array_intersect(col("sa"), col("sb"))) > 0)
+      .where(intersectCountCol(col("sa"), col("sb")) > 0)
       .select(col("doc_a"), col("doc_b"),
         jaccardCol(col("sa"), col("sb")).as("jaccard"))
 

@@ -109,19 +109,30 @@ object DocStream {
     * collision that clears the budget: `(idCol, ref_id, band, hamming)`.
     * The reference frame is recomputed per micro-batch unless the caller
     * persists it — at scale, persist it (the [[nearDupTag]] note).
+    *
+    * `refIdCol`/`refSketchCol` name the REFERENCE frame's columns and
+    * default to the probe side's names — a reference catalog with its
+    * own schema (e.g. `ref_id`/`sketch`) passes them explicitly instead
+    * of hitting an unresolved-column error.
     */
   def mediaDupTag(media: DataFrame, refMedia: DataFrame,
                   idCol: String = "doc_id", sketchCol: String = "phash",
-                  width: Int = 64, maxHamming: Int = 3): DataFrame = {
+                  width: Int = 64, maxHamming: Int = 3,
+                  refIdCol: String = null,
+                  refSketchCol: String = null): DataFrame = {
     import graft.functions.SimHash
-    def banded(df: DataFrame, id: String, sk: String): DataFrame =
-      df.select(col(idCol).as(id), col(sketchCol).cast("long").as(sk),
-          posexplode(SimHash.bandKeys(col(sketchCol).cast("long"),
+    val rId = Option(refIdCol).getOrElse(idCol)
+    val rSk = Option(refSketchCol).getOrElse(sketchCol)
+    def banded(df: DataFrame, srcId: String, srcSk: String,
+               id: String, sk: String): DataFrame =
+      df.select(col(srcId).as(id), col(srcSk).cast("long").as(sk),
+          posexplode(SimHash.bandKeys(col(srcSk).cast("long"),
             width, maxHamming)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bkey")
-    banded(media, idCol, "sk")
-      .join(banded(refMedia, "ref_id", "ref_sk"), Seq("band", "bkey"))
+    banded(media, idCol, sketchCol, idCol, "sk")
+      .join(banded(refMedia, rId, rSk, "ref_id", "ref_sk"),
+        Seq("band", "bkey"))
       .withColumn("hamming", SimHash.hamming(col("sk"), col("ref_sk")))
       .where(col("hamming") <= maxHamming)
       .select(col(idCol), col("ref_id"), col("band"),

@@ -1220,9 +1220,13 @@ object PipelineQueries {
       // createTempDirectory per evaluation leaked one catalog dir into
       // java.io.tmpdir for every bench sample (4 per run, every round),
       // while a fixed path WITHOUT the wipe would accumulate appended
-      // rows until containmentDrift's one-row-per-dump require fails
+      // rows until containmentDrift's one-row-per-dump require fails.
+      // PID-suffixed so two JVMs on one host (bench + verify side by
+      // side) each get their own dir instead of wiping each other's
+      // in-flight catalog — still exactly one dir per JVM.
       val catDir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_d163_catalog")
+        sys.props("java.io.tmpdir"),
+        "graft_d163_catalog_" + ProcessHandle.current().pid())
       def wipe(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(wipe))
         f.delete(); ()
