@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   * than needed, metadata extraction is codegen'd expressions over the
   * first bytes, and the decode stage is a pluggable per-partition codec.
   *
-  * The container has no image/audio libraries, so the shipped codec is a
-  * clearly-marked deterministic fake ([[FakeCodec]]: dims derived from the
-  * blob's md5). The Spark-side plumbing is real and is what gets tested:
-  * typed `Dataset` rows, `mapPartitions` batching with one codec instance
-  * per partition, explicit output schema, and the downstream resize /
-  * frame-sample operators as exact integer expressions.
+  * Three codecs ship behind the [[MediaCodec]] seam: [[ImageIoCodec]]
+  * (REAL decode-to-pixels via the JDK's javax.imageio readers — JPEG,
+  * PNG, GIF, BMP, WBMP), [[HeaderCodec]] (real container-header parsing
+  * for BMP/WAV/JPEG/PNG/GIF/MP4), and [[FakeCodec]] (a clearly-marked
+  * deterministic fake — dims from the blob's md5 — for formats needing
+  * native libraries this container lacks, and for oracle-replayable test
+  * fixtures whose blobs are not real media). The Spark-side plumbing is
+  * the same for all three and is what gets tested: typed `Dataset` rows,
+  * `mapPartitions` batching with one codec instance per partition,
+  * explicit output schema, and the downstream resize / frame-sample
+  * operators as exact integer expressions.
   */
 object Multimodal {
 
@@ -395,6 +400,112 @@ object Multimodal {
           "undecodable blob: no JPEG, BMP, RIFF/WAVE, PNG, GIF or MP4 magic")
     }
   }
+
+  /** REAL decode-to-pixels codec over the JDK's built-in `javax.imageio`
+    * readers (JPEG, PNG, GIF, BMP, WBMP — present in every JVM, no native
+    * libraries): `decode` actually renders frame 0 to a raster (channels
+    * = raster band count, not a header guess) and GIF reports its true
+    * frame count. This closes the honestly-marked gap in the object
+    * scaladoc — with it, the [[MediaCodec]] seam carries a genuine
+    * decoder end-to-end for the formats the JDK ships.
+    *
+    * Throws `IllegalArgumentException` on bytes no JDK reader accepts or
+    * that fail mid-decode (truncated/garbage payloads behind a valid
+    * magic) — strict like [[HeaderCodec]]; wrap in [[routed]] to fall
+    * back instead.
+    *
+    * [[grayThumb]] exposes the decode-to-pixels product the perceptual
+    * hash chain needs: an area-averaged w×h grayscale thumbnail
+    * (ITU-R BT.601 luma, row-major bytes) — byte-compatible with the
+    * synthetic thumbnails [[grayPixels]]/[[dHash64]] consume, so a real
+    * image can ride the deployed d164 hash chain unchanged.
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def withReader[T](bytes: Array[Byte])(
+        f: javax.imageio.ImageReader => T): T = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            "undecodable blob: no JDK ImageIO reader accepts it")
+        val r = readers.next()
+        try { r.setInput(iis, false, true); f(r) }
+        catch {
+          case e: IllegalArgumentException => throw e
+          case e: Exception => throw new IllegalArgumentException(
+            s"ImageIO decode failed: ${e.getMessage}", e)
+        }
+        finally r.dispose()
+      } finally iis.close()
+    }
+
+    override def decode(bytes: Array[Byte]): MediaInfo =
+      withReader(bytes) { r =>
+        val img = r.read(0) // the REAL decode: frame 0 to a raster
+        // getNumImages(true) walks the whole stream — exact GIF frame
+        // count; single-frame formats report 1
+        val n = math.max(r.getNumImages(true), 1)
+        MediaInfo(img.getWidth, img.getHeight,
+          channels = img.getRaster.getNumBands, nFrames = n)
+      }
+
+    /** Area-averaged tw×th grayscale thumbnail of frame 0 (BT.601 luma,
+      * row-major, one byte per pixel 0–255) — the [[dHash64]] input shape.
+      */
+    def grayThumb(bytes: Array[Byte], tw: Int = 9, th: Int = 8): Array[Byte] =
+      withReader(bytes) { r =>
+        val img = r.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](tw * th)
+        var ty = 0
+        while (ty < th) {
+          val y0 = ty * h / th
+          val y1 = math.max((ty + 1) * h / th, y0 + 1)
+          var tx = 0
+          while (tx < tw) {
+            val x0 = tx * w / tw
+            val x1 = math.max((tx + 1) * w / tw, x0 + 1)
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                // BT.601 integer luma on the /1000 grid
+                sum += (299 * ((rgb >> 16) & 0xFF) +
+                  587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            out(ty * tw + tx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toByte
+            tx += 1
+          }
+          ty += 1
+        }
+        out
+      }
+  }
+
+  /** Primary-with-fallback codec composition: try `primary`, and on ANY
+    * decode failure hand the blob to `fallback` (both share the partition
+    * lifecycle — open/close are forwarded to both). The deployment shape
+    * for a mixed corpus: `routed(ImageIoCodec, FakeCodec)` decodes real
+    * images for real and keeps deterministic synthetic dims for blobs no
+    * JDK reader accepts, so a flagged-on run degrades per-blob instead of
+    * failing the partition.
+    */
+  def routed(primary: MediaCodec, fallback: MediaCodec): MediaCodec =
+    new MediaCodec {
+      override def open(): Unit = { primary.open(); fallback.open() }
+      override def decode(bytes: Array[Byte]): MediaInfo =
+        try primary.decode(bytes)
+        catch { case _: Exception => fallback.decode(bytes) }
+      override def close(): Unit = { primary.close(); fallback.close() }
+    }
 
   /** Decode stage: (id, blob) → (id, width, height, channels, n_frames).
     *

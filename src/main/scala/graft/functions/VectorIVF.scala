@@ -170,20 +170,61 @@ object VectorIVF {
     * SURVEY.md §2 notes no trainer — and this closes the lifecycle
     * engine-side). A quantizer is k×dim doubles: KBs, like a catalog row.
     */
-  def saveIndex(centroids: DataFrame, path: String): Unit = {
+  /** Order-independent fingerprint of a training corpus: row count plus a
+    * commutative 64-bit fold (bit_xor of per-row xxhash64 over id and
+    * vector — xor is associative/commutative and overflow-free under ANSI
+    * mode, unlike a long sum). One scan, one tiny agg; the same corpus
+    * fingerprints identically under any partitioning or row order, and an
+    * added/dropped/edited row changes it (identical duplicate PAIRS
+    * cancel under xor — the count term catches those). Stamp it into
+    * [[saveIndex]] and hand it to [[loadIndex]] so a quantizer trained on
+    * a DIFFERENT corpus fails loudly at load instead of silently skewing
+    * every recall number downstream (the d120-family floors assume the
+    * artifact matches its corpus).
+    */
+  def corpusFingerprint(df: DataFrame, idCol: String, vecCol: String): String = {
+    val r = df.agg(
+      count(lit(1)).cast("long").as("n"),
+      bit_xor(xxhash64(col(idCol), col(vecCol))).as("h")).head()
+    val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+    f"n=${r.getLong(0)}%d,h=$h%016x"
+  }
+
+  def saveIndex(centroids: DataFrame, path: String,
+                corpusFp: Option[String] = None): Unit = {
     require(centroids.columns.toSet == Set("cell_id", "cvec"),
       s"not a (cell_id, cvec) quantizer frame: " +
         centroids.columns.mkString(","))
-    centroids.write.mode("overwrite").parquet(path)
+    corpusFp.fold(centroids)(fp =>
+        centroids.withColumn("corpus_fp", lit(fp)))
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Load a [[saveIndex]] artifact, validated LOUDLY: a duplicate cell id
     * would silently double-route every probe and corrupt [[annTopK]]'s
-    * per-cell candidate bound; an empty index would assign nothing.
+    * per-cell candidate bound; an empty index would assign nothing. Pass
+    * `expectCorpusFp` (from [[corpusFingerprint]] over the corpus being
+    * probed) to also fail loudly on a STALE artifact — a quantizer
+    * trained on different data loads fine structurally but silently
+    * degrades every probe; the stamp makes that a load-time error.
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-                path: String): DataFrame = {
-    val idx = spark.read.parquet(path)
+                path: String,
+                expectCorpusFp: Option[String] = None): DataFrame = {
+    val raw = spark.read.parquet(path)
+    expectCorpusFp.foreach { want =>
+      require(raw.columns.contains("corpus_fp"),
+        s"index at $path carries no corpus fingerprint (saved before " +
+          "stamping, or saved without one) — cannot prove it matches " +
+          "this corpus; re-save with saveIndex(..., corpusFp = Some(...))")
+      val got = raw.select("corpus_fp").distinct().collect().map(_.getString(0))
+      require(got.length == 1 && got.head == want,
+        s"index at $path was trained on a DIFFERENT corpus " +
+          s"(artifact ${got.mkString(",")}, corpus $want) — probing with " +
+          "a stale quantizer silently degrades recall; retrain or point " +
+          "at the matching corpus")
+    }
+    val idx = raw.drop("corpus_fp")
     require(idx.columns.toSet == Set("cell_id", "cvec"),
       s"index at $path is not a (cell_id, cvec) quantizer frame")
     val n = idx.count()

@@ -183,13 +183,18 @@ object VectorPQ {
     */
   def saveCodebook(spark: org.apache.spark.sql.SparkSession,
                    codebook: Array[Array[Array[Double]]],
-                   path: String): Unit = {
+                   path: String,
+                   corpusFp: Option[String] = None): Unit = {
     import spark.implicits._
     val rows = for {
       (sub, codes) <- codebook.zipWithIndex.map(_.swap)
       (code, vec) <- codes.zipWithIndex.map(_.swap)
     } yield (sub, code, vec.toSeq)
-    rows.toSeq.toDF("sub", "code", "vec")
+    val df = rows.toSeq.toDF("sub", "code", "vec")
+    // same staleness stamp as VectorIVF.saveIndex: a codebook trained on
+    // a different corpus loads fine structurally but skews every ADC
+    // distance — the fingerprint makes that a load-time error
+    corpusFp.fold(df)(fp => df.withColumn("corpus_fp", lit(fp)))
       .write.mode("overwrite").parquet(path)
   }
 
@@ -200,8 +205,20 @@ object VectorPQ {
     * code after the hole).
     */
   def loadCodebook(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(path)
+                   path: String,
+                   expectCorpusFp: Option[String] = None): Array[Array[Array[Double]]] = {
+    val raw = spark.read.parquet(path)
+    expectCorpusFp.foreach { want =>
+      require(raw.columns.contains("corpus_fp"),
+        s"codebook at $path carries no corpus fingerprint — cannot prove " +
+          "it matches this corpus; re-save with corpusFp = Some(...)")
+      val got = raw.select("corpus_fp").distinct().collect().map(_.getString(0))
+      require(got.length == 1 && got.head == want,
+        s"codebook at $path was trained on a DIFFERENT corpus " +
+          s"(artifact ${got.mkString(",")}, corpus $want) — retrain or " +
+          "point at the matching corpus")
+    }
+    val rows = raw
       .select(col("sub").cast("int"), col("code").cast("int"),
         col("vec").cast("array<double>"))
       .collect()

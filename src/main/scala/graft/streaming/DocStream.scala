@@ -518,4 +518,75 @@ object DocStream {
       .select(col(idCol),
         round(termMicro.reduce(_ + _) / lit(1e6), 6).as("bm25"))
   }
+
+  /** SpaceSaving-capped streaming heavy hitters (Metwally et al.,
+    * ICDT 2005) — the 100 TB knob the exact census twin
+    * (`d166_heavy_hitters_stream`) deliberately does not turn: its state
+    * is one row per live (key, token), i.e. VOCABULARY-sized, which is
+    * fine while the vocabulary fits the state store and an OOM risk when
+    * it doesn't. This variant keeps AT MOST `cap` counters per key —
+    * state is provably bounded regardless of vocabulary — at the classic
+    * SpaceSaving price: estimates become upper bounds with a tracked
+    * per-counter error (`est − err ≤ true ≤ est`), and any token with
+    * true count > N/cap is guaranteed tracked.
+    *
+    * Synopsis update per micro-batch: the batch's per-key token counts
+    * are folded in DESCENDING (count, token) order — deterministic, and
+    * in the single-data-batch regime ([[StreamRunner.runToBatch]]'s
+    * update-mode guard) it makes the synopsis EXACT for the `cap`
+    * most frequent tokens (they are inserted first, err = 0), so the
+    * top-k emission is oracle-comparable whenever the k-th true count
+    * clears the N/cap eviction ceiling — the skew every natural-language
+    * corpus has. Multi-batch runs degrade gracefully to the standard
+    * SpaceSaving guarantee (spec-pinned in `StreamingSpec`).
+    *
+    * Emits per key the top-`k` tokens by (est desc, token asc):
+    * `(keyCol, tok, est, err, rk)`.
+    */
+  def heavyHittersCapped(stream: DataFrame, keyCol: String, tokCol: String,
+                         cap: Int, k: Int): DataFrame = {
+    require(cap >= k && k > 0, s"need cap >= k > 0, got cap=$cap k=$k")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .where(col(keyCol).isNotNull && col(tokCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(tokCol).cast("string"))
+      .as[(String, String)]
+    val emitted = typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, (Long, Long)]]) =>
+          // batch-local census first: the fold below must see each
+          // token's batch count once, not one increment per occurrence
+          // (occurrence order is nondeterministic; counts are not)
+          val batch = scala.collection.mutable.HashMap.empty[String, Long]
+          rows.foreach { case (_, t) =>
+            batch.update(t, batch.getOrElse(t, 0L) + 1L)
+          }
+          val syn = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+          state.getOption.foreach(syn ++= _)
+          batch.toSeq.sortBy { case (t, c) => (-c, t) }.foreach {
+            case (t, c) =>
+              syn.get(t) match {
+                case Some((est, err)) => syn.update(t, (est + c, err))
+                case None if syn.size < cap => syn.update(t, (c, 0L))
+                case None =>
+                  // evict the min-(est, tok) counter; the newcomer
+                  // inherits its estimate as upper bound + error
+                  val (mt, (me, _)) = syn.minBy { case (t2, (e2, _)) =>
+                    (e2, t2)
+                  }
+                  syn.remove(mt)
+                  syn.update(t, (me + c, me))
+              }
+          }
+          state.update(syn.toMap)
+          syn.toSeq.sortBy { case (t, (e, _)) => (-e, t) }.take(k)
+            .zipWithIndex.iterator.map { case ((t, (e, err)), i) =>
+              (key, t, e, err, i + 1)
+            }
+      }
+    emitted.select(col("_1").as(keyCol), col("_2").as("tok"),
+      col("_3").as("est"), col("_4").as("err"), col("_5").cast("int").as("rk"))
+  }
 }

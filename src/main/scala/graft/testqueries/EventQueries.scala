@@ -44,6 +44,48 @@ object EventQueries {
       .toDF("fid", "event_type")
   }
 
+  /** q42/q50's oracle: minute buckets per field id, closed windows only —
+    * a window [start, end) is emitted iff end <= watermark, where the
+    * final watermark is the max event time floored to the millisecond
+    * minus the 10-minute delay (Spark floors the event-time stats to ms;
+    * window bounds are exact minutes in microseconds). One definition for
+    * both rows: the state-store provider cannot change output.
+    */
+  private lazy val UpdateRatesSql: String = {
+    val fieldVals = EventTypes.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+    s"""WITH f(fid, et) AS (VALUES $fieldVals),
+       e AS (SELECT epoch_ns(ts) // 1000 AS tus, f.fid
+         FROM events JOIN f ON events.event_type = f.et),
+       mx AS (SELECT (max(tus) // 1000) - 600000 AS wm_ms FROM e),
+       w AS (SELECT tus // 60000000 AS wmin, fid FROM e)
+       SELECT make_timestamp(wmin * 60000000) AS window_start,
+         make_timestamp((wmin + 1) * 60000000) AS window_end,
+         fid AS uevol_field_id, count(*) AS n_updates
+       FROM w, mx
+       WHERE (wmin + 1) * 60000 <= wm_ms
+       GROUP BY wmin, fid"""
+  }
+
+  /** The q42 windowed-rates stream, shared verbatim by q42 (default
+    * HDFS-backed state store) and q50 (RocksDB provider) — one body, so
+    * the two rows can only differ in where the state lives.
+    */
+  private def updateRatesStream(s: SparkSession, dir: String,
+                                runName: String): DataFrame = {
+    val schema = ev(s, dir).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ets", Tables.asTimestamp(schema("ts").dataType, "ts"))
+      .join(broadcast(fieldMapDF(s)), "event_type")
+      .select(col("fid").as("uevol_field_id"), col("ets"))
+    graft.streaming.StreamRunner.runToBatch(
+      graft.streaming.UpdateStream.updateRates(
+        stream, "ets", watermark = "10 minutes", window = "1 minute",
+        keyCol = "uevol_field_id"),
+      runName)
+  }
+
   /** events mapped onto the reference's instance_field schema.
     *
     * Pushdown note: `user_id` is int64 in the driver's parquet while the
@@ -472,17 +514,22 @@ object EventQueries {
     // earlier window is reported once. The oracle replays the same rule
     // batch-side: minute buckets, closed windows only.
     "q42_update_rates_stream" -> { (s, dir) =>
-      val schema = ev(s, dir).schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ets", Tables.asTimestamp(schema("ts").dataType, "ts"))
-        .join(broadcast(fieldMapDF(s)), "event_type")
-        .select(col("fid").as("uevol_field_id"), col("ets"))
-      graft.streaming.StreamRunner.runToBatch(
-        graft.streaming.UpdateStream.updateRates(
-          stream, "ets", watermark = "10 minutes", window = "1 minute",
-          keyCol = "uevol_field_id"),
-        "q42_update_rates")
+      updateRatesStream(s, dir, "q42_update_rates")
+    },
+
+    // q42 under the RocksDB state-store provider (round 17): the SAME
+    // windowed-rates aggregation, state-heavy (one state row per live
+    // (window, field) pair — the largest streaming state in the suite),
+    // run end-to-end with state in native memory + local disk instead of
+    // executor-heap hash maps. Output is bit-identical by contract (the
+    // provider changes WHERE state lives, never what it holds) — this
+    // row pins that end-to-end against the same oracle q42 runs, so the
+    // "census outgrows the heap-backed store" deployment path is
+    // exercised in-suite, not just in a unit spec.
+    "q50_update_rates_rocksdb" -> { (s, dir) =>
+      graft.GraftConf.enableRocksDbStateStore(s)
+      try updateRatesStream(s, dir, "q50_update_rates_rocksdb")
+      finally graft.GraftConf.disableRocksDbStateStore(s)
     },
 
     // Stream-STREAM interval join (round 10): click→purchase attribution
@@ -1039,21 +1086,11 @@ object EventQueries {
     // the final watermark is the max event time floored to the millisecond
     // minus the 10-minute delay (Spark floors the event-time stats to ms;
     // window bounds are exact minutes in microseconds).
-    "q42_update_rates_stream" -> {
-      val fieldVals = EventTypes.zipWithIndex
-        .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
-      s"""WITH f(fid, et) AS (VALUES $fieldVals),
-         e AS (SELECT epoch_ns(ts) // 1000 AS tus, f.fid
-           FROM events JOIN f ON events.event_type = f.et),
-         mx AS (SELECT (max(tus) // 1000) - 600000 AS wm_ms FROM e),
-         w AS (SELECT tus // 60000000 AS wmin, fid FROM e)
-         SELECT make_timestamp(wmin * 60000000) AS window_start,
-           make_timestamp((wmin + 1) * 60000000) AS window_end,
-           fid AS uevol_field_id, count(*) AS n_updates
-         FROM w, mx
-         WHERE (wmin + 1) * 60000 <= wm_ms
-         GROUP BY wmin, fid"""
-    },
+    "q42_update_rates_stream" -> UpdateRatesSql,
+    // q50: the identical aggregation under the RocksDB provider — the
+    // oracle is SHARED with q42 because the state-store provider must not
+    // change a single output bit.
+    "q50_update_rates_rocksdb" -> UpdateRatesSql,
     // q45: the identical trailing-window join in batch SQL; lag in µs on
     // the shared UTC µs grid.
     "q45_attribution_stream" ->

@@ -1355,6 +1355,27 @@ object PipelineQueries {
         .where(col("rk") <= 5)
     },
 
+    // The CAPPED twin of d166 (round 17): the 100 TB knob d166's scaladoc
+    // names — a SpaceSaving synopsis of at most 256 counters per source,
+    // so streaming state is provably bounded regardless of vocabulary
+    // (d166's census state is vocabulary-sized). In the single-data-batch
+    // regime the synopsis is exact for the cap most frequent tokens
+    // (descending-count fold), so the top-5 emission matches the exact
+    // oracle whenever the 5th count clears the N/cap eviction ceiling —
+    // natural-language skew guarantees that here; the multi-batch
+    // approximation guarantee (est − err ≤ true ≤ est, size ≤ cap) is
+    // spec-pinned in StreamingSpec.
+    "d169_heavy_hitters_capped" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      val top = graft.streaming.DocStream.heavyHittersCapped(
+        stream, "source", "tok", cap = 256, k = 5)
+      graft.streaming.StreamRunner.runToBatch(top,
+        "d169_heavy_hitters_capped", mode = "update")
+    },
+
     // Weighted modularity of the weighted LPA communities (round 14):
     // the d139 gate in the weighted regime — strong duplicate edges
     // count proportionally in BOTH the vote (d147) and the score, so a
@@ -1836,7 +1857,19 @@ object PipelineQueries {
         .otherwise(payload)
       val media = docs(s, dir).select(col("doc_id"), blob.as("blob"))
       val (outW, outH) = Multimodal.resizePlan(col("width"), col("height"), 512, 512)
-      Multimodal.analyze(media, "doc_id", "blob")
+      // SPARK_GRAFT_REAL_CODEC=1 routes each blob through the JDK's real
+      // ImageIO decoder first (decode-to-pixels for JPEG/PNG/GIF/BMP),
+      // falling back per-blob to the deterministic fake. The fixtures
+      // here are magic-bytes + text payloads — no JDK reader accepts
+      // them — so the flagged run exercises the try-real-first path on
+      // every row while the OUTPUT (and hence the oracle) is unchanged;
+      // genuine decodes are pinned in ImageIoCodecSpec with real PNG/GIF
+      // bytes.
+      val codec =
+        if (sys.env.contains("SPARK_GRAFT_REAL_CODEC"))
+          Multimodal.routed(Multimodal.ImageIoCodec, Multimodal.FakeCodec)
+        else Multimodal.FakeCodec
+      Multimodal.analyze(media, "doc_id", "blob", codec)
         .withColumn("out_w", outW)
         .withColumn("out_h", outH)
         .withColumn("n_sampled", Multimodal.frameSampleCount(col("n_frames"), 30))
@@ -4003,6 +4036,20 @@ object PipelineQueries {
     // d166: the streamed census feeds the SAME top-5 window as d91, so
     // one oracle definition covers both paths by construction.
     "d166_heavy_hitters_stream" -> HeavyHittersSql,
+    // d169: in the single-data-batch regime the capped synopsis is exact
+    // for the top-256 tokens per source (descending-count fold, err 0),
+    // so the top-5 matches the exact census oracle with est = true count
+    // and err = 0 — the approximation regime is spec-pinned, not
+    // oracle-pinned.
+    "d169_heavy_hitters_capped" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         r AS (SELECT source, tok, CAST(n AS BIGINT) AS est,
+             CAST(0 AS BIGINT) AS err,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
+           FROM c)
+         SELECT source, tok, est, err, rk FROM r WHERE rk <= 5""",
     // d168: per-window KMV replay under the q42 watermark-emission rule —
     // ms-floored watermark (max event time − 10 min), closed windows
     // only, the d86 sketch/estimate splice per window.

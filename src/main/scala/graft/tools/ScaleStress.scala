@@ -66,6 +66,9 @@ object ScaleStress {
     if (args.contains("round16phash")) {
       runRound16PhashProbe(spark); spark.stop(); return
     }
+    if (args.contains("round17contain")) {
+      runRound17ContainmentProbe(spark); spark.stop(); return
+    }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
     }
@@ -879,6 +882,57 @@ object ScaleStress {
     }.toMap
     println(f"${"wcore_skew_slope"}%-18s 1x=${wcT("1x")}%5.2f " +
       f"10x=${wcT("10x")}%5.2f (${wcT("10x") / wcT("1x")}%4.1fx)")
+  }
+
+  /** Round-17 slope for the DIRECTED containment join (d131/d157/d160
+    * family) — the one shuffle family added since round 14 without a
+    * ScaleStress arm. Fixture: per id-pair, the even doc's 10 unique
+    * words are a PREFIX of the odd doc's text (a genuine containment
+    * edge per pair), and every third doc carries a shared 5-word
+    * boilerplate tail — a skewed shingle appearing in n/3 docs. Claim
+    * under test: with the rarest-first (document-frequency) global
+    * order, boilerplate grams rank LAST per doc and never enter the
+    * probe-side prefix, so candidates form only on the per-pair unique
+    * grams — wall tracks n, never the n²/9 pair volume the shared gram
+    * would generate under a naive shingle equijoin (at 10x that naive
+    * volume is ~2.8e9 candidate pairs; linear slope = the prefix filter
+    * is doing its job under exactly the skew that defeats banding-free
+    * joins). Corpus is MATERIALIZED parquet so the slope measures the
+    * join, not the synthesis.
+    */
+  private def runRound17ContainmentProbe(spark: SparkSession): Unit = {
+    def minOf3(name: String)(f: => Long): Double =
+      probeMinOf3(spark)(name)(f)
+    val base = "/tmp/graft_scale17contain"
+    def corpus(n: Long): DataFrame = {
+      val b = floor(col("id") / 2).cast("long")
+      val uniq = concat_ws(" ", transform(sequence(lit(0), lit(9)),
+        j => concat(lit("u"), b, lit("w"), j)))
+      val extras = concat_ws(" ", transform(sequence(lit(0), lit(7)),
+        j => concat(lit("x"), col("id"), lit("y"), j)))
+      val body = when(pmod(col("id"), lit(2)) === 1,
+        concat(uniq, lit(" "), extras)).otherwise(uniq)
+      val text = when(pmod(col("id"), lit(3)) === 0,
+        concat(body, lit(" common header boilerplate phrase shared")))
+        .otherwise(body)
+      spark.range(n).select(col("id").as("doc_id"), text.as("text"))
+    }
+    val arms = Seq(("1x", 50000L), ("10x", 500000L))
+    arms.foreach { case (tag, n) =>
+      if (!new java.io.File(s"$base/c$tag/_SUCCESS").exists()) {
+        val s0 = System.nanoTime()
+        corpus(n).write.mode("overwrite").parquet(s"$base/c$tag")
+        println(f"contain_synth $tag%-14s ${(System.nanoTime() - s0) / 1e9}%7.2f s (map-only)")
+      }
+    }
+    val res = arms.map { case (tag, _) =>
+      val c = spark.read.parquet(s"$base/c$tag")
+      tag -> minOf3(s"contain_join $tag")(
+        JaccardJoin.containmentPairs(c, "doc_id", "text", threshold = 0.6)
+          .count())
+    }.toMap
+    println(f"${"contain_slope"}%-18s 1x=${res("1x")}%5.2f " +
+      f"10x=${res("10x")}%5.2f (${res("10x") / res("1x")}%4.1fx)")
   }
 
   /** Banding slope for the perceptual-hash near-dup chain (d164/d167):

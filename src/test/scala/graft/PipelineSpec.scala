@@ -1806,6 +1806,59 @@ class VectorIVFSpec extends SparkSpec {
     assert(ex2.getMessage.contains("duplicate cell ids"))
   }
 
+  test("index corpus fingerprint: stale artifacts fail loudly at load, " +
+    "matching ones round-trip") {
+    import spark.implicits._
+    def corpusOf(seed: Double) = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * seed + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = corpusOf(1.3)
+    val fp = VectorIVF.corpusFingerprint(corpus, "vec_id", "embedding")
+    // order/partitioning-independent: same rows, different layout
+    assert(VectorIVF.corpusFingerprint(
+      corpus.repartition(7).orderBy(col("vec_id").desc),
+      "vec_id", "embedding") === fp)
+    val trained = VectorIVF.train(corpus, "vec_id", "embedding", k = 4,
+      iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("ivf_fp").toString
+    VectorIVF.saveIndex(trained, path, corpusFp = Some(fp))
+    // matching fingerprint loads and strips the stamp column
+    val loaded = VectorIVF.loadIndex(spark, path, expectCorpusFp = Some(fp))
+    assert(loaded.columns.toSet === Set("cell_id", "cvec"))
+    // a DIFFERENT corpus (one row perturbed) refuses the artifact
+    val other = VectorIVF.corpusFingerprint(corpusOf(1.7), "vec_id", "embedding")
+    assert(other !== fp)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIVF.loadIndex(spark, path, expectCorpusFp = Some(other))
+    }
+    assert(ex.getMessage.contains("DIFFERENT corpus"))
+    // an UNSTAMPED artifact cannot prove anything: loud, not assumed
+    val bare = java.nio.file.Files.createTempDirectory("ivf_bare").toString
+    VectorIVF.saveIndex(trained, bare)
+    val ex2 = intercept[IllegalArgumentException] {
+      VectorIVF.loadIndex(spark, bare, expectCorpusFp = Some(fp))
+    }
+    assert(ex2.getMessage.contains("no corpus fingerprint"))
+    // and with no expectation, both artifacts load as before (back-compat)
+    assert(VectorIVF.loadIndex(spark, path).count() === 4)
+    assert(VectorIVF.loadIndex(spark, bare).count() === 4)
+    // the PQ codebook carries the same discipline
+    val cb = graft.functions.VectorPQ.train(corpus, "vec_id", "embedding",
+      dim = 8, m = 2, ksub = 4, iters = 1)
+    val cbPath = java.nio.file.Files.createTempDirectory("pq_fp").toString
+    graft.functions.VectorPQ.saveCodebook(spark, cb, cbPath, corpusFp = Some(fp))
+    val cbLoaded = graft.functions.VectorPQ.loadCodebook(spark, cbPath,
+      expectCorpusFp = Some(fp))
+    assert(cbLoaded.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val ex3 = intercept[IllegalArgumentException] {
+      graft.functions.VectorPQ.loadCodebook(spark, cbPath,
+        expectCorpusFp = Some(other))
+    }
+    assert(ex3.getMessage.contains("DIFFERENT corpus"))
+    CacheRegistry.releaseAll()
+  }
+
   test("standing PQ codebook: save/load round-trips; holes rejected loudly") {
     import spark.implicits._
     val corpus = (0 until 24).map(i =>

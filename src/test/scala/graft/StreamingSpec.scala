@@ -117,6 +117,78 @@ class StreamingSpec extends SparkSpec {
     assert(!GraftConf.rocksDbStateStoreEnabled(spark))
   }
 
+  test("heavyHittersCapped: state bounded by cap; SpaceSaving guarantee " +
+    "holds across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val cap = 8
+    // adversarial vocabulary: 40 distinct tokens per key, far above cap,
+    // split across two micro-batches so eviction + cross-batch merge both
+    // exercise. True counts: tok i appears i times (no ties).
+    def occurrences(range: Range): Seq[(String, String)] =
+      range.flatMap(i => Seq.fill(i)(("web", f"t$i%02d")))
+    val in = MemoryStream[(String, String)]
+    val out = graft.streaming.DocStream.heavyHittersCapped(
+      in.toDF().toDF("source", "tok"), "source", "tok", cap = cap, k = cap)
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[(String, Long, Long)]]()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += df.select("tok", "est", "err")
+          .as[(String, Long, Long)].collect().toSeq
+        ()
+      }.start()
+    try {
+      in.addData(occurrences(1 to 25): _*)
+      q.processAllAvailable()
+      in.addData(occurrences(16 to 40): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.size === 2)
+    // true counts after both batches: 1..15 once, 16..25 twice... no —
+    // tok i contributes i per batch it appears in
+    val truth = ((1 to 25).map(i => f"t$i%02d" -> i.toLong) ++
+      (16 to 40).map(i => f"t$i%02d" -> i.toLong))
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sum }
+    val n = truth.values.sum
+    val last = batches.last
+    // the state (and hence any emission) never exceeds cap entries
+    batches.foreach(b => assert(b.size <= cap))
+    // SpaceSaving guarantee on every tracked token: est is an upper
+    // bound and est - err a lower bound of the true count
+    last.foreach { case (tok, est, err) =>
+      val t = truth(tok)
+      assert(est >= t, s"$tok: est=$est < true=$t")
+      assert(est - err <= t, s"$tok: est-err=${est - err} > true=$t")
+    }
+    // any token with true count > N/cap is guaranteed tracked
+    val tracked = last.map(_._1).toSet
+    truth.filter(_._2 > n / cap).keys.foreach(t =>
+      assert(tracked(t), s"heavy token $t missing from synopsis"))
+  }
+
+  test("heavyHittersCapped: exact top-k with exact counts in the skewed " +
+    "single-batch regime (the d169 oracle contract)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // skewed: 8 head tokens with large distinct counts + 100 tail
+    // singletons; cap 16 >> the eviction ceiling N/cap, so the top-5 is
+    // exact with err = 0
+    val head = (1 to 8).flatMap(i => Seq.fill(1000 - i * 50)(("web", s"h$i")))
+    val tail = (1 to 100).map(i => ("web", f"z$i%03d"))
+    val in = MemoryStream[(String, String)]
+    val out = graft.streaming.DocStream.heavyHittersCapped(
+      in.toDF().toDF("source", "tok"), "source", "tok", cap = 16, k = 5)
+    in.addData(head ++ tail: _*)
+    val q = out.writeStream.format("memory").queryName("hh_capped_exact")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hh_capped_exact")
+      .select("tok", "est", "err", "rk")
+      .as[(String, Long, Long, Int)].collect().sortBy(_._4)
+    val expect = (1 to 5).map(i => (s"h$i", (1000 - i * 50).toLong, 0L, i))
+    assert(got.toSeq === expect)
+  }
+
   test("RocksDB knob restores a pre-existing custom provider, not the " +
     "default") {
     val key = "spark.sql.streaming.stateStore.providerClass"
