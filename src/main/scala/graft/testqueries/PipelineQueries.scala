@@ -57,6 +57,38 @@ object PipelineQueries {
     * row, so their hash sides cannot drift; pure Column expressions, so
     * it runs identically on a batch or streaming frame.
     */
+  /** GENUINE PNG blobs, one per doc id — a real JDK PNG encode per row
+    * inside `mapPartitions` (the codec seam's batch shape), dims a closed
+    * form of the id so the decode row's oracle needs no image library:
+    * width = 16 + id % 50, height = 16 + (7·id) % 40, TYPE_INT_RGB
+    * (3 raster bands), single frame. Pixel content is a deterministic
+    * per-id fill — it exercises the real decoder; the ORACLE pins only
+    * the header-independent facts (dims/bands/frames), so the row is
+    * robust to PNG encoder byte changes across JDKs.
+    */
+  private def realPngs(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (16 + id % 50).toInt
+        val h = (16 + (7 * id) % 40).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = ((id * 2654435761L) & 0xFFFFFFL).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb ^ (x * 31 + y)); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "blob")
+  }
+
   private[graft] def phashed(df: DataFrame): DataFrame = {
     val img = expr("doc_id div 2")
     // base image: 72 pseudo-random bytes from FIVE md5 calls (16 pixel
@@ -1374,6 +1406,18 @@ object PipelineQueries {
         stream, "source", "tok", cap = 256, k = 5)
       graft.streaming.StreamRunner.runToBatch(top,
         "d169_heavy_hitters_capped", mode = "update")
+    },
+
+    // REAL decode in-suite (round 17): genuine PNG blobs (a real JDK
+    // encode per row in mapPartitions) decoded to pixels by ImageIoCodec
+    // — not the header walk, not the md5 fake — through the exact
+    // production seam (one codec per partition, close at task end). The
+    // oracle is the closed-form dims the synthesis planted, so the row
+    // proves decode-to-raster end-to-end while staying engine-replayable
+    // without any image library on the oracle side.
+    "d170_imageio_decode" -> { (s, dir) =>
+      val media = realPngs(docs(s, dir).select("doc_id"))
+      Multimodal.decode(media, "doc_id", "blob", Multimodal.ImageIoCodec)
     },
 
     // Weighted modularity of the weighted LPA communities (round 14):
@@ -4050,6 +4094,16 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
            FROM c)
          SELECT source, tok, est, err, rk FROM r WHERE rk <= 5""",
+    // d170: the synthesis plants the dims in closed form; the Spark side
+    // must recover them through a REAL javax.imageio decode — the oracle
+    // needs no image library, only the planted arithmetic.
+    "d170_imageio_decode" ->
+      """SELECT doc_id,
+           CAST(16 + doc_id % 50 AS INT) AS width,
+           CAST(16 + (7 * doc_id) % 40 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(1 AS INT) AS n_frames
+         FROM documents""",
     // d168: per-window KMV replay under the q42 watermark-emission rule —
     // ms-floored watermark (max event time − 10 min), closed windows
     // only, the d86 sketch/estimate splice per window.

@@ -1154,6 +1154,16 @@ class PHashSpec extends SparkSpec {
     } yield (a, b, h)).toSet
     assert(got === want)
     assert(want.size >= 4) // the planted near-dups are in
+    // a reference catalog with ITS OWN schema passes its column names
+    // explicitly and must produce the identical tag set (the round-17
+    // refIdCol/refSketchCol parameters — before them this was an
+    // unresolved-column error)
+    val got2 = graft.streaming.DocStream.mediaDupTag(
+        probe.toDF("doc_id", "phash"), ref.toDF("media_key", "sketch"),
+        refIdCol = "media_key", refSketchCol = "sketch")
+      .select("doc_id", "ref_id", "hamming").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got2 === want)
   }
 
   test("d164: the md5 blob chain never inlines into the dHash compare tree") {
