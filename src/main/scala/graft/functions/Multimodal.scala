@@ -423,7 +423,12 @@ object Multimodal {
   object ImageIoCodec extends MediaCodec {
     private def withReader[T](bytes: Array[Byte])(
         f: javax.imageio.ImageReader => T): T = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // explicit memory-cache stream: ImageIO.createImageInputStream
+      // defaults to a FILE-cache stream (one temp file created and
+      // deleted PER BLOB) when the global use-cache flag is on — pure
+      // I/O churn for bytes already in memory, and the kind of hidden
+      // per-row filesystem traffic a 100 TB decode stage cannot carry
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)

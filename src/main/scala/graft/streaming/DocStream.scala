@@ -542,6 +542,12 @@ object DocStream {
     *
     * Emits per key the top-`k` tokens by (est desc, token asc):
     * `(keyCol, tok, est, err, rk)`.
+    *
+    * Cost note: eviction does an O(cap) min scan, so a batch with V
+    * distinct untracked tokens pays O(V·cap) per key — fine at the caps
+    * this engine runs (256); a deployment pushing cap into the tens of
+    * thousands should swap the scan for SpaceSaving's stream-summary
+    * bucket list (O(1) eviction), a drop-in change behind this signature.
     */
   def heavyHittersCapped(stream: DataFrame, keyCol: String, tokCol: String,
                          cap: Int, k: Int): DataFrame = {

@@ -83,7 +83,14 @@ object PipelineQueries {
           y += 1
         }
         val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
+        // memory-cache stream, not ImageIO.write(…, OutputStream): the
+        // latter wraps in a FILE-cache stream under the default global
+        // use-cache flag — one temp file created/deleted per row
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+        try {
+          javax.imageio.ImageIO.write(img, "png", ios)
+          ios.flush()
+        } finally ios.close()
         (id, out.toByteArray)
       }
     }.toDF("doc_id", "blob")

@@ -54,6 +54,28 @@ class SortedIntersectSpec extends SparkSpec {
     }
   }
 
+  test("the pair-verify plans run the merge-count kernel, not array_intersect") {
+    import spark.implicits._
+    // the d131 GC fix is a PLAN property: if a refactor reintroduces
+    // array_intersect into any verify, the per-candidate allocation
+    // silently returns — pin the kernel's presence in the optimized plan
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val plans = Seq(
+      graft.functions.JaccardJoin.similarPairs(docs, "doc_id", "text", 0.5),
+      graft.functions.JaccardJoin.containmentPairs(docs, "doc_id", "text", 0.6),
+      graft.functions.JaccardJoin.containmentPairsAcross(
+        docs, docs.withColumnRenamed("doc_id", "doc_id"), "doc_id", "text", 0.6))
+      .map(_.queryExecution.optimizedPlan.toString)
+    plans.foreach { p =>
+      assert(p.contains("graft_intersect_count"),
+        "verify must run the zero-allocation merge count")
+      assert(!p.contains("array_intersect"),
+        "array_intersect back in a verify plan: per-candidate allocation returns")
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("jaccardCol on shingle arrays matches the array_intersect formula") {
     import spark.implicits._
     val docs = Seq(
