@@ -304,4 +304,42 @@ class EmptyInputRound12Spec extends SparkSpec {
       .heavyGramDriftFromRows(row, row).count() === 0)
     CacheRegistry.releaseAll()
   }
+
+  test("round-17 ops are total on empty and degenerate inputs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // capped heavy hitters over a stream that never delivers data: no
+    // emission, no throw (the state function is simply never invoked)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val out = graft.streaming.DocStream.heavyHittersCapped(
+      in.toDF().toDF("source", "tok"), "source", "tok", cap = 4, k = 2)
+    val q = out.writeStream.format("memory").queryName("hh_empty")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("hh_empty").count() === 0)
+    // null keys/tokens are excluded, not state keys
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val out2 = graft.streaming.DocStream.heavyHittersCapped(
+      in2.toDF().toDF("source", "tok"), "source", "tok", cap = 4, k = 2)
+    in2.addData((null, "a"), ("web", null), ("web", "a"))
+    val q2 = out2.writeStream.format("memory").queryName("hh_nulls")
+      .outputMode("update").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("hh_nulls").collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("web", "a", 1L)))
+    // grayThumb of a degenerate 1x1 image: every thumbnail cell is that
+    // pixel (the area-average bounds never collapse), and the dHash of a
+    // constant field is 0 — no throw on the smallest decodable image
+    val img = new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x808080)
+    val os = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", os)
+    val thumb = graft.functions.Multimodal.ImageIoCodec.grayThumb(os.toByteArray)
+    assert(thumb.length === 72 && thumb.distinct.length === 1)
+    CacheRegistry.releaseAll()
+  }
 }
