@@ -549,6 +549,44 @@ object DocStream {
     * thousands should swap the scan for SpaceSaving's stream-summary
     * bucket list (O(1) eviction), a drop-in change behind this signature.
     */
+  /** The ONE SpaceSaving merge both capped operators
+    * ([[heavyHittersCapped]], [[trendingCapped]]) fold with — shared so
+    * the global and windowed forms cannot drift. Folds a batch-local
+    * census into the synopsis in descending (count, token) order
+    * (deterministic; exact-first in the single-batch regime), evicting
+    * the min-(est, tok) counter when full.
+    */
+  private def spaceSavingMerge(prior: Option[Map[String, (Long, Long)]],
+                               rows: Iterator[String],
+                               cap: Int): Map[String, (Long, Long)] = {
+    // batch-local census first: the fold must see each token's batch
+    // count once, not one increment per occurrence (occurrence order is
+    // nondeterministic; counts are not)
+    val batch = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach(t => batch.update(t, batch.getOrElse(t, 0L) + 1L))
+    val syn = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    prior.foreach(syn ++= _)
+    batch.toSeq.sortBy { case (t, c) => (-c, t) }.foreach { case (t, c) =>
+      syn.get(t) match {
+        case Some((est, err)) => syn.update(t, (est + c, err))
+        case None if syn.size < cap => syn.update(t, (c, 0L))
+        case None =>
+          // evict the min-(est, tok) counter; the newcomer inherits its
+          // estimate as upper bound + error
+          val (mt, (me, _)) = syn.minBy { case (t2, (e2, _)) => (e2, t2) }
+          syn.remove(mt)
+          syn.update(t, (me + c, me))
+      }
+    }
+    syn.toMap
+  }
+
+  /** Top-`k` rows of a synopsis by (est desc, token asc), rank attached. */
+  private def synTopK(syn: Map[String, (Long, Long)], k: Int)
+      : Seq[(String, Long, Long, Int)] =
+    syn.toSeq.sortBy { case (t, (e, _)) => (-e, t) }.take(k)
+      .zipWithIndex.map { case ((t, (e, err)), i) => (t, e, err, i + 1) }
+
   def heavyHittersCapped(stream: DataFrame, keyCol: String, tokCol: String,
                          cap: Int, k: Int): DataFrame = {
     require(cap >= k && k > 0, s"need cap >= k > 0, got cap=$cap k=$k")
@@ -562,37 +600,72 @@ object DocStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, String)],
          state: GroupState[Map[String, (Long, Long)]]) =>
-          // batch-local census first: the fold below must see each
-          // token's batch count once, not one increment per occurrence
-          // (occurrence order is nondeterministic; counts are not)
-          val batch = scala.collection.mutable.HashMap.empty[String, Long]
-          rows.foreach { case (_, t) =>
-            batch.update(t, batch.getOrElse(t, 0L) + 1L)
+          val syn = spaceSavingMerge(state.getOption, rows.map(_._2), cap)
+          state.update(syn)
+          synTopK(syn, k).iterator.map { case (t, e, err, rk) =>
+            (key, t, e, err, rk)
           }
-          val syn = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
-          state.getOption.foreach(syn ++= _)
-          batch.toSeq.sortBy { case (t, c) => (-c, t) }.foreach {
-            case (t, c) =>
-              syn.get(t) match {
-                case Some((est, err)) => syn.update(t, (est + c, err))
-                case None if syn.size < cap => syn.update(t, (c, 0L))
-                case None =>
-                  // evict the min-(est, tok) counter; the newcomer
-                  // inherits its estimate as upper bound + error
-                  val (mt, (me, _)) = syn.minBy { case (t2, (e2, _)) =>
-                    (e2, t2)
-                  }
-                  syn.remove(mt)
-                  syn.update(t, (me + c, me))
-              }
-          }
-          state.update(syn.toMap)
-          syn.toSeq.sortBy { case (t, (e, _)) => (-e, t) }.take(k)
-            .zipWithIndex.iterator.map { case ((t, (e, err)), i) =>
-              (key, t, e, err, i + 1)
-            }
       }
     emitted.select(col("_1").as(keyCol), col("_2").as("tok"),
       col("_3").as("est"), col("_4").as("err"), col("_5").cast("int").as("rk"))
+  }
+
+  /** WINDOWED trending tokens with capped state — "what surged in each
+    * 10-minute window", the event-time form of [[heavyHittersCapped]]:
+    * one SpaceSaving synopsis per OPEN tumbling window (state ≤ cap
+    * counters × open windows, both bounded — windows by the watermark
+    * horizon, counters by the cap), emitted ONCE when the watermark
+    * closes the window (the q42 emission rule: a window [start, end)
+    * reports iff end ≤ watermark; the timeout is set to end − 1 ms so
+    * Spark's strictly-greater timeout fires exactly on end ≤ wm). Append
+    * mode — a trending row is final, the d168 windowed-sketch discipline
+    * applied to the heavy-hitter signal.
+    *
+    * Exactness regime matches [[heavyHittersCapped]]: per-window counts
+    * fold descending, so in the single-data-batch regime the emitted
+    * top-k carries exact counts (err 0) whenever the k-th per-window
+    * count clears that window's N/cap eviction ceiling.
+    *
+    * Emits `(window_start, window_end, tok, est, err, rk)`.
+    */
+  def trendingCapped(stream: DataFrame, tsCol: String, tokCol: String,
+                     windowMinutes: Int = 10, watermark: String = "10 minutes",
+                     cap: Int = 256, k: Int = 5): DataFrame = {
+    require(cap >= k && k > 0, s"need cap >= k > 0, got cap=$cap k=$k")
+    require(windowMinutes > 0, s"windowMinutes=$windowMinutes must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val winMs = windowMinutes * 60_000L
+    val typed = stream
+      .withWatermark(tsCol, watermark)
+      .where(col(tokCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(tsCol), col(tokCol).cast("string"))
+      .as[(java.sql.Timestamp, String)]
+    val emitted = typed
+      .groupByKey { case (ts, _) => Math.floorDiv(ts.getTime, winMs) * winMs }
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (winStart: Long, rows: Iterator[(java.sql.Timestamp, String)],
+         state: GroupState[Map[String, (Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed window end: the window is closed — emit
+            // its top-k once and drop the synopsis
+            val syn = state.get
+            state.remove()
+            synTopK(syn, k).iterator.map { case (t, e, err, rk) =>
+              (winStart, winStart + winMs, t, e, err, rk)
+            }
+          } else {
+            state.update(
+              spaceSavingMerge(state.getOption, rows.map(_._2), cap))
+            state.setTimeoutTimestamp(winStart + winMs - 1)
+            Iterator.empty
+          }
+      }
+    emitted.select(
+      timestamp_millis(col("_1")).as("window_start"),
+      timestamp_millis(col("_2")).as("window_end"),
+      col("_3").as("tok"), col("_4").as("est"), col("_5").as("err"),
+      col("_6").cast("int").as("rk"))
   }
 }

@@ -1415,6 +1415,27 @@ object PipelineQueries {
         "d169_heavy_hitters_capped", mode = "update")
     },
 
+    // WINDOWED trending tokens with capped state (round 17): one
+    // SpaceSaving synopsis per OPEN 10-minute window, emitted once when
+    // the watermark closes the window (the q42 emission rule via an
+    // end−1ms event-time timeout) — "what surged per window" with state
+    // bounded by cap × open windows instead of vocabulary × windows.
+    // Event time is doc_id-derived (one doc per minute), so every SF has
+    // closed windows and the oracle replays the bucketing in closed form.
+    "d171_trending_capped" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(
+          timestamp_seconds(lit(1500000000L) + col("doc_id") * 60).as("ets"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.DocStream.trendingCapped(
+          stream, "ets", "tok", windowMinutes = 10,
+          watermark = "10 minutes", cap = 256, k = 5),
+        "d171_trending_capped")
+    },
+
     // REAL decode in-suite (round 17): genuine PNG blobs (a real JDK
     // encode per row in mapPartitions) decoded to pixels by ImageIoCodec
     // — not the header walk, not the md5 fake — through the exact
@@ -4101,6 +4122,26 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
            FROM c)
          SELECT source, tok, est, err, rk FROM r WHERE rk <= 5""",
+    // d171: per-window exact top-5 over the doc_id-derived minute grid,
+    // closed windows only (end <= max-event-time - 10 min, the q42
+    // watermark rule); est = exact count, err = 0 in the single-batch
+    // exact regime (the d169 contract, per window).
+    "d171_trending_capped" ->
+      """WITH t AS (SELECT 1500000000 + doc_id * 60 AS tsec,
+             unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         mx AS (SELECT max(1500000000 + doc_id * 60) - 600 AS wm
+           FROM documents),
+         w AS (SELECT tsec // 600 AS wbin, tok FROM t),
+         c AS (SELECT wbin, tok, count(*) AS n FROM w GROUP BY 1, 2),
+         r AS (SELECT wbin, tok, CAST(n AS BIGINT) AS est,
+             CAST(0 AS BIGINT) AS err,
+             row_number() OVER (PARTITION BY wbin ORDER BY n DESC, tok) AS rk
+           FROM c)
+         SELECT make_timestamp(wbin * 600 * 1000000) AS window_start,
+           make_timestamp((wbin + 1) * 600 * 1000000) AS window_end,
+           tok, est, err, rk
+         FROM r, mx
+         WHERE rk <= 5 AND (wbin + 1) * 600 <= wm""",
     // d170: the synthesis plants the dims in closed form; the Spark side
     // must recover them through a REAL javax.imageio decode — the oracle
     // needs no image library, only the planted arithmetic.

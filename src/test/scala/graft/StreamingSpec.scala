@@ -189,6 +189,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("trendingCapped: windows emit once on watermark passage, open tail " +
+    "stays silent, state stays capped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // base offset away from the epoch: a ts==0 event sits exactly ON the
+    // initial watermark and the stateful operator's late filter drops it
+    // (real event times are never at epoch 0; the d171 row bases at 1.5e9)
+    def ts(min: Int) = new Timestamp((60 + min) * 60_000L)
+    val base = 3_600_000L
+    val in = MemoryStream[(Timestamp, String)]
+    // 2-minute windows, 1-minute watermark, cap 3 on a 5-token window
+    // vocabulary: eviction and windowing exercise together
+    val out = graft.streaming.DocStream.trendingCapped(
+      in.toDF().toDF("ets", "tok"), "ets", "tok",
+      windowMinutes = 2, watermark = "1 minute", cap = 3, k = 3)
+    val q = out.writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      // window [0,2): a heavy (4), b (2), plus c/d/e singleton tail
+      // (vocab 5 > cap 3)
+      in.addData(
+        (ts(0), "a"), (ts(0), "a"), (ts(0), "a"), (ts(1), "a"),
+        (ts(0), "b"), (ts(1), "b"), (ts(0), "c"), (ts(1), "d"), (ts(1), "e"))
+      q.processAllAvailable()
+      // nothing closed yet: watermark = min1 - 1min = min0 < window end
+      assert(spark.table("trending").count() === 0)
+      // events at minute 4 push the watermark to minute 3 >= window end
+      // 2: window [0,2) closes and emits; window [4,6) stays open
+      in.addData((ts(4), "x"), (ts(4), "x"), (ts(4), "y"))
+      q.processAllAvailable()
+      val rows = spark.table("trending")
+        .select("window_start", "window_end", "tok", "est", "err", "rk")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getString(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      assert(rows.forall(r => r._1 === base && r._2 === base + 120_000L),
+        "only the closed window may emit")
+      assert(rows.length === 3, "top-k bounded by cap-sized synopsis")
+      // the exact trace under the descending fold: a/b/c fill the cap
+      // (err 0), d evicts c (est 2 = 1+1, err 1), e evicts the (est,tok)-
+      // min b (est 3 = 2+1, err 2). Every est is an upper bound of the
+      // true count and est - err a lower bound — checked row by row.
+      val truth = Map("a" -> 4L, "b" -> 2L, "c" -> 1L, "d" -> 1L, "e" -> 1L)
+      val byRk = rows.sortBy(_._6)
+      assert(byRk(0)._3 === "a" && byRk(0)._4 === 4L && byRk(0)._5 === 0L)
+      assert(byRk.map(_._3).toSeq === Seq("a", "e", "d"))
+      byRk.foreach { case (_, _, tok, est, err, _) =>
+        assert(est >= truth(tok) && est - err <= truth(tok),
+          s"$tok: est=$est err=$err true=${truth(tok)}")
+      }
+    } finally q.stop()
+  }
+
   test("RocksDB knob restores a pre-existing custom provider, not the " +
     "default") {
     val key = "spark.sql.streaming.stateStore.providerClass"
