@@ -495,6 +495,95 @@ object Multimodal {
       }
   }
 
+  /** REAL audio decode-to-SAMPLES — the WAV/PCM counterpart of
+    * [[ImageIoCodec]]'s decode-to-pixels (the [[HeaderCodec]] WAV arm
+    * reads only the header; this walks to the `data` chunk and returns
+    * the actual waveform). Strict contract like every decoder here:
+    * PCM (format 1), 16-bit, mono, with the same unsigned-size /
+    * overrun / short-fmt guards as the header walk — anything else
+    * throws `IllegalArgumentException` rather than decoding garbage.
+    */
+  object WavPcm {
+    private def le16(b: Array[Byte], off: Int): Int = {
+      require(off + 2 <= b.length, s"truncated WAV at offset $off")
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    }
+    private def le32(b: Array[Byte], off: Int): Int = {
+      require(off + 4 <= b.length, s"truncated WAV at offset $off")
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    }
+    private def ascii(b: Array[Byte], off: Int, len: Int): String =
+      if (off + len <= b.length) new String(b, off, len, "US-ASCII") else ""
+
+    /** The PCM16 mono sample array of a RIFF/WAVE blob. */
+    def pcm16Samples(bytes: Array[Byte]): Array[Short] = {
+      require(ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "WAVE",
+        "not a RIFF/WAVE blob")
+      var off = 12L
+      var fmt = 0; var channels = 0; var bits = 0
+      var dataAt = -1; var dataSize = -1L
+      while (off + 8 <= bytes.length && (fmt == 0 || dataAt < 0)) {
+        val at = off.toInt
+        val id = ascii(bytes, at, 4)
+        val size = le32(bytes, at + 4) & 0xFFFFFFFFL
+        require(off + 8 + size <= bytes.length,
+          s"chunk '$id' size $size overruns the ${bytes.length}-byte blob")
+        if (id == "fmt ") {
+          require(size >= 16, s"'fmt ' chunk size $size < 16")
+          fmt = le16(bytes, at + 8)
+          channels = le16(bytes, at + 10)
+          bits = le16(bytes, at + 22)
+        } else if (id == "data") { dataAt = at + 8; dataSize = size }
+        off += 8 + size + (size & 1)
+      }
+      require(fmt == 1 && bits == 16 && channels == 1,
+        s"need PCM16 mono, got format=$fmt bits=$bits channels=$channels")
+      require(dataAt >= 0, "missing data chunk in WAVE stream")
+      require(dataSize % 2 == 0, s"odd PCM16 data size $dataSize")
+      val n = (dataSize / 2).toInt
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = le16(bytes, dataAt + 2 * i).toShort
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Audio features from REAL PCM decode, on exact integer grids —
+    * (id, n_samples, sum_sq, zero_crossings): sample count, the energy
+    * numerator Σs² (BIGINT-exact, so any RMS/normalization downstream is
+    * derived, not baked in float), and sign alternations
+    * (s·s_prev < 0 — the zero-sample case counts for neither side, the
+    * one convention with no sign(0) ambiguity to drift on). Runs through
+    * the same `mapPartitions` codec seam as [[decode]]: bytes never
+    * shuffle, one decoder per partition, columnar downstream.
+    */
+  def wavFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val s = WavPcm.pcm16Samples(bytes)
+          var sumSq = 0L
+          var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sumSq += v * v
+            if (i > 0 && v * s(i - 1).toLong < 0) zc += 1
+            i += 1
+          }
+          (id, s.length.toLong, sumSq, zc)
+        }
+      }
+      .toDF(idCol, "n_samples", "sum_sq", "zero_crossings")
+  }
+
   /** Primary-with-fallback codec composition: try `primary`, and on ANY
     * decode failure hand the blob to `fallback` (both share the partition
     * lifecycle — open/close are forwarded to both). The deployment shape

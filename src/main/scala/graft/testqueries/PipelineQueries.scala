@@ -96,6 +96,40 @@ object PipelineQueries {
     }.toDF("doc_id", "blob")
   }
 
+  /** GENUINE RIFF/WAVE blobs, one per doc id — a complete PCM16 mono WAV
+    * (44-byte canonical header + data chunk) built per row in
+    * `mapPartitions`, samples a closed form of the id so the decode row's
+    * oracle replays the waveform with integer arithmetic alone:
+    * n = 160 + id % 100 samples, s_i = ((id·31 + i·17) % 2001) − 1000.
+    * The 8 kHz/16-bit/mono header fields are real (HeaderCodec parses
+    * these blobs too); the ORACLE pins only the sample-derived features.
+    */
+  private def realWavs(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (160 + id % 100).toInt
+        val dataSize = n * 2
+        val buf = java.nio.ByteBuffer
+          .allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1) // PCM, mono
+          .putInt(8000).putInt(16000) // sample rate, byte rate
+          .putShort(2).putShort(16) // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        var i = 0
+        while (i < n) {
+          buf.putShort((((id * 31 + i * 17) % 2001) - 1000).toShort)
+          i += 1
+        }
+        (id, buf.array())
+      }
+    }.toDF("doc_id", "blob")
+  }
+
   private[graft] def phashed(df: DataFrame): DataFrame = {
     val img = expr("doc_id div 2")
     // base image: 72 pseudo-random bytes from FIVE md5 calls (16 pixel
@@ -1434,6 +1468,16 @@ object PipelineQueries {
           stream, "ets", "tok", windowMinutes = 10,
           watermark = "10 minutes", cap = 256, k = 5),
         "d171_trending_capped")
+    },
+
+    // REAL audio decode in-suite (round 17): genuine PCM16 WAV blobs
+    // decoded to WAVEFORMS by WavPcm (the HeaderCodec WAV arm stops at
+    // the header; this reads the samples), features on exact integer
+    // grids so the oracle replays the planted waveform with integer
+    // arithmetic alone — the d170 pattern for the audio modality.
+    "d172_wav_features" -> { (s, dir) =>
+      val media = realWavs(docs(s, dir).select("doc_id"))
+      Multimodal.wavFeatures(media, "doc_id", "blob")
     },
 
     // REAL decode in-suite (round 17): genuine PNG blobs (a real JDK
@@ -4142,6 +4186,22 @@ object PipelineQueries {
            tok, est, err, rk
          FROM r, mx
          WHERE rk <= 5 AND (wbin + 1) * 600 <= wm""",
+    // d172: the synthesis plants the waveform in closed form; the Spark
+    // side must recover it through a REAL PCM16 decode — integer-exact
+    // features (count, energy numerator, sign alternations), so the
+    // oracle needs no audio library, only the planted arithmetic.
+    "d172_wav_features" ->
+      """WITH d AS (SELECT doc_id, 160 + doc_id % 100 AS n FROM documents),
+         ix AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+         s AS (SELECT doc_id, n, i,
+             ((doc_id * 31 + i * 17) % 2001) - 1000 AS v FROM ix),
+         s2 AS (SELECT doc_id, n, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         FROM s2 GROUP BY doc_id""",
     // d170: the synthesis plants the dims in closed form; the Spark side
     // must recover them through a REAL javax.imageio decode — the oracle
     // needs no image library, only the planted arithmetic.

@@ -118,6 +118,67 @@ class ImageIoCodecSpec extends SparkSpec {
   }
 }
 
+/** Pins the REAL audio decode path: [[Multimodal.WavPcm]] recovers the
+  * exact PCM16 waveform from a genuine RIFF/WAVE blob (the HeaderCodec
+  * arm stops at the header), wavFeatures computes integer-exact features
+  * over it, and malformed or non-PCM16-mono blobs are refused loudly.
+  */
+class WavPcmSpec extends SparkSpec {
+
+  private def wav(samples: Array[Short], channels: Short = 1,
+                  bits: Short = 16, fmt: Short = 1): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmt).putShort(channels)
+      .putInt(8000).putInt(16000).putShort(2).putShort(bits)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  test("pcm16Samples round-trips the exact waveform; HeaderCodec agrees on the header") {
+    val s = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val blob = wav(s)
+    assert(Multimodal.WavPcm.pcm16Samples(blob).toSeq === s.toSeq)
+    val m = Multimodal.HeaderCodec.decode(blob)
+    assert(m.width === 8000 && m.height === 16 && m.channels === 1 &&
+      m.nFrames === s.length)
+  }
+
+  test("wavFeatures: integer-exact energy and sign alternations") {
+    import spark.implicits._
+    val s = Array[Short](3, -2, 0, -1, 4) // zc: 3/-2 and -1/4; 0 counts never
+    val df = Seq((1L, wav(s))).toDF("doc_id", "blob")
+    val r = Multimodal.wavFeatures(df, "doc_id", "blob").head()
+    assert(r.getLong(1) === 5L)
+    assert(r.getLong(2) === (9 + 4 + 0 + 1 + 16).toLong)
+    assert(r.getLong(3) === 2L)
+  }
+
+  test("WavPcm is strict: stereo, 8-bit, non-PCM and garbage refused") {
+    val s = Array[Short](1, 2)
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcm.pcm16Samples(wav(s, channels = 2))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcm.pcm16Samples(wav(s, bits = 8))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcm.pcm16Samples(wav(s, fmt = 3)) // IEEE float
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcm.pcm16Samples("RIFFxxxxWAVE".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcm.pcm16Samples("not audio".getBytes("US-ASCII"))
+    }
+  }
+}
+
 object ImageIoCodecSpec {
   val opens = new java.util.concurrent.atomic.AtomicInteger
   val decodes = new java.util.concurrent.atomic.AtomicInteger
