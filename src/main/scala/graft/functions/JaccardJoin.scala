@@ -197,9 +197,11 @@ object JaccardJoin {
         .select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(shU.where(col("__side") === "s")
         .select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
-      .where(MinHashLSH.intersectCountCol(col("sa"), col("sb")) > 0)
+      .where(MinHashLSH.intersectCountCol(cand.sparkSession,
+        col("sa"), col("sb")) > 0)
       .select(col("doc_a"), col("doc_b"),
-        MinHashLSH.jaccardCol(col("sa"), col("sb")).as("jaccard"))
+        MinHashLSH.jaccardCol(cand.sparkSession,
+          col("sa"), col("sb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -258,7 +260,8 @@ object JaccardJoin {
       .join(sh.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(sh.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(MinHashLSH.intersectCountCol(col("sa"), col("sb"))
+        round(MinHashLSH.intersectCountCol(cand.sparkSession,
+            col("sa"), col("sb"))
           .cast("double") / size(col("sa")), 6).as("containment"),
         size(col("sa")).cast("long").as("sz_a"),
         size(col("sb")).cast("long").as("sz_b"))
@@ -319,7 +322,8 @@ object JaccardJoin {
       .join(shA.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(shB.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(MinHashLSH.intersectCountCol(col("sa"), col("sb"))
+        round(MinHashLSH.intersectCountCol(cand.sparkSession,
+            col("sa"), col("sb"))
           .cast("double") / size(col("sa")), 6).as("containment"),
         size(col("sa")).cast("long").as("sz_a"),
         size(col("sb")).cast("long").as("sz_b"))

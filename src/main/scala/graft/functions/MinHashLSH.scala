@@ -147,20 +147,36 @@ object MinHashLSH {
     * result array. INPUT CONTRACT: ascending-sorted distinct arrays,
     * which is what [[shingleArrays]] emits; any other derivation must
     * `sort_array` first (silent undercount otherwise).
+    *
+    * Pass the owning DataFrame's session where one is in hand: the
+    * function registration is per-session, and the no-arg overload's
+    * `SparkSession.active` can be a DIFFERENT session in a multi-session
+    * JVM — the Column would then fail resolution with an
+    * unresolved-function error far from the cause.
     */
+  def intersectCountCol(spark: org.apache.spark.sql.SparkSession,
+                        a: Column, b: Column): Column =
+    graft.plans.ArrayExpressions.intersectCountColumn(spark, a, b)
+
+  /** [[intersectCountCol]] against the thread's active session — only for
+    * call sites with no DataFrame in scope. */
   def intersectCountCol(a: Column, b: Column): Column =
-    graft.plans.ArrayExpressions.intersectCountColumn(
-      org.apache.spark.sql.SparkSession.active, a, b)
+    intersectCountCol(org.apache.spark.sql.SparkSession.active, a, b)
 
   /** Exact Jaccard of two hashed-shingle-array columns, on the shared 1e-6
     * output grid — the one similarity definition every consumer (batch
     * verify, exact join, stream-static tagger) computes with. Inputs are
     * [[shingleArrays]]-sorted (the [[intersectCountCol]] contract).
     */
-  def jaccardCol(a: Column, b: Column): Column = {
-    val ni = intersectCountCol(a, b)
+  def jaccardCol(spark: org.apache.spark.sql.SparkSession,
+                 a: Column, b: Column): Column = {
+    val ni = intersectCountCol(spark, a, b)
     round(ni.cast("double") / (size(a) + size(b) - ni).cast("double"), 6)
   }
+
+  /** [[jaccardCol]] against the thread's active session. */
+  def jaccardCol(a: Column, b: Column): Column =
+    jaccardCol(org.apache.spark.sql.SparkSession.active, a, b)
 
   /** Exact hashed-shingle-set Jaccard for candidate pairs only: two
     * id-equijoins to attach the (deduped, sorted) long arrays, then the
@@ -172,9 +188,9 @@ object MinHashLSH {
     cand
       .join(shArr.select(col(idCol).as("doc_a"), col("sh_arr").as("sa")), Seq("doc_a"))
       .join(shArr.select(col(idCol).as("doc_b"), col("sh_arr").as("sb")), Seq("doc_b"))
-      .where(intersectCountCol(col("sa"), col("sb")) > 0)
+      .where(intersectCountCol(cand.sparkSession, col("sa"), col("sb")) > 0)
       .select(col("doc_a"), col("doc_b"),
-        jaccardCol(col("sa"), col("sb")).as("jaccard"))
+        jaccardCol(cand.sparkSession, col("sa"), col("sb")).as("jaccard"))
 
   /** Connected components over near-dup pairs: each doc labeled with the
     * smallest doc id reachable through the pair graph — the "pick one

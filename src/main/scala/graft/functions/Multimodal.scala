@@ -597,7 +597,13 @@ object Multimodal {
       override def open(): Unit = { primary.open(); fallback.open() }
       override def decode(bytes: Array[Byte]): MediaInfo =
         try primary.decode(bytes)
-        catch { case _: Exception => fallback.decode(bytes) }
+        catch {
+          // NonFatal only: a bare `Exception` arm would also swallow an
+          // InterruptedException delivered mid-decode by task
+          // cancellation and convert it into a fallback result — the
+          // cancellation must propagate, a decode failure must not
+          case scala.util.control.NonFatal(_) => fallback.decode(bytes)
+        }
       override def close(): Unit = { primary.close(); fallback.close() }
     }
 

@@ -170,24 +170,34 @@ object VectorIVF {
     * SURVEY.md §2 notes no trainer — and this closes the lifecycle
     * engine-side). A quantizer is k×dim doubles: KBs, like a catalog row.
     */
-  /** Order-independent fingerprint of a training corpus: row count plus a
-    * commutative 64-bit fold (bit_xor of per-row xxhash64 over id and
-    * vector — xor is associative/commutative and overflow-free under ANSI
-    * mode, unlike a long sum). One scan, one tiny agg; the same corpus
-    * fingerprints identically under any partitioning or row order, and an
-    * added/dropped/edited row changes it (identical duplicate PAIRS
-    * cancel under xor — the count term catches those). Stamp it into
-    * [[saveIndex]] and hand it to [[loadIndex]] so a quantizer trained on
-    * a DIFFERENT corpus fails loudly at load instead of silently skewing
-    * every recall number downstream (the d120-family floors assume the
-    * artifact matches its corpus).
+  /** Order-independent fingerprint of a training corpus: row count plus
+    * TWO commutative 64-bit folds of the per-row xxhash64 over (id,
+    * vector) — bit_xor, and a sum taken through decimal(38,0) then
+    * reduced mod 2^64 (a plain long sum would overflow under ANSI mode;
+    * the decimal accumulator holds ~10^19 rows of 64-bit terms without
+    * overflow). One scan, one tiny agg; the same corpus fingerprints
+    * identically under any partitioning or row order, and an added/
+    * dropped/edited row changes it. The xor alone is NOT enough:
+    * duplicate-row PAIRS cancel under xor, so {A,A,X,X} vs {A,A,Y,Y}
+    * — equal count, equal xor — would collide; the modular SUM breaks
+    * exactly that class (an even-multiplicity substitution changes the
+    * sum unless the hashes also collide additively, ~2^-64 on top of
+    * the xor term). Stamp it into [[saveIndex]] and hand it to
+    * [[loadIndex]] so a quantizer trained on a DIFFERENT corpus fails
+    * loudly at load instead of silently skewing every recall number
+    * downstream (the d120-family floors assume the artifact matches its
+    * corpus).
     */
   def corpusFingerprint(df: DataFrame, idCol: String, vecCol: String): String = {
+    val rowHash = xxhash64(col(idCol), col(vecCol))
     val r = df.agg(
       count(lit(1)).cast("long").as("n"),
-      bit_xor(xxhash64(col(idCol), col(vecCol))).as("h")).head()
+      bit_xor(rowHash).as("h"),
+      sum(rowHash.cast("decimal(38,0)")).as("s")).head()
     val h = if (r.isNullAt(1)) 0L else r.getLong(1)
-    f"n=${r.getLong(0)}%d,h=$h%016x"
+    val s = if (r.isNullAt(2)) BigInt(0)
+      else BigInt(r.getDecimal(2).toBigInteger).mod(BigInt(1) << 64)
+    f"n=${r.getLong(0)}%d,h=$h%016x,s=" + ("0" * (16 - s.toString(16).length)) + s.toString(16)
   }
 
   def saveIndex(centroids: DataFrame, path: String,

@@ -50,7 +50,16 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedLongIntersectCount {
-  /** Two-pointer merge count; 0 for empty inputs. */
+  /** Two-pointer merge count; 0 for empty inputs.
+    *
+    * Null ELEMENTS are refused loudly: `ArrayType(LongType)` defaults to
+    * `containsNull = true`, and `ArrayData.getLong` on a null slot reads
+    * whatever bytes sit there — a silent miscount, not an error. No
+    * producer in this engine emits null shingles (they come from
+    * xxhash64), so the branch below is never-taken in the hot path
+    * (predicted free); it exists to turn a future bad producer into an
+    * exception instead of a wrong Jaccard.
+    */
   def compute(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -58,6 +67,11 @@ object SortedLongIntersectCount {
     var j = 0
     var c = 0L
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "graft_intersect_count: null array element — inputs must be " +
+            "ascending-sorted DISTINCT NON-NULL long arrays " +
+            "(the shingleArrays contract)")
       val va = a.getLong(i)
       val vb = b.getLong(j)
       if (va < vb) i += 1

@@ -1294,18 +1294,10 @@ object PipelineQueries {
       // java.io.tmpdir for every bench sample (4 per run, every round),
       // while a fixed path WITHOUT the wipe would accumulate appended
       // rows until containmentDrift's one-row-per-dump require fails.
-      // PID-suffixed so two JVMs on one host (bench + verify side by
-      // side) each get their own dir instead of wiping each other's
-      // in-flight catalog — still exactly one dir per JVM.
-      val catDir = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        "graft_d163_catalog_" + ProcessHandle.current().pid())
-      def wipe(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(wipe))
-        f.delete(); ()
-      }
-      wipe(catDir)
-      val path = catDir.toString
+      // WorkDirs owns the lifecycle: PID-suffixed (two JVMs never wipe
+      // each other's in-flight catalog), dead-PID siblings swept, own
+      // dir wiped on JVM exit — no cross-run accumulation in tmpdir.
+      val path = graft.WorkDirs.acquire("d163_catalog").toString
       val relA = d.where(pmod(col("doc_id"), lit(2)) === 0)
       val relB = d.where(pmod(col("doc_id"), lit(2)) === 1)
       graft.functions.CorpusCatalog.append(relA, "doc_id", "text", path,

@@ -1838,6 +1838,16 @@ class VectorIVFSpec extends SparkSpec {
     // a DIFFERENT corpus (one row perturbed) refuses the artifact
     val other = VectorIVF.corpusFingerprint(corpusOf(1.7), "vec_id", "embedding")
     assert(other !== fp)
+    // even-multiplicity PAIR substitution: {A,A,X,X} vs {A,A,Y,Y} have
+    // equal count and equal xor (duplicate pairs cancel under xor) — the
+    // modular-sum term must still tell them apart
+    def dupPairCorpus(second: Long) = {
+      def v(seed: Long) = Array.tabulate(8)(d => math.sin(seed + d).toFloat)
+      Seq((1L, v(10)), (1L, v(10)), (second, v(second * 100)),
+        (second, v(second * 100))).toDF("vec_id", "embedding")
+    }
+    assert(VectorIVF.corpusFingerprint(dupPairCorpus(2L), "vec_id", "embedding")
+      !== VectorIVF.corpusFingerprint(dupPairCorpus(3L), "vec_id", "embedding"))
     val ex = intercept[IllegalArgumentException] {
       VectorIVF.loadIndex(spark, path, expectCorpusFp = Some(other))
     }

@@ -37,6 +37,29 @@ class SortedIntersectSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT graft_intersect_count(array(1L,3L,9L), array(3L,4L,9L))")
       .head().getLong(0) === 2L)
+    // null ELEMENTS are a contract violation, refused loudly — getLong
+    // on a null slot would otherwise read garbage and miscount silently
+    val ex = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_intersect_count(array(CAST(NULL AS BIGINT), 1L), array(1L))")
+        .head()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("null array element"))
+  }
+
+  test("intersectCountCol resolves against an explicitly-passed session") {
+    import spark.implicits._
+    // the overload the DataFrame-in-hand call sites use: registration
+    // must land in the session the frame belongs to, not whichever
+    // session happens to be thread-active
+    val df = Seq((Array(1L, 2L, 3L), Array(2L, 3L, 9L))).toDF("a", "b")
+    val n = df.select(
+      MinHashLSH.intersectCountCol(df.sparkSession, col("a"), col("b")))
+      .head().getLong(0)
+    assert(n === 2L)
   }
 
   test("shingleArrays emits ascending-sorted distinct arrays (the call-site contract)") {
