@@ -630,6 +630,26 @@ object Multimodal {
       .toDF(idCol, "width", "height", "channels", "n_frames")
   }
 
+  /** Thumbnail stage: (id, blob) → (id, px) — a REAL decode + area-average
+    * resize via [[ImageIoCodec.grayThumb]], through the same
+    * `mapPartitions` seam as [[decode]] (bytes never shuffle; the blob is
+    * consumed where it was scanned and only tw×th bytes continue). The
+    * output is byte-compatible with the synthetic thumbnails
+    * [[grayPixels]]/[[dHash64]] consume, so this is the decode+resize
+    * step a real image rides into the d164 perceptual-hash band join.
+    */
+  def grayThumbs(df: DataFrame, idCol: String, binCol: String,
+                 tw: Int = 9, th: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) =>
+        (id, ImageIoCodec.grayThumb(bytes, tw, th))
+      })
+      .toDF(idCol, "px")
+  }
+
   /** Release the codec when the TASK ends (success, failure, or an early
     * stop like limit/take) — an iterator-exhaustion hook would leak native
     * contexts whenever the consumer stops before the end, and double-close

@@ -96,6 +96,58 @@ object PipelineQueries {
     }.toDF("doc_id", "blob")
   }
 
+  /** GENUINE 9×8 PNG blobs whose GRAYSCALE CONTENT is the d164 synthetic
+    * closed form: pixel (r, c) is r=g=b=v where v is the md5-derived byte
+    * [[phashed]] plants at index r·9+c (same five `md5("img:ch")` calls,
+    * first 72 bytes; odd ids perturb pixel (img%8, img%9) by +60 mod 256
+    * — re-encode noise). Three exactness facts make the REAL decode
+    * chain replayable by d164's unchanged DuckDB oracle: PNG is
+    * lossless; BT.601 integer luma of (v,v,v) is exactly v
+    * (299v+587v+114v = 1000v); and at w=tw, h=th the area-average in
+    * [[Multimodal.ImageIoCodec.grayThumb]] is the identity (every block
+    * is one pixel). So encode → ImageIO decode → grayThumb recovers the
+    * planted 72 bytes BIT-FOR-BIT, or the hash — and the oracle-gated
+    * pair set — changes.
+    */
+  private def realPhashPngs(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val img = id / 2
+        val px = new Array[Int](72)
+        var k = 0
+        var ch = 0
+        while (ch < 5 && k < 72) {
+          val d = md.digest(s"$img:$ch".getBytes("US-ASCII"))
+          var i = 0
+          while (i < 16 && k < 72) { px(k) = d(i) & 0xFF; i += 1; k += 1 }
+          ch += 1
+        }
+        if (id % 2 == 1) {
+          val p = ((img % 8) * 9 + (img % 9)).toInt
+          px(p) = (px(p) + 60) % 256
+        }
+        val im = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) { im.setRGB(c, r, px(r * 9 + c) * 0x010101); c += 1 }
+          r += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+        try {
+          javax.imageio.ImageIO.write(im, "png", ios)
+          ios.flush()
+        } finally ios.close()
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "blob")
+  }
+
   /** GENUINE RIFF/WAVE blobs, one per doc id — a complete PCM16 mono WAV
     * (44-byte canonical header + data chunk) built per row in
     * `mapPartitions`, samples a closed form of the id so the decode row's
@@ -1482,6 +1534,24 @@ object PipelineQueries {
     "d170_imageio_decode" -> { (s, dir) =>
       val media = realPngs(docs(s, dir).select("doc_id"))
       Multimodal.decode(media, "doc_id", "blob", Multimodal.ImageIoCodec)
+    },
+
+    // The real-image perceptual-hash chain END-TO-END (round 18): real
+    // PNG blobs → ImageIoCodec.grayThumb (genuine decode + area-average
+    // resize) → dHash64 → the d164 band join. d164 proves the hash+band
+    // machinery on synthetic thumbnails and d170 proves decode-to-raster
+    // dims; this row closes the seam between them — the thumbnail the
+    // REAL decoder produces is what gets hashed and banded, gated by
+    // d164's UNCHANGED oracle (the planted grayscale content makes
+    // decode→thumb the exact inverse of the synthesis; any drift in the
+    // decode, the luma, or the resize changes the pair set).
+    "d173_phash_real_chain" -> { (s, dir) =>
+      val thumbs = Multimodal.grayThumbs(
+        realPhashPngs(docs(s, dir).select("doc_id")), "doc_id", "blob")
+      val hashed = thumbs
+        .select(col("doc_id"), Multimodal.grayPixels(col("px"), 72).as("pxa"))
+        .select(col("doc_id"), Multimodal.dHash64(col("pxa")).as("phash"))
+      SimHash.hammingPairs(hashed, "doc_id", "phash", 64, maxHamming = 3)
     },
 
     // Weighted modularity of the weighted LPA communities (round 14):
@@ -4136,6 +4206,13 @@ object PipelineQueries {
     // over the resulting sketch CTE — one banding oracle for text and
     // image sketches, cannot drift.
     "d164_phash_neardup" -> simhashDupSqlFor(PhashSketchSql, 4, 16, 3),
+
+    // d173: the SAME oracle as d164 — the real chain (PNG encode →
+    // ImageIO decode → grayThumb → dHash64) must land on the identical
+    // pair set as the synthetic closed form, because the synthesis
+    // plants exactly the d164 grayscale bytes and lossless decode +
+    // exact luma + identity resize recover them bit-for-bit.
+    "d173_phash_real_chain" -> simhashDupSqlFor(PhashSketchSql, 4, 16, 3),
     // d165: per-parity-release gram streams, exact top-20 censuses, CMS
     // bucket tables, and the full-outer combine with min-over-rows CMS
     // point estimates for the missing side (absent buckets read as the

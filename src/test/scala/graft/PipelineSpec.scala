@@ -1189,6 +1189,38 @@ class PHashSpec extends SparkSpec {
       s"the phash pixel/blob derivation inlined into the hash compare: " +
         s"${offenders.map(_.sql).mkString("; ").take(500)}")
   }
+
+  test("grayThumb is the identity on native-size gray-content PNGs") {
+    // the exactness fact d173 rides on: lossless encode + exact BT.601
+    // luma of (v,v,v) + one-pixel blocks ⇒ decode→thumb recovers the
+    // planted bytes bit-for-bit (incl. 0x00 and 0xFF extremes)
+    val planted = (Seq(0, 255, 128, 1, 254) ++
+      (5 until 72).map(i => (i * 37) % 256)).toArray
+    val im = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until 8; c <- 0 until 9)
+      im.setRGB(c, r, planted(r * 9 + c) * 0x010101)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try { javax.imageio.ImageIO.write(im, "png", ios); ios.flush() }
+    finally ios.close()
+    val got = Multimodal.ImageIoCodec.grayThumb(out.toByteArray, 9, 8)
+    assert(got.map(_ & 0xFF).toSeq === planted.toSeq)
+  }
+
+  test("d173 (real decode chain) lands on d164's exact pair set") {
+    // the end-to-end seam: PNG encode → ImageIO decode → grayThumb →
+    // dHash64 → band join must equal the synthetic closed form that the
+    // shared DuckDB oracle replays
+    def pairs(name: String) = SparkEntry.queries(name)(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val real = pairs("d173_phash_real_chain")
+    val synth = pairs("d164_phash_neardup")
+    CacheRegistry.releaseAll()
+    assert(real === synth)
+    assert(real.nonEmpty) // non-vacuous: the planted near-dups pair up
+  }
 }
 
 class VectorOpsSpec extends SparkSpec {
