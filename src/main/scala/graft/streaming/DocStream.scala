@@ -587,6 +587,46 @@ object DocStream {
     syn.toSeq.sortBy { case (t, (e, _)) => (-e, t) }.take(k)
       .zipWithIndex.map { case ((t, (e, err)), i) => (t, e, err, i + 1) }
 
+  /** The FULL SpaceSaving synopsis per key, re-emitted each micro-batch
+    * with a per-key merge VERSION — the observable form of the
+    * multi-batch state [[heavyHittersCapped]] folds internally. Update
+    * mode: every batch in which a key receives data emits that key's
+    * entire synopsis (≤ `cap` rows) stamped `ver` = how many batches
+    * have been folded into it; a changelog consumer keeps each key's
+    * max-`ver` rows to read the FINAL synopsis (the
+    * `StreamRunner.runToBatchChangelog` contract). That is what makes
+    * the multi-batch regime oracle-gateable: the final synopsis
+    * satisfies order-INVARIANT facts — Σest = N (every occurrence
+    * increments exactly one counter, eviction replaces min `me` with
+    * `me+c`), |synopsis| = min(cap, vocabulary), est−err ≤ true ≤ est
+    * per tracked token, and every token with true count > N/cap is
+    * tracked — even though individual est/err values depend on arrival
+    * order. Emits `(keyCol, ver, tok, est, err)`.
+    */
+  def spaceSavingSynopsis(stream: DataFrame, keyCol: String, tokCol: String,
+                          cap: Int): DataFrame = {
+    require(cap > 0, s"cap=$cap must be positive")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val typed = stream
+      .where(col(keyCol).isNotNull && col(tokCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(tokCol).cast("string"))
+      .as[(String, String)]
+    val emitted = typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[(Int, Map[String, (Long, Long)])]) =>
+          val (ver0, syn0) = state.getOption.getOrElse(
+            (0, Map.empty[String, (Long, Long)]))
+          val syn = spaceSavingMerge(Some(syn0), rows.map(_._2), cap)
+          val ver = ver0 + 1
+          state.update((ver, syn))
+          syn.iterator.map { case (t, (e, err)) => (key, ver, t, e, err) }
+      }
+    emitted.select(col("_1").as(keyCol), col("_2").cast("int").as("ver"),
+      col("_3").as("tok"), col("_4").as("est"), col("_5").as("err"))
+  }
+
   def heavyHittersCapped(stream: DataFrame, keyCol: String, tokCol: String,
                          cap: Int, k: Int): DataFrame = {
     require(cap >= k && k > 0, s"need cap >= k > 0, got cap=$cap k=$k")

@@ -80,7 +80,39 @@ object StreamRunner {
     */
   def runToBatch(stream: DataFrame, prefix: String,
                  mode: String = "append",
-                 noDataBatches: Boolean = true): DataFrame = {
+                 noDataBatches: Boolean = true): DataFrame =
+    run(stream, prefix, mode, noDataBatches, dataBatches =>
+      if (mode == "update") require(dataBatches <= 1,
+        s"$prefix: update-mode memory sink saw $dataBatches data " +
+          "micro-batches; its rows form a changelog, not final state - " +
+          "fold to the last emission per key before consuming (" +
+          "runToBatchChangelog), or run the finite source as a single " +
+          "batch"))
+
+  /** Run an update-mode stream whose sink rows form a CHANGELOG the
+    * caller folds deliberately — the multi-batch regime [[runToBatch]]'s
+    * guard refuses. The caller contract: every emitted row must carry a
+    * per-key VERSION (or equivalent) so "keep each key's max-version
+    * rows" reconstructs final state — e.g.
+    * [[DocStream.spaceSavingSynopsis]]'s `ver` column. `minDataBatches`
+    * is ENFORCED (≥), because a multi-batch test that silently ran as
+    * one batch would pass while exercising nothing — the single-batch
+    * regime is already covered elsewhere; this runner exists to prove
+    * the merge path.
+    */
+  def runToBatchChangelog(stream: DataFrame, prefix: String,
+                          minDataBatches: Int): DataFrame =
+    run(stream, prefix, mode = "update", noDataBatches = true, dataBatches =>
+      require(dataBatches >= minDataBatches,
+        s"$prefix: expected >= $minDataBatches data micro-batches (the " +
+          s"multi-batch merge path under test), saw $dataBatches - the " +
+          "source did not split; check maxFilesPerTrigger and the file " +
+          "layout"))
+
+  private def run(stream: DataFrame, prefix: String,
+                  mode: String,
+                  noDataBatches: Boolean,
+                  dataBatchRule: Int => Unit): DataFrame = {
     val spark = stream.sparkSession
     val name = s"${prefix}_run${n.incrementAndGet()}"
     val confKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -104,14 +136,7 @@ object StreamRunner {
       require(progress.length < progressRetention,
         s"$name: progress buffer saturated at $progressRetention batches; " +
           "raise StreamRunner.progressRetention for this workload")
-      if (mode == "update") {
-        val dataBatches = progress.count(_.numInputRows > 0)
-        require(dataBatches <= 1,
-          s"$name: update-mode memory sink saw $dataBatches data " +
-            "micro-batches; its rows form a changelog, not final state - " +
-            "fold to the last emission per key before consuming, or run " +
-            "the finite source as a single batch")
-      }
+      dataBatchRule(progress.count(_.numInputRows > 0))
       // Micro-batch accounting: one line per progress event — batch id,
       // input rows, trigger wall time, state rows — recorded into
       // StreamMetrics (Bench writes it to BENCH_DETAIL.json) and, under

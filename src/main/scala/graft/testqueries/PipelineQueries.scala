@@ -1536,6 +1536,96 @@ object PipelineQueries {
       Multimodal.decode(media, "doc_id", "blob", Multimodal.ImageIoCodec)
     },
 
+    // The MULTI-BATCH SpaceSaving merge, oracle-gated (round 18): d169/
+    // d171 run in the single-data-batch regime where the synopsis is
+    // exact; the prior≠None merge path — the path a real deployment
+    // lives on — was spec-pinned but never driver-gated. Here the corpus
+    // arrives as TWO genuine micro-batches (a deterministic two-file
+    // parity copy + maxFilesPerTrigger=1; the runner FAILS unless ≥2
+    // data batches actually ran), the full per-source synopsis is
+    // emitted with a merge version, and the verdict row checks the
+    // facts that are invariant under arrival order — Σest = N,
+    // |synopsis| = min(cap, vocab), zero est/err bound violations
+    // against the exact census, and every token clearing the N/cap
+    // eviction ceiling tracked — so the oracle is exact even though
+    // individual est values are order-dependent. cap=64 (vocab ≫ 64 at
+    // every SF) forces real evictions.
+    "d174_heavy_hitters_twobatch" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cap = 64
+      val srcDir = graft.WorkDirs.acquire("d174_twobatch")
+      def writeHalf(par: Int, mtime: Long): Unit = {
+        val staging = new java.io.File(srcDir, s"stage$par")
+        d.where(pmod(col("doc_id"), lit(2)) === par)
+          .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = staging.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written under $staging"))
+        val dst = new java.io.File(srcDir, s"half$par.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Option(staging.listFiles).foreach(_.foreach(_.delete()))
+        staging.delete()
+        dst.setLastModified(mtime); ()
+      }
+      // fixed mtimes pin the batch order (even half first) so the
+      // stream-metrics lines are comparable across runs; the VERDICT
+      // below is order-invariant either way
+      writeHalf(0, 1500000000000L)
+      writeHalf(1, 1500000001000L)
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val live = graft.streaming.StreamRunner.runToBatchChangelog(
+        graft.streaming.DocStream.spaceSavingSynopsis(
+          stream, "source", "tok", cap),
+        "d174_heavy_hitters_twobatch", minDataBatches = 2)
+      // fold the changelog: each source's final synopsis = max-ver rows
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val latest = live
+        .withColumn("__mv", max(col("ver")).over(w))
+        .where(col("ver") === col("__mv"))
+        .select("source", "tok", "est", "err")
+      // exact census over the same rows (batch path) — the "true" side
+      // of the bound checks; census-sized, never corpus-sized
+      val census = d
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).cast("long").as("cnt"))
+      val tot = census.groupBy("source").agg(
+        sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_vocab"))
+      val bounds = latest.join(census, Seq("source", "tok"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).cast("long").as("n_synopsis"),
+          sum("est").cast("long").as("sum_est"),
+          sum(when(col("cnt").isNull ||
+              col("est") - col("err") > col("cnt") ||
+              col("cnt") > col("est"), 1L).otherwise(0L))
+            .cast("long").as("n_violations"))
+      val heavy = census.join(tot, "source")
+        .where(col("cnt") * lit(cap) > col("n_tokens"))
+        .select("source", "tok")
+      val nHeavy = heavy.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_heavy"))
+      val nTracked = heavy
+        .join(latest.select("source", "tok"), Seq("source", "tok"),
+          "left_semi")
+        .groupBy("source").agg(count(lit(1)).cast("long").as("n_heavy_tracked"))
+      tot.join(bounds, Seq("source"), "left")
+        .join(nHeavy, Seq("source"), "left")
+        .join(nTracked, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"),
+          coalesce(col("n_synopsis"), lit(0L)).as("n_synopsis"),
+          coalesce(col("sum_est"), lit(0L)).as("sum_est"),
+          coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+          coalesce(col("n_heavy_tracked"), lit(0L)).as("n_heavy_tracked"),
+          coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+    },
+
     // The real-image perceptual-hash chain END-TO-END (round 18): real
     // PNG blobs → ImageIoCodec.grayThumb (genuine decode + area-average
     // resize) → dHash64 → the d164 band join. d164 proves the hash+band
@@ -4235,6 +4325,31 @@ object PipelineQueries {
              row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk
            FROM c)
          SELECT source, tok, est, err, rk FROM r WHERE rk <= 5""",
+    // d174: the multi-batch SpaceSaving verdict — every output column is
+    // an arrival-order-INVARIANT fact of the final synopsis, replayable
+    // from the exact census alone: Σest = N (each occurrence increments
+    // exactly one counter), |synopsis| = min(cap, vocab) (grows to cap,
+    // then evict-replace), the est/err bounds never violate (n=0), and
+    // the N/cap guarantee tracks every heavy token (tracked = heavy).
+    "d174_heavy_hitters_twobatch" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM t GROUP BY 1, 2),
+         tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_vocab
+           FROM c GROUP BY 1),
+         heavy AS (SELECT c.source, CAST(count(*) AS BIGINT) AS nh
+           FROM c JOIN tot ON tot.source = c.source
+           WHERE c.cnt * 64 > tot.n_tokens GROUP BY 1)
+         SELECT tot.source, tot.n_tokens,
+           CAST(least(tot.n_vocab, 64) AS BIGINT) AS n_synopsis,
+           tot.n_tokens AS sum_est,
+           CAST(coalesce(heavy.nh, 0) AS BIGINT) AS n_heavy,
+           CAST(coalesce(heavy.nh, 0) AS BIGINT) AS n_heavy_tracked,
+           CAST(0 AS BIGINT) AS n_violations
+         FROM tot LEFT JOIN heavy ON heavy.source = tot.source""",
+
     // d171: per-window exact top-5 over the doc_id-derived minute grid,
     // closed windows only (end <= max-event-time - 10 min, the q42
     // watermark rule); est = exact count, err = 0 in the single-batch

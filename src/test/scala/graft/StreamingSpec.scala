@@ -166,6 +166,59 @@ class StreamingSpec extends SparkSpec {
       assert(tracked(t), s"heavy token $t missing from synopsis"))
   }
 
+  test("spaceSavingSynopsis: max-ver changelog fold reconstructs the final " +
+    "synopsis and its order-invariant facts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val cap = 8
+    def occurrences(range: Range): Seq[(String, String)] =
+      range.flatMap(i => Seq.fill(i)(("web", f"t$i%02d")))
+    val in = MemoryStream[(String, String)]
+    val out = graft.streaming.DocStream.spaceSavingSynopsis(
+      in.toDF().toDF("source", "tok"), "source", "tok", cap = cap)
+    val name = "sss_ver"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      in.addData(occurrences(1 to 25): _*)
+      q.processAllAvailable()
+      in.addData(occurrences(16 to 40): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .as[(String, Int, String, Long, Long)].collect()
+    // two emissions of the web synopsis, stamped ver 1 and 2
+    assert(rows.map(_._2).toSet === Set(1, 2))
+    val fin = rows.filter(_._2 == 2).map(r => (r._3, r._4, r._5))
+    val truth = ((1 to 25) ++ (16 to 40)).groupBy(i => f"t$i%02d")
+      .map { case (t, v) => t -> v.map(_.toLong).sum }
+    val n = truth.values.sum
+    assert(fin.length === cap) // |synopsis| = min(cap, vocab), vocab > cap
+    assert(fin.map(_._2).sum === n) // Σest = N
+    fin.foreach { case (tok, est, err) =>
+      assert(est >= truth(tok) && est - err <= truth(tok), tok)
+    }
+    val tracked = fin.map(_._1).toSet
+    truth.filter(_._2 > n / cap).keys.foreach(t => assert(tracked(t)))
+  }
+
+  test("d174: the two-batch verdict row is all-green at sf0.001 and the " +
+    "runner enforces that two data batches really ran") {
+    // the runner throws unless >= 2 data micro-batches arrived, so this
+    // passing IS the proof the prior!=None merge path executed
+    val out = SparkEntry.queries("d174_heavy_hitters_twobatch")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_violations")) === 0L, r)
+      assert(r.getLong(r.fieldIndex("n_heavy_tracked")) ===
+        r.getLong(r.fieldIndex("n_heavy")), r)
+      assert(r.getLong(r.fieldIndex("sum_est")) ===
+        r.getLong(r.fieldIndex("n_tokens")), r)
+      assert(r.getLong(r.fieldIndex("n_synopsis")) <= 64L, r)
+    }
+  }
+
   test("heavyHittersCapped: exact top-k with exact counts in the skewed " +
     "single-batch regime (the d169 oracle contract)") {
     import spark.implicits._
