@@ -237,6 +237,52 @@ object Bench {
     calibSeries += ((tNow(), calib()))
     val calibEnd = calib()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+    // Self-adjudication (round 18): read the floors dict this bench is
+    // graded against (BASELINE_RUNS.json `floors` — the COMPLETE map,
+    // maintained per round) and emit machine-computed flags under the
+    // de-jittered rule BASELINE.md defines: flag iff
+    // x > max(2*floor, floor + 1.0 s), separately for steady and cold.
+    // This removes the last manual step between the artifact and the
+    // adjudication — a reader of BENCH_DETAIL.json gets the verdict's
+    // flag set from the harness itself. Missing floors are reported, not
+    // silently skipped (the d160-d163 class); FloorsCoverageSpec makes
+    // them a test failure so the gap cannot ship.
+    val floors: Map[String, (Double, Double)] =
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(new java.io.File("BASELINE_RUNS.json"))
+          .get("floors")
+        if (node == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, (Double, Double)]
+          node.fields().forEachRemaining { e =>
+            b += e.getKey -> ((e.getValue.get("steady").asDouble,
+              e.getValue.get("cold").asDouble))
+          }
+          b.result()
+        }
+      } catch { case _: Throwable => Map.empty }
+    def flagLimit(floor: Double): Double = math.max(2 * floor, floor + 1.0)
+    def flagJson(sel: QBench => Double, side: Int): String =
+      results.flatMap { q =>
+        floors.get(q.name).collect {
+          case f if sel(q) > flagLimit(if (side == 0) f._1 else f._2) =>
+            val floor = if (side == 0) f._1 else f._2
+            s"\"" + q.name + "\":{\"sec\":" + r3(sel(q)) +
+              ",\"floor\":" + r3(floor) + ",\"ratio\":" +
+              r3(if (floor > 0) sel(q) / floor else -1.0) + "}"
+        }
+      }.mkString("{", ",", "}")
+    val steadyFlagsJson = flagJson(_.steady, 0)
+    val coldFlagsJson = flagJson(_.cold, 1)
+    val floorsMissing = results.map(_.name).filterNot(floors.contains)
+    if (floorsMissing.nonEmpty)
+      System.err.println(s"[bench] WARNING: no floor for " +
+        s"${floorsMissing.mkString(", ")} - flags for these are not computed; " +
+        "measure iso pairs and add them to BASELINE_RUNS.json floors")
+    val flagsJson =
+      s"""{"rule":"x > max(2*floor, floor + 1.0s)","steady":$steadyFlagsJson,"cold":$coldFlagsJson,"floors_missing":${floorsMissing.map(n => "\"" + n + "\"").mkString("[", ",", "]")}}"""
     def jsonMap(sel: QBench => Double): String =
       results.map(q => s"\"" + q.name + "\":" + r3(sel(q)))
         .mkString("{", ",", "}")
@@ -288,7 +334,7 @@ object Bench {
     // BENCH_DETAIL.json holds the untruncated four maps, so a contended
     // run is still self-diagnosing (high spread across the board).
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"t_off":$tOffs,"sample_t_off":$sampleTOffs,"spark_acct":{"cols":["jobs","stages","tasks","task_wall_ms","run_ms","gc_ms","sched_delay_ms"],"queries":$acctM},"storage_pre_bytes":$storePre,"storage_res_bytes":$storeRes,"storage_res_rdds":$storeRdds,"stream_metrics":$streamM,"calib_ms":{"start":${r3(calibStart)},"mid":${r3(calibMid)},"end":${r3(calibEnd)},"series":$calibSeriesJson},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"t_off":$tOffs,"sample_t_off":$sampleTOffs,"spark_acct":{"cols":["jobs","stages","tasks","task_wall_ms","run_ms","gc_ms","sched_delay_ms"],"queries":$acctM},"storage_pre_bytes":$storePre,"storage_res_bytes":$storeRes,"storage_res_rdds":$storeRdds,"stream_metrics":$streamM,"calib_ms":{"start":${r3(calibStart)},"mid":${r3(calibMid)},"end":${r3(calibEnd)},"series":$calibSeriesJson},"flags":$flagsJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort

@@ -66,7 +66,7 @@ object PipelineQueries {
     * the header-independent facts (dims/bands/frames), so the row is
     * robust to PNG encoder byte changes across JDKs.
     */
-  private def realPngs(ids: DataFrame): DataFrame = {
+  private[graft] def realPngs(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
     ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
@@ -96,6 +96,19 @@ object PipelineQueries {
     }.toDF("doc_id", "blob")
   }
 
+  /** The d174 token derivation — ONE expression shared by the streaming
+    * synopsis side and the batch census side (they must agree on the
+    * token multiset or the bound checks compare different corpora), and
+    * mirrored verbatim in the DuckDB oracle. The 8 appended copies of a
+    * deterministic token per doc manufacture a guaranteed heavy hitter:
+    * the natural test vocabulary is 31 near-uniform tokens, so without
+    * the injection nothing clears the N/cap ceiling at cap=16 and the
+    * tracked-guarantee column would gate nothing.
+    */
+  private val d174Toks =
+    split(concat(lower(col("text")),
+      lit((" zzheavy" * 8))), " ")
+
   /** GENUINE 9×8 PNG blobs whose GRAYSCALE CONTENT is the d164 synthetic
     * closed form: pixel (r, c) is r=g=b=v where v is the md5-derived byte
     * [[phashed]] plants at index r·9+c (same five `md5("img:ch")` calls,
@@ -109,7 +122,7 @@ object PipelineQueries {
     * planted 72 bytes BIT-FOR-BIT, or the hash — and the oracle-gated
     * pair set — changes.
     */
-  private def realPhashPngs(ids: DataFrame): DataFrame = {
+  private[graft] def realPhashPngs(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
     ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
@@ -1548,11 +1561,16 @@ object PipelineQueries {
     // |synopsis| = min(cap, vocab), zero est/err bound violations
     // against the exact census, and every token clearing the N/cap
     // eviction ceiling tracked — so the oracle is exact even though
-    // individual est values are order-dependent. cap=64 (vocab ≫ 64 at
-    // every SF) forces real evictions.
+    // individual est values are order-dependent. Two knobs make the row
+    // adversarial at every SF (the test corpus has a 31-token natural
+    // vocabulary with near-uniform counts): cap=16 < 31 forces REAL
+    // evictions, and 8 copies of an injected deterministic token per doc
+    // clear the N/cap ceiling (8·docs·16 > N+8·docs at every SF), so the
+    // tracked-guarantee check is non-vacuous — without it n_heavy would
+    // be 0 and that column would gate nothing.
     "d174_heavy_hitters_twobatch" -> { (s, dir) =>
       val d = docs(s, dir)
-      val cap = 64
+      val cap = 16
       val srcDir = graft.WorkDirs.acquire("d174_twobatch")
       def writeHalf(par: Int, mtime: Long): Unit = {
         val staging = new java.io.File(srcDir, s"stage$par")
@@ -1577,8 +1595,7 @@ object PipelineQueries {
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(srcDir.toString)
-        .select(col("source"),
-          explode(split(lower(col("text")), " ")).as("tok"))
+        .select(col("source"), explode(d174Toks).as("tok"))
       val live = graft.streaming.StreamRunner.runToBatchChangelog(
         graft.streaming.DocStream.spaceSavingSynopsis(
           stream, "source", "tok", cap),
@@ -1592,8 +1609,7 @@ object PipelineQueries {
       // exact census over the same rows (batch path) — the "true" side
       // of the bound checks; census-sized, never corpus-sized
       val census = d
-        .select(col("source"),
-          explode(split(lower(col("text")), " ")).as("tok"))
+        .select(col("source"), explode(d174Toks).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).cast("long").as("cnt"))
       val tot = census.groupBy("source").agg(
         sum("cnt").cast("long").as("n_tokens"),
@@ -4331,8 +4347,10 @@ object PipelineQueries {
     // exactly one counter), |synopsis| = min(cap, vocab) (grows to cap,
     // then evict-replace), the est/err bounds never violate (n=0), and
     // the N/cap guarantee tracks every heavy token (tracked = heavy).
-    "d174_heavy_hitters_twobatch" ->
-      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+    "d174_heavy_hitters_twobatch" -> {
+      val inject = " zzheavy" * 8
+      s"""WITH t AS (SELECT source,
+           unnest(string_split(lower(text) || '$inject', ' ')) AS tok
            FROM documents),
          c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
            FROM t GROUP BY 1, 2),
@@ -4341,14 +4359,15 @@ object PipelineQueries {
            FROM c GROUP BY 1),
          heavy AS (SELECT c.source, CAST(count(*) AS BIGINT) AS nh
            FROM c JOIN tot ON tot.source = c.source
-           WHERE c.cnt * 64 > tot.n_tokens GROUP BY 1)
+           WHERE c.cnt * 16 > tot.n_tokens GROUP BY 1)
          SELECT tot.source, tot.n_tokens,
-           CAST(least(tot.n_vocab, 64) AS BIGINT) AS n_synopsis,
+           CAST(least(tot.n_vocab, 16) AS BIGINT) AS n_synopsis,
            tot.n_tokens AS sum_est,
            CAST(coalesce(heavy.nh, 0) AS BIGINT) AS n_heavy,
            CAST(coalesce(heavy.nh, 0) AS BIGINT) AS n_heavy_tracked,
            CAST(0 AS BIGINT) AS n_violations
-         FROM tot LEFT JOIN heavy ON heavy.source = tot.source""",
+         FROM tot LEFT JOIN heavy ON heavy.source = tot.source"""
+    },
 
     // d171: per-window exact top-5 over the doc_id-derived minute grid,
     // closed windows only (end <= max-event-time - 10 min, the q42

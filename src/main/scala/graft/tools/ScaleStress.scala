@@ -69,6 +69,9 @@ object ScaleStress {
     if (args.contains("round17contain")) {
       runRound17ContainmentProbe(spark); spark.stop(); return
     }
+    if (args.contains("round18decode")) {
+      runRound18DecodeProbe(spark); spark.stop(); return
+    }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
     }
@@ -971,6 +974,53 @@ object ScaleStress {
     }.toMap
     println(f"${"phash_band_slope"}%-18s 1x=${res("1x")}%5.2f " +
       f"10x=${res("10x")}%5.2f (${res("10x") / res("1x")}%4.1fx)")
+  }
+
+  /** Real-decode slope probe (round 18): the ImageIO decode stage now
+    * carries genuine per-row CPU (render-to-raster, not a header walk),
+    * so it gets priced like every other family — the SAME realPngs
+    * synthesis d170/d173 bench (shared builder, not a copy), blobs
+    * materialized to parquet first so the probe measures the DECODE
+    * stage, not the upstream encode. Both probe stages are map-only
+    * `mapPartitions` over the codec seam (no shuffle, no state), so the
+    * expected slope at 10× rows is ≤10× wall — super-linear would mean a
+    * per-partition lifecycle leak (codec re-open per row, temp-file
+    * churn) rather than a plan defect.
+    */
+  private def runRound18DecodeProbe(spark: SparkSession): Unit = {
+    def minOf3(name: String)(f: => Long): Double =
+      probeMinOf3(spark)(name)(f)
+    val base = "/tmp/graft_scale18decode"
+    def blobFrame(n: Long): DataFrame =
+      graft.testqueries.PipelineQueries.realPngs(
+        spark.range(n).select(col("id").as("doc_id")))
+    val arms = Seq(("1x", 50000L), ("10x", 500000L))
+    arms.foreach { case (tag, n) =>
+      if (!new java.io.File(s"$base/p$tag/_SUCCESS").exists()) {
+        val s0 = System.nanoTime()
+        blobFrame(n).write.mode("overwrite").parquet(s"$base/p$tag")
+        println(f"png_synth $tag%-20s ${(System.nanoTime() - s0) / 1e9}%7.2f s (map-only encode)")
+      }
+    }
+    // stage 1: decode-to-dims (the d170 row's stage)
+    val dec = arms.map { case (tag, _) =>
+      val blobs = spark.read.parquet(s"$base/p$tag")
+      tag -> minOf3(s"imageio_decode $tag")(
+        graft.functions.Multimodal.decode(blobs, "doc_id", "blob",
+          graft.functions.Multimodal.ImageIoCodec).count())
+    }.toMap
+    println(f"${"imageio_decode_slope"}%-22s 1x=${dec("1x")}%6.2f " +
+      f"10x=${dec("10x")}%6.2f (${dec("10x") / dec("1x")}%4.1fx)")
+    // stage 2: decode + area-average thumbnail (the d173 row's decode
+    // stage; hash+band slope is the round16phash probe)
+    val thumb = arms.map { case (tag, _) =>
+      val blobs = spark.read.parquet(s"$base/p$tag")
+      tag -> minOf3(s"graythumb $tag")(
+        graft.functions.Multimodal.grayThumbs(blobs, "doc_id", "blob")
+          .count())
+    }.toMap
+    println(f"${"graythumb_slope"}%-22s 1x=${thumb("1x")}%6.2f " +
+      f"10x=${thumb("10x")}%6.2f (${thumb("10x") / thumb("1x")}%4.1fx)")
   }
 
   /** Graph-family slope probe (round 13): pageRank and triangleStats on a

@@ -215,7 +215,11 @@ class StreamingSpec extends SparkSpec {
         r.getLong(r.fieldIndex("n_heavy")), r)
       assert(r.getLong(r.fieldIndex("sum_est")) ===
         r.getLong(r.fieldIndex("n_tokens")), r)
-      assert(r.getLong(r.fieldIndex("n_synopsis")) <= 64L, r)
+      // cap=16 < the 31-token natural vocabulary: eviction really ran
+      assert(r.getLong(r.fieldIndex("n_synopsis")) === 16L, r)
+      // the injected zzheavy token clears N/cap: the guarantee column
+      // is gating something at every SF
+      assert(r.getLong(r.fieldIndex("n_heavy")) >= 1L, r)
     }
   }
 
