@@ -1208,6 +1208,28 @@ class PHashSpec extends SparkSpec {
     assert(got.map(_ & 0xFF).toSeq === planted.toSeq)
   }
 
+  test("d173: the pixel extraction never inlines into the dHash compare tree") {
+    // the d164 plan guard applied to the real chain: dHash64 references
+    // the pixel array 128 times, so if CollapseProject ever folds the
+    // grayPixels extraction (72 conv/substring/hex nodes over the thumb
+    // bytes) into the hash projection, the extraction re-evaluates per
+    // element_at reference. Signature of the pathology in the OPTIMIZED
+    // plan: one projection expression containing BOTH a Conv node (the
+    // extraction) and an ElementAt node (the hash compare).
+    import org.apache.spark.sql.catalyst.expressions.{Conv, ElementAt}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val df = SparkEntry.queries("d173_phash_real_chain")(
+      spark, "/root/testdata/sf0.001")
+    val offenders = df.queryExecution.optimizedPlan.collect {
+      case p: Project => p.projectList.filter(e =>
+        e.exists(_.isInstanceOf[Conv]) && e.exists(_.isInstanceOf[ElementAt]))
+    }.flatten
+    CacheRegistry.releaseAll()
+    assert(offenders.isEmpty,
+      s"the d173 pixel extraction inlined into the hash compare: " +
+        s"${offenders.map(_.sql).mkString("; ").take(500)}")
+  }
+
   test("d173 (real decode chain) lands on d164's exact pair set") {
     // the end-to-end seam: PNG encode → ImageIO decode → grayThumb →
     // dHash64 → band join must equal the synthetic closed form that the
