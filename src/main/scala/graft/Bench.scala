@@ -281,8 +281,14 @@ object Bench {
       System.err.println(s"[bench] WARNING: no floor for " +
         s"${floorsMissing.mkString(", ")} - flags for these are not computed; " +
         "measure iso pairs and add them to BASELINE_RUNS.json floors")
+    // the governing-total comparison the verdict computes by hand: the
+    // sum of floors over the queries this run actually ran, next to the
+    // run's own totals (value/cold_total), so total-vs-floor is a
+    // two-field read of the artifact
+    val floorTotalSteady = results.flatMap(q => floors.get(q.name).map(_._1)).sum
+    val floorTotalCold = results.flatMap(q => floors.get(q.name).map(_._2)).sum
     val flagsJson =
-      s"""{"rule":"x > max(2*floor, floor + 1.0s)","steady":$steadyFlagsJson,"cold":$coldFlagsJson,"floors_missing":${floorsMissing.map(n => "\"" + n + "\"").mkString("[", ",", "]")}}"""
+      s"""{"rule":"x > max(2*floor, floor + 1.0s)","steady":$steadyFlagsJson,"cold":$coldFlagsJson,"floors_missing":${floorsMissing.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"floor_total_steady":${r3(floorTotalSteady)},"floor_total_cold":${r3(floorTotalCold)}}"""
     def jsonMap(sel: QBench => Double): String =
       results.map(q => s"\"" + q.name + "\":" + r3(sel(q)))
         .mkString("{", ",", "}")
