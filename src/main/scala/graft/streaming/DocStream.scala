@@ -533,12 +533,20 @@ object DocStream {
     * Synopsis update per micro-batch: the batch's per-key token counts
     * are folded in DESCENDING (count, token) order — deterministic, and
     * in the single-data-batch regime ([[StreamRunner.runToBatch]]'s
-    * update-mode guard) it makes the synopsis EXACT for the `cap`
-    * most frequent tokens (they are inserted first, err = 0), so the
-    * top-k emission is oracle-comparable whenever the k-th true count
-    * clears the N/cap eviction ceiling — the skew every natural-language
-    * corpus has. Multi-batch runs degrade gracefully to the standard
-    * SpaceSaving guarantee (spec-pinned in `StreamingSpec`).
+    * update-mode guard) every token whose true count clears the N/cap
+    * eviction ceiling is EXACT (err = 0): the descending fold inserts it
+    * before any eviction can matter, and since Σest = N_sofar over cap
+    * counters keeps the min counter ≤ N_sofar/cap, a counter above the
+    * ceiling is never the strict minimum and cannot be evicted. (NOT
+    * "exact for the cap most frequent" unconditionally — below the
+    * ceiling, later evict-inserts inherit min+c estimates that can
+    * overtake and evict an early-inserted token;
+    * `SpaceSavingMergeSpec` pins both sides.) So the top-k emission is
+    * oracle-comparable whenever the k-th true count clears N/cap — the
+    * skew every natural-language corpus has. Multi-batch runs degrade
+    * gracefully to the standard SpaceSaving guarantee (spec-pinned in
+    * `StreamingSpec` and property-pinned across random batch splits in
+    * `SpaceSavingMergeSpec`).
     *
     * Emits per key the top-`k` tokens by (est desc, token asc):
     * `(keyCol, tok, est, err, rk)`.
@@ -560,9 +568,10 @@ object DocStream {
     * (deterministic; exact-first in the single-batch regime), evicting
     * the min-(est, tok) counter when full.
     */
-  private def spaceSavingMerge(prior: Option[Map[String, (Long, Long)]],
-                               rows: Iterator[String],
-                               cap: Int): Map[String, (Long, Long)] = {
+  private[streaming] def spaceSavingMerge(
+      prior: Option[Map[String, (Long, Long)]],
+      rows: Iterator[String],
+      cap: Int): Map[String, (Long, Long)] = {
     // batch-local census first: the fold must see each token's batch
     // count once, not one increment per occurrence (occurrence order is
     // nondeterministic; counts are not)

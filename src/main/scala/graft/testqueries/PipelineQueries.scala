@@ -1489,12 +1489,15 @@ object PipelineQueries {
     // names — a SpaceSaving synopsis of at most 256 counters per source,
     // so streaming state is provably bounded regardless of vocabulary
     // (d166's census state is vocabulary-sized). In the single-data-batch
-    // regime the synopsis is exact for the cap most frequent tokens
-    // (descending-count fold), so the top-5 emission matches the exact
-    // oracle whenever the 5th count clears the N/cap eviction ceiling —
-    // natural-language skew guarantees that here; the multi-batch
-    // approximation guarantee (est − err ≤ true ≤ est, size ≤ cap) is
-    // spec-pinned in StreamingSpec.
+    // regime every token clearing the N/cap eviction ceiling is exact
+    // (descending-count fold inserts it first; a counter above the
+    // ceiling is never the strict min, so it cannot be evicted — the
+    // correctly-conditioned claim, see SpaceSavingMergeSpec), so the
+    // top-5 matches the exact oracle whenever the 5th count clears
+    // N/cap — it does here at every SF (and the 31-token test
+    // vocabulary sits below cap=256, so no eviction fires at all); the
+    // multi-batch approximation guarantee (est − err ≤ true ≤ est,
+    // size ≤ cap) is spec- and property-pinned.
     "d169_heavy_hitters_capped" -> { (s, dir) =>
       val d = docs(s, dir)
       val stream = s.readStream.schema(d.schema)
@@ -4327,11 +4330,11 @@ object PipelineQueries {
     // d166: the streamed census feeds the SAME top-5 window as d91, so
     // one oracle definition covers both paths by construction.
     "d166_heavy_hitters_stream" -> HeavyHittersSql,
-    // d169: in the single-data-batch regime the capped synopsis is exact
-    // for the top-256 tokens per source (descending-count fold, err 0),
-    // so the top-5 matches the exact census oracle with est = true count
-    // and err = 0 — the approximation regime is spec-pinned, not
-    // oracle-pinned.
+    // d169: in the single-data-batch regime every above-N/cap token is
+    // exact (and here the 31-token vocabulary < cap means no eviction
+    // fires at all), so the top-5 matches the exact census oracle with
+    // est = true count and err = 0 — the approximation regime is
+    // property-pinned (SpaceSavingMergeSpec), not oracle-pinned.
     "d169_heavy_hitters_capped" ->
       """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
            FROM documents),
