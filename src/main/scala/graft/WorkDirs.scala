@@ -32,16 +32,21 @@ object WorkDirs {
       Option(tmp.listFiles()).foreach(_.foreach { f =>
         if (f.isDirectory && f.getName.startsWith(prefix) &&
             f.getName != mine.getName) {
-          val alive = f.getName.stripPrefix(prefix).toLongOption.exists { p =>
+          // sweep only what is PROVABLY a dead sibling: a parseable PID
+          // suffix whose process is gone. A non-numeric suffix was not
+          // created by this code — leave it alone rather than guess.
+          f.getName.stripPrefix(prefix).toLongOption.foreach { p =>
             val h = ProcessHandle.of(p)
-            h.isPresent && h.get.isAlive
+            if (!(h.isPresent && h.get.isAlive)) wipe(f)
           }
-          if (!alive) wipe(f)
         }
       })
       Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(mine)))
     }
     wipe(mine)
+    // contract: an EXISTING empty directory — callers write into it
+    // directly (Files.move needs the parent present)
+    mine.mkdirs()
     mine
   }
 
