@@ -281,6 +281,15 @@ object Bench {
       System.err.println(s"[bench] WARNING: no floor for " +
         s"${floorsMissing.mkString(", ")} - flags for these are not computed; " +
         "measure iso pairs and add them to BASELINE_RUNS.json floors")
+    // a crashed query reports -1.0, which can never exceed a flag limit —
+    // without this list a query that failed every sample would
+    // self-adjudicate as healthy (empty flag maps) while also deflating
+    // the totals; "healthy" = flags empty AND failed empty
+    val failedRuns = results.filter(q => q.steady < 0 || q.cold < 0)
+      .map(_.name)
+    if (failedRuns.nonEmpty)
+      System.err.println(s"[bench] WARNING: queries with FAILED samples " +
+        s"(timed as -1, excluded from flag logic): ${failedRuns.mkString(", ")}")
     // the governing-total comparison the verdict computes by hand: the
     // sum of floors over the queries this run actually ran, next to the
     // run's own totals (value/cold_total), so total-vs-floor is a
@@ -288,7 +297,7 @@ object Bench {
     val floorTotalSteady = results.flatMap(q => floors.get(q.name).map(_._1)).sum
     val floorTotalCold = results.flatMap(q => floors.get(q.name).map(_._2)).sum
     val flagsJson =
-      s"""{"rule":"x > max(2*floor, floor + 1.0s)","steady":$steadyFlagsJson,"cold":$coldFlagsJson,"floors_missing":${floorsMissing.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"floor_total_steady":${r3(floorTotalSteady)},"floor_total_cold":${r3(floorTotalCold)}}"""
+      s"""{"rule":"x > max(2*floor, floor + 1.0s)","steady":$steadyFlagsJson,"cold":$coldFlagsJson,"floors_missing":${floorsMissing.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"failed":${failedRuns.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"floor_total_steady":${r3(floorTotalSteady)},"floor_total_cold":${r3(floorTotalCold)}}"""
     def jsonMap(sel: QBench => Double): String =
       results.map(q => s"\"" + q.name + "\":" + r3(sel(q)))
         .mkString("{", ",", "}")

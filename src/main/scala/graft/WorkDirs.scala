@@ -32,13 +32,16 @@ object WorkDirs {
       Option(tmp.listFiles()).foreach(_.foreach { f =>
         if (f.isDirectory && f.getName.startsWith(prefix) &&
             f.getName != mine.getName) {
-          // sweep only what is PROVABLY a dead sibling: a parseable PID
-          // suffix whose process is gone. A non-numeric suffix was not
-          // created by this code — leave it alone rather than guess.
-          f.getName.stripPrefix(prefix).toLongOption.foreach { p =>
-            val h = ProcessHandle.of(p)
-            if (!(h.isPresent && h.get.isAlive)) wipe(f)
-          }
+          // sweep only what is PROVABLY a dead sibling: a parseable
+          // POSITIVE PID suffix whose process is gone. Anything else
+          // (non-numeric, non-positive — ProcessHandle.of throws on
+          // those) was not created by this code; leave it alone rather
+          // than guess.
+          f.getName.stripPrefix(prefix).toLongOption.filter(_ > 0)
+            .foreach { p =>
+              val h = ProcessHandle.of(p)
+              if (!(h.isPresent && h.get.isAlive)) wipe(f)
+            }
         }
       })
       Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(mine)))

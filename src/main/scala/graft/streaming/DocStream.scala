@@ -92,7 +92,8 @@ object DocStream {
     banded
       .join(refBands, Seq("band", "bkey")) // stream-static equijoin
       .join(refArr, Seq("ref_id"))         // static: attach ref shingles
-      .withColumn("jaccard", MinHashLSH.jaccardCol(col("sh_arr"), col("ref_sh")))
+      .withColumn("jaccard",
+        MinHashLSH.jaccardCol(docs.sparkSession, col("sh_arr"), col("ref_sh")))
       .where(col("jaccard") >= minJaccard)
       .select(col(idCol), col("ref_id"), col("band"), col("jaccard"))
   }

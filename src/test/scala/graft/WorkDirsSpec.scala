@@ -26,19 +26,28 @@ class WorkDirsSpec extends AnyFunSuite {
     // a sibling whose PID can never be alive (pid_max is < 2^22 on
     // Linux; 4194304+ is unallocatable)
     val dead = mkDirWithFile(s"graft_${family}_9999999")
-    // a sibling owned by a LIVE process (this test JVM's parent — sshd/
-    // sbt — or ourselves; use our own pid +  a suffix-free live pid)
-    val livePid = ProcessHandle.current().pid()
-    val live = mkDirWithFile(s"graft_${family}_$livePid")
+    // a sibling owned by a LIVE process that is NOT us — PID 1 (init)
+    // always exists; using our own PID would be skipped by the
+    // name-equality check before the liveness probe ever ran, gating
+    // nothing
+    assert(ProcessHandle.of(1L).isPresent, "test needs PID 1 visible")
+    val live = mkDirWithFile(s"graft_${family}_1")
     // non-numeric suffix: not ours to judge, must survive
     val weird = mkDirWithFile(s"graft_${family}_notapid")
+    // non-positive suffix: ProcessHandle.of throws on it — must be left
+    // alone, not crash the acquire
+    val negative = mkDirWithFile(s"graft_${family}_-1")
     try {
       val mine = WorkDirs.acquire(family)
-      // our own dir IS the live-pid dir — acquire wiped its content
-      assert(mine.getAbsolutePath === live.getAbsolutePath)
+      assert(mine.getName === s"graft_${family}_" +
+        ProcessHandle.current().pid())
       assert(Option(mine.listFiles).forall(_.isEmpty))
       assert(!dead.exists(), "dead-PID sibling not swept")
+      assert(live.exists(), "live-PID sibling must not be touched")
+      assert(new java.io.File(live, "x").exists(),
+        "live-PID sibling content must survive")
       assert(weird.exists(), "non-PID-suffixed sibling must not be touched")
+      assert(negative.exists(), "non-positive suffix must not be touched")
       // re-acquisition wipes content again (per-evaluation freshness)
       java.nio.file.Files.write(new java.io.File(mine, "y").toPath,
         "stale".getBytes("UTF-8"))
@@ -46,7 +55,7 @@ class WorkDirsSpec extends AnyFunSuite {
       assert(again.getAbsolutePath === mine.getAbsolutePath)
       assert(Option(again.listFiles).forall(_.isEmpty))
     } finally {
-      Seq(dead, live, weird).foreach { d =>
+      Seq(dead, live, weird, negative).foreach { d =>
         Option(d.listFiles).foreach(_.foreach(_.delete()))
         d.delete()
       }
