@@ -441,7 +441,8 @@ class GraphR14Spec extends SparkSpec {
     // catalog drift view: two identical releases -> zero drift
     val d = Seq((1L, "a b", "web"), (2L, "c d", "book"))
       .toDF("doc_id", "text", "source")
-    val cdir = java.nio.file.Files.createTempDirectory("graft_cat14")
+    // WorkDirs, not createTempDirectory (the d163 lesson, test-side)
+    val cdir = graft.WorkDirs.acquire("test_cat14")
     graft.functions.CorpusCatalog.append(d, "doc_id", "text",
       cdir.toString, "rA", domainCol = Some("source"))
     graft.functions.CorpusCatalog.append(d, "doc_id", "text",

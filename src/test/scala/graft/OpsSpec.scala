@@ -197,7 +197,7 @@ class TableLoaderSpec extends SparkSpec {
     import spark.implicits._
     // stand-in connector: the parquet source driven through the SAME
     // format+options path a Cassandra connector jar would use
-    val dir = java.nio.file.Files.createTempDirectory("graft_dsl").toString
+    val dir = graft.WorkDirs.acquire("test_graft_dsl").toString
     try {
       Seq((1, "base")).toDF("id", "tag")
         .write.parquet(s"$dir/instance_field.parquet")
@@ -317,7 +317,7 @@ class TableLoaderSpec extends SparkSpec {
   }
 
   test("delta-log layout: hive partitions by message type, id slice prunes") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val dir = graft.WorkDirs.acquire("test_graft_layout").toString
     try {
       graft.io.TableWriter.writeDeltaLog(Fixtures.instanceField(spark), dir)
       // hive partition directories exist per message type
@@ -345,7 +345,7 @@ class TableLoaderSpec extends SparkSpec {
 
   test("shard writer: md5-stable shard dirs, rerun-identical assignment") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val dir = graft.WorkDirs.acquire("test_graft_shards").toString
     try {
       val df = (1L to 200L).map(i => (i, s"seq_$i")).toDF("seq_id", "payload")
       graft.io.TableWriter.writeShards(df, dir, "seq_id", nShards = 4,

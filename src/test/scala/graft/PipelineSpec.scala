@@ -153,7 +153,7 @@ class MinHashLSHSpec extends SparkSpec {
     // element_at out-of-range indices — threw on every file-backed corpus
     // whose shortest doc had fewer than n words (LocalRelation plans do
     // not reproduce it, hence the parquet round-trip here).
-    val dir = java.nio.file.Files.createTempDirectory("graft_sh").toString
+    val dir = graft.WorkDirs.acquire("test_graft_sh").toString
     try {
       Seq((1L, "too short"), (2L, (1 to 20).map(i => s"w$i").mkString(" ")))
         .toDF("doc_id", "text").write.parquet(s"$dir/docs.parquet")
@@ -1848,7 +1848,7 @@ class VectorIVFSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val trained = VectorIVF.train(corpus, "vec_id", "embedding", k = 4,
       iters = 2)
-    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val path = graft.WorkDirs.acquire("test_ivf_idx").toString
     VectorIVF.saveIndex(trained, path)
     val loaded = VectorIVF.loadIndex(spark, path)
     def cents(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1862,7 +1862,7 @@ class VectorIVFSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(topk(loaded) === topk(trained))
     // duplicate cell ids double-route probes: refused, never guessed at
-    val dup = java.nio.file.Files.createTempDirectory("ivf_dup").toString
+    val dup = graft.WorkDirs.acquire("test_ivf_dup").toString
     VectorIVF.saveIndex(trained.union(trained.limit(1)), dup)
     val ex2 = intercept[IllegalArgumentException] {
       VectorIVF.loadIndex(spark, dup)
@@ -1884,7 +1884,7 @@ class VectorIVFSpec extends SparkSpec {
       "vec_id", "embedding") === fp)
     val trained = VectorIVF.train(corpus, "vec_id", "embedding", k = 4,
       iters = 1)
-    val path = java.nio.file.Files.createTempDirectory("ivf_fp").toString
+    val path = graft.WorkDirs.acquire("test_ivf_fp").toString
     VectorIVF.saveIndex(trained, path, corpusFp = Some(fp))
     // matching fingerprint loads and strips the stamp column
     val loaded = VectorIVF.loadIndex(spark, path, expectCorpusFp = Some(fp))
@@ -1907,7 +1907,7 @@ class VectorIVFSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("DIFFERENT corpus"))
     // an UNSTAMPED artifact cannot prove anything: loud, not assumed
-    val bare = java.nio.file.Files.createTempDirectory("ivf_bare").toString
+    val bare = graft.WorkDirs.acquire("test_ivf_bare").toString
     VectorIVF.saveIndex(trained, bare)
     val ex2 = intercept[IllegalArgumentException] {
       VectorIVF.loadIndex(spark, bare, expectCorpusFp = Some(fp))
@@ -1919,7 +1919,7 @@ class VectorIVFSpec extends SparkSpec {
     // the PQ codebook carries the same discipline
     val cb = graft.functions.VectorPQ.train(corpus, "vec_id", "embedding",
       dim = 8, m = 2, ksub = 4, iters = 1)
-    val cbPath = java.nio.file.Files.createTempDirectory("pq_fp").toString
+    val cbPath = graft.WorkDirs.acquire("test_pq_fp").toString
     graft.functions.VectorPQ.saveCodebook(spark, cb, cbPath, corpusFp = Some(fp))
     val cbLoaded = graft.functions.VectorPQ.loadCodebook(spark, cbPath,
       expectCorpusFp = Some(fp))
@@ -1940,7 +1940,7 @@ class VectorIVFSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val cb = graft.functions.VectorPQ.train(corpus, "vec_id", "embedding",
       dim = 8, m = 2, ksub = 4, iters = 1)
-    val path = java.nio.file.Files.createTempDirectory("pq_cb").toString
+    val path = graft.WorkDirs.acquire("test_pq_cb").toString
     graft.functions.VectorPQ.saveCodebook(spark, cb, path)
     val loaded = graft.functions.VectorPQ.loadCodebook(spark, path)
     assert(loaded.map(_.map(_.toSeq).toSeq).toSeq ===
@@ -1953,7 +1953,7 @@ class VectorIVFSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(codes(loaded) === codes(cb))
     // a hole in the (sub, code) grid shifts every later codeword: refused
-    val holey = java.nio.file.Files.createTempDirectory("pq_hole").toString
+    val holey = graft.WorkDirs.acquire("test_pq_hole").toString
     spark.read.parquet(path).where(!(col("sub") === 1 && col("code") === 2))
       .write.mode("overwrite").parquet(holey)
     val ex = intercept[IllegalArgumentException] {
@@ -2141,7 +2141,7 @@ class GraftSqlSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val b = (0 until 4).map(i => (10L + i, s"x y z p$i"))
       .toDF("doc_id", "text")
-    val path = java.nio.file.Files.createTempDirectory("sql_heavy").toString
+    val path = graft.WorkDirs.acquire("test_sql_heavy").toString
     graft.functions.CorpusCatalog.append(a, "doc_id", "text", path, "ra",
       topGrams = Some(2))
     graft.functions.CorpusCatalog.append(b, "doc_id", "text", path, "rb",
@@ -3885,7 +3885,9 @@ class StarContractionSpec extends SparkSpec {
   test("reliable-checkpoint path keeps only the final round's file") {
     import spark.implicits._
     val sc = spark.sparkContext
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // WorkDirs, not createTempDirectory: a fresh random-suffix dir per
+    // suite run leaks into tmpdir forever (the d163 lesson, test-side)
+    val dir = graft.WorkDirs.acquire("test_ckpt").toString
     sc.setCheckpointDir(dir)
     try {
       // path graph: converges in several alternating rounds, so without

@@ -382,7 +382,7 @@ class CompactionInvariantSpec extends SparkSpec {
     val compacted = queries.Backup.compact(full, Fixtures.instanceMessage(spark),
       Fixtures.uevolField(spark), 112000L)
     assert(currentState(compacted) === currentState(full))
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = graft.WorkDirs.acquire("test_graft_compact").toString
     try {
       graft.io.TableWriter.writeDeltaLog(compacted, dir)
       assert(currentState(spark.read.parquet(dir)) === currentState(full))

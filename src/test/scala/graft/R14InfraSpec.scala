@@ -11,7 +11,7 @@ class StreamRunnerGuardSpec extends SparkSpec {
 
   test("update-mode refuses a multi-batch changelog instead of double-counting") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_multibatch")
+    val dir = graft.WorkDirs.acquire("test_graft_multibatch")
     // two files -> with maxFilesPerTrigger=1 the census for a key is
     // emitted once per batch; summing the memory table would double-count
     Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
@@ -32,7 +32,7 @@ class StreamRunnerGuardSpec extends SparkSpec {
 
   test("update-mode single-batch source still passes the guard") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_singlebatch")
+    val dir = graft.WorkDirs.acquire("test_graft_singlebatch")
     Seq(("a", 1L), ("a", 2L), ("b", 4L)).toDF("k", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
     val stream = spark.readStream
@@ -65,7 +65,7 @@ class GraftConfSpec extends SparkSpec {
   test("Checkpoints.eager takes the reliable path when a dir is set") {
     import spark.implicits._
     assert(!GraftConf.reliableCheckpointsEnabled(spark))
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val dir = graft.WorkDirs.acquire("test_graft_ckpt")
     try {
       GraftConf.enableReliableCheckpoints(spark, dir.toString)
       assert(GraftConf.reliableCheckpointsEnabled(spark))
@@ -76,7 +76,7 @@ class GraftConfSpec extends SparkSpec {
       // real checkpoint files landed under the dir
       def anyFile(p: java.io.File): Boolean =
         p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
-      assert(anyFile(dir.toFile), "no reliable checkpoint files written")
+      assert(anyFile(dir), "no reliable checkpoint files written")
     } finally resetCheckpointDir()
     assert(!GraftConf.reliableCheckpointsEnabled(spark))
   }
@@ -88,7 +88,7 @@ class GraftConfSpec extends SparkSpec {
     val local = GraphOps.labelPropagationConverged(
         edges.toDF("src", "dst"), "src", "dst", maxRounds = 5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_lpa")
+    val dir = graft.WorkDirs.acquire("test_graft_ckpt_lpa")
     val reliable = try {
       GraftConf.enableReliableCheckpoints(spark, dir.toString)
       GraphOps.labelPropagationConverged(

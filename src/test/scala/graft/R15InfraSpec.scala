@@ -90,7 +90,7 @@ class CheckpointReleaseSpec extends SparkSpec {
     val local = GraphOps.pageRank(edges, "src", "dst", iters = 5,
       danglingMass = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     drainAll()
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_dang")
+    val dir = graft.WorkDirs.acquire("test_graft_ckpt_dang")
     try {
       GraftConf.enableReliableCheckpoints(spark, dir.toString)
       // iters=5 < checkpointEvery=8: every intermediate round takes the

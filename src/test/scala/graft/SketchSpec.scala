@@ -412,7 +412,7 @@ class CorpusCatalogSpec extends SparkSpec {
     val d3 = (0 until 10).map(i =>
       (i.toLong, (0 until 11).map(j => s"q${i}w$j").mkString(" ")))
       .toDF("doc_id", "text")
-    val path = java.nio.file.Files.createTempDirectory("catalog").toString
+    val path = graft.WorkDirs.acquire("test_catalog").toString
     CorpusCatalog.append(d1, "doc_id", "text", path, "dump1", k = 64)
     CorpusCatalog.append(d2, "doc_id", "text", path, "dump2", k = 64)
     CorpusCatalog.append(d3, "doc_id", "text", path, "dump3", k = 64)
@@ -478,7 +478,7 @@ class CorpusCatalogSpec extends SparkSpec {
     import spark.implicits._
     val d = (0 until 5).map(i => (i.toLong, s"a b c d e f$i g h i j k"))
       .toDF("doc_id", "text")
-    val path = java.nio.file.Files.createTempDirectory("catalog_mix").toString
+    val path = graft.WorkDirs.acquire("test_catalog_mix").toString
     CorpusCatalog.append(d, "doc_id", "text", path, "d1", cmsWidth = 2048)
     CorpusCatalog.append(d, "doc_id", "text", path, "d2", cmsWidth = 256)
     val e = intercept[IllegalArgumentException] {
@@ -495,7 +495,7 @@ class CorpusCatalogSpec extends SparkSpec {
       (3L, "i j k l", "book"), (4L, "m n o p", "wiki")))
     val b = dump(Seq((5L, "a b c d", "web"), (6L, "q r s t", "book"),
       (7L, "u v w x", "book"), (8L, "y z a b", "code")))
-    val path = java.nio.file.Files.createTempDirectory("catalog_jsd").toString
+    val path = graft.WorkDirs.acquire("test_catalog_jsd").toString
     CorpusCatalog.append(a, "doc_id", "text", path, "relA",
       domainCol = Some("source"))
     CorpusCatalog.append(b, "doc_id", "text", path, "relB",
@@ -515,7 +515,7 @@ class CorpusCatalogSpec extends SparkSpec {
     import spark.implicits._
     val d = (0 until 4).map(i => (i.toLong, s"a b c d$i", "web"))
       .toDF("doc_id", "text", "source")
-    val path = java.nio.file.Files.createTempDirectory("catalog_nodom").toString
+    val path = graft.WorkDirs.acquire("test_catalog_nodom").toString
     CorpusCatalog.append(d, "doc_id", "text", path, "old") // pre-census row
     CorpusCatalog.append(d, "doc_id", "text", path, "new",
       domainCol = Some("source"))
@@ -536,7 +536,7 @@ class CorpusCatalogSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val p = vecs(0 until 10, 0f)
     val q = vecs(10 until 20, 0.5f)
-    val path = java.nio.file.Files.createTempDirectory("catalog_ecen").toString
+    val path = graft.WorkDirs.acquire("test_catalog_ecen").toString
     CorpusCatalog.appendEmbeddingCensus(p, "embedding", path, "relA")
     CorpusCatalog.appendEmbeddingCensus(q, "embedding", path, "relB")
     val fromCatalog = CorpusCatalog
@@ -565,7 +565,7 @@ class CorpusCatalogSpec extends SparkSpec {
     val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L, 5L -> 10L,
       6L -> 20L, 7L -> 20L, 8L -> 20L, 9L -> 30L, 10L -> 30L,
       11L -> 40L, 12L -> 40L).toDF("id", "cluster")
-    val path = java.nio.file.Files.createTempDirectory("catalog_dup").toString
+    val path = graft.WorkDirs.acquire("test_catalog_dup").toString
     CorpusCatalog.append(d, "doc_id", "text", path, "rel",
       clusterLabels = Some(labels))
     val fromCatalog = MinHashLSH.clusterSizeProfileFromHistogram(
@@ -583,7 +583,7 @@ class CorpusCatalogSpec extends SparkSpec {
     val d = (0 until 4).map(i => (i.toLong, s"a b c d$i e f g h i j k"))
       .toDF("doc_id", "text")
     val labels = Seq(1L -> 10L, 2L -> 10L).toDF("id", "cluster")
-    val path = java.nio.file.Files.createTempDirectory("catalog_nocl").toString
+    val path = graft.WorkDirs.acquire("test_catalog_nocl").toString
     CorpusCatalog.append(d, "doc_id", "text", path, "old") // pre-census row
     CorpusCatalog.append(d, "doc_id", "text", path, "new",
       clusterLabels = Some(labels))
@@ -608,7 +608,7 @@ class CorpusCatalogSpec extends SparkSpec {
       (4L, "keep", 1L), (5L, "keep", 1L),
       (6L, "drop", 1L), (7L, "drop", 1L), (8L, "drop", 1L),
       (9L, "drop", 3L)).toDF("doc_id", "verdict", "n_containers")
-    val path = java.nio.file.Files.createTempDirectory("catalog_cont").toString
+    val path = graft.WorkDirs.acquire("test_catalog_cont").toString
     CorpusCatalog.append(d, "doc_id", "text", path, "rel",
       containmentVerdicts = Some(verdicts))
     val fromCatalog = JaccardJoin.containmentProfileFromCensus(
@@ -641,7 +641,7 @@ class CorpusCatalogSpec extends SparkSpec {
     val b = ((0 until 2).map(i => (100L + i, s"a b c pad$i")) ++
       (2 until 10).map(i => (100L + i, s"x y z pad$i")))
       .toDF("doc_id", "text")
-    val path = java.nio.file.Files.createTempDirectory("catalog_heavy").toString
+    val path = graft.WorkDirs.acquire("test_catalog_heavy").toString
     CorpusCatalog.append(a, "doc_id", "text", path, "relA",
       topGrams = Some(3))
     CorpusCatalog.append(b, "doc_id", "text", path, "relB",

@@ -504,7 +504,7 @@ class StreamingSpec extends SparkSpec {
   test("compactionSink appends micro-batches partitioned by message id") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = graft.WorkDirs.acquire("test_graft_compact").toString
     val in = MemoryStream[InstanceField]
     val q = UpdateStream.compactionSink(in.toDF(), s"$dir/data", s"$dir/ckpt")
     try {

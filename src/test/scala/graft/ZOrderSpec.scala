@@ -49,7 +49,7 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("writeZOrdered round-trips rows and yields per-file boxes on disk") {
-    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dir = graft.WorkDirs.acquire("test_zorder").toString
     val pts = spark.range(32L * 32L)
       .select((col("id") / 32).cast("long").as("a"), pmod(col("id"), lit(32L)).as("b"))
     TableWriter.writeZOrdered(pts, s"$dir/t", "a", "b", bits = 5, nFiles = 8)
