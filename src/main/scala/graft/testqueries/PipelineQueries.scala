@@ -1645,6 +1645,33 @@ object PipelineQueries {
           coalesce(col("n_violations"), lit(0L)).as("n_violations"))
     },
 
+    // The real-decode chain on the STREAMING ingest path (round 18):
+    // d167's stream-static media dedup tag with BOTH sides hashing
+    // through the real chain — genuine PNG blobs built and decoded
+    // inside the stream's typed mapPartitions stages (realPhashPngs →
+    // ImageIoCodec.grayThumb → dHash64), which is the claim worth
+    // gating: a per-partition decoder lifecycle works under Structured
+    // Streaming's micro-batch execution, not just in batch. Stateless
+    // stream-static band equijoin as d167; ORACLE IS d167's, unchanged
+    // — d173 proves the real chain's hashes equal the synthetic closed
+    // form bit-for-bit, so the tag set must match too.
+    "d175_phash_real_tag_stream" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def realHashed(df: DataFrame): DataFrame =
+        Multimodal.grayThumbs(
+            realPhashPngs(df.select("doc_id")), "doc_id", "blob")
+          .select(col("doc_id"), Multimodal.grayPixels(col("px"), 72).as("pxa"))
+          .select(col("doc_id"), Multimodal.dHash64(col("pxa")).as("phash"))
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(pmod(col("doc_id"), lit(10)) === 0)
+      val ref = realHashed(d.where(pmod(col("doc_id"), lit(10)) =!= 0))
+      val tagged = graft.streaming.DocStream.mediaDupTag(
+        realHashed(stream), ref, "doc_id", "phash")
+      graft.streaming.StreamRunner.runToBatch(tagged,
+        "d175_phash_real_tag_stream")
+    },
+
     // The real-image perceptual-hash chain END-TO-END (round 18): real
     // PNG blobs → ImageIoCodec.grayThumb (genuine decode + area-average
     // resize) → dHash64 → the d164 band join. d164 proves the hash+band
@@ -3101,6 +3128,22 @@ object PipelineQueries {
       GROUP BY a.doc_id"""
   }
 
+  /** The d167/d175 stream-static media-tag oracle: asymmetric banding of
+    * the [[PhashSketchSql]] sketch (stream %10==0 side against the rest),
+    * shared verbatim by the synthetic-thumbnail row (d167) and the
+    * real-decode row (d175) — one definition, two deployment paths.
+    */
+  private lazy val PhashTagStreamSql: String =
+    s"""WITH shs AS ($PhashSketchSql),
+       bnd AS (SELECT doc_id, simhash, CAST(b AS INT) AS band,
+           (simhash >> CAST(b * 16 AS INT)) & 65535 AS bkey
+         FROM shs CROSS JOIN range(4) t(b))
+       SELECT s.doc_id, r.doc_id AS ref_id, s.band,
+         CAST(bit_count(xor(s.simhash, r.simhash)) AS INT) AS hamming
+       FROM bnd s JOIN bnd r ON s.band = r.band AND s.bkey = r.bkey
+       WHERE s.doc_id % 10 = 0 AND r.doc_id % 10 != 0
+         AND bit_count(xor(s.simhash, r.simhash)) <= 3"""
+
   /** DuckDB replay of the 60-bit hashed 3-gram shingle sets — shared by the
     * MinHash (d05/d12) and exact-Jaccard (d22) oracles, so every
     * set-similarity oracle agrees on what "the shingle set" is.
@@ -4446,16 +4489,12 @@ object PipelineQueries {
     // d167: the shared phash sketch CTE banded asymmetrically (stream
     // side %10=0, reference side the rest), one row per band collision
     // clearing the hamming budget — the d80 oracle shape on bit sketches.
-    "d167_phash_tag_stream" ->
-      s"""WITH shs AS ($PhashSketchSql),
-         bnd AS (SELECT doc_id, simhash, CAST(b AS INT) AS band,
-             (simhash >> CAST(b * 16 AS INT)) & 65535 AS bkey
-           FROM shs CROSS JOIN range(4) t(b))
-         SELECT s.doc_id, r.doc_id AS ref_id, s.band,
-           CAST(bit_count(xor(s.simhash, r.simhash)) AS INT) AS hamming
-         FROM bnd s JOIN bnd r ON s.band = r.band AND s.bkey = r.bkey
-         WHERE s.doc_id % 10 = 0 AND r.doc_id % 10 != 0
-           AND bit_count(xor(s.simhash, r.simhash)) <= 3""",
+    "d167_phash_tag_stream" -> PhashTagStreamSql,
+
+    // d175: d167's oracle VERBATIM — the stream-side and reference-side
+    // hashes come from the real decode chain, which d173 gates as
+    // bit-identical to the synthetic closed form this SQL replays.
+    "d175_phash_real_tag_stream" -> PhashTagStreamSql,
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->

@@ -1230,6 +1230,21 @@ class PHashSpec extends SparkSpec {
         s"${offenders.map(_.sql).mkString("; ").take(500)}")
   }
 
+  test("d175 (real decode chain, STREAMING side) lands on d167's exact tag set") {
+    // the typed mapPartitions decode stages run inside a genuine
+    // readStream micro-batch; the tag set must equal the synthetic
+    // chain's because the hashes are bit-identical (d173's gate)
+    def tags(name: String) = SparkEntry.queries(name)(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val real = tags("d175_phash_real_tag_stream")
+    val synth = tags("d167_phash_tag_stream")
+    CacheRegistry.releaseAll()
+    assert(real === synth)
+    assert(real.nonEmpty)
+  }
+
   test("d173 (real decode chain) lands on d164's exact pair set") {
     // the end-to-end seam: PNG encode → ImageIO decode → grayThumb →
     // dHash64 → band join must equal the synthetic closed form that the
