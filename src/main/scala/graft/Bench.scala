@@ -248,34 +248,102 @@ object Bench {
     // flag set from the harness itself. Missing floors are reported, not
     // silently skipped (the d160-d163 class); FloorsCoverageSpec makes
     // them a test failure so the gap cannot ship.
+    // floors parse is per-ENTRY fault-isolated (advisor, round 18): one
+    // malformed entry must skip (and report) only itself, not silently
+    // blank the whole map — a blanked map reads like a healthy run
+    // (empty flag dicts) when in fact nothing was gated. Whole-file
+    // failures print the exception for the same reason.
     val floors: Map[String, (Double, Double)] =
       try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val node = om.readTree(new java.io.File("BASELINE_RUNS.json"))
           .get("floors")
-        if (node == null) Map.empty
-        else {
+        if (node == null) {
+          System.err.println(
+            "[bench] WARNING: BASELINE_RUNS.json has no floors dict - " +
+              "flags cannot be computed")
+          Map.empty
+        } else {
           val b = Map.newBuilder[String, (Double, Double)]
           node.fields().forEachRemaining { e =>
-            b += e.getKey -> ((e.getValue.get("steady").asDouble,
-              e.getValue.get("cold").asDouble))
+            try {
+              val st = e.getValue.get("steady"); val cd = e.getValue.get("cold")
+              require(st != null && st.isNumber && cd != null && cd.isNumber,
+                "steady/cold missing or non-numeric")
+              b += e.getKey -> ((st.asDouble, cd.asDouble))
+            } catch {
+              case ex: Throwable => System.err.println(
+                s"[bench] WARNING: floor entry '${e.getKey}' unparseable " +
+                  s"($ex) - skipped (it will appear in floors_missing)")
+            }
           }
           b.result()
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch {
+        case ex: Throwable =>
+          System.err.println(
+            s"[bench] WARNING: floors parse failed entirely ($ex) - " +
+              "ALL flags disabled; every query lands in floors_missing")
+          Map.empty
+      }
     def flagLimit(floor: Double): Double = math.max(2 * floor, floor + 1.0)
-    def flagJson(sel: QBench => Double, side: Int): String =
+    def flaggedOf(sel: QBench => Double, side: Int): Seq[(QBench, Double)] =
       results.flatMap { q =>
-        floors.get(q.name).collect {
-          case f if sel(q) > flagLimit(if (side == 0) f._1 else f._2) =>
-            val floor = if (side == 0) f._1 else f._2
-            s"\"" + q.name + "\":{\"sec\":" + r3(sel(q)) +
-              ",\"floor\":" + r3(floor) + ",\"ratio\":" +
-              r3(if (floor > 0) sel(q) / floor else -1.0) + "}"
-        }
+        floors.get(q.name)
+          .map(f => if (side == 0) f._1 else f._2)
+          .filter(floor => sel(q) > flagLimit(floor))
+          .map(floor => (q, floor))
+      }
+    val steadyFlagged = flaggedOf(_.steady, 0)
+    val coldFlagged = flaggedOf(_.cold, 1)
+    def flagJson(fs: Seq[(QBench, Double)], sel: QBench => Double): String =
+      fs.map { case (q, floor) =>
+        s"\"" + q.name + "\":{\"sec\":" + r3(sel(q)) +
+          ",\"floor\":" + r3(floor) + ",\"ratio\":" +
+          r3(if (floor > 0) sel(q) / floor else -1.0) + "}"
       }.mkString("{", ",", "}")
-    val steadyFlagsJson = flagJson(_.steady, 0)
-    val coldFlagsJson = flagJson(_.cold, 1)
+    val steadyFlagsJson = flagJson(steadyFlagged, _.steady)
+    val coldFlagsJson = flagJson(coldFlagged, _.cold)
+    // Host-contention verdict (round 19): the adjudication BASELINE.md's
+    // close-run prose did by hand — calib drift plus flag/t_off
+    // correlation — computed into the artifact itself, so a contended
+    // sample self-labels and the reader starts from the verdict instead
+    // of reconstructing it from the raw series. Evidence used: (a) the
+    // spin-probe series (pure CPU availability — drift above ~10% means
+    // the host took CPU away mid-run), and (b) for each steady-flagged
+    // query, whether any of its sample windows is bracketed by an
+    // inflated probe (>1.1x the run's best probe). This is evidence, not
+    // proof: the verdict names which flags sit inside contended windows;
+    // cross-run reproduction remains the decisive rule.
+    val calibAll = (calibSeries.map(_._2) ++
+      Seq(calibStart, calibMid, calibEnd)).filter(_ > 0)
+    val calibBest = if (calibAll.nonEmpty) calibAll.min else -1.0
+    val calibDrift = if (calibBest > 0) calibAll.max / calibBest else -1.0
+    def inflatedNear(t: Double): Boolean = {
+      val before = calibSeries.filter(_._1 <= t).lastOption
+      val after = calibSeries.find(_._1 > t)
+      (before.toSeq ++ after.toSeq).exists(_._2 > 1.1 * calibBest)
+    }
+    val steadyFlagsInWindow = steadyFlagged
+      .filter { case (q, _) => q.sampleTOff.exists(inflatedNear) }
+      .map(_._1.name)
+    val driftStr = "%.2f".formatLocal(java.util.Locale.ROOT, calibDrift)
+    val envNote =
+      if (calibBest <= 0) "no calibration probes recorded"
+      else if (calibDrift > 1.1 && steadyFlagged.nonEmpty)
+        s"CONTENDED: calib drift ${driftStr}x > 1.10x - host took " +
+          s"CPU away mid-run; ${steadyFlagsInWindow.size}/" +
+          s"${steadyFlagged.size} steady flags have a sample bracketed " +
+          s"by an inflated probe (${steadyFlagsInWindow.mkString(", ")})" +
+          " - adjudicate flags against cross-run floors before reading " +
+          "them as regressions"
+      else if (calibDrift > 1.1)
+        s"CONTENDED: calib drift ${driftStr}x > 1.10x - host took " +
+          "CPU away mid-run (no steady flags crossed the rule)"
+      else
+        s"QUIET: calib drift ${driftStr}x <= 1.10x - no in-run " +
+          "contention evidence; steady flags, if any, are code-suspect " +
+          "until cross-run reproduction says otherwise"
     val floorsMissing = results.map(_.name).filterNot(floors.contains)
     if (floorsMissing.nonEmpty)
       System.err.println(s"[bench] WARNING: no floor for " +
@@ -297,7 +365,7 @@ object Bench {
     val floorTotalSteady = results.flatMap(q => floors.get(q.name).map(_._1)).sum
     val floorTotalCold = results.flatMap(q => floors.get(q.name).map(_._2)).sum
     val flagsJson =
-      s"""{"rule":"x > max(2*floor, floor + 1.0s)","steady":$steadyFlagsJson,"cold":$coldFlagsJson,"floors_missing":${floorsMissing.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"failed":${failedRuns.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"floor_total_steady":${r3(floorTotalSteady)},"floor_total_cold":${r3(floorTotalCold)}}"""
+      s"""{"rule":"x > max(2*floor, floor + 1.0s)","steady":$steadyFlagsJson,"cold":$coldFlagsJson,"floors_missing":${floorsMissing.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"failed":${failedRuns.map(n => "\"" + n + "\"").mkString("[", ",", "]")},"floor_total_steady":${r3(floorTotalSteady)},"floor_total_cold":${r3(floorTotalCold)},"environment":${"\"" + envNote.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}"""
     def jsonMap(sel: QBench => Double): String =
       results.map(q => s"\"" + q.name + "\":" + r3(sel(q)))
         .mkString("{", ",", "}")

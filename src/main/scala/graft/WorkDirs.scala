@@ -22,8 +22,22 @@ package graft
 object WorkDirs {
   private val swept =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // per-family acquisition lock: two threads acquiring the SAME family
+  // concurrently would otherwise interleave wipe(mine)+mkdirs and one
+  // could delete the other's in-flight files (advisor, round 18). The
+  // lock makes each acquire atomic; concurrent USE of one family after
+  // acquire remains unsupported by contract — one dir per family per
+  // JVM, and every acquire wipes it (Verify/Bench run queries
+  // sequentially; tests use per-suite family names).
+  private val familyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def acquire(family: String): java.io.File = {
+  def acquire(family: String): java.io.File =
+    familyLocks.computeIfAbsent(family, _ => new Object).synchronized {
+      acquireLocked(family)
+    }
+
+  private def acquireLocked(family: String): java.io.File = {
     require(family.matches("[A-Za-z0-9_.-]+"), s"unsafe family name: $family")
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val prefix = s"graft_${family}_"

@@ -188,6 +188,41 @@ object VectorIVF {
     * downstream (the d120-family floors assume the artifact matches its
     * corpus).
     */
+  /** Fingerprint FORMAT version, leading every stamp this build computes.
+    * Bumped whenever the formula changes (v2 added the modular-sum term;
+    * v1 stamps carry no version prefix at all), so [[loadIndex]] can tell
+    * "stamp computed by an older formula — recompute and re-save" from
+    * "genuinely different corpus" instead of reporting every format change
+    * as corpus drift (advisor, round 18).
+    */
+  val FingerprintVersion = "v2"
+
+  private[functions] def fpFormatOf(fp: String): String =
+    "^(v\\d+),".r.findFirstMatchIn(fp).map(_.group(1)).getOrElse("v1")
+
+  /** The require() message for a fingerprint mismatch at artifact load:
+    * a stamp in an older/newer FORMAT cannot prove anything about corpus
+    * identity, so say that (and the fix) rather than the misleading
+    * "different corpus". Shared by [[loadIndex]] and
+    * [[VectorPQ.loadCodebook]].
+    */
+  private[functions] def fpMismatchMessage(what: String, path: String,
+                                           got: Seq[String],
+                                           want: String): String = {
+    val gotFmts = got.map(fpFormatOf).distinct.sorted
+    if (gotFmts != Seq(fpFormatOf(want)))
+      s"$what at $path carries a corpus fingerprint in format " +
+        s"${gotFmts.mkString(",")} but this build computes " +
+        s"${fpFormatOf(want)} - the stamp FORMAT differs, so corpus " +
+        "identity cannot be checked (the corpus itself may well match); " +
+        "re-save the artifact with a freshly computed corpusFingerprint"
+    else
+      s"$what at $path was trained on a DIFFERENT corpus " +
+        s"(artifact ${got.mkString(",")}, corpus $want) - probing with " +
+        "a stale artifact silently degrades every downstream number; " +
+        "retrain or point at the matching corpus"
+  }
+
   def corpusFingerprint(df: DataFrame, idCol: String, vecCol: String): String = {
     val rowHash = xxhash64(col(idCol), col(vecCol))
     val r = df.agg(
@@ -197,7 +232,8 @@ object VectorIVF {
     val h = if (r.isNullAt(1)) 0L else r.getLong(1)
     val s = if (r.isNullAt(2)) BigInt(0)
       else BigInt(r.getDecimal(2).toBigInteger).mod(BigInt(1) << 64)
-    f"n=${r.getLong(0)}%d,h=$h%016x,s=" + ("0" * (16 - s.toString(16).length)) + s.toString(16)
+    f"$FingerprintVersion,n=${r.getLong(0)}%d,h=$h%016x,s=" +
+      ("0" * (16 - s.toString(16).length)) + s.toString(16)
   }
 
   def saveIndex(centroids: DataFrame, path: String,
@@ -229,10 +265,7 @@ object VectorIVF {
           "this corpus; re-save with saveIndex(..., corpusFp = Some(...))")
       val got = raw.select("corpus_fp").distinct().collect().map(_.getString(0))
       require(got.length == 1 && got.head == want,
-        s"index at $path was trained on a DIFFERENT corpus " +
-          s"(artifact ${got.mkString(",")}, corpus $want) — probing with " +
-          "a stale quantizer silently degrades recall; retrain or point " +
-          "at the matching corpus")
+        fpMismatchMessage("index", path, got.toSeq, want))
     }
     val idx = raw.drop("corpus_fp")
     require(idx.columns.toSet == Set("cell_id", "cvec"),

@@ -214,9 +214,7 @@ object VectorPQ {
           "it matches this corpus; re-save with corpusFp = Some(...)")
       val got = raw.select("corpus_fp").distinct().collect().map(_.getString(0))
       require(got.length == 1 && got.head == want,
-        s"codebook at $path was trained on a DIFFERENT corpus " +
-          s"(artifact ${got.mkString(",")}, corpus $want) — retrain or " +
-          "point at the matching corpus")
+        VectorIVF.fpMismatchMessage("codebook", path, got.toSeq, want))
     }
     val rows = raw
       .select(col("sub").cast("int"), col("code").cast("int"),

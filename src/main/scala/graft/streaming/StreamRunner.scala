@@ -109,6 +109,25 @@ object StreamRunner {
           "source did not split; check maxFilesPerTrigger and the file " +
           "layout"))
 
+  /** Run an APPEND-mode stream while ENFORCING that the finite source
+    * arrived as at least `minDataBatches` data micro-batches — the
+    * regime where the watermark computed from batch N's rows governs
+    * batch N+1's late-data admission and window finalization. Append
+    * rows are final by definition so no changelog fold is needed, but
+    * the batch count is still enforced (≥): a late-data test that
+    * silently ran as one batch would pass while exercising nothing —
+    * with a single data batch the initial watermark is 0 and NO row is
+    * ever late. Used by the q51 late-data row.
+    */
+  def runToBatchMulti(stream: DataFrame, prefix: String,
+                      minDataBatches: Int): DataFrame =
+    run(stream, prefix, mode = "append", noDataBatches = true, dataBatches =>
+      require(dataBatches >= minDataBatches,
+        s"$prefix: expected >= $minDataBatches data micro-batches (the " +
+          s"cross-batch watermark path under test), saw $dataBatches - " +
+          "the source did not split; check maxFilesPerTrigger and the " +
+          "file layout"))
+
   private def run(stream: DataFrame, prefix: String,
                   mode: String,
                   noDataBatches: Boolean,

@@ -67,6 +67,62 @@ object EventQueries {
        GROUP BY wmin, fid"""
   }
 
+  /** q51's oracle: [[lateDataStream]]'s three-batch late-data replay in
+    * batch SQL. Mirrors the query's construction term for term — the
+    * merge/tail/drop/advance classes are the same `event_id` arithmetic
+    * over the same µs grid — and replays the measured two-watermark
+    * rule: files 1 and 2 are admitted wholesale (the late filter lags a
+    * batch, so it is still 0 when each arrives), file 3 survives iff the
+    * window end clears wm1 (the watermark batch 2 RAN with, from file
+    * 1's ms-floored max event time), and a window is reported iff its
+    * end <= wm3 (the final eviction watermark, from file 3's ADVANCE2
+    * row). Both boundaries are the pinned `end <= watermark` predicate.
+    * wm2 never appears: it only schedules WHEN windows emit, and no
+    * window emitted under wm2 receives later rows (DROP is discarded,
+    * MERGE2/TAIL windows stay open past it) — so emission timing cannot
+    * change the final multiset.
+    */
+  private lazy val LateDataSql: String = {
+    val fieldVals = EventTypes.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, '$t')" }.mkString(", ")
+    s"""WITH f(fid, et) AS (VALUES $fieldVals),
+       e AS (SELECT epoch_ns(ts) // 1000 AS tus, f.fid, events.event_id
+         FROM events JOIN f ON events.event_type = f.et),
+       mx AS (SELECT max(tus) AS mx_us FROM e),
+       f2 AS (
+         SELECT fid, mx_us - 300000000 + (event_id % 240) * 1000000 AS tus
+           FROM e, mx WHERE event_id % 17 = 0
+         UNION ALL
+         SELECT fid, mx_us + 840000000 + (event_id % 240) * 1000000 AS tus
+           FROM e, mx WHERE event_id % 17 = 5
+         UNION ALL
+         SELECT 1 AS fid, mx_us + 1200000000 AS tus FROM mx),
+       f3 AS (
+         SELECT fid, mx_us - 1800000000 + (event_id % 600) * 1000000 AS tus
+           FROM e, mx WHERE event_id % 17 = 1
+         UNION ALL
+         SELECT fid, mx_us + 840000000 + (event_id % 240) * 1000000 AS tus
+           FROM e, mx WHERE event_id % 17 = 2
+         UNION ALL
+         SELECT 1 AS fid, mx_us + 2400000000 AS tus FROM mx),
+       wm1 AS (SELECT (mx_us // 1000) - 600000 AS wm_ms FROM mx),
+       surv AS (
+         SELECT fid, tus FROM e
+         UNION ALL
+         SELECT fid, tus FROM f2
+         UNION ALL
+         SELECT fid, tus FROM f3, wm1
+          WHERE ((tus // 60000000) + 1) * 60000 > wm_ms),
+       wmf AS (SELECT ((mx_us + 2400000000) // 1000) - 600000 AS wm_ms
+         FROM mx)
+       SELECT make_timestamp((tus // 60000000) * 60000000) AS window_start,
+         make_timestamp(((tus // 60000000) + 1) * 60000000) AS window_end,
+         fid AS uevol_field_id, count(*) AS n_updates
+       FROM surv, wmf
+       WHERE ((tus // 60000000) + 1) * 60000 <= wm_ms
+       GROUP BY 1, 2, 3"""
+  }
+
   /** The q42 windowed-rates stream, shared verbatim by q42 (default
     * HDFS-backed state store) and q50 (RocksDB provider) — one body, so
     * the two rows can only differ in where the state lives.
@@ -84,6 +140,98 @@ object EventQueries {
         stream, "ets", watermark = "10 minutes", window = "1 minute",
         keyCol = "uevol_field_id"),
       runName)
+  }
+
+  /** The multi-batch LATE-DATA watermark regime for the q42 windowed
+    * aggregation (round 19) — the one streaming state machine d174's
+    * merge row does not cover: window state surviving micro-batch
+    * boundaries under late arrivals, including genuinely DROPPED rows.
+    * The source is three mtime-pinned single-file parquet datasets
+    * ([[graft.streaming.FileSource]] + `maxFilesPerTrigger=1`, the d174
+    * fixture shape; `StreamRunner.runToBatchMulti` FAILS unless all
+    * three data batches actually ran).
+    *
+    * Why THREE batches: Spark's late-event filter does not use the same
+    * watermark as state eviction — it lags one batch (the SPARK-40925
+    * two-watermark design: batch N evicts with the watermark computed
+    * from batch N-1's event-time stats, but admits input against the
+    * watermark batch N-1 ITSELF ran with, so chained stateful operators
+    * see consistent values). Measured here before designing the oracle
+    * (`WatermarkLagSpec` pins it): in a two-batch run the late filter is
+    * still at the initial 0 when batch 2 arrives, so NOTHING is ever
+    * dropped — the drop regime needs batch 3, whose late filter is the
+    * watermark batch 2 ran with (wm1, from file 1's stats).
+    *
+    *  - file 1: every event on its real timestamp; max event time `mx`.
+    *    Establishes wm1 = floor_ms(mx) - 10 min.
+    *  - file 2: MERGE (id%17==0) re-timed into [mx-5min, mx-1min) —
+    *    folds into batch-1 window state (admitted trivially: batch 2's
+    *    late filter is still 0); TAIL (id%17==5) re-timed into
+    *    [mx+14min, mx+18min) — opens future windows that stay in state
+    *    through batch 3; ADVANCE at mx+20min → wm2 = floor_ms(mx) +
+    *    10 min (+220 µs-truncation; the oracle computes it exactly).
+    *  - file 3 (late filter now wm1, eviction wm2): DROP (id%17==1)
+    *    re-timed into [mx-30min, mx-20min) — window end <= wm1, every
+    *    row must be DISCARDED (admitting them would resurrect windows
+    *    already emitted in batch 2 and double-emit); MERGE2 (id%17==2)
+    *    re-timed into file 2's TAIL window range — admitted (end > wm1)
+    *    and folded into OPEN cross-batch state; ADVANCE2 at mx+40min →
+    *    wm3 = floor_ms(mx) + 30 min closes every tail window in the
+    *    final no-data batch.
+    *
+    * All classes are deterministic in `event_id`, so the DuckDB oracle
+    * rebuilds them exactly and replays the two rules: a file-3 row
+    * survives iff its window end > wm1 (the lagged late filter); a
+    * window is reported iff its end <= wm3 (final eviction). Both
+    * boundaries are the `end <= watermark` predicate StreamingSpec
+    * pins. A wrong drop (dropped rows counted or double-emitted
+    * windows), a wrong merge (batch-N rows opening fresh state instead
+    * of folding into batch-N-1's), or wrong finalization (windows
+    * emitted early with partial counts) each change the output
+    * multiset, so the hash gate catches all three.
+    */
+  private def lateDataStream(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val dt = e.schema("ts").dataType
+    val base = e.join(broadcast(fieldMapDF(s)), "event_type")
+      .select(col("fid").as("uevol_field_id"),
+        unix_micros(Tables.asTimestamp(dt, "ts")).as("tus"),
+        col("event_id"))
+    // one O(1) driver scalar (the windowBounds discipline), mirrored by
+    // the oracle's mx CTE
+    val mxUs = base.agg(max("tus")).head().getLong(0)
+    def retimed(idMod17: Int, offsetUs: Long, spreadS: Int): DataFrame =
+      base.where(pmod(col("event_id"), lit(17)) === idMod17)
+        .select(col("uevol_field_id"),
+          (lit(mxUs + offsetUs) +
+            pmod(col("event_id"), lit(spreadS)) * lit(1000000L)).as("tus"))
+    def advanceRow(offsetUs: Long): DataFrame =
+      s.range(1).select(lit(1).as("uevol_field_id"),
+        lit(mxUs + offsetUs).as("tus"))
+    val file1 = base.select(col("uevol_field_id"), col("tus"))
+    val file2 = retimed(0, -300000000L, 240)       // MERGE
+      .union(retimed(5, 840000000L, 240))          // TAIL
+      .union(advanceRow(1200000000L))              // ADVANCE (mx+20min)
+    val file3 = retimed(1, -1800000000L, 600)      // DROP
+      .union(retimed(2, 840000000L, 240))          // MERGE2 (tail windows)
+      .union(advanceRow(2400000000L))              // ADVANCE2 (mx+40min)
+    val srcDir = graft.WorkDirs.acquire("q51_latedata")
+    graft.streaming.FileSource.writePinned(file1, srcDir, "f0.parquet",
+      1500000000000L)
+    graft.streaming.FileSource.writePinned(file2, srcDir, "f1.parquet",
+      1500000001000L)
+    graft.streaming.FileSource.writePinned(file3, srcDir, "f2.parquet",
+      1500000002000L)
+    val stream = s.readStream.schema(file1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+      .withColumn("ets", timestamp_micros(col("tus")))
+    graft.streaming.StreamRunner.runToBatchMulti(
+      graft.streaming.UpdateStream.updateRates(
+        stream, "ets", watermark = "10 minutes", window = "1 minute",
+        keyCol = "uevol_field_id"),
+      "q51_late_data", minDataBatches = 3)
   }
 
   /** events mapped onto the reference's instance_field schema.
@@ -530,6 +678,19 @@ object EventQueries {
       graft.GraftConf.enableRocksDbStateStore(s)
       try updateRatesStream(s, dir, "q50_update_rates_rocksdb")
       finally graft.GraftConf.disableRocksDbStateStore(s)
+    },
+
+    // q42's windowed aggregation across REAL micro-batch boundaries with
+    // LATE data crossing them (round 19): three pinned data batches
+    // exercising the two-watermark rule — rows late-but-inside-open-
+    // windows MERGE into prior-batch state (twice, across both
+    // boundaries), rows whose windows closed under the lagged late
+    // filter are DROPPED, and advance rows close the merged windows so
+    // every fold is visible in append output. See [[lateDataStream]]
+    // for why the drop regime needs batch 3 (the late filter lags
+    // eviction by one batch — measured, pinned by WatermarkLagSpec).
+    "q51_late_data_stream" -> { (s, dir) =>
+      lateDataStream(s, dir)
     },
 
     // Stream-STREAM interval join (round 10): click→purchase attribution
@@ -1091,6 +1252,13 @@ object EventQueries {
     // oracle is SHARED with q42 because the state-store provider must not
     // change a single output bit.
     "q50_update_rates_rocksdb" -> UpdateRatesSql,
+    // q51: the three-batch late-data regime. The oracle rebuilds the
+    // engineered classes from the same event_id arithmetic, then replays
+    // Spark's MEASURED two-watermark rule (see LateDataSql's scaladoc):
+    // batch-3 rows survive iff their window end > wm1 (the late filter
+    // lags eviction by one batch), and a window is reported iff its
+    // end <= the final eviction watermark.
+    "q51_late_data_stream" -> LateDataSql,
     // q45: the identical trailing-window join in batch SQL; lag in µs on
     // the shared UTC µs grid.
     "q45_attribution_stream" ->

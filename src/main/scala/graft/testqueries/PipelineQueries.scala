@@ -1575,23 +1575,13 @@ object PipelineQueries {
       val d = docs(s, dir)
       val cap = 16
       val srcDir = graft.WorkDirs.acquire("d174_twobatch")
-      def writeHalf(par: Int, mtime: Long): Unit = {
-        val staging = new java.io.File(srcDir, s"stage$par")
-        d.where(pmod(col("doc_id"), lit(2)) === par)
-          .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-        val part = staging.listFiles().find(f =>
-          f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file written under $staging"))
-        val dst = new java.io.File(srcDir, s"half$par.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Option(staging.listFiles).foreach(_.foreach(_.delete()))
-        staging.delete()
-        dst.setLastModified(mtime); ()
-      }
       // fixed mtimes pin the batch order (even half first) so the
       // stream-metrics lines are comparable across runs; the VERDICT
       // below is order-invariant either way
+      def writeHalf(par: Int, mtime: Long): Unit =
+        graft.streaming.FileSource.writePinned(
+          d.where(pmod(col("doc_id"), lit(2)) === par),
+          srcDir, s"half$par.parquet", mtime)
       writeHalf(0, 1500000000000L)
       writeHalf(1, 1500000001000L)
       val stream = s.readStream.schema(d.schema)

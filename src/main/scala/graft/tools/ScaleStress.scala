@@ -72,6 +72,9 @@ object ScaleStress {
     if (args.contains("round18decode")) {
       runRound18DecodeProbe(spark); spark.stop(); return
     }
+    if (args.contains("round19state")) {
+      runRound19StateProbe(spark); spark.stop(); return
+    }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
     }
@@ -1021,6 +1024,70 @@ object ScaleStress {
     }.toMap
     println(f"${"graythumb_slope"}%-22s 1x=${thumb("1x")}%6.2f " +
       f"10x=${thumb("10x")}%6.2f (${thumb("10x") / thumb("1x")}%4.1fx)")
+  }
+
+  /** Round-19 streaming-STATE slope probe: the state store is the one
+    * engine component with no 1x→10x row in SCALE.md, and q50 exists
+    * precisely because a 100 TB census outgrows executor heaps — so its
+    * growth rate under the RocksDB provider IS the capacity plan. Runs
+    * the exact q42/q50 aggregation shape (withWatermark + 1-minute
+    * tumbling window + count, append mode, finite file source +
+    * StreamRunner lifecycle) while the WINDOWED STATE CARDINALITY
+    * (windows × keys = the store's row count) grows 10x with constant
+    * updates-per-state-row, under BOTH providers:
+    *
+    *  - 1x:  4,000 minutes × 20 keys =  80k state rows (400k input),
+    *  - 10x: 40,000 minutes × 20 keys = 800k state rows (4M input).
+    *
+    * One data batch puts every state row, the trailing no-data batch
+    * evicts and emits all closed windows — both halves of the store's
+    * per-row lifecycle are inside the timed region. Input rows scale
+    * with state (as they do in production), so the honest null
+    * hypothesis is ~10x wall; materially super-linear would mean
+    * per-row cost GROWING with store size (compaction debt, snapshot
+    * amplification) and sub-linear means fixed lifecycle overhead
+    * amortizing. The HDFS-provider twin prices the RocksDB premium at
+    * both scales.
+    */
+  private def runRound19StateProbe(spark: SparkSession): Unit = {
+    def minOf3(name: String)(f: => Long): Double =
+      probeMinOf3(spark)(name)(f)
+    val base = "/tmp/graft_scale19state"
+    val keys = 20
+    val perCell = 5
+    val baseUs = 1700000040000000L // minute-aligned epoch µs
+    val arms = Seq(("1x", 4000L), ("10x", 40000L))
+    arms.foreach { case (tag, windows) =>
+      if (!new java.io.File(s"$base/s$tag/_SUCCESS").exists()) {
+        val n = windows * keys * perCell
+        spark.range(n).select(
+          (lit(baseUs) +
+            (col("id") / (keys * perCell)).cast("long") * lit(60000000L) +
+            pmod(col("id"), lit(perCell)) * lit(11000000L)).as("tus"),
+          pmod((col("id") / perCell).cast("long"), lit(keys))
+            .cast("int").as("k"))
+          .write.mode("overwrite").parquet(s"$base/s$tag")
+      }
+    }
+    def runArm(tag: String): Long = {
+      val schema = spark.read.parquet(s"$base/s$tag").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$base/s$tag")
+        .withColumn("ets", timestamp_micros(col("tus")))
+      graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.UpdateStream.updateRates(stream, "ets",
+          watermark = "10 minutes", window = "1 minute", keyCol = "k"),
+        s"scale19_$tag").count()
+    }
+    Seq(("hdfs", false), ("rocksdb", true)).foreach { case (prov, rocks) =>
+      if (rocks) graft.GraftConf.enableRocksDbStateStore(spark)
+      try {
+        val t = arms.map { case (tag, _) =>
+          tag -> minOf3(s"state_$prov $tag")(runArm(tag))
+        }.toMap
+        println(f"${s"state_${prov}_slope"}%-22s 1x=${t("1x")}%6.2f " +
+          f"10x=${t("10x")}%6.2f (${t("10x") / t("1x")}%4.1fx)")
+      } finally if (rocks) graft.GraftConf.disableRocksDbStateStore(spark)
+    }
   }
 
   /** Graph-family slope probe (round 13): pageRank and triangleStats on a

@@ -1921,6 +1921,18 @@ class VectorIVFSpec extends SparkSpec {
       VectorIVF.loadIndex(spark, path, expectCorpusFp = Some(other))
     }
     assert(ex.getMessage.contains("DIFFERENT corpus"))
+    // a stamp in an OLDER FORMAT (v1 carried no version prefix) must be
+    // reported as a format mismatch with the re-save fix, never as
+    // "different corpus" — the corpus may well match (advisor, round 18)
+    val legacy = graft.WorkDirs.acquire("test_ivf_fp_v1").toString
+    VectorIVF.saveIndex(trained, legacy,
+      corpusFp = Some(fp.stripPrefix(VectorIVF.FingerprintVersion + ",")))
+    val exFmt = intercept[IllegalArgumentException] {
+      VectorIVF.loadIndex(spark, legacy, expectCorpusFp = Some(fp))
+    }
+    assert(exFmt.getMessage.contains("FORMAT"))
+    assert(exFmt.getMessage.contains("re-save"))
+    assert(!exFmt.getMessage.contains("DIFFERENT corpus"))
     // an UNSTAMPED artifact cannot prove anything: loud, not assumed
     val bare = graft.WorkDirs.acquire("test_ivf_bare").toString
     VectorIVF.saveIndex(trained, bare)

@@ -382,7 +382,10 @@ class CompactionInvariantSpec extends SparkSpec {
     val compacted = queries.Backup.compact(full, Fixtures.instanceMessage(spark),
       Fixtures.uevolField(spark), 112000L)
     assert(currentState(compacted) === currentState(full))
-    val dir = graft.WorkDirs.acquire("test_graft_compact").toString
+    // per-suite family name (advisor, round 18): StreamingSpec's
+    // compaction-sink test acquires its own family, so neither suite can
+    // wipe the other's dir mid-test under a parallel-suite runner
+    val dir = graft.WorkDirs.acquire("test_graft_compact_queries").toString
     try {
       graft.io.TableWriter.writeDeltaLog(compacted, dir)
       assert(currentState(spark.read.parquet(dir)) === currentState(full))

@@ -504,7 +504,10 @@ class StreamingSpec extends SparkSpec {
   test("compactionSink appends micro-batches partitioned by message id") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
-    val dir = graft.WorkDirs.acquire("test_graft_compact").toString
+    // family name unique to THIS suite (advisor, round 18): QueriesSpec's
+    // compaction test uses its own family, so the two suites cannot wipe
+    // each other's dir even if forked suites ever run in parallel
+    val dir = graft.WorkDirs.acquire("test_graft_compact_stream").toString
     val in = MemoryStream[InstanceField]
     val q = UpdateStream.compactionSink(in.toDF(), s"$dir/data", s"$dir/ckpt")
     try {
