@@ -636,6 +636,89 @@ object EventQueries {
         .select("user_id", "n_events", "duration_s", "sum_value")
     },
 
+    // Sessionization state across REAL micro-batch boundaries (round 19)
+    // — the q40 regime the round-18 verdict named untested: q40 runs as
+    // one micro-batch, so the flatMapGroupsWithState state never
+    // survives a boundary and no event-time timeout ever fires. Here
+    // the corpus arrives as three mtime-pinned batches split ON EVENT
+    // TIME at the corpus midpoint T, so every session straddling T must
+    // CONTINUE from batch-1 state into batch 2 (merge, not re-open);
+    // batch 3 carries (a) rows retimed to the corpus start — beyond the
+    // lagged late filter (wm1 = file 1's ms-floored max - 10 min; see
+    // q51/WatermarkLagSpec for the lag rule), every one must be DROPPED
+    // before the operator (admitted, they would extend early sessions
+    // or resurrect emitted ones) — and (b) one pusher row at max+41min,
+    // driving the final eviction watermark to max+31min so every real
+    // session's event-time TIMEOUT (last + 30-min gap <= max+30min,
+    // strictly under the watermark — no boundary-convention ambiguity)
+    // fires and emits. Output = ALL sessions of the original events
+    // plus a 50-user closed-form bridge cohort (built in the body —
+    // natural sessions are too short to straddle one fixed instant at
+    // sf<=0.01, measured) under the batch gap rule (no open tails —
+    // unlike q40, which excludes each user's last session), making
+    // emission-by-timeout itself oracle-gated, batch-split-invariantly:
+    // rows arrive in event-time order, so no session can be
+    // silence-closed between two of its own arrivals (the one regime
+    // where stream and batch legitimately diverge).
+    "q52_session_boundary_stream" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val dt = e.schema("ts").dataType
+      val base = e.select(col("user_id"),
+        unix_micros(Tables.asTimestamp(dt, "ts")).as("tus"),
+        col("value"), col("event_id"))
+      // two O(1) driver scalars (the windowBounds discipline), mirrored
+      // by the oracle's bounds CTE
+      val r = base.agg(min("tus"), max("tus")).head()
+      val (mnUs, mxUs) = (r.getLong(0), r.getLong(1))
+      val midUs = (mnUs + mxUs) / 2
+      // Bridge cohort: real sessions are short against the month-long
+      // corpus span, so at sf<=0.01 NO natural session happens to
+      // straddle one fixed instant (measured) — the continuation claim
+      // would be vacuous exactly where the driver gates correctness.
+      // 50 closed-form users (ids disjoint from real user_ids) each
+      // carry an early lone session (T-5h, so continuation must
+      // DISTINGUISH sessions, not just glue everything) and a two-event
+      // session spanning T with a 20-min internal gap (< the 30-min
+      // rule): first event in file 1, second in file 2 — batch 2 must
+      // fold it into batch-1 state or the pair reports as two sessions.
+      def bridge(offUs: Long, n: Int): DataFrame =
+        s.range(n).select((lit(2000000000L) + col("id")).as("user_id"),
+          (lit(midUs + offUs) + col("id") * lit(7000000L)).as("tus"),
+          lit(1.0).as("value"))
+      val file1 = base.where(col("tus") <= midUs)
+        .select("user_id", "tus", "value")
+        .union(bridge(-18000000000L, 50))  // T-5h: the lone sessions
+        .union(bridge(-600000000L, 50))    // T-10min: straddle, 1st half
+      val file2 = base.where(col("tus") > midUs)
+        .select("user_id", "tus", "value")
+        .union(bridge(600000000L, 50))     // T+10min: straddle, 2nd half
+      val dropRows = base.where(pmod(col("event_id"), lit(17)) === 3)
+        .select(col("user_id"),
+          (lit(mnUs) + pmod(col("event_id"), lit(240)) * lit(1000000L))
+            .as("tus"),
+          col("value"))
+      val pusher = s.range(1).select(
+        lit(1000000007L).as("user_id"), lit(mxUs + 2460000000L).as("tus"),
+        lit(0.0).as("value"))
+      val srcDir = graft.WorkDirs.acquire("q52_sessboundary")
+      graft.streaming.FileSource.writePinned(file1, srcDir, "f0.parquet",
+        1500000000000L)
+      graft.streaming.FileSource.writePinned(file2, srcDir, "f1.parquet",
+        1500000001000L)
+      graft.streaming.FileSource.writePinned(dropRows.union(pusher), srcDir,
+        "f2.parquet", 1500000002000L)
+      val stream = s.readStream.schema(file1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(col("tus")))
+      val closed = graft.streaming.SessionStream
+        .sessionize(stream, gapMinutes = 30, watermark = "10 minutes")
+      graft.streaming.StreamRunner.runToBatchMulti(closed.toDF(),
+          "q52_session_boundary", minDataBatches = 3)
+        .select("user_id", "n_events", "duration_s", "sum_value")
+    },
+
     // UpdateStream.latestState oracle-gated — the reference's core argmax
     // (J6) computed as a STREAMING update-mode aggregation over the
     // telemetry-mapped event stream. The finite source arrives as one
@@ -1228,6 +1311,50 @@ object EventQueries {
          SELECT sess.user_id, n_events, duration_s, sum_value
          FROM sess JOIN tails ON sess.user_id = tails.user_id
          WHERE sess.session_idx < tails.mx""",
+    // q52: sessions across micro-batch boundaries. The oracle is q40's
+    // ms-floored session rule over events ∪ the closed-form bridge
+    // cohort (the syn CTE rebuilds the query body's 50 synthetic users
+    // exactly: one lone session at T-5h, one two-event session
+    // straddling T with a 20-min internal gap), WITHOUT the open-tail
+    // exclusion — the pusher row drives the final eviction watermark to
+    // max+31min, so every real session's timeout (last + 30-min gap <=
+    // max+30min) fires strictly below it and emits; the engineered
+    // batch-3 rows are excluded because the lagged late filter (wm1,
+    // half a corpus span above their retimed position) must drop them,
+    // and the pusher's own session stays open. Wrong continuation (a
+    // straddling session re-opened instead of merged: 50 pairs split),
+    // wrong drop (early sessions extended), or wrong timeout (open
+    // tails never emitted, or the pusher emitted) each change the
+    // multiset.
+    "q52_session_boundary_stream" ->
+      """WITH bounds AS (SELECT (min(epoch_ns(ts)) // 1000
+             + max(epoch_ns(ts)) // 1000) // 2 AS mid FROM events),
+         syn AS (
+           SELECT 2000000000 + i AS user_id, 1000000000 + i AS event_id,
+             1.0 AS value, (mid - 18000000000 + i * 7000000) // 1000 AS tms
+           FROM range(50) t(i), bounds
+           UNION ALL
+           SELECT 2000000000 + i, 1000000100 + i, 1.0,
+             (mid - 600000000 + i * 7000000) // 1000
+           FROM range(50) t(i), bounds
+           UNION ALL
+           SELECT 2000000000 + i, 1000000200 + i, 1.0,
+             (mid + 600000000 + i * 7000000) // 1000
+           FROM range(50) t(i), bounds),
+         o AS (SELECT user_id, event_id, value,
+             epoch_ns(ts) // 1000000 AS tms FROM events
+           UNION ALL SELECT user_id, event_id, value, tms FROM syn),
+         g AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+               OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+               ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM g)
+         SELECT user_id, count(*) AS n_events,
+           CAST((max(tms) - min(tms)) // 1000 AS BIGINT) AS duration_s,
+           round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000, 2) AS sum_value
+         FROM s GROUP BY user_id, session_idx""",
     // Streaming latest-state: the batch argmax per telemetry key.
     "q41_latest_state_stream" -> {
       val fieldVals = EventTypes.zipWithIndex
