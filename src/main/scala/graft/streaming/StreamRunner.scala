@@ -120,8 +120,9 @@ object StreamRunner {
     * ever late. Used by the q51 late-data row.
     */
   def runToBatchMulti(stream: DataFrame, prefix: String,
-                      minDataBatches: Int): DataFrame =
-    run(stream, prefix, mode = "append", noDataBatches = true, dataBatches =>
+                      minDataBatches: Int,
+                      noDataBatches: Boolean = true): DataFrame =
+    run(stream, prefix, mode = "append", noDataBatches, dataBatches =>
       require(dataBatches >= minDataBatches,
         s"$prefix: expected >= $minDataBatches data micro-batches (the " +
           s"cross-batch watermark path under test), saw $dataBatches - " +

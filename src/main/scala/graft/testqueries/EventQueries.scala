@@ -810,6 +810,74 @@ object EventQueries {
         noDataBatches = false)
     },
 
+    // Stream-STREAM join state across a REAL micro-batch boundary
+    // (round 19) — the last stateful operator class never run
+    // multi-batch: q45's symmetric-hash join state, with a click stored
+    // in batch-1 state matching a purchase that arrives in batch 2. The
+    // corpus splits ON EVENT TIME at the midpoint T into two
+    // mtime-pinned files (runToBatchMulti enforces the split), plus a
+    // 40-pair closed-form straddle cohort (distinct synthetic users, so
+    // each pair matches exactly once and never touches real rows —
+    // natural matches straddling a fixed instant are 0 at sf<=0.01,
+    // measured). Eviction cannot lose a legitimate match under the
+    // time-ordered split: a click is evicted at batch 2 only when
+    // c_ts + 2h < wm1 = T - 1 day, and any purchase matching it has
+    // p_ts <= c_ts + 2h < T — i.e. it arrived in batch 1 and already
+    // joined. No drop class, deliberately: for a stream-stream join a
+    // row late beyond the watermark can never produce OBSERVABLE output
+    // on a finite replay — the partner rows it would join are
+    // necessarily already evicted (state holds ~delay+lookback of
+    // history, lateness is >= delay) — so a late-drop gate would be
+    // vacuous-by-construction; the droppable regime is q51/q52's.
+    "q53_join_boundary_stream" -> { (s, dir) =>
+      val e = ev(s, dir)
+      val dt = e.schema("ts").dataType
+      val base = e.select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"),
+        unix_micros(Tables.asTimestamp(dt, "ts")).as("tus"))
+      val r = base.agg(min("tus"), max("tus")).head()
+      val midUs = (r.getLong(0) + r.getLong(1)) / 2
+      // cohort pair i: click at T-30min+7i s, purchase at T+30min+7i s
+      // (lag exactly 3600 s, inside the 2 h lookback)
+      def cohort(kind: String, idBase: Long, offUs: Long): DataFrame =
+        s.range(40).select((lit(idBase) + col("id")).as("event_id"),
+          (lit(3000000000L) + col("id")).as("user_id"),
+          lit(kind).as("event_type"), lit(2.5).as("value"),
+          (lit(midUs + offUs) + col("id") * lit(7000000L)).as("tus"))
+      val file1 = base.where(col("tus") <= midUs)
+        .union(cohort("click", 1100000000L, -1800000000L))
+      val file2 = base.where(col("tus") > midUs)
+        .union(cohort("purchase", 1200000000L, 1800000000L))
+      val srcDir = graft.WorkDirs.acquire("q53_joinboundary")
+      graft.streaming.FileSource.writePinned(file1, srcDir, "f0.parquet",
+        1500000000000L)
+      graft.streaming.FileSource.writePinned(file2, srcDir, "f1.parquet",
+        1500000001000L)
+      val stream = s.readStream.schema(file1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+        .withColumn("ets", timestamp_micros(col("tus")))
+      val purchases = stream.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ets").as("p_ts"))
+      val clicks = stream.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("value").as("click_value"), col("ets").as("c_ts"))
+      val joined = graft.streaming.IntervalStream.intervalJoin(
+          purchases, clicks, col("user_id") === col("c_user"),
+          "p_ts", "c_ts", lookback = "2 hours", watermark = "1 day")
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          col("click_value"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      // INNER stream-stream join: every match emits in the data batch
+      // itself, so the trailing no-data micro-batches are pure
+      // watermark/eviction lifecycle — skipped, exactly q45's measured
+      // and oracle-proven skip (the oracle row still gates full output)
+      graft.streaming.StreamRunner.runToBatchMulti(joined,
+        "q53_join_boundary", minDataBatches = 2, noDataBatches = false)
+    },
+
     // SCD2 interval history (round 10): the change log pivoted into the
     // [eff_from, eff_to) interval table — the dual of updateHistory's
     // "value AT t" and the shape as-of/interval joins consume. Runs of
@@ -1386,6 +1454,35 @@ object EventQueries {
     // lags eviction by one batch), and a window is reported iff its
     // end <= the final eviction watermark.
     "q51_late_data_stream" -> LateDataSql,
+    // q53: q45's interval join over events ∪ the rebuilt straddle
+    // cohort (one click/purchase pair per synthetic user, lag exactly
+    // 3600 s). The oracle knows nothing of the batch split: under the
+    // time-ordered split no legitimate match can be lost to eviction
+    // (argued at the query body), so stream output == the plain batch
+    // interval join — 40 cohort rows present iff batch-1 click state
+    // survived into batch 2, duplicates absent iff nothing re-emits.
+    "q53_join_boundary_stream" ->
+      """WITH b AS (SELECT (min(epoch_ns(ts)) // 1000
+             + max(epoch_ns(ts)) // 1000) // 2 AS mid FROM events),
+         syn AS (
+           SELECT 1100000000 + i AS event_id, 3000000000 + i AS user_id,
+             'click' AS event_type, 2.5 AS value,
+             mid - 1800000000 + i * 7000000 AS tus
+           FROM range(40) t(i), b
+           UNION ALL
+           SELECT 1200000000 + i, 3000000000 + i, 'purchase', 2.5,
+             mid + 1800000000 + i * 7000000
+           FROM range(40) t(i), b),
+         u AS (SELECT event_id, user_id, event_type, value,
+             epoch_ns(ts) // 1000 AS tus FROM events
+           UNION ALL SELECT * FROM syn)
+         SELECT p.event_id AS purchase_id, p.user_id,
+           c.event_id AS click_id, c.value AS click_value,
+           p.tus - c.tus AS lag_us
+         FROM (SELECT * FROM u WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM u WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.tus >= p.tus - 7200000000 AND c.tus <= p.tus""",
     // q45: the identical trailing-window join in batch SQL; lag in µs on
     // the shared UTC µs grid.
     "q45_attribution_stream" ->
