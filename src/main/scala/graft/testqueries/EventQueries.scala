@@ -67,6 +67,42 @@ object EventQueries {
        GROUP BY wmin, fid"""
   }
 
+  /** q52/q54's oracle: the three-batch session-boundary fixture replayed
+    * batch-side (q40's ms-floored session rule over events ∪ the
+    * closed-form bridge cohort, no open-tail exclusion — see the q52 map
+    * entry for the full regime rationale). One definition for both rows:
+    * the state-store provider cannot change output.
+    */
+  private val SessionBoundarySql: String =
+    """WITH bounds AS (SELECT (min(epoch_ns(ts)) // 1000
+           + max(epoch_ns(ts)) // 1000) // 2 AS mid FROM events),
+       syn AS (
+         SELECT 2000000000 + i AS user_id, 1000000000 + i AS event_id,
+           1.0 AS value, (mid - 18000000000 + i * 7000000) // 1000 AS tms
+         FROM range(50) t(i), bounds
+         UNION ALL
+         SELECT 2000000000 + i, 1000000100 + i, 1.0,
+           (mid - 600000000 + i * 7000000) // 1000
+         FROM range(50) t(i), bounds
+         UNION ALL
+         SELECT 2000000000 + i, 1000000200 + i, 1.0,
+           (mid + 600000000 + i * 7000000) // 1000
+         FROM range(50) t(i), bounds),
+       o AS (SELECT user_id, event_id, value,
+           epoch_ns(ts) // 1000000 AS tms FROM events
+         UNION ALL SELECT user_id, event_id, value, tms FROM syn),
+       g AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL
+             OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+         FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+       s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+             ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+         FROM g)
+       SELECT user_id, count(*) AS n_events,
+         CAST((max(tms) - min(tms)) // 1000 AS BIGINT) AS duration_s,
+         round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+           / 1000000, 2) AS sum_value
+       FROM s GROUP BY user_id, session_idx"""
+
   /** q51's oracle: [[lateDataStream]]'s three-batch late-data replay in
     * batch SQL. Mirrors the query's construction term for term — the
     * merge/tail/drop/advance classes are the same `event_id` arithmetic
@@ -232,6 +268,72 @@ object EventQueries {
         stream, "ets", watermark = "10 minutes", window = "1 minute",
         keyCol = "uevol_field_id"),
       "q51_late_data", minDataBatches = 3)
+  }
+
+  /** The q52/q54 three-batch session fixture: sessionization state across
+    * real micro-batch boundaries (continuation, late drop, timeout
+    * eviction — see the q52 map entry for the full regime rationale).
+    * `name` keys the memory sink and the WorkDirs family so the heap
+    * (q52) and RocksDB (q54) runs never share scratch state.
+    */
+  private def sessionBoundaryStream(s: SparkSession, dir: String,
+                                    name: String): DataFrame = {
+    val e = ev(s, dir)
+    val dt = e.schema("ts").dataType
+    val base = e.select(col("user_id"),
+      unix_micros(Tables.asTimestamp(dt, "ts")).as("tus"),
+      col("value"), col("event_id"))
+    // two O(1) driver scalars (the windowBounds discipline), mirrored
+    // by the oracle's bounds CTE
+    val r = base.agg(min("tus"), max("tus")).head()
+    val (mnUs, mxUs) = (r.getLong(0), r.getLong(1))
+    val midUs = (mnUs + mxUs) / 2
+    // Bridge cohort: real sessions are short against the month-long
+    // corpus span, so at sf<=0.01 NO natural session happens to
+    // straddle one fixed instant (measured) — the continuation claim
+    // would be vacuous exactly where the driver gates correctness.
+    // 50 closed-form users (ids disjoint from real user_ids) each
+    // carry an early lone session (T-5h, so continuation must
+    // DISTINGUISH sessions, not just glue everything) and a two-event
+    // session spanning T with a 20-min internal gap (< the 30-min
+    // rule): first event in file 1, second in file 2 — batch 2 must
+    // fold it into batch-1 state or the pair reports as two sessions.
+    def bridge(offUs: Long, n: Int): DataFrame =
+      s.range(n).select((lit(2000000000L) + col("id")).as("user_id"),
+        (lit(midUs + offUs) + col("id") * lit(7000000L)).as("tus"),
+        lit(1.0).as("value"))
+    val file1 = base.where(col("tus") <= midUs)
+      .select("user_id", "tus", "value")
+      .union(bridge(-18000000000L, 50))  // T-5h: the lone sessions
+      .union(bridge(-600000000L, 50))    // T-10min: straddle, 1st half
+    val file2 = base.where(col("tus") > midUs)
+      .select("user_id", "tus", "value")
+      .union(bridge(600000000L, 50))     // T+10min: straddle, 2nd half
+    val dropRows = base.where(pmod(col("event_id"), lit(17)) === 3)
+      .select(col("user_id"),
+        (lit(mnUs) + pmod(col("event_id"), lit(240)) * lit(1000000L))
+          .as("tus"),
+        col("value"))
+    val pusher = s.range(1).select(
+      lit(1000000007L).as("user_id"), lit(mxUs + 2460000000L).as("tus"),
+      lit(0.0).as("value"))
+    val srcDir = graft.WorkDirs.acquire(name)
+    graft.streaming.FileSource.writePinned(file1, srcDir, "f0.parquet",
+      1500000000000L)
+    graft.streaming.FileSource.writePinned(file2, srcDir, "f1.parquet",
+      1500000001000L)
+    graft.streaming.FileSource.writePinned(dropRows.union(pusher), srcDir,
+      "f2.parquet", 1500000002000L)
+    val stream = s.readStream.schema(file1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(col("tus")))
+    val closed = graft.streaming.SessionStream
+      .sessionize(stream, gapMinutes = 30, watermark = "10 minutes")
+    graft.streaming.StreamRunner.runToBatchMulti(closed.toDF(),
+        name, minDataBatches = 3)
+      .select("user_id", "n_events", "duration_s", "sum_value")
   }
 
   /** events mapped onto the reference's instance_field schema.
@@ -661,62 +763,25 @@ object EventQueries {
     // silence-closed between two of its own arrivals (the one regime
     // where stream and batch legitimately diverge).
     "q52_session_boundary_stream" -> { (s, dir) =>
-      val e = ev(s, dir)
-      val dt = e.schema("ts").dataType
-      val base = e.select(col("user_id"),
-        unix_micros(Tables.asTimestamp(dt, "ts")).as("tus"),
-        col("value"), col("event_id"))
-      // two O(1) driver scalars (the windowBounds discipline), mirrored
-      // by the oracle's bounds CTE
-      val r = base.agg(min("tus"), max("tus")).head()
-      val (mnUs, mxUs) = (r.getLong(0), r.getLong(1))
-      val midUs = (mnUs + mxUs) / 2
-      // Bridge cohort: real sessions are short against the month-long
-      // corpus span, so at sf<=0.01 NO natural session happens to
-      // straddle one fixed instant (measured) — the continuation claim
-      // would be vacuous exactly where the driver gates correctness.
-      // 50 closed-form users (ids disjoint from real user_ids) each
-      // carry an early lone session (T-5h, so continuation must
-      // DISTINGUISH sessions, not just glue everything) and a two-event
-      // session spanning T with a 20-min internal gap (< the 30-min
-      // rule): first event in file 1, second in file 2 — batch 2 must
-      // fold it into batch-1 state or the pair reports as two sessions.
-      def bridge(offUs: Long, n: Int): DataFrame =
-        s.range(n).select((lit(2000000000L) + col("id")).as("user_id"),
-          (lit(midUs + offUs) + col("id") * lit(7000000L)).as("tus"),
-          lit(1.0).as("value"))
-      val file1 = base.where(col("tus") <= midUs)
-        .select("user_id", "tus", "value")
-        .union(bridge(-18000000000L, 50))  // T-5h: the lone sessions
-        .union(bridge(-600000000L, 50))    // T-10min: straddle, 1st half
-      val file2 = base.where(col("tus") > midUs)
-        .select("user_id", "tus", "value")
-        .union(bridge(600000000L, 50))     // T+10min: straddle, 2nd half
-      val dropRows = base.where(pmod(col("event_id"), lit(17)) === 3)
-        .select(col("user_id"),
-          (lit(mnUs) + pmod(col("event_id"), lit(240)) * lit(1000000L))
-            .as("tus"),
-          col("value"))
-      val pusher = s.range(1).select(
-        lit(1000000007L).as("user_id"), lit(mxUs + 2460000000L).as("tus"),
-        lit(0.0).as("value"))
-      val srcDir = graft.WorkDirs.acquire("q52_sessboundary")
-      graft.streaming.FileSource.writePinned(file1, srcDir, "f0.parquet",
-        1500000000000L)
-      graft.streaming.FileSource.writePinned(file2, srcDir, "f1.parquet",
-        1500000001000L)
-      graft.streaming.FileSource.writePinned(dropRows.union(pusher), srcDir,
-        "f2.parquet", 1500000002000L)
-      val stream = s.readStream.schema(file1.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(col("tus")))
-      val closed = graft.streaming.SessionStream
-        .sessionize(stream, gapMinutes = 30, watermark = "10 minutes")
-      graft.streaming.StreamRunner.runToBatchMulti(closed.toDF(),
-          "q52_session_boundary", minDataBatches = 3)
-        .select("user_id", "n_events", "duration_s", "sum_value")
+      sessionBoundaryStream(s, dir, "q52_session_boundary")
+    },
+
+    // q52's regime under the RocksDB state-store provider (round 19):
+    // the SAME three-batch session fixture — continuation, late drop,
+    // timeout eviction — with flatMapGroupsWithState state living in
+    // native memory + local disk instead of executor-heap objects. This
+    // is the serde regime q50 cannot reach: the heap provider keeps
+    // state as live JVM objects between batches, while RocksDB
+    // round-trips EVERY state row through the encoder per batch — a
+    // session-state encoder bug (field order, nullability, timestamp
+    // grid) would corrupt exactly the cross-batch continuation this
+    // fixture gates, and q50's single-batch windowed shape would never
+    // see it. Output is bit-identical by the provider contract, so the
+    // oracle is SHARED with q52.
+    "q54_session_rocksdb_boundary" -> { (s, dir) =>
+      graft.GraftConf.enableRocksDbStateStore(s)
+      try sessionBoundaryStream(s, dir, "q54_session_rocksdb")
+      finally graft.GraftConf.disableRocksDbStateStore(s)
     },
 
     // UpdateStream.latestState oracle-gated — the reference's core argmax
@@ -1394,35 +1459,11 @@ object EventQueries {
     // wrong drop (early sessions extended), or wrong timeout (open
     // tails never emitted, or the pusher emitted) each change the
     // multiset.
-    "q52_session_boundary_stream" ->
-      """WITH bounds AS (SELECT (min(epoch_ns(ts)) // 1000
-             + max(epoch_ns(ts)) // 1000) // 2 AS mid FROM events),
-         syn AS (
-           SELECT 2000000000 + i AS user_id, 1000000000 + i AS event_id,
-             1.0 AS value, (mid - 18000000000 + i * 7000000) // 1000 AS tms
-           FROM range(50) t(i), bounds
-           UNION ALL
-           SELECT 2000000000 + i, 1000000100 + i, 1.0,
-             (mid - 600000000 + i * 7000000) // 1000
-           FROM range(50) t(i), bounds
-           UNION ALL
-           SELECT 2000000000 + i, 1000000200 + i, 1.0,
-             (mid + 600000000 + i * 7000000) // 1000
-           FROM range(50) t(i), bounds),
-         o AS (SELECT user_id, event_id, value,
-             epoch_ns(ts) // 1000000 AS tms FROM events
-           UNION ALL SELECT user_id, event_id, value, tms FROM syn),
-         g AS (SELECT *, CASE WHEN lag(tms) OVER w IS NULL
-               OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
-           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
-         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
-               ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
-           FROM g)
-         SELECT user_id, count(*) AS n_events,
-           CAST((max(tms) - min(tms)) // 1000 AS BIGINT) AS duration_s,
-           round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
-             / 1000000, 2) AS sum_value
-         FROM s GROUP BY user_id, session_idx""",
+    "q52_session_boundary_stream" -> SessionBoundarySql,
+    // q54: the identical fixture under the RocksDB provider — oracle
+    // SHARED with q52 because the state-store provider must not change
+    // a single output bit.
+    "q54_session_rocksdb_boundary" -> SessionBoundarySql,
     // Streaming latest-state: the batch argmax per telemetry key.
     "q41_latest_state_stream" -> {
       val fieldVals = EventTypes.zipWithIndex

@@ -1662,6 +1662,83 @@ object PipelineQueries {
         "d175_phash_real_tag_stream")
     },
 
+    // Streaming exact-dedup STATE across real micro-batch boundaries
+    // (round 19) — the dedup regime d38 cannot reach: its finite source
+    // arrives as ONE micro-batch, so a fingerprint's state never
+    // survives a boundary, is never evicted, and a post-eviction resend
+    // never happens. Four mtime-pinned batches over the events table
+    // (unique texts 'e<event_id>' — the only table with enough rows and
+    // a natural month span) exercise all three measured rules
+    // (DedupLagSpec pins them; delay = 10 min):
+    //  f0: real first half ∪ cohort D (60 fresh texts at exactly T =
+    //      corpus midpoint, making file 1's max = T closed-form);
+    //  f1: real second half ∪ dupD — D's texts RESENT at T+5min. Late
+    //      filter is still 0 (second batch) and D's state is
+    //      definitively live (expiry T+10min > the evicting wm1 =
+    //      T-10min), so every dupD row must be DROPPED by cross-batch
+    //      state — the survival rule this row exists to gate;
+    //  f2: cohort F (40 fresh texts retimed to the corpus START — under
+    //      batch 3's lagged late filter wm1 by half a span, every one
+    //      dropped BEFORE the operator) ∪ advancer G (5 fresh texts at
+    //      mx+20min, emitted). Batch 3's eviction watermark wm2 =
+    //      mx-10min is half a span above D's expiry, so D's state is
+    //      definitively evicted in THIS batch — with no D text aboard,
+    //      the mid-batch lookup-vs-eviction convention never matters
+    //      (the q52 boundary-convention discipline);
+    //  f3: cohort E — the first 30 D texts RESENT at mx+25min (above
+    //      batch 4's late filter wm2). State was evicted a full batch
+    //      ago, so every E row must RE-EMIT — the documented
+    //      withinWatermark trade (bounded state forgets beyond the
+    //      horizon), observable in the output multiset.
+    // Output = all real events ∪ D once (original times) ∪ G ∪ E
+    // (resend times); dupD and F absent. A dropped-state bug (dupD
+    // re-emitted), a leaked-state bug (E swallowed), or a broken late
+    // filter (F present) each change the multiset.
+    "d176_dedup_boundary_stream" -> { (s, dir) =>
+      val e = graft.io.Tables.loadEventsRaw(s, dir)
+      val dt = e.schema("ts").dataType
+      val base = e.select(col("event_id").as("k"),
+        concat(lit("e"), col("event_id")).as("text"),
+        unix_micros(graft.io.Tables.asTimestamp(dt, "ts")).as("tus"))
+      // two O(1) driver scalars (the windowBounds discipline), mirrored
+      // by the oracle's bounds CTE
+      val r = base.agg(min("tus"), max("tus")).head()
+      val (mnUs, mxUs) = (r.getLong(0), r.getLong(1))
+      val midUs = (mnUs + mxUs) / 2
+      def cohort(k0: Long, n: Int, tag: String, tUs: Long): DataFrame =
+        s.range(n).select((lit(k0) + col("id")).as("k"),
+          concat(lit(tag), col("id")).as("text"), lit(tUs).as("tus"))
+      def dtexts(k0: Long, n: Int, tUs: Long): DataFrame =
+        s.range(n).select((lit(k0) + col("id")).as("k"),
+          concat(lit("d"), col("id")).as("text"), lit(tUs).as("tus"))
+      val file1 = base.where(col("tus") <= midUs)
+        .union(dtexts(3000000000L, 60, midUs))            // D first-seen
+      val file2 = base.where(col("tus") > midUs)
+        .union(dtexts(4000000000L, 60, midUs + 300000000L)) // dupD: drop
+      val file3 = cohort(4500000000L, 40, "f", mnUs)      // late: drop
+        .union(cohort(4600000000L, 5, "g", mxUs + 1200000000L)) // advancer
+      val file4 = dtexts(5000000000L, 30, mxUs + 1500000000L)  // E: re-emit
+      val srcDir = graft.WorkDirs.acquire("d176_dedupboundary")
+      graft.streaming.FileSource.writePinned(file1, srcDir, "f0.parquet",
+        1500000000000L)
+      graft.streaming.FileSource.writePinned(file2, srcDir, "f1.parquet",
+        1500000001000L)
+      graft.streaming.FileSource.writePinned(file3, srcDir, "f2.parquet",
+        1500000002000L)
+      graft.streaming.FileSource.writePinned(file4, srcDir, "f3.parquet",
+        1500000003000L)
+      val stream = s.readStream.schema(file1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(col("tus")))
+      val deduped = graft.streaming.DocStream.dedupExact(
+        stream, "ts", watermark = "10 minutes")
+      graft.streaming.StreamRunner.runToBatchMulti(deduped,
+          "d176_dedup_boundary", minDataBatches = 4)
+        .select(col("k"), unix_millis(col("ts")).as("tms"))
+    },
+
     // The real-image perceptual-hash chain END-TO-END (round 18): real
     // PNG blobs → ImageIoCodec.grayThumb (genuine decode + area-average
     // resize) → dHash64 → the d164 band join. d164 proves the hash+band
@@ -4485,6 +4562,27 @@ object PipelineQueries {
     // hashes come from the real decode chain, which d173 gates as
     // bit-identical to the synthetic closed form this SQL replays.
     "d175_phash_real_tag_stream" -> PhashTagStreamSql,
+    // d176: the four-batch dedup-state replay. The oracle rebuilds the
+    // engineered cohorts from the same bounds arithmetic and applies the
+    // measured outcome per class (DedupLagSpec): all real events emit
+    // (unique texts), D emits once at its original time, the advancer G
+    // emits, and E re-emits at its resend time (state evicted a batch
+    // earlier); dupD (state live across the boundary) and F (under the
+    // lagged late filter) never appear.
+    "d176_dedup_boundary_stream" ->
+      """WITH b AS (SELECT min(epoch_ns(ts)) // 1000 AS mn,
+             max(epoch_ns(ts)) // 1000 AS mx,
+             (min(epoch_ns(ts)) // 1000
+              + max(epoch_ns(ts)) // 1000) // 2 AS mid FROM events)
+         SELECT event_id AS k, epoch_ns(ts) // 1000000 AS tms FROM events
+         UNION ALL
+         SELECT 3000000000 + i, mid // 1000 FROM range(60) t(i), b
+         UNION ALL
+         SELECT 4600000000 + i, (mx + 1200000000) // 1000
+         FROM range(5) t(i), b
+         UNION ALL
+         SELECT 5000000000 + i, (mx + 1500000000) // 1000
+         FROM range(30) t(i), b""",
     // d132: the banded candidate set (shared CTEs) re-verified by
     // levenshtein on the 1e-6 integer grid.
     "d132_edit_verified" ->
