@@ -70,6 +70,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
     def calib(): Double = (1 to 3).map(_ => spinOnce()).min
+    // PARALLEL availability probe (late round 19): the single-thread spin
+    // has a measured blind spot — a host stealing CORES (not timeslices)
+    // leaves one thread's spin untouched while every 32-way stage runs at
+    // a fraction of its parallelism. Observed directly: a run with load
+    // ~30 from the hypervisor priced the whole suite at 2.2x floors with
+    // dozens of flags on untouched queries while calib drift read 1.09x
+    // (bench_runs/BENCH_DETAIL_r19_contended.json). This probe runs one
+    // spin per configured core concurrently and reports the SLOWEST
+    // thread's wall: on a quiet box it tracks the single-thread number
+    // (every core free); under multi-core steal it inflates by roughly
+    // the oversubscription factor. Runs on the same per-25-queries
+    // cadence as the single-thread series (each probe is ~65 ms of
+    // wall) because the steal is BURSTY: the first smoke's 3-point
+    // start/mid/end sampling read 1.29x on a run whose host load
+    // bounced 3->15 — too few points to catch the bursts the
+    // per-query flags land in; the max over the series is the signal.
+    val nCores = cpus.toInt
+    def calibPar(): Double = (1 to 2).map { _ =>
+      val worst = new java.util.concurrent.atomic.AtomicLong(0)
+      val threads = (1 to nCores).map { _ =>
+        new Thread(() => {
+          val t0 = System.nanoTime()
+          var x = 0x9E3779B97F4A7C15L ^ Thread.currentThread().getId
+          var i = 0
+          while (i < (1 << 25)) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+          }
+          if (x == 42) System.err.println("")
+          worst.accumulateAndGet(System.nanoTime() - t0, math.max)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      worst.get / 1e6
+    }.min
 
     // Per-query Spark-side accounting (judge r15 item 1c): job/stage/task
     // counts plus the decomposition of task wall time into executor run
@@ -140,6 +174,7 @@ object Bench {
     // Warm-up: exercise parquet reader, codegen, shuffle machinery once.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val calibStart = calib()
+    val calibParStart = calibPar()
 
     // a failed query must not masquerade as a fast one: report -1
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -179,6 +214,7 @@ object Bench {
                       acctDelta: Seq[Long], stream: Seq[String])
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     var calibMid = -1.0
+    var calibParMid = -1.0
     // wall-clock offset of each query's first sample from bench start:
     // calib_ms only probes three points, so a contended window BETWEEN
     // probes (the r11 driver d38-d58 block) is invisible without a
@@ -194,9 +230,13 @@ object Bench {
     // non-query wall per full suite, outside every per-query timer.
     val calibEvery = 25
     val calibSeries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    val calibParSeries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     val results = sorted.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx % calibEvery == 0) calibSeries += ((tNow(), calib()))
-      if (idx == sorted.size / 2) calibMid = calib()
+      if (idx % calibEvery == 0) {
+        calibSeries += ((tNow(), calib()))
+        calibParSeries += ((tNow(), calibPar()))
+      }
+      if (idx == sorted.size / 2) { calibMid = calib(); calibParMid = calibPar() }
       val tOff = tNow()
       drainListenerBus()
       val acct0 = acct.snap()
@@ -236,6 +276,7 @@ object Bench {
     }
     calibSeries += ((tNow(), calib()))
     val calibEnd = calib()
+    val calibParEnd = calibPar()
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
     // Self-adjudication (round 18): read the floors dict this bench is
@@ -319,15 +360,39 @@ object Bench {
       Seq(calibStart, calibMid, calibEnd)).filter(_ > 0)
     val calibBest = if (calibAll.nonEmpty) calibAll.min else -1.0
     val calibDrift = if (calibBest > 0) calibAll.max / calibBest else -1.0
+    // Multi-core steal signal: the slowest-thread parallel spin compared
+    // against the run's best SINGLE-thread spin. On a quiet box the ratio
+    // sits near 1 (every probe thread gets a core); a hypervisor stealing
+    // cores inflates it by roughly the oversubscription factor while the
+    // single-thread drift stays flat — the exact contended sample the
+    // r19_contended artifact recorded (suite at 2.2x floors, calib drift
+    // 1.09x, host load ~30). Threshold 1.4x: parallel probes carry some
+    // scheduler noise (JVM/Spark background threads), measured ~1.1-1.2x
+    // on a quiet box.
+    val calibParAll = (calibParSeries.map(_._2) ++
+      Seq(calibParStart, calibParMid, calibParEnd)).filter(_ > 0)
+    val calibParWorst = if (calibParAll.nonEmpty) calibParAll.max else -1.0
+    val parRatio = if (calibBest > 0 && calibParWorst > 0)
+      calibParWorst / calibBest else -1.0
+    // a flag is "in a contended window" when bracketed by an inflated
+    // probe of EITHER kind: single-thread (timeslice steal) or parallel
+    // (core steal — the r19_contended class the single series missed)
+    val calibParBest = if (calibParAll.nonEmpty) calibParAll.min else -1.0
     def inflatedNear(t: Double): Boolean = {
-      val before = calibSeries.filter(_._1 <= t).lastOption
-      val after = calibSeries.find(_._1 > t)
-      (before.toSeq ++ after.toSeq).exists(_._2 > 1.1 * calibBest)
+      def near(series: Seq[(Double, Double)], best: Double,
+               thresh: Double): Boolean = {
+        val before = series.filter(_._1 <= t).lastOption
+        val after = series.find(_._1 > t)
+        best > 0 && (before.toSeq ++ after.toSeq).exists(_._2 > thresh * best)
+      }
+      near(calibSeries.toSeq, calibBest, 1.1) ||
+        near(calibParSeries.toSeq, calibParBest, 1.4)
     }
     val steadyFlagsInWindow = steadyFlagged
       .filter { case (q, _) => q.sampleTOff.exists(inflatedNear) }
       .map(_._1.name)
     val driftStr = "%.2f".formatLocal(java.util.Locale.ROOT, calibDrift)
+    val parStr = "%.2f".formatLocal(java.util.Locale.ROOT, parRatio)
     val envNote =
       if (calibBest <= 0) "no calibration probes recorded"
       else if (calibDrift > 1.1 && steadyFlagged.nonEmpty)
@@ -340,10 +405,19 @@ object Bench {
       else if (calibDrift > 1.1)
         s"CONTENDED: calib drift ${driftStr}x > 1.10x - host took " +
           "CPU away mid-run (no steady flags crossed the rule)"
+      else if (parRatio > 1.4)
+        s"CONTENDED-PARALLEL: slowest-of-$nCores parallel spin " +
+          s"${parStr}x the best single-thread spin (> 1.40x) while " +
+          s"single-thread drift is flat (${driftStr}x) - the host is " +
+          "stealing CORES, which inflates every parallel stage but not " +
+          s"a lone spin; ${steadyFlagsInWindow.size}/" +
+          s"${steadyFlagged.size} steady flags have a sample bracketed " +
+          "by an inflated probe; adjudicate flags against cross-run floors"
       else
-        s"QUIET: calib drift ${driftStr}x <= 1.10x - no in-run " +
-          "contention evidence; steady flags, if any, are code-suspect " +
-          "until cross-run reproduction says otherwise"
+        s"QUIET: calib drift ${driftStr}x <= 1.10x, parallel-spin ratio " +
+          s"${parStr}x <= 1.40x - no in-run contention evidence; steady " +
+          "flags, if any, are code-suspect until cross-run reproduction " +
+          "says otherwise"
     val floorsMissing = results.map(_.name).filterNot(floors.contains)
     if (floorsMissing.nonEmpty)
       System.err.println(s"[bench] WARNING: no floor for " +
@@ -417,7 +491,7 @@ object Bench {
     // BENCH_DETAIL.json holds the untruncated four maps, so a contended
     // run is still self-diagnosing (high spread across the board).
     val detail =
-      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"t_off":$tOffs,"sample_t_off":$sampleTOffs,"spark_acct":{"cols":["jobs","stages","tasks","task_wall_ms","run_ms","gc_ms","sched_delay_ms"],"queries":$acctM},"storage_pre_bytes":$storePre,"storage_res_bytes":$storeRes,"storage_res_rdds":$storeRdds,"stream_metrics":$streamM,"calib_ms":{"start":${r3(calibStart)},"mid":${r3(calibMid)},"end":${r3(calibEnd)},"series":$calibSeriesJson},"flags":$flagsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"cold_total":${r3(coldTotal)},"unit":"sec","queries":$qs,"cold":$colds,"samples":$samples,"spread":$spreads,"t_off":$tOffs,"sample_t_off":$sampleTOffs,"spark_acct":{"cols":["jobs","stages","tasks","task_wall_ms","run_ms","gc_ms","sched_delay_ms"],"queries":$acctM},"storage_pre_bytes":$storePre,"storage_res_bytes":$storeRes,"storage_res_rdds":$storeRdds,"stream_metrics":$streamM,"calib_ms":{"start":${r3(calibStart)},"mid":${r3(calibMid)},"end":${r3(calibEnd)},"series":$calibSeriesJson},"calib_par_ms":{"start":${r3(calibParStart)},"mid":${r3(calibParMid)},"end":${r3(calibParEnd)},"ratio_vs_single":${r3(parRatio)},"series":${calibParSeries.map { case (t, ms) => s"""{"t":${r3(t)},"ms":${r3(ms)}}""" }.mkString("[", ",", "]")}},"flags":$flagsJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail file is best-effort

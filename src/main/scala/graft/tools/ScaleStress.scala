@@ -75,6 +75,9 @@ object ScaleStress {
     if (args.contains("round19state")) {
       runRound19StateProbe(spark); spark.stop(); return
     }
+    if (args.contains("round19dedup")) {
+      runRound19DedupProbe(spark); spark.stop(); return
+    }
     if (args.contains("round13b")) {
       runRound13bProbes(spark, full = true); spark.stop(); return
     }
@@ -1085,6 +1088,61 @@ object ScaleStress {
           tag -> minOf3(s"state_$prov $tag")(runArm(tag))
         }.toMap
         println(f"${s"state_${prov}_slope"}%-22s 1x=${t("1x")}%6.2f " +
+          f"10x=${t("10x")}%6.2f (${t("10x") / t("1x")}%4.1fx)")
+      } finally if (rocks) graft.GraftConf.disableRocksDbStateStore(spark)
+    }
+  }
+
+  /** Dedup-state slope probe (late round 19, backing SCALE.md's
+    * streaming-dedup capacity note): `DocStream.dedupExact`
+    * (`dropDuplicatesWithinWatermark`) with the DISTINCT-FINGERPRINT
+    * state cardinality grown 1x -> 10x at constant duplicates-per-key
+    * (2 input rows per key: original + an in-horizon duplicate that must
+    * drop) and a CONSTANT 100-minute event-time span, so the
+    * evicted-fraction is scale-invariant. One data batch inserts every
+    * state row and drops every duplicate; the trailing no-data batch
+    * advances the watermark to max-10min and evicts all but the last
+    * ~20 minutes of keys — both halves of the store's per-row lifecycle
+    * (insert + evict) inside the timed region, min-of-3, both
+    * providers. The emitted count is the correctness signal: exactly
+    * one row per distinct key, every duplicate dropped.
+    */
+  private def runRound19DedupProbe(spark: SparkSession): Unit = {
+    def minOf3(name: String)(f: => Long): Double =
+      probeMinOf3(spark)(name)(f)
+    val base = "/tmp/graft_scale19dedup"
+    val baseUs = 1700000040000000L // minute-aligned epoch µs
+    val spanUs = 100L * 60000000L  // constant 100-minute span
+    val arms = Seq(("1x", 100000L), ("10x", 1000000L))
+    arms.foreach { case (tag, keys) =>
+      if (!new java.io.File(s"$base/s$tag/_SUCCESS").exists()) {
+        val spacing = spanUs / keys
+        spark.range(2 * keys).select(
+          concat(lit("t"), (col("id") / 2).cast("long").cast("string"))
+            .as("text"),
+          (lit(baseUs) + (col("id") / 2).cast("long") * lit(spacing) +
+            pmod(col("id"), lit(2)) * lit(1000L)).as("tus"))
+          .write.mode("overwrite").parquet(s"$base/s$tag")
+      }
+    }
+    def runArm(tag: String, keys: Long): Long = {
+      val schema = spark.read.parquet(s"$base/s$tag").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$base/s$tag")
+        .withColumn("ts", timestamp_micros(col("tus")))
+      val n = graft.streaming.StreamRunner.runToBatch(
+        graft.streaming.DocStream.dedupExact(stream, "ts",
+          watermark = "10 minutes").select("fp_hex"),
+        s"scale19d_$tag").count()
+      require(n == keys, s"dedup emitted $n rows, expected $keys")
+      n
+    }
+    Seq(("hdfs", false), ("rocksdb", true)).foreach { case (prov, rocks) =>
+      if (rocks) graft.GraftConf.enableRocksDbStateStore(spark)
+      try {
+        val t = arms.map { case (tag, keys) =>
+          tag -> minOf3(s"dedup_$prov $tag")(runArm(tag, keys))
+        }.toMap
+        println(f"${s"dedup_${prov}_slope"}%-22s 1x=${t("1x")}%6.2f " +
           f"10x=${t("10x")}%6.2f (${t("10x") / t("1x")}%4.1fx)")
       } finally if (rocks) graft.GraftConf.disableRocksDbStateStore(spark)
     }
