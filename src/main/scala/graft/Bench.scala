@@ -48,6 +48,11 @@ object Bench {
       // Cap it at 64 KB — an observability bound real deployments set; no
       // query result changes (A/B in tools/ProfileR11, round 11).
       .config("spark.sql.maxPlanStringLength", "65536")
+      // shell-fork-free local FS (r19): without libhadoop, every state
+      // store / offset log / fixture file op forks chmod/readlink —
+      // measured at ~75% of the stateful streaming rows' executor time.
+      // See graft.io.NioLocalFileSystem.
+      .config(GraftConf.localFsConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

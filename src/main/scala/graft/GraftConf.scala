@@ -27,6 +27,18 @@ object GraftConf {
   val builderConf: Map[String, String] = Map(
     "spark.cleaner.referenceTracking.cleanCheckpoints" -> "true")
 
+  /** `file:` scheme served by [[graft.io.NioLocalFileSystem]] — the
+    * shell-fork-free local filesystem (r19 optimization; see that class's
+    * scaladoc for the measurements). Apply wherever the session touches
+    * local scratch (checkpoints, WorkDirs fixtures, catalog artifacts) on
+    * a JVM without the Hadoop native library; deployments whose `file:`
+    * access is negligible (HDFS/S3 checkpoints) can skip it — results
+    * are identical either way.
+    */
+  val localFsConf: Map[String, String] = Map(
+    "spark.hadoop.fs.file.impl" -> "graft.io.NioLocalFileSystem",
+    "spark.hadoop.fs.AbstractFileSystem.file.impl" -> "graft.io.NioLocalFs")
+
   /** Point the session at a reliable (HDFS/S3/shared-FS) checkpoint
     * directory. After this, [[Checkpoints.eager]] — the materialization
     * seam every iterative operator goes through — writes real checkpoint

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shell-fork-free local FS (r19) — see graft.io.NioLocalFileSystem
+      .config(GraftConf.localFsConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -237,13 +237,21 @@ object JaccardJoin {
     val sh = CacheRegistry.track(
       MinHashLSH.shingleArrays(df, idCol, textCol, n).persist(disk))
     val freq = if (freqOrder) Some(docFreq(sh)) else None
-    val prefix = CacheRegistry.track(
-      prefixRows(sh, Seq(idCol), threshold, freq).persist(disk))
     // threshold 0 keeps every ranked row: the candidate side of a
     // containment probe cannot be prefix-pruned (B may be arbitrarily
     // larger than the A it contains)
     val full = CacheRegistry.track(
       prefixRows(sh, Seq(idCol), 0.0, freq).persist(disk))
+    // the probe prefix is BY DEFINITION the rank-filtered head of the
+    // full ranked table (same global order, same ranks — prefixRows at
+    // threshold t only adds the r ≤ |x| − ⌈t·|x|⌉ + 1 cut), so derive it
+    // from the persisted `full` instead of re-running the whole
+    // explode + df-join + rank window a second time (r19 optimization,
+    // guide §2.4 "remove shuffles outright": one full pass over the
+    // shingle table, its freq equijoin and its per-doc rank exchange
+    // drop out of the plan; the filter reads cached blocks).
+    val prefix = full.where(col("r") <=
+      col("sz") - safeCeil(col("sz") * threshold) + 1)
     val cand = prefix
       .select(col(idCol).as("doc_a"), col("sz").as("sz_a"),
         col("sh"), col("r").as("ra"))

@@ -139,6 +139,22 @@ object StreamRunner {
     val prevConf = spark.conf.getOption(confKey)
     val retKey = "spark.sql.streaming.numRecentProgressUpdates"
     val prevRet = spark.conf.getOption(retKey)
+    // Spark 4.1's checkpoint-file checksums
+    // (spark.sql.streaming.checkpoint.fileChecksum.enabled, default true)
+    // exist to detect corruption in LONG-LIVED checkpoints between runs.
+    // Every run here writes an EPHEMERAL checkpoint (temp dir, deleted on
+    // completion) — yet the checksum manager was measured to dominate the
+    // stateful rows' task time (r19 stack sampling: 56% of q45's executor
+    // samples in ChecksumCancellableFSDataOutputStream create/close plus
+    // the per-file awaitResult thread spawns; a store commit writes one
+    // sidecar per delta file × 4 stores × partitions for a stream-stream
+    // join). Checksums of a scratch file deleted milliseconds later buy
+    // nothing at ANY scale, so they are off for the duration of each
+    // finite replay and restored after — production deployments with
+    // durable checkpoints keep Spark's default (set the conf outside this
+    // runner; the restore preserves whatever the session had).
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCk = spark.conf.getOption(ckKey)
     // the conf sets AND start() sit inside the try: if start() throws
     // (bad plan, unresolvable source), the finally must still restore
     // both session-global overrides — otherwise retention=10000 and
@@ -147,6 +163,7 @@ object StreamRunner {
     try {
       if (!noDataBatches) spark.conf.set(confKey, "false")
       spark.conf.set(retKey, progressRetention.toString)
+      spark.conf.set(ckKey, "false")
       q = stream.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()
       q.processAllAvailable()
@@ -191,6 +208,10 @@ object StreamRunner {
       prevRet match {
         case Some(v) => spark.conf.set(retKey, v)
         case None => spark.conf.unset(retKey)
+      }
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None => spark.conf.unset(ckKey)
       }
     }
     spark.table(name)
