@@ -53,6 +53,10 @@ object Bench {
       // measured at ~75% of the stateful streaming rows' executor time.
       // See graft.io.NioLocalFileSystem.
       .config(GraftConf.localFsConf)
+      // serialized sort writer + no checksum sidecars: the superstep
+      // queries' many tiny shuffles otherwise spend ~36% of executor CPU
+      // opening O(M·R) partition files. See GraftConf.shuffleConf.
+      .config(GraftConf.shuffleConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -16,6 +16,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // shell-fork-free local FS (r19) — see graft.io.NioLocalFileSystem
       .config(GraftConf.localFsConf)
+      // sort writer + no checksum sidecars — see GraftConf.shuffleConf
+      .config(GraftConf.shuffleConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -599,6 +599,14 @@ object GraphOps {
     * (long sums are exact), so one round serves both forms.
     */
   private def lpaRound(e: DataFrame, lab: DataFrame): DataFrame = {
+    // r19 measured rejection: replacing this window with the declarative
+    // argmax `groupBy(__dst).agg(min(struct(-__v, __lab)))` — identical
+    // winner, map-side partial agg, "no sort" — is SLOWER (d149 5-rep A/B
+    // same box/config: 3.70-4.20 s vs 3.27-3.57 s here). The gotcha:
+    // struct aggregation buffers are not hash-aggregable, so Spark plans
+    // a partial+final SortAggregate pair — TWO sorts around the exchange
+    // where the window pays one after it, on vote rows that are already
+    // census-sized. Keep the window.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__dst").orderBy(col("__v").desc, col("__lab").asc)
     val win = e.join(lab, col("__src") === col("__id"))

@@ -27,6 +27,7 @@ object ProfileR19 {
       .config("spark.sql.debug.maxToStringFields", "10000")
       .config("spark.sql.maxPlanStringLength", "65536")
       .config(graft.GraftConf.localFsConf)
+      .config(graft.GraftConf.shuffleConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
