@@ -69,7 +69,14 @@ object MinHashLSH {
     // semantically free — every consumer is a set operation (minhash,
     // jaccard, containment, prefix ranks) — and the sorted-distinct
     // contract is property-pinned in SortedIntersectSpec.
-    df.select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
+    // Shingle hashing + per-doc sort is the suite's most-shared per-row
+    // CPU stage; on a one-row-group scan it serializes on one core (r19,
+    // guide §2.5). The guarded spread fires only for narrow-over-scan
+    // inputs below the session's parallelism — identity at scale, no-op
+    // on exchange-rooted inputs (dedupAgainstIndex's pruned corpus) and
+    // on streaming frames (DocStream callers).
+    Spread.toCoresIfNarrowScan(df)
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__words"))
       .where(size(w) >= n)
       .select(col(idCol), sort_array(array_distinct(sh)).as("sh_arr"))
   }

@@ -1144,7 +1144,12 @@ object EventQueries {
         """{"000":%d,"000.001":{"000.001.001":%d,"000.001.002":%d}}""",
         pmod(col("event_id"), lit(100)), pmod(col("event_id"), lit(7)),
         pmod(col("event_id"), lit(13)))
-      val withJson = ev(s, dir).select(col("event_id"), js.as("js"))
+      // JSON synth + parse + two generators are per-row CPU on a
+      // one-row-group scan — spread before them (r19, guide §2.5;
+      // identity at scale)
+      val withJson = graft.functions.Spread.toCores(
+        ev(s, dir).select(col("event_id")))
+        .select(col("event_id"), js.as("js"))
       graft.ops.JsonExplode.flatten(withJson, "js", Seq("event_id"))
         .groupBy("relative_path")
         .agg(count(lit(1)).as("n"), sum("value").cast("long").as("sum_value"))

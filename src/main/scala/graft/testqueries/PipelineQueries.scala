@@ -69,7 +69,12 @@ object PipelineQueries {
   private[graft] def realPngs(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // the per-row PNG encode is the expensive stage — spread a narrow
+    // (single-row-group) scan across the cores before it (r19, guide §2.5;
+    // identity on any at-scale many-partition scan, pass-through on
+    // streaming frames)
+    graft.functions.Spread.toCores(ids.select(col("doc_id").cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (16 + id % 50).toInt
         val h = (16 + (7 * id) % 40).toInt
@@ -125,7 +130,10 @@ object PipelineQueries {
   private[graft] def realPhashPngs(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // same narrow-scan spread as realPngs — the md5 fill + PNG encode is
+    // per-row CPU that must not serialize on a one-row-group scan
+    graft.functions.Spread.toCores(ids.select(col("doc_id").cast("long")))
+      .as[Long].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
         val img = id / 2
@@ -172,7 +180,10 @@ object PipelineQueries {
   private def realWavs(ids: DataFrame): DataFrame = {
     val s = ids.sparkSession
     import s.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // same narrow-scan spread as realPngs (WAV synthesis is cheaper than
+    // PNG but still per-row byte work)
+    graft.functions.Spread.toCores(ids.select(col("doc_id").cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map { id =>
         val n = (160 + id % 100).toInt
         val dataSize = n * 2
@@ -219,7 +230,11 @@ object PipelineQueries {
     // evaluates once per row; inlined, the pixel array would re-evaluate
     // per element_at reference (measured: 8.4 s -> 2.5 s at sf0.1, and
     // the md5 cut above takes the chain under 1 s)
-    df.select(col("doc_id"), unhex(blobHex).as("blob"))
+    // the md5 fill + pixel extraction is per-row CPU — guarded spread
+    // (r19, guide §2.5): fires on the one-row-group batch scan, no-op on
+    // the d167 streaming side and at scale
+    graft.functions.Spread.toCoresIfNarrowScan(df)
+      .select(col("doc_id"), unhex(blobHex).as("blob"))
       .select(col("doc_id"), Multimodal.grayPixels(col("blob"), 72).as("px"))
       .select(col("doc_id"), Multimodal.dHash64(col("px")).as("phash"))
   }
@@ -998,7 +1013,11 @@ object PipelineQueries {
     // prunes, levenshtein on the 1e-6 grid decides — the character-level
     // revision detector next to d05's shingle-set one.
     "d132_edit_verified" -> { (s, dir) =>
-      MinHashLSH.editVerifiedPairs(docs(s, dir), "doc_id", "text",
+      // shingle+signature banding is per-row CPU on a one-row-group scan
+      // — spread before it (r19, guide §2.5; the post-band levenshtein
+      // stage keeps AQE's own sizing)
+      MinHashLSH.editVerifiedPairs(
+        graft.functions.Spread.toCores(docs(s, dir)), "doc_id", "text",
         maxNorm = 0.3)
     },
 
@@ -2136,7 +2155,11 @@ object PipelineQueries {
     // bit — and its recall values materially above d96's untrained floor
     // are part of the gated hash.
     "d100_pq_trained_recall" -> { (s, dir) =>
-      val e = embs(s, dir)
+      // Lloyd's distance folds and the ADC scan are per-row CPU — spread
+      // the one-row-group corpus scan before both (r19, guide §2.5;
+      // identity at scale). Grid-exact integer aggregation makes the
+      // training partition-order-invariant, so the codebook is unchanged.
+      val e = graft.functions.Spread.toCores(embs(s, dir))
       val queries = e.where(col("vec_id") < 10)
       val cb = graft.functions.VectorPQ.train(e, "vec_id", "embedding",
         dim = 64, m = 8, ksub = 16, iters = 2)
@@ -2236,7 +2259,10 @@ object PipelineQueries {
         .when(col("doc_id") % 4 === 1, concat(png, payload))
         .when(col("doc_id") % 4 === 2, concat(wav, payload))
         .otherwise(payload)
-      val media = docs(s, dir).select(col("doc_id"), blob.as("blob"))
+      // blob synthesis + codec decode are per-row CPU — spread the
+      // one-row-group scan before them (r19, guide §2.5; identity at scale)
+      val media = graft.functions.Spread.toCores(docs(s, dir))
+        .select(col("doc_id"), blob.as("blob"))
       val (outW, outH) = Multimodal.resizePlan(col("width"), col("height"), 512, 512)
       // SPARK_GRAFT_REAL_CODEC=1 routes each blob through the JDK's real
       // ImageIO decoder first (decode-to-pixels for JPEG/PNG/GIF/BMP),
@@ -2527,7 +2553,14 @@ object PipelineQueries {
     // argmaxes from it is spec-replayed in BpePairCensusSpec). One
     // partial-agg exchange keyed by the pair.
     "d58_bpe_pair_census" -> { (s, dir) =>
-      TextAnalysis.bpePairCensus(docs(s, dir), "text", TextAnalysis.BpeMerges)
+      // the merge fold (one replace pass per merge rank) is the heavy
+      // stage; spread the one-row-group scan before it (r19, guide §2.5).
+      // At the call site, not inside bpePairCensus: the operator accepts
+      // arbitrary frames, and Spread's partition probe must only see
+      // scan-rooted plans (see its contract)
+      TextAnalysis.bpePairCensus(
+        graft.functions.Spread.toCores(docs(s, dir)),
+        "text", TextAnalysis.BpeMerges)
     },
 
     // The tokenization itself (d40 only counts): real token-id sequences

@@ -70,8 +70,24 @@ object ProfileR19 {
         while (true) {
           val all = Thread.getAllStackTraces
           all.forEach { (th, frames) =>
+            // driver-side lens (r19 resume): the remaining wall on the
+            // superstep queries is wall − Σrun/cores, i.e. DRIVER time —
+            // sample the query-running main thread and the DAG scheduler
+            // event loop too, tagged so the histogram separates the sides
+            val nm = th.getName
+            val driverSide = nm == "main" ||
+              nm.startsWith("dag-scheduler-event-loop")
+            if (th.getState == Thread.State.RUNNABLE && driverSide &&
+                frames.nonEmpty) {
+              val names = frames.map(f =>
+                s"${f.getClassName}.${f.getMethodName}")
+              val interesting = names.filterNot(n => n.startsWith("java.") ||
+                n.startsWith("jdk.") || n.startsWith("scala.collection"))
+                .take(6).mkString(" <- ")
+              hist.merge(s"[$nm] $interesting", 1, (a, b) => a + b)
+            }
             if (th.getState == Thread.State.RUNNABLE &&
-                th.getName.startsWith("Executor task launch") &&
+                nm.startsWith("Executor task launch") &&
                 frames.nonEmpty) {
               // for blocking/spawn tops, the CALLER is the story: skip
               // the jdk plumbing and show the first spark/scala frames
@@ -98,9 +114,23 @@ object ProfileR19 {
     // warm-up like Bench
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    // Interleaved A/B (SPARK_GRAFT_AB="key=value"): odd reps run with the
+    // session conf SET, even reps with the session default — alternating
+    // within one JVM, so a bursty-steal host window inflates both arms
+    // instead of poisoning one (the r19 changelog-checkpointing A/B was
+    // unreadable across separate JVMs minutes apart). Only valid for
+    // confs read per query execution (AQE knobs, stream-start confs).
+    val ab = sys.env.get("SPARK_GRAFT_AB").map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
+
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { rep =>
+        val abTag = ab.map { case (k, v) =>
+          if (rep % 2 == 1) { spark.conf.set(k, v); " ab=ON" }
+          else { spark.conf.unset(k); " ab=off" }
+        }.getOrElse("")
         val a0 = acct.snap()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
@@ -110,7 +140,8 @@ object ProfileR19 {
         val a1 = acct.snap()
         val d = a1.zip(a0).map { case (x, y) => x - y }
         println(f"[profile] $name rep=$rep rows=$n wall=$dt%.3f " +
-          s"jobs=${d(0)} stages=${d(1)} tasks=${d(2)} run_ms=${d(3)} gc_ms=${d(4)}")
+          s"jobs=${d(0)} stages=${d(1)} tasks=${d(2)} run_ms=${d(3)} " +
+          s"gc_ms=${d(4)}$abTag")
         graft.streaming.StreamMetrics.drain().foreach(l =>
           println(s"[profile]   $l"))
       }
